@@ -1,0 +1,119 @@
+"""Scans, sources and sinks (SURVEY.md §2.B "Scans / sources / sinks").
+
+Capability basis: the reference catalogs tables precisely so engines can scan
+them with pruning (partition spec: reference api/handlers/models.go:66,
+tables.go:102-104; sort order for row-group skipping: models.go:67).
+
+Scale notes: projection and predicate queries are written so Catalyst pushes
+them into the parquet scan (verify: PushedFilters / ReadSchema in explain);
+the partitioned sink uses directory partitioning so the read-back filter is a
+PartitionFilter (zero data files touched outside the selected partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from .common import scratch_dir, t
+
+
+@query(
+    "q_scan_full",
+    oracle="SELECT * FROM lineitem",
+)
+def q_scan_full(spark, sf_dir):
+    """Full table scan of lineitem."""
+    return t(spark, sf_dir, "lineitem")
+
+
+@query(
+    "q_scan_project",
+    oracle="SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem",
+)
+def q_scan_project(spark, sf_dir):
+    """Column projection — ReadSchema must shrink to the 3 columns."""
+    return t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+
+
+@query(
+    "q_scan_filter",
+    oracle="""
+    SELECT l_orderkey, l_shipdate, l_quantity
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+    """,
+)
+def q_scan_filter(spark, sf_dir):
+    """Predicate pushdown scan — PushedFilters must carry the range."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") < "1996-01-01").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+
+
+@query(
+    "q_scan_partition_prune",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice,
+           CAST(year(o_orderdate) AS INT) AS o_year
+    FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def q_scan_partition_prune(spark, sf_dir):
+    """Write orders partitioned by year, read back with a partition filter.
+
+    The read-back plan prunes directories (PartitionFilters: [o_year = 1997]);
+    at 100 TB this is the difference between scanning one year and all years.
+    """
+    out = scratch_dir("part_orders", sf_dir)
+    orders = t(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate"))
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    back = spark.read.parquet(out)
+    return back.filter(F.col("o_year") == 1997).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+        F.col("o_year").cast("int").alias("o_year"),
+    )
+
+
+@query(
+    "q_sink_parquet",
+    oracle="SELECT * FROM supplier",
+)
+def q_sink_parquet(spark, sf_dir):
+    """Write + read-back round trip preserves rows and schema exactly."""
+    out = scratch_dir("sink_supplier", sf_dir)
+    t(spark, sf_dir, "supplier").write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@query(
+    "q_sink_partitioned",
+    oracle="""
+    SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def q_sink_partitioned(spark, sf_dir):
+    """Partitioned write honoring a partition spec (reference models.go:66),
+    sorted within partitions per the write-order contract (models.go:67) so
+    parquet min/max stats stay tight for row-group skipping."""
+    out = scratch_dir("sink_customer", sf_dir)
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    (
+        cust.repartition("c_mktsegment")
+        .sortWithinPartitions("c_custkey")
+        .write.mode("overwrite")
+        .partitionBy("c_mktsegment")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 4).alias("c_acctbal"), "c_mktsegment"
+    )

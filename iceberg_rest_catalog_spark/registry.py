@@ -1,0 +1,81 @@
+"""Query registry — the single source of truth for ``__spark_entry__``.
+
+Every operator from SURVEY.md §2 registers itself here with an id, a
+callable ``(spark, sf_dir) -> DataFrame``, and (when DuckDB-expressible) an
+oracle SQL string. ``__spark_entry__.queries()`` / ``oracle_sql()`` are thin
+views over this registry.
+
+Conventions (oracle-stability, SURVEY.md §7 watch-list):
+- every computed/aggregate column is aliased identically in the Spark code
+  and the oracle SQL (the driver sorts columns BY NAME before hashing);
+- every floating-point aggregate is rounded to 4 decimals in BOTH texts;
+- window orderings always include a unique tiebreak key so row_number /
+  frame contents are deterministic across engines.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Entry:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None => driver does a rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Entry] = {}
+
+# Modules that contribute queries; imported lazily by collect().
+_QUERY_MODULES = (
+    "iceberg_rest_catalog_spark.operators.scans",
+    "iceberg_rest_catalog_spark.operators.filters",
+    "iceberg_rest_catalog_spark.operators.joins",
+    "iceberg_rest_catalog_spark.operators.aggregates",
+    "iceberg_rest_catalog_spark.operators.windows",
+    "iceberg_rest_catalog_spark.operators.sorts",
+    "iceberg_rest_catalog_spark.operators.setops",
+    "iceberg_rest_catalog_spark.operators.subqueries",
+    "iceberg_rest_catalog_spark.operators.functions",
+    "iceberg_rest_catalog_spark.operators.tpch",
+    "iceberg_rest_catalog_spark.operators.udfs",
+    "iceberg_rest_catalog_spark.streaming.queries",
+    "iceberg_rest_catalog_spark.llm.dedup",
+    "iceberg_rest_catalog_spark.llm.similarity",
+    "iceberg_rest_catalog_spark.llm.text",
+    "iceberg_rest_catalog_spark.llm.multimodal",
+)
+
+
+def query(name: str, oracle: str | None = None):
+    """Decorator: register fn as queries()[name], with optional DuckDB oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query id {name!r}")
+        _REGISTRY[name] = Entry(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def collect() -> dict[str, Entry]:
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+    return _REGISTRY
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: e.fn for name, e in collect().items()}
+
+
+def oracles() -> dict[str, str]:
+    return {name: e.oracle for name, e in collect().items() if e.oracle is not None}
