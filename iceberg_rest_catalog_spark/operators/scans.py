@@ -68,9 +68,12 @@ def q_scan_partition_prune(spark, sf_dir):
     The read-back plan prunes directories (PartitionFilters: [o_year = 1997]);
     at 100 TB this is the difference between scanning one year and all years.
     """
+    import os
+
     out = scratch_dir("part_orders", sf_dir)
-    orders = t(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate"))
-    orders.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):  # idempotent per sf_dir
+        orders = t(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate"))
+        orders.write.mode("overwrite").partitionBy("o_year").parquet(out)
     back = spark.read.parquet(out)
     return back.filter(F.col("o_year") == 1997).select(
         "o_orderkey",
@@ -106,8 +109,12 @@ def q_sink_partitioned(spark, sf_dir):
     cust = t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
     )
+    # Repartition by (partition key, salt) — NOT by the 5-value key alone,
+    # which would collapse the write into ≤5 tasks (≈20 TB/task at 100 TB).
+    # The salt spreads each directory over several writer tasks while still
+    # keeping files-per-directory bounded (= salt buckets, not shuffle width).
     (
-        cust.repartition("c_mktsegment")
+        cust.repartition(F.col("c_mktsegment"), F.pmod(F.hash("c_custkey"), F.lit(8)))
         .sortWithinPartitions("c_custkey")
         .write.mode("overwrite")
         .partitionBy("c_mktsegment")

@@ -68,8 +68,17 @@ def query(name: str, oracle: str | None = None):
 
 
 def collect() -> dict[str, Entry]:
+    """Import every query module that exists; missing modules are simply
+    not-yet-implemented (the registry degrades gracefully as modules land)."""
     for mod in _QUERY_MODULES:
-        importlib.import_module(mod)
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError as e:
+            # Only swallow "the query module itself (or its parent package)
+            # is missing" — a bad import *inside* an existing module must
+            # still surface loudly.
+            if e.name is None or not (mod == e.name or mod.startswith(e.name + ".")):
+                raise
     return _REGISTRY
 
 

@@ -64,10 +64,19 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     The verify driver hands us its own SparkSession; these confs are
     mandatory for correct fixture reads and oracle comparison.
     """
+    import warnings
+
     for k, v in ENGINE_OVERRIDES.items():
         try:
             if spark.conf.get(k, None) != v:
                 spark.conf.set(k, v)
-        except Exception:
-            pass
+        except Exception as exc:  # conf rejected (e.g. static conf on live session)
+            if spark.conf.get(k, None) != v:
+                # nanosAsLong is load-bearing: without it events.parquet cannot
+                # be read at all. Surface loudly rather than diverge silently.
+                if k == "spark.sql.legacy.parquet.nanosAsLong":
+                    raise RuntimeError(
+                        f"required conf {k}={v} could not be applied: {exc}"
+                    ) from exc
+                warnings.warn(f"engine override {k}={v} not applied: {exc}")
     return spark
