@@ -1,0 +1,352 @@
+"""Join operators (SURVEY.md §2.B "Joins").
+
+Capability basis: the reference's catalog exists to serve engine-side joins
+over its tables (reference README.md:3-7; partition/sort metadata in
+api/handlers/models.go:62-70 is only meaningful to a join-capable engine).
+
+Scale notes (100 TB):
+- equi joins: plain ``df.join`` — Catalyst picks sort-merge or (with AQE)
+  shuffled-hash; both shuffle only on the join key.
+- small dimensions (nation, region, literal band tables): ``F.broadcast`` —
+  no shuffle of the big side at all.
+- theta/range joins: keep the non-equi side tiny and broadcast it, so the
+  BroadcastNestedLoopJoin is (big side) × (handful of rows), never
+  (big) × (big).
+- as-of join: implemented as union + window ``last(ignorenulls)`` — one
+  shuffle on (user_id), NO per-row range explosion. This is the pattern that
+  survives 1000 executors; a join-then-rank would build |purchases| ×
+  |earlier clicks| intermediates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from .common import r4, t
+
+# ---------------------------------------------------------------- equi family
+
+_ORD_CUST_COLS = """
+    o.o_orderkey, o.o_custkey, round(o.o_totalprice, 4) AS o_totalprice,
+    c.c_custkey, c.c_name, c.c_mktsegment
+"""
+
+
+def _orders_customer(spark, sf_dir, how: str, broadcast_dim: bool = False):
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    # Outer joins are only interesting when keys are partially missing: keep
+    # only high-value orders so some customers have no match (and vice versa).
+    o = o.filter(F.col("o_totalprice") > 150000.0)
+    if broadcast_dim:
+        c = F.broadcast(c)
+    joined = o.join(c, o.o_custkey == c.c_custkey, how)
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        r4("o_totalprice").alias("o_totalprice"),
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+    )
+
+
+_ORD_CUST_SQL = """
+    SELECT {cols}
+    FROM (SELECT * FROM orders WHERE o_totalprice > 150000.0) o
+    {how} JOIN customer c ON o.o_custkey = c.c_custkey
+""".format
+
+
+@query("q_join_inner", oracle=_ORD_CUST_SQL(cols=_ORD_CUST_COLS, how="INNER"))
+def q_join_inner(spark, sf_dir):
+    """Equi inner join orders ⋈ customer (Catalyst picks SMJ/SHJ)."""
+    return _orders_customer(spark, sf_dir, "inner")
+
+
+@query("q_join_left", oracle=_ORD_CUST_SQL(cols=_ORD_CUST_COLS, how="LEFT"))
+def q_join_left(spark, sf_dir):
+    """Left outer join — unmatched orders keep NULL customer columns."""
+    return _orders_customer(spark, sf_dir, "left")
+
+
+@query("q_join_right", oracle=_ORD_CUST_SQL(cols=_ORD_CUST_COLS, how="RIGHT"))
+def q_join_right(spark, sf_dir):
+    """Right outer join — customers with no qualifying order survive."""
+    return _orders_customer(spark, sf_dir, "right")
+
+
+@query("q_join_full", oracle=_ORD_CUST_SQL(cols=_ORD_CUST_COLS, how="FULL"))
+def q_join_full(spark, sf_dir):
+    """Full outer join."""
+    return _orders_customer(spark, sf_dir, "full")
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+    """,
+)
+def q_join_semi(spark, sf_dir):
+    """Left semi join (EXISTS): customers having a >300k order."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+    """,
+)
+def q_join_anti(spark, sf_dir):
+    """Left anti join (NOT EXISTS)."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r.r_regionkey, r.r_name, n.n_nationkey, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q_join_cross(spark, sf_dir):
+    """Cross join of the two tiny dimensions (5 × 25 rows)."""
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return r.crossJoin(n).select("r_regionkey", "r_name", "n_nationkey", "n_name")
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation, r.r_name AS region
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q_join_broadcast(spark, sf_dir):
+    """Broadcast hash join of small dims — plan must show BroadcastHashJoin;
+    the fact table is never shuffled."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )
+
+
+# ------------------------------------------------------------ non-equi family
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('low', 0.0, 100000.0), ('mid', 100000.0, 250000.0),
+               ('high', 250000.0, 400000.0), ('top', 400000.0, 1e9)
+    )
+    SELECT b.band, count(*) AS n_orders,
+           round(sum(o.o_totalprice), 4) AS sum_price
+    FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def q_join_theta(spark, sf_dir):
+    """Theta (price-band) join. The band table is a 4-row literal and is
+    broadcast, so the BroadcastNestedLoopJoin streams the fact side once."""
+    o = t(spark, sf_dir, "orders").select("o_totalprice")
+    bands = spark.createDataFrame(
+        [
+            ("low", 0.0, 100000.0),
+            ("mid", 100000.0, 250000.0),
+            ("high", 250000.0, 400000.0),
+            ("top", 400000.0, 1e9),
+        ],
+        "band string, lo double, hi double",
+    )
+    joined = o.join(
+        F.broadcast(bands),
+        (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_orders"),
+        r4(F.sum("o_totalprice")).alias("sum_price"),
+    )
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    WITH iv(iv_id, iv_start, iv_end) AS (
+        VALUES (1, TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-06'),
+               (2, TIMESTAMP '2024-01-06', TIMESTAMP '2024-01-11'),
+               (3, TIMESTAMP '2024-01-11', TIMESTAMP '2024-01-16'),
+               (4, TIMESTAMP '2024-01-16', TIMESTAMP '2024-01-21'),
+               (5, TIMESTAMP '2024-01-21', TIMESTAMP '2024-01-26'),
+               (6, TIMESTAMP '2024-01-26', TIMESTAMP '2024-01-31')
+    )
+    SELECT iv.iv_id, count(*) AS n_events, round(sum(e.value), 4) AS sum_value
+    FROM events e JOIN iv ON e.ts >= iv.iv_start AND e.ts < iv.iv_end
+    GROUP BY iv.iv_id
+    """,
+)
+def q_join_range(spark, sf_dir):
+    """Interval/range join of events onto time windows (broadcast intervals)."""
+    e = t(spark, sf_dir, "events").select("ts", "value")
+    iv = spark.createDataFrame(
+        [(i + 1, f"2024-01-{1 + 5 * i:02d}", f"2024-01-{6 + 5 * i:02d}") for i in range(6)],
+        "iv_id int, s string, e string",
+    ).select(
+        "iv_id",
+        F.col("s").cast("timestamp_ntz").alias("iv_start"),
+        F.col("e").cast("timestamp_ntz").alias("iv_end"),
+    )
+    joined = e.join(
+        F.broadcast(iv), (e.ts >= iv.iv_start) & (e.ts < iv.iv_end)
+    )
+    return joined.groupBy("iv_id").agg(
+        F.count("*").alias("n_events"),
+        r4(F.sum("value")).alias("sum_value"),
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT user_id, ts, max(value) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.ts, round(p.value, 4) AS purchase_value,
+           round(c.click_value, 4) AS last_click_value,
+           c.ts AS last_click_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_join_asof(spark, sf_dir):
+    """As-of join: for each purchase, the latest click by the same user at or
+    before the purchase time.
+
+    Implementation is the union+window pattern: tag both streams, sort each
+    user's timeline once, and carry the last click forward with
+    ``last(ignorenulls=True)``. One shuffle on user_id, no range-join blowup —
+    the shape that scales to 100 TB of events. DuckDB oracle: ASOF LEFT JOIN.
+    """
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # dedupe clicks to one row per (user_id, ts) so the as-of pick is
+    # deterministic under timestamp ties (mirrors the oracle's GROUP BY)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    tagged = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_p"),
+        "event_id",
+        "value",
+        F.lit(None).cast("double").alias("click_value"),
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("is_p"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+            "click_value",
+        )
+    )
+    # clicks (is_p=0) sort before purchases (is_p=1) at equal ts, so a
+    # same-instant click is visible to the purchase — ASOF `>=` semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.withColumn(
+        "last_click_value", F.last("click_value", ignorenulls=True).over(w)
+    ).withColumn(
+        "last_click_ts",
+        F.last(F.when(F.col("is_p") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return carried.filter(F.col("is_p") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        r4("value").alias("purchase_value"),
+        r4("last_click_value").alias("last_click_value"),
+        "last_click_ts",
+    )
+
+
+@query(
+    "q_join_multiway",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           count(*) AS n_lineitems,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def q_join_multiway(spark, sf_dir):
+    """Six-table join chain (TPC-H Q5 shape). Fact-to-fact joins shuffle on
+    their keys; the three dimensions are broadcast."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"), F.col("r_name").alias("region")
+    ).agg(
+        F.count("*").alias("n_lineitems"),
+        r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue"
+        ),
+    )

@@ -1,0 +1,162 @@
+"""TPC-H composite queries (SURVEY.md §2.B "Composite end-to-end queries").
+
+These are the bench headliners: each stresses the full scan → filter → join →
+aggregate → sort pipeline the reference's catalog metadata exists to serve
+(reference README.md:3-7).
+
+Scale notes: Q1 is a pure map-side-partial + final hash agg (4 groups — the
+shuffle carries only partial aggregates). Q3/Q5 shuffle the two fact tables on
+their join keys once each; every dimension is broadcast so the fact tables are
+never shuffled for dimension joins. AQE handles skew and coalesces the tiny
+post-agg exchanges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from .common import ntz, r4, t
+
+
+@query(
+    "q_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary report (filter + group + 8 aggregates + sort)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= ntz("1998-09-02 00:00:00"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r4(F.sum("l_quantity")).alias("sum_qty"),
+            r4(F.sum("l_extendedprice")).alias("sum_base_price"),
+            r4(F.sum(disc_price)).alias("sum_disc_price"),
+            r4(F.sum(charge)).alias("sum_charge"),
+            r4(F.avg("l_quantity")).alias("avg_qty"),
+            r4(F.avg("l_extendedprice")).alias("avg_price"),
+            r4(F.avg("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q_tpch_q3",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shipping priority (3-way join + agg + top-k).
+
+    Filters are applied *before* the joins so pushdown shrinks each scan;
+    customer (post-filter) is broadcast. l_orderkey added to the sort as a
+    unique tiebreak so LIMIT 10 is deterministic.
+    """
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < ntz("1998-03-15 00:00:00"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > ntz("1998-03-15 00:00:00"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_tpch_q5",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC
+    """,
+)
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 local supplier volume (6-way join + agg).
+
+    The region filter is applied to the broadcast dimension chain
+    (region → nation → supplier), so the big-side joins only see suppliers in
+    ASIA; customer-supplier co-nationality is the extra equi condition.
+    """
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    n = t(spark, sf_dir, "nation")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= ntz("1996-01-01 00:00:00"))
+            & (F.col("o_orderdate") < ntz("1997-01-01 00:00:00"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name")
+    sn = s.join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey).select(
+        "s_suppkey", "s_nationkey", "n_name"
+    )
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(sn),
+            (li.l_suppkey == sn.s_suppkey) & (c.c_nationkey == sn.s_nationkey),
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.desc("revenue"))
+    )
