@@ -1,0 +1,199 @@
+"""Aggregation operators (SURVEY.md §2.B "Aggregations").
+
+Scale notes: every groupBy here compiles to partial (map-side) + final hash
+aggregation — the shuffle carries one row per (partition, group), not raw
+data. ROLLUP/CUBE expand grouping sets *after* partial aggregation in
+Spark's Expand operator; approx_count_distinct ships HLL sketches, not values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from .common import r4, t
+
+
+@query(
+    "q_agg_global",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(min(l_extendedprice), 4) AS min_price,
+           round(max(l_extendedprice), 4) AS max_price,
+           round(sum(l_extendedprice * l_discount), 4) AS sum_disc_amount
+    FROM lineitem
+    """,
+)
+def q_agg_global(spark, sf_dir):
+    """Ungrouped global aggregate over lineitem."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        r4(F.sum("l_quantity")).alias("sum_qty"),
+        r4(F.avg("l_extendedprice")).alias("avg_price"),
+        r4(F.min("l_extendedprice")).alias("min_price"),
+        r4(F.max("l_extendedprice")).alias("max_price"),
+        r4(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("sum_disc_amount"),
+    )
+
+
+@query(
+    "q_agg_group",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS sum_price,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def q_agg_group(spark, sf_dir):
+    """Two-key hash aggregation (partial + final auto)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            r4(F.sum("o_totalprice")).alias("sum_price"),
+            r4(F.avg("o_totalprice")).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_distinct(spark, sf_dir):
+    """COUNT(DISTINCT) — Spark plans a two-phase distinct aggregate."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query("q_agg_approx_distinct", oracle=None)  # approx ≠ exact: rows-only check
+def q_agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++). Sketches merge associatively —
+    the shuffle carries fixed-size sketches regardless of data volume, which
+    is the whole point at 100 TB."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS sum_price
+    FROM orders GROUP BY o_custkey
+    HAVING count(*) >= 15 AND sum(o_totalprice) > 2000000.0
+    """,
+)
+def q_agg_having(spark, sf_dir):
+    """Post-aggregation filter (HAVING)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").alias("raw_sum"),
+        )
+        .filter((F.col("n_orders") >= 15) & (F.col("raw_sum") > 2000000.0))
+        .select("o_custkey", "n_orders", r4("raw_sum").alias("sum_price"))
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark, sf_dir):
+    """ROLLUP hierarchy: (flag,status) → (flag) → ()."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), r4(F.sum("l_quantity")).alias("sum_qty"))
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark, sf_dir):
+    """CUBE: all 4 grouping-set combinations."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), r4(F.sum("l_quantity")).alias("sum_qty"))
+    )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS via SQL (no DataFrame-API equivalent)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers,
+           count(*) AS n_lines
+    FROM lineitem WHERE l_orderkey <= 200
+    GROUP BY l_orderkey
+    """,
+)
+def q_agg_collect(spark, sf_dir):
+    """collect_list, order-normalized via sort_array then stringified so the
+    hash compare is array-representation-agnostic."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 200)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("l_linenumber")), ",").alias(
+                "linenumbers"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )

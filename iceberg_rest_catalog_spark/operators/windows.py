@@ -1,0 +1,204 @@
+"""Window function operators (SURVEY.md §2.B "Window functions").
+
+Conventions: every ordering includes a unique tiebreak key (o_orderkey /
+event_id) so row_number, frames and ntile are deterministic across engines
+(SURVEY.md §7 watch-list #5).
+
+Scale notes: a window partitioned by a key compiles to one shuffle on that
+key + an in-partition sort; no driver involvement. Partition-by-customer keys
+are high-cardinality, so the shuffle is balanced. None of these use a global
+(unpartitioned) window except q_win_ntile_percent, which is bounded to a
+filtered subset — an unpartitioned window pulls everything into ONE task and
+must never see full-table input at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from .common import r4, t
+
+
+@query(
+    "q_win_rank",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           row_number() OVER w AS rn
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_win_rank(spark, sf_dir):
+    """rank / dense_rank / row_number per customer by order value."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        r4("o_totalprice").alias("o_totalprice"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+@query(
+    "q_win_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_win_topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer — the canonical dedup/top-k-per-key shape."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            r4("o_totalprice").alias("o_totalprice"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q_win_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND CURRENT ROW), 4)
+               AS running_spend
+    FROM orders
+    """,
+)
+def q_win_running(spark, sf_dir):
+    """Running per-customer spend (rows frame)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        r4(F.sum("o_totalprice").over(w)).alias("running_spend"),
+    )
+
+
+@query(
+    "q_win_sliding_rows",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING
+                                                  AND CURRENT ROW), 4)
+               AS moving_avg_3
+    FROM orders
+    """,
+)
+def q_win_sliding_rows(spark, sf_dir):
+    """3-row moving average per customer."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        r4(F.avg("o_totalprice").over(w)).alias("moving_avg_3"),
+    )
+
+
+@query(
+    "q_win_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 50000.0 PRECEDING AND CURRENT ROW)
+               AS n_within_50k
+    FROM orders
+    """,
+)
+def q_win_range_frame(spark, sf_dir):
+    """Value-based (RANGE) frame: peers within 50k below current price.
+
+    The DataFrame-API rangeBetween only takes integral offsets, so the
+    double-valued frame is expressed as a SQL window expression."""
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        r4("o_totalprice").alias("o_totalprice"),
+        F.expr(
+            "count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice "
+            "RANGE BETWEEN 50000.0 PRECEDING AND CURRENT ROW)"
+        ).alias("n_within_50k"),
+    )
+
+
+@query(
+    "q_win_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 4) AS o_totalprice,
+           round(lag(o_totalprice)  OVER w, 4) AS prev_price,
+           round(lead(o_totalprice) OVER w, 4) AS next_price,
+           round(first_value(o_totalprice) OVER w, 4) AS first_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_win_lag_lead(spark, sf_dir):
+    """lag / lead / first_value along each customer's order history."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        r4("o_totalprice").alias("o_totalprice"),
+        r4(F.lag("o_totalprice").over(w)).alias("prev_price"),
+        r4(F.lead("o_totalprice").over(w)).alias("next_price"),
+        r4(F.first("o_totalprice").over(w)).alias("first_price"),
+    )
+
+
+@query(
+    "q_win_ntile_percent",
+    oracle="""
+    SELECT s_suppkey, round(s_acctbal, 4) AS s_acctbal,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist()    OVER w, 4) AS cume
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def q_win_ntile_percent(spark, sf_dir):
+    """ntile / percent_rank / cume_dist over the (small) supplier table.
+
+    Deliberately an unpartitioned window — only ever applied to a
+    dimension-sized input (100 rows); a global window on a fact table would
+    serialize into one task."""
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        r4("s_acctbal").alias("s_acctbal"),
+        F.ntile(4).over(w).alias("quartile"),
+        r4(F.percent_rank().over(w)).alias("pct_rank"),
+        r4(F.cume_dist().over(w)).alias("cume"),
+    )
