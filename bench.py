@@ -1,0 +1,85 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes its FULL physical plan via the noop sink (no driver
+collect, no result materialization on the driver) — so the number measures
+scan + shuffle + compute, exactly what dominates at cluster scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from iceberg_rest_catalog_spark import registry
+from iceberg_rest_catalog_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the TPC-H composites plus the heaviest representative from
+# each operator family. Filtered against the registry so the bench degrades
+# gracefully while modules are still landing.
+HEADLINE = [
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_agg_group",
+    "q_win_topk_per_group",
+    "q_sub_scalar",
+    "q_udf_pandas",
+    "q_dedup_exact",
+    "q_dedup_fuzzy",
+    "q_sim_topk",
+    "q_text_tokens",
+    "q_stream_tumbling",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1).rstrip(".")) if m else -1.0
+
+
+def run_one(spark, fn) -> float:
+    t0 = time.perf_counter()
+    fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    qs = registry.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warm the JVM + parquet footers once with the cheapest headline query so
+    # per-query numbers measure the plan, not session startup.
+    if names:
+        run_one(spark, qs[names[0]])
+
+    times: dict[str, float] = {}
+    for name in names:
+        times[name] = round(run_one(spark, qs[name]), 3)
+
+    out = {
+        "metric": "headline_suite_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,238 @@
+"""Scalar function packs (SURVEY.md §2.B "Scalar functions").
+
+All functions are built-in ``pyspark.sql.functions`` — JVM-side, inside
+whole-stage codegen; no Python in the hot path. Each pack touches one fixture
+table and returns per-row computed columns so the oracle hash verifies every
+function's value on every row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from .common import r4, t
+
+
+@query(
+    "q_fn_string",
+    oracle="""
+    SELECT p_partkey,
+           substr(p_name, 1, 5)                    AS name5,
+           upper(p_name)                           AS name_up,
+           lower(p_brand)                          AS brand_lo,
+           p_name || '/' || p_type                 AS name_type,
+           length(p_name)                          AS name_len,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')   AS size_pad,
+           replace(p_name, ' ', '_')               AS name_us,
+           regexp_extract(p_name, '([a-z]+)$', 1)  AS last_word,
+           array_to_string(string_split(p_name, ' '), '|') AS tokens
+    FROM part
+    """,
+)
+def q_fn_string(spark, sf_dir):
+    """substr / upper / lower / concat / length / lpad / replace /
+    regexp_extract / split."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.upper("p_name").alias("name_up"),
+        F.lower("p_brand").alias("brand_lo"),
+        F.concat_ws("/", "p_name", "p_type").alias("name_type"),
+        F.length("p_name").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_us"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.array_join(F.split("p_name", " "), "|").alias("tokens"),
+    )
+
+
+@query(
+    "q_fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                         AS yr,
+           month(o_orderdate)                        AS mo,
+           day(o_orderdate)                          AS dy,
+           date_trunc('month', o_orderdate)          AS month_start,
+           datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since,
+           o_orderdate + INTERVAL 30 DAY             AS plus30,
+           CAST(CAST(last_day(o_orderdate) AS DATE) AS VARCHAR) AS month_end,
+           CAST(epoch(o_orderdate) AS BIGINT)        AS unix_ts
+    FROM orders
+    """,
+)
+def q_fn_date(spark, sf_dir):
+    """year/month/day, date_trunc, datediff, interval add, last_day, epoch."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("plus30"),
+        # stringified: a DATE output column round-trips through pandas as a
+        # midnight timestamp in DuckDB but a date object in Spark
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("unix_ts"),
+    )
+
+
+@query(
+    "q_fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 2)                        AS price2,
+           abs(l_discount - 0.05)                           AS abs_dev,
+           CAST(ceil(l_extendedprice) AS BIGINT)            AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT)           AS price_floor,
+           mod(l_linenumber, 3)                             AS ln_mod3,
+           round(pow(l_quantity, 2), 4)                     AS qty_sq,
+           round(sqrt(l_extendedprice), 4)                  AS price_sqrt,
+           round(ln(l_extendedprice + 1), 4)                AS price_ln,
+           round(log10(l_extendedprice + 1), 4)             AS price_log10,
+           sign(l_discount - 0.05)                          AS disc_sign
+    FROM lineitem
+    """,
+)
+def q_fn_math(spark, sf_dir):
+    """round / abs / ceil / floor / mod / pow / sqrt / ln / log10 / sign."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price2"),
+        F.abs(F.col("l_discount") - 0.05).alias("abs_dev"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        (F.col("l_linenumber") % 3).alias("ln_mod3"),
+        r4(F.pow("l_quantity", F.lit(2))).alias("qty_sq"),
+        r4(F.sqrt(F.col("l_extendedprice"))).alias("price_sqrt"),
+        r4(F.log(F.col("l_extendedprice") + 1)).alias("price_ln"),
+        r4(F.log10(F.col("l_extendedprice") + 1)).alias("price_log10"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+@query(
+    "q_fn_cond",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END                                   AS bal_band,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER')    AS seg_or_other,
+           greatest(c_acctbal, 1000.0)                            AS bal_floor1k,
+           least(c_acctbal, 5000.0)                               AS bal_cap5k
+    FROM customer
+    """,
+)
+def q_fn_cond(spark, sf_dir):
+    """CASE WHEN / coalesce / nullif / greatest / least."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.greatest("c_acctbal", F.lit(1000.0)).alias("bal_floor1k"),
+        F.least("c_acctbal", F.lit(5000.0)).alias("bal_cap5k"),
+    )
+
+
+@query(
+    "q_fn_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS DOUBLE)                    AS key_dbl,
+           CAST(trunc(o_totalprice) AS BIGINT)           AS price_int, -- Spark cast truncates; DuckDB's rounds
+           CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR) AS price_dec_str,
+           CAST(o_orderkey AS VARCHAR)                   AS key_str,
+           CAST(o_orderdate AS VARCHAR)                  AS ts_str,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR)    AS date_str
+    FROM orders
+    """,
+)
+def q_fn_cast(spark, sf_dir):
+    """Casts across long/double/decimal/string/timestamp/date."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("double").alias("key_dbl"),
+        F.col("o_totalprice").cast("bigint").alias("price_int"),
+        F.col("o_totalprice").cast("decimal(14,2)").cast("string").alias("price_dec_str"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderdate").cast("string").alias("ts_str"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+    )
+
+
+@query(
+    "q_fn_array",
+    oracle="""
+    SELECT p_partkey,
+           unnest(string_split(p_name, ' '))                     AS token,
+           len(string_split(p_name, ' '))                        AS n_tokens,
+           string_split(p_name, ' ')[1]                          AS first_token,
+           array_to_string(list_sort(string_split(p_name, ' ')), ',') AS sorted_tokens,
+           list_contains(string_split(p_name, ' '), 'red')       AS has_red
+    FROM part
+    """,
+)
+def q_fn_array(spark, sf_dir):
+    """array creation (split) / explode / size / element_at / array_sort /
+    array_contains; arrays are stringified for engine-agnostic comparison."""
+    p = t(spark, sf_dir, "part").withColumn("arr", F.split("p_name", " "))
+    return p.select(
+        "p_partkey",
+        F.explode("arr").alias("token"),
+        F.size("arr").alias("n_tokens"),
+        F.element_at("arr", 1).alias("first_token"),
+        F.array_join(F.array_sort("arr"), ",").alias("sorted_tokens"),
+        F.array_contains("arr", "red").alias("has_red"),
+    )
+
+
+@query("q_fn_map", oracle=None)  # DuckDB map syntax differs: rows-only check
+def q_fn_map(spark, sf_dir):
+    """map creation / map_keys / element_at."""
+    p = t(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return p.select(
+        "p_partkey",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys"),
+        F.element_at(m, "brand").alias("brand_val"),
+        F.element_at(m, "type").alias("type_val"),
+    )
+
+
+@query(
+    "q_fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')                 AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT)    AS k_int,
+           json_extract_string(props, '$.missing')           AS missing
+    FROM events
+    """,
+)
+def q_fn_json(spark, sf_dir):
+    """JSON extraction from the events.props VARCHAR-JSON column."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+    )

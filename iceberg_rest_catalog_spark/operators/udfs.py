@@ -1,0 +1,134 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.B "UDF / UDAF / UDTF surface").
+
+Scale notes: q_udf_python is the ONE deliberate row-at-a-time Python UDF (it
+exists to test that surface); everything else Python-side is Arrow-batched
+(pandas UDFs — 10-100× the throughput of per-row pickling). Built-ins remain
+the default everywhere else in this package.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf, udtf
+
+from ..registry import query
+from .common import r4, t
+
+
+@udf("double")
+def _charge_py(price: float, discount: float, tax: float) -> float:
+    """Row-at-a-time scalar Python UDF (deterministic arithmetic)."""
+    return price * (1.0 - discount) * (1.0 + tax)
+
+
+@query(
+    "q_udf_python",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge
+    FROM lineitem WHERE l_orderkey <= 1000
+    """,
+)
+def q_udf_python(spark, sf_dir):
+    """Scalar Python UDF — bounded input (the per-row path is the test
+    subject, not the recommended engine path).
+
+    Rounded to 6 decimals, not 4: the product of 2-dp factors has exactly 6
+    decimal digits, so rounding at 4 lands on exact .5 ties where Spark
+    (HALF_UP) and DuckDB disagree; at 6 there is no tie to break."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(_charge_py("l_extendedprice", "l_discount", "l_tax"), 6).alias("charge"),
+    )
+
+
+@pandas_udf("double")
+def _log1p_pd(price: pd.Series) -> pd.Series:
+    """Vectorized (Arrow-batched) pandas UDF."""
+    import numpy as np
+
+    return pd.Series(np.log1p(price.to_numpy()))
+
+
+@query(
+    "q_udf_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(ln(1 + l_extendedprice), 4) AS log_price
+    FROM lineitem
+    """,
+)
+def q_udf_pandas(spark, sf_dir):
+    """Vectorized pandas UDF over the full lineitem table."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        r4(_log1p_pd("l_extendedprice")).alias("log_price"),
+    )
+
+
+@pandas_udf("double")
+def _weighted_mean_pd(price: pd.Series, qty: pd.Series) -> float:
+    """Grouped-agg pandas UDF: quantity-weighted mean price."""
+    q = qty.to_numpy()
+    return float((price.to_numpy() * q).sum() / q.sum())
+
+
+@query(
+    "q_udaf_pandas",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+               AS weighted_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_udaf_pandas(spark, sf_dir):
+    """Grouped-aggregate pandas UDF (custom weighted mean per return flag)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r4(_weighted_mean_pd("l_extendedprice", "l_quantity")).alias(
+            "weighted_avg_price"
+        )
+    )
+
+
+@udtf(returnType="pos: int, token: string")
+class _TokenizeUdtf:
+    """Python UDTF: one output row per whitespace token with its position."""
+
+    def eval(self, text: str):
+        if text:
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok
+
+
+@query(
+    "q_udtf",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(t.i - 1 AS INT) AS pos,
+           t.tok AS token
+    FROM documents d,
+         LATERAL (SELECT unnest(string_split(d.text, ' ')) AS tok,
+                         generate_subscripts(string_split(d.text, ' '), 1) AS i) t
+    WHERE d.doc_id <= 100
+    """,
+)
+def q_udtf(spark, sf_dir):
+    """Table-valued function via LATERAL join (Spark ≥3.5 @udtf)."""
+    spark.udtf.register("icsb_tokenize", _TokenizeUdtf)
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, tk.pos, tk.token
+        FROM _udtf_docs d, LATERAL icsb_tokenize(d.text) tk
+        """
+    )
