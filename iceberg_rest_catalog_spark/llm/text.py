@@ -1,0 +1,253 @@
+"""Text-analysis operators over the ``documents`` table (SURVEY.md §2.C).
+
+Everything is built-in ``pyspark.sql.functions`` — split/explode/groupBy and
+higher-order array functions run JVM-side inside whole-stage codegen. At
+100 TB these are one scan + one hash-aggregate shuffle each; no Python, no
+driver materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.common import r4, t
+from ..registry import query
+
+# Deterministic "stopword" marker sets used by quality scoring and the
+# language-ID heuristic (the fixture vocabulary is synthetic; the operator
+# under test is the n-gram/marker mechanism, not linguistic accuracy).
+_STOPWORDS = ("the", "a", "of")
+_LANG_MARKERS = {
+    "en": ("the", "a", "table", "row"),
+    "de": ("group", "window", "vector"),
+    "es": ("data", "stream", "column"),
+    "fr": ("query", "value", "line"),
+    "zh": ("merge", "batch", "join"),
+}
+_LANG_ORDER = ("en", "de", "es", "fr", "zh")  # deterministic argmax tiebreak
+
+
+def _sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT lang,
+           count(*)                          AS n_docs,
+           round(avg(n_chars), 4)            AS avg_chars,
+           min(n_chars)                      AS min_chars,
+           max(n_chars)                      AS max_chars,
+           count(DISTINCT source)            AS n_sources,
+           round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    """Per-language corpus stats: doc count, char/token length moments,
+    source cardinality. One hash aggregate; partial (map-side) combine makes
+    this a single small shuffle at any scale."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        r4(F.avg("n_chars")).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        r4(F.avg(F.size(F.split("text", " ")))).alias("avg_tokens"),
+    )
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def q_text_tokens(spark, sf_dir):
+    """Top-20 token frequencies: explode(split) + count + ordered LIMIT.
+    The LIMIT compiles to TakeOrderedAndProject — only 20 rows per partition
+    reach the driver regardless of corpus size."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "q_text_filter",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE n_chars BETWEEN 100 AND 450
+      AND lang IN ('en', 'fr')
+      AND regexp_matches(text, '\\b(data|query)\\b')
+      AND NOT regexp_matches(text, '\\bslow\\b')
+    """,
+)
+def q_text_filter(spark, sf_dir):
+    """Quality filter: length bounds + language whitelist + content regex
+    include/exclude. Pure predicates — pushed to the parquet scan; at 100 TB
+    this is the cheapest possible shape (no shuffle at all)."""
+    d = t(spark, sf_dir, "documents")
+    return d.filter(
+        F.col("n_chars").between(100, 450)
+        & F.col("lang").isin("en", "fr")
+        & F.col("text").rlike(r"\b(data|query)\b")
+        & ~F.col("text").rlike(r"\bslow\b")
+    ).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           round(n_chars * 1.0 / len(string_split(text, ' ')), 4) AS avg_tok_len,
+           round(len(list_filter(string_split(lower(text), ' '),
+                                 w -> list_contains([{_sql_list(_STOPWORDS)}], w)))
+                 * 1.0 / len(string_split(text, ' ')), 4) AS stop_ratio,
+           round(least(1.0, len(string_split(text, ' ')) / 64.0)
+                 * (1.0 - len(list_filter(string_split(lower(text), ' '),
+                                          w -> list_contains([{_sql_list(_STOPWORDS)}], w)))
+                          * 1.0 / len(string_split(text, ' '))), 4) AS quality
+    FROM documents
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    """Heuristic quality score: token count, avg token length, stopword
+    ratio, combined score. Higher-order array functions (filter/size) keep
+    the whole expression JVM-side — zero Python in the hot path."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    n_tok = F.size(F.split("text", " "))
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+    stop_ratio = n_stop / n_tok
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n_tok.alias("n_tokens"),
+        r4(F.col("n_chars") / n_tok).alias("avg_tok_len"),
+        r4(stop_ratio).alias("stop_ratio"),
+        r4(F.least(F.lit(1.0), n_tok / F.lit(64.0)) * (F.lit(1.0) - stop_ratio)).alias(
+            "quality"
+        ),
+    )
+
+
+def _langid_scores_sql() -> str:
+    return ",\n".join(
+        f"""len(list_filter(string_split(lower(text), ' '),
+                w -> list_contains([{_sql_list(_LANG_MARKERS[lg])}], w))) AS s_{lg}"""
+        for lg in _LANG_ORDER
+    )
+
+
+def _langid_case_sql() -> str:
+    clauses = []
+    for i, lg in enumerate(_LANG_ORDER):
+        conds = [f"s_{lg} >= s_{other}" for other in _LANG_ORDER[i + 1 :]]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        clauses.append(f"WHEN {cond} THEN '{lg}'")
+    return "CASE " + " ".join(clauses) + " END"
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+    SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
+           {_langid_case_sql()} AS pred_lang
+    FROM (SELECT doc_id, lang, {_langid_scores_sql()} FROM documents)
+    """,
+)
+def q_text_langid(spark, sf_dir):
+    """N-gram/marker language-ID heuristic: per-language marker-token counts
+    + deterministic argmax. Embarrassingly parallel map-only operator."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    def marker_count(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
+
+    scores = {lg: marker_count(_LANG_MARKERS[lg]) for lg in _LANG_ORDER}
+    pred = None
+    for i, lg in enumerate(_LANG_ORDER):
+        cond = F.lit(True)
+        for other in _LANG_ORDER[i + 1 :]:
+            cond = cond & (F.col(f"s_{lg}") >= F.col(f"s_{other}"))
+        pred = F.when(cond, lg) if pred is None else pred.when(cond, lg)
+    return d.select(
+        "doc_id", "lang", *[scores[lg].alias(f"s_{lg}") for lg in _LANG_ORDER]
+    ).withColumn("pred_lang", pred)
+
+
+@query(
+    "q_text_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                          AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_ish_tokens,
+           n_chars - len(replace(text, ' ', ''))                 AS n_spaces
+    FROM documents
+    """,
+)
+def q_text_token_count(spark, sf_dir):
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (alpha runs / digit runs / single punctuation) — the standard
+    pre-tokenizer shape for LLM corpus accounting."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+        ).alias("bpe_ish_tokens"),
+        (F.col("n_chars") - F.length(F.replace(F.col("text"), F.lit(" ")))).alias(
+            "n_spaces"
+        ),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS full_hash,
+           CASE WHEN len(string_split(text, ' ')) >= 5
+                THEN list_min(list_transform(
+                        generate_series(1, len(string_split(text, ' ')) - 4),
+                        i -> md5(array_to_string(
+                               list_slice(string_split(text, ' '), i, i + 4), ' '))))
+                ELSE md5(text) END AS min_shingle_hash
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: full-content hash + winnowing-style minimum
+    hash over rolling 5-token shingles. The rolling window is a higher-order
+    transform over sequence() — computed per-row, no explode, no shuffle."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), n - 4),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 5))),
+    )
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("full_hash"),
+        F.when(n >= 5, F.array_min(shingle_hashes))
+        .otherwise(F.md5("text"))
+        .alias("min_shingle_hash"),
+    )
