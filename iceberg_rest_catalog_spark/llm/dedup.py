@@ -1,0 +1,281 @@
+"""Deduplication operators over ``documents`` / ``embeddings`` (SURVEY §2.C).
+
+Five strategies, each shaped for 100 TB:
+
+- exact:      hash-groupBy (one shuffle, map-side combine)
+- MinHash LSH: banded signatures + groupBy(band) bucket join — candidate
+              pairs come from bucket co-membership, NEVER an all-pairs join
+- SimHash:    64-bit signature per doc (map-only), 16-bit chunk blocking
+              (pigeonhole: hamming<=3 pairs share a chunk), bit_count verify
+- n-gram Jaccard: inverted-index self-join on shingles with a frequent-
+              shingle cap (df cap bounds bucket size, the classic skew guard)
+- embedding:  cosine near-dup inside label blocks via anti-join; on
+              unlabeled corpora the block key becomes an SRP-LSH bucket
+              (sign bits of dot(v, fixed hyperplanes)) — same plan shape.
+
+The fixture corpus contains planted near-duplicate documents (max trigram
+Jaccard 0.989), so fuzzy/minhash/simhash produce non-empty, verifiable
+output on the raw tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.common import r4, t
+from ..registry import query
+
+N_HASHES = 16
+N_BANDS = 4  # r = 4 rows/band: P(candidate) = 1-(1-j^4)^4; j=0.99 -> ~1.0
+SHINGLE_DF_CAP = 50  # drop shingles occurring in more docs (skew guard)
+
+
+def _shingles(d, n=3):
+    """Distinct word n-gram shingles per doc: (doc_id, sh). Computed with
+    higher-order functions + one explode; no Python."""
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return d.select("doc_id", F.explode(grams).alias("sh")).distinct()
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS h, min(doc_id) AS kept_doc_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash: keep the lowest doc_id per md5(text).
+    One hash aggregate — the cheapest dedup there is at any scale."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("h", F.md5("text"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@query("q_dedup_fuzzy", oracle=None)  # xxhash64 signatures: rows-only check
+def q_dedup_fuzzy(spark, sf_dir):
+    """Near-dup pairs via MinHash + banded LSH over word-3-gram shingles.
+
+    Pipeline (all shuffle-parallel): shingle explode -> 16 minhashes per doc
+    (one hash aggregate) -> 4 band hashes -> groupBy(band) bucket self-join
+    for candidates -> signature-agreement Jaccard estimate -> threshold.
+    Candidate generation cost is bounded by bucket sizes, not n^2; skewed
+    buckets are split by AQE skew-join handling.
+    """
+    d = t(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    r = N_HASHES // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.xxhash64(*[f"h{j * r + i}" for i in range(r)]).alias("bh"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bh")
+
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bh"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    return (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            r4(agree / F.lit(float(N_HASHES))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+
+
+@query("q_dedup_simhash", oracle=None)  # xxhash64 bit votes: rows-only check
+def q_dedup_simhash(spark, sf_dir):
+    """Near-dup pairs via 64-bit SimHash + chunk blocking.
+
+    The signature is computed per-row with higher-order functions (map-only,
+    no shuffle); candidates must share one of four 16-bit chunks (pigeonhole
+    guarantees recall for hamming<=3); verification is bit_count(xor)."""
+    d = t(spark, sf_dir, "documents")
+    sim = (
+        d.withColumn(
+            "hashes", F.expr("transform(split(text, ' '), tk -> xxhash64(tk))")
+        )
+        .withColumn("n_tok", F.expr("size(hashes)"))
+        .withColumn(
+            "simhash",
+            F.expr(
+                """aggregate(
+                     transform(sequence(0, 63), i ->
+                       IF(2 * size(filter(hashes, h -> (shiftright(h, i) & 1) = 1)) > n_tok,
+                          shiftleft(1L, i), 0L)),
+                     0L, (acc, x) -> acc + x)"""
+            ),
+        )
+        .select("doc_id", "simhash")
+    )
+    chunks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                """transform(sequence(0, 3), j ->
+                     struct(j AS chunk, shiftrightunsigned(simhash, 16 * j) & 65535 AS ch))"""
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk", "c.ch")
+    return (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["chunk", "ch"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+_NGRAM_ORACLE = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ') AS s
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(
+                  1, greatest(len(string_split(text, ' ')) - 2, 1))) AS i)
+),
+kept AS (
+  SELECT doc_id, s FROM sh
+  QUALIFY count(*) OVER (PARTITION BY s) <= {SHINGLE_DF_CAP}
+),
+n AS (SELECT doc_id, count(*) AS nn FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common, na.nn AS n_a, nb.nn AS n_b,
+       round(n_common * 1.0 / (na.nn + nb.nn - n_common), 4) AS jaccard
+FROM inter
+JOIN n na ON na.doc_id = doc_a
+JOIN n nb ON nb.doc_id = doc_b
+WHERE n_common * 1.0 / (na.nn + nb.nn - n_common) >= 0.5
+"""
+
+
+@query("q_dedup_ngram", oracle=_NGRAM_ORACLE)
+def q_dedup_ngram(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs via an inverted-index self-join.
+
+    Shingles with document frequency above SHINGLE_DF_CAP are dropped before
+    the join — the standard guard that bounds every join bucket and removes
+    the quadratic blow-up on common shingles at scale."""
+    d = t(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    from pyspark.sql import Window
+
+    kept = sh.withColumn(
+        "df", F.count("*").over(Window.partitionBy("sh"))
+    ).filter(F.col("df") <= SHINGLE_DF_CAP)
+    n = kept.groupBy("doc_id").agg(F.count("*").alias("nn"))
+    inter = (
+        kept.select(F.col("doc_id").alias("doc_a"), "sh")
+        .join(kept.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(n.select(F.col("doc_id").alias("doc_a"), F.col("nn").alias("n_a")), "doc_a")
+        .join(n.select(F.col("doc_id").alias("doc_b"), F.col("nn").alias("n_b")), "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", r4(jac).alias("jaccard"))
+    )
+
+
+_COS = """list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"""
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=f"""
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    WHERE NOT EXISTS (
+        SELECT 1 FROM embeddings p
+        WHERE p.label = e.label AND p.vec_id < e.vec_id
+          AND round(list_cosine_similarity(p.embedding::DOUBLE[],
+                                           e.embedding::DOUBLE[]), 4) >= 0.4)
+    """,
+)
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dedup: a vector is a duplicate if an earlier
+    vector in its label block has cosine >= 0.4; survivors are returned.
+
+    Plan: block self-join on label (bounded buckets) -> duplicate set ->
+    broadcast-able anti-join. For unlabeled corpora the label key is
+    replaced by an SRP-LSH bucket id — identical plan shape."""
+    e = t(spark, sf_dir, "embeddings")
+    dbl = e.withColumn("emb", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    a = dbl.select(F.col("vec_id").alias("id_a"), "label", F.col("emb").alias("ea"))
+    b = dbl.select(F.col("vec_id").alias("id_b"), "label", F.col("emb").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    dups = (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_b", F.round(dot / (nrm("ea") * nrm("eb")), 4).alias("cos"))
+        .filter(F.col("cos") >= 0.4)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return e.join(dups, "vec_id", "left_anti").select("vec_id", "label")
