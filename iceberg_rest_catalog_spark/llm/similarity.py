@@ -1,0 +1,176 @@
+"""Similarity search over ``embeddings.embedding`` (array<float>, 64-dim).
+
+Cosine math is pure higher-order-function arithmetic (zip_with + aggregate)
+— JVM-side, no Python, no UDF. Three search shapes:
+
+- q_sim_topk:   brute-force top-k vs one query vector. The broadcast join
+                ships the 1-row query to every executor; orderBy+limit
+                compiles to TakeOrderedAndProject (k rows per partition to
+                the driver, never the full score table).
+- q_sim_pairs:  all-pairs >= threshold inside label blocks (block size
+                bounds the quadratic term; the 100 TB shape is the same
+                join keyed by an LSH bucket instead of a label).
+- q_sim_ann_ivf: IVF-style ANN — assign every vector to its nearest
+                coarse centroid (here: the first N_CELLS vectors as fixed,
+                deterministic centroids), probe the N_PROBE cells nearest
+                to the query, brute-force only inside probed cells. At
+                scale the assignment is a broadcast join against the
+                centroid table and cell id becomes the partition key, so
+                the probe reads N_PROBE/N_CELLS of the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.common import r4, t
+from ..registry import query
+
+TOP_K = 10
+PAIR_THRESHOLD = 0.35
+N_CELLS = 16
+N_PROBE = 4
+QUERY_VEC_ID = 0
+
+
+def _dbl(col):
+    return F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))")
+
+
+def _cos(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    def nrm(c):
+        return F.sqrt(
+            F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+        )
+    return dot / (nrm(a) * nrm(b))
+
+
+@query(
+    "q_sim_topk",
+    oracle=f"""
+    SELECT e.vec_id, e.label,
+           round(list_cosine_similarity(e.embedding::DOUBLE[],
+                 (SELECT embedding::DOUBLE[] FROM embeddings
+                  WHERE vec_id = {QUERY_VEC_ID})), 4) AS cos
+    FROM embeddings e
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cos DESC, e.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def q_sim_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs the vec_id=0 query vector."""
+    e = t(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(_dbl("embedding").alias("qe"))
+    )
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            r4(_cos(_dbl("embedding"), F.col("qe"))).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+@query(
+    "q_sim_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 4) AS cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 4) >= {PAIR_THRESHOLD}
+    """,
+)
+def q_sim_pairs(spark, sf_dir):
+    """All pairs with cosine >= threshold inside each label block."""
+    e = t(spark, sf_dir, "embeddings").withColumn("emb", _dbl("embedding"))
+    a = e.select(F.col("vec_id").alias("id_a"), "label", F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), "label", F.col("emb").alias("eb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", "label", r4(_cos(F.col("ea"), F.col("eb"))).alias("cos")
+        )
+        .filter(F.col("cos") >= PAIR_THRESHOLD)
+    )
+
+
+_IVF_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cell, embedding::DOUBLE[] AS c FROM embeddings
+  WHERE vec_id < {N_CELLS}
+),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+assigned AS (
+  SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS emb, cent.cell,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cent.c) DESC,
+                    cent.cell) AS rn
+  FROM embeddings e CROSS JOIN cent
+),
+probed AS (
+  SELECT cell FROM cent CROSS JOIN q
+  ORDER BY list_cosine_similarity(c, qe) DESC, cell
+  LIMIT {N_PROBE}
+)
+SELECT a.vec_id, a.label, a.cell,
+       round(list_cosine_similarity(a.emb, q.qe), 4) AS cos
+FROM assigned a CROSS JOIN q
+WHERE a.rn = 1 AND a.cell IN (SELECT cell FROM probed)
+  AND a.vec_id <> {QUERY_VEC_ID}
+ORDER BY cos DESC, a.vec_id
+LIMIT {TOP_K}
+"""
+
+
+@query("q_sim_ann_ivf", oracle=_IVF_ORACLE)
+def q_sim_ann_ivf(spark, sf_dir):
+    """IVF-style approximate nearest neighbour: coarse-quantize every vector
+    to its nearest centroid, probe only the N_PROBE cells closest to the
+    query, brute-force inside them. Deterministic centroids = the first
+    N_CELLS vectors (a real system would k-means them offline)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings").withColumn("emb", _dbl("embedding"))
+    cent = e.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("c")
+    )
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("emb").alias("qe"))
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cell")
+    assigned = (
+        e.join(F.broadcast(cent))
+        .withColumn("cc", _cos(F.col("emb"), F.col("c")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "emb", "cell")
+    )
+    probed = (
+        cent.join(F.broadcast(q))
+        .select("cell", _cos(F.col("c"), F.col("qe")).alias("qc"))
+        .orderBy(F.desc("qc"), "cell")
+        .limit(N_PROBE)
+        .select("cell")
+    )
+    return (
+        assigned.join(F.broadcast(probed), "cell")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select("vec_id", "label", "cell", r4(_cos(F.col("emb"), F.col("qe"))).alias("cos"))
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(TOP_K)
+    )
