@@ -1,0 +1,97 @@
+"""Multimodal column plumbing (SURVEY §2.C q_multimodal_cols).
+
+Images/audio/video ride as opaque ``binary`` payload columns with a typed
+metadata struct next to them. This module exercises the full Spark-side
+pipeline a real multimodal corpus needs:
+
+1. construct binary payloads + typed metadata,
+2. round-trip them through a partitioned parquet write/read (binary, struct
+   and array columns must survive the sink),
+3. run a "decode / feature-extract" stage as an Arrow-batched
+   ``mapInPandas`` — the exact batch shape (iterator of pandas DataFrames)
+   a real image decoder would use.
+
+The decode step is a DETERMINISTIC FAKE (byte length, first byte, evenly
+sampled frame offsets): the real image/audio libraries are not in this
+container. Swap ``_fake_decode_batch`` for a real decoder without touching
+any Spark plumbing — schema, partitioning and batch iteration stay as-is.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from ..operators.common import scratch_dir, t
+from ..registry import query
+
+_MIMES = ("image/png", "audio/wav", "video/mp4")
+
+_DECODE_SCHEMA = (
+    "doc_id long, mime string, n_bytes int, first_byte int, frame_offsets string"
+)
+
+
+def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for decode/resize/frame-sample.
+
+    A real decoder would open payload bytes with PIL/ffmpeg here; the Arrow
+    batch shape (columnar pandas in, columnar pandas out) is identical.
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        n_bytes = payloads.map(len)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "mime": pdf["mime"],
+                "n_bytes": n_bytes,
+                "first_byte": payloads.map(lambda b: b[0] if len(b) else -1),
+                "frame_offsets": n_bytes.map(
+                    lambda n: ",".join(str(i * (n // 4)) for i in range(4))
+                ),
+            }
+        )
+
+
+@query(
+    "q_multimodal_cols",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                           WHEN 1 THEN 'audio/wav'
+                           ELSE 'video/mp4' END          AS mime,
+           octet_length(encode(text))                    AS n_bytes,
+           ascii(substr(text, 1, 1))                     AS first_byte,
+           array_to_string(list_transform(generate_series(0, 3),
+                           i -> i * (octet_length(encode(text)) // 4)), ',')
+                                                         AS frame_offsets
+    FROM documents
+    """,
+)
+def q_multimodal_cols(spark, sf_dir):
+    """Binary payload + typed metadata: parquet round-trip, then an
+    Arrow-batched mapInPandas decode stage. Map-only end to end — at 100 TB
+    the decode parallelism equals the input partition count; no shuffle."""
+    d = t(spark, sf_dir, "documents")
+    mm = d.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.element_at(F.array(*[F.lit(m) for m in _MIMES]), (F.col("doc_id") % 3 + 1).cast("int"))
+            .alias("mime"),
+            F.col("n_chars").alias("n_chars"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+        F.array(F.col("n_chars"), F.col("doc_id")).alias("dims"),
+    )
+    # Round-trip: binary + struct + array columns must survive the sink.
+    path = scratch_dir(sf_dir, "multimodal")
+    mm.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).select(
+        "doc_id", "payload", F.col("meta.mime").alias("mime")
+    )
+    return back.mapInPandas(_fake_decode_batch, schema=_DECODE_SCHEMA)
