@@ -1,0 +1,238 @@
+"""Streaming queries (SURVEY §2.B streaming rows).
+
+Four ops run a REAL Structured Streaming query (file source over the events
+parquet, ``availableNow`` trigger, memory / foreachBatch sink) and return
+the materialized batch result; the driver can collect it like any other
+DataFrame. Sliding and session windows use the identical ``window()`` /
+``session_window()`` functions in batch mode — Spark's semantics for these
+functions are the same in both execution modes, and batch keeps the result
+deterministic for the oracle.
+
+Scale notes: a micro-batch pipeline over 100 TB/day shards by file; state
+(dedup keys, session state, per-user aggregates) lives in the state store
+partitioned by ``spark.sql.shuffle.partitions``; watermarks bound state
+size. The availableNow trigger used here is the standard backfill mode.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.common import r4, scratch_dir, t
+from ..registry import query
+
+_uid = itertools.count()
+
+
+def _stream_events(spark, sf_dir):
+    """readStream over events.parquet with the same ts normalization as the
+    batch loader (INT64 nanos; io.load_table docstring).
+
+    The file source wants a directory, so the single fixture file is exposed
+    through a scratch dir via symlink (testdata stays untouched). Event time
+    is TIMESTAMP (LTZ): watermarks reject TIMESTAMP_NTZ; with the session
+    timezone pinned to UTC the rendered values equal the batch NTZ ones.
+    """
+    src = os.path.join(sf_dir, "events.parquet")
+    d = scratch_dir(sf_dir, "stream_src")
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    raw_schema = spark.read.parquet(src).schema
+    sdf = spark.readStream.schema(raw_schema).parquet(d)
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    else:
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    return sdf
+
+
+def _run_memory(spark, sdf, mode: str):
+    """Execute a streaming DF to completion into a memory sink; return the
+    result as a batch DataFrame."""
+    name = f"icsb_stream_{next(_uid)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _run_foreach_batch(spark, sdf, mode: str, sink: str):
+    """Execute a streaming DF via foreachBatch into a parquet scratch sink
+    (the pattern for sinks/modes the memory sink does not support)."""
+    if os.path.exists(sink):
+        shutil.rmtree(sink)
+    q = (
+        sdf.writeStream.foreachBatch(
+            lambda df, _id: df.write.mode("append").parquet(sink)
+        )
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink)
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+           event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark, sf_dir):
+    """Tumbling 1-hour count by event_type — real streaming aggregation
+    (complete mode), equal to the batch answer once the source drains."""
+    sdf = _stream_events(spark, sf_dir)
+    agg = sdf.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    out = _run_memory(spark, agg, "complete")
+    return out.select(
+        F.col("window.start").cast("string").alias("window_start"), "event_type", "n"
+    )
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL 15 MINUTE, ts)
+                - k.k * INTERVAL 15 MINUTE AS VARCHAR) AS window_start,
+           event_type, count(*) AS n
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark, sf_dir):
+    """Sliding 1-hour window every 15 minutes (each event lands in exactly
+    four windows). Same window() function batch/stream."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").cast("string").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), y AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    )
+    SELECT user_id, CAST(min(ts) AS VARCHAR) AS session_start, count(*) AS n
+    FROM y GROUP BY user_id, sid
+    """,
+)
+def q_stream_session(spark, sf_dir):
+    """Session windows with a 30-minute gap per user (session_window();
+    oracle reproduces the gaps-and-islands equivalent)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("string").alias("session_start"),
+            "n",
+        )
+    )
+
+
+@query(
+    "q_stream_watermark",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def q_stream_watermark(spark, sf_dir):
+    """Watermarked streaming aggregation: withWatermark('ts', 10 minutes)
+    bounds window state. With the backfill source fully ordered-in-one-batch
+    nothing is late, so the drained result equals the batch answer — the op
+    verifies the watermark API path and state wiring."""
+    sdf = _stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = sdf.groupBy(F.window("ts", "1 hour")).agg(
+        F.count("*").alias("n"), r4(F.sum("value")).alias("total")
+    )
+    out = _run_memory(spark, agg, "complete")
+    return out.select(
+        F.col("window.start").cast("string").alias("window_start"), "n", "total"
+    )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_id, min(event_type) AS event_type
+    FROM events GROUP BY event_id
+    """,
+)
+def q_stream_dedup(spark, sf_dir):
+    """Streaming dedup by event_id within the watermark horizon — the
+    standard exactly-once repair for at-least-once sources."""
+    sdf = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = sdf.dropDuplicates(["event_id"]).select("event_id", "event_type")
+    return _run_memory(spark, deduped, "append")
+
+
+@query(
+    "q_stream_stateful",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_stateful(spark, sf_dir):
+    """Custom stateful operator via applyInPandasWithState: a per-user
+    running (count, sum) updated each micro-batch; emitted state after the
+    single backfill batch equals the batch aggregate."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    sdf = _stream_events(spark, sf_dir)
+    stateful = sdf.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = scratch_dir(sf_dir, "stream_stateful")
+    return _run_foreach_batch(spark, stateful, "update", sink)
