@@ -1,0 +1,12 @@
+"""Catalog surface: the reference's entire executed behavior (SURVEY §2.A).
+
+Namespace/table CRUD, versioned table metadata, optimistic CAS commits and
+the reference's exact typed error model, re-expressed as a library API over
+a warehouse directory plus Spark DataFrames for the data plane.
+"""
+
+from . import errors
+from .catalog import Catalog, Table
+from .schema import NestedField, Schema
+
+__all__ = ["Catalog", "Table", "Schema", "NestedField", "errors"]

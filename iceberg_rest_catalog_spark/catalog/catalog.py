@@ -1,0 +1,437 @@
+"""Filesystem-metastore catalog with versioned metadata + CAS commits.
+
+Re-expresses the reference's executed surface (all 15 §2.A operators) as a
+library API over a warehouse directory:
+
+- namespace = nested directories with a ``.namespace.json`` marker holding
+  properties (multi-level, reference api/handlers/models.go:10-12)
+- table    = ``<ns...>/<name>/metadata/v{N}.metadata.json`` + a
+  ``version-hint.text`` pointer, parquet data files under ``data/``
+- commit   = optimistic concurrency: requirements are asserted against the
+  CURRENT metadata, the new version file is claimed with O_CREAT|O_EXCL
+  (the check-and-swap), then the hint pointer is atomically replaced —
+  mirroring CommitTable (reference api/handlers/tables.go:150-227)
+
+Error semantics (404/409/422/400/501 types) follow the reference exactly;
+see errors.py. Single-writer-per-filesystem assumption documented in
+SURVEY §7 ("hard parts").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import ENGINE_DEFAULTS, ENGINE_OVERRIDES
+from . import errors as E
+from .schema import Schema
+
+NS_MARKER = ".namespace.json"
+Ident = tuple[str, ...]
+
+
+def _atomic_write_json(path: str, doc: dict) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+class Table:
+    """Handle over one table's current metadata version."""
+
+    def __init__(self, catalog: "Catalog", identifier: Ident, version: int, metadata: dict):
+        self.catalog = catalog
+        self.identifier = identifier
+        self.version = version
+        self.metadata = metadata
+
+    # -- metadata accessors -------------------------------------------------
+    @property
+    def location(self) -> str:
+        return self.metadata["location"]
+
+    @property
+    def metadata_location(self) -> str:
+        return os.path.join(self.location, "metadata", f"v{self.version}.metadata.json")
+
+    def schema(self) -> Schema:
+        cur = self.metadata["current-schema-id"]
+        for s in self.metadata["schemas"]:
+            if s["schema-id"] == cur:
+                return Schema.from_json(s)
+        raise E.InternalServerError(f"current schema {cur} missing")
+
+    def properties(self) -> dict:
+        return dict(self.metadata.get("properties", {}))
+
+    def current_snapshot(self) -> dict | None:
+        sid = self.metadata.get("current-snapshot-id")
+        for s in self.metadata.get("snapshots", []):
+            if s["snapshot-id"] == sid:
+                return s
+        return None
+
+    def _files_at(self, snapshot_id: int | None) -> list[str]:
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else self.metadata.get("current-snapshot-id")
+        )
+        files: list[str] = []
+        for s in self.metadata.get("snapshots", []):
+            if s["snapshot-id"] <= (sid or -1):
+                files.extend(s["added-files"])
+        return files
+
+    # -- data plane ---------------------------------------------------------
+    def df(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """DataFrame over the table's data at a snapshot (default: current).
+
+        Explicit schema, never inferred (SURVEY §1.2): evolution keeps old
+        files readable, missing columns read as null. Snapshot file lists
+        give incremental/time-travel reads.
+        """
+        spark_schema = self.schema().to_spark()
+        files = [os.path.join(self.location, f) for f in self._files_at(snapshot_id)]
+        if not files:
+            return spark.createDataFrame([], spark_schema)
+        return spark.read.schema(spark_schema).parquet(*files)
+
+    def append(self, df: DataFrame) -> "Table":
+        """Append data files + commit a new snapshot (micro-batch append =
+        snapshot commit; the streaming-source model of SURVEY §1.2)."""
+        rel = os.path.join("data", uuid.uuid4().hex)
+        out = os.path.join(self.location, rel)
+        df.write.mode("overwrite").parquet(out)
+        added = [
+            os.path.join(rel, f)
+            for f in sorted(os.listdir(out))
+            if f.endswith(".parquet")
+        ]
+        parent = self.metadata.get("current-snapshot-id")
+        sid = (parent or 0) + 1
+        snap = {
+            "snapshot-id": sid,
+            "parent-snapshot-id": parent,
+            "timestamp-ms": int(time.time() * 1000),
+            "added-files": added,
+        }
+        return self.catalog.update_table(
+            self.identifier,
+            requirements=[
+                {"type": "assert-ref-snapshot-id", "snapshot-id": parent}
+            ],
+            updates=[{"action": "add-snapshot", "snapshot": snap}],
+        )
+
+
+class Catalog:
+    """The engine-side equivalent of the reference's REST catalog service."""
+
+    def __init__(self, warehouse: str):
+        self.warehouse = os.path.abspath(warehouse)
+        os.makedirs(self.warehouse, exist_ok=True)
+
+    # -- config / health (reference tables.go:38-46, router.go:50-52) -------
+    def config(self) -> dict:
+        return {"defaults": dict(ENGINE_DEFAULTS), "overrides": dict(ENGINE_OVERRIDES)}
+
+    def health(self) -> dict:
+        return {"status": "ok"}
+
+    # -- namespace helpers --------------------------------------------------
+    def _ns_dir(self, ns: Ident) -> str:
+        for level in ns:
+            if not level or "/" in level or level.startswith("."):
+                raise E.BadRequestException(f"bad namespace level {level!r}")
+        return os.path.join(self.warehouse, *ns)
+
+    def _ns_exists(self, ns: Ident) -> bool:
+        return os.path.isfile(os.path.join(self._ns_dir(ns), NS_MARKER))
+
+    def _require_ns(self, ns: Ident) -> str:
+        d = self._ns_dir(ns)
+        if not self._ns_exists(ns):
+            raise E.NoSuchNamespaceException(".".join(ns))
+        return d
+
+    # -- namespace CRUD (reference namespaces.go) ---------------------------
+    def create_namespace(self, ns: Ident, properties: dict | None = None) -> dict:
+        ns = tuple(ns)
+        if not ns:
+            raise E.BadRequestException("empty namespace")
+        if self._ns_exists(ns):
+            raise E.NamespaceAlreadyExistsException(".".join(ns))
+        d = self._ns_dir(ns)
+        os.makedirs(d, exist_ok=True)
+        _atomic_write_json(os.path.join(d, NS_MARKER), dict(properties or {}))
+        return {"namespace": list(ns), "properties": dict(properties or {})}
+
+    def list_namespaces(self, parent: Ident | None = None) -> list[Ident]:
+        base = self.warehouse if parent is None else self._require_ns(tuple(parent))
+        prefix = tuple(parent) if parent else ()
+        out = []
+        if os.path.isdir(base):
+            for name in sorted(os.listdir(base)):
+                child = prefix + (name,)
+                if os.path.isdir(os.path.join(base, name)) and self._ns_exists(child):
+                    out.append(child)
+        return out
+
+    def load_namespace(self, ns: Ident) -> dict:
+        d = self._require_ns(tuple(ns))
+        with open(os.path.join(d, NS_MARKER)) as f:
+            return {"namespace": list(ns), "properties": json.load(f)}
+
+    def namespace_exists(self, ns: Ident) -> bool:
+        return self._ns_exists(tuple(ns))
+
+    def drop_namespace(self, ns: Ident) -> None:
+        """RESTRICT drop: refuses when tables or child namespaces remain
+        (reference namespaces.go:131-136 — no cascade)."""
+        ns = tuple(ns)
+        d = self._require_ns(ns)
+        if self.list_tables(ns) or self.list_namespaces(ns):
+            raise E.NamespaceNotEmptyException(".".join(ns))
+        shutil.rmtree(d)
+
+    def update_namespace_properties(
+        self, ns: Ident, removals: list[str] | None = None, updates: dict | None = None
+    ) -> dict:
+        """Returns the reference's 3-way summary {updated, removed, missing}
+        (namespaces.go:182-186); a key in both lists is a 422
+        (namespaces.go:159-166)."""
+        ns, removals, updates = tuple(ns), list(removals or []), dict(updates or {})
+        overlap = set(removals) & set(updates)
+        if overlap:
+            raise E.UnprocessableEntityException(", ".join(sorted(overlap)))
+        d = self._require_ns(ns)
+        marker = os.path.join(d, NS_MARKER)
+        with open(marker) as f:
+            props = json.load(f)
+        removed = [k for k in removals if k in props]
+        missing = [k for k in removals if k not in props]
+        for k in removed:
+            del props[k]
+        props.update(updates)
+        _atomic_write_json(marker, props)
+        return {
+            "updated": sorted(updates.keys()),
+            "removed": sorted(removed),
+            "missing": sorted(missing),
+        }
+
+    # -- table helpers ------------------------------------------------------
+    def _table_dir(self, ident: Ident) -> str:
+        ns, name = tuple(ident[:-1]), ident[-1]
+        if not ns or not name:
+            raise E.BadRequestException(f"bad identifier {ident!r}")
+        return os.path.join(self._ns_dir(ns), name)
+
+    def _is_table(self, ident: Ident) -> bool:
+        return os.path.isfile(
+            os.path.join(self._table_dir(ident), "metadata", "version-hint.text")
+        )
+
+    def _current_version(self, ident: Ident) -> int:
+        with open(
+            os.path.join(self._table_dir(ident), "metadata", "version-hint.text")
+        ) as f:
+            return int(f.read().strip())
+
+    # -- table CRUD (reference tables.go) -----------------------------------
+    def list_tables(self, ns: Ident) -> list[Ident]:
+        ns = tuple(ns)
+        d = self._require_ns(ns)
+        out = []
+        for name in sorted(os.listdir(d)):
+            ident = ns + (name,)
+            if not name.startswith(".") and self._is_table(ident):
+                out.append(ident)
+        return out
+
+    def create_table(
+        self,
+        ident: Ident,
+        schema: Schema,
+        partition_spec: list[dict] | None = None,
+        write_order: list[dict] | None = None,
+        properties: dict | None = None,
+        location: str | None = None,
+        stage_create: bool = False,
+    ) -> Table:
+        ident = tuple(ident)
+        if stage_create:  # reference tables.go:91-96
+            raise E.NotImplementedException("stage-create")
+        self._require_ns(ident[:-1])
+        if self._is_table(ident):
+            raise E.TableAlreadyExistsException(".".join(ident))
+        tdir = location or self._table_dir(ident)
+        mdir = os.path.join(tdir, "metadata")
+        os.makedirs(mdir, exist_ok=True)
+        metadata = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": tdir,
+            "last-updated-ms": int(time.time() * 1000),
+            "schemas": [schema.to_json()],
+            "current-schema-id": schema.schema_id,
+            "last-column-id": schema.highest_field_id(),
+            "partition-specs": partition_spec or [],
+            "default-spec-id": 0,
+            "sort-orders": write_order or [],
+            "default-sort-order-id": 0,
+            "properties": dict(properties or {}),
+            "snapshots": [],
+            "current-snapshot-id": None,
+        }
+        _atomic_write_json(os.path.join(mdir, "v1.metadata.json"), metadata)
+        _atomic_write_json_text(os.path.join(mdir, "version-hint.text"), "1")
+        return Table(self, ident, 1, metadata)
+
+    def load_table(self, ident: Ident) -> Table:
+        ident = tuple(ident)
+        self._require_ns(ident[:-1])
+        if not self._is_table(ident):
+            raise E.NoSuchTableException(".".join(ident))
+        v = self._current_version(ident)
+        with open(
+            os.path.join(self._table_dir(ident), "metadata", f"v{v}.metadata.json")
+        ) as f:
+            return Table(self, ident, v, json.load(f))
+
+    def table_exists(self, ident: Ident) -> bool:
+        ident = tuple(ident)
+        return self._ns_exists(ident[:-1]) and self._is_table(ident)
+
+    def drop_table(self, ident: Ident, purge: bool = False) -> None:
+        """Metadata-only drop; data files are orphaned, not deleted.
+        purge=True is rejected like the reference (tables.go:288-295)."""
+        ident = tuple(ident)
+        if purge:
+            raise E.BadRequestException("purgeRequested is not supported")
+        self._require_ns(ident[:-1])
+        if not self._is_table(ident):
+            raise E.NoSuchTableException(".".join(ident))
+        shutil.rmtree(os.path.join(self._table_dir(ident), "metadata"))
+
+    def rename_table(self, src: Ident, dst: Ident) -> Table:
+        """Metadata pointer move (ALTER TABLE RENAME); cross-namespace
+        allowed (reference tables.go:365-402)."""
+        src, dst = tuple(src), tuple(dst)
+        self._require_ns(src[:-1])
+        self._require_ns(dst[:-1])
+        if not self._is_table(src):
+            raise E.NoSuchTableException(".".join(src))
+        if self._is_table(dst):
+            raise E.TableAlreadyExistsException(".".join(dst))
+        os.rename(self._table_dir(src), self._table_dir(dst))
+        t = self.load_table(dst)
+        if t.metadata["location"] == self._table_dir(src):
+            t.metadata["location"] = self._table_dir(dst)
+            _atomic_write_json(
+                os.path.join(
+                    self._table_dir(dst), "metadata", f"v{t.version}.metadata.json"
+                ),
+                t.metadata,
+            )
+        return self.load_table(dst)
+
+    # -- optimistic commit (reference tables.go:150-227) --------------------
+    def update_table(
+        self, ident: Ident, requirements: list[dict], updates: list[dict]
+    ) -> Table:
+        """CommitTable: validate requirements against CURRENT metadata, apply
+        updates, claim v{N+1} with O_CREAT|O_EXCL (CAS), swap the hint."""
+        ident = tuple(ident)
+        current = self.load_table(ident)
+        self._check_requirements(current, requirements)
+        new_meta = self._apply_updates(current, updates)
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+
+        mdir = os.path.join(self._table_dir(ident), "metadata")
+        new_v = current.version + 1
+        new_path = os.path.join(mdir, f"v{new_v}.metadata.json")
+        try:
+            fd = os.open(new_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as exc:
+            raise E.CommitFailedException(
+                f"version {new_v} already committed by a concurrent writer"
+            ) from exc
+        with os.fdopen(fd, "w") as f:
+            json.dump(new_meta, f, indent=1, sort_keys=True)
+        _atomic_write_json_text(os.path.join(mdir, "version-hint.text"), str(new_v))
+        return Table(self, ident, new_v, new_meta)
+
+    @staticmethod
+    def _check_requirements(current: Table, requirements: list[dict]) -> None:
+        for req in requirements or []:
+            kind = req.get("type")
+            if kind == "assert-current-schema-id":
+                want = req.get("current-schema-id")
+                have = current.metadata["current-schema-id"]
+                if have != want:
+                    raise E.CommitFailedException(
+                        f"current schema id {have} != asserted {want}"
+                    )
+            elif kind == "assert-table-uuid":
+                if current.metadata["table-uuid"] != req.get("uuid"):
+                    raise E.CommitFailedException("table uuid mismatch")
+            elif kind == "assert-ref-snapshot-id":
+                if current.metadata.get("current-snapshot-id") != req.get("snapshot-id"):
+                    raise E.CommitFailedException("snapshot moved")
+            elif kind == "assert-create":
+                raise E.CommitFailedException("table already exists")
+            else:
+                raise E.BadRequestException(f"unknown requirement {kind!r}")
+
+    @staticmethod
+    def _apply_updates(current: Table, updates: list[dict]) -> dict:
+        meta = json.loads(json.dumps(current.metadata))  # deep copy
+        for upd in updates or []:
+            action = upd.get("action")
+            if action == "add-schema":
+                sch = upd["schema"]
+                if any(
+                    s["schema-id"] == sch["schema-id"] for s in meta["schemas"]
+                ):
+                    raise E.BadRequestException(
+                        f"schema id {sch['schema-id']} already present"
+                    )
+                meta["schemas"].append(sch)
+                meta["last-column-id"] = max(
+                    meta.get("last-column-id", 0),
+                    max((f["id"] for f in sch["fields"]), default=0),
+                )
+            elif action == "set-current-schema":
+                sid = upd["schema-id"]
+                if not any(s["schema-id"] == sid for s in meta["schemas"]):
+                    raise E.BadRequestException(f"unknown schema id {sid}")
+                meta["current-schema-id"] = sid
+            elif action == "set-properties":
+                meta["properties"].update(upd["updates"])
+            elif action == "remove-properties":
+                for k in upd["removals"]:
+                    meta["properties"].pop(k, None)
+            elif action == "add-snapshot":
+                snap = upd["snapshot"]
+                meta["snapshots"].append(snap)
+                meta["current-snapshot-id"] = snap["snapshot-id"]
+            elif action == "set-location":
+                meta["location"] = upd["location"]
+            else:
+                raise E.BadRequestException(f"unknown update {action!r}")
+        return meta
+
+
+def _atomic_write_json_text(path: str, text: str) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(text)
+    os.replace(tmp, path)

@@ -36,6 +36,7 @@ _REGISTRY: dict[str, Entry] = {}
 
 # Modules that contribute queries; imported lazily by collect().
 _QUERY_MODULES = (
+    "iceberg_rest_catalog_spark.catalog.queries",
     "iceberg_rest_catalog_spark.operators.scans",
     "iceberg_rest_catalog_spark.operators.filters",
     "iceberg_rest_catalog_spark.operators.joins",

@@ -1,0 +1,70 @@
+"""Data-plane integration: catalog tables backed by Spark DataFrames —
+append = snapshot commit, time travel by snapshot id, schema evolution
+keeps old files readable (missing columns read as null)."""
+
+import pytest
+
+from iceberg_rest_catalog_spark.catalog import Catalog, NestedField, Schema
+from iceberg_rest_catalog_spark.catalog import errors as E
+
+SCHEMA = Schema(
+    0,
+    [
+        NestedField(1, "id", "long", required=False),
+        NestedField(2, "name", "string", required=False),
+    ],
+)
+
+
+@pytest.fixture()
+def table(catalog: Catalog):
+    catalog.create_namespace(("db",))
+    return catalog.create_table(("db", "t"), SCHEMA)
+
+
+def test_empty_table_reads_empty_with_schema(spark, table):
+    df = table.df(spark)
+    assert df.count() == 0
+    assert df.columns == ["id", "name"]
+
+
+def test_append_creates_snapshot(spark, catalog, table):
+    t2 = table.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"))
+    assert t2.current_snapshot()["snapshot-id"] == 1
+    assert t2.df(spark).count() == 2
+    t3 = t2.append(spark.createDataFrame([(3, "c")], "id long, name string"))
+    assert t3.current_snapshot()["snapshot-id"] == 2
+    assert {r.id for r in t3.df(spark).collect()} == {1, 2, 3}
+
+
+def test_time_travel_by_snapshot(spark, catalog, table):
+    t2 = table.append(spark.createDataFrame([(1, "a")], "id long, name string"))
+    t3 = t2.append(spark.createDataFrame([(2, "b")], "id long, name string"))
+    assert t3.df(spark, snapshot_id=1).count() == 1
+    assert t3.df(spark, snapshot_id=2).count() == 2
+
+
+def test_stale_append_conflicts(spark, catalog, table):
+    stale = catalog.load_table(("db", "t"))
+    table.append(spark.createDataFrame([(1, "a")], "id long, name string"))
+    with pytest.raises(E.CommitFailedException):
+        stale.append(spark.createDataFrame([(9, "z")], "id long, name string"))
+
+
+def test_schema_evolution_old_files_readable(spark, catalog, table):
+    t2 = table.append(spark.createDataFrame([(1, "a")], "id long, name string"))
+    new_schema = Schema(
+        1, SCHEMA.fields + [NestedField(3, "score", "double", required=False)]
+    )
+    catalog.update_table(
+        ("db", "t"),
+        requirements=[{"type": "assert-current-schema-id", "current-schema-id": 0}],
+        updates=[
+            {"action": "add-schema", "schema": new_schema.to_json()},
+            {"action": "set-current-schema", "schema-id": 1},
+        ],
+    )
+    evolved = catalog.load_table(("db", "t"))
+    rows = evolved.df(spark).collect()
+    assert rows[0]["score"] is None  # old file, new column -> null
+    assert evolved.df(spark).columns == ["id", "name", "score"]
