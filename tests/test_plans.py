@@ -1,0 +1,78 @@
+"""Plan-shape assertions (SURVEY §5.2 item 4): the optimizations the engine
+relies on for 100 TB must be visible in the physical plan, not assumed."""
+
+import pytest
+
+from iceberg_rest_catalog_spark import registry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan(spark, name: str) -> str:
+    df = registry.queries()[name](spark, SF_DIR)
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_registry_is_consistent(spark):
+    qs = registry.queries()
+    oracles = registry.oracles()
+    assert len(qs) >= 99
+    assert set(oracles) <= set(qs)  # every oracle key has a query
+    # ids follow the SURVEY naming contract
+    assert all(n.startswith(("q_", "c_")) for n in qs)
+
+
+def test_scan_filter_is_pushed_down(spark):
+    p = plan(spark, "q_scan_filter")
+    assert "PushedFilters: [" in p
+    assert "l_shipdate" in p.split("PushedFilters")[1][:200]
+
+
+def test_scan_project_prunes_columns(spark):
+    p = plan(spark, "q_scan_project")
+    read_schema = p.split("ReadSchema")[1][:200]
+    assert "l_orderkey" in read_schema
+    assert "l_comment" not in read_schema  # untouched columns never read
+
+
+def test_partition_prune_uses_partition_filters(spark):
+    p = plan(spark, "q_scan_partition_prune")
+    assert "PartitionFilters: [" in p
+    assert "o_year" in p.split("PartitionFilters")[1][:200]
+
+
+def test_broadcast_join_broadcasts(spark):
+    p = plan(spark, "q_join_broadcast")
+    assert "BroadcastHashJoin" in p
+
+
+def test_tpch_q3_no_cartesian(spark):
+    p = plan(spark, "q_tpch_q3")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_topk_uses_take_ordered(spark):
+    p = plan(spark, "q_topk")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_whole_stage_codegen_active(spark):
+    # AQE shows codegen spans only once the plan is final: execute first.
+    df = registry.queries()["q_agg_group"](spark, SF_DIR)
+    df.collect()
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "WholeStageCodegen" in p
+
+
+def test_sim_topk_broadcasts_query_vector(spark):
+    p = plan(spark, "q_sim_topk")
+    assert "TakeOrderedAndProject" in p  # top-k never sorts the full table
+
+
+@pytest.mark.parametrize("name", ["q_tpch_q1", "q_tpch_q5", "q_dedup_fuzzy"])
+def test_no_python_row_udfs_in_core_plans(spark, name):
+    p = plan(spark, name)
+    assert "BatchEvalPython" not in p  # row-at-a-time Python only in q_udf_python
