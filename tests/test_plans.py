@@ -64,7 +64,9 @@ def test_whole_stage_codegen_active(spark):
     p = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    assert "WholeStageCodegen" in p
+    # formatted mode marks codegen stages with a '*' prefix
+    assert "isFinalPlan=true" in p
+    assert "* HashAggregate" in p
 
 
 def test_sim_topk_broadcasts_query_vector(spark):
