@@ -78,8 +78,13 @@ def q_dedup_fuzzy(spark, sf_dir):
         ]
     )
     r = N_HASHES // N_BANDS
+    # Carry the full signature array through the band explode: the bucket
+    # self-join then yields candidate pairs AND both signatures in ONE
+    # shuffle — the corpus is scanned/minhashed exactly once (the naive
+    # cand-join-sig-join-sig shape recomputes the signature pipeline 3x).
     bands = sig.select(
         "doc_id",
+        F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("sig"),
         F.explode(
             F.array(
                 *[
@@ -91,39 +96,23 @@ def q_dedup_fuzzy(spark, sf_dir):
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "b.band", "b.bh")
+    ).select("doc_id", "sig", "b.band", "b.bh")
 
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "bh"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-
-    sig_a = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)],
-    )
-    sig_b = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)],
-    )
-    agree = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        for i in range(N_HASHES)
+    a = bands.select("band", "bh", F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"))
+    b = bands.select("band", "bh", F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"))
+    agree = F.size(
+        F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m)
     )
     return (
-        cand.join(sig_a, "doc_a")
-        .join(sig_b, "doc_b")
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",
             r4(agree / F.lit(float(N_HASHES))).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= 0.5)
+        .distinct()
     )
 
 
