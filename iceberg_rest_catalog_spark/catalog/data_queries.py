@@ -1,0 +1,133 @@
+"""Catalog data-plane queries: snapshot semantics made driver-checkable.
+
+The reference's snapshot lineage (optimistic commits appending snapshots —
+reference api/handlers/tables.go:150-227, test/server_test.go:210-225) is
+what enables time travel and incremental reads. These ops build a cataloged
+table from fixture data, commit two append snapshots, and read back at
+different points of the lineage; oracles express the expected contents
+directly over the fixture table.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from ..operators.common import scratch_dir, t
+from ..registry import query
+from .catalog import Catalog
+from .schema import NestedField, Schema
+
+_ORDERS_SCHEMA = Schema(
+    0,
+    [
+        NestedField(1, "o_orderkey", "long"),
+        NestedField(2, "o_custkey", "long"),
+        NestedField(3, "o_totalprice", "double"),
+    ],
+)
+
+
+def _two_snapshot_table(spark, sf_dir, name: str):
+    """Create (idempotently per sf_dir) a cataloged orders subset with two
+    append snapshots: keys 1..100, then 101..200."""
+    wh = scratch_dir(sf_dir, "catalog_data", name)
+    cat = Catalog(wh)
+    marker = os.path.join(wh, ".ready")
+    if not os.path.exists(marker):
+        shutil.rmtree(wh, ignore_errors=True)
+        os.makedirs(wh, exist_ok=True)
+        cat = Catalog(wh)
+        cat.create_namespace(("db",))
+        tbl = cat.create_table(("db", "orders_s"), _ORDERS_SCHEMA)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tbl = tbl.append(orders.filter(F.col("o_orderkey") <= 100))
+        tbl.append(
+            orders.filter((F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 200))
+        )
+        open(marker, "w").close()
+    return cat.load_table(("db", "orders_s"))
+
+
+@query(
+    "q_time_travel",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+    FROM orders WHERE o_orderkey <= 100
+    """,
+)
+def q_time_travel(spark, sf_dir):
+    """Read the table AS OF snapshot 1 — the second append is invisible."""
+    tbl = _two_snapshot_table(spark, sf_dir, "time_travel")
+    return tbl.df(spark, snapshot_id=1).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
+    )
+
+
+@query(
+    "q_incremental_read",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+    FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200
+    """,
+)
+def q_incremental_read(spark, sf_dir):
+    """Files added BETWEEN snapshot 1 and snapshot 2 — the change-data slice
+    a streaming consumer of the append log would process."""
+    tbl = _two_snapshot_table(spark, sf_dir, "incremental")
+    files = sorted(set(tbl._files_at(2)) - set(tbl._files_at(1)))
+    paths = [os.path.join(tbl.location, f) for f in files]
+    return (
+        spark.read.schema(tbl.schema().to_spark())
+        .parquet(*paths)
+        .select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
+        )
+    )
+
+
+@query(
+    "q_schema_evolution_read",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_note
+    FROM orders WHERE o_orderkey <= 100
+    """,
+)
+def q_schema_evolution_read(spark, sf_dir):
+    """Commit a schema evolution (add column) and read OLD files under the
+    NEW schema: the added column reads as null, old files stay readable —
+    the field-ID evolution contract (SURVEY §1.2)."""
+    wh = scratch_dir(sf_dir, "catalog_data", "evolution")
+    cat = Catalog(wh)
+    marker = os.path.join(wh, ".ready")
+    if not os.path.exists(marker):
+        shutil.rmtree(wh, ignore_errors=True)
+        os.makedirs(wh, exist_ok=True)
+        cat = Catalog(wh)
+        cat.create_namespace(("db",))
+        tbl = cat.create_table(("db", "orders_e"), _ORDERS_SCHEMA)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tbl.append(orders.filter(F.col("o_orderkey") <= 100))
+        new_schema = Schema(
+            1, _ORDERS_SCHEMA.fields + [NestedField(4, "o_note", "string")]
+        )
+        cat.update_table(
+            ("db", "orders_e"),
+            [{"type": "assert-current-schema-id", "current-schema-id": 0}],
+            [
+                {"action": "add-schema", "schema": new_schema.to_json()},
+                {"action": "set-current-schema", "schema-id": 1},
+            ],
+        )
+        open(marker, "w").close()
+    tbl = cat.load_table(("db", "orders_e"))
+    return tbl.df(spark).select(
+        "o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice"), "o_note"
+    )

@@ -37,7 +37,9 @@ _REGISTRY: dict[str, Entry] = {}
 # Modules that contribute queries; imported lazily by collect().
 _QUERY_MODULES = (
     "iceberg_rest_catalog_spark.catalog.queries",
+    "iceberg_rest_catalog_spark.catalog.data_queries",
     "iceberg_rest_catalog_spark.operators.scans",
+    "iceberg_rest_catalog_spark.operators.sources",
     "iceberg_rest_catalog_spark.operators.filters",
     "iceberg_rest_catalog_spark.operators.joins",
     "iceberg_rest_catalog_spark.operators.aggregates",
