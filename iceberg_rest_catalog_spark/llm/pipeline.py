@@ -1,0 +1,214 @@
+"""Training-data pipeline utilities beyond the SURVEY §2.C core.
+
+The ops a 100 TB corpus pipeline runs daily: deterministic held-out
+splitting, fixed-size chunking with overlap, PII redaction, and corpus
+statistics. All map-only or single-aggregate shapes; everything is
+hash-deterministic so runs are reproducible across clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.common import r4, t
+from ..registry import query
+
+
+@query(
+    "q_sample_hash",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                     IN ('0','1','2') THEN 'eval' ELSE 'train' END AS split
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5')
+    """,
+)
+def q_sample_hash(spark, sf_dir):
+    """Deterministic hash sampling + train/eval split assignment.
+
+    Content-hash bucketing (not rand()): the same document lands in the same
+    split on every run, every cluster, any partitioning — the only sound way
+    to hold out eval data at scale."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        d.filter(bucket.isin(*"012345"))
+        .select(
+            "doc_id",
+            "lang",
+            F.when(bucket.isin(*"012"), "eval").otherwise("train").alias("split"),
+        )
+    )
+
+
+@query(
+    "q_doc_chunk",
+    oracle="""
+    SELECT doc_id,
+           CAST(c.i AS INT) AS chunk_idx,
+           array_to_string(list_slice(string_split(text, ' '),
+                                      c.i * 24 + 1, c.i * 24 + 32), ' ') AS chunk
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(
+                    0, greatest(CAST(ceil((len(string_split(text, ' ')) - 32)
+                                          / 24.0) AS BIGINT), 0))) AS i) c
+    """,
+)
+def q_doc_chunk(spark, sf_dir):
+    """Fixed-size token chunking with overlap (window 32 tokens, stride 24 —
+    8-token overlap), the standard pre-tokenization shard step. Higher-order
+    sequence + one explode; chunk count scales with text length, not corpus
+    row count."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(32)) / F.lit(24.0)).cast("long"), F.lit(0)
+    )  # last index; chunks = idx 0..n_chunks
+    idx = F.sequence(F.lit(0).cast("long"), n_chunks)
+    return (
+        d.select("doc_id", "text", F.explode(idx).alias("chunk_idx"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(F.split("text", " "), (F.col("chunk_idx") * 24 + 1).cast("int"), 32)
+            ).alias("chunk"),
+        )
+    )
+
+
+@query(
+    "q_text_redact",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+             '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g') AS redacted,
+           len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) AS n_emails
+    FROM documents
+    """,
+)
+def q_text_redact(spark, sf_dir):
+    """PII redaction pass (email + SSN patterns) with per-doc match counts —
+    map-only regexp_replace, the canonical pre-training scrub step."""
+    d = t(spark, sf_dir, "documents")
+    email = r"[a-z0-9.]+@[a-z0-9.]+"
+    ssn = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", email, "<EMAIL>"), ssn, "<SSN>"
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(email), 0)).alias("n_emails"),
+    )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4)  AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark, sf_dir):
+    """Exact percentiles per group (continuous interpolation) — corpus
+    length/score distribution reporting. Spark's percentile() is an exact
+    sort-based aggregate; for 100 TB dashboards swap to percentile_approx
+    (t-digest, single pass, mergeable)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r4(F.expr("percentile(l_extendedprice, 0.5)")).alias("p50"),
+        r4(F.expr("percentile(l_extendedprice, 0.9)")).alias("p90"),
+        r4(F.expr("percentile(l_extendedprice, 0.99)")).alias("p99"),
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT round(corr(l_quantity, l_extendedprice), 4)      AS qty_price_corr,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(stddev_samp(l_discount), 4)                AS disc_stddev,
+           round(var_samp(l_tax), 4)                        AS tax_var,
+           round(skewness(l_extendedprice), 4)              AS price_skew
+    FROM lineitem
+    """,
+)
+def q_agg_stats(spark, sf_dir):
+    """Second-moment statistics (corr/covar/stddev/variance/skewness) in one
+    partial+final aggregate pass."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        r4(F.corr("l_quantity", "l_extendedprice")).alias("qty_price_corr"),
+        r4(F.covar_pop("l_quantity", "l_extendedprice")).alias("qty_price_covar"),
+        r4(F.stddev_samp("l_discount")).alias("disc_stddev"),
+        r4(F.var_samp("l_tax")).alias("tax_var"),
+        r4(F.skewness("l_extendedprice")).alias("price_skew"),
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           round(coalesce(sum(o_totalprice) FILTER (o_orderpriority = '1-URGENT'), 0), 4) AS urgent,
+           round(coalesce(sum(o_totalprice) FILTER (o_orderpriority = '2-HIGH'), 0), 4)   AS high,
+           round(coalesce(sum(o_totalprice) FILTER (o_orderpriority = '3-MEDIUM'), 0), 4) AS medium
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_pivot(spark, sf_dir):
+    """Pivot (long->wide) with an explicit value list — explicit values keep
+    the plan one pass (no extra distinct-scan to discover columns)."""
+    o = t(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .sum("o_totalprice")
+    )
+    return out.select(
+        "o_orderstatus",
+        r4(F.coalesce(F.col("1-URGENT"), F.lit(0.0))).alias("urgent"),
+        r4(F.coalesce(F.col("2-HIGH"), F.lit(0.0))).alias("high"),
+        r4(F.coalesce(F.col("3-MEDIUM"), F.lit(0.0))).alias("medium"),
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, round(val, 4) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'price' AS metric, l_extendedprice AS val
+      FROM lineitem WHERE l_orderkey <= 500
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount
+      FROM lineitem WHERE l_orderkey <= 500
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', l_tax
+      FROM lineitem WHERE l_orderkey <= 500
+    )
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """Unpivot (wide->long) via the native melt/unpivot operator."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    out = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+    mapping = {"l_extendedprice": "price", "l_discount": "discount", "l_tax": "tax"}
+    m = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        m[F.col("metric")].alias("metric"),
+        r4("val").alias("val"),
+    )

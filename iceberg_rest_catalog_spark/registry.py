@@ -55,6 +55,7 @@ _QUERY_MODULES = (
     "iceberg_rest_catalog_spark.llm.similarity",
     "iceberg_rest_catalog_spark.llm.text",
     "iceberg_rest_catalog_spark.llm.multimodal",
+    "iceberg_rest_catalog_spark.llm.pipeline",
 )
 
 
