@@ -1,0 +1,110 @@
+"""Property-based commit-protocol tests (SURVEY §5.2 item 5).
+
+Hypothesis drives random commit sequences against the catalog and checks the
+invariants the reference's optimistic-concurrency model promises but never
+tests: versions advance linearly, the current schema always resolves, failed
+requirements never mutate state, and property maps converge to the replayed
+fold of the applied updates.
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from iceberg_rest_catalog_spark.catalog import Catalog, NestedField, Schema
+from iceberg_rest_catalog_spark.catalog import errors as E
+
+BASE = Schema(0, [NestedField(1, "id", "long", True)])
+
+# one step = set-props / remove-props / add-schema+set-current / bad-requirement
+_step = st.one_of(
+    st.tuples(
+        st.just("set"),
+        st.dictionaries(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.text(alphabet="xyz", min_size=1, max_size=3),
+            min_size=1,
+            max_size=3,
+        ),
+    ),
+    st.tuples(st.just("remove"), st.lists(st.sampled_from(["a", "b", "c", "d"]), max_size=2)),
+    st.tuples(st.just("evolve"), st.just(None)),
+    st.tuples(st.just("bad-req"), st.just(None)),
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(steps=st.lists(_step, max_size=12))
+def test_commit_sequence_invariants(tmp_path_factory, steps):
+    cat = Catalog(str(tmp_path_factory.mktemp("wh")))
+    cat.create_namespace(("db",))
+    cat.create_table(("db", "t"), BASE)
+
+    expected_props: dict = {}
+    expected_version = 1
+    next_schema_id = 1
+
+    for kind, arg in steps:
+        if kind == "set":
+            cat.update_table(
+                ("db", "t"), [], [{"action": "set-properties", "updates": arg}]
+            )
+            expected_props.update(arg)
+            expected_version += 1
+        elif kind == "remove":
+            cat.update_table(
+                ("db", "t"), [], [{"action": "remove-properties", "removals": arg}]
+            )
+            for k in arg:
+                expected_props.pop(k, None)
+            expected_version += 1
+        elif kind == "evolve":
+            cur = cat.load_table(("db", "t"))
+            sch = Schema(
+                next_schema_id,
+                cur.schema().fields
+                + [NestedField(100 + next_schema_id, f"c{next_schema_id}", "string")],
+            )
+            cat.update_table(
+                ("db", "t"),
+                [
+                    {
+                        "type": "assert-current-schema-id",
+                        "current-schema-id": cur.metadata["current-schema-id"],
+                    }
+                ],
+                [
+                    {"action": "add-schema", "schema": sch.to_json()},
+                    {"action": "set-current-schema", "schema-id": next_schema_id},
+                ],
+            )
+            next_schema_id += 1
+            expected_version += 1
+        else:  # bad-req: must raise and must NOT change any state
+            with pytest.raises(E.CommitFailedException):
+                cat.update_table(
+                    ("db", "t"),
+                    [{"type": "assert-current-schema-id", "current-schema-id": 999}],
+                    [{"action": "set-properties", "updates": {"poison": "1"}}],
+                )
+
+        t = cat.load_table(("db", "t"))
+        # invariant 1: versions are linear (one commit -> exactly +1)
+        assert t.version == expected_version
+        # invariant 2: current schema id always resolves
+        assert t.schema().schema_id == t.metadata["current-schema-id"]
+        # invariant 3: properties equal the fold of applied updates
+        assert t.properties() == expected_props
+        # invariant 4: failed commits leaked nothing
+        assert "poison" not in t.properties()
+
+    # invariant 5: full metadata history is retained on disk
+    import os
+
+    mdir = os.path.join(cat._table_dir(("db", "t")), "metadata")
+    versions = sorted(
+        int(f[1 : -len(".metadata.json")])
+        for f in os.listdir(mdir)
+        if f.endswith(".metadata.json")
+    )
+    assert versions == list(range(1, expected_version + 1))
