@@ -1,0 +1,231 @@
+"""Thin REST facade over :class:`Catalog` — the reference's wire surface.
+
+Route table mirrors reference api/router/router.go:9-55 exactly; namespaces
+are encoded in URLs with the ASCII unit separator ``\\x1F`` (reference
+api/handlers/models.go:10-12); errors serialize as
+``{"error": {"message", "type", "code"}}`` (errors.go:5-13). Pagination
+params are accepted and ignored, like the reference (models.go:19-28,52-55).
+
+Stdlib-only (http.server); the engine itself is a library — this facade
+exists so a client of the reference can point at the same paths and get the
+same behavior.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import unquote
+
+from . import errors as E
+from .catalog import Catalog
+from .schema import Schema
+
+SEP = "\x1f"  # namespace level separator in URLs (reference models.go:10)
+
+
+def _split_ns(raw: str) -> tuple[str, ...]:
+    return tuple(unquote(raw).split(SEP))
+
+
+class _Handler(BaseHTTPRequestHandler):
+    catalog: Catalog  # injected by serve()
+
+    # route patterns -> (method -> handler name)
+    ROUTES = [
+        (re.compile(r"^/v1/config$"), {"GET": "get_config"}),
+        (re.compile(r"^/v1/namespaces$"), {"GET": "list_ns", "POST": "create_ns"}),
+        (
+            re.compile(r"^/v1/namespaces/(?P<ns>[^/]+)$"),
+            {"GET": "load_ns", "HEAD": "head_ns", "DELETE": "drop_ns"},
+        ),
+        (
+            re.compile(r"^/v1/namespaces/(?P<ns>[^/]+)/properties$"),
+            {"POST": "update_ns_props"},
+        ),
+        (
+            re.compile(r"^/v1/namespaces/(?P<ns>[^/]+)/tables$"),
+            {"GET": "list_tables", "POST": "create_table"},
+        ),
+        (
+            re.compile(r"^/v1/namespaces/(?P<ns>[^/]+)/tables/(?P<table>[^/]+)$"),
+            {
+                "GET": "load_table",
+                "POST": "update_table",
+                "DELETE": "drop_table",
+                "HEAD": "head_table",
+            },
+        ),
+        (re.compile(r"^/v1/tables/rename$"), {"POST": "rename_table"}),
+        (re.compile(r"^/health$"), {"GET": "health"}),
+    ]
+
+    # -- plumbing -----------------------------------------------------------
+    def log_message(self, *a):  # quiet test servers
+        pass
+
+    def _body(self) -> dict:
+        n = int(self.headers.get("Content-Length") or 0)
+        if not n:
+            return {}
+        try:
+            return json.loads(self.rfile.read(n))
+        except json.JSONDecodeError as exc:
+            raise E.BadRequestException(str(exc)) from exc
+
+    def _send(self, code: int, doc: dict | None = None, head_only: bool = False):
+        payload = b"" if doc is None else json.dumps(doc).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        if payload and not head_only:
+            self.wfile.write(payload)
+
+    def _dispatch(self, method: str):
+        path = self.path.split("?")[0]
+        for pattern, methods in self.ROUTES:
+            m = pattern.match(path)
+            if m:
+                name = methods.get(method)
+                if not name:
+                    self._send(405, {"error": {"message": "method not allowed",
+                                               "type": "BadRequestException",
+                                               "code": 405}})
+                    return
+                try:
+                    getattr(self, name)(**m.groupdict())
+                except E.CatalogError as err:
+                    self._send(err.code, err.to_dict(), head_only=method == "HEAD")
+                return
+        self._send(404, {"error": {"message": "no route", "type": "BadRequestException",
+                                   "code": 404}})
+
+    def do_GET(self):
+        self._dispatch("GET")
+
+    def do_POST(self):
+        self._dispatch("POST")
+
+    def do_DELETE(self):
+        self._dispatch("DELETE")
+
+    def do_HEAD(self):
+        self._dispatch("HEAD")
+
+    # -- handlers (reference api/handlers/{tables,namespaces}.go) -----------
+    def get_config(self):
+        self._send(200, self.catalog.config())
+
+    def health(self):
+        self._send(200, self.catalog.health())
+
+    def list_ns(self):
+        out = self.catalog.list_namespaces()
+        self._send(200, {"namespaces": [list(n) for n in out]})
+
+    def create_ns(self):
+        body = self._body()
+        ns = body.get("namespace") or []
+        out = self.catalog.create_namespace(tuple(ns), body.get("properties") or {})
+        self._send(200, out)
+
+    def load_ns(self, ns: str):
+        self._send(200, self.catalog.load_namespace(_split_ns(ns)))
+
+    def head_ns(self, ns: str):
+        if self.catalog.namespace_exists(_split_ns(ns)):
+            self._send(204)
+        else:
+            self._send(404)
+
+    def drop_ns(self, ns: str):
+        self.catalog.drop_namespace(_split_ns(ns))
+        self._send(204)
+
+    def update_ns_props(self, ns: str):
+        body = self._body()
+        out = self.catalog.update_namespace_properties(
+            _split_ns(ns), body.get("removals") or [], body.get("updates") or {}
+        )
+        self._send(200, out)
+
+    def list_tables(self, ns: str):
+        idents = self.catalog.list_tables(_split_ns(ns))
+        self._send(
+            200,
+            {
+                "identifiers": [
+                    {"namespace": list(i[:-1]), "name": i[-1]} for i in idents
+                ]
+            },
+        )
+
+    def create_table(self, ns: str):
+        body = self._body()
+        name = body.get("name")
+        if not name or "schema" not in body:
+            raise E.BadRequestException("name and schema are required")
+        tbl = self.catalog.create_table(
+            _split_ns(ns) + (name,),
+            Schema.from_json(body["schema"]),
+            partition_spec=body.get("partition-spec"),
+            write_order=body.get("write-order"),
+            properties=body.get("properties"),
+            location=body.get("location"),
+            stage_create=bool(body.get("stage-create")),
+        )
+        self._send(200, self._table_response(tbl))
+
+    def load_table(self, ns: str, table: str):
+        tbl = self.catalog.load_table(_split_ns(ns) + (table,))
+        self._send(200, self._table_response(tbl))
+
+    def update_table(self, ns: str, table: str):
+        body = self._body()
+        tbl = self.catalog.update_table(
+            _split_ns(ns) + (table,),
+            body.get("requirements") or [],
+            body.get("updates") or [],
+        )
+        self._send(200, self._table_response(tbl))
+
+    def drop_table(self, ns: str, table: str):
+        purge = "purgeRequested=true" in (self.path.split("?") + [""])[1]
+        self.catalog.drop_table(_split_ns(ns) + (table,), purge=purge)
+        self._send(204)
+
+    def head_table(self, ns: str, table: str):
+        if self.catalog.table_exists(_split_ns(ns) + (table,)):
+            self._send(204)
+        else:
+            self._send(404)
+
+    def rename_table(self):
+        body = self._body()
+        src, dst = body.get("source") or {}, body.get("destination") or {}
+        self.catalog.rename_table(
+            tuple(src.get("namespace") or []) + (src.get("name"),),
+            tuple(dst.get("namespace") or []) + (dst.get("name"),),
+        )
+        self._send(200, {})
+
+    def _table_response(self, tbl) -> dict:
+        # LoadTableResponse shape (reference models.go:72-76)
+        return {
+            "metadata-location": tbl.metadata_location,
+            "metadata": tbl.metadata,
+            "config": self.catalog.config()["overrides"],
+        }
+
+
+def serve(catalog: Catalog, host: str = "127.0.0.1", port: int = 0):
+    """Start the facade on a background thread; returns (server, base_url).
+    port=0 picks a free port (as the reference's httptest server does)."""
+    handler = type("BoundHandler", (_Handler,), {"catalog": catalog})
+    srv = ThreadingHTTPServer((host, port), handler)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    return srv, f"http://{srv.server_address[0]}:{srv.server_address[1]}"

@@ -1,0 +1,124 @@
+"""End-to-end REST facade tests: boot the real HTTP server over a real
+catalog and drive it through the wire, mirroring the reference's
+httptest-based strategy (test/server_test.go:23-58)."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+SEP = "%1F"  # url-encoded \x1f namespace separator
+
+SCHEMA_JSON = {
+    "type": "struct",
+    "schema-id": 0,
+    "fields": [
+        {"id": 1, "name": "id", "type": "long", "required": True},
+        {"id": 2, "name": "name", "type": "string", "required": False},
+    ],
+}
+
+
+@pytest.fixture()
+def server(catalog):
+    from iceberg_rest_catalog_spark.catalog.rest import serve
+
+    srv, base = serve(catalog)
+    yield base
+    srv.shutdown()
+
+
+def call(method, url, body=None):
+    req = urllib.request.Request(url, method=method)
+    if body is not None:
+        req.data = json.dumps(body).encode()
+        req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            raw = resp.read()
+            return resp.status, json.loads(raw) if raw else None
+    except urllib.error.HTTPError as err:
+        raw = err.read()
+        return err.code, json.loads(raw) if raw else None
+
+
+def test_config_and_health(server):
+    status, cfg = call("GET", f"{server}/v1/config")
+    assert status == 200 and set(cfg) == {"defaults", "overrides"}
+    status, h = call("GET", f"{server}/health")
+    assert (status, h) == (200, {"status": "ok"})
+
+
+def test_namespace_lifecycle_over_http(server):
+    s, _ = call("POST", f"{server}/v1/namespaces",
+                {"namespace": ["a", "b"], "properties": {"env": "t"}})
+    assert s == 200
+    s, out = call("GET", f"{server}/v1/namespaces/a{SEP}b")
+    assert s == 200 and out["properties"] == {"env": "t"}
+    s, _ = call("HEAD", f"{server}/v1/namespaces/a{SEP}b")
+    assert s == 204
+    s, out = call("POST", f"{server}/v1/namespaces/a{SEP}b/properties",
+                  {"removals": ["ghost"], "updates": {"k": "v"}})
+    assert out == {"updated": ["k"], "removed": [], "missing": ["ghost"]}
+    # duplicate create -> 409 with the reference's error envelope
+    s, err = call("POST", f"{server}/v1/namespaces", {"namespace": ["a", "b"]})
+    assert s == 409 and err["error"]["type"] == "AlreadyExistsException"
+
+
+def test_table_lifecycle_over_http(server):
+    call("POST", f"{server}/v1/namespaces", {"namespace": ["db"]})
+    s, out = call("POST", f"{server}/v1/namespaces/db/tables",
+                  {"name": "t", "schema": SCHEMA_JSON})
+    assert s == 200 and out["metadata-location"].endswith("v1.metadata.json")
+
+    s, out = call("GET", f"{server}/v1/namespaces/db/tables/t")
+    assert s == 200 and out["metadata"]["current-schema-id"] == 0
+
+    # schema-evolution commit over the wire (server_test.go:210-225 shape)
+    new_schema = dict(SCHEMA_JSON, **{"schema-id": 1})
+    new_schema["fields"] = SCHEMA_JSON["fields"] + [
+        {"id": 3, "name": "ts", "type": "timestamp", "required": False}
+    ]
+    s, out = call(
+        "POST", f"{server}/v1/namespaces/db/tables/t",
+        {
+            "requirements": [
+                {"type": "assert-current-schema-id", "current-schema-id": 0}
+            ],
+            "updates": [
+                {"action": "add-schema", "schema": new_schema},
+                {"action": "set-current-schema", "schema-id": 1},
+            ],
+        },
+    )
+    assert s == 200 and out["metadata"]["current-schema-id"] == 1
+    assert out["metadata-location"].endswith("v2.metadata.json")
+
+    # rename + rename back
+    s, _ = call("POST", f"{server}/v1/tables/rename",
+                {"source": {"namespace": ["db"], "name": "t"},
+                 "destination": {"namespace": ["db"], "name": "t2"}})
+    assert s == 200
+    assert call("HEAD", f"{server}/v1/namespaces/db/tables/t")[0] == 404
+    assert call("HEAD", f"{server}/v1/namespaces/db/tables/t2")[0] == 204
+
+    # RESTRICT drop of non-empty namespace
+    s, err = call("DELETE", f"{server}/v1/namespaces/db")
+    assert s == 409 and err["error"]["type"] == "NamespaceNotEmptyException"
+
+    # drop table then namespace
+    assert call("DELETE", f"{server}/v1/namespaces/db/tables/t2")[0] == 204
+    assert call("DELETE", f"{server}/v1/namespaces/db")[0] == 204
+    s, out = call("GET", f"{server}/v1/namespaces")
+    assert out == {"namespaces": []}
+
+
+def test_error_envelope_over_http(server):
+    s, err = call("GET", f"{server}/v1/namespaces/missing")
+    assert s == 404
+    assert err["error"] == {
+        "message": "The given namespace does not exist",
+        "type": "NoSuchNamespaceException",
+        "code": 404,
+    }
