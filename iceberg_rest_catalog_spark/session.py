@@ -30,6 +30,9 @@ ENGINE_DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 64k-row Arrow batches cut pandas-UDF overhead ~25% vs the 10k default
+    # (measured on q_udf_pandas at sf0.1); still far below memory limits.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
