@@ -91,6 +91,49 @@ def q_incremental_read(spark, sf_dir):
 
 
 @query(
+    "q_merge_upsert",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 150
+    ), source AS (
+      SELECT o_orderkey, o_custkey, round(o_totalprice * 1.1, 4) AS o_totalprice
+      FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200
+    )
+    SELECT coalesce(s.o_orderkey, t.o_orderkey)              AS o_orderkey,
+           coalesce(s.o_custkey, t.o_custkey)                AS o_custkey,
+           round(coalesce(s.o_totalprice, t.o_totalprice), 4) AS o_totalprice,
+           CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+                WHEN s.o_orderkey IS NULL THEN 'keep'
+                ELSE 'update' END                            AS action
+    FROM target t FULL JOIN source s ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics (upsert) over an Iceberg-style table: matched
+    rows update, unmatched source rows insert, unmatched target rows keep.
+
+    Expressed as a full outer join + coalesce — the copy-on-write rewrite a
+    lakehouse MERGE compiles to. At 100 TB the join keys on the table's
+    partition column so only touched partitions rewrite (partition-scoped
+    overwrite via spark.sql.sources.partitionOverwriteMode=dynamic)."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    target = o.filter(F.col("o_orderkey") <= 150)
+    source = o.filter((F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 200)).select(
+        "o_orderkey", "o_custkey", F.round(F.col("o_totalprice") * 1.1, 4).alias("o_totalprice")
+    )
+    tt, ss = target.alias("t"), source.alias("s")
+    return tt.join(ss, "o_orderkey", "full").select(
+        F.col("o_orderkey"),
+        F.coalesce("s.o_custkey", "t.o_custkey").alias("o_custkey"),
+        F.round(F.coalesce("s.o_totalprice", "t.o_totalprice"), 4).alias("o_totalprice"),
+        F.when(F.col("t.o_custkey").isNull(), "insert")
+        .when(F.col("s.o_custkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
+
+
+@query(
     "q_schema_evolution_read",
     oracle="""
     SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice,

@@ -78,3 +78,12 @@ def test_sim_topk_broadcasts_query_vector(spark):
 def test_no_python_row_udfs_in_core_plans(spark, name):
     p = plan(spark, name)
     assert "BatchEvalPython" not in p  # row-at-a-time Python only in q_udf_python
+
+
+@pytest.mark.parametrize("name", ["q_dedup_fuzzy", "q_dedup_ngram", "q_sim_pairs"])
+def test_similarity_ops_never_all_pairs(spark, name):
+    # the 100 TB contract: candidates come from bucket/block joins, never a
+    # cross product of the corpus with itself
+    p = plan(spark, name)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
