@@ -31,6 +31,22 @@ PAIR_THRESHOLD = 0.35
 N_CELLS = 16
 N_PROBE = 4
 QUERY_VEC_ID = 0
+LSH_BITS = 4
+DIM = 64
+
+
+def _srp_signs(j: int) -> list[int]:
+    """Deterministic +-1 hyperplane for SRP-LSH bit j (splitmix-style hash
+    of (j, d) — stable across runs/clusters, no RNG state)."""
+    out = []
+    for d in range(DIM):
+        x = (j * 1_000_003 + d) * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 31
+        out.append(1 if x & 1 else -1)
+    return out
+
+
+_SRP = [_srp_signs(j) for j in range(LSH_BITS)]
 
 
 def _dbl(col):
@@ -104,6 +120,69 @@ def q_sim_pairs(spark, sf_dir):
         .select(
             "id_a", "id_b", "label", r4(_cos(F.col("ea"), F.col("eb"))).alias("cos")
         )
+        .filter(F.col("cos") >= PAIR_THRESHOLD)
+    )
+
+
+def _lsh_bucket_sql() -> str:
+    bits = []
+    for j in range(LSH_BITS):
+        arr = "[" + ",".join(f"{s}.0" for s in _SRP[j]) + "]"
+        bits.append(
+            f"CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}) > 0 "
+            f"THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bits)
+
+
+@query(
+    "q_sim_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding, {_lsh_bucket_sql()} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.bucket,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]), 4) AS cos
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       c.embedding::DOUBLE[]), 4) >= {PAIR_THRESHOLD}
+    """,
+)
+def q_sim_lsh(spark, sf_dir):
+    """SRP-LSH-bucketed similarity pairs: sign bits of dot(v, fixed random
+    hyperplanes) form the block key; cosine is verified only inside buckets.
+
+    The unlabeled-corpus counterpart of q_sim_pairs: bucket count scales as
+    2^bits so block sizes stay bounded as the corpus grows — candidate
+    generation is a hash-partitioned self-join, never all-pairs."""
+    e = t(spark, sf_dir, "embeddings").withColumn("emb", _dbl("embedding"))
+    bucket = F.concat(
+        *[
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        "emb",
+                        F.array(*[F.lit(float(s)) for s in _SRP[j]]),
+                        lambda x, s: x * s,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                "1",
+            ).otherwise("0")
+            for j in range(LSH_BITS)
+        ]
+    )
+    eb = e.withColumn("bucket", bucket)
+    a = eb.select(F.col("vec_id").alias("id_a"), "bucket", F.col("emb").alias("ea"))
+    b = eb.select(F.col("vec_id").alias("id_b"), "bucket", F.col("emb").alias("eb2"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "bucket", r4(_cos(F.col("ea"), F.col("eb2"))).alias("cos"))
         .filter(F.col("cos") >= PAIR_THRESHOLD)
     )
 
