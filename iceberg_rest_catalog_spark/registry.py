@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "iceberg_rest_catalog_spark.operators.sources",
     "iceberg_rest_catalog_spark.operators.filters",
     "iceberg_rest_catalog_spark.operators.joins",
+    "iceberg_rest_catalog_spark.operators.skew",
     "iceberg_rest_catalog_spark.operators.aggregates",
     "iceberg_rest_catalog_spark.operators.windows",
     "iceberg_rest_catalog_spark.operators.sorts",
