@@ -32,6 +32,9 @@ HEADLINE = [
     "q_tpch_q1",
     "q_tpch_q3",
     "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q10",
+    "q_tpch_q18",
     "q_join_inner",
     "q_join_broadcast",
     "q_agg_group",
@@ -41,6 +44,8 @@ HEADLINE = [
     "q_dedup_exact",
     "q_dedup_fuzzy",
     "q_sim_topk",
+    "q_sim_lsh",
+    "q_merge_upsert",
     "q_text_tokens",
     "q_stream_tumbling",
 ]

@@ -247,22 +247,29 @@ def q_dedup_embedding(spark, sf_dir):
     Plan: block self-join on label (bounded buckets) -> duplicate set ->
     broadcast-able anti-join. For unlabeled corpora the label key is
     replaced by an SRP-LSH bucket id — identical plan shape."""
+    from .similarity import _dot, _norm
+
     e = t(spark, sf_dir, "embeddings")
-    dbl = e.withColumn("emb", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-    a = dbl.select(F.col("vec_id").alias("id_a"), "label", F.col("emb").alias("ea"))
-    b = dbl.select(F.col("vec_id").alias("id_b"), "label", F.col("emb").alias("eb"))
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    dbl = e.withColumn(
+        "emb", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    ).withColumn("nrm", _norm(F.col("emb")))  # per-vector norm computed once
+    a = dbl.select(
+        F.col("vec_id").alias("id_a"), "label",
+        F.col("emb").alias("ea"), F.col("nrm").alias("na"),
     )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
+    b = dbl.select(
+        F.col("vec_id").alias("id_b"), "label",
+        F.col("emb").alias("eb"), F.col("nrm").alias("nb"),
     )
     dups = (
         a.join(b, "label")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_b", F.round(dot / (nrm("ea") * nrm("eb")), 4).alias("cos"))
+        .select(
+            "id_b",
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
+            ).alias("cos"),
+        )
         .filter(F.col("cos") >= 0.4)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()

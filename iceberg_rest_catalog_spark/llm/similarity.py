@@ -21,7 +21,10 @@ Cosine math is pure higher-order-function arithmetic (zip_with + aggregate)
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..operators.common import r4, t
 from ..registry import query
@@ -53,15 +56,33 @@ def _dbl(col):
     return F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))")
 
 
-def _cos(a, b):
-    dot = F.aggregate(
+def _dot(a, b):
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    def nrm(c):
-        return F.sqrt(
-            F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-        )
-    return dot / (nrm(a) * nrm(b))
+
+
+@pandas_udf("double")
+def _dot_pd(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-vectorized batch dot product.
+
+    Catalyst's higher-order functions are interpreted per element (no
+    codegen), so for the PAIR-scoring hot path — millions of candidate pairs
+    × vector dim — a numpy einsum over the Arrow batch is ~5-10× faster.
+    Per-row expressions (norms, single-query scoring) stay JVM-side."""
+    import numpy as np
+
+    return pd.Series(np.einsum("ij,ij->i", np.stack(a.values), np.stack(b.values)))
+
+
+def _norm(c):
+    return F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def _cos(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
 
 
 @query(
@@ -111,14 +132,25 @@ def q_sim_topk(spark, sf_dir):
 )
 def q_sim_pairs(spark, sf_dir):
     """All pairs with cosine >= threshold inside each label block."""
-    e = t(spark, sf_dir, "embeddings").withColumn("emb", _dbl("embedding"))
-    a = e.select(F.col("vec_id").alias("id_a"), "label", F.col("emb").alias("ea"))
-    b = e.select(F.col("vec_id").alias("id_b"), "label", F.col("emb").alias("eb"))
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .withColumn("emb", _dbl("embedding"))
+        .withColumn("nrm", _norm(F.col("emb")))
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"), "label",
+        F.col("emb").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), "label",
+        F.col("emb").alias("eb"), F.col("nrm").alias("nb"),
+    )
     return (
         a.join(b, "label")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", "label", r4(_cos(F.col("ea"), F.col("eb"))).alias("cos")
+            "id_a", "id_b", "label",
+            r4(_dot_pd(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("cos"),
         )
         .filter(F.col("cos") >= PAIR_THRESHOLD)
     )
@@ -176,14 +208,37 @@ def q_sim_lsh(spark, sf_dir):
             for j in range(LSH_BITS)
         ]
     )
-    eb = e.withColumn("bucket", bucket)
-    a = eb.select(F.col("vec_id").alias("id_a"), "bucket", F.col("emb").alias("ea"))
-    b = eb.select(F.col("vec_id").alias("id_b"), "bucket", F.col("emb").alias("eb2"))
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "bucket", r4(_cos(F.col("ea"), F.col("eb2"))).alias("cos"))
-        .filter(F.col("cos") >= PAIR_THRESHOLD)
+    # Block-matrix scoring: ONE shuffle keyed by bucket, then the whole
+    # bucket scores as a single numpy matrix multiply inside applyInPandas —
+    # only |corpus| rows cross the Arrow boundary, never |pairs|. This is
+    # the 100 TB shape: per-bucket work is BLAS, transfer is linear.
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "bucket": [], "cos": []}
+            ).astype({"id_a": "int64", "id_b": "int64", "bucket": "str", "cos": "float64"})
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["emb"].values)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cos = np.round(m @ m.T, 4)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        # enforce id_a < id_b regardless of row order within the bucket
+        lo, hi = np.minimum(ids[ia], ids[ib]), np.maximum(ids[ia], ids[ib])
+        keep = cos[ia, ib] >= PAIR_THRESHOLD
+        return pd.DataFrame(
+            {
+                "id_a": lo[keep],
+                "id_b": hi[keep],
+                "bucket": pdf["bucket"].iloc[0],
+                "cos": cos[ia, ib][keep],
+            }
+        )
+
+    eb = e.withColumn("bucket", bucket).select("vec_id", "bucket", "emb")
+    return eb.groupBy("bucket").applyInPandas(
+        _bucket_pairs, schema="id_a long, id_b long, bucket string, cos double"
     )
 
 

@@ -236,3 +236,57 @@ def q_stream_stateful(spark, sf_dir):
     )
     sink = scratch_dir(sf_dir, "stream_stateful")
     return _run_foreach_batch(spark, stateful, "update", sink)
+
+
+@query(
+    "q_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+           CAST(p.ts AS VARCHAR) AS purchase_ts, CAST(c.ts AS VARCHAR) AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
+def q_stream_join(spark, sf_dir):
+    """Stream-stream inner join: purchases joined to the same user's clicks
+    in the preceding hour. Both sides are watermarked so the state store
+    evicts rows older than the time bound — the join state stays O(window),
+    not O(stream). Drained with availableNow, the result equals the batch
+    join (oracle)."""
+    purchases = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """user_id = c_user_id
+               AND click_ts >= purchase_ts - INTERVAL 1 HOUR
+               AND click_ts <= purchase_ts"""
+        ),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.col("purchase_ts").cast("string").alias("purchase_ts"),
+        F.col("click_ts").cast("string").alias("click_ts"),
+    )
+    return _run_memory(spark, joined, "append")
