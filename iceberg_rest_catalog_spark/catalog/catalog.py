@@ -86,6 +86,8 @@ class Table:
         files: list[str] = []
         for s in self.metadata.get("snapshots", []):
             if s["snapshot-id"] <= (sid or -1):
+                if s.get("operation", "append") == "replace":
+                    files = []  # replace snapshots supersede earlier file lists
                 files.extend(s["added-files"])
         return files
 
@@ -103,12 +105,11 @@ class Table:
             return spark.createDataFrame([], spark_schema)
         return spark.read.schema(spark_schema).parquet(*files)
 
-    def append(self, df: DataFrame) -> "Table":
-        """Append data files + commit a new snapshot (micro-batch append =
-        snapshot commit; the streaming-source model of SURVEY §1.2)."""
+    def _commit_files(self, df: DataFrame, operation: str, n_files: int | None) -> "Table":
         rel = os.path.join("data", uuid.uuid4().hex)
         out = os.path.join(self.location, rel)
-        df.write.mode("overwrite").parquet(out)
+        w = df.coalesce(n_files) if n_files else df
+        w.write.mode("overwrite").parquet(out)
         added = [
             os.path.join(rel, f)
             for f in sorted(os.listdir(out))
@@ -120,6 +121,7 @@ class Table:
             "snapshot-id": sid,
             "parent-snapshot-id": parent,
             "timestamp-ms": int(time.time() * 1000),
+            "operation": operation,
             "added-files": added,
         }
         return self.catalog.update_table(
@@ -129,6 +131,22 @@ class Table:
             ],
             updates=[{"action": "add-snapshot", "snapshot": snap}],
         )
+
+    def append(self, df: DataFrame) -> "Table":
+        """Append data files + commit a new snapshot (micro-batch append =
+        snapshot commit; the streaming-source model of SURVEY §1.2)."""
+        return self._commit_files(df, "append", None)
+
+    def rewrite(self, df: DataFrame, n_files: int = 1) -> "Table":
+        """Replace the table contents with df in n_files files — the
+        rewrite_data_files / small-file compaction maintenance action. Old
+        snapshots (and their files) remain readable for time travel; the
+        replace snapshot supersedes them for current reads."""
+        return self._commit_files(df, "replace", n_files)
+
+    def compact(self, spark: SparkSession, n_files: int = 1) -> "Table":
+        """Compact current contents into n_files files (self-rewrite)."""
+        return self.rewrite(self.df(spark), n_files)
 
 
 class Catalog:

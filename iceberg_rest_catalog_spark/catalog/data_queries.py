@@ -174,3 +174,40 @@ def q_schema_evolution_read(spark, sf_dir):
     return tbl.df(spark).select(
         "o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice"), "o_note"
     )
+
+
+@query(
+    "q_compact",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+    FROM orders WHERE o_orderkey <= 200
+    """,
+)
+def q_compact(spark, sf_dir):
+    """Small-file compaction (rewrite_data_files): two append snapshots are
+    rewritten into one replace snapshot; contents are identical, file count
+    drops, pre-compaction snapshots stay time-travelable. The maintenance
+    action that keeps 100 TB tables scannable after streaming ingest."""
+    wh = scratch_dir(sf_dir, "catalog_data", "compact")
+    cat = Catalog(wh)
+    marker = os.path.join(wh, ".ready")
+    if not os.path.exists(marker):
+        shutil.rmtree(wh, ignore_errors=True)
+        os.makedirs(wh, exist_ok=True)
+        cat = Catalog(wh)
+        cat.create_namespace(("db",))
+        tbl = cat.create_table(("db", "orders_c"), _ORDERS_SCHEMA)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tbl = tbl.append(orders.filter(F.col("o_orderkey") <= 100))
+        tbl = tbl.append(
+            orders.filter((F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 200))
+        )
+        compacted = tbl.compact(spark)
+        assert len(compacted._files_at(None)) == 1
+        open(marker, "w").close()
+    tbl = cat.load_table(("db", "orders_c"))
+    return tbl.df(spark).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
+    )

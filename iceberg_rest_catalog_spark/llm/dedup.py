@@ -30,15 +30,18 @@ N_BANDS = 4  # r = 4 rows/band: P(candidate) = 1-(1-j^4)^4; j=0.99 -> ~1.0
 SHINGLE_DF_CAP = 50  # drop shingles occurring in more docs (skew guard)
 
 
-def _shingles(d, n=3):
-    """Distinct word n-gram shingles per doc: (doc_id, sh). Computed with
-    higher-order functions + one explode; no Python."""
+def _shingles(d, n=3, dedup=True):
+    """Word n-gram shingles per doc: (doc_id, sh). Computed with
+    higher-order functions + one explode; no Python. ``dedup=True`` gives
+    set semantics (needed for exact Jaccard); minhash signatures are
+    identical either way and skip the extra shuffle."""
     toks = F.split("text", " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    return d.select("doc_id", F.explode(grams).alias("sh")).distinct()
+    out = d.select("doc_id", F.explode(grams).alias("sh"))
+    return out.distinct() if dedup else out
 
 
 @query(
@@ -70,7 +73,10 @@ def q_dedup_fuzzy(spark, sf_dir):
     buckets are split by AQE skew-join handling.
     """
     d = t(spark, sf_dir, "documents")
-    sh = _shingles(d)
+    # No .distinct() before the signature aggregate: min(hash) over the
+    # shingle MULTISET equals min over the set, so deduplicating first would
+    # only add a full extra shuffle for an identical signature.
+    sh = _shingles(d, dedup=False)
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}")

@@ -236,3 +236,31 @@ def q_fn_json(spark, sf_dir):
         F.get_json_object("props", "$.k").cast("int").alias("k_int"),
         F.get_json_object("props", "$.missing").alias("missing"),
     )
+
+
+@query(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255                       AS key_and,
+           l_orderkey | 15                        AS key_or,
+           xor(l_orderkey, l_linenumber)          AS key_xor,
+           l_linenumber << 4                      AS ln_shl,
+           l_orderkey >> 2                        AS key_shr,
+           bit_count(l_orderkey)                  AS key_bits
+    FROM lineitem WHERE l_orderkey <= 2000
+    """,
+)
+def q_fn_bitwise(spark, sf_dir):
+    """Bitwise ops: AND / OR / XOR / shifts / popcount."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_orderkey").bitwiseAND(255)).alias("key_and"),
+        (F.col("l_orderkey").bitwiseOR(15)).alias("key_or"),
+        (F.col("l_orderkey").bitwiseXOR(F.col("l_linenumber"))).alias("key_xor"),
+        F.shiftleft(F.col("l_linenumber"), 4).alias("ln_shl"),
+        F.shiftright(F.col("l_orderkey"), 2).alias("key_shr"),
+        F.bit_count("l_orderkey").alias("key_bits"),
+    )

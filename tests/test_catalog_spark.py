@@ -68,3 +68,16 @@ def test_schema_evolution_old_files_readable(spark, catalog, table):
     rows = evolved.df(spark).collect()
     assert rows[0]["score"] is None  # old file, new column -> null
     assert evolved.df(spark).columns == ["id", "name", "score"]
+
+
+def test_compaction_replaces_files_keeps_history(spark, catalog, table):
+    t2 = table.append(spark.createDataFrame([(1, "a")], "id long, name string"))
+    t3 = t2.append(spark.createDataFrame([(2, "b")], "id long, name string"))
+    assert len(t3._files_at(None)) >= 2
+    t4 = t3.compact(spark)
+    # current read: same rows, fewer files
+    assert {r.id for r in t4.df(spark).collect()} == {1, 2}
+    assert len(t4._files_at(None)) == 1
+    # time travel to pre-compaction snapshots still works
+    assert t4.df(spark, snapshot_id=1).count() == 1
+    assert t4.df(spark, snapshot_id=2).count() == 2
