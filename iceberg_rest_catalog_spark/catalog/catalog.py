@@ -314,15 +314,28 @@ class Catalog:
         return Table(self, ident, 1, metadata)
 
     def load_table(self, ident: Ident) -> Table:
+        """Load current metadata. The version hint is ADVISORY: a stalled
+        writer can swap it after a later commit (regression). The true
+        current version is the newest COMPLETE metadata file at or above the
+        hint; a partially-written claim file falls back one version."""
         ident = tuple(ident)
         self._require_ns(ident[:-1])
         if not self._is_table(ident):
             raise E.NoSuchTableException(".".join(ident))
-        v = self._current_version(ident)
-        with open(
-            os.path.join(self._table_dir(ident), "metadata", f"v{v}.metadata.json")
-        ) as f:
-            return Table(self, ident, v, json.load(f))
+        mdir = os.path.join(self._table_dir(ident), "metadata")
+        hint = self._current_version(ident)
+        on_disk = [
+            int(f[1 : -len(".metadata.json")])
+            for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".metadata.json")
+        ]
+        for v in sorted({hint, *[x for x in on_disk if x > hint]}, reverse=True):
+            try:
+                with open(os.path.join(mdir, f"v{v}.metadata.json")) as f:
+                    return Table(self, ident, v, json.load(f))
+            except (json.JSONDecodeError, FileNotFoundError):
+                continue  # claimed-but-unflushed writer; try the next older
+        raise E.InternalServerError(f"no readable metadata for {'.'.join(ident)}")
 
     def table_exists(self, ident: Ident) -> bool:
         ident = tuple(ident)

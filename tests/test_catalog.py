@@ -235,23 +235,33 @@ class TestCommitProtocol:
 
         catalog.create_namespace(("ns",))
         catalog.create_table(("ns", "t"), SCHEMA)
-        # writer A commits v2
-        catalog.update_table(
-            ("ns", "t"), [], [{"action": "set-properties", "updates": {"a": "1"}}]
-        )
-        # simulate a stale writer whose view is still v1: roll the hint back;
-        # its commit computes v2, which is already claimed -> CAS must fail
+        # simulate a concurrent writer that has CLAIMED v2 (O_EXCL file
+        # exists) but not yet flushed its JSON: our commit must lose the CAS
         mdir = os.path.join(catalog._table_dir(("ns", "t")), "metadata")
-        with open(os.path.join(mdir, "version-hint.text"), "w") as f:
-            f.write("1")
+        open(os.path.join(mdir, "v2.metadata.json"), "w").close()  # empty claim
         with pytest.raises(E.CommitFailedException):
             catalog.update_table(
                 ("ns", "t"), [], [{"action": "set-properties", "updates": {"b": "2"}}]
             )
-        # the winning commit is intact
+        # reads fall back past the unflushed claim to the last complete version
+        assert catalog.load_table(("ns", "t")).version == 1
+
+    def test_hint_regression_self_heals(self, catalog: Catalog):
+        import os
+
+        catalog.create_namespace(("ns",))
+        catalog.create_table(("ns", "t"), SCHEMA)
+        catalog.update_table(
+            ("ns", "t"), [], [{"action": "set-properties", "updates": {"a": "1"}}]
+        )
+        # a stalled writer swapped the hint backwards after a later commit;
+        # the hint is advisory — load must still find the newest version
+        mdir = os.path.join(catalog._table_dir(("ns", "t")), "metadata")
         with open(os.path.join(mdir, "version-hint.text"), "w") as f:
-            f.write("2")
-        assert catalog.load_table(("ns", "t")).properties() == {"a": "1"}
+            f.write("1")
+        t = catalog.load_table(("ns", "t"))
+        assert t.version == 2
+        assert t.properties() == {"a": "1"}
 
     def test_versions_are_linear(self, catalog: Catalog):
         catalog.create_namespace(("ns",))

@@ -108,3 +108,34 @@ def test_commit_sequence_invariants(tmp_path_factory, steps):
         if f.endswith(".metadata.json")
     )
     assert versions == list(range(1, expected_version + 1))
+
+
+def test_concurrent_writers_serialize_without_lost_updates(tmp_path):
+    """N threads race property commits; every successful commit must be
+    present in the final state (no lost updates) and versions stay linear."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    cat = Catalog(str(tmp_path / "wh"))
+    cat.create_namespace(("db",))
+    cat.create_table(("db", "t"), BASE)
+
+    def writer(i: int) -> int:
+        wins = 0
+        for j in range(10):
+            try:
+                cat.update_table(
+                    ("db", "t"),
+                    [],
+                    [{"action": "set-properties", "updates": {f"w{i}_{j}": "1"}}],
+                )
+                wins += 1
+            except E.CommitFailedException:
+                pass  # lost the race; a real writer would reload and retry
+        return wins
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        wins = sum(ex.map(writer, range(8)))
+
+    t = cat.load_table(("db", "t"))
+    assert t.version == 1 + wins  # exactly one version per successful commit
+    assert len(t.properties()) == wins  # every winning commit is visible
