@@ -71,6 +71,12 @@ def q_dedup_fuzzy(spark, sf_dir):
     for candidates -> signature-agreement Jaccard estimate -> threshold.
     Candidate generation cost is bounded by bucket sizes, not n^2; skewed
     buckets are split by AQE skew-join handling.
+
+    Design note (measured): a map-only alternative — 16×
+    array_min(transform(grams, xxhash64)) with no explode — is 12x SLOWER
+    (19.9s vs 1.6s at sf0.1) because higher-order functions are interpreted
+    and re-evaluate the gram array per hash, while explode + min(xxhash64)
+    stays inside whole-stage codegen. The extra shuffle is the cheap part.
     """
     d = t(spark, sf_dir, "documents")
     # No .distinct() before the signature aggregate: min(hash) over the
