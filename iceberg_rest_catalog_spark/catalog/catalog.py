@@ -148,6 +148,33 @@ class Table:
         """Compact current contents into n_files files (self-rewrite)."""
         return self.rewrite(self.df(spark), n_files)
 
+    def analyze(self, spark: SparkSession) -> "Table":
+        """ANALYZE TABLE: collect per-column min/max/null-count/NDV in ONE
+        aggregate pass and commit them into table properties
+        (``stats.<col>.<metric>``) — the manifest-level stats an engine uses
+        for file/row-group skipping and join sizing at scale."""
+        from pyspark.sql import functions as F
+
+        df = self.df(spark)
+        aggs, names = [], []
+        for f in df.schema.fields:
+            c = f.name
+            aggs += [
+                F.min(c).cast("string").alias(f"{c}.min"),
+                F.max(c).cast("string").alias(f"{c}.max"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}.nulls"),
+                F.approx_count_distinct(c).alias(f"{c}.ndv"),
+            ]
+            names.append(c)
+        row = df.agg(F.count("*").alias("row_count"), *aggs).collect()[0].asDict()
+        props = {"stats.row_count": str(row["row_count"])}
+        for c in names:
+            for m in ("min", "max", "nulls", "ndv"):
+                props[f"stats.{c}.{m}"] = str(row[f"{c}.{m}"])
+        return self.catalog.update_table(
+            self.identifier, [], [{"action": "set-properties", "updates": props}]
+        )
+
 
 class Catalog:
     """The engine-side equivalent of the reference's REST catalog service."""

