@@ -77,19 +77,24 @@ class Table:
                 return s
         return None
 
-    def _files_at(self, snapshot_id: int | None) -> list[str]:
+    def _entries_at(self, snapshot_id: int | None) -> list[dict]:
+        """Manifest entries ({path, partition}) visible at a snapshot."""
         sid = (
             snapshot_id
             if snapshot_id is not None
             else self.metadata.get("current-snapshot-id")
         )
-        files: list[str] = []
+        entries: list[dict] = []
         for s in self.metadata.get("snapshots", []):
             if s["snapshot-id"] <= (sid or -1):
                 if s.get("operation", "append") == "replace":
-                    files = []  # replace snapshots supersede earlier file lists
-                files.extend(s["added-files"])
-        return files
+                    entries = []  # replace snapshots supersede earlier file lists
+                for e in s["added-files"]:
+                    entries.append(e if isinstance(e, dict) else {"path": e, "partition": {}})
+        return entries
+
+    def _files_at(self, snapshot_id: int | None) -> list[str]:
+        return [e["path"] for e in self._entries_at(snapshot_id)]
 
     # -- data plane ---------------------------------------------------------
     def df(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
@@ -99,22 +104,108 @@ class Table:
         files readable, missing columns read as null. Snapshot file lists
         give incremental/time-travel reads.
         """
+        return self.scan(spark, snapshot_id=snapshot_id)
+
+    def scan(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        partition_filters: dict | None = None,
+    ) -> DataFrame:
+        """Metadata-pruned scan — the Iceberg model: partition values are
+        recorded PER FILE in the snapshot manifest, so pruning selects file
+        paths from metadata before Spark ever lists or opens anything.
+        ``partition_filters`` maps partition-source column -> exact
+        transformed value (stringified), e.g. {"o_orderdate": "1997"} for a
+        year() transform."""
         spark_schema = self.schema().to_spark()
-        files = [os.path.join(self.location, f) for f in self._files_at(snapshot_id)]
+        entries = self._entries_at(snapshot_id)
+        if partition_filters:
+            entries = [
+                e
+                for e in entries
+                if all(
+                    str(e.get("partition", {}).get(k)) == str(v)
+                    for k, v in partition_filters.items()
+                )
+            ]
+        files = [os.path.join(self.location, e["path"]) for e in entries]
         if not files:
             return spark.createDataFrame([], spark_schema)
         return spark.read.schema(spark_schema).parquet(*files)
 
+    @staticmethod
+    def _transform_col(spec: dict):
+        """Iceberg partition transform -> Spark column (identity, year,
+        month, day, hour, bucket[N], truncate[W])."""
+        from pyspark.sql import functions as F
+
+        src, tr = spec["name"], spec.get("transform", "identity")
+        if tr == "identity":
+            return F.col(src)
+        if tr in ("year", "month", "day", "hour"):
+            return getattr(F, tr)(src) if tr != "day" else F.dayofmonth(src)
+        if tr.startswith("bucket["):
+            n = int(tr[len("bucket[") : -1])
+            return F.pmod(F.hash(src), F.lit(n))
+        if tr.startswith("truncate["):
+            w = int(tr[len("truncate[") : -1])
+            return F.substring(F.col(src).cast("string"), 1, w)
+        raise E.BadRequestException(f"unknown transform {tr!r}")
+
     def _commit_files(self, df: DataFrame, operation: str, n_files: int | None) -> "Table":
+        from pyspark.sql import functions as F
+
         rel = os.path.join("data", uuid.uuid4().hex)
         out = os.path.join(self.location, rel)
         w = df.coalesce(n_files) if n_files else df
-        w.write.mode("overwrite").parquet(out)
-        added = [
-            os.path.join(rel, f)
-            for f in sorted(os.listdir(out))
-            if f.endswith(".parquet")
-        ]
+
+        # Honor the declared sort order (write-order, reference
+        # models.go:67): sorted files keep parquet min/max stats tight.
+        order = self.metadata.get("sort-orders") or []
+        if order:
+            w = w.sortWithinPartitions(
+                *[
+                    F.desc(o["name"]) if o.get("direction") == "desc" else F.asc(o["name"])
+                    for o in order
+                ]
+            )
+
+        # Honor the partition spec (reference models.go:66): files land in a
+        # directory per transformed partition value; the PER-FILE partition
+        # values are parsed back from the layout and recorded in the
+        # snapshot manifest, so scan() prunes from METADATA (the Iceberg
+        # model) — no directory listing or discovery on the read path.
+        # Source columns stay in the files (the _p_ columns are derived
+        # copies), so explicit-schema reads are unaffected.
+        spec = self.metadata.get("partition-specs") or []
+        if spec:
+            pcols = [f"_p_{s['name']}" for s in spec]
+            w = w.select(
+                "*", *[self._transform_col(s).alias(p) for s, p in zip(spec, pcols)]
+            )
+            w.write.mode("overwrite").partitionBy(*pcols).parquet(out)
+            added = []
+            for dp, _dn, fns in sorted(os.walk(out)):
+                for f in sorted(fns):
+                    if not f.endswith(".parquet"):
+                        continue
+                    relpath = os.path.relpath(os.path.join(dp, f), out)
+                    partition = {}
+                    for seg in relpath.split(os.sep)[:-1]:
+                        k, _, v = seg.partition("=")
+                        if k.startswith("_p_"):
+                            partition[k[len("_p_") :]] = v
+                    added.append(
+                        {"path": os.path.join(rel, relpath), "partition": partition}
+                    )
+        else:
+            w.write.mode("overwrite").parquet(out)
+            added = [
+                {"path": os.path.join(rel, f), "partition": {}}
+                for f in sorted(os.listdir(out))
+                if f.endswith(".parquet")
+            ]
         parent = self.metadata.get("current-snapshot-id")
         sid = (parent or 0) + 1
         snap = {

@@ -211,3 +211,53 @@ def q_compact(spark, sf_dir):
     return tbl.df(spark).select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
     )
+
+
+@query(
+    "q_meta_prune",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+    FROM orders WHERE o_orderkey <= 2000 AND year(o_orderdate) = 1997
+    """,
+)
+def q_meta_prune(spark, sf_dir):
+    """Metadata-level partition pruning: a cataloged table partitioned by
+    year(o_orderdate) records per-file partition values in its snapshot
+    manifest; scan(partition_filters={"o_orderdate": "1997"}) selects the
+    surviving file paths from METADATA — no directory listing, no footer
+    reads outside the chosen year. The Iceberg read-path model."""
+    from .schema import NestedField as NF
+    from .schema import Schema as Sch
+
+    wh = scratch_dir(sf_dir, "catalog_data", "meta_prune")
+    cat = Catalog(wh)
+    marker = os.path.join(wh, ".ready")
+    if not os.path.exists(marker):
+        shutil.rmtree(wh, ignore_errors=True)
+        os.makedirs(wh, exist_ok=True)
+        cat = Catalog(wh)
+        cat.create_namespace(("db",))
+        sch = Sch(
+            0,
+            [
+                NF(1, "o_orderkey", "long"),
+                NF(2, "o_custkey", "long"),
+                NF(3, "o_totalprice", "double"),
+                NF(4, "o_orderdate", "timestamp"),
+            ],
+        )
+        tbl = cat.create_table(
+            ("db", "orders_p"),
+            sch,
+            partition_spec=[{"name": "o_orderdate", "transform": "year"}],
+            write_order=[{"name": "o_orderkey", "direction": "asc"}],
+        )
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+        )
+        tbl.append(orders.filter(F.col("o_orderkey") <= 2000))
+        open(marker, "w").close()
+    tbl = cat.load_table(("db", "orders_p"))
+    return tbl.scan(spark, partition_filters={"o_orderdate": "1997"}).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
+    )

@@ -93,3 +93,34 @@ def test_analyze_collects_column_stats(spark, catalog, table):
     assert p["stats.id.min"] == "1" and p["stats.id.max"] == "5"
     assert p["stats.name.nulls"] == "1"
     assert int(p["stats.id.ndv"]) == 3
+
+
+def test_partition_spec_prunes_from_metadata(spark, catalog):
+    from pyspark.sql import functions as F
+
+    catalog.create_namespace(("pdb",))
+    tbl = catalog.create_table(
+        ("pdb", "ev"),
+        SCHEMA.__class__(
+            0,
+            [
+                type(SCHEMA.fields[0])(1, "id", "long", False),
+                type(SCHEMA.fields[0])(2, "ts", "timestamp", False),
+            ],
+        ),
+        partition_spec=[{"name": "ts", "transform": "year"}],
+        write_order=[{"name": "id", "direction": "asc"}],
+    )
+    df = spark.createDataFrame(
+        [(1, "2020-03-01 00:00:00"), (2, "2020-07-01 00:00:00"), (3, "2021-01-02 00:00:00")],
+        "id long, ts string",
+    ).select("id", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    t2 = tbl.append(df)
+    # per-file partition values recorded in the manifest
+    parts = {e["partition"]["ts"] for e in t2._entries_at(None)}
+    assert parts == {"2020", "2021"}
+    # metadata pruning: only the 2020 files are handed to Spark
+    pruned = t2.scan(spark, partition_filters={"ts": "2020"})
+    assert sorted(r.id for r in pruned.collect()) == [1, 2]
+    full = t2.scan(spark)
+    assert full.count() == 3
