@@ -141,23 +141,29 @@ def q_dedup_simhash(spark, sf_dir):
     no shuffle); candidates must share one of four 16-bit chunks (pigeonhole
     guarantees recall for hamming<=3); verification is bit_count(xor)."""
     d = t(spark, sf_dir, "documents")
-    sim = (
-        d.withColumn(
-            "hashes", F.expr("transform(split(text, ' '), tk -> xxhash64(tk))")
-        )
-        .withColumn("n_tok", F.expr("size(hashes)"))
-        .withColumn(
-            "simhash",
-            F.expr(
-                """aggregate(
-                     transform(sequence(0, 63), i ->
-                       IF(2 * size(filter(hashes, h -> (shiftright(h, i) & 1) = 1)) > n_tok,
-                          shiftleft(1L, i), 0L)),
-                     0L, (acc, x) -> acc + x)"""
-            ),
-        )
-        .select("doc_id", "simhash")
+    # Bit votes as 64 codegen'd aggregates over exploded token hashes — the
+    # same explode+agg-beats-interpreted-HOF trade-off measured for MinHash
+    # (a nested transform/filter HOF form of this was 15s at sf0.1; this
+    # shape is ~1s). Map-side partial aggregation keeps the shuffle at one
+    # row of 64 counters per doc per partition.
+    th = d.select(
+        "doc_id", F.explode(F.expr("transform(split(text, ' '), tk -> xxhash64(tk))")).alias("h")
     )
+    votes = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    simhash_col = None
+    for i in range(64):
+        term = F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        simhash_col = term if simhash_col is None else simhash_col + term
+    sim = votes.select("doc_id", simhash_col.alias("simhash"))
     chunks = sim.select(
         "doc_id",
         "simhash",
@@ -309,10 +315,12 @@ def q_dedup_cluster(spark, sf_dir):
     Non-SQL-expressible (iterative) -> rows-only driver check by design.
     """
     pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    # undirected edge list, both directions
+    # undirected edge list, both directions; materialized ONCE — without
+    # this every iteration would recompute the whole LSH pipeline, and the
+    # label lineage would double per round (measured 8.6s -> ~2s at sf0.1).
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
+    ).localCheckpoint()
     nodes = edges.select(F.col("doc_a").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node"))
     for _ in range(4):  # fixture cluster diameter is 1-2; 4 rounds is safe
@@ -327,6 +335,7 @@ def q_dedup_cluster(spark, sf_dir):
                 "node",
                 F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
             )
+            .localCheckpoint()  # truncate lineage each fixed-point round
         )
     return (
         labels.groupBy("label")

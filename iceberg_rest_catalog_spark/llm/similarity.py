@@ -131,28 +131,49 @@ def q_sim_topk(spark, sf_dir):
     """,
 )
 def q_sim_pairs(spark, sf_dir):
-    """All pairs with cosine >= threshold inside each label block."""
-    e = (
-        t(spark, sf_dir, "embeddings")
-        .withColumn("emb", _dbl("embedding"))
-        .withColumn("nrm", _norm(F.col("emb")))
+    """All pairs with cosine >= threshold inside each label block —
+    block-matrix scoring (one shuffle by label, numpy matmul per block;
+    see q_sim_lsh for the pattern rationale)."""
+    e = t(spark, sf_dir, "embeddings").withColumn("emb", _dbl("embedding"))
+    out = _block_pairs(
+        e.select("vec_id", F.col("label").cast("string").alias("block"), "emb")
     )
-    a = e.select(
-        F.col("vec_id").alias("id_a"), "label",
-        F.col("emb").alias("ea"), F.col("nrm").alias("na"),
+    return out.select(
+        "id_a", "id_b", F.col("block").cast("int").alias("label"), "cos"
     )
-    b = e.select(
-        F.col("vec_id").alias("id_b"), "label",
-        F.col("emb").alias("eb"), F.col("nrm").alias("nb"),
-    )
-    return (
-        a.join(b, "label")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", "label",
-            r4(_dot_pd(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+
+
+def _block_pairs(df):
+    """Block-matrix pair scoring: df(vec_id, block, emb) -> all within-block
+    pairs with rounded cosine >= PAIR_THRESHOLD. One shuffle keyed by block;
+    per-block scoring is a single numpy matmul inside applyInPandas, so only
+    |corpus| rows cross the Arrow boundary, never |pairs|."""
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "block": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "block": "str", "cos": "float64"}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["emb"].values)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cos = np.round(m @ m.T, 4)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        lo, hi = np.minimum(ids[ia], ids[ib]), np.maximum(ids[ia], ids[ib])
+        keep = cos[ia, ib] >= PAIR_THRESHOLD
+        return pd.DataFrame(
+            {
+                "id_a": lo[keep],
+                "id_b": hi[keep],
+                "block": pdf["block"].iloc[0],
+                "cos": cos[ia, ib][keep],
+            }
         )
-        .filter(F.col("cos") >= PAIR_THRESHOLD)
+
+    return df.groupBy("block").applyInPandas(
+        _score, schema="id_a long, id_b long, block string, cos double"
     )
 
 
@@ -208,37 +229,9 @@ def q_sim_lsh(spark, sf_dir):
             for j in range(LSH_BITS)
         ]
     )
-    # Block-matrix scoring: ONE shuffle keyed by bucket, then the whole
-    # bucket scores as a single numpy matrix multiply inside applyInPandas —
-    # only |corpus| rows cross the Arrow boundary, never |pairs|. This is
-    # the 100 TB shape: per-bucket work is BLAS, transfer is linear.
-    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        if len(pdf) < 2:
-            return pd.DataFrame(
-                {"id_a": [], "id_b": [], "bucket": [], "cos": []}
-            ).astype({"id_a": "int64", "id_b": "int64", "bucket": "str", "cos": "float64"})
-        ids = pdf["vec_id"].to_numpy()
-        m = np.stack(pdf["emb"].values)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        cos = np.round(m @ m.T, 4)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        # enforce id_a < id_b regardless of row order within the bucket
-        lo, hi = np.minimum(ids[ia], ids[ib]), np.maximum(ids[ia], ids[ib])
-        keep = cos[ia, ib] >= PAIR_THRESHOLD
-        return pd.DataFrame(
-            {
-                "id_a": lo[keep],
-                "id_b": hi[keep],
-                "bucket": pdf["bucket"].iloc[0],
-                "cos": cos[ia, ib][keep],
-            }
-        )
-
-    eb = e.withColumn("bucket", bucket).select("vec_id", "bucket", "emb")
-    return eb.groupBy("bucket").applyInPandas(
-        _bucket_pairs, schema="id_a long, id_b long, bucket string, cos double"
+    eb = e.withColumn("block", bucket).select("vec_id", "block", "emb")
+    return _block_pairs(eb).select(
+        "id_a", "id_b", F.col("block").alias("bucket"), "cos"
     )
 
 
