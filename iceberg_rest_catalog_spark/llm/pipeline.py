@@ -212,3 +212,73 @@ def q_unpivot(spark, sf_dir):
         m[F.col("metric")].alias("metric"),
         r4("val").alias("val"),
     )
+
+
+@query(
+    "q_pipeline_e2e",
+    oracle="""
+    WITH filtered AS (
+      SELECT doc_id, lang,
+             regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g') AS text
+      FROM documents
+      WHERE n_chars BETWEEN 100 AND 450 AND lang IN ('en', 'fr', 'es')
+    ),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id, text FROM filtered GROUP BY md5(text), text
+    ),
+    scored AS (
+      SELECT d.doc_id, f.lang, d.text,
+             len(string_split(d.text, ' ')) AS n_tokens
+      FROM deduped d JOIN filtered f USING (doc_id)
+    )
+    SELECT doc_id, lang,
+           CAST(c.i AS INT) AS chunk_idx,
+           array_to_string(list_slice(string_split(text, ' '),
+                                      c.i * 24 + 1, c.i * 24 + 32), ' ') AS chunk
+    FROM scored,
+         LATERAL (SELECT unnest(generate_series(
+                    0, greatest(CAST(ceil((n_tokens - 32) / 24.0) AS BIGINT), 0))) AS i) c
+    WHERE n_tokens >= 24
+    """,
+)
+def q_pipeline_e2e(spark, sf_dir):
+    """End-to-end training-corpus pipeline in ONE composed plan:
+    quality filter -> PII redaction -> exact dedup (keep min doc_id) ->
+    token accounting -> overlapping chunking. Catalyst fuses the map-side
+    stages; the only shuffles are the dedup aggregate and its join back —
+    the whole preprocessing pass stays scan-shaped at 100 TB."""
+    d = t(spark, sf_dir, "documents")
+    filtered = d.filter(
+        F.col("n_chars").between(100, 450) & F.col("lang").isin("en", "fr", "es")
+    ).select(
+        "doc_id",
+        "lang",
+        F.regexp_replace("text", r"[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>").alias("text"),
+    )
+    deduped = filtered.groupBy(F.md5("text").alias("h"), "text").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    scored = deduped.join(filtered.select("doc_id", "lang"), "doc_id").withColumn(
+        "n_tokens", F.size(F.split("text", " "))
+    )
+    chunked = scored.filter(F.col("n_tokens") >= 24)
+    n_chunks = F.greatest(
+        F.ceil((F.col("n_tokens") - F.lit(32)) / F.lit(24.0)).cast("long"), F.lit(0)
+    )
+    return (
+        chunked.select(
+            "doc_id",
+            "lang",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.concat_ws(
+                " ",
+                F.slice(F.split("text", " "), (F.col("chunk_idx") * 24 + 1).cast("int"), 32),
+            ).alias("chunk"),
+        )
+    )

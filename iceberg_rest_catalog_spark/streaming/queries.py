@@ -290,3 +290,65 @@ def q_stream_join(spark, sf_dir):
         F.col("click_ts").cast("string").alias("click_ts"),
     )
     return _run_memory(spark, joined, "append")
+
+
+@query(
+    "q_stream_catalog_sink",
+    oracle="""
+    SELECT event_id, user_id, event_type, round(value, 4) AS value
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_stream_catalog_sink(spark, sf_dir):
+    """Streaming ingest INTO a cataloged table: the source is split into 4
+    files and streamed with maxFilesPerTrigger=1, and each micro-batch
+    commits one append snapshot via the optimistic CAS protocol — the
+    literal realization of 'micro-batch append = snapshot commit'
+    (reference commit lineage, api/handlers/tables.go:150-227). The final
+    table contents equal the batch answer; the snapshot count equals the
+    number of micro-batches."""
+    from ..catalog import Catalog, NestedField, Schema
+
+    wh = scratch_dir(sf_dir, "stream_catalog_sink")
+    shutil.rmtree(wh, ignore_errors=True)
+    os.makedirs(wh, exist_ok=True)
+
+    # split the source into 4 files so availableNow yields 4 micro-batches
+    src_dir = os.path.join(wh, "src")
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "event_type", F.round("value", 4).alias("value")
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+    cat = Catalog(os.path.join(wh, "warehouse"))
+    cat.create_namespace(("db",))
+    sch = Schema(
+        0,
+        [
+            NestedField(1, "event_id", "long"),
+            NestedField(2, "user_id", "long"),
+            NestedField(3, "event_type", "string"),
+            NestedField(4, "value", "double"),
+        ],
+    )
+    cat.create_table(("db", "purchases"), sch)
+
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def commit_batch(batch_df, _batch_id):
+        cat.load_table(("db", "purchases")).append(batch_df)
+
+    q = (
+        sdf.writeStream.foreachBatch(commit_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    tbl = cat.load_table(("db", "purchases"))
+    assert len(tbl.metadata["snapshots"]) >= 2  # one commit per micro-batch
+    return tbl.df(spark)
