@@ -87,3 +87,33 @@ def test_similarity_ops_never_all_pairs(spark, name):
     p = plan(spark, name)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+SIDE_EFFECT_PREFIXES = ("c_", "q_sink", "q_stream", "q_scan_partition_prune",
+                        "q_time_travel", "q_incremental_read", "q_compact",
+                        "q_schema_evolution_read", "q_meta_prune", "q_source",
+                        "q_multimodal")
+CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
+                "q_sim_ann_ivf", "q_udtf"}  # deliberate cross/theta/lateral shapes
+ROW_PYTHON_OK = {"q_udf_python", "q_udtf"}  # ops whose SUBJECT is Python eval
+
+
+def test_global_plan_hygiene(spark):
+    """Every side-effect-free operator: no accidental cartesian product, no
+    accidental row-at-a-time Python in the plan."""
+    qs = registry.queries()
+    offenders = {}
+    for name, fn in sorted(qs.items()):
+        if name.startswith(SIDE_EFFECT_PREFIXES):
+            continue
+        p = plan(spark, name)
+        bad = []
+        if name not in CARTESIAN_OK and (
+            "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p
+        ):
+            bad.append("cartesian")
+        if name not in ROW_PYTHON_OK and "BatchEvalPython" in p:
+            bad.append("row-python")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
