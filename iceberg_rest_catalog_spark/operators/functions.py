@@ -264,3 +264,42 @@ def q_fn_bitwise(spark, sf_dir):
         F.shiftright(F.col("l_orderkey"), 2).alias("key_shr"),
         F.bit_count("l_orderkey").alias("key_bits"),
     )
+
+
+@query(
+    "q_sql_cte",
+    oracle="""
+    WITH cust_orders AS (
+      SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment,
+           count(*)                      AS n_customers,
+           round(avg(co.n_orders), 4)    AS avg_orders,
+           round(max(co.total), 4)       AS max_total
+    FROM cust_orders co JOIN customer c ON co.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_sql_cte(spark, sf_dir):
+    """SQL-interface path: the same engine consumed through spark.sql with
+    CTEs over registered views — Catalyst compiles it to the identical plan
+    the DataFrame API produces."""
+    from ..io import load_table
+
+    for name in ("orders", "customer"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"icsb_{name}")
+    return spark.sql(
+        """
+        WITH cust_orders AS (
+          SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total
+          FROM icsb_orders GROUP BY o_custkey
+        )
+        SELECT c.c_mktsegment,
+               count(*)                   AS n_customers,
+               round(avg(co.n_orders), 4) AS avg_orders,
+               round(max(co.total), 4)    AS max_total
+        FROM cust_orders co JOIN icsb_customer c ON co.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        """
+    )
