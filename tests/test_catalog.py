@@ -275,3 +275,47 @@ class TestCommitProtocol:
         t = catalog.load_table(("ns", "t"))
         assert t.version == 6
         assert t.properties() == {f"k{i}": str(i) for i in range(5)}
+
+
+class TestConfigBootstrap:
+    """Mirrors the reference's config loading (main.go:28-80,97-100)."""
+
+    def test_defaults_when_no_file(self, tmp_path, monkeypatch):
+        from iceberg_rest_catalog_spark.catalog.config import load_config
+
+        monkeypatch.setenv("ICSB_SPARK_HOME", str(tmp_path))  # empty dir
+        monkeypatch.setenv("HOME", str(tmp_path))
+        cfg = load_config()
+        assert cfg.default_catalog == "default"
+        assert cfg.catalog_props()["type"] == "fs"
+
+    def test_file_overrides_defaults_and_selects_catalog(self, tmp_path, monkeypatch):
+        from iceberg_rest_catalog_spark.catalog.config import (
+            CONFIG_NAME,
+            load_config,
+        )
+
+        (tmp_path / CONFIG_NAME).write_text(
+            "log_level: debug\n"
+            "default_catalog: prod\n"
+            "catalogs:\n"
+            f"  prod: {{type: fs, warehouse: {tmp_path}/wh}}\n"
+        )
+        monkeypatch.setenv("ICSB_SPARK_HOME", str(tmp_path))
+        cfg = load_config()
+        assert cfg.log_level == "debug"
+        cat = cfg.open_catalog()
+        cat.create_namespace(("boot",))
+        assert cat.namespace_exists(("boot",))
+
+    def test_missing_catalog_and_unknown_type(self, tmp_path, monkeypatch):
+        from iceberg_rest_catalog_spark.catalog.config import load_config
+
+        monkeypatch.setenv("ICSB_SPARK_HOME", str(tmp_path))
+        monkeypatch.setenv("HOME", str(tmp_path))
+        cfg = load_config()
+        with pytest.raises(E.BadRequestException):
+            cfg.catalog_props("nope")
+        cfg.catalogs["glue"] = {"type": "glue"}
+        with pytest.raises(E.NotImplementedException):
+            cfg.open_catalog("glue")
