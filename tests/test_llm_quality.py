@@ -1,0 +1,60 @@
+"""Quality checks for the approximate dedup/similarity operators: the
+approximations must track their exact ground truths on the fixtures."""
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def qs(spark):
+    from iceberg_rest_catalog_spark import registry
+
+    return registry.queries()
+
+
+def _pairs(df, a="doc_a", b="doc_b"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, qs):
+    """Banded MinHash-LSH (16 hashes, 4x4 bands, est >= 0.5) must recover
+    nearly all exact-Jaccard >= 0.5 pairs: at j=0.5 the banding catch
+    probability is ~1-(1-0.5^4)^4 = 0.23 per weak pair, but the fixture's
+    planted near-dups sit at j~0.99 where recall is ~1.0."""
+    exact = _pairs(qs["q_dedup_ngram"](spark, SF))
+    approx = _pairs(qs["q_dedup_fuzzy"](spark, SF))
+    strong = exact  # fixture near-dups are all high-jaccard
+    recall = len(strong & approx) / max(len(strong), 1)
+    assert recall >= 0.9, (recall, len(strong), len(approx))
+
+
+def test_cluster_count_consistent_with_pairs(spark, qs):
+    pairs = _pairs(qs["q_dedup_fuzzy"](spark, SF))
+    clusters = qs["q_dedup_cluster"](spark, SF).collect()
+    nodes = {d for p in pairs for d in p}
+    assert sum(c.cluster_size for c in clusters) == len(nodes)
+    # every cluster id is its own minimum member
+    for c in clusters:
+        members = [int(x) for x in c.member_ids.split(",")]
+        assert min(members) == c.cluster_id
+        assert c.cluster_size == len(members)
+
+
+def test_ann_ivf_overlaps_brute_force(spark, qs):
+    """IVF with 4/16 probes must recover a meaningful share of the exact
+    top-10 (random vectors -> no cluster structure, so probing 25% of cells
+    gives roughly that fraction; assert a sane floor)."""
+    brute = {r.vec_id for r in qs["q_sim_topk"](spark, SF).collect()}
+    ivf = {r.vec_id for r in qs["q_sim_ann_ivf"](spark, SF).collect()}
+    assert len(brute & ivf) >= 2, (brute, ivf)
+
+
+def test_hash_split_is_deterministic_and_disjoint(spark, qs):
+    rows1 = qs["q_sample_hash"](spark, SF).collect()
+    rows2 = qs["q_sample_hash"](spark, SF).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+    by_split = {}
+    for r in rows1:
+        by_split.setdefault(r.split, set()).add(r.doc_id)
+    assert not (by_split.get("eval", set()) & by_split.get("train", set()))
