@@ -226,11 +226,18 @@ def q_dedup_ngram(spark, sf_dir):
     the quadratic blow-up on common shingles at scale."""
     d = t(spark, sf_dir, "documents")
     sh = _shingles(d)
-    from pyspark.sql import Window
-
-    kept = sh.withColumn(
-        "df", F.count("*").over(Window.partitionBy("sh"))
-    ).filter(F.col("df") <= SHINGLE_DF_CAP)
+    # Frequent-shingle cap via aggregate + broadcast ANTI join: the df
+    # aggregate is map-side-combined (intermediate = distinct shingles, not
+    # raw rows) and the frequent list is tiny, so the exclusion join is a
+    # broadcast with no extra shuffle — unlike a count() window, which
+    # re-shuffles and sorts every raw shingle row.
+    frequent = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    kept = sh.join(F.broadcast(frequent), "sh", "left_anti")
     n = kept.groupBy("doc_id").agg(F.count("*").alias("nn"))
     inter = (
         kept.select(F.col("doc_id").alias("doc_a"), "sh")
