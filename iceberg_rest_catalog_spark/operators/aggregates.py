@@ -197,3 +197,27 @@ def q_agg_collect(spark, sf_dir):
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@query(
+    "q_agg_mode_median",
+    oracle="""
+    SELECT o_orderstatus,
+           min(o_orderpriority)            AS first_priority,
+           median(o_totalprice)            AS median_price,
+           bool_and(o_totalprice > 0)      AS all_positive,
+           bool_or(o_totalprice > 400000)  AS any_large
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_mode_median(spark, sf_dir):
+    """Order statistics + boolean aggregates: median, bool_and/bool_or
+    (min() stands in for a deterministic mode on the synthetic uniform
+    priorities, where mode tie-breaking differs across engines)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.min("o_orderpriority").alias("first_priority"),
+        F.median("o_totalprice").alias("median_price"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_large"),
+    )

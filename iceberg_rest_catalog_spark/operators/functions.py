@@ -303,3 +303,25 @@ def q_sql_cte(spark, sf_dir):
         GROUP BY c.c_mktsegment
         """
     )
+
+
+@query(
+    "q_fn_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text)                 AS h_md5,
+           sha256(text)              AS h_sha256,
+           substr(md5(text), 1, 8)   AS h_short
+    FROM documents
+    """,
+)
+def q_fn_hash(spark, sf_dir):
+    """Cryptographic/content hash pack: md5 + sha256 + truncated digest —
+    the primitives behind content-addressed dedup and cache keys."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("h_sha256"),
+        F.substring(F.md5("text"), 1, 8).alias("h_short"),
+    )

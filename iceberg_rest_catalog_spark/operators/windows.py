@@ -202,3 +202,35 @@ def q_win_ntile_percent(spark, sf_dir):
         r4(F.percent_rank().over(w)).alias("pct_rank"),
         r4(F.cume_dist().over(w)).alias("cume"),
     )
+
+
+@query(
+    "q_win_value_fns",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice)  OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_win_value_fns(spark, sf_dir):
+    """first_value / last_value / nth_value over an unbounded frame with a
+    deterministic (date, key) ordering."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
