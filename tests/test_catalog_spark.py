@@ -124,3 +124,23 @@ def test_partition_spec_prunes_from_metadata(spark, catalog):
     assert sorted(r.id for r in pruned.collect()) == [1, 2]
     full = t2.scan(spark)
     assert full.count() == 3
+
+
+def test_spark_sql_over_cataloged_tables(spark, catalog, table):
+    from iceberg_rest_catalog_spark.catalog import spark_bridge
+
+    t2 = table.append(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], "id long, name string")
+    )
+    views = spark_bridge.register_all(spark, catalog)
+    assert "db__t" in views
+    out = spark.sql(
+        "SELECT name, count(*) AS n FROM db__t GROUP BY name ORDER BY name"
+    ).collect()
+    assert [(r.name, r.n) for r in out] == [("a", 2), ("b", 1)]
+    # snapshot isolation: the view keeps its registration-time snapshot
+    t2.append(spark.createDataFrame([(9, "z")], "id long, name string"))
+    assert spark.sql("SELECT count(*) AS n FROM db__t").collect()[0].n == 3
+    # re-register -> sees the new snapshot
+    spark_bridge.register_all(spark, catalog)
+    assert spark.sql("SELECT count(*) AS n FROM db__t").collect()[0].n == 4
