@@ -261,3 +261,73 @@ def q_meta_prune(spark, sf_dir):
     return tbl.scan(spark, partition_filters={"o_orderdate": "1997"}).select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
     )
+
+
+@query(
+    "q_scd2",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal,
+             '2020-01-01' AS valid_from
+      FROM customer WHERE c_custkey <= 500
+    ),
+    updates AS (
+      SELECT c_custkey, c_name, round(c_acctbal * 1.1, 4) AS c_acctbal,
+             '2024-01-01' AS valid_from
+      FROM customer WHERE c_custkey <= 500 AND c_custkey % 3 = 0
+    )
+    SELECT d.c_custkey, d.c_name, d.c_acctbal, d.valid_from,
+           CASE WHEN u.c_custkey IS NULL THEN NULL ELSE '2024-01-01' END AS valid_to,
+           u.c_custkey IS NULL AS is_current
+    FROM dim d LEFT JOIN updates u ON d.c_custkey = u.c_custkey
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal, valid_from,
+           CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+    FROM updates
+    """,
+)
+def q_scd2(spark, sf_dir):
+    """Slowly-changing-dimension type 2 (CDC history merge) without Delta:
+    changed rows are closed (valid_to set, is_current=false) and their new
+    versions appended as current — the anti-join + union + window-free
+    emulation of MERGE-based SCD2. One broadcast-able join + a union; at
+    100 TB the updates side is the small CDC batch and broadcasts."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    dim = c.select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 4).alias("c_acctbal"),
+        F.lit("2020-01-01").alias("valid_from"),
+    )
+    updates = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") * 1.1, 4).alias("c_acctbal"),
+            F.lit("2024-01-01").alias("valid_from"),
+        )
+    )
+    u_keys = F.broadcast(updates.select(F.col("c_custkey").alias("u_key")))
+    closed_or_kept = (
+        dim.join(u_keys, dim.c_custkey == u_keys.u_key, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            "valid_from",
+            F.when(F.col("u_key").isNull(), F.lit(None).cast("string"))
+            .otherwise("2024-01-01")
+            .alias("valid_to"),
+            F.col("u_key").isNull().alias("is_current"),
+        )
+    )
+    new_current = updates.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        "valid_from",
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed_or_kept.unionByName(new_current)
