@@ -24,6 +24,7 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 from pyspark.sql.functions import pandas_udf
 
 from ..operators.common import r4, t
@@ -62,7 +63,7 @@ def _dot(a, b):
     )
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def _dot_pd(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-vectorized batch dot product.
 

@@ -12,12 +12,18 @@ import pandas as pd
 
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udf, udtf
+from pyspark.sql.types import DoubleType
 
 from ..registry import query
 from .common import r4, t
 
+# Return types are DataType objects, not DDL strings: string return types are
+# parsed via the active SparkContext at decoration time, which would make this
+# module (and therefore registry.collect()) unimportable before a session
+# exists — the driver may call queries() first.
 
-@udf("double")
+
+@udf(DoubleType())
 def _charge_py(price: float, discount: float, tax: float) -> float:
     """Row-at-a-time scalar Python UDF (deterministic arithmetic)."""
     return price * (1.0 - discount) * (1.0 + tax)
@@ -46,7 +52,7 @@ def q_udf_python(spark, sf_dir):
     )
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def _log1p_pd(price: pd.Series) -> pd.Series:
     """Vectorized (Arrow-batched) pandas UDF."""
     import numpy as np
@@ -72,7 +78,7 @@ def q_udf_pandas(spark, sf_dir):
     )
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def _weighted_mean_pd(price: pd.Series, qty: pd.Series) -> float:
     """Grouped-agg pandas UDF: quantity-weighted mean price."""
     q = qty.to_numpy()
@@ -98,9 +104,11 @@ def q_udaf_pandas(spark, sf_dir):
     )
 
 
-@udtf(returnType="pos: int, token: string")
 class _TokenizeUdtf:
-    """Python UDTF: one output row per whitespace token with its position."""
+    """Python UDTF: one output row per whitespace token with its position.
+
+    Decorated lazily inside :func:`q_udtf` — ``@udtf`` with a DDL returnType
+    needs an active session to parse the schema."""
 
     def eval(self, text: str):
         if text:
@@ -122,7 +130,7 @@ class _TokenizeUdtf:
 )
 def q_udtf(spark, sf_dir):
     """Table-valued function via LATERAL join (Spark ≥3.5 @udtf)."""
-    spark.udtf.register("icsb_tokenize", _TokenizeUdtf)
+    spark.udtf.register("icsb_tokenize", udtf(_TokenizeUdtf, returnType="pos: int, token: string"))
     t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100).createOrReplaceTempView(
         "_udtf_docs"
     )
