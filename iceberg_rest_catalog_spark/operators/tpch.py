@@ -348,3 +348,438 @@ def q_tpch_q19(spark, sf_dir):
     return j.filter(branch).agg(
         r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue")
     )
+
+
+@query(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark, sf_dir):
+    """Q4 order-priority checking (adapted: the fixture drops
+    l_commitdate/l_receiptdate, so "late" = shipped >30 days after order).
+
+    The correlated EXISTS is a left-semi join on the order key with the
+    lateness predicate as an extra join condition — one shuffle, no
+    per-row subquery."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ntz("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ntz("1996-04-01 00:00:00"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_tpch_q7",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 4) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 EXTRACT(year FROM l.l_shipdate) AS l_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume
+          FROM supplier s
+          JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+          JOIN orders o   ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+          JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                 AND TIMESTAMP '1997-12-31 00:00:00') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark, sf_dir):
+    """Q7 volume shipping between two nations, by direction and year.
+
+    Both nation dimensions are pre-filtered to the two-nation pair BEFORE
+    touching the fact tables, so supplier and customer shrink to ~2/25 of
+    their rows; the only big-big shuffle is lineitem ⋈ orders. The
+    direction disjunction runs after both nation names are attached."""
+    pair = ["NATION_1", "NATION_2"]
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
+    s = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ntz("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") <= ntz("1997-12-31 00:00:00"))
+    ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q_tpch_q8",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume,
+                 n1.n_name AS nation
+          FROM part p
+          JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o   ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+          JOIN region r   ON n2.n_regionkey = r.r_regionkey
+          JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+          WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+            AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                  AND TIMESTAMP '1997-12-31 00:00:00') all_nations
+    GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q_tpch_q8(spark, sf_dir):
+    """Q8 national market share (adapted to fixture nations/types): share of
+    NATION_3 suppliers in PROMO-part revenue sold into ASIA, per year.
+
+    8-table join where every dimension chain (part·type, region→nation→
+    customer-membership, supplier→nation) is filtered then broadcast; the
+    fact side shuffles once on l_orderkey ⋈ o_orderkey."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    n = t(spark, sf_dir, "nation")
+    n2 = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("cn_key")
+    )
+    c = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"), "left_semi")
+        .select("c_custkey")
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ntz("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") <= ntz("1997-12-31 00:00:00"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey, "left_semi")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            r4(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol)
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q_tpch_q12",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_linestatus ORDER BY l.l_linestatus
+    """,
+)
+def q_tpch_q12(spark, sf_dir):
+    """Q12 shipping-priority audit (adapted: no l_shipmode in the fixture, so
+    the group key is l_linestatus and "late" = shipped >60 days after order).
+
+    Conditional counts ride the single fact-fact shuffle; the lateness
+    predicate is a non-equi residual on the hash join."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ntz("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ntz("1997-01-01 00:00:00"))
+    ).select("l_orderkey", "l_shipdate", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                            AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey) c_orders
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_tpch_q13(spark, sf_dir):
+    """Q13 customer order-count distribution (adapted: the excluded-comment
+    predicate becomes an order-priority exclusion).
+
+    Two-level aggregate: the left join keeps zero-order customers (their
+    count(o_orderkey)=0 bucket is the point of the query); the second
+    aggregate is over ≤ a few dozen distinct counts, so it collapses to a
+    near-free final exchange."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q_tpch_q15(spark, sf_dir):
+    """Q15 top supplier by quarterly revenue.
+
+    The scalar max is a 1-row aggregate of the (already tiny, |suppliers|-row)
+    revenue relation, broadcast back as a cross join — no window-over-
+    unpartitioned-data, no second scan of lineitem."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ntz("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ntz("1996-04-01 00:00:00"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q_tpch_q17",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND p.p_size < 10
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q_tpch_q17(spark, sf_dir):
+    """Q17 small-quantity-order revenue (adapted: p_container → p_size filter).
+
+    The correlated per-part average decorrelates to one aggregate over the
+    qualifying parts' lines: semi-join lineitem to the filtered part set
+    FIRST (the avg over a part's lines is unchanged by a filter on part
+    attributes), then self-join the per-part thresholds back. Both sides of
+    the self-join are already restricted to ~1/250 of lineitem."""
+    p = (
+        t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") < 10))
+        .select("p_partkey")
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey, "left_semi")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_cap")
+    )
+    return (
+        li.join(F.broadcast(thresh), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(r4(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q_tpch_q21",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F' AND n.n_name = 'NATION_1'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 20
+    """,
+)
+def q_tpch_q21(spark, sf_dir):
+    """Q21 suppliers who kept waiting (adapted lateness = shipped >60 days
+    after the order date, status-F orders, one nation).
+
+    Spark-first decorrelation: instead of EXISTS/NOT-EXISTS per row, ONE
+    pass over each order's lines computes (distinct suppliers, distinct
+    late suppliers); a qualifying order has ≥2 suppliers and exactly 1
+    late one. Late lines of qualifying orders are then attributed to that
+    single late supplier. Two shuffles total (lineitem⋈orders on the
+    order key, then the per-order aggregate on the same key — AQE reuses
+    the co-partitioning), versus four correlated-subquery scans in the
+    literal translation."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "is_late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    qual = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)).select(
+        "l_orderkey"
+    )
+    n1 = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    s = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == n1.n_nationkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        lo.filter(F.col("is_late"))
+        .join(qual, "l_orderkey", "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "q_tpch_q22",
+    oracle="""
+    SELECT n.n_name, CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c.c_acctbal), 4) AS totacctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def q_tpch_q22(spark, sf_dir):
+    """Q22 global sales opportunity (adapted: no c_phone in the fixture, so
+    the group key is the customer's nation, and "inactive" = no order since
+    1999 — every fixture customer has SOME order, making the literal
+    never-ordered predicate vacuous).
+
+    The scalar average broadcasts as a 1-row cross join; the NOT EXISTS is
+    a left-anti join against date-pre-filtered orders (filter pushed below
+    the anti join, so the probe side shrinks before the shuffle)."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_avg"))
+    recent = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= ntz("1999-01-01 00:00:00"))
+        .select("o_custkey")
+    )
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            r4(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )

@@ -94,7 +94,10 @@ SIDE_EFFECT_PREFIXES = ("c_", "q_sink", "q_stream", "q_scan_partition_prune",
                         "q_schema_evolution_read", "q_meta_prune", "q_source",
                         "q_multimodal")
 CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
-                "q_sim_ann_ivf", "q_udtf"}  # deliberate cross/theta/lateral shapes
+                "q_sim_ann_ivf", "q_udtf",  # deliberate cross/theta/lateral shapes
+                # 1-row scalar-aggregate broadcast compared with `>`: BNLJ with a
+                # single build row is the correct scale-safe plan (map-side compare)
+                "q_tpch_q22"}
 ROW_PYTHON_OK = {"q_udf_python", "q_udtf"}  # ops whose SUBJECT is Python eval
 
 
