@@ -1,0 +1,161 @@
+"""Event-analytics composites over the ``events`` table.
+
+The reference catalogs tables; the tables a production catalog serves are
+overwhelmingly event logs, and these three shapes — conversion funnel,
+sessionization, and sequence mining — are the queries a training-data /
+product-analytics pipeline runs on them daily (SURVEY.md §2.C north-star:
+large-scale pipeline operators beyond the reference's own surface).
+
+Scale notes: every operator here aggregates or windows BY user_id, so the
+single shuffle partitions on the user key and all per-user work is local to
+one partition. Nothing materializes per-event output: funnel returns 3 rows,
+sessionization one row per user, bigrams ≤ |event_types|² rows. At 100 TB the
+only concern is user-key skew (bot users); the funnel path pre-aggregates to
+per-user firsts before any join, so even a hot user contributes one row per
+stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from .common import t
+
+
+@query(
+    "q_evt_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          JOIN v ON e.user_id = v.user_id
+                AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 24 HOUR
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          JOIN c ON e.user_id = c.user_id
+                AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 24 HOUR
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT stage, users FROM (
+      SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS users FROM v
+      UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+      UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p) x
+    ORDER BY stage
+    """,
+)
+def q_evt_funnel(spark, sf_dir):
+    """Ordered conversion funnel view →(≤24h)→ click →(≤24h)→ purchase.
+
+    Each stage reduces to one row per user (min ts) BEFORE the next stage's
+    join, so the join inputs are |users|-sized, never |events|-sized, and
+    every join/aggregate shares the user_id shuffle key."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    day = F.expr("INTERVAL 24 HOURS")
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stage = lambda df, label: df.agg(  # noqa: E731
+        F.lit(label).alias("stage"), F.count("*").alias("users")
+    )
+    return (
+        stage(v, "1_view")
+        .unionAll(stage(c, "2_click"))
+        .unionAll(stage(p, "3_purchase"))
+        .select("stage", "users")
+        .orderBy("stage")
+    )
+
+
+@query(
+    "q_evt_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_evt_sessionize(spark, sf_dir):
+    """Batch sessionization, 30-minute inactivity gap (gaps-and-islands).
+
+    The lag + running-sum windows and the final aggregate all partition by
+    user_id: one shuffle, then purely partition-local window evaluation.
+    (The streaming twin is q_stream_session via session_window.)"""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    marked = ev.withColumn(
+        "new_s",
+        F.when(
+            prev.isNull() | (prev < F.col("ts") - F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sid",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(F.max("sid").alias("n_sessions"), F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_evt_bigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type ORDER BY n DESC, event_type, next_type
+    """,
+)
+def q_evt_bigrams(spark, sf_dir):
+    """Consecutive event-type pair frequencies per user timeline (sequence
+    2-grams — the first step of behavioral path mining / Markov-chain
+    transition estimation).
+
+    lead() partitions by user_id; output cardinality is at most
+    |event_types|², so the final sort is trivial."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "event_type", "next_type")
+    )

@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "iceberg_rest_catalog_spark.operators.subqueries",
     "iceberg_rest_catalog_spark.operators.functions",
     "iceberg_rest_catalog_spark.operators.tpch",
+    "iceberg_rest_catalog_spark.operators.events",
     "iceberg_rest_catalog_spark.operators.udfs",
     "iceberg_rest_catalog_spark.streaming.queries",
     "iceberg_rest_catalog_spark.llm.dedup",
