@@ -699,14 +699,16 @@ def q_tpch_q21(spark, sf_dir):
     """Q21 suppliers who kept waiting (adapted lateness = shipped >60 days
     after the order date, status-F orders, one nation).
 
-    Spark-first decorrelation: instead of EXISTS/NOT-EXISTS per row, ONE
-    pass over each order's lines computes (distinct suppliers, distinct
-    late suppliers); a qualifying order has ≥2 suppliers and exactly 1
-    late one. Late lines of qualifying orders are then attributed to that
-    single late supplier. Two shuffles total (lineitem⋈orders on the
-    order key, then the per-order aggregate on the same key — AQE reuses
-    the co-partitioning), versus four correlated-subquery scans in the
-    literal translation."""
+    Spark-first decorrelation: instead of EXISTS/NOT-EXISTS per row, the
+    per-order supplier stats (distinct suppliers, distinct late suppliers)
+    come from one (order, supplier)-level aggregate followed by an
+    order-level one — a qualifying order has ≥2 suppliers and exactly 1
+    late one, and late lines of qualifying orders are attributed to that
+    single late supplier. The two-level aggregate is deliberate: a double
+    countDistinct would plan as an Expand (gid) that doubles the rows in
+    the widest shuffle. Every shuffle in the plan keys on l_orderkey (or
+    its (orderkey, suppkey) refinement), versus four correlated-subquery
+    scans in the literal translation."""
     o = (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -716,9 +718,12 @@ def q_tpch_q21(spark, sf_dir):
     lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
         "is_late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late")
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.col("supp_late").cast("int")).alias("n_late"),
     )
     qual = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)).select(
         "l_orderkey"
