@@ -43,7 +43,11 @@ def q_filter_compound(spark, sf_dir):
     """,
 )
 def q_filter_in_between_like(spark, sf_dir):
-    """IN, BETWEEN and LIKE predicates."""
+    """IN, BETWEEN and LIKE predicates.
+
+    The fixture's p_name values are "<color> <noun>" with 'widget' among the
+    nouns (~10% of parts; 18 rows survive all three predicates at sf0.01),
+    so the LIKE is exercised on real rows."""
     p = t(spark, sf_dir, "part")
     return p.filter(
         F.col("p_brand").isin("Brand#11", "Brand#14", "Brand#23")
