@@ -31,10 +31,21 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "q_tpch_q1",
     "q_tpch_q3",
+    "q_tpch_q4",
     "q_tpch_q5",
     "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
     "q_tpch_q10",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q17",
     "q_tpch_q18",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_evt_funnel",
+    "q_evt_sessionize",
     "q_join_inner",
     "q_join_broadcast",
     "q_agg_group",
