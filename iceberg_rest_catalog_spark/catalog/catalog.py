@@ -84,6 +84,12 @@ class Table:
             if snapshot_id is not None
             else self.metadata.get("current-snapshot-id")
         )
+        if snapshot_id is not None and not any(
+            s["snapshot-id"] == snapshot_id for s in self.metadata.get("snapshots", [])
+        ):
+            raise E.BadRequestException(
+                f"snapshot {snapshot_id} not found (expired or never existed)"
+            )
         entries: list[dict] = []
         for s in self.metadata.get("snapshots", []):
             if s["snapshot-id"] <= (sid or -1):
@@ -265,6 +271,104 @@ class Table:
         return self.catalog.update_table(
             self.identifier, [], [{"action": "set-properties", "updates": props}]
         )
+
+    # -- maintenance --------------------------------------------------------
+    def expire_snapshots(
+        self, older_than_ms: int | None = None, retain_last: int = 1
+    ) -> "Table":
+        """Expire old snapshots (Iceberg's expire_snapshots maintenance
+        action): drop time-travel history while keeping every retained
+        snapshot's visible file set intact.
+
+        Snapshots store only their ADDED files here, so an expired ancestor
+        append's entries are folded into the oldest retained snapshot —
+        reads at any retained snapshot are unchanged; reads at an expired
+        snapshot now fail loudly. Only a PREFIX of the history is expired
+        (a hole between retained snapshots would corrupt later file lists).
+        Expiration is a normal CAS commit, so it serializes with concurrent
+        appends like any other writer. Streaming ingest (micro-batch =
+        snapshot) makes this the op that bounds metadata growth at scale.
+        """
+        snaps = sorted(
+            self.metadata.get("snapshots", []), key=lambda s: s["snapshot-id"]
+        )
+        if retain_last < 1:
+            raise E.BadRequestException("retain_last must be >= 1")
+        keep_floor = len(snaps) - retain_last
+        expire: list[dict] = []
+        for i, s in enumerate(snaps):
+            if i >= keep_floor:
+                break  # inside the retain-last window
+            if s["snapshot-id"] == self.metadata.get("current-snapshot-id"):
+                break  # never expire the current snapshot
+            if older_than_ms is not None and s["timestamp-ms"] >= older_than_ms:
+                break  # prefix rule: stop at the first non-candidate
+            expire.append(s)
+        if not expire:
+            return self
+        oldest_kept = snaps[len(expire)]
+        folded = self._entries_at(oldest_kept["snapshot-id"])
+        return self.catalog.update_table(
+            self.identifier,
+            requirements=[
+                {
+                    "type": "assert-ref-snapshot-id",
+                    "snapshot-id": self.metadata.get("current-snapshot-id"),
+                }
+            ],
+            updates=[
+                {
+                    "action": "expire-snapshots",
+                    "snapshot-ids": [s["snapshot-id"] for s in expire],
+                    "rebase-snapshot-id": oldest_kept["snapshot-id"],
+                    "rebased-added-files": folded,
+                }
+            ],
+        )
+
+    def remove_orphan_files(self) -> list[str]:
+        """Delete data files not referenced by any live snapshot (Iceberg's
+        remove_orphan_files): the physical half of expiration — expire drops
+        the metadata, this reclaims the bytes (files superseded by a replace
+        / compaction, or left by failed writes).
+
+        Collects the referenced set from CURRENT metadata, then walks
+        ``location/data``. Caveat vs production Iceberg: no age threshold,
+        so don't run concurrently with an in-flight write's staging
+        directory. Returns the removed paths (location-relative).
+        """
+        referenced: set[str] = set()
+        for s in self.metadata.get("snapshots", []):
+            for e in s["added-files"]:
+                p = e["path"] if isinstance(e, dict) else e
+                referenced.add(os.path.normpath(p))
+        data_root = os.path.join(self.location, "data")
+        removed: list[str] = []
+        for dp, _dn, fns in sorted(os.walk(data_root, topdown=False)):
+            rel_dir = os.path.relpath(dp, self.location)
+            live_dir = any(
+                os.path.normpath(os.path.join(rel_dir, f)) in referenced for f in fns
+            )
+            for f in sorted(fns):
+                rel = os.path.normpath(os.path.join(rel_dir, f))
+                if rel in referenced:
+                    continue
+                # Sidecars (_SUCCESS, .name.crc) live with their data files:
+                # keep them while the directory still holds referenced files.
+                owner = (
+                    os.path.normpath(os.path.join(rel_dir, f[1:-4]))
+                    if f.startswith(".") and f.endswith(".crc")
+                    else None
+                )
+                if owner in referenced or (
+                    f in ("_SUCCESS", "._SUCCESS.crc") and live_dir
+                ):
+                    continue
+                os.remove(os.path.join(dp, f))
+                removed.append(rel)
+            if not os.listdir(dp):
+                os.rmdir(dp)
+        return removed
 
 
 class Catalog:
@@ -574,6 +678,24 @@ class Catalog:
                 meta["current-snapshot-id"] = snap["snapshot-id"]
             elif action == "set-location":
                 meta["location"] = upd["location"]
+            elif action == "expire-snapshots":
+                ids = set(upd["snapshot-ids"])
+                have = {s["snapshot-id"] for s in meta.get("snapshots", [])}
+                if not ids <= have:
+                    raise E.BadRequestException(
+                        f"unknown snapshot ids {sorted(ids - have)}"
+                    )
+                if meta.get("current-snapshot-id") in ids:
+                    raise E.BadRequestException("cannot expire the current snapshot")
+                meta["snapshots"] = [
+                    s for s in meta["snapshots"] if s["snapshot-id"] not in ids
+                ]
+                # Fold expired ancestors' files into the oldest survivor so
+                # every retained snapshot still sees its full file list.
+                for s in meta["snapshots"]:
+                    if s["snapshot-id"] == upd["rebase-snapshot-id"]:
+                        s["added-files"] = upd["rebased-added-files"]
+                        s["parent-snapshot-id"] = None
             else:
                 raise E.BadRequestException(f"unknown update {action!r}")
         return meta

@@ -331,3 +331,54 @@ def q_scd2(spark, sf_dir):
         F.lit(True).alias("is_current"),
     )
     return closed_or_kept.unionByName(new_current)
+
+
+@query(
+    "q_snapshot_expire",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+    FROM orders WHERE o_orderkey <= 300
+    """,
+)
+def q_snapshot_expire(spark, sf_dir):
+    """Snapshot expiration + orphan-file cleanup (Iceberg expire_snapshots /
+    remove_orphan_files): three append snapshots are compacted into a
+    replace snapshot, history is expired down to the last two snapshots,
+    and the superseded physical files are reclaimed — while the CURRENT
+    contents stay byte-identical (what the oracle checks). The maintenance
+    pair that bounds metadata AND storage growth under streaming ingest
+    (micro-batch = snapshot = small files, forever).
+    """
+    wh = scratch_dir(sf_dir, "catalog_data", "snapshot_expire")
+    cat = Catalog(wh)
+    marker = os.path.join(wh, ".ready")
+    if not os.path.exists(marker):
+        shutil.rmtree(wh, ignore_errors=True)
+        os.makedirs(wh, exist_ok=True)
+        cat = Catalog(wh)
+        cat.create_namespace(("db",))
+        tbl = cat.create_table(("db", "orders_x"), _ORDERS_SCHEMA)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        for lo, hi in ((-1, 100), (100, 200), (200, 300)):
+            tbl = tbl.append(
+                orders.filter((F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi))
+            )
+        tbl = tbl.compact(spark)  # snapshot 4 (replace)
+        n_before = len(tbl.metadata["snapshots"])
+        tbl = tbl.expire_snapshots(retain_last=2)
+        assert len(tbl.metadata["snapshots"]) == 2 < n_before
+        # retained pre-compaction snapshot (id 3) still reads in full
+        assert tbl.df(spark, snapshot_id=3).count() == tbl.df(spark).count()
+        removed = tbl.remove_orphan_files()
+        # snapshots 1-2 were folded into 3, so nothing is orphaned yet;
+        # expiring down to the replace snapshot orphans the append files
+        tbl = tbl.expire_snapshots(retain_last=1)
+        removed += tbl.remove_orphan_files()
+        assert removed, "expected superseded append files to be reclaimed"
+        open(marker, "w").close()
+    tbl = cat.load_table(("db", "orders_x"))
+    return tbl.df(spark).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
+    )

@@ -144,3 +144,50 @@ def test_spark_sql_over_cataloged_tables(spark, catalog, table):
     # re-register -> sees the new snapshot
     spark_bridge.register_all(spark, catalog)
     assert spark.sql("SELECT count(*) AS n FROM db__t").collect()[0].n == 4
+
+
+def _rows(spark, n0, n1, tag="x"):
+    return spark.createDataFrame(
+        [(i, tag) for i in range(n0, n1)], "id long, name string"
+    )
+
+
+def test_expire_snapshots_folds_history(spark, catalog, table):
+    t = table.append(_rows(spark, 0, 2))
+    t = t.append(_rows(spark, 2, 4))
+    t = t.append(_rows(spark, 4, 6))
+    t = t.expire_snapshots(retain_last=2)
+    assert [s["snapshot-id"] for s in t.metadata["snapshots"]] == [2, 3]
+    # retained snapshots read their FULL historical contents
+    assert t.df(spark, snapshot_id=2).count() == 4
+    assert t.df(spark).count() == 6
+    # the expired snapshot is gone, loudly
+    with pytest.raises(E.BadRequestException):
+        t.df(spark, snapshot_id=1)
+
+
+def test_expire_never_drops_current(spark, catalog, table):
+    t = table.append(_rows(spark, 0, 2))
+    assert t.expire_snapshots(retain_last=1) is t  # nothing expirable
+    with pytest.raises(E.BadRequestException):
+        t.expire_snapshots(retain_last=0)
+
+
+def test_expire_is_cas_guarded(spark, catalog, table):
+    t = table.append(_rows(spark, 0, 2))
+    t = t.append(_rows(spark, 2, 4))
+    stale = catalog.load_table(("db", "t"))
+    t.append(_rows(spark, 4, 6))  # moves the ref
+    with pytest.raises(E.CommitFailedException):
+        stale.expire_snapshots(retain_last=1)
+
+
+def test_orphan_removal_after_compaction(spark, catalog, table):
+    t = table.append(_rows(spark, 0, 2))
+    t = t.append(_rows(spark, 2, 4))
+    t = t.compact(spark)  # replace snapshot supersedes the appends
+    assert t.remove_orphan_files() == []  # history still references them
+    t = t.expire_snapshots(retain_last=1)
+    removed = t.remove_orphan_files()
+    assert removed, "append files should be orphaned after expiration"
+    assert t.df(spark).count() == 4  # current contents untouched
