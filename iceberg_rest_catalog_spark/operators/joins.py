@@ -350,3 +350,57 @@ def q_join_multiway(spark, sf_dir):
             "revenue"
         ),
     )
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_name,
+           round(o.o_totalprice, 4) AS o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_bucketed(spark, sf_dir):
+    """Shuffle-free co-located join via bucketing: both sides are written
+    ``bucketBy(8, join_key)`` + ``sortBy`` into the session catalog, so the
+    join needs NO Exchange on either side (asserted in tests/test_plans.py)
+    — the pre-partitioning strategy for a join repeated at 100 TB, where
+    paying one bucketed write amortizes every subsequent join's shuffle.
+
+    The bucketed tables are session-scoped (in-memory catalog, scratch
+    LOCATION) and rebuilt once per session per sf_dir."""
+    from .common import scratch_dir
+
+    import os
+    import shutil
+
+    tag = sf_dir.replace("/", "_").replace(".", "_").strip("_")
+    db = "icsb_buckets"
+    loc = scratch_dir(sf_dir, "bucketed")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    ob, cb = f"{db}.orders_{tag}", f"{db}.customer_{tag}"
+
+    def build(name, src, key, cols):
+        if spark.catalog.tableExists(name):
+            return
+        # The in-memory catalog is per-session but the scratch dir is not:
+        # clear a stale location left by a previous session before rebuilding.
+        shutil.rmtree(os.path.join(loc, name.split(".", 1)[1]), ignore_errors=True)
+        (
+            t(spark, sf_dir, src)
+            .select(*cols)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+
+    build(ob, "orders", "o_custkey", ["o_orderkey", "o_custkey", "o_totalprice"])
+    build(cb, "customer", "c_custkey", ["c_custkey", "c_name"])
+    o, c = spark.table(ob), spark.table(cb)
+    # hint("merge"): at fixture scale the planner would broadcast the small
+    # side (and skip bucketed reads); at 100 TB neither side broadcasts and
+    # SMJ-over-buckets is precisely the plan being demonstrated.
+    return o.join(c.hint("merge"), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_custkey", "c_name", r4("o_totalprice").alias("o_totalprice")
+    )

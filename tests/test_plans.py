@@ -120,3 +120,12 @@ def test_global_plan_hygiene(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Co-located bucketed join: both scans read buckets directly; no
+    shuffle on either side of the SortMergeJoin."""
+    p = plan(spark, "q_join_bucketed")
+    assert "SortMergeJoin" in p
+    assert "Exchange" not in p
+    assert p.count("Bucketed: true") == 2
