@@ -202,7 +202,16 @@ def q_fn_array(spark, sf_dir):
     )
 
 
-@query("q_fn_map", oracle=None)  # DuckDB map syntax differs: rows-only check
+@query(
+    "q_fn_map",
+    # The projected output is all strings, so the oracle states the expected
+    # values directly — the map round-trip under test happens Spark-side.
+    oracle="""
+    SELECT p_partkey, 'brand,type' AS keys,
+           p_brand AS brand_val, p_type AS type_val
+    FROM part
+    """,
+)
 def q_fn_map(spark, sf_dir):
     """map creation / map_keys / element_at."""
     p = t(spark, sf_dir, "part")
