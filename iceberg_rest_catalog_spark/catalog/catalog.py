@@ -272,6 +272,37 @@ class Table:
             self.identifier, [], [{"action": "set-properties", "updates": props}]
         )
 
+    def history(self) -> list[dict]:
+        """Snapshot log, oldest first: (snapshot-id, parent, timestamp-ms,
+        operation) — the table's commit lineage (Iceberg's history metadata
+        table)."""
+        return [
+            {
+                "snapshot-id": s["snapshot-id"],
+                "parent-snapshot-id": s.get("parent-snapshot-id"),
+                "timestamp-ms": s["timestamp-ms"],
+                "operation": s.get("operation", "append"),
+            }
+            for s in sorted(
+                self.metadata.get("snapshots", []), key=lambda s: s["snapshot-id"]
+            )
+        ]
+
+    def snapshot_as_of(self, timestamp_ms: int) -> int:
+        """Newest snapshot committed at or before timestamp_ms (Iceberg's
+        FOR TIMESTAMP AS OF resolution)."""
+        best = None
+        for s in self.metadata.get("snapshots", []):
+            if s["timestamp-ms"] <= timestamp_ms and (
+                best is None or s["snapshot-id"] > best["snapshot-id"]
+            ):
+                best = s
+        if best is None:
+            raise E.BadRequestException(
+                f"no snapshot at or before timestamp {timestamp_ms}"
+            )
+        return best["snapshot-id"]
+
     # -- maintenance --------------------------------------------------------
     def expire_snapshots(
         self, older_than_ms: int | None = None, retain_last: int = 1

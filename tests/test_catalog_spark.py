@@ -191,3 +191,18 @@ def test_orphan_removal_after_compaction(spark, catalog, table):
     removed = t.remove_orphan_files()
     assert removed, "append files should be orphaned after expiration"
     assert t.df(spark).count() == 4  # current contents untouched
+
+
+def test_history_and_timestamp_travel(spark, catalog, table):
+    t = table.append(_rows(spark, 0, 2))
+    t = t.append(_rows(spark, 2, 4))
+    h = t.history()
+    assert [e["snapshot-id"] for e in h] == [1, 2]
+    assert h[0]["parent-snapshot-id"] is None and h[1]["parent-snapshot-id"] == 1
+    assert all(e["operation"] == "append" for e in h)
+    # as-of the first commit's timestamp resolves to snapshot 1
+    assert t.snapshot_as_of(h[0]["timestamp-ms"]) == 1
+    assert t.snapshot_as_of(h[1]["timestamp-ms"] + 10_000) == 2
+    assert t.df(spark, snapshot_id=t.snapshot_as_of(h[0]["timestamp-ms"])).count() == 2
+    with pytest.raises(E.BadRequestException):
+        t.snapshot_as_of(h[0]["timestamp-ms"] - 1)
