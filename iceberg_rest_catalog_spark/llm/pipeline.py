@@ -282,3 +282,62 @@ def q_pipeline_e2e(spark, sf_dir):
             ).alias("chunk"),
         )
     )
+
+
+@query(
+    "q_pack_sequences",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS tok,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS blk
+      FROM documents),
+    c AS (
+      SELECT blk, doc_id, tok,
+             sum(tok) OVER (PARTITION BY blk ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM tk)
+    SELECT blk, CAST(floor((cum - tok) / 512.0) AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS total_tokens
+    FROM c GROUP BY blk, bin_id ORDER BY blk, bin_id
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for training-batch assembly: documents are packed
+    in deterministic order into 512-token bins (bin = the context-window
+    budget), reported as per-bin (n_docs, total_tokens).
+
+    Scale shape: packing is a sequential recurrence, so it CANNOT be a
+    global window at 100 TB — documents are first split into 16 md5 blocks
+    and packed within blocks (bins never cross executors, the window
+    partitions by block). Bin assignment is offset-based
+    (floor(preceding_tokens / capacity)) — the streaming-friendly
+    approximation of greedy packing: a document may straddle a boundary
+    instead of opening a fresh bin, which at training time is handled by
+    truncation/continuation, never by a cross-partition dependency."""
+    C = 512
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("tok"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("blk"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = d.withColumn("cum", F.sum("tok").over(w))
+    return (
+        c.withColumn(
+            "bin_id", F.floor((F.col("cum") - F.col("tok")) / float(C))
+        )
+        .groupBy("blk", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").cast("long").alias("total_tokens"),
+        )
+        .orderBy("blk", "bin_id")
+    )
