@@ -341,3 +341,51 @@ def q_pack_sequences(spark, sf_dir):
         )
         .orderBy("blk", "bin_id")
     )
+
+
+@query(
+    "q_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bkt,
+             string_split(text, ' ') AS s
+      FROM documents),
+    grams AS (
+      SELECT doc_id, bkt,
+             array_to_string(list_slice(s, i.i, i.i + 7), ' ') AS sh
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(s) - 7, 1)))
+                          AS i) i),
+    ev AS (SELECT DISTINCT sh FROM grams WHERE bkt IN ('0','1')),
+    tr AS (SELECT DISTINCT doc_id, sh FROM grams WHERE bkt NOT IN ('0','1'))
+    SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM tr JOIN ev USING (sh)
+    GROUP BY tr.doc_id ORDER BY tr.doc_id
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: training documents sharing any verbatim
+    8-gram with the held-out split (the standard benchmark-leakage check
+    run before every training-corpus release), with the shared-gram count
+    as the contamination score.
+
+    The held-out gram set is |eval|-sized — tiny next to the corpus — so it
+    BROADCASTS and the check is one map-side semi-ish join over the train
+    grams: no shuffle of the corpus, cost linear in train tokens at any
+    scale. Split assignment reuses the deterministic md5 bucketing of
+    q_sample_hash (same doc → same split, everywhere, forever)."""
+    from .dedup import _shingles
+
+    d = t(spark, sf_dir, "documents")
+    # _shingles keeps only (doc_id, sh); the split bucket is recomputed from
+    # doc_id afterwards (deterministic, no extra join).
+    g = _shingles(d, n=8).withColumn(
+        "bkt", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    )
+    ev = g.filter(F.col("bkt").isin("0", "1")).select("sh").distinct()
+    tr = g.filter(~F.col("bkt").isin("0", "1")).select("doc_id", "sh")
+    return (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
