@@ -389,3 +389,53 @@ def q_decontaminate(spark, sf_dir):
         .agg(F.count("*").alias("n_shared_grams"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_data_mixture",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+               % 100 AS pct
+      FROM documents),
+    rates(lang, keep_pct) AS (VALUES
+      ('en', 100), ('zh', 80), ('de', 50), ('fr', 50), ('es', 25))
+    SELECT b.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(b.doc_id) AS BIGINT) AS first_doc
+    FROM b JOIN rates USING (lang)
+    WHERE b.pct < rates.keep_pct
+    GROUP BY b.lang ORDER BY b.lang
+    """,
+)
+def q_data_mixture(spark, sf_dir):
+    """Domain-weighted mixture sampling: each language keeps a different
+    deterministic fraction (en 100%, zh 80%, de/fr 50%, es 25%) — the
+    up/down-sampling step that sets a training corpus's domain mix.
+
+    Hash-based (md5 prefix mod 100), NOT rand(): the kept set is identical
+    across runs, partitionings and clusters, and composes with the
+    q_sample_hash split (different hash positions → independent). The rate
+    table is a literal broadcast; the corpus scan is map-only — one filter,
+    no shuffle before the final tiny aggregate."""
+    rates = spark.createDataFrame(
+        [("en", 100), ("zh", 80), ("de", 50), ("fr", 50), ("es", 25)],
+        "lang string, keep_pct int",
+    )
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    pct = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    return (
+        d.withColumn("pct", pct)
+        .join(F.broadcast(rates), "lang")
+        .filter(F.col("pct") < F.col("keep_pct"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang")
+    )
