@@ -375,7 +375,9 @@ class Table:
                 referenced.add(os.path.normpath(p))
         data_root = os.path.join(self.location, "data")
         removed: list[str] = []
-        for dp, _dn, fns in sorted(os.walk(data_root, topdown=False)):
+        # topdown=False ordering is load-bearing: children must be visited
+        # before parents so directories emptied here get rmdir'd below.
+        for dp, _dn, fns in os.walk(data_root, topdown=False):
             rel_dir = os.path.relpath(dp, self.location)
             live_dir = any(
                 os.path.normpath(os.path.join(rel_dir, f)) in referenced for f in fns
@@ -399,7 +401,7 @@ class Table:
                 removed.append(rel)
             if not os.listdir(dp):
                 os.rmdir(dp)
-        return removed
+        return sorted(removed)
 
 
 class Catalog:

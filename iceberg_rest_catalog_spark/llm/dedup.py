@@ -32,14 +32,21 @@ SHINGLE_DF_CAP = 50  # drop shingles occurring in more docs (skew guard)
 
 def _shingles(d, n=3, dedup=True):
     """Word n-gram shingles per doc: (doc_id, sh). Computed with
-    higher-order functions + one explode; no Python. ``dedup=True`` gives
-    set semantics (needed for exact Jaccard); minhash signatures are
-    identical either way and skip the extra shuffle."""
+    higher-order functions + one explode; no Python.
+
+    ``dedup``: True gives global set semantics via .distinct() — a full
+    shuffle, only acceptable when a shuffle on (doc_id, sh) follows anyway
+    (exact Jaccard). "doc" gives per-document set semantics MAP-SIDE
+    (array_distinct before the explode — no shuffle), which is the right
+    distinct for per-doc gram joins at corpus scale. False keeps the raw
+    multiset (minhash signatures are identical either way)."""
     toks = F.split("text", " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
+    if dedup == "doc":
+        return d.select("doc_id", F.explode(F.array_distinct(grams)).alias("sh"))
     out = d.select("doc_id", F.explode(grams).alias("sh"))
     return out.distinct() if dedup else out
 

@@ -377,8 +377,10 @@ def q_decontaminate(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     # _shingles keeps only (doc_id, sh); the split bucket is recomputed from
-    # doc_id afterwards (deterministic, no extra join).
-    g = _shingles(d, n=8).withColumn(
+    # doc_id afterwards (deterministic, no extra join). dedup="doc" gives the
+    # per-document distinct the count needs map-side — a global .distinct()
+    # here would shuffle the whole shingled corpus.
+    g = _shingles(d, n=8, dedup="doc").withColumn(
         "bkt", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     )
     ev = g.filter(F.col("bkt").isin("0", "1")).select("sh").distinct()

@@ -375,7 +375,11 @@ def q_join_bucketed(spark, sf_dir):
     import shutil
 
     tag = sf_dir.replace("/", "_").replace(".", "_").strip("_")
-    db = "icsb_buckets"
+    # One database PER sf_dir: a shared db would pin its LOCATION to the
+    # first sf_dir seen (CREATE DATABASE IF NOT EXISTS is a no-op after
+    # that), so a later sf's tables would land — and leak across sessions —
+    # under the wrong scratch path.
+    db = f"icsb_buckets_{tag}"
     loc = scratch_dir(sf_dir, "bucketed")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
     ob, cb = f"{db}.orders_{tag}", f"{db}.customer_{tag}"

@@ -206,3 +206,34 @@ def test_history_and_timestamp_travel(spark, catalog, table):
     assert t.df(spark, snapshot_id=t.snapshot_as_of(h[0]["timestamp-ms"])).count() == 2
     with pytest.raises(E.BadRequestException):
         t.snapshot_as_of(h[0]["timestamp-ms"] - 1)
+
+
+def test_orphan_removal_clears_emptied_partition_dirs(spark, catalog):
+    import os
+
+    catalog.create_namespace(("db2",))
+    t = catalog.create_table(
+        ("db2", "pt"),
+        Schema(
+            0,
+            [
+                NestedField(1, "id", "long", required=False),
+                NestedField(2, "ts", "timestamp", required=False),
+            ],
+        ),
+        partition_spec=[{"name": "ts", "transform": "year"}],
+    )
+    df = spark.createDataFrame(
+        [(1, "2020-06-01 00:00:00"), (2, "2021-06-01 00:00:00")],
+        "id long, ts string",
+    ).selectExpr("id", "CAST(ts AS TIMESTAMP_NTZ) AS ts")
+    t = t.append(df)
+    t = t.compact(spark)
+    t = t.expire_snapshots(retain_last=1)
+    assert t.remove_orphan_files()
+    # bottom-up walk: partition dirs AND their emptied parents are gone
+    data_root = os.path.join(t.location, "data")
+    live = {os.path.dirname(os.path.join(t.location, e["path"]))
+            for e in t._entries_at(None)}
+    for dp, dns, fns in os.walk(data_root):
+        assert fns or dns or dp in live, f"leftover empty dir {dp}"

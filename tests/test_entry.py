@@ -6,10 +6,11 @@ DDL return types on udf/pandas_udf/udtf are parsed through the active
 SparkContext at decoration time — the bug these tests pin down).
 """
 
+import os
 import subprocess
 import sys
 
-REPO = "/root/repo"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_queries_collect_without_spark_session():
