@@ -272,6 +272,41 @@ class Table:
             self.identifier, [], [{"action": "set-properties", "updates": props}]
         )
 
+    def refs(self) -> dict:
+        """Named refs (Iceberg table spec `refs`): tag/branch name →
+        {snapshot-id, type}."""
+        return dict(self.metadata.get("refs", {}))
+
+    def set_ref(self, name: str, snapshot_id: int, type: str = "tag") -> "Table":
+        """Create/move a named ref pinning a snapshot (tags for releases,
+        branches for WAP-style staging). Metadata-only CAS commit; refs
+        protect their snapshot from expire_snapshots."""
+        if type not in ("tag", "branch"):
+            raise E.BadRequestException(f"ref type must be tag|branch, got {type!r}")
+        return self.catalog.update_table(
+            self.identifier,
+            [],
+            [
+                {
+                    "action": "set-ref",
+                    "name": name,
+                    "snapshot-id": snapshot_id,
+                    "type": type,
+                }
+            ],
+        )
+
+    def remove_ref(self, name: str) -> "Table":
+        return self.catalog.update_table(
+            self.identifier, [], [{"action": "remove-ref", "name": name}]
+        )
+
+    def snapshot_for_ref(self, name: str) -> int:
+        ref = self.metadata.get("refs", {}).get(name)
+        if ref is None:
+            raise E.BadRequestException(f"unknown ref {name!r}")
+        return ref["snapshot-id"]
+
     def history(self) -> list[dict]:
         """Snapshot log, oldest first: (snapshot-id, parent, timestamp-ms,
         operation) — the table's commit lineage (Iceberg's history metadata
@@ -326,12 +361,15 @@ class Table:
         if retain_last < 1:
             raise E.BadRequestException("retain_last must be >= 1")
         keep_floor = len(snaps) - retain_last
+        ref_pinned = {r["snapshot-id"] for r in self.metadata.get("refs", {}).values()}
         expire: list[dict] = []
         for i, s in enumerate(snaps):
             if i >= keep_floor:
                 break  # inside the retain-last window
             if s["snapshot-id"] == self.metadata.get("current-snapshot-id"):
                 break  # never expire the current snapshot
+            if s["snapshot-id"] in ref_pinned:
+                break  # tags/branches protect their snapshot (prefix rule)
             if older_than_ms is not None and s["timestamp-ms"] >= older_than_ms:
                 break  # prefix rule: stop at the first non-candidate
             expire.append(s)
@@ -711,6 +749,20 @@ class Catalog:
                 meta["current-snapshot-id"] = snap["snapshot-id"]
             elif action == "set-location":
                 meta["location"] = upd["location"]
+            elif action == "set-ref":
+                sid = upd["snapshot-id"]
+                if not any(
+                    s["snapshot-id"] == sid for s in meta.get("snapshots", [])
+                ):
+                    raise E.BadRequestException(f"unknown snapshot id {sid}")
+                meta.setdefault("refs", {})[upd["name"]] = {
+                    "snapshot-id": sid,
+                    "type": upd.get("type", "tag"),
+                }
+            elif action == "remove-ref":
+                if upd["name"] not in meta.get("refs", {}):
+                    raise E.BadRequestException(f"unknown ref {upd['name']!r}")
+                del meta["refs"][upd["name"]]
             elif action == "expire-snapshots":
                 ids = set(upd["snapshot-ids"])
                 have = {s["snapshot-id"] for s in meta.get("snapshots", [])}
@@ -720,6 +772,13 @@ class Catalog:
                     )
                 if meta.get("current-snapshot-id") in ids:
                     raise E.BadRequestException("cannot expire the current snapshot")
+                pinned = ids & {
+                    r["snapshot-id"] for r in meta.get("refs", {}).values()
+                }
+                if pinned:
+                    raise E.BadRequestException(
+                        f"snapshots {sorted(pinned)} are pinned by refs"
+                    )
                 meta["snapshots"] = [
                     s for s in meta["snapshots"] if s["snapshot-id"] not in ids
                 ]

@@ -237,3 +237,24 @@ def test_orphan_removal_clears_emptied_partition_dirs(spark, catalog):
             for e in t._entries_at(None)}
     for dp, dns, fns in os.walk(data_root):
         assert fns or dns or dp in live, f"leftover empty dir {dp}"
+
+
+def test_refs_pin_and_protect_snapshots(spark, catalog, table):
+    t = table.append(_rows(spark, 0, 2))
+    t = t.append(_rows(spark, 2, 4))
+    t = t.set_ref("v1", 1, type="tag")
+    assert t.refs() == {"v1": {"snapshot-id": 1, "type": "tag"}}
+    # read through the ref
+    assert t.df(spark, snapshot_id=t.snapshot_for_ref("v1")).count() == 2
+    # the tag protects snapshot 1 from expiration (prefix rule stops there)
+    t2 = t.expire_snapshots(retain_last=1)
+    assert [s["snapshot-id"] for s in t2.metadata["snapshots"]] == [1, 2]
+    # dropping the tag unblocks expiration
+    t3 = t2.remove_ref("v1").expire_snapshots(retain_last=1)
+    assert [s["snapshot-id"] for s in t3.metadata["snapshots"]] == [2]
+    with pytest.raises(E.BadRequestException):
+        t3.snapshot_for_ref("v1")
+    with pytest.raises(E.BadRequestException):
+        t3.set_ref("bad", 99)
+    with pytest.raises(E.BadRequestException):
+        t3.set_ref("bad", 2, type="wormhole")
