@@ -1,0 +1,56 @@
+"""Empirical scaling check: headline queries across sf0.001 / 0.01 / 0.1.
+
+Runtime should grow far slower than the 10× data steps while fixed overhead
+dominates, approaching linear only as real work displaces scheduling — a
+sanity check that no operator hides super-linear (all-pairs / re-scan)
+behavior. Prints one JSON line per query with per-sf seconds and the
+0.01→0.1 ratio (the step where data, not overhead, dominates).
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from iceberg_rest_catalog_spark import registry
+from iceberg_rest_catalog_spark.session import get_spark
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+QUERIES = [
+    "q_tpch_q1",
+    "q_tpch_q5",
+    "q_tpch_q21",
+    "q_dedup_fuzzy",
+    "q_sim_lsh",
+    "q_text_tokens",
+    "q_evt_sessionize",
+]
+
+
+def main() -> None:
+    spark = get_spark("scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+    for name in QUERIES:
+        fn = qs[name]
+        secs = []
+        for sf in SFS:
+            fn(spark, sf).write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.perf_counter()
+            fn(spark, sf).write.format("noop").mode("overwrite").save()
+            secs.append(round(time.perf_counter() - t0, 3))
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "sf": [0.001, 0.01, 0.1],
+                    "sec": secs,
+                    "ratio_0.01_to_0.1": round(secs[2] / max(secs[1], 1e-9), 2),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
