@@ -58,7 +58,14 @@ class Table:
 
     @property
     def metadata_location(self) -> str:
-        return os.path.join(self.location, "metadata", f"v{self.version}.metadata.json")
+        # Metadata always lives under the catalog-managed table dir, even
+        # when the table's DATA location is custom (create_table(location=…)),
+        # so load_table/list_tables can always discover it.
+        return os.path.join(
+            self.catalog._table_dir(self.identifier),
+            "metadata",
+            f"v{self.version}.metadata.json",
+        )
 
     def schema(self) -> Schema:
         cur = self.metadata["current-schema-id"]
@@ -149,8 +156,13 @@ class Table:
         src, tr = spec["name"], spec.get("transform", "identity")
         if tr == "identity":
             return F.col(src)
-        if tr in ("year", "month", "day", "hour"):
-            return getattr(F, tr)(src) if tr != "day" else F.dayofmonth(src)
+        if tr in ("year", "month", "hour"):
+            return getattr(F, tr)(src)
+        if tr == "day":
+            # Iceberg's day transform is DATE granularity (date truncation),
+            # not day-of-month: values from different months must not
+            # collide in one partition.
+            return F.to_date(F.col(src))
         if tr.startswith("bucket["):
             n = int(tr[len("bucket[") : -1])
             return F.pmod(F.hash(src), F.lit(n))
@@ -445,6 +457,12 @@ class Table:
 class Catalog:
     """The engine-side equivalent of the reference's REST catalog service."""
 
+    #: Age after which an existing-but-unparseable v{N}.metadata.json claim
+    #: file is considered abandoned by a crashed writer and may be removed.
+    #: A live writer flushes within milliseconds of claiming, so 60 s is
+    #: conservative; tests lower it to exercise recovery.
+    stale_claim_seconds: float = 60.0
+
     def __init__(self, warehouse: str):
         self.warehouse = os.path.abspath(warehouse)
         os.makedirs(self.warehouse, exist_ok=True)
@@ -543,7 +561,20 @@ class Catalog:
         ns, name = tuple(ident[:-1]), ident[-1]
         if not ns or not name:
             raise E.BadRequestException(f"bad identifier {ident!r}")
-        return os.path.join(self._ns_dir(ns), name)
+        # Same validation as namespace levels: the table name comes from
+        # client input (REST body / rename destination), and an unchecked
+        # name like "../../victim" would create/load/rmtree OUTSIDE the
+        # warehouse. Reject separators and dot-prefixed names, then verify
+        # the resolved path stays under the warehouse (defense in depth
+        # against symlinks and exotic encodings).
+        if "/" in name or os.sep in name or name.startswith("."):
+            raise E.BadRequestException(f"bad table name {name!r}")
+        d = os.path.join(self._ns_dir(ns), name)
+        wh = os.path.realpath(self.warehouse)
+        real = os.path.realpath(d)
+        if os.path.commonpath([real, wh]) != wh:
+            raise E.BadRequestException(f"table path escapes warehouse: {name!r}")
+        return d
 
     def _is_table(self, ident: Ident) -> bool:
         return os.path.isfile(
@@ -583,13 +614,18 @@ class Catalog:
         self._require_ns(ident[:-1])
         if self._is_table(ident):
             raise E.TableAlreadyExistsException(".".join(ident))
-        tdir = location or self._table_dir(ident)
+        tdir = self._table_dir(ident)
+        # Metadata (and the version hint) ALWAYS live under the
+        # catalog-managed table dir so the table stays discoverable by
+        # load_table/list_tables/table_exists; a custom ``location`` only
+        # redirects where DATA files are written (metadata["location"]),
+        # mirroring how an object-store warehouse separates the two.
         mdir = os.path.join(tdir, "metadata")
         os.makedirs(mdir, exist_ok=True)
         metadata = {
             "format-version": 2,
             "table-uuid": str(uuid.uuid4()),
-            "location": tdir,
+            "location": os.path.abspath(location) if location else tdir,
             "last-updated-ms": int(time.time() * 1000),
             "schemas": [schema.to_json()],
             "current-schema-id": schema.schema_id,
@@ -636,10 +672,12 @@ class Catalog:
 
     def drop_table(self, ident: Ident, purge: bool = False) -> None:
         """Metadata-only drop; data files are orphaned, not deleted.
-        purge=True is rejected like the reference (tables.go:288-295)."""
+        purge=True is rejected with the reference's NotImplemented error
+        body (tables.go:288-295 serves ErrNotImplemented; the facade
+        mirrors its HTTP-400-status quirk)."""
         ident = tuple(ident)
         if purge:
-            raise E.BadRequestException("purgeRequested is not supported")
+            raise E.NotImplementedException("purgeRequested")
         self._require_ns(ident[:-1])
         if not self._is_table(ident):
             raise E.NoSuchTableException(".".join(ident))
@@ -682,6 +720,7 @@ class Catalog:
         mdir = os.path.join(self._table_dir(ident), "metadata")
         new_v = current.version + 1
         new_path = os.path.join(mdir, f"v{new_v}.metadata.json")
+        self._gc_stale_claim(new_path)
         try:
             fd = os.open(new_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError as exc:
@@ -692,6 +731,33 @@ class Catalog:
             json.dump(new_meta, f, indent=1, sort_keys=True)
         _atomic_write_json_text(os.path.join(mdir, "version-hint.text"), str(new_v))
         return Table(self, ident, new_v, new_meta)
+
+    def _gc_stale_claim(self, path: str) -> None:
+        """Commit liveness after a writer crash.
+
+        A writer that claimed v{N+1} with O_CREAT|O_EXCL and died before
+        flushing leaves a partial/empty claim file. load_table falls back to
+        v{N}, so every retry recomputes new_v = N+1 and hits FileExistsError
+        forever — the table would be bricked for writes. An unparseable
+        claim older than ``stale_claim_seconds`` is provably abandoned (a
+        live writer json-dumps immediately after claiming) and is removed;
+        a PARSEABLE file is a genuine concurrent commit and a young
+        unparseable one may still be in flight — both are left for the
+        normal CAS conflict path.
+        """
+        try:
+            with open(path) as f:
+                json.load(f)
+            return  # complete metadata: real concurrent commit, CAS must fail
+        except FileNotFoundError:
+            return
+        except (json.JSONDecodeError, OSError):
+            pass
+        try:
+            if time.time() - os.path.getmtime(path) >= self.stale_claim_seconds:
+                os.remove(path)
+        except FileNotFoundError:
+            pass  # another recoverer got there first
 
     @staticmethod
     def _check_requirements(current: Table, requirements: list[dict]) -> None:

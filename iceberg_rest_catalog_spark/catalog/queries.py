@@ -302,7 +302,7 @@ _q(
 
 
 def _drop_table(cat):
-    """DropTable: metadata-only; purge -> 400 (tables.go:288-295)."""
+    """DropTable: metadata-only; purge -> NotImplemented (tables.go:288-295)."""
     cat.create_namespace(("ns1",))
     cat.create_table(("ns1", "t"), _SCHEMA)
     purge = _catch(lambda: cat.drop_table(("ns1", "t"), purge=True))
@@ -313,7 +313,7 @@ def _drop_table(cat):
 
 _q(
     "c_drop_table",
-    [("purge", "BadRequestException"), ("drop", "ok"),
+    [("purge", "NotImplementedException"), ("drop", "ok"),
      ("gone", "NoSuchTableException")],
     _drop_table,
 )

@@ -17,7 +17,7 @@ import json
 import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import unquote
+from urllib.parse import parse_qs, unquote, urlsplit
 
 from . import errors as E
 from .catalog import Catalog
@@ -193,8 +193,15 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(200, self._table_response(tbl))
 
     def drop_table(self, ns: str, table: str):
-        purge = "purgeRequested=true" in (self.path.split("?") + [""])[1]
-        self.catalog.drop_table(_split_ns(ns) + (table,), purge=purge)
+        # Exact-match the query value like the reference (tables.go:288-295:
+        # c.Query("purgeRequested") == "true"); substring tests would also
+        # trip on e.g. purgeRequested=truex. The reference's response is the
+        # NotImplemented error BODY under an HTTP 400 status — mirror both.
+        q = parse_qs(urlsplit(self.path).query)
+        if q.get("purgeRequested", [""])[-1] == "true":
+            self._send(400, E.NotImplementedException().to_dict())
+            return
+        self.catalog.drop_table(_split_ns(ns) + (table,))
         self._send(204)
 
     def head_table(self, ns: str, table: str):

@@ -171,9 +171,9 @@ class TestTableOperations:
             catalog.create_table(self.IDENT, SCHEMA, stage_create=True)
 
     def test_purge_drop_rejected(self, catalog: Catalog):
-        # reference tables.go:288-295
+        # reference tables.go:288-295 serves the NotImplemented error body
         catalog.create_table(self.IDENT, SCHEMA)
-        with pytest.raises(E.BadRequestException):
+        with pytest.raises(E.NotImplementedException):
             catalog.drop_table(self.IDENT, purge=True)
 
 
@@ -319,3 +319,54 @@ class TestConfigBootstrap:
         cfg.catalogs["glue"] = {"type": "glue"}
         with pytest.raises(E.NotImplementedException):
             cfg.open_catalog("glue")
+
+
+class TestHardening:
+    """Regression tests for the round-2 advisor findings (ADVICE.md)."""
+
+    def test_table_name_traversal_rejected(self, catalog: Catalog, tmp_path):
+        catalog.create_namespace(("db",))
+        for bad in ("../evil", "..", ".hidden", "a/b", ""):
+            with pytest.raises(E.BadRequestException):
+                catalog.create_table(("db", bad), SCHEMA)
+        catalog.create_table(("db", "ok"), SCHEMA)
+        with pytest.raises(E.BadRequestException):
+            catalog.rename_table(("db", "ok"), ("db", "../../escape"))
+        with pytest.raises(E.BadRequestException):
+            catalog.drop_table(("db", "../../escape"))
+        assert not (tmp_path / "evil").exists()
+        assert not (tmp_path / "escape").exists()
+
+    def test_create_table_custom_location_discoverable(self, catalog: Catalog, tmp_path):
+        catalog.create_namespace(("db",))
+        loc = str(tmp_path / "external" / "data_here")
+        t = catalog.create_table(("db", "ext"), SCHEMA, location=loc)
+        assert t.location == loc
+        assert catalog.table_exists(("db", "ext"))
+        assert ("db", "ext") in catalog.list_tables(("db",))
+        loaded = catalog.load_table(("db", "ext"))
+        assert loaded.metadata["location"] == loc
+        # metadata itself stays under the warehouse (discoverability)
+        assert loaded.metadata_location.startswith(catalog.warehouse)
+        with pytest.raises(E.TableAlreadyExistsException):
+            catalog.create_table(("db", "ext"), SCHEMA)
+
+    def test_crashed_writer_claim_recovered(self, catalog: Catalog):
+        import os
+
+        catalog.create_namespace(("db",))
+        catalog.create_table(("db", "t"), SCHEMA)
+        claim = os.path.join(
+            catalog._table_dir(("db", "t")), "metadata", "v2.metadata.json"
+        )
+        with open(claim, "w") as f:
+            f.write("{")  # writer claimed v2 and died mid-flush
+        upd = [{"action": "set-properties", "updates": {"k": "v"}}]
+        # young claim: may still be in flight -> CAS conflict preserved
+        with pytest.raises(E.CommitFailedException):
+            catalog.update_table(("db", "t"), [], upd)
+        # stale claim: GC'd, the very next commit converges (no brick)
+        catalog.stale_claim_seconds = 0.0
+        t2 = catalog.update_table(("db", "t"), [], upd)
+        assert t2.version == 2 and t2.properties()["k"] == "v"
+        assert catalog.load_table(("db", "t")).version == 2

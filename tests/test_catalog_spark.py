@@ -258,3 +258,50 @@ def test_refs_pin_and_protect_snapshots(spark, catalog, table):
         t3.set_ref("bad", 99)
     with pytest.raises(E.BadRequestException):
         t3.set_ref("bad", 2, type="wormhole")
+
+
+def test_day_transform_is_date_granularity(spark, catalog):
+    """ADVICE r2: Iceberg's 'day' transform is date truncation — rows from
+    different months with the same day-of-month must land in DIFFERENT
+    partitions."""
+    from pyspark.sql import functions as F
+
+    catalog.create_namespace(("ddb",))
+    tbl = catalog.create_table(
+        ("ddb", "ev"),
+        Schema(
+            0,
+            [
+                NestedField(1, "id", "long", False),
+                NestedField(2, "ts", "timestamp", False),
+            ],
+        ),
+        partition_spec=[{"name": "ts", "transform": "day"}],
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "2020-03-15 10:00:00"),
+            (2, "2020-04-15 11:00:00"),
+            (3, "2020-03-15 23:59:00"),
+        ],
+        "id long, ts string",
+    ).select("id", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    t2 = tbl.append(df)
+    parts = {e["partition"]["ts"] for e in t2._entries_at(None)}
+    assert parts == {"2020-03-15", "2020-04-15"}
+    pruned = t2.scan(spark, partition_filters={"ts": "2020-03-15"})
+    assert sorted(r.id for r in pruned.collect()) == [1, 3]
+
+
+def test_custom_location_append_roundtrip(spark, catalog, tmp_path):
+    """Custom data location: metadata stays under the warehouse, data files
+    land under the custom location, reads work after re-load."""
+    import os
+
+    catalog.create_namespace(("xdb",))
+    loc = str(tmp_path / "external_tbl")
+    t = catalog.create_table(("xdb", "ext"), SCHEMA, location=loc)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"))
+    reloaded = catalog.load_table(("xdb", "ext"))
+    assert reloaded.df(spark).count() == 2
+    assert os.path.isdir(os.path.join(loc, "data"))

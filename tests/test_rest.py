@@ -122,3 +122,22 @@ def test_error_envelope_over_http(server):
         "type": "NoSuchNamespaceException",
         "code": 404,
     }
+
+
+def test_purge_drop_over_http_mirrors_reference(server):
+    """Reference tables.go:288-295: purgeRequested == \"true\" (exact match)
+    -> HTTP 400 status carrying the NotImplemented error BODY; any other
+    value (e.g. truex) is ignored and the drop proceeds."""
+    call("POST", f"{server}/v1/namespaces", {"namespace": ["db"]})
+    call("POST", f"{server}/v1/namespaces/db/tables", {"name": "t", "schema": SCHEMA_JSON})
+    s, err = call("DELETE", f"{server}/v1/namespaces/db/tables/t?purgeRequested=true")
+    assert s == 400
+    assert err["error"] == {
+        "message": "Not Implemented",
+        "type": "NotImplementedException",
+        "code": 501,
+    }
+    # exact-match semantics: a non-"true" value does not trigger the purge path
+    s, _ = call("DELETE", f"{server}/v1/namespaces/db/tables/t?purgeRequested=truex")
+    assert s == 204
+    assert call("HEAD", f"{server}/v1/namespaces/db/tables/t")[0] == 404
