@@ -788,3 +788,347 @@ def q_tpch_q22(spark, sf_dir):
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp (TPC-H Q2/Q9/Q11/Q16/Q20)
+#
+# The fixture set ships no partsupp table (FIXTURES.md), so the five
+# composites that need it derive one as a PURE deterministic function of
+# part × count(supplier), using integer-only arithmetic that evaluates
+# bit-identically in Spark and DuckDB:
+#
+#   for i in 0..3:                       # 4 suppliers per part, like TPC-H
+#     ps_partkey   = p_partkey
+#     ps_suppkey   = (p_partkey + i*(S DIV 4 + 1)) % S     # S = |supplier|
+#     ps_availqty  = (p_partkey*7  + i*13) % 9999 + 1
+#     cost_cents   = (p_partkey*31 + i*17) % 20000 + 100   # exact integer
+#     ps_supplycost = cost_cents / 100.0                   # same bits both engines
+#
+# Keys are dense and 0-based in the fixtures (verified), so the modulo hits
+# real suppliers; the 4 suppkeys per part are distinct because the stride
+# (S DIV 4 + 1) never divides S for S >= 4. Where a query filters part, the
+# Spark side derives partsupp FROM THE FILTERED part (derivation is
+# per-part-row, so this is semantically identical and turns the part join
+# into a map-only projection).
+#
+# Scale: the derivation is a projection over part with two 1-row/4-row
+# broadcasts — no shuffle, no skew; it would be generated on the fly at any
+# scale rather than materialized.
+# ---------------------------------------------------------------------------
+
+PARTSUPP_SQL = """
+    partsupp AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey + r.i * ((sc.s_cnt // 4) + 1)) % sc.s_cnt AS ps_suppkey,
+             (p_partkey * 7 + r.i * 13) % 9999 + 1 AS ps_availqty,
+             (p_partkey * 31 + r.i * 17) % 20000 + 100 AS ps_cost_cents,
+             ((p_partkey * 31 + r.i * 17) % 20000 + 100) / 100.0 AS ps_supplycost,
+             p_brand, p_type, p_size, p_name
+      FROM part
+      CROSS JOIN range(4) AS r(i)
+      CROSS JOIN (SELECT count(*) AS s_cnt FROM supplier) sc
+    )
+"""
+
+
+def _partsupp(spark, sf_dir, part_df=None):
+    """Derived partsupp DataFrame (see module comment). ``part_df`` lets a
+    caller derive from a pre-filtered part — map-only, no join."""
+    part = part_df if part_df is not None else t(spark, sf_dir, "part")
+    s_cnt = t(spark, sf_dir, "supplier").agg(F.count("*").alias("s_cnt"))
+    i_df = spark.range(4).select(F.col("id").alias("i"))
+    pk = F.col("p_partkey")
+    cents = (pk * 31 + F.col("i") * 17) % 20000 + 100
+    return (
+        part.crossJoin(F.broadcast(i_df))
+        .crossJoin(F.broadcast(s_cnt))
+        .select(
+            pk.alias("ps_partkey"),
+            ((pk + F.col("i") * (F.expr("s_cnt DIV 4") + F.lit(1))) % F.col("s_cnt")).alias(
+                "ps_suppkey"
+            ),
+            ((pk * 7 + F.col("i") * 13) % 9999 + 1).alias("ps_availqty"),
+            cents.alias("ps_cost_cents"),
+            (cents / F.lit(100.0)).alias("ps_supplycost"),
+            "p_brand", "p_type", "p_size", "p_name",
+        )
+    )
+
+
+@query(
+    "q_tpch_q2",
+    oracle="""
+    WITH """ + PARTSUPP_SQL + """
+    SELECT s.s_acctbal, s.s_name, n.n_name, ps.ps_partkey, ps.p_brand,
+           round(ps.ps_supplycost, 4) AS supplycost
+    FROM partsupp ps
+    JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region rg  ON n.n_regionkey = rg.r_regionkey
+    WHERE ps.p_size = 15 AND ps.p_type = 'STANDARD' AND rg.r_name = 'ASIA'
+      AND ps.ps_supplycost = (
+        SELECT min(ps2.ps_supplycost)
+        FROM partsupp ps2
+        JOIN supplier s2 ON ps2.ps_suppkey = s2.s_suppkey
+        JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+        JOIN region rg2  ON n2.n_regionkey = rg2.r_regionkey
+        WHERE ps2.ps_partkey = ps.ps_partkey AND rg2.r_name = 'ASIA')
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, ps.ps_partkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark, sf_dir):
+    """Q2 minimum-cost supplier (adapted: fixture part has no p_mfgr and
+    supplier no s_address/s_phone/s_comment, so the output carries p_brand
+    and drops the address columns; p_type is a single word, so an exact
+    match replaces LIKE '%BRASS').
+
+    The correlated min-cost subquery is decorrelated into a groupBy(min)
+    over the SAME region-filtered partsupp, joined back on
+    (partkey, cost == min) — cost values are bit-identical doubles by
+    construction, so the equality is exact. partsupp derives from the
+    size/type-filtered part (map-only); the supplier→nation→region chain is
+    a broadcast. Sort keys (s_name, ps_partkey) make LIMIT deterministic."""
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    ps = _partsupp(spark, sf_dir, part)
+    rg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    n = t(spark, sf_dir, "nation")
+    nr = n.join(F.broadcast(rg), n.n_regionkey == rg.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    s = t(spark, sf_dir, "supplier")
+    sn = s.join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey).select(
+        "s_suppkey", "s_name", "s_acctbal", "n_name"
+    )
+    asia = ps.join(F.broadcast(sn), ps.ps_suppkey == sn.s_suppkey)
+    min_cost = asia.groupBy(F.col("ps_partkey").alias("_mk")).agg(
+        F.min("ps_supplycost").alias("_min_cost")
+    )
+    return (
+        asia.join(
+            F.broadcast(min_cost),
+            (asia.ps_partkey == min_cost._mk)
+            & (asia.ps_supplycost == min_cost._min_cost),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "ps_partkey", "p_brand",
+            r4(F.col("ps_supplycost")).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "ps_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q9",
+    oracle="""
+    WITH """ + PARTSUPP_SQL + """
+    SELECT n.n_name AS nation, EXTRACT(year FROM o.o_orderdate) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - ps.ps_supplycost * l.l_quantity), 4) AS sum_profit
+    FROM lineitem l
+    JOIN partsupp ps ON l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+    JOIN orders o    ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    WHERE ps.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q_tpch_q9(spark, sf_dir):
+    """Q9 product-type profit measure (p_name LIKE '%red%' — fixture names
+    are '<color> <noun>', so color predicates select ~1/9 of parts).
+
+    partsupp derives from the red-filtered part, so lineitem's join
+    partner is already pruned before the (l_partkey, l_suppkey) shuffle —
+    the one big shuffle; orders joins on the orderkey shuffle; the
+    supplier→nation side is a broadcast. Profit uses ps_supplycost doubles
+    that are bit-identical across engines; the sum is rounded to 4dp."""
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    ps = _partsupp(spark, sf_dir, part).select(
+        "ps_partkey", "ps_suppkey", "ps_supplycost"
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    )
+    return (
+        li.join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(r4(F.sum(profit)).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle="""
+    WITH """ + PARTSUPP_SQL + """,
+    nation_ps AS (
+      SELECT ps.ps_partkey,
+             ps.ps_cost_cents * ps.ps_availqty AS value_cents
+      FROM partsupp ps
+      JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_7'
+    )
+    SELECT ps_partkey,
+           round(CAST(sum(value_cents) AS BIGINT) / 100.0, 4) AS value
+    FROM nation_ps
+    GROUP BY ps_partkey
+    HAVING CAST(sum(value_cents) AS BIGINT) * 1000
+           > (SELECT CAST(sum(value_cents) AS BIGINT) FROM nation_ps) * 2
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+def q_tpch_q11(spark, sf_dir):
+    """Q11 important stock identification (nation pinned to NATION_7;
+    fraction 0.002).
+
+    The HAVING threshold compares INTEGER cents on both sides
+    (sum_cents * 1000 > total_cents * 2) so no float rounding can flip a
+    borderline group between engines — the only doubles are in the final
+    display division. partsupp joins the nation-filtered supplier set by
+    broadcast, groups on ps_partkey (one shuffle), and the grand total is a
+    1-row broadcast cross join."""
+    ps = _partsupp(spark, sf_dir)
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7").select(
+        "n_nationkey"
+    )
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    nation_ps = ps.join(F.broadcast(sn), ps.ps_suppkey == sn.s_suppkey).select(
+        "ps_partkey",
+        (F.col("ps_cost_cents") * F.col("ps_availqty")).alias("value_cents"),
+    )
+    grp = nation_ps.groupBy("ps_partkey").agg(
+        F.sum("value_cents").alias("_sum_cents")
+    )
+    total = grp.agg(F.sum("_sum_cents").alias("_total_cents"))
+    return (
+        grp.crossJoin(F.broadcast(total))
+        .filter(F.col("_sum_cents") * 1000 > F.col("_total_cents") * 2)
+        .select(
+            "ps_partkey",
+            F.round(F.col("_sum_cents") / 100.0, 4).alias("value"),
+        )
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+@query(
+    "q_tpch_q16",
+    oracle="""
+    WITH """ + PARTSUPP_SQL + """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 5, 9, 15, 25, 35, 45, 50)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16(spark, sf_dir):
+    """Q16 parts/supplier relationship (adapted: fixture supplier has no
+    s_comment, so the 'Customer Complaints' exclusion is dropped; p_type is
+    a single word, so NOT LIKE 'MEDIUM POLISHED%' becomes <> 'MEDIUM').
+
+    partsupp derives from the brand/type/size-filtered part (map-only);
+    the countDistinct shuffles once on the 3-column group key."""
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 5, 9, 15, 25, 35, 45, 50)
+    )
+    ps = _partsupp(spark, sf_dir, part)
+    return (
+        ps.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle="""
+    WITH """ + PARTSUPP_SQL + """
+    SELECT s.s_name, round(s.s_acctbal, 4) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (
+        SELECT ps.ps_suppkey
+        FROM partsupp ps
+        WHERE ps.p_name LIKE 'red%'
+          AND ps.ps_availqty > (
+            SELECT 0.5 * sum(l.l_quantity)
+            FROM lineitem l
+            WHERE l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+              AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'))
+    ORDER BY s.s_name
+    """,
+)
+def q_tpch_q20(spark, sf_dir):
+    """Q20 potential part promotion (adapted: no s_address in the fixture,
+    so the output carries s_acctbal; 'forest%' becomes 'red%' against the
+    fixture's '<color> <noun>' names; nation pinned to NATION_3).
+
+    The correlated half-year-demand subquery decorrelates into a lineitem
+    pre-aggregate keyed on (l_partkey, l_suppkey) — lineitem's only
+    shuffle; partsupp (derived from red parts, map-only) inner-joins that
+    aggregate, filters on availqty > 0.5*qty (sums of whole-number doubles,
+    exact in both engines), and the surviving suppkeys semi-join the
+    nation-filtered supplier broadcast side."""
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    ps = _partsupp(spark, sf_dir, part).select(
+        "ps_partkey", "ps_suppkey", "ps_availqty"
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= ntz("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ntz("1998-01-01 00:00:00"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+    )
+    excess = (
+        ps.join(
+            li,
+            (ps.ps_partkey == li.l_partkey) & (ps.ps_suppkey == li.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3").select(
+        "n_nationkey"
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(excess), s.s_suppkey == excess.ps_suppkey, "left_semi")
+        .select("s_name", r4(F.col("s_acctbal")).alias("s_acctbal"))
+        .orderBy("s_name")
+    )

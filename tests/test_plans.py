@@ -97,7 +97,12 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 "q_sim_ann_ivf", "q_udtf",  # deliberate cross/theta/lateral shapes
                 # 1-row scalar-aggregate broadcast compared with `>`: BNLJ with a
                 # single build row is the correct scale-safe plan (map-side compare)
-                "q_tpch_q22"}
+                "q_tpch_q22",
+                # partsupp derivation: part × broadcast(4-row seq) ×
+                # broadcast(1-row supplier count) — bounded build sides,
+                # map-only at any scale (tpch.py PARTSUPP_SQL comment)
+                "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16",
+                "q_tpch_q20"}
 ROW_PYTHON_OK = {"q_udf_python", "q_udtf"}  # ops whose SUBJECT is Python eval
 
 
