@@ -8,5 +8,6 @@ a warehouse directory plus Spark DataFrames for the data plane.
 from . import errors
 from .catalog import Catalog, Table
 from .schema import NestedField, Schema
+from .sql_catalog import SqlCatalog
 
-__all__ = ["Catalog", "Table", "Schema", "NestedField", "errors"]
+__all__ = ["Catalog", "SqlCatalog", "Table", "Schema", "NestedField", "errors"]

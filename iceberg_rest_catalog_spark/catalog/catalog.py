@@ -45,11 +45,21 @@ def _atomic_write_json(path: str, doc: dict) -> None:
 class Table:
     """Handle over one table's current metadata version."""
 
-    def __init__(self, catalog: "Catalog", identifier: Ident, version: int, metadata: dict):
+    def __init__(
+        self,
+        catalog: "Catalog",
+        identifier: Ident,
+        version: int,
+        metadata: dict,
+        metadata_location: str | None = None,
+    ):
         self.catalog = catalog
         self.identifier = identifier
         self.version = version
         self.metadata = metadata
+        # Backends with a pointer table (sql) pass the actual location; the
+        # fs backend's deterministic v{N} layout computes it on demand.
+        self._metadata_location = metadata_location
 
     # -- metadata accessors -------------------------------------------------
     @property
@@ -58,6 +68,8 @@ class Table:
 
     @property
     def metadata_location(self) -> str:
+        if self._metadata_location is not None:
+            return self._metadata_location
         # Metadata always lives under the catalog-managed table dir, even
         # when the table's DATA location is custom (create_table(location=…)),
         # so load_table/list_tables can always discover it.
@@ -456,6 +468,9 @@ class Table:
 
 class Catalog:
     """The engine-side equivalent of the reference's REST catalog service."""
+
+    #: Backend discriminator ("fs" | "sql"), for backend-specific tests.
+    backend = "fs"
 
     #: Age after which an existing-but-unparseable v{N}.metadata.json claim
     #: file is considered abandoned by a crashed writer and may be removed.

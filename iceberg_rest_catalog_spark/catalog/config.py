@@ -41,10 +41,9 @@ class EngineConfig:
         return dict(self.catalogs[name])
 
     def open_catalog(self, name: str | None = None) -> Catalog:
-        props = self.catalog_props(name)
-        if props.get("type", "fs") != "fs":
-            raise E.NotImplementedException(f"catalog type {props.get('type')!r}")
-        return Catalog(props["warehouse"])
+        from .sql_catalog import open_catalog as _open
+
+        return _open(self.catalog_props(name))
 
 
 def _config_paths(explicit: str | None) -> list[str]:

@@ -107,7 +107,11 @@ class TestTableOperations:
         tbl = catalog.load_table(self.IDENT)
         assert tbl.identifier == self.IDENT
         assert len(tbl.schema().fields) == 3
-        assert tbl.metadata_location.endswith("v1.metadata.json")
+        # fs: v1.metadata.json; sql pointer: v1-{uuid8}.metadata.json
+        import os
+
+        base = os.path.basename(tbl.metadata_location)
+        assert base.startswith("v1") and base.endswith(".metadata.json")
 
     def test_list_tables(self, catalog: Catalog):
         catalog.create_table(self.IDENT, SCHEMA)
@@ -233,6 +237,9 @@ class TestCommitProtocol:
     def test_conflicting_commit_raises(self, catalog: Catalog):
         import os
 
+        if catalog.backend != "fs":
+            pytest.skip("claim files are an fs-backend concept; sql CAS is "
+                        "covered by test_commit_properties + TestSqlBackend")
         catalog.create_namespace(("ns",))
         catalog.create_table(("ns", "t"), SCHEMA)
         # simulate a concurrent writer that has CLAIMED v2 (O_EXCL file
@@ -354,6 +361,8 @@ class TestHardening:
     def test_crashed_writer_claim_recovered(self, catalog: Catalog):
         import os
 
+        if catalog.backend != "fs":
+            pytest.skip("claim files are an fs-backend concept")
         catalog.create_namespace(("db",))
         catalog.create_table(("db", "t"), SCHEMA)
         claim = os.path.join(
@@ -370,3 +379,52 @@ class TestHardening:
         t2 = catalog.update_table(("db", "t"), [], upd)
         assert t2.version == 2 and t2.properties()["k"] == "v"
         assert catalog.load_table(("db", "t")).version == 2
+
+
+class TestSqlBackend:
+    """sql-backend specifics: pointer-table CAS, crash-orphan liveness,
+    config dispatch (reference test/server_test.go:25-31 runs on sqlite)."""
+
+    @pytest.fixture()
+    def sqlcat(self, tmp_path):
+        from iceberg_rest_catalog_spark.catalog import SqlCatalog
+
+        return SqlCatalog(str(tmp_path / "wh"), str(tmp_path / "cat.db"))
+
+    def test_crash_orphan_never_bricks(self, sqlcat):
+        """A writer that wrote a metadata file but died before the pointer
+        swap leaves an orphan nothing points to; the next commit converges
+        immediately — no claim-file GC needed on this backend."""
+        sqlcat.create_namespace(("db",))
+        sqlcat.create_table(("db", "t"), SCHEMA)
+        sqlcat._new_metadata_file(("db", "t"), 2, {"orphaned": True})
+        t2 = sqlcat.update_table(
+            ("db", "t"), [], [{"action": "set-properties", "updates": {"k": "v"}}]
+        )
+        assert t2.version == 2 and t2.properties()["k"] == "v"
+        assert sqlcat.load_table(("db", "t")).properties() == {"k": "v"}
+
+    def test_metadata_location_is_pointer(self, sqlcat):
+        sqlcat.create_namespace(("db",))
+        t = sqlcat.create_table(("db", "t"), SCHEMA)
+        assert t.metadata_location.endswith(".metadata.json")
+        t2 = sqlcat.update_table(
+            ("db", "t"), [], [{"action": "set-properties", "updates": {"a": "1"}}]
+        )
+        assert t2.metadata_location != t.metadata_location
+        assert sqlcat.load_table(("db", "t")).metadata_location == t2.metadata_location
+
+    def test_config_opens_sql_backend(self, tmp_path, monkeypatch):
+        from iceberg_rest_catalog_spark.catalog.config import CONFIG_NAME, load_config
+
+        (tmp_path / CONFIG_NAME).write_text(
+            "default_catalog: meta\n"
+            "catalogs:\n"
+            f"  meta: {{type: sql, warehouse: {tmp_path}/wh, db: {tmp_path}/c.db}}\n"
+        )
+        monkeypatch.setenv("ICSB_SPARK_HOME", str(tmp_path))
+        cat = load_config().open_catalog()
+        assert cat.backend == "sql"
+        cat.create_namespace(("boot",))
+        assert cat.namespace_exists(("boot",))
+        assert (tmp_path / "c.db").is_file()

@@ -11,10 +11,18 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from iceberg_rest_catalog_spark.catalog import Catalog, NestedField, Schema
+from iceberg_rest_catalog_spark.catalog import Catalog, NestedField, Schema, SqlCatalog
 from iceberg_rest_catalog_spark.catalog import errors as E
 
 BASE = Schema(0, [NestedField(1, "id", "long", True)])
+
+BACKENDS = ["fs", "sql"]
+
+
+def _make_cat(base_dir, backend: str) -> Catalog:
+    if backend == "fs":
+        return Catalog(str(base_dir / "wh"))
+    return SqlCatalog(str(base_dir / "wh"), str(base_dir / "cat.db"))
 
 # one step = set-props / remove-props / add-schema+set-current / bad-requirement
 _step = st.one_of(
@@ -33,10 +41,11 @@ _step = st.one_of(
 )
 
 
+@pytest.mark.parametrize("backend", BACKENDS)
 @settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(steps=st.lists(_step, max_size=12))
-def test_commit_sequence_invariants(tmp_path_factory, steps):
-    cat = Catalog(str(tmp_path_factory.mktemp("wh")))
+def test_commit_sequence_invariants(tmp_path_factory, backend, steps):
+    cat = _make_cat(tmp_path_factory.mktemp("run"), backend)
     cat.create_namespace(("db",))
     cat.create_table(("db", "t"), BASE)
 
@@ -103,19 +112,21 @@ def test_commit_sequence_invariants(tmp_path_factory, steps):
 
     mdir = os.path.join(cat._table_dir(("db", "t")), "metadata")
     versions = sorted(
-        int(f[1 : -len(".metadata.json")])
+        # fs names v{N}.metadata.json; sql names v{N}-{uuid8}.metadata.json
+        int(f[1:].split(".")[0].split("-")[0])
         for f in os.listdir(mdir)
         if f.endswith(".metadata.json")
     )
     assert versions == list(range(1, expected_version + 1))
 
 
-def test_concurrent_writers_serialize_without_lost_updates(tmp_path):
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_concurrent_writers_serialize_without_lost_updates(tmp_path, backend):
     """N threads race property commits; every successful commit must be
     present in the final state (no lost updates) and versions stay linear."""
     from concurrent.futures import ThreadPoolExecutor
 
-    cat = Catalog(str(tmp_path / "wh"))
+    cat = _make_cat(tmp_path, backend)
     cat.create_namespace(("db",))
     cat.create_table(("db", "t"), BASE)
 

@@ -70,7 +70,8 @@ def test_table_lifecycle_over_http(server):
     call("POST", f"{server}/v1/namespaces", {"namespace": ["db"]})
     s, out = call("POST", f"{server}/v1/namespaces/db/tables",
                   {"name": "t", "schema": SCHEMA_JSON})
-    assert s == 200 and out["metadata-location"].endswith("v1.metadata.json")
+    assert s == 200 and out["metadata-location"].endswith(".metadata.json")
+    assert out["metadata-location"].rsplit("/", 1)[-1].startswith("v1")
 
     s, out = call("GET", f"{server}/v1/namespaces/db/tables/t")
     assert s == 200 and out["metadata"]["current-schema-id"] == 0
@@ -93,7 +94,7 @@ def test_table_lifecycle_over_http(server):
         },
     )
     assert s == 200 and out["metadata"]["current-schema-id"] == 1
-    assert out["metadata-location"].endswith("v2.metadata.json")
+    assert out["metadata-location"].rsplit("/", 1)[-1].startswith("v2")
 
     # rename + rename back
     s, _ = call("POST", f"{server}/v1/tables/rename",
