@@ -96,6 +96,26 @@ class Table:
                 return s
         return None
 
+    def _manifest_entries(self, s: dict) -> list[dict]:
+        """A snapshot's added-file entries. New snapshots reference a
+        per-snapshot manifest FILE (``manifest-path``, relative to the
+        table's metadata dir) so the metadata JSON stays O(snapshots) —
+        at 100 TB / millions of files an inline list would make every
+        commit rewrite the whole file inventory. Inline ``added-files``
+        is still read for metadata written before the spill-out."""
+        mp = s.get("manifest-path")
+        if mp is not None:
+            if not os.path.isabs(mp):
+                mp = os.path.join(
+                    self.catalog._table_dir(self.identifier), "metadata", mp
+                )
+            with open(mp) as f:
+                return json.load(f)["entries"]
+        return [
+            e if isinstance(e, dict) else {"path": e, "partition": {}}
+            for e in s.get("added-files", [])
+        ]
+
     def _entries_at(self, snapshot_id: int | None) -> list[dict]:
         """Manifest entries ({path, partition}) visible at a snapshot."""
         sid = (
@@ -114,8 +134,7 @@ class Table:
             if s["snapshot-id"] <= (sid or -1):
                 if s.get("operation", "append") == "replace":
                     entries = []  # replace snapshots supersede earlier file lists
-                for e in s["added-files"]:
-                    entries.append(e if isinstance(e, dict) else {"path": e, "partition": {}})
+                entries.extend(self._manifest_entries(s))
         return entries
 
     def _files_at(self, snapshot_id: int | None) -> list[str]:
@@ -243,7 +262,12 @@ class Table:
             "parent-snapshot-id": parent,
             "timestamp-ms": int(time.time() * 1000),
             "operation": operation,
-            "added-files": added,
+            # File inventory spilled to a per-snapshot manifest file; the
+            # metadata JSON carries only the reference + a summary count.
+            # A losing CAS writer leaves an orphan manifest — harmless,
+            # nothing references it (same story as its orphan data files).
+            "manifest-path": self.catalog._write_manifest(self.identifier, sid, added),
+            "added-files-count": len(added),
         }
         return self.catalog.update_table(
             self.identifier,
@@ -401,7 +425,10 @@ class Table:
             return self
         oldest_kept = snaps[len(expire)]
         folded = self._entries_at(oldest_kept["snapshot-id"])
-        return self.catalog.update_table(
+        rebased_manifest = self.catalog._write_manifest(
+            self.identifier, oldest_kept["snapshot-id"], folded
+        )
+        out = self.catalog.update_table(
             self.identifier,
             requirements=[
                 {
@@ -414,10 +441,25 @@ class Table:
                     "action": "expire-snapshots",
                     "snapshot-ids": [s["snapshot-id"] for s in expire],
                     "rebase-snapshot-id": oldest_kept["snapshot-id"],
-                    "rebased-added-files": folded,
+                    "rebased-manifest-path": rebased_manifest,
+                    "rebased-count": len(folded),
                 }
             ],
         )
+        # Post-commit manifest cleanup: the expired snapshots' (and the
+        # rebased snapshot's superseded) manifest files are unreferenced
+        # now — reclaim them; best-effort, orphans are harmless.
+        stale = [s.get("manifest-path") for s in expire] + [
+            oldest_kept.get("manifest-path")
+        ]
+        mroot = os.path.join(self.catalog._table_dir(self.identifier), "metadata")
+        for mp in stale:
+            if mp and not os.path.isabs(mp):
+                try:
+                    os.remove(os.path.join(mroot, mp))
+                except OSError:
+                    pass
+        return out
 
     def remove_orphan_files(self) -> list[str]:
         """Delete data files not referenced by any live snapshot (Iceberg's
@@ -432,9 +474,8 @@ class Table:
         """
         referenced: set[str] = set()
         for s in self.metadata.get("snapshots", []):
-            for e in s["added-files"]:
-                p = e["path"] if isinstance(e, dict) else e
-                referenced.add(os.path.normpath(p))
+            for e in self._manifest_entries(s):
+                referenced.add(os.path.normpath(e["path"]))
         data_root = os.path.join(self.location, "data")
         removed: list[str] = []
         # topdown=False ordering is load-bearing: children must be visited
@@ -590,6 +631,18 @@ class Catalog:
         if os.path.commonpath([real, wh]) != wh:
             raise E.BadRequestException(f"table path escapes warehouse: {name!r}")
         return d
+
+    def _write_manifest(self, ident: Ident, snapshot_id: int, entries: list[dict]) -> str:
+        """Write a per-snapshot manifest file; returns its path RELATIVE to
+        the table's metadata dir (relative so table renames keep working).
+        Uniquely suffixed: concurrent CAS losers leave harmless orphans."""
+        rel = os.path.join(
+            "manifests", f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.json"
+        )
+        path = os.path.join(self._table_dir(ident), "metadata", rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        _atomic_write_json(path, {"entries": entries})
+        return rel
 
     def _is_table(self, ident: Ident) -> bool:
         return os.path.isfile(
@@ -867,7 +920,13 @@ class Catalog:
                 # every retained snapshot still sees its full file list.
                 for s in meta["snapshots"]:
                     if s["snapshot-id"] == upd["rebase-snapshot-id"]:
-                        s["added-files"] = upd["rebased-added-files"]
+                        if "rebased-manifest-path" in upd:
+                            s.pop("added-files", None)
+                            s["manifest-path"] = upd["rebased-manifest-path"]
+                            s["added-files-count"] = upd.get("rebased-count")
+                        else:  # legacy inline form
+                            s.pop("manifest-path", None)
+                            s["added-files"] = upd["rebased-added-files"]
                         s["parent-snapshot-id"] = None
             else:
                 raise E.BadRequestException(f"unknown update {action!r}")

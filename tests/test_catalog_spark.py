@@ -305,3 +305,62 @@ def test_custom_location_append_roundtrip(spark, catalog, tmp_path):
     reloaded = catalog.load_table(("xdb", "ext"))
     assert reloaded.df(spark).count() == 2
     assert os.path.isdir(os.path.join(loc, "data"))
+
+
+def _mdir(catalog, ident):
+    import os
+
+    return os.path.join(catalog._table_dir(ident), "metadata", "manifests")
+
+
+def test_manifest_spillout_keeps_metadata_small(spark, catalog, table):
+    """Snapshots reference per-snapshot manifest FILES; the metadata JSON
+    carries no per-file inventory (O(snapshots), not O(files))."""
+    import json as _json
+    import os
+
+    t2 = table.append(
+        spark.createDataFrame([(i, "x") for i in range(10)], "id long, name string")
+    )
+    t3 = t2.append(spark.createDataFrame([(99, "y")], "id long, name string"))
+    with open(t3.metadata_location) as f:
+        doc = _json.load(f)
+    for s in doc["snapshots"]:
+        assert "added-files" not in s
+        assert s["manifest-path"].startswith("manifests/")
+        assert s["added-files-count"] >= 1
+    assert t3.df(spark).count() == 11
+    assert len(os.listdir(_mdir(catalog, ("db", "t")))) >= 2
+
+
+def test_expire_reclaims_manifest_files(spark, catalog, table):
+    import os
+
+    t = table
+    for batch in ([(1, "a")], [(2, "b")], [(3, "c")]):
+        t = t.append(spark.createDataFrame(batch, "id long, name string"))
+    t2 = t.expire_snapshots(retain_last=2)
+    # snapshots 2 (rebased fold) + 3 remain; expired/superseded manifests
+    # were reclaimed post-commit
+    assert len(t2.metadata["snapshots"]) == 2
+    assert len(os.listdir(_mdir(catalog, ("db", "t")))) == 2
+    assert t2.df(spark).count() == 3
+    assert t2.df(spark, snapshot_id=2).count() == 2
+
+
+def test_legacy_inline_added_files_still_readable(spark, catalog, table):
+    """Metadata written before the manifest spill-out (inline added-files)
+    must keep reading — stale scratch tables from old sessions have it."""
+    import json as _json
+
+    t2 = table.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"))
+    # rewrite the current metadata file to the legacy inline form
+    doc = _json.loads(_json.dumps(t2.metadata))
+    for s in doc["snapshots"]:
+        s["added-files"] = t2._manifest_entries(s)
+        s.pop("manifest-path", None)
+    with open(t2.metadata_location, "w") as f:
+        _json.dump(doc, f)
+    reloaded = catalog.load_table(("db", "t"))
+    assert reloaded.df(spark).count() == 2
+    assert reloaded._files_at(None) == t2._files_at(None)
