@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
 
@@ -29,17 +28,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..session import ENGINE_DEFAULTS, ENGINE_OVERRIDES
 from . import errors as E
+from .fileio import FileIO, LocalFileIO
 from .schema import Schema
 
 NS_MARKER = ".namespace.json"
 Ident = tuple[str, ...]
-
-
-def _atomic_write_json(path: str, doc: dict) -> None:
-    tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump(doc, f, indent=1, sort_keys=True)
-    os.replace(tmp, path)
 
 
 class Table:
@@ -109,8 +102,7 @@ class Table:
                 mp = os.path.join(
                     self.catalog._table_dir(self.identifier), "metadata", mp
                 )
-            with open(mp) as f:
-                return json.load(f)["entries"]
+            return self.catalog._read_json(mp)["entries"]
         return [
             e if isinstance(e, dict) else {"path": e, "partition": {}}
             for e in s.get("added-files", [])
@@ -235,7 +227,7 @@ class Table:
             )
             w.write.mode("overwrite").partitionBy(*pcols).parquet(out)
             added = []
-            for dp, _dn, fns in sorted(os.walk(out)):
+            for dp, _dn, fns in sorted(self.catalog.fio.walk(out)):
                 for f in sorted(fns):
                     if not f.endswith(".parquet"):
                         continue
@@ -252,7 +244,7 @@ class Table:
             w.write.mode("overwrite").parquet(out)
             added = [
                 {"path": os.path.join(rel, f), "partition": {}}
-                for f in sorted(os.listdir(out))
+                for f in sorted(self.catalog.fio.listdir(out))
                 if f.endswith(".parquet")
             ]
         parent = self.metadata.get("current-snapshot-id")
@@ -456,7 +448,7 @@ class Table:
         for mp in stale:
             if mp and not os.path.isabs(mp):
                 try:
-                    os.remove(os.path.join(mroot, mp))
+                    self.catalog.fio.remove(os.path.join(mroot, mp))
                 except OSError:
                     pass
         return out
@@ -478,9 +470,10 @@ class Table:
                 referenced.add(os.path.normpath(e["path"]))
         data_root = os.path.join(self.location, "data")
         removed: list[str] = []
+        fio = self.catalog.fio
         # topdown=False ordering is load-bearing: children must be visited
         # before parents so directories emptied here get rmdir'd below.
-        for dp, _dn, fns in os.walk(data_root, topdown=False):
+        for dp, _dn, fns in fio.walk(data_root, topdown=False):
             rel_dir = os.path.relpath(dp, self.location)
             live_dir = any(
                 os.path.normpath(os.path.join(rel_dir, f)) in referenced for f in fns
@@ -500,10 +493,10 @@ class Table:
                     f in ("_SUCCESS", "._SUCCESS.crc") and live_dir
                 ):
                     continue
-                os.remove(os.path.join(dp, f))
+                fio.remove(os.path.join(dp, f))
                 removed.append(rel)
-            if not os.listdir(dp):
-                os.rmdir(dp)
+            if not fio.listdir(dp):
+                fio.rmdir(dp)
         return sorted(removed)
 
 
@@ -519,9 +512,17 @@ class Catalog:
     #: conservative; tests lower it to exercise recovery.
     stale_claim_seconds: float = 60.0
 
-    def __init__(self, warehouse: str):
+    def __init__(self, warehouse: str, fileio: FileIO | None = None):
         self.warehouse = os.path.abspath(warehouse)
-        os.makedirs(self.warehouse, exist_ok=True)
+        self.fio = fileio or LocalFileIO()
+        self.fio.mkdirs(self.warehouse)
+
+    # -- storage helpers (everything below goes through the FileIO seam) ----
+    def _write_json(self, path: str, doc: dict) -> None:
+        self.fio.write_text_atomic(path, json.dumps(doc, indent=1, sort_keys=True))
+
+    def _read_json(self, path: str) -> dict:
+        return json.loads(self.fio.read_text(path))
 
     # -- config / health (reference tables.go:38-46, router.go:50-52) -------
     def config(self) -> dict:
@@ -538,7 +539,7 @@ class Catalog:
         return os.path.join(self.warehouse, *ns)
 
     def _ns_exists(self, ns: Ident) -> bool:
-        return os.path.isfile(os.path.join(self._ns_dir(ns), NS_MARKER))
+        return self.fio.isfile(os.path.join(self._ns_dir(ns), NS_MARKER))
 
     def _require_ns(self, ns: Ident) -> str:
         d = self._ns_dir(ns)
@@ -554,25 +555,27 @@ class Catalog:
         if self._ns_exists(ns):
             raise E.NamespaceAlreadyExistsException(".".join(ns))
         d = self._ns_dir(ns)
-        os.makedirs(d, exist_ok=True)
-        _atomic_write_json(os.path.join(d, NS_MARKER), dict(properties or {}))
+        self.fio.mkdirs(d)
+        self._write_json(os.path.join(d, NS_MARKER), dict(properties or {}))
         return {"namespace": list(ns), "properties": dict(properties or {})}
 
     def list_namespaces(self, parent: Ident | None = None) -> list[Ident]:
         base = self.warehouse if parent is None else self._require_ns(tuple(parent))
         prefix = tuple(parent) if parent else ()
         out = []
-        if os.path.isdir(base):
-            for name in sorted(os.listdir(base)):
+        if self.fio.isdir(base):
+            for name in sorted(self.fio.listdir(base)):
                 child = prefix + (name,)
-                if os.path.isdir(os.path.join(base, name)) and self._ns_exists(child):
+                if self.fio.isdir(os.path.join(base, name)) and self._ns_exists(child):
                     out.append(child)
         return out
 
     def load_namespace(self, ns: Ident) -> dict:
         d = self._require_ns(tuple(ns))
-        with open(os.path.join(d, NS_MARKER)) as f:
-            return {"namespace": list(ns), "properties": json.load(f)}
+        return {
+            "namespace": list(ns),
+            "properties": self._read_json(os.path.join(d, NS_MARKER)),
+        }
 
     def namespace_exists(self, ns: Ident) -> bool:
         return self._ns_exists(tuple(ns))
@@ -584,7 +587,7 @@ class Catalog:
         d = self._require_ns(ns)
         if self.list_tables(ns) or self.list_namespaces(ns):
             raise E.NamespaceNotEmptyException(".".join(ns))
-        shutil.rmtree(d)
+        self.fio.rmtree(d)
 
     def update_namespace_properties(
         self, ns: Ident, removals: list[str] | None = None, updates: dict | None = None
@@ -598,14 +601,13 @@ class Catalog:
             raise E.UnprocessableEntityException(", ".join(sorted(overlap)))
         d = self._require_ns(ns)
         marker = os.path.join(d, NS_MARKER)
-        with open(marker) as f:
-            props = json.load(f)
+        props = self._read_json(marker)
         removed = [k for k in removals if k in props]
         missing = [k for k in removals if k not in props]
         for k in removed:
             del props[k]
         props.update(updates)
-        _atomic_write_json(marker, props)
+        self._write_json(marker, props)
         return {
             "updated": sorted(updates.keys()),
             "removed": sorted(removed),
@@ -640,27 +642,28 @@ class Catalog:
             "manifests", f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.json"
         )
         path = os.path.join(self._table_dir(ident), "metadata", rel)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        _atomic_write_json(path, {"entries": entries})
+        self.fio.mkdirs(os.path.dirname(path))
+        self._write_json(path, {"entries": entries})
         return rel
 
     def _is_table(self, ident: Ident) -> bool:
-        return os.path.isfile(
+        return self.fio.isfile(
             os.path.join(self._table_dir(ident), "metadata", "version-hint.text")
         )
 
     def _current_version(self, ident: Ident) -> int:
-        with open(
-            os.path.join(self._table_dir(ident), "metadata", "version-hint.text")
-        ) as f:
-            return int(f.read().strip())
+        return int(
+            self.fio.read_text(
+                os.path.join(self._table_dir(ident), "metadata", "version-hint.text")
+            ).strip()
+        )
 
     # -- table CRUD (reference tables.go) -----------------------------------
     def list_tables(self, ns: Ident) -> list[Ident]:
         ns = tuple(ns)
         d = self._require_ns(ns)
         out = []
-        for name in sorted(os.listdir(d)):
+        for name in sorted(self.fio.listdir(d)):
             ident = ns + (name,)
             if not name.startswith(".") and self._is_table(ident):
                 out.append(ident)
@@ -689,7 +692,7 @@ class Catalog:
         # redirects where DATA files are written (metadata["location"]),
         # mirroring how an object-store warehouse separates the two.
         mdir = os.path.join(tdir, "metadata")
-        os.makedirs(mdir, exist_ok=True)
+        self.fio.mkdirs(mdir)
         metadata = {
             "format-version": 2,
             "table-uuid": str(uuid.uuid4()),
@@ -706,8 +709,8 @@ class Catalog:
             "snapshots": [],
             "current-snapshot-id": None,
         }
-        _atomic_write_json(os.path.join(mdir, "v1.metadata.json"), metadata)
-        _atomic_write_json_text(os.path.join(mdir, "version-hint.text"), "1")
+        self._write_json(os.path.join(mdir, "v1.metadata.json"), metadata)
+        self.fio.write_text_atomic(os.path.join(mdir, "version-hint.text"), "1")
         return Table(self, ident, 1, metadata)
 
     def load_table(self, ident: Ident) -> Table:
@@ -723,13 +726,13 @@ class Catalog:
         hint = self._current_version(ident)
         on_disk = [
             int(f[1 : -len(".metadata.json")])
-            for f in os.listdir(mdir)
+            for f in self.fio.listdir(mdir)
             if f.startswith("v") and f.endswith(".metadata.json")
         ]
         for v in sorted({hint, *[x for x in on_disk if x > hint]}, reverse=True):
             try:
-                with open(os.path.join(mdir, f"v{v}.metadata.json")) as f:
-                    return Table(self, ident, v, json.load(f))
+                doc = self._read_json(os.path.join(mdir, f"v{v}.metadata.json"))
+                return Table(self, ident, v, doc)
             except (json.JSONDecodeError, FileNotFoundError):
                 continue  # claimed-but-unflushed writer; try the next older
         raise E.InternalServerError(f"no readable metadata for {'.'.join(ident)}")
@@ -749,7 +752,7 @@ class Catalog:
         self._require_ns(ident[:-1])
         if not self._is_table(ident):
             raise E.NoSuchTableException(".".join(ident))
-        shutil.rmtree(os.path.join(self._table_dir(ident), "metadata"))
+        self.fio.rmtree(os.path.join(self._table_dir(ident), "metadata"))
 
     def rename_table(self, src: Ident, dst: Ident) -> Table:
         """Metadata pointer move (ALTER TABLE RENAME); cross-namespace
@@ -761,11 +764,11 @@ class Catalog:
             raise E.NoSuchTableException(".".join(src))
         if self._is_table(dst):
             raise E.TableAlreadyExistsException(".".join(dst))
-        os.rename(self._table_dir(src), self._table_dir(dst))
+        self.fio.rename(self._table_dir(src), self._table_dir(dst))
         t = self.load_table(dst)
         if t.metadata["location"] == self._table_dir(src):
             t.metadata["location"] = self._table_dir(dst)
-            _atomic_write_json(
+            self._write_json(
                 os.path.join(
                     self._table_dir(dst), "metadata", f"v{t.version}.metadata.json"
                 ),
@@ -789,15 +792,15 @@ class Catalog:
         new_v = current.version + 1
         new_path = os.path.join(mdir, f"v{new_v}.metadata.json")
         self._gc_stale_claim(new_path)
-        try:
-            fd = os.open(new_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError as exc:
+        if not self.fio.create_exclusive(
+            new_path, json.dumps(new_meta, indent=1, sort_keys=True)
+        ):
             raise E.CommitFailedException(
                 f"version {new_v} already committed by a concurrent writer"
-            ) from exc
-        with os.fdopen(fd, "w") as f:
-            json.dump(new_meta, f, indent=1, sort_keys=True)
-        _atomic_write_json_text(os.path.join(mdir, "version-hint.text"), str(new_v))
+            )
+        self.fio.write_text_atomic(
+            os.path.join(mdir, "version-hint.text"), str(new_v)
+        )
         return Table(self, ident, new_v, new_meta)
 
     def _gc_stale_claim(self, path: str) -> None:
@@ -814,16 +817,15 @@ class Catalog:
         normal CAS conflict path.
         """
         try:
-            with open(path) as f:
-                json.load(f)
+            self._read_json(path)
             return  # complete metadata: real concurrent commit, CAS must fail
         except FileNotFoundError:
             return
         except (json.JSONDecodeError, OSError):
             pass
         try:
-            if time.time() - os.path.getmtime(path) >= self.stale_claim_seconds:
-                os.remove(path)
+            if time.time() - self.fio.getmtime(path) >= self.stale_claim_seconds:
+                self.fio.remove(path)
         except FileNotFoundError:
             pass  # another recoverer got there first
 
@@ -931,10 +933,3 @@ class Catalog:
             else:
                 raise E.BadRequestException(f"unknown update {action!r}")
         return meta
-
-
-def _atomic_write_json_text(path: str, text: str) -> None:
-    tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        f.write(text)
-    os.replace(tmp, path)

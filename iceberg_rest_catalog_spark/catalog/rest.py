@@ -14,8 +14,11 @@ same behavior.
 from __future__ import annotations
 
 import json
+import logging
 import re
 import threading
+import time
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, unquote, urlsplit
 
@@ -24,6 +27,12 @@ from .catalog import Catalog
 from .schema import Schema
 
 SEP = "\x1f"  # namespace level separator in URLs (reference models.go:10)
+
+#: Request logger — the reference's logging middleware
+#: (api/middleware/middleware.go:12-35) attaches a per-request UUID and
+#: emits one structured line per request with method/path/client/status/
+#: latency/size. Quiet by default (WARN); servers opt in via log_level.
+LOG = logging.getLogger("iceberg_rest_catalog_spark.rest")
 
 
 def _split_ns(raw: str) -> tuple[str, ...]:
@@ -80,11 +89,36 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(payload)))
+        self.send_header("X-Request-ID", getattr(self, "request_id", "-"))
         self.end_headers()
         if payload and not head_only:
             self.wfile.write(payload)
+        self._status, self._size = code, len(payload)
 
     def _dispatch(self, method: str):
+        # Logging middleware (reference api/middleware/middleware.go:12-35):
+        # stamp a per-request UUID before routing, echo it as X-Request-ID,
+        # and emit one structured line with latency/status/size afterwards.
+        self.request_id = str(uuid.uuid4())
+        self._status, self._size = 0, 0
+        start = time.perf_counter()
+        try:
+            self._route(method)
+        finally:
+            LOG.info(
+                "request",
+                extra={
+                    "requestID": self.request_id,
+                    "path": self.path,
+                    "method": method,
+                    "clientIP": self.client_address[0],
+                    "status": self._status,
+                    "latency_ms": round((time.perf_counter() - start) * 1e3, 3),
+                    "size": self._size,
+                },
+            )
+
+    def _route(self, method: str):
         path = self.path.split("?")[0]
         for pattern, methods in self.ROUTES:
             m = pattern.match(path)

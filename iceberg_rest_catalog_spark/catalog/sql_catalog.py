@@ -31,14 +31,13 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import sqlite3
 import time
 import uuid
 from contextlib import contextmanager
 
 from . import errors as E
-from .catalog import Catalog, Ident, Table, _atomic_write_json
+from .catalog import Catalog, Ident, Table
 from .schema import Schema
 
 SEP = "\x1f"  # namespace joiner in DB keys (same separator as the REST URLs)
@@ -59,8 +58,8 @@ class SqlCatalog(Catalog):
 
     backend = "sql"
 
-    def __init__(self, warehouse: str, db_path: str | None = None):
-        super().__init__(warehouse)
+    def __init__(self, warehouse: str, db_path: str | None = None, fileio=None):
+        super().__init__(warehouse, fileio=fileio)
         self.db_path = db_path or os.path.join(self.warehouse, "catalog.db")
         os.makedirs(os.path.dirname(os.path.abspath(self.db_path)), exist_ok=True)
         with self._db() as con:
@@ -200,9 +199,9 @@ class SqlCatalog(Catalog):
 
     def _new_metadata_file(self, ident: Ident, version: int, metadata: dict) -> str:
         mdir = os.path.join(self._table_dir(ident), "metadata")
-        os.makedirs(mdir, exist_ok=True)
+        self.fio.mkdirs(mdir)
         path = os.path.join(mdir, f"v{version}-{uuid.uuid4().hex[:8]}.metadata.json")
-        _atomic_write_json(path, metadata)
+        self._write_json(path, metadata)
         return path
 
     # -- table CRUD ----------------------------------------------------------
@@ -258,7 +257,7 @@ class SqlCatalog(Catalog):
                     (_key(ns), ident[-1], mloc),
                 )
         except sqlite3.IntegrityError as exc:
-            os.remove(mloc)  # lost the create race; drop the orphan file
+            self.fio.remove(mloc)  # lost the create race; drop the orphan file
             raise E.TableAlreadyExistsException(".".join(ident)) from exc
         return Table(self, ident, 1, metadata, metadata_location=mloc)
 
@@ -271,8 +270,7 @@ class SqlCatalog(Catalog):
             self._table_dir(ident)  # name validation for a clean 400 vs 404
             raise E.NoSuchTableException(".".join(ident))
         try:
-            with open(mloc) as f:
-                metadata = json.load(f)
+            metadata = self._read_json(mloc)
         except (OSError, json.JSONDecodeError) as exc:
             raise E.InternalServerError(
                 f"pointer {mloc} unreadable for {'.'.join(ident)}"
@@ -301,8 +299,8 @@ class SqlCatalog(Catalog):
             raise E.NoSuchTableException(".".join(ident))
         # metadata-only drop, like the fs backend: data files are orphaned
         mdir = os.path.join(tdir, "metadata")
-        if os.path.isdir(mdir):
-            shutil.rmtree(mdir)
+        if self.fio.isdir(mdir):
+            self.fio.rmtree(mdir)
 
     def rename_table(self, src: Ident, dst: Ident) -> Table:
         src, dst = tuple(src), tuple(dst)
@@ -320,8 +318,8 @@ class SqlCatalog(Catalog):
         # Unlike the fs backend, namespaces have no on-disk presence here —
         # materialize the destination's parent dirs before moving.
         dst_dir = self._table_dir(dst)
-        os.makedirs(os.path.dirname(dst_dir), exist_ok=True)
-        os.rename(self._table_dir(src), dst_dir)
+        self.fio.mkdirs(os.path.dirname(dst_dir))
+        self.fio.rename(self._table_dir(src), dst_dir)
         mloc = self._new_metadata_file(dst, t.version, new_meta)
         with self._db() as con:
             con.execute(
@@ -356,7 +354,7 @@ class SqlCatalog(Catalog):
                  _key(ident[:-1]), ident[-1], current.metadata_location),
             )
         if cur.rowcount == 0:
-            os.remove(new_loc)  # lost the swap; remove the orphan
+            self.fio.remove(new_loc)  # lost the swap; remove the orphan
             raise E.CommitFailedException(
                 f"concurrent writer moved {'.'.join(ident)} past "
                 f"v{current.version}"

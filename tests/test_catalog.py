@@ -428,3 +428,42 @@ class TestSqlBackend:
         cat.create_namespace(("boot",))
         assert cat.namespace_exists(("boot",))
         assert (tmp_path / "c.db").is_file()
+
+
+class TestFileIOSeam:
+    """The metadata plane must route every storage touch through the FileIO
+    seam (catalog/fileio.py) — an object-store implementation drops in by
+    implementing the same surface."""
+
+    def test_catalog_runs_on_instrumented_fileio(self, tmp_path):
+        from iceberg_rest_catalog_spark.catalog import Catalog
+        from iceberg_rest_catalog_spark.catalog.fileio import LocalFileIO
+
+        calls: dict[str, int] = {}
+
+        class Recording(LocalFileIO):
+            def __getattribute__(self, name):
+                attr = super().__getattribute__(name)
+                if callable(attr) and not name.startswith("__"):
+                    def wrapped(*a, **k):
+                        calls[name] = calls.get(name, 0) + 1
+                        return attr(*a, **k)
+
+                    return wrapped
+                return attr
+
+        cat = Catalog(str(tmp_path / "wh"), fileio=Recording())
+        cat.create_namespace(("db",), {"k": "v"})
+        cat.create_table(("db", "t"), SCHEMA)
+        cat.update_table(
+            ("db", "t"), [], [{"action": "set-properties", "updates": {"a": "1"}}]
+        )
+        t = cat.load_table(("db", "t"))
+        assert t.properties() == {"a": "1"}
+        cat.rename_table(("db", "t"), ("db", "t2"))
+        cat.drop_table(("db", "t2"))
+        cat.drop_namespace(("db",))
+        # every storage primitive the flow needs went through the seam
+        for op in ("write_text_atomic", "read_text", "create_exclusive",
+                   "isfile", "listdir", "mkdirs", "rename", "rmtree"):
+            assert calls.get(op, 0) > 0, f"{op} bypassed the FileIO seam"

@@ -142,3 +142,24 @@ def test_purge_drop_over_http_mirrors_reference(server):
     s, _ = call("DELETE", f"{server}/v1/namespaces/db/tables/t?purgeRequested=truex")
     assert s == 204
     assert call("HEAD", f"{server}/v1/namespaces/db/tables/t")[0] == 404
+
+
+def test_request_id_middleware(server, caplog):
+    """Logging middleware parity (reference api/middleware/middleware.go:
+    12-35): every response carries a unique X-Request-ID and one structured
+    log record is emitted with method/path/status/latency."""
+    import logging
+    import urllib.request
+
+    with caplog.at_level(logging.INFO, logger="iceberg_rest_catalog_spark.rest"):
+        with urllib.request.urlopen(f"{server}/v1/config") as r1:
+            rid1 = r1.headers["X-Request-ID"]
+        with urllib.request.urlopen(f"{server}/health") as r2:
+            rid2 = r2.headers["X-Request-ID"]
+    assert rid1 and rid2 and rid1 != rid2
+    recs = [r for r in caplog.records if r.name == "iceberg_rest_catalog_spark.rest"]
+    assert len(recs) == 2
+    by_id = {r.requestID: r for r in recs}
+    assert by_id[rid1].path == "/v1/config" and by_id[rid1].method == "GET"
+    assert by_id[rid1].status == 200 and by_id[rid1].latency_ms >= 0
+    assert by_id[rid2].path == "/health" and by_id[rid2].size > 0
