@@ -82,17 +82,39 @@ def q_agg_distinct(spark, sf_dir):
     )
 
 
-@query("q_agg_approx_distinct", oracle=None)  # approx ≠ exact: rows-only check
+@query(
+    "q_agg_approx_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS exact_customers,
+           count(*) AS n_orders,
+           TRUE AS approx_within_5pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def q_agg_approx_distinct(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++). Sketches merge associatively —
     the shuffle carries fixed-size sketches regardless of data volume, which
-    is the whole point at 100 TB."""
+    is the whole point at 100 TB.
+
+    Oracle strategy: HLL estimates differ between engines, so the sketch
+    itself can't hash-compare. Instead the query CHECKS ITS OWN estimate —
+    it also computes the exact distinct count and emits a boolean asserting
+    the rsd=0.02 sketch landed within 5%; the oracle computes the exact
+    count and a literal TRUE. Hash equality therefore verifies both the
+    exact values and that the sketch met its accuracy contract — a real
+    value check, upgraded from the previous rows-only entry."""
+    approx = F.approx_count_distinct("o_custkey", rsd=0.02)
+    exact = F.count_distinct("o_custkey")
     return (
         t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            exact.alias("exact_customers"),
             F.count("*").alias("n_orders"),
+            (
+                F.abs(approx - exact) <= F.lit(0.05) * exact
+            ).alias("approx_within_5pct"),
         )
     )
 

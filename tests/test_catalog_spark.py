@@ -364,3 +364,49 @@ def test_legacy_inline_added_files_still_readable(spark, catalog, table):
     reloaded = catalog.load_table(("db", "t"))
     assert reloaded.df(spark).count() == 2
     assert reloaded._files_at(None) == t2._files_at(None)
+
+
+def test_streaming_resume_from_checkpoint_exactly_once(spark, catalog, tmp_path):
+    """Two availableNow runs sharing one checkpoint: the restart must ingest
+    ONLY files that arrived after the first run — completed micro-batches
+    (each one an append-snapshot commit) are never replayed, so snapshot
+    count and row count stay exactly-once across the restart. Runs against
+    both metastore backends."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    catalog.create_namespace(("sdb",))
+    catalog.create_table(("sdb", "ingest"), SCHEMA)
+
+    def write_file(ids):
+        spark.createDataFrame(
+            [(i, f"r{i}") for i in ids], "id long, name string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        sdf = (
+            spark.readStream.schema("id long, name string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            sdf.writeStream.foreachBatch(
+                lambda b, _id: catalog.load_table(("sdb", "ingest")).append(b)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_file(range(0, 5))
+    write_file(range(5, 10))
+    run()
+    t1 = catalog.load_table(("sdb", "ingest"))
+    n_snaps_1 = len(t1.metadata["snapshots"])
+    assert n_snaps_1 == 2  # one snapshot per micro-batch
+    assert t1.df(spark).count() == 10
+
+    write_file(range(10, 15))
+    run()
+    t2 = catalog.load_table(("sdb", "ingest"))
+    assert sorted(r.id for r in t2.df(spark).collect()) == list(range(15))
+    assert len(t2.metadata["snapshots"]) == n_snaps_1 + 1  # only the new file
