@@ -151,13 +151,25 @@ def test_request_id_middleware(server, caplog):
     import logging
     import urllib.request
 
+    import time as _time
+
     with caplog.at_level(logging.INFO, logger="iceberg_rest_catalog_spark.rest"):
         with urllib.request.urlopen(f"{server}/v1/config") as r1:
             rid1 = r1.headers["X-Request-ID"]
         with urllib.request.urlopen(f"{server}/health") as r2:
             rid2 = r2.headers["X-Request-ID"]
+        # the server thread logs AFTER sending the response — wait for both
+        # records to land before asserting
+        deadline = _time.monotonic() + 5.0
+        while _time.monotonic() < deadline:
+            recs = [
+                r for r in caplog.records
+                if r.name == "iceberg_rest_catalog_spark.rest"
+            ]
+            if len(recs) >= 2:
+                break
+            _time.sleep(0.02)
     assert rid1 and rid2 and rid1 != rid2
-    recs = [r for r in caplog.records if r.name == "iceberg_rest_catalog_spark.rest"]
     assert len(recs) == 2
     by_id = {r.requestID: r for r in recs}
     assert by_id[rid1].path == "/v1/config" and by_id[rid1].method == "GET"
