@@ -363,6 +363,77 @@ class Table:
             )
         ]
 
+    # -- metadata tables (Iceberg's snapshots/history/files/partitions) -----
+    def snapshots_df(self, spark: SparkSession) -> DataFrame:
+        """The ``snapshots`` metadata table: one row per live snapshot.
+        Metadata is O(snapshots) by design (manifest spill-out), so this is
+        a driver-side construction regardless of data volume."""
+        rows = [
+            (
+                s["snapshot-id"],
+                s.get("parent-snapshot-id"),
+                s["timestamp-ms"],
+                s.get("operation", "append"),
+                s.get("added-files-count", len(self._manifest_entries(s))),
+            )
+            for s in sorted(
+                self.metadata.get("snapshots", []), key=lambda s: s["snapshot-id"]
+            )
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, committed_at_ms long,"
+            " operation string, added_files_count long",
+        )
+
+    def history_df(self, spark: SparkSession) -> DataFrame:
+        """The ``history`` metadata table (commit lineage)."""
+        rows = [
+            (
+                h["timestamp-ms"],
+                h["snapshot-id"],
+                h["parent-snapshot-id"],
+                h["snapshot-id"] <= (self.metadata.get("current-snapshot-id") or -1),
+            )
+            for h in self.history()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "made_current_at_ms long, snapshot_id long, parent_id long,"
+            " is_current_ancestor boolean",
+        )
+
+    def files_df(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """The ``files`` metadata table: one row per data file visible at a
+        snapshot, with its manifest-recorded partition values and on-disk
+        size — the inputs for small-file/compaction planning."""
+        fio = self.catalog.fio
+        rows = []
+        for e in self._entries_at(snapshot_id):
+            full = os.path.join(self.location, e["path"])
+            try:
+                size = fio.size(full)
+            except OSError:
+                size = None
+            rows.append((e["path"], dict(e.get("partition", {})), size))
+        return spark.createDataFrame(
+            rows, "file_path string, partition map<string,string>, file_size_bytes long"
+        )
+
+    def partitions_df(self, spark: SparkSession) -> DataFrame:
+        """The ``partitions`` metadata table: per-partition file count and
+        byte totals from the manifests alone (no data scan)."""
+        from pyspark.sql import functions as F
+
+        files = self.files_df(spark)
+        return (
+            files.groupBy("partition")
+            .agg(
+                F.count("*").alias("file_count"),
+                F.sum("file_size_bytes").alias("total_size_bytes"),
+            )
+        )
+
     def snapshot_as_of(self, timestamp_ms: int) -> int:
         """Newest snapshot committed at or before timestamp_ms (Iceberg's
         FOR TIMESTAMP AS OF resolution)."""
@@ -453,16 +524,19 @@ class Table:
                     pass
         return out
 
-    def remove_orphan_files(self) -> list[str]:
+    def remove_orphan_files(self, older_than_ms: int | None = None) -> list[str]:
         """Delete data files not referenced by any live snapshot (Iceberg's
         remove_orphan_files): the physical half of expiration — expire drops
         the metadata, this reclaims the bytes (files superseded by a replace
         / compaction, or left by failed writes).
 
         Collects the referenced set from CURRENT metadata, then walks
-        ``location/data``. Caveat vs production Iceberg: no age threshold,
-        so don't run concurrently with an in-flight write's staging
-        directory. Returns the removed paths (location-relative).
+        ``location/data``. ``older_than_ms`` is the production-Iceberg age
+        threshold: only unreferenced files whose mtime is at or before it
+        are removed, so an in-flight writer's just-staged (not yet
+        committed) files survive a concurrent sweep. None keeps the
+        delete-everything-unreferenced behavior for offline maintenance.
+        Returns the removed paths (location-relative).
         """
         referenced: set[str] = set()
         for s in self.metadata.get("snapshots", []):
@@ -493,7 +567,13 @@ class Table:
                     f in ("_SUCCESS", "._SUCCESS.crc") and live_dir
                 ):
                     continue
-                fio.remove(os.path.join(dp, f))
+                full = os.path.join(dp, f)
+                if (
+                    older_than_ms is not None
+                    and fio.getmtime(full) * 1000 > older_than_ms
+                ):
+                    continue  # too young: may belong to an in-flight commit
+                fio.remove(full)
                 removed.append(rel)
             if not fio.listdir(dp):
                 fio.rmdir(dp)

@@ -68,6 +68,9 @@ class FileIO:
     def getmtime(self, path: str) -> float:
         raise NotImplementedError
 
+    def size(self, path: str) -> int:
+        raise NotImplementedError
+
 
 class LocalFileIO(FileIO):
     """POSIX filesystem implementation (the sandbox default)."""
@@ -120,3 +123,6 @@ class LocalFileIO(FileIO):
 
     def getmtime(self, path: str) -> float:
         return os.path.getmtime(path)
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)

@@ -410,3 +410,51 @@ def test_streaming_resume_from_checkpoint_exactly_once(spark, catalog, tmp_path)
     t2 = catalog.load_table(("sdb", "ingest"))
     assert sorted(r.id for r in t2.df(spark).collect()) == list(range(15))
     assert len(t2.metadata["snapshots"]) == n_snaps_1 + 1  # only the new file
+
+
+def test_metadata_tables(spark, catalog, table):
+    """Iceberg-style metadata tables: snapshots/history/files/partitions as
+    DataFrames built from manifests alone (no data scan)."""
+    t = table.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"))
+    t = t.append(spark.createDataFrame([(3, "c")], "id long, name string"))
+
+    snaps = t.snapshots_df(spark).collect()
+    assert [r.snapshot_id for r in snaps] == [1, 2]
+    assert all(r.operation == "append" and r.added_files_count >= 1 for r in snaps)
+
+    hist = t.history_df(spark).collect()
+    assert [r.snapshot_id for r in hist] == [1, 2]
+    assert all(r.is_current_ancestor for r in hist)
+
+    files = t.files_df(spark).collect()
+    assert len(files) == len(t._files_at(None))
+    assert all(f.file_size_bytes > 0 for f in files)
+    # time-travel view of the files table
+    assert len(t.files_df(spark, snapshot_id=1).collect()) < len(files)
+
+    parts = t.partitions_df(spark).collect()
+    assert len(parts) == 1  # unpartitioned: one (empty-map) partition row
+    assert parts[0].file_count == len(files)
+    assert parts[0].total_size_bytes == sum(f.file_size_bytes for f in files)
+
+
+def test_orphan_age_threshold_spares_young_files(spark, catalog, table):
+    """remove_orphan_files(older_than_ms): just-staged uncommitted files
+    survive a concurrent sweep; an explicit future threshold reclaims."""
+    import os
+    import time as _time
+
+    t = table.append(spark.createDataFrame([(1, "a")], "id long, name string"))
+    # stage an uncommitted file like an in-flight writer would
+    staged_dir = os.path.join(t.location, "data", "inflight")
+    os.makedirs(staged_dir)
+    staged = os.path.join(staged_dir, "part-0.parquet")
+    with open(staged, "w") as f:
+        f.write("x")
+    now_ms = int(_time.time() * 1000)
+    removed = t.remove_orphan_files(older_than_ms=now_ms - 60_000)
+    assert removed == [] and os.path.exists(staged)
+    removed = t.remove_orphan_files(older_than_ms=now_ms + 60_000)
+    assert removed == [os.path.join("data", "inflight", "part-0.parquet")]
+    assert not os.path.exists(staged)
+    assert t.df(spark).count() == 1
