@@ -108,6 +108,20 @@ class Table:
             for e in s.get("added-files", [])
         ]
 
+    def _ancestors(self, snapshot_id: int) -> list[dict]:
+        """The parent chain ending at ``snapshot_id``, oldest first. Reads
+        follow LINEAGE, not id ordering — snapshots committed to a branch
+        (WAP staging) have higher ids than main's head but are NOT main's
+        ancestors, so they must never leak into main reads."""
+        by_id = {s["snapshot-id"]: s for s in self.metadata.get("snapshots", [])}
+        chain: list[dict] = []
+        cur = by_id.get(snapshot_id)
+        while cur is not None:
+            chain.append(cur)
+            parent = cur.get("parent-snapshot-id")
+            cur = by_id.get(parent) if parent is not None else None
+        return list(reversed(chain))
+
     def _entries_at(self, snapshot_id: int | None) -> list[dict]:
         """Manifest entries ({path, partition}) visible at a snapshot."""
         sid = (
@@ -121,12 +135,13 @@ class Table:
             raise E.BadRequestException(
                 f"snapshot {snapshot_id} not found (expired or never existed)"
             )
+        if sid is None:
+            return []
         entries: list[dict] = []
-        for s in self.metadata.get("snapshots", []):
-            if s["snapshot-id"] <= (sid or -1):
-                if s.get("operation", "append") == "replace":
-                    entries = []  # replace snapshots supersede earlier file lists
-                entries.extend(self._manifest_entries(s))
+        for s in self._ancestors(sid):
+            if s.get("operation", "append") == "replace":
+                entries = []  # replace snapshots supersede earlier file lists
+            entries.extend(self._manifest_entries(s))
         return entries
 
     def _files_at(self, snapshot_id: int | None) -> list[str]:
@@ -194,7 +209,13 @@ class Table:
             return F.substring(F.col(src).cast("string"), 1, w)
         raise E.BadRequestException(f"unknown transform {tr!r}")
 
-    def _commit_files(self, df: DataFrame, operation: str, n_files: int | None) -> "Table":
+    def _commit_files(
+        self,
+        df: DataFrame,
+        operation: str,
+        n_files: int | None,
+        to_ref: str | None = None,
+    ) -> "Table":
         from pyspark.sql import functions as F
 
         rel = os.path.join("data", uuid.uuid4().hex)
@@ -247,8 +268,24 @@ class Table:
                 for f in sorted(self.catalog.fio.listdir(out))
                 if f.endswith(".parquet")
             ]
-        parent = self.metadata.get("current-snapshot-id")
-        sid = (parent or 0) + 1
+        # Parent: the branch head for WAP staging commits (a new branch
+        # forks from main's current), else main's current. Snapshot ids are
+        # unique across ALL lineages (max+1), so a branch and main can
+        # advance independently without colliding.
+        branch_entry = (
+            self.metadata.get("refs", {}).get(to_ref) if to_ref is not None else None
+        )
+        if branch_entry is not None:
+            parent = branch_entry["snapshot-id"]
+        else:
+            parent = self.metadata.get("current-snapshot-id")
+        sid = (
+            max(
+                (s["snapshot-id"] for s in self.metadata.get("snapshots", [])),
+                default=0,
+            )
+            + 1
+        )
         snap = {
             "snapshot-id": sid,
             "parent-snapshot-id": parent,
@@ -261,18 +298,32 @@ class Table:
             "manifest-path": self.catalog._write_manifest(self.identifier, sid, added),
             "added-files-count": len(added),
         }
+        if to_ref is not None:
+            # Expected head is None when the branch doesn't exist yet (the
+            # CAS then also guards against two writers racing to create it).
+            req = {
+                "type": "assert-branch-snapshot-id",
+                "ref": to_ref,
+                "snapshot-id": branch_entry["snapshot-id"] if branch_entry else None,
+            }
+        else:
+            req = {"type": "assert-ref-snapshot-id", "snapshot-id": parent}
         return self.catalog.update_table(
             self.identifier,
-            requirements=[
-                {"type": "assert-ref-snapshot-id", "snapshot-id": parent}
-            ],
-            updates=[{"action": "add-snapshot", "snapshot": snap}],
+            requirements=[req],
+            updates=[{"action": "add-snapshot", "snapshot": snap, "ref": to_ref}],
         )
 
-    def append(self, df: DataFrame) -> "Table":
+    def append(self, df: DataFrame, branch: str | None = None) -> "Table":
         """Append data files + commit a new snapshot (micro-batch append =
-        snapshot commit; the streaming-source model of SURVEY §1.2)."""
-        return self._commit_files(df, "append", None)
+        snapshot commit; the streaming-source model of SURVEY §1.2).
+
+        ``branch`` stages the commit on a branch ref instead of advancing
+        main — the write half of write-audit-publish: audit the branch
+        (``df(spark, snapshot_id=snapshot_for_ref(branch))``), then
+        ``fast_forward(branch)`` to publish. Main readers never see the
+        staged snapshot (reads follow lineage, not snapshot ids)."""
+        return self._commit_files(df, "append", None, to_ref=branch)
 
     def rewrite(self, df: DataFrame, n_files: int = 1) -> "Table":
         """Replace the table contents with df in n_files files — the
@@ -341,6 +392,25 @@ class Table:
             self.identifier, [], [{"action": "remove-ref", "name": name}]
         )
 
+    def fast_forward(self, ref: str) -> "Table":
+        """Publish a branch: move main's current snapshot to the branch
+        head (the publish half of write-audit-publish). Requires main to be
+        an ancestor of the branch head — a true fast-forward; anything else
+        would silently drop main commits and is rejected."""
+        target = self.snapshot_for_ref(ref)
+        cur = self.metadata.get("current-snapshot-id")
+        ancestors = {s["snapshot-id"] for s in self._ancestors(target)}
+        if cur is not None and cur not in ancestors:
+            raise E.CommitFailedException(
+                f"main ({cur}) is not an ancestor of {ref!r} head ({target}); "
+                "rebase the branch before publishing"
+            )
+        return self.catalog.update_table(
+            self.identifier,
+            requirements=[{"type": "assert-ref-snapshot-id", "snapshot-id": cur}],
+            updates=[{"action": "set-current-snapshot", "snapshot-id": target}],
+        )
+
     def snapshot_for_ref(self, name: str) -> int:
         ref = self.metadata.get("refs", {}).get(name)
         if ref is None:
@@ -388,12 +458,16 @@ class Table:
 
     def history_df(self, spark: SparkSession) -> DataFrame:
         """The ``history`` metadata table (commit lineage)."""
+        cur = self.metadata.get("current-snapshot-id")
+        ancestors = (
+            {s["snapshot-id"] for s in self._ancestors(cur)} if cur is not None else set()
+        )
         rows = [
             (
                 h["timestamp-ms"],
                 h["snapshot-id"],
                 h["parent-snapshot-id"],
-                h["snapshot-id"] <= (self.metadata.get("current-snapshot-id") or -1),
+                h["snapshot-id"] in ancestors,
             )
             for h in self.history()
         ]
@@ -926,6 +1000,13 @@ class Catalog:
             elif kind == "assert-ref-snapshot-id":
                 if current.metadata.get("current-snapshot-id") != req.get("snapshot-id"):
                     raise E.CommitFailedException("snapshot moved")
+            elif kind == "assert-branch-snapshot-id":
+                ref = current.metadata.get("refs", {}).get(req.get("ref"))
+                have = ref["snapshot-id"] if ref else None
+                if have != req.get("snapshot-id"):
+                    raise E.CommitFailedException(
+                        f"branch {req.get('ref')!r} moved"
+                    )
             elif kind == "assert-create":
                 raise E.CommitFailedException("table already exists")
             else:
@@ -962,9 +1043,29 @@ class Catalog:
             elif action == "add-snapshot":
                 snap = upd["snapshot"]
                 meta["snapshots"].append(snap)
-                meta["current-snapshot-id"] = snap["snapshot-id"]
+                ref = upd.get("ref")
+                if ref is not None:
+                    # WAP staging: advance the branch ref, NOT main.
+                    existing = meta.get("refs", {}).get(ref)
+                    if existing is not None and existing.get("type") != "branch":
+                        raise E.BadRequestException(
+                            f"ref {ref!r} is a tag; cannot commit to it"
+                        )
+                    meta.setdefault("refs", {})[ref] = {
+                        "snapshot-id": snap["snapshot-id"],
+                        "type": "branch",
+                    }
+                else:
+                    meta["current-snapshot-id"] = snap["snapshot-id"]
             elif action == "set-location":
                 meta["location"] = upd["location"]
+            elif action == "set-current-snapshot":
+                sid = upd["snapshot-id"]
+                if not any(
+                    s["snapshot-id"] == sid for s in meta.get("snapshots", [])
+                ):
+                    raise E.BadRequestException(f"unknown snapshot id {sid}")
+                meta["current-snapshot-id"] = sid
             elif action == "set-ref":
                 sid = upd["snapshot-id"]
                 if not any(

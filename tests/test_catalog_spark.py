@@ -458,3 +458,52 @@ def test_orphan_age_threshold_spares_young_files(spark, catalog, table):
     assert removed == [os.path.join("data", "inflight", "part-0.parquet")]
     assert not os.path.exists(staged)
     assert t.df(spark).count() == 1
+
+
+def test_wap_branch_commit_and_fast_forward(spark, catalog, table):
+    """Write-audit-publish: a branch append stages a snapshot main readers
+    cannot see (reads follow lineage, not ids); fast_forward publishes it;
+    a diverged main rejects the publish."""
+    t = table.append(spark.createDataFrame([(1, "a")], "id long, name string"))
+    # stage on a branch: main must be untouched
+    t = catalog.load_table(("db", "t")).append(
+        spark.createDataFrame([(2, "staged")], "id long, name string"),
+        branch="audit",
+    )
+    assert t.metadata["current-snapshot-id"] == 1
+    assert t.df(spark).count() == 1  # main readers see only snapshot 1
+    staged_sid = t.snapshot_for_ref("audit")
+    audit_rows = t.df(spark, snapshot_id=staged_sid)
+    assert sorted(r.id for r in audit_rows.collect()) == [1, 2]  # audit view
+
+    # second staged commit chains on the branch
+    t = t.append(
+        spark.createDataFrame([(3, "staged2")], "id long, name string"),
+        branch="audit",
+    )
+    assert t.metadata["current-snapshot-id"] == 1
+    assert t.df(spark, snapshot_id=t.snapshot_for_ref("audit")).count() == 3
+
+    # publish: fast-forward main to the branch head
+    t = t.fast_forward("audit")
+    assert t.metadata["current-snapshot-id"] == t.snapshot_for_ref("audit")
+    assert sorted(r.id for r in t.df(spark).collect()) == [1, 2, 3]
+
+
+def test_wap_fast_forward_rejects_diverged_main(spark, catalog, table):
+    t = table.append(spark.createDataFrame([(1, "a")], "id long, name string"))
+    t = catalog.load_table(("db", "t")).append(
+        spark.createDataFrame([(2, "b")], "id long, name string"), branch="wip"
+    )
+    # main advances independently -> branch head no longer descends from main
+    t = catalog.load_table(("db", "t")).append(
+        spark.createDataFrame([(9, "z")], "id long, name string")
+    )
+    with pytest.raises(E.CommitFailedException):
+        t.fast_forward("wip")
+    # and committing to a TAG is rejected
+    t = t.set_ref("rel", t.metadata["current-snapshot-id"], type="tag")
+    with pytest.raises(E.BadRequestException):
+        t.append(
+            spark.createDataFrame([(4, "d")], "id long, name string"), branch="rel"
+        )
