@@ -157,19 +157,38 @@ class Table:
         """
         return self.scan(spark, snapshot_id=snapshot_id)
 
-    def scan(
+    @staticmethod
+    def _stats_may_match(stats: dict, col: str, op: str, value) -> bool:
+        """Can a file whose manifest stats are ``stats`` contain a row
+        matching ``col op value``? Missing stats => conservatively True."""
+        rng = stats.get(col)
+        if not rng:
+            return True
+        mn, mx = rng
+        if op == "==":
+            return mn <= value <= mx
+        if op == ">":
+            return mx > value
+        if op == ">=":
+            return mx >= value
+        if op == "<":
+            return mn < value
+        if op == "<=":
+            return mn <= value
+        raise E.BadRequestException(f"unknown predicate op {op!r}")
+
+    def plan_files(
         self,
-        spark: SparkSession,
         snapshot_id: int | None = None,
         partition_filters: dict | None = None,
-    ) -> DataFrame:
-        """Metadata-pruned scan — the Iceberg model: partition values are
-        recorded PER FILE in the snapshot manifest, so pruning selects file
-        paths from metadata before Spark ever lists or opens anything.
-        ``partition_filters`` maps partition-source column -> exact
-        transformed value (stringified), e.g. {"o_orderdate": "1997"} for a
-        year() transform."""
-        spark_schema = self.schema().to_spark()
+        column_predicates: list[tuple] | None = None,
+    ) -> list[str]:
+        """The scan planner: select file paths from METADATA alone —
+        partition values and per-file column min/max recorded in the
+        manifests — before Spark ever lists or opens anything. This is the
+        Iceberg skip-index model: with a declared write sort order, file
+        ranges are tight and a selective predicate touches O(matching)
+        files, not O(all)."""
         entries = self._entries_at(snapshot_id)
         if partition_filters:
             entries = [
@@ -180,10 +199,78 @@ class Table:
                     for k, v in partition_filters.items()
                 )
             ]
-        files = [os.path.join(self.location, e["path"]) for e in entries]
+        if column_predicates:
+            entries = [
+                e
+                for e in entries
+                if all(
+                    self._stats_may_match(e.get("stats", {}), c, op, v)
+                    for (c, op, v) in column_predicates
+                )
+            ]
+        return [os.path.join(self.location, e["path"]) for e in entries]
+
+    def scan(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        partition_filters: dict | None = None,
+        column_predicates: list[tuple] | None = None,
+    ) -> DataFrame:
+        """Metadata-pruned scan (see :meth:`plan_files`).
+        ``partition_filters`` maps partition-source column -> exact
+        transformed value (stringified), e.g. {"o_orderdate": "1997"} for a
+        year() transform. ``column_predicates`` is a list of
+        ``(column, op, value)`` with op in ``== > >= < <=`` — files whose
+        manifest min/max prove no row can match are skipped, and the SAME
+        predicate is re-applied as a Spark filter for exact row semantics
+        (stats only prune, never decide)."""
+        spark_schema = self.schema().to_spark()
+        files = self.plan_files(snapshot_id, partition_filters, column_predicates)
         if not files:
-            return spark.createDataFrame([], spark_schema)
-        return spark.read.schema(spark_schema).parquet(*files)
+            df = spark.createDataFrame([], spark_schema)
+        else:
+            df = spark.read.schema(spark_schema).parquet(*files)
+        for c, op, v in column_predicates or []:
+            from pyspark.sql import functions as F
+
+            col = F.col(c)
+            df = df.filter(
+                {"==": col == v, ">": col > v, ">=": col >= v,
+                 "<": col < v, "<=": col <= v}[op]
+            )
+        return df
+
+    @staticmethod
+    def _parquet_stats(path: str) -> dict:
+        """Per-file column min/max from the parquet footer, for the
+        manifest skip-index. Writer-side cost only (one footer read per
+        file just written). Restricted to types whose ordering is
+        unambiguous and JSON-stable (ints, floats, strings); other columns
+        simply have no stats and are never skipped on."""
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            return {}
+        out: dict = {}
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if not isinstance(mn, (int, float, str)) or isinstance(mn, bool):
+                    continue
+                name = col.path_in_schema
+                if name in out:
+                    out[name] = [min(out[name][0], mn), max(out[name][1], mx)]
+                else:
+                    out[name] = [mn, mx]
+        return out
 
     @staticmethod
     def _transform_col(spec: dict):
@@ -259,12 +346,20 @@ class Table:
                         if k.startswith("_p_"):
                             partition[k[len("_p_") :]] = v
                     added.append(
-                        {"path": os.path.join(rel, relpath), "partition": partition}
+                        {
+                            "path": os.path.join(rel, relpath),
+                            "partition": partition,
+                            "stats": self._parquet_stats(os.path.join(dp, f)),
+                        }
                     )
         else:
             w.write.mode("overwrite").parquet(out)
             added = [
-                {"path": os.path.join(rel, f), "partition": {}}
+                {
+                    "path": os.path.join(rel, f),
+                    "partition": {},
+                    "stats": self._parquet_stats(os.path.join(out, f)),
+                }
                 for f in sorted(self.catalog.fio.listdir(out))
                 if f.endswith(".parquet")
             ]

@@ -124,3 +124,64 @@ def q_sink_partitioned(spark, sf_dir):
     return back.select(
         "c_custkey", "c_name", F.round("c_acctbal", 4).alias("c_acctbal"), "c_mktsegment"
     )
+
+
+@query(
+    "q_scan_stats_prune",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+    FROM orders WHERE o_totalprice >= 400000.0
+    """,
+)
+def q_scan_stats_prune(spark, sf_dir):
+    """Manifest column-stats file skipping (the Iceberg skip-index model).
+
+    Orders are committed to a cataloged table range-clustered on
+    o_totalprice (write order -> tight per-file min/max recorded in the
+    snapshot manifest at commit time), then scanned with
+    ``column_predicates=[("o_totalprice", ">=", 400000.0)]``: the planner
+    drops every file whose manifest max proves it can't match BEFORE Spark
+    lists anything, and re-applies the predicate for exact row semantics.
+    At 100 TB a selective predicate over a clustered column touches
+    O(matching) files, not O(all). The assert pins the pruning (planned
+    file set strictly smaller than the full set).
+    """
+    import os
+
+    from ..catalog import Catalog, NestedField, Schema
+
+    wh = scratch_dir(sf_dir, "stats_prune")
+    marker = os.path.join(wh, ".ready")
+    cat = Catalog(os.path.join(wh, "warehouse"))
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(wh, ignore_errors=True)
+        os.makedirs(wh, exist_ok=True)
+        cat = Catalog(os.path.join(wh, "warehouse"))
+        cat.create_namespace(("db",))
+        sch = Schema(
+            0,
+            [
+                NestedField(1, "o_orderkey", "long"),
+                NestedField(2, "o_custkey", "long"),
+                NestedField(3, "o_totalprice", "double"),
+            ],
+        )
+        tbl = cat.create_table(
+            ("db", "orders_clustered"), sch,
+            write_order=[{"name": "o_totalprice", "direction": "asc"}],
+        )
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        # range-cluster into 8 files so per-file min/max are disjoint bands
+        tbl.append(orders.repartitionByRange(8, "o_totalprice"))
+        open(marker, "w").close()
+    tbl = cat.load_table(("db", "orders_clustered"))
+    pred = [("o_totalprice", ">=", 400000.0)]
+    planned = tbl.plan_files(column_predicates=pred)
+    assert len(planned) < len(tbl.plan_files()), "stats pruning had no effect"
+    return tbl.scan(spark, column_predicates=pred).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
+    )

@@ -507,3 +507,33 @@ def test_wap_fast_forward_rejects_diverged_main(spark, catalog, table):
         t.append(
             spark.createDataFrame([(4, "d")], "id long, name string"), branch="rel"
         )
+
+
+def test_column_stats_prune_files(spark, catalog):
+    """Manifest column stats: range-clustered files are skipped from
+    METADATA for selective predicates; results stay exact because the
+    predicate is re-applied by Spark."""
+    catalog.create_namespace(("cdb",))
+    tbl = catalog.create_table(
+        ("cdb", "clustered"),
+        Schema(0, [NestedField(1, "id", "long", False),
+                   NestedField(2, "name", "string", False)]),
+        write_order=[{"name": "id", "direction": "asc"}],
+    )
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(1000)], "id long, name string"
+    )
+    t2 = tbl.append(df.repartitionByRange(4, "id"))
+    entries = t2._entries_at(None)
+    assert len(entries) == 4
+    assert all("id" in e["stats"] for e in entries)  # stats recorded
+
+    all_files = t2.plan_files()
+    hot = t2.plan_files(column_predicates=[("id", ">=", 900)])
+    assert len(hot) < len(all_files)  # metadata skipped cold files
+    got = t2.scan(spark, column_predicates=[("id", ">=", 900)])
+    assert sorted(r.id for r in got.collect()) == list(range(900, 1000))
+    # equality predicate prunes to a single band
+    one = t2.plan_files(column_predicates=[("id", "==", 5)])
+    assert len(one) == 1
+    assert [r.id for r in t2.scan(spark, column_predicates=[("id", "==", 5)]).collect()] == [5]
