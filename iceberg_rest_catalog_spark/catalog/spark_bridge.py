@@ -56,6 +56,27 @@ def register_all(
     return out
 
 
+def register_metadata_views(
+    spark: SparkSession, catalog: Catalog, ident: Ident
+) -> list[str]:
+    """Expose a table's metadata tables to Spark SQL, mirroring Iceberg's
+    ``db.table.snapshots`` family: views named
+    ``<ns>__<table>__{snapshots,history,files,partitions}``."""
+    t = catalog.load_table(ident)
+    base = view_name(tuple(ident))
+    out = []
+    for suffix, df in (
+        ("snapshots", t.snapshots_df(spark)),
+        ("history", t.history_df(spark)),
+        ("files", t.files_df(spark)),
+        ("partitions", t.partitions_df(spark)),
+    ):
+        name = f"{base}__{suffix}"
+        df.createOrReplaceTempView(name)
+        out.append(name)
+    return out
+
+
 def sql(spark: SparkSession, catalog: Catalog, query: str) -> DataFrame:
     """Convenience: sync all views, then run a Spark SQL query against them."""
     register_all(spark, catalog)

@@ -537,3 +537,20 @@ def test_column_stats_prune_files(spark, catalog):
     one = t2.plan_files(column_predicates=[("id", "==", 5)])
     assert len(one) == 1
     assert [r.id for r in t2.scan(spark, column_predicates=[("id", "==", 5)]).collect()] == [5]
+
+
+def test_metadata_views_over_sql(spark, catalog, table):
+    from iceberg_rest_catalog_spark.catalog import spark_bridge
+
+    t = table.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"))
+    t.append(spark.createDataFrame([(3, "c")], "id long, name string"))
+    views = spark_bridge.register_metadata_views(spark, catalog, ("db", "t"))
+    assert set(views) == {
+        "db__t__snapshots", "db__t__history", "db__t__files", "db__t__partitions"
+    }
+    row = spark.sql(
+        "SELECT count(*) AS n, max(snapshot_id) AS head FROM db__t__snapshots"
+    ).collect()[0]
+    assert (row.n, row.head) == (2, 2)
+    assert spark.sql("SELECT sum(file_count) AS f FROM db__t__partitions").collect()[0].f \
+        == spark.sql("SELECT count(*) AS c FROM db__t__files").collect()[0].c
