@@ -108,6 +108,17 @@ class Table:
             for e in s.get("added-files", [])
         ]
 
+    def _manifest_removed(self, s: dict) -> list[str]:
+        """Paths a snapshot logically deletes (overwrite operation)."""
+        mp = s.get("manifest-path")
+        if mp is None:
+            return []
+        if not os.path.isabs(mp):
+            mp = os.path.join(
+                self.catalog._table_dir(self.identifier), "metadata", mp
+            )
+        return self.catalog._read_json(mp).get("removed", [])
+
     def _ancestors(self, snapshot_id: int) -> list[dict]:
         """The parent chain ending at ``snapshot_id``, oldest first. Reads
         follow LINEAGE, not id ordering — snapshots committed to a branch
@@ -139,8 +150,18 @@ class Table:
             return []
         entries: list[dict] = []
         for s in self._ancestors(sid):
-            if s.get("operation", "append") == "replace":
+            op = s.get("operation", "append")
+            if op == "replace":
                 entries = []  # replace snapshots supersede earlier file lists
+            elif op == "overwrite":
+                # copy-on-write DML: this snapshot logically deletes some
+                # earlier files and adds their rewritten versions
+                gone = {os.path.normpath(p) for p in self._manifest_removed(s)}
+                if gone:
+                    entries = [
+                        e for e in entries
+                        if os.path.normpath(e["path"]) not in gone
+                    ]
             entries.extend(self._manifest_entries(s))
         return entries
 
@@ -177,18 +198,12 @@ class Table:
             return mn <= value
         raise E.BadRequestException(f"unknown predicate op {op!r}")
 
-    def plan_files(
+    def _plan_entries(
         self,
         snapshot_id: int | None = None,
         partition_filters: dict | None = None,
         column_predicates: list[tuple] | None = None,
-    ) -> list[str]:
-        """The scan planner: select file paths from METADATA alone —
-        partition values and per-file column min/max recorded in the
-        manifests — before Spark ever lists or opens anything. This is the
-        Iceberg skip-index model: with a declared write sort order, file
-        ranges are tight and a selective predicate touches O(matching)
-        files, not O(all)."""
+    ) -> list[dict]:
         entries = self._entries_at(snapshot_id)
         if partition_filters:
             entries = [
@@ -208,7 +223,26 @@ class Table:
                     for (c, op, v) in column_predicates
                 )
             ]
-        return [os.path.join(self.location, e["path"]) for e in entries]
+        return entries
+
+    def plan_files(
+        self,
+        snapshot_id: int | None = None,
+        partition_filters: dict | None = None,
+        column_predicates: list[tuple] | None = None,
+    ) -> list[str]:
+        """The scan planner: select file paths from METADATA alone —
+        partition values and per-file column min/max recorded in the
+        manifests — before Spark ever lists or opens anything. This is the
+        Iceberg skip-index model: with a declared write sort order, file
+        ranges are tight and a selective predicate touches O(matching)
+        files, not O(all)."""
+        return [
+            os.path.join(self.location, e["path"])
+            for e in self._plan_entries(
+                snapshot_id, partition_filters, column_predicates
+            )
+        ]
 
     def scan(
         self,
@@ -296,13 +330,9 @@ class Table:
             return F.substring(F.col(src).cast("string"), 1, w)
         raise E.BadRequestException(f"unknown transform {tr!r}")
 
-    def _commit_files(
-        self,
-        df: DataFrame,
-        operation: str,
-        n_files: int | None,
-        to_ref: str | None = None,
-    ) -> "Table":
+    def _write_data_files(self, df: DataFrame, n_files: int | None) -> list[dict]:
+        """Write df as data files honoring sort order + partition spec;
+        returns the manifest entries ({path, partition, stats})."""
         from pyspark.sql import functions as F
 
         rel = os.path.join("data", uuid.uuid4().hex)
@@ -363,6 +393,26 @@ class Table:
                 for f in sorted(self.catalog.fio.listdir(out))
                 if f.endswith(".parquet")
             ]
+        return added
+
+    def _commit_files(
+        self,
+        df: DataFrame,
+        operation: str,
+        n_files: int | None,
+        to_ref: str | None = None,
+    ) -> "Table":
+        return self._commit_snapshot(
+            operation, self._write_data_files(df, n_files), to_ref=to_ref
+        )
+
+    def _commit_snapshot(
+        self,
+        operation: str,
+        added: list[dict],
+        removed: list[str] | None = None,
+        to_ref: str | None = None,
+    ) -> "Table":
         # Parent: the branch head for WAP staging commits (a new branch
         # forks from main's current), else main's current. Snapshot ids are
         # unique across ALL lineages (max+1), so a branch and main can
@@ -390,9 +440,13 @@ class Table:
             # metadata JSON carries only the reference + a summary count.
             # A losing CAS writer leaves an orphan manifest — harmless,
             # nothing references it (same story as its orphan data files).
-            "manifest-path": self.catalog._write_manifest(self.identifier, sid, added),
+            "manifest-path": self.catalog._write_manifest(
+                self.identifier, sid, added, removed=removed
+            ),
             "added-files-count": len(added),
         }
+        if removed:
+            snap["removed-files-count"] = len(removed)
         if to_ref is not None:
             # Expected head is None when the branch doesn't exist yet (the
             # CAS then also guards against two writers racing to create it).
@@ -419,6 +473,77 @@ class Table:
         ``fast_forward(branch)`` to publish. Main readers never see the
         staged snapshot (reads follow lineage, not snapshot ids)."""
         return self._commit_files(df, "append", None, to_ref=branch)
+
+    # -- row-level DML (copy-on-write) --------------------------------------
+    def _rewrite_rows(
+        self,
+        spark: SparkSession,
+        condition: str,
+        assignments: dict | None,
+        prune: list[tuple] | None,
+    ) -> "Table":
+        """Copy-on-write DML core: rewrite only the candidate files (pruned
+        via manifest column stats when ``prune`` is given), commit an
+        ``overwrite`` snapshot that logically removes them and adds the
+        rewritten versions. Untouched files are never read or rewritten —
+        at 100 TB a stats-pruned DELETE touches O(matching) files. Old
+        snapshots keep seeing the removed files (time travel intact);
+        expire + remove_orphan_files reclaims them later."""
+        from pyspark.sql import functions as F
+
+        cand = self._plan_entries(column_predicates=prune)
+        if not cand:
+            return self
+        schema = self.schema().to_spark()
+        files = [os.path.join(self.location, e["path"]) for e in cand]
+        df = spark.read.schema(schema).parquet(*files)
+        cond = F.expr(condition)
+        if df.filter(cond).isEmpty():
+            return self  # nothing matches: no commit, no rewrite
+        if assignments is None:
+            # DELETE: keep rows where the condition is FALSE or NULL
+            new_df = df.filter(~cond | cond.isNull())
+        else:
+            # UPDATE: apply SET expressions only to matching rows
+            new_df = df.select(
+                *[
+                    F.when(cond, F.expr(assignments[f.name]))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                    if f.name in assignments
+                    else F.col(f.name)
+                    for f in schema.fields
+                ]
+            )
+        added = self._write_data_files(new_df, None)
+        return self._commit_snapshot(
+            "overwrite", added, removed=[e["path"] for e in cand]
+        )
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition: str,
+        prune: list[tuple] | None = None,
+    ) -> "Table":
+        """DELETE FROM t WHERE condition (copy-on-write). ``prune`` is an
+        optional ``[(col, op, value), ...]`` file-skip hint — pass the
+        indexed form of the condition so only candidate files rewrite."""
+        return self._rewrite_rows(spark, condition, None, prune)
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        condition: str,
+        assignments: dict,
+        prune: list[tuple] | None = None,
+    ) -> "Table":
+        """UPDATE t SET col = expr, ... WHERE condition (copy-on-write).
+        ``assignments`` maps column name -> SQL expression string."""
+        unknown = set(assignments) - {f.name for f in self.schema().to_spark().fields}
+        if unknown:
+            raise E.BadRequestException(f"unknown columns {sorted(unknown)}")
+        return self._rewrite_rows(spark, condition, assignments, prune)
 
     def rewrite(self, df: DataFrame, n_files: int = 1) -> "Table":
         """Replace the table contents with df in n_files files — the
@@ -883,16 +1008,27 @@ class Catalog:
             raise E.BadRequestException(f"table path escapes warehouse: {name!r}")
         return d
 
-    def _write_manifest(self, ident: Ident, snapshot_id: int, entries: list[dict]) -> str:
+    def _write_manifest(
+        self,
+        ident: Ident,
+        snapshot_id: int,
+        entries: list[dict],
+        removed: list[str] | None = None,
+    ) -> str:
         """Write a per-snapshot manifest file; returns its path RELATIVE to
         the table's metadata dir (relative so table renames keep working).
-        Uniquely suffixed: concurrent CAS losers leave harmless orphans."""
+        Uniquely suffixed: concurrent CAS losers leave harmless orphans.
+        ``removed`` lists paths this snapshot logically deletes (the
+        copy-on-write overwrite operation)."""
         rel = os.path.join(
             "manifests", f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.json"
         )
         path = os.path.join(self._table_dir(ident), "metadata", rel)
         self.fio.mkdirs(os.path.dirname(path))
-        self._write_json(path, {"entries": entries})
+        doc = {"entries": entries}
+        if removed:
+            doc["removed"] = sorted(removed)
+        self._write_json(path, doc)
         return rel
 
     def _is_table(self, ident: Ident) -> bool:

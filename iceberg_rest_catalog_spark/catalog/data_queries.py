@@ -382,3 +382,78 @@ def q_snapshot_expire(spark, sf_dir):
     return tbl.df(spark).select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
     )
+
+
+@query(
+    "q_delete_where",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey <= 200 AND NOT (o_totalprice < 100000.0)
+    """,
+)
+def q_delete_where(spark, sf_dir):
+    """Row-level DELETE (copy-on-write): commit orders 0..200 as a
+    cataloged table, DELETE WHERE o_totalprice < 100000, read back.
+
+    The overwrite snapshot logically removes the rewritten files and adds
+    their filtered versions; pre-delete snapshots still time-travel to the
+    full contents (asserted). Scale: with a prune hint only candidate
+    files rewrite — see tests/test_catalog_spark.py for the file-survival
+    assertion."""
+    wh = scratch_dir(sf_dir, "catalog_data", "delete_where")
+    cat = Catalog(wh)
+    marker = os.path.join(wh, ".ready")
+    if not os.path.exists(marker):
+        shutil.rmtree(wh, ignore_errors=True)
+        os.makedirs(wh, exist_ok=True)
+        cat = Catalog(wh)
+        cat.create_namespace(("db",))
+        tbl = cat.create_table(("db", "orders_d"), _ORDERS_SCHEMA)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tbl = tbl.append(orders.filter(F.col("o_orderkey") <= 200))
+        n_before = tbl.df(spark).count()
+        tbl = tbl.delete_where(spark, "o_totalprice < 100000.0")
+        assert tbl.df(spark, snapshot_id=1).count() == n_before  # time travel
+        open(marker, "w").close()
+    return cat.load_table(("db", "orders_d")).df(spark).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
+    )
+
+
+@query(
+    "q_update_where",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(CASE WHEN o_totalprice < 100000.0 THEN o_totalprice * 1.1
+                      ELSE o_totalprice END, 4) AS o_totalprice
+    FROM orders WHERE o_orderkey <= 200
+    """,
+)
+def q_update_where(spark, sf_dir):
+    """Row-level UPDATE (copy-on-write): SET o_totalprice *= 1.1 on cheap
+    orders; non-matching rows pass through byte-identical."""
+    wh = scratch_dir(sf_dir, "catalog_data", "update_where")
+    cat = Catalog(wh)
+    marker = os.path.join(wh, ".ready")
+    if not os.path.exists(marker):
+        shutil.rmtree(wh, ignore_errors=True)
+        os.makedirs(wh, exist_ok=True)
+        cat = Catalog(wh)
+        cat.create_namespace(("db",))
+        tbl = cat.create_table(("db", "orders_u"), _ORDERS_SCHEMA)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tbl = tbl.append(orders.filter(F.col("o_orderkey") <= 200))
+        tbl.update_where(
+            spark,
+            "o_totalprice < 100000.0",
+            {"o_totalprice": "o_totalprice * 1.1"},
+        )
+        open(marker, "w").close()
+    return cat.load_table(("db", "orders_u")).df(spark).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
+    )

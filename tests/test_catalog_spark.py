@@ -554,3 +554,58 @@ def test_metadata_views_over_sql(spark, catalog, table):
     assert (row.n, row.head) == (2, 2)
     assert spark.sql("SELECT sum(file_count) AS f FROM db__t__partitions").collect()[0].f \
         == spark.sql("SELECT count(*) AS c FROM db__t__files").collect()[0].c
+
+
+def test_delete_where_copy_on_write(spark, catalog, table):
+    """Row-level DELETE: only candidate files rewrite, old snapshots keep
+    the deleted rows (time travel), no-op conditions commit nothing."""
+    t = table.append(
+        spark.createDataFrame([(i, f"r{i}") for i in range(100)], "id long, name string")
+    )
+    t2 = t.delete_where(spark, "id >= 90")
+    assert t2.metadata["current-snapshot-id"] == 2
+    assert t2.current_snapshot()["operation"] == "overwrite"
+    assert sorted(r.id for r in t2.df(spark).collect()) == list(range(90))
+    # time travel still sees the deleted rows
+    assert t2.df(spark, snapshot_id=1).count() == 100
+    # no-op delete: no new snapshot
+    t3 = t2.delete_where(spark, "id > 1000")
+    assert t3.metadata["current-snapshot-id"] == 2
+    # NULL-condition rows survive a delete
+    t4 = catalog.load_table(("db", "t")).append(
+        spark.createDataFrame([(None, "nullid")], "id long, name string")
+    )
+    t5 = t4.delete_where(spark, "id < 10")
+    got = {r.name for r in t5.df(spark).collect()}
+    assert "nullid" in got and "r5" not in got and "r50" in got
+
+
+def test_delete_where_prunes_candidate_files(spark, catalog):
+    """With a stats prune hint, files that can't match are never rewritten
+    (their entries survive verbatim in the new snapshot)."""
+    catalog.create_namespace(("ddb",))
+    tbl = catalog.create_table(
+        ("ddb", "c"),
+        Schema(0, [NestedField(1, "id", "long", False),
+                   NestedField(2, "name", "string", False)]),
+        write_order=[{"name": "id", "direction": "asc"}],
+    )
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(1000)], "id long, name string")
+    t = tbl.append(df.repartitionByRange(4, "id"))
+    before = {e["path"] for e in t._entries_at(None)}
+    t2 = t.delete_where(spark, "id >= 990", prune=[("id", ">=", 990)])
+    after = {e["path"] for e in t2._entries_at(None)}
+    assert len(before & after) == 3  # 3 cold files untouched, 1 rewritten
+    assert t2.df(spark).count() == 990
+
+
+def test_update_where_copy_on_write(spark, catalog, table):
+    t = table.append(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, name string")
+    )
+    t2 = t.update_where(spark, "id = 2", {"name": "upper(name) || '!'"})
+    rows = {r.id: r.name for r in t2.df(spark).collect()}
+    assert rows == {1: "a", 2: "B!", 3: "c"}
+    assert t2.df(spark, snapshot_id=1).filter("name = 'b'").count() == 1
+    with pytest.raises(E.BadRequestException):
+        t2.update_where(spark, "id = 1", {"nope": "'x'"})
