@@ -108,16 +108,24 @@ class Table:
             for e in s.get("added-files", [])
         ]
 
-    def _manifest_removed(self, s: dict) -> list[str]:
-        """Paths a snapshot logically deletes (overwrite operation)."""
+    def _manifest_doc(self, s: dict) -> dict:
+        """The snapshot's manifest document ({} when inline-only)."""
         mp = s.get("manifest-path")
         if mp is None:
-            return []
+            return {}
         if not os.path.isabs(mp):
             mp = os.path.join(
                 self.catalog._table_dir(self.identifier), "metadata", mp
             )
-        return self.catalog._read_json(mp).get("removed", [])
+        return self.catalog._read_json(mp)
+
+    def _manifest_removed(self, s: dict) -> list[str]:
+        """Paths a snapshot logically deletes (overwrite operation)."""
+        return self._manifest_doc(s).get("removed", [])
+
+    def _manifest_position_deletes(self, s: dict) -> list[str]:
+        """Position-delete files (merge-on-read) this snapshot adds."""
+        return self._manifest_doc(s).get("position-deletes", [])
 
     def _ancestors(self, snapshot_id: int) -> list[dict]:
         """The parent chain ending at ``snapshot_id``, oldest first. Reads
@@ -167,6 +175,57 @@ class Table:
 
     def _files_at(self, snapshot_id: int | None) -> list[str]:
         return [e["path"] for e in self._entries_at(snapshot_id)]
+
+    def _deletes_at(self, snapshot_id: int | None) -> list[str]:
+        """Position-delete files visible at a snapshot (merge-on-read).
+        A ``replace`` (compaction) snapshot folds deletes into its rewritten
+        data, so it clears the list; a copy-on-write ``overwrite`` leaves
+        stale delete rows pointing at now-removed files — inert, since the
+        anti-join matches nothing for them."""
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else self.metadata.get("current-snapshot-id")
+        )
+        if sid is None:
+            return []
+        dels: list[str] = []
+        for s in self._ancestors(sid):
+            if s.get("operation", "append") == "replace":
+                dels = []
+            dels.extend(self._manifest_position_deletes(s))
+        return dels
+
+    def _rel_file_path_col(self):
+        """``_metadata.file_path`` rewritten relative to the table location
+        — the key position-delete files store, so deletes stay valid across
+        table renames (the data dir moves with the table)."""
+        from pyspark.sql import functions as F
+
+        prefix = "file:" + os.path.abspath(self.location) + os.sep
+        return F.expr(f"substring(_metadata.file_path, {len(prefix) + 1})")
+
+    def _apply_position_deletes(
+        self, spark: SparkSession, df: DataFrame, dels: list[str]
+    ) -> DataFrame:
+        """Anti-join data rows against (file_path, pos) delete tuples —
+        the Iceberg v2 merge-on-read read path. The delete set is broadcast:
+        it is O(deleted rows × 16 bytes) and compaction folds it away before
+        it could grow shuffle-sized."""
+        from pyspark.sql import functions as F
+
+        ddf = spark.read.parquet(*[os.path.join(self.location, p) for p in dels])
+        return (
+            df.withColumn("__icb_file", self._rel_file_path_col())
+            .withColumn("__icb_pos", F.col("_metadata.row_index"))
+            .join(
+                F.broadcast(ddf),
+                on=(F.col("__icb_file") == ddf["file_path"])
+                & (F.col("__icb_pos") == ddf["pos"]),
+                how="left_anti",
+            )
+            .drop("__icb_file", "__icb_pos")
+        )
 
     # -- data plane ---------------------------------------------------------
     def df(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
@@ -265,6 +324,9 @@ class Table:
             df = spark.createDataFrame([], spark_schema)
         else:
             df = spark.read.schema(spark_schema).parquet(*files)
+            dels = self._deletes_at(snapshot_id)
+            if dels:
+                df = self._apply_position_deletes(spark, df, dels)
         for c, op, v in column_predicates or []:
             from pyspark.sql import functions as F
 
@@ -411,6 +473,7 @@ class Table:
         operation: str,
         added: list[dict],
         removed: list[str] | None = None,
+        position_deletes: list[str] | None = None,
         to_ref: str | None = None,
     ) -> "Table":
         # Parent: the branch head for WAP staging commits (a new branch
@@ -441,12 +504,15 @@ class Table:
             # A losing CAS writer leaves an orphan manifest — harmless,
             # nothing references it (same story as its orphan data files).
             "manifest-path": self.catalog._write_manifest(
-                self.identifier, sid, added, removed=removed
+                self.identifier, sid, added,
+                removed=removed, position_deletes=position_deletes,
             ),
             "added-files-count": len(added),
         }
         if removed:
             snap["removed-files-count"] = len(removed)
+        if position_deletes:
+            snap["delete-files-count"] = len(position_deletes)
         if to_ref is not None:
             # Expected head is None when the branch doesn't exist yet (the
             # CAS then also guards against two writers racing to create it).
@@ -495,8 +561,9 @@ class Table:
         if not cand:
             return self
         schema = self.schema().to_spark()
-        files = [os.path.join(self.location, e["path"]) for e in cand]
-        df = spark.read.schema(schema).parquet(*files)
+        # _candidate_df applies pending merge-on-read deletes so a
+        # copy-on-write rewrite of the same files cannot resurrect rows
+        df = self._candidate_df(spark, prune)
         cond = F.expr(condition)
         if df.filter(cond).isEmpty():
             return self  # nothing matches: no commit, no rewrite
@@ -525,11 +592,93 @@ class Table:
         spark: SparkSession,
         condition: str,
         prune: list[tuple] | None = None,
+        mode: str = "copy-on-write",
     ) -> "Table":
-        """DELETE FROM t WHERE condition (copy-on-write). ``prune`` is an
-        optional ``[(col, op, value), ...]`` file-skip hint — pass the
-        indexed form of the condition so only candidate files rewrite."""
-        return self._rewrite_rows(spark, condition, None, prune)
+        """DELETE FROM t WHERE condition. ``prune`` is an optional
+        ``[(col, op, value), ...]`` file-skip hint — pass the indexed form
+        of the condition so only candidate files are touched.
+
+        ``mode="copy-on-write"`` rewrites candidate files minus the matching
+        rows (read-optimal; write cost O(candidate file bytes)).
+        ``mode="merge-on-read"`` writes Iceberg-v2-style position-delete
+        files — (file_path, pos) tuples — and leaves data files untouched
+        (write cost O(matching rows × 16 B); reads pay a broadcast
+        anti-join until :meth:`compact` folds the deletes in). At 100 TB
+        MoR is the only viable shape for frequent small deletes (GDPR
+        erasure, late-data retraction): a CoW delete of 1k rows spread
+        over 10k files rewrites terabytes; MoR writes kilobytes."""
+        if mode == "copy-on-write":
+            return self._rewrite_rows(spark, condition, None, prune)
+        if mode != "merge-on-read":
+            raise E.BadRequestException(f"unknown delete mode {mode!r}")
+        return self._mor_commit(spark, condition, None, prune)
+
+    def _candidate_df(
+        self, spark: SparkSession, prune: list[tuple] | None
+    ) -> DataFrame | None:
+        """Stats-pruned candidate files as a DataFrame with pending
+        merge-on-read deletes already applied; None when no file can match."""
+        cand = self._plan_entries(column_predicates=prune)
+        if not cand:
+            return None
+        files = [os.path.join(self.location, e["path"]) for e in cand]
+        df = spark.read.schema(self.schema().to_spark()).parquet(*files)
+        dels = self._deletes_at(None)
+        if dels:
+            df = self._apply_position_deletes(spark, df, dels)
+        return df
+
+    def _write_position_delete_files(self, matches: DataFrame) -> list[str]:
+        """Persist (file_path, pos) tuples as parquet delete files under
+        ``data/`` (inside the orphan-sweep root); returns relative paths."""
+        rel = os.path.join("data", uuid.uuid4().hex + "-deletes")
+        matches.write.parquet(os.path.join(self.location, rel))
+        return [
+            os.path.join(rel, f)
+            for f in sorted(self.catalog.fio.listdir(os.path.join(self.location, rel)))
+            if f.endswith(".parquet")
+        ]
+
+    def _mor_commit(
+        self,
+        spark: SparkSession,
+        condition: str,
+        assignments: dict | None,
+        prune: list[tuple] | None,
+    ) -> "Table":
+        """Merge-on-read DML core: position-delete the matching rows; for
+        UPDATE, additionally append the rewritten versions of just those
+        rows. One snapshot carries both halves, so readers never see the
+        intermediate state."""
+        from pyspark.sql import functions as F
+
+        df = self._candidate_df(spark, prune)
+        if df is None:
+            return self
+        matching = df.filter(F.expr(condition))
+        if matching.isEmpty():
+            return self
+        delete_files = self._write_position_delete_files(
+            matching.select(
+                self._rel_file_path_col().alias("file_path"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+        )
+        added: list[dict] = []
+        op = "delete"
+        if assignments is not None:
+            schema = self.schema().to_spark()
+            new_rows = matching.select(
+                *[
+                    F.expr(assignments[f.name]).alias(f.name)
+                    if f.name in assignments
+                    else F.col(f.name)
+                    for f in schema.fields
+                ]
+            )
+            added = self._write_data_files(new_rows, None)
+            op = "overwrite"
+        return self._commit_snapshot(op, added, position_deletes=delete_files)
 
     def update_where(
         self,
@@ -537,13 +686,23 @@ class Table:
         condition: str,
         assignments: dict,
         prune: list[tuple] | None = None,
+        mode: str = "copy-on-write",
     ) -> "Table":
-        """UPDATE t SET col = expr, ... WHERE condition (copy-on-write).
-        ``assignments`` maps column name -> SQL expression string."""
+        """UPDATE t SET col = expr, ... WHERE condition.
+        ``assignments`` maps column name -> SQL expression string.
+
+        ``mode="copy-on-write"`` rewrites whole candidate files;
+        ``mode="merge-on-read"`` position-deletes the matching rows and
+        appends only their rewritten versions in the same snapshot — write
+        cost O(matching rows), not O(candidate file bytes)."""
         unknown = set(assignments) - {f.name for f in self.schema().to_spark().fields}
         if unknown:
             raise E.BadRequestException(f"unknown columns {sorted(unknown)}")
-        return self._rewrite_rows(spark, condition, assignments, prune)
+        if mode == "copy-on-write":
+            return self._rewrite_rows(spark, condition, assignments, prune)
+        if mode != "merge-on-read":
+            raise E.BadRequestException(f"unknown update mode {mode!r}")
+        return self._mor_commit(spark, condition, assignments, prune)
 
     def rewrite(self, df: DataFrame, n_files: int = 1) -> "Table":
         """Replace the table contents with df in n_files files — the
@@ -783,7 +942,10 @@ class Table:
         oldest_kept = snaps[len(expire)]
         folded = self._entries_at(oldest_kept["snapshot-id"])
         rebased_manifest = self.catalog._write_manifest(
-            self.identifier, oldest_kept["snapshot-id"], folded
+            self.identifier, oldest_kept["snapshot-id"], folded,
+            # merge-on-read deletes visible at the rebase point must fold
+            # with the entries or expired-ancestor deletes would resurrect
+            position_deletes=self._deletes_at(oldest_kept["snapshot-id"]),
         )
         out = self.catalog.update_table(
             self.identifier,
@@ -836,6 +998,8 @@ class Table:
         for s in self.metadata.get("snapshots", []):
             for e in self._manifest_entries(s):
                 referenced.add(os.path.normpath(e["path"]))
+            for p in self._manifest_position_deletes(s):
+                referenced.add(os.path.normpath(p))
         data_root = os.path.join(self.location, "data")
         removed: list[str] = []
         fio = self.catalog.fio
@@ -1014,12 +1178,14 @@ class Catalog:
         snapshot_id: int,
         entries: list[dict],
         removed: list[str] | None = None,
+        position_deletes: list[str] | None = None,
     ) -> str:
         """Write a per-snapshot manifest file; returns its path RELATIVE to
         the table's metadata dir (relative so table renames keep working).
         Uniquely suffixed: concurrent CAS losers leave harmless orphans.
         ``removed`` lists paths this snapshot logically deletes (the
-        copy-on-write overwrite operation)."""
+        copy-on-write overwrite operation); ``position_deletes`` lists
+        merge-on-read delete files this snapshot adds."""
         rel = os.path.join(
             "manifests", f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.json"
         )
@@ -1028,6 +1194,8 @@ class Catalog:
         doc = {"entries": entries}
         if removed:
             doc["removed"] = sorted(removed)
+        if position_deletes:
+            doc["position-deletes"] = sorted(position_deletes)
         self._write_json(path, doc)
         return rel
 

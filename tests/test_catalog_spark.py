@@ -609,3 +609,68 @@ def test_update_where_copy_on_write(spark, catalog, table):
     assert t2.df(spark, snapshot_id=1).filter("name = 'b'").count() == 1
     with pytest.raises(E.BadRequestException):
         t2.update_where(spark, "id = 1", {"nope": "'x'"})
+
+
+def test_delete_where_merge_on_read(spark, catalog, table):
+    """MoR DELETE: data files untouched, position-delete files applied at
+    read time, compaction folds them away."""
+    t = table.append(
+        spark.createDataFrame([(i, f"r{i}") for i in range(100)], "id long, name string")
+    )
+    data_before = {e["path"] for e in t._entries_at(None)}
+    t2 = t.delete_where(spark, "id >= 95", mode="merge-on-read")
+    # data files are untouched; only delete files were added
+    assert {e["path"] for e in t2._entries_at(None)} == data_before
+    assert t2.current_snapshot()["operation"] == "delete"
+    assert t2.current_snapshot()["delete-files-count"] >= 1
+    assert sorted(r.id for r in t2.df(spark).collect()) == list(range(95))
+    # time travel still sees deleted rows
+    assert t2.df(spark, snapshot_id=1).count() == 100
+    # a second MoR delete stacks
+    t3 = t2.delete_where(spark, "id < 5", mode="merge-on-read")
+    assert sorted(r.id for r in t3.df(spark).collect()) == list(range(5, 95))
+    # compaction folds the deletes: list clears, contents unchanged
+    t4 = t3.compact(spark)
+    assert t4._deletes_at(None) == []
+    assert sorted(r.id for r in t4.df(spark).collect()) == list(range(5, 95))
+
+
+def test_mor_then_cow_does_not_resurrect(spark, catalog, table):
+    """A copy-on-write rewrite of files with pending MoR deletes must not
+    bring the deleted rows back."""
+    t = table.append(
+        spark.createDataFrame([(i, f"r{i}") for i in range(50)], "id long, name string")
+    )
+    t2 = t.delete_where(spark, "id >= 40", mode="merge-on-read")
+    t3 = t2.delete_where(spark, "id < 10")  # copy-on-write
+    assert sorted(r.id for r in t3.df(spark).collect()) == list(range(10, 40))
+
+
+def test_update_where_merge_on_read(spark, catalog, table):
+    """MoR UPDATE: one snapshot position-deletes the old versions and
+    appends only the rewritten rows."""
+    t = table.append(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, name string")
+    )
+    data_before = {e["path"] for e in t._entries_at(None)}
+    t2 = t.update_where(spark, "id = 2", {"name": "'B'"}, mode="merge-on-read")
+    rows = {r.id: r.name for r in t2.df(spark).collect()}
+    assert rows == {1: "a", 2: "B", 3: "c"}
+    # original files all survive; the snapshot adds rewritten-row files
+    assert data_before <= {e["path"] for e in t2._entries_at(None)}
+    assert t2.df(spark, snapshot_id=1).filter("name = 'b'").count() == 1
+
+
+def test_mor_delete_files_survive_orphan_sweep_and_expire(spark, catalog, table):
+    t = table.append(
+        spark.createDataFrame([(i, f"r{i}") for i in range(20)], "id long, name string")
+    )
+    t2 = t.delete_where(spark, "id >= 15", mode="merge-on-read")
+    removed = t2.remove_orphan_files()
+    assert removed == []  # live delete files are referenced, not orphans
+    assert t2.df(spark).count() == 15
+    # expire the pre-delete history: folded manifest must carry the deletes
+    t3 = t2.append(
+        spark.createDataFrame([(100, "x")], "id long, name string")
+    ).expire_snapshots(retain_last=2)
+    assert sorted(r.id for r in t3.df(spark).collect()) == list(range(15)) + [100]
