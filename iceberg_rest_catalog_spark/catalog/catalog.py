@@ -790,6 +790,29 @@ class Table:
             updates=[{"action": "set-current-snapshot", "snapshot-id": target}],
         )
 
+    def rollback_to(self, snapshot_id: int) -> "Table":
+        """Roll the table back to an earlier snapshot (Iceberg's
+        rollback_to_snapshot): a metadata-only CAS commit that moves
+        current-snapshot-id to an ANCESTOR of the current head. The
+        rolled-past snapshots stay in metadata, so time-travel reads of
+        them keep working and a later fast_forward can re-publish them;
+        no data moves, so rollback is O(1) regardless of table size. Non-ancestor
+        targets are rejected — rolling "back" to a side branch would
+        silently change lineage; use fast_forward for that."""
+        cur = self.metadata.get("current-snapshot-id")
+        if snapshot_id == cur:
+            return self
+        ancestors = {s["snapshot-id"] for s in self._ancestors(cur)} if cur else set()
+        if snapshot_id not in ancestors:
+            raise E.BadRequestException(
+                f"snapshot {snapshot_id} is not an ancestor of current ({cur})"
+            )
+        return self.catalog.update_table(
+            self.identifier,
+            requirements=[{"type": "assert-ref-snapshot-id", "snapshot-id": cur}],
+            updates=[{"action": "set-current-snapshot", "snapshot-id": snapshot_id}],
+        )
+
     def snapshot_for_ref(self, name: str) -> int:
         ref = self.metadata.get("refs", {}).get(name)
         if ref is None:

@@ -674,3 +674,35 @@ def test_mor_delete_files_survive_orphan_sweep_and_expire(spark, catalog, table)
         spark.createDataFrame([(100, "x")], "id long, name string")
     ).expire_snapshots(retain_last=2)
     assert sorted(r.id for r in t3.df(spark).collect()) == list(range(15)) + [100]
+
+
+def test_rollback_to_snapshot(spark, catalog, table):
+    """Rollback is a metadata-only CAS move to an ancestor; roll-forward
+    via a branch ref + fast_forward still works afterwards."""
+    t = table.append(spark.createDataFrame([(1, "a")], "id long, name string"))
+    t = t.append(spark.createDataFrame([(2, "b")], "id long, name string"))
+    t = t.append(spark.createDataFrame([(3, "c")], "id long, name string"))
+    assert t.df(spark).count() == 3
+    head = t.metadata["current-snapshot-id"]
+    t2 = t.rollback_to(1)
+    assert t2.metadata["current-snapshot-id"] == 1
+    assert sorted(r.id for r in t2.df(spark).collect()) == [1]
+    # rolled-past snapshots remain time-travelable
+    assert t2.df(spark, snapshot_id=head).count() == 3
+    # rollback to self is a no-op commit
+    assert t2.rollback_to(1).metadata["current-snapshot-id"] == 1
+    # a non-ancestor target is rejected
+    with pytest.raises(E.BadRequestException):
+        t2.rollback_to(head)  # head is now a DESCENDANT, not an ancestor
+    # roll forward: branch ref at the old head, then fast-forward publish
+    t3 = t2.set_ref("recover", head, type="branch").fast_forward("recover")
+    assert t3.df(spark).count() == 3
+    # stale handles from before the roll-forward lose the CAS race
+    with pytest.raises(E.CommitFailedException):
+        t2.append(spark.createDataFrame([(8, "y")], "id long, name string"))
+    # a new append after a rollback forks lineage with a globally unique id
+    t4 = t3.rollback_to(1).append(
+        spark.createDataFrame([(9, "z")], "id long, name string")
+    )
+    assert t4.metadata["current-snapshot-id"] > head
+    assert sorted(r.id for r in t4.df(spark).collect()) == [1, 9]
