@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..session import ENGINE_DEFAULTS, ENGINE_OVERRIDES
 from . import errors as E
 from .fileio import FileIO, LocalFileIO
-from .schema import Schema
+from .schema import NestedField, Schema
 
 NS_MARKER = ".namespace.json"
 Ident = tuple[str, ...]
@@ -78,6 +78,30 @@ class Table:
             if s["schema-id"] == cur:
                 return Schema.from_json(s)
         raise E.InternalServerError(f"current schema {cur} missing")
+
+    def _schema_by_id(self, schema_id: int) -> Schema:
+        for s in self.metadata["schemas"]:
+            if s["schema-id"] == schema_id:
+                return Schema.from_json(s)
+        raise E.InternalServerError(f"schema {schema_id} missing from metadata")
+
+    def _project_to_current(self, df: DataFrame, write_schema: Schema) -> DataFrame:
+        """Project a DataFrame read under ``write_schema`` to the CURRENT
+        schema, resolving columns by field ID (the Iceberg evolution
+        contract): renamed fields follow their id, dropped fields are
+        omitted, later-added fields read as typed nulls, promoted types
+        (int->long, float->double) cast."""
+        from pyspark.sql import functions as F
+
+        old_by_id = {f.id: f for f in write_schema.fields}
+        cols = []
+        for f, sf in zip(self.schema().fields, self.schema().to_spark().fields):
+            old = old_by_id.get(f.id)
+            if old is None:
+                cols.append(F.lit(None).cast(sf.dataType).alias(f.name))
+            else:
+                cols.append(F.col(old.name).cast(sf.dataType).alias(f.name))
+        return df.select(*cols)
 
     def properties(self) -> dict:
         return dict(self.metadata.get("properties", {}))
@@ -319,14 +343,38 @@ class Table:
         predicate is re-applied as a Spark filter for exact row semantics
         (stats only prune, never decide)."""
         spark_schema = self.schema().to_spark()
-        files = self.plan_files(snapshot_id, partition_filters, column_predicates)
-        if not files:
+        entries = self._plan_entries(snapshot_id, partition_filters, column_predicates)
+        if not entries:
             df = spark.createDataFrame([], spark_schema)
         else:
-            df = spark.read.schema(spark_schema).parquet(*files)
             dels = self._deletes_at(snapshot_id)
-            if dels:
-                df = self._apply_position_deletes(spark, df, dels)
+            cur_sid = self.metadata["current-schema-id"]
+            # Group files by WRITE-TIME schema: each group reads with the
+            # schema its files were written under, then projects to the
+            # current schema by FIELD ID (rename follows the id, drop omits,
+            # add reads null, int->long/float->double promote via cast).
+            # Entries from before schema-id stamping read name-matched
+            # under the current schema — the pre-evolution behavior.
+            groups: dict[int | None, list[str]] = {}
+            for e in entries:
+                gid = e.get("schema-id")
+                groups.setdefault(None if gid == cur_sid else gid, []).append(
+                    os.path.join(self.location, e["path"])
+                )
+            parts = []
+            for gid in sorted(groups, key=lambda g: -1 if g is None else g):
+                ws = self._schema_by_id(gid) if gid is not None else None
+                part = spark.read.schema(
+                    ws.to_spark() if ws else spark_schema
+                ).parquet(*groups[gid])
+                if dels:
+                    part = self._apply_position_deletes(spark, part, dels)
+                if ws is not None:
+                    part = self._project_to_current(part, ws)
+                parts.append(part)
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.union(p)
         for c, op, v in column_predicates or []:
             from pyspark.sql import functions as F
 
@@ -476,6 +524,12 @@ class Table:
         position_deletes: list[str] | None = None,
         to_ref: str | None = None,
     ) -> "Table":
+        # Stamp every entry with its WRITE-TIME schema id: evolution
+        # (rename/drop) later resolves these files' columns by field ID
+        # against this schema, never by name. Per-entry (not per-snapshot)
+        # so expire-time manifest folding preserves it.
+        for e in added:
+            e.setdefault("schema-id", self.metadata["current-schema-id"])
         # Parent: the branch head for WAP staging commits (a new branch
         # forks from main's current), else main's current. Snapshot ids are
         # unique across ALL lineages (max+1), so a branch and main can
@@ -740,6 +794,80 @@ class Table:
                 props[f"stats.{c}.{m}"] = str(row[f"{c}.{m}"])
         return self.catalog.update_table(
             self.identifier, [], [{"action": "set-properties", "updates": props}]
+        )
+
+    #: widening-only type promotions (Iceberg evolution rules): narrowing
+    #: would silently corrupt old data at read time.
+    _PROMOTIONS = {("int", "long"), ("float", "double")}
+
+    def evolve_schema(
+        self,
+        adds: list[tuple[str, str]] | None = None,
+        renames: dict[str, str] | None = None,
+        drops: list[str] | None = None,
+        promotes: dict[str, str] | None = None,
+    ) -> "Table":
+        """Full Iceberg schema evolution in one CAS commit: add columns
+        (fresh field ids), rename (field id stable — old files keep
+        working), drop (id retired, old files' column ignored), promote
+        types (widening only). Existing data files are NEVER touched; the
+        read path resolves every file by its write-time schema id.
+
+        ``adds``: [(name, iceberg_type)], ``renames``: {old: new},
+        ``drops``: [name], ``promotes``: {name: wider_type}."""
+        cur = self.schema()
+        names = set(cur.field_names())
+        renames, drops = renames or {}, drops or []
+        promotes, adds = promotes or {}, adds or []
+        for n in list(renames) + drops + list(promotes):
+            if n not in names:
+                raise E.BadRequestException(f"unknown column {n!r}")
+        # columns feeding the partition spec or sort order are load-bearing
+        # for the write path; renaming/dropping them would orphan the spec
+        pinned = {s["name"] for s in self.metadata.get("partition-specs") or []} | {
+            o["name"] for o in self.metadata.get("sort-orders") or []
+        }
+        clash = pinned & (set(renames) | set(drops))
+        if clash:
+            raise E.BadRequestException(
+                f"columns {sorted(clash)} are referenced by the partition "
+                "spec or sort order; evolve those first"
+            )
+        new_fields = []
+        for f in cur.fields:
+            if f.name in drops:
+                continue
+            tp = f.type
+            if f.name in promotes:
+                if (f.type, promotes[f.name]) not in self._PROMOTIONS:
+                    raise E.BadRequestException(
+                        f"cannot promote {f.name}: {f.type} -> {promotes[f.name]}"
+                    )
+                tp = promotes[f.name]
+            new_fields.append(
+                NestedField(f.id, renames.get(f.name, f.name), tp, f.required)
+            )
+        next_id = (
+            max(self.metadata.get("last-column-id", 0), cur.highest_field_id()) + 1
+        )
+        for nm, tp in adds:
+            new_fields.append(NestedField(next_id, nm, tp, required=False))
+            next_id += 1
+        seen: set[str] = set()
+        for f in new_fields:
+            if f.name in seen:
+                raise E.BadRequestException(f"duplicate column name {f.name!r}")
+            seen.add(f.name)
+        new_sid = max(s["schema-id"] for s in self.metadata["schemas"]) + 1
+        return self.catalog.update_table(
+            self.identifier,
+            requirements=[
+                {"type": "assert-current-schema-id", "current-schema-id": cur.schema_id}
+            ],
+            updates=[
+                {"action": "add-schema", "schema": Schema(new_sid, new_fields).to_json()},
+                {"action": "set-current-schema", "schema-id": new_sid},
+            ],
         )
 
     def refs(self) -> dict:

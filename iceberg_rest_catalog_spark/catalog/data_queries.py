@@ -500,3 +500,67 @@ def q_delete_merge_on_read(spark, sf_dir):
     return cat.load_table(("db", "orders_m")).df(spark).select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
     )
+
+
+@query(
+    "q_schema_evolution_rename",
+    oracle="""
+    SELECT o_orderkey AS order_id,
+           round(o_totalprice, 4) AS price,
+           CAST(NULL AS BIGINT) AS cust
+    FROM orders WHERE o_orderkey <= 100
+    UNION ALL
+    SELECT o_orderkey AS order_id,
+           round(o_totalprice, 4) AS price,
+           o_custkey AS cust
+    FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200
+    """,
+)
+def q_schema_evolution_rename(spark, sf_dir):
+    """Field-ID schema evolution: rename + drop + add + int->long
+    promotion between two appends. Files written before the evolution
+    resolve columns by FIELD ID (renamed 'o_totalprice'->'price' keeps its
+    values; dropped 'o_custkey' is ignored; re-added 'cust' has a fresh id
+    so old files read null), never by name — the Iceberg evolution
+    contract (reference test/server_test.go:216-219 models evolution as a
+    new schema id)."""
+    wh = scratch_dir(sf_dir, "catalog_data", "schema_rename")
+    cat = Catalog(wh)
+    marker = os.path.join(wh, ".ready")
+    if not os.path.exists(marker):
+        shutil.rmtree(wh, ignore_errors=True)
+        os.makedirs(wh, exist_ok=True)
+        cat = Catalog(wh)
+        cat.create_namespace(("db",))
+        tbl = cat.create_table(
+            ("db", "orders_e"),
+            Schema(
+                0,
+                [
+                    NestedField(1, "o_orderkey", "long", False),
+                    NestedField(2, "o_custkey", "long", False),
+                    NestedField(3, "o_totalprice", "double", False),
+                ],
+            ),
+        )
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tbl = tbl.append(orders.filter(F.col("o_orderkey") <= 100))
+        tbl = tbl.evolve_schema(
+            renames={"o_orderkey": "order_id", "o_totalprice": "price"},
+            drops=["o_custkey"],
+            adds=[("cust", "long")],
+        )
+        tbl = tbl.append(
+            orders.filter((F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 200))
+            .select(
+                F.col("o_orderkey").alias("order_id"),
+                F.col("o_totalprice").alias("price"),
+                F.col("o_custkey").alias("cust"),
+            )
+        )
+        open(marker, "w").close()
+    return cat.load_table(("db", "orders_e")).df(spark).select(
+        "order_id", F.round("price", 4).alias("price"), "cust"
+    )

@@ -706,3 +706,75 @@ def test_rollback_to_snapshot(spark, catalog, table):
     )
     assert t4.metadata["current-snapshot-id"] > head
     assert sorted(r.id for r in t4.df(spark).collect()) == [1, 9]
+
+
+def test_evolve_schema_rename_resolves_by_field_id(spark, catalog, table):
+    """Renamed columns follow their field ID: files written before the
+    rename read back under the NEW name with their old values."""
+    t = table.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    )
+    t2 = t.evolve_schema(renames={"name": "label"})
+    assert t2.schema().field_names() == ["id", "label"]
+    rows = {r.id: r.label for r in t2.df(spark).collect()}
+    assert rows == {1: "a", 2: "b"}  # old files' 'name' surfaces as 'label'
+    # writes under the new schema mix with old files transparently
+    t3 = t2.append(spark.createDataFrame([(3, "c")], "id long, label string"))
+    assert {r.label for r in t3.df(spark).collect()} == {"a", "b", "c"}
+
+
+def test_evolve_schema_drop_add_promote(spark, catalog):
+    catalog.create_namespace(("edb",))
+    tbl = catalog.create_table(
+        ("edb", "e"),
+        Schema(0, [NestedField(1, "id", "int", False),
+                   NestedField(2, "tmp", "string", False)]),
+    )
+    t = tbl.append(spark.createDataFrame([(1, "x"), (2, "y")], "id int, tmp string"))
+    t2 = t.evolve_schema(drops=["tmp"], adds=[("score", "double")],
+                         promotes={"id": "long"})
+    assert t2.schema().field_names() == ["id", "score"]
+    assert [f.type for f in t2.schema().fields] == ["long", "double"]
+    rows = sorted((r.id, r.score) for r in t2.df(spark).collect())
+    assert rows == [(1, None), (2, None)]  # promoted int reads as long
+    # a NEW column must get a FRESH field id, never reuse the dropped one
+    assert t2.schema().fields[-1].id == 3
+    # re-adding a column with a dropped column's NAME must not resurrect
+    # the old data (distinct field id => old files' 'tmp' stays dropped)
+    t3 = t2.evolve_schema(adds=[("tmp", "string")])
+    assert {r.tmp for r in t3.df(spark).collect()} == {None}
+
+
+def test_evolve_schema_validation(spark, catalog, table):
+    with pytest.raises(E.BadRequestException):
+        table.evolve_schema(renames={"nope": "x"})
+    with pytest.raises(E.BadRequestException):
+        table.evolve_schema(promotes={"name": "long"})  # string->long narrows
+    with pytest.raises(E.BadRequestException):
+        table.evolve_schema(renames={"name": "id"})  # duplicate result name
+    # partition-spec / sort-order source columns are pinned
+    catalog.create_namespace(("pdb",))
+    tp = catalog.create_table(
+        ("pdb", "p"),
+        Schema(0, [NestedField(1, "k", "long", False),
+                   NestedField(2, "v", "string", False)]),
+        partition_spec=[{"name": "k", "transform": "identity"}],
+    )
+    with pytest.raises(E.BadRequestException):
+        tp.evolve_schema(drops=["k"])
+    # concurrent evolution loses the CAS race on schema id
+    t_stale = table.evolve_schema(adds=[("a1", "long")])
+    with pytest.raises(E.CommitFailedException):
+        table.evolve_schema(adds=[("a2", "long")])
+
+
+def test_evolve_schema_with_mor_deletes(spark, catalog, table):
+    """Position deletes survive a schema evolution: positions are
+    file-relative, independent of column names."""
+    t = table.append(
+        spark.createDataFrame([(i, f"r{i}") for i in range(10)], "id long, name string")
+    )
+    t2 = t.delete_where(spark, "id >= 8", mode="merge-on-read")
+    t3 = t2.evolve_schema(renames={"name": "label"})
+    assert sorted(r.id for r in t3.df(spark).collect()) == list(range(8))
+    assert {r.label for r in t3.df(spark).collect()} == {f"r{i}" for i in range(8)}
