@@ -425,8 +425,15 @@ class Table:
         src, tr = spec["name"], spec.get("transform", "identity")
         if tr == "identity":
             return F.col(src)
-        if tr in ("year", "month", "hour"):
-            return getattr(F, tr)(src)
+        if tr == "year":
+            return F.year(src)
+        if tr == "month":
+            # Iceberg's month/hour transforms are epoch-granularity
+            # truncations, not calendar components: June 2020 and June 2021
+            # must land in DIFFERENT partitions (F.month would merge them).
+            return F.date_format(F.col(src), "yyyy-MM")
+        if tr == "hour":
+            return F.date_format(F.col(src), "yyyy-MM-dd-HH")
         if tr == "day":
             # Iceberg's day transform is DATE granularity (date truncation),
             # not day-of-month: values from different months must not
@@ -868,6 +875,34 @@ class Table:
                 {"action": "add-schema", "schema": Schema(new_sid, new_fields).to_json()},
                 {"action": "set-current-schema", "schema-id": new_sid},
             ],
+        )
+
+    def evolve_partition_spec(self, spec: list[dict]) -> "Table":
+        """Change the table's partition spec (Iceberg partition evolution).
+        Metadata-only: existing files are NOT rewritten — each manifest
+        entry keeps the partition values recorded under its write-time
+        spec, so old files prune on the old layout, files written after
+        the change prune on the new one. ``partition_filters`` therefore
+        selects only files whose recorded values match (a file written
+        before a column was in the spec is not in any of its partitions).
+        At 100 TB this is the point: re-layout happens lazily via normal
+        compaction, never as a stop-the-world rewrite. ``spec`` is the
+        same shape create_table takes: [{"name": col, "transform": t}]."""
+        names = set(self.schema().field_names())
+        for s in spec:
+            if s["name"] not in names:
+                raise E.BadRequestException(f"unknown partition source {s['name']!r}")
+            tr = s.get("transform", "identity")
+            if tr not in ("identity", "year", "month", "day", "hour") and not (
+                (tr.startswith("bucket[") or tr.startswith("truncate["))
+                and tr.endswith("]")
+                and tr[tr.index("[") + 1 : -1].isdigit()
+            ):
+                raise E.BadRequestException(f"unknown transform {tr!r}")
+        return self.catalog.update_table(
+            self.identifier,
+            requirements=[],
+            updates=[{"action": "set-partition-spec", "spec": spec}],
         )
 
     def refs(self) -> dict:
@@ -1609,6 +1644,8 @@ class Catalog:
                     meta["current-snapshot-id"] = snap["snapshot-id"]
             elif action == "set-location":
                 meta["location"] = upd["location"]
+            elif action == "set-partition-spec":
+                meta["partition-specs"] = upd["spec"]
             elif action == "set-current-snapshot":
                 sid = upd["snapshot-id"]
                 if not any(

@@ -564,3 +564,61 @@ def q_schema_evolution_rename(spark, sf_dir):
     return cat.load_table(("db", "orders_e")).df(spark).select(
         "order_id", F.round("price", 4).alias("price"), "cust"
     )
+
+
+@query(
+    "q_partition_evolution",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS order_year
+    FROM orders
+    WHERE o_orderkey <= 300
+      AND strftime(o_orderdate, '%Y-%m') = '1997-03'
+    """,
+)
+def q_partition_evolution(spark, sf_dir):
+    """Partition spec evolution: the first append is partitioned by
+    year(o_orderdate), the spec then evolves to month granularity, and the
+    second append lands month-partitioned. The scan prunes the NEW files
+    from metadata (month filter) and row-filters the old ones — Iceberg's
+    lazy-relayout model: no historical rewrite at evolution time.
+
+    Scale: evolution is a metadata commit; re-layout rides normal
+    compaction. Old files prune at their own (year) granularity."""
+    wh = scratch_dir(sf_dir, "catalog_data", "part_evolve")
+    cat = Catalog(wh)
+    marker = os.path.join(wh, ".ready")
+    if not os.path.exists(marker):
+        shutil.rmtree(wh, ignore_errors=True)
+        os.makedirs(wh, exist_ok=True)
+        cat = Catalog(wh)
+        cat.create_namespace(("db",))
+        tbl = cat.create_table(
+            ("db", "orders_p"),
+            Schema(
+                0,
+                [
+                    NestedField(1, "o_orderkey", "long"),
+                    NestedField(2, "o_orderdate", "timestamp"),
+                ],
+            ),
+            partition_spec=[{"name": "o_orderdate", "transform": "year"}],
+        )
+        orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+        tbl = tbl.append(orders.filter(F.col("o_orderkey") <= 150))
+        tbl = tbl.evolve_partition_spec(
+            [{"name": "o_orderdate", "transform": "month"}]
+        )
+        tbl = tbl.append(
+            orders.filter((F.col("o_orderkey") > 150) & (F.col("o_orderkey") <= 300))
+        )
+        # month-granular metadata pruning applies to the evolved files only
+        new_entries = [
+            e for e in tbl._entries_at(None) if "-" in str(e["partition"].get("o_orderdate"))
+        ]
+        assert new_entries, "second append should be month-partitioned"
+        open(marker, "w").close()
+    df = cat.load_table(("db", "orders_p")).df(spark)
+    return df.filter(F.date_format("o_orderdate", "yyyy-MM") == "1997-03").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("order_year")
+    )

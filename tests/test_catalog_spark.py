@@ -778,3 +778,43 @@ def test_evolve_schema_with_mor_deletes(spark, catalog, table):
     t3 = t2.evolve_schema(renames={"name": "label"})
     assert sorted(r.id for r in t3.df(spark).collect()) == list(range(8))
     assert {r.label for r in t3.df(spark).collect()} == {f"r{i}" for i in range(8)}
+
+
+def test_partition_spec_evolution(spark, catalog):
+    """Partition evolution is metadata-only: old files keep their old
+    partition values, new writes record the new spec's, and each prunes
+    on its own layout."""
+    from pyspark.sql import functions as F
+
+    catalog.create_namespace(("sdb",))
+    tbl = catalog.create_table(
+        ("sdb", "ev"),
+        Schema(0, [NestedField(1, "id", "long", False),
+                   NestedField(2, "ts", "timestamp", False)]),
+        partition_spec=[{"name": "ts", "transform": "year"}],
+    )
+
+    def rows(vals):
+        return spark.createDataFrame(vals, "id long, ts string").select(
+            "id", F.col("ts").cast("timestamp_ntz").alias("ts")
+        )
+
+    t = tbl.append(rows([(1, "2020-03-01 00:00:00"), (2, "2021-06-01 00:00:00")]))
+    t2 = t.evolve_partition_spec([{"name": "ts", "transform": "month"}])
+    t3 = t2.append(rows([(3, "2021-06-15 00:00:00"), (4, "2021-07-01 00:00:00")]))
+    # old files carry year values, new files month values
+    parts = {e["partition"].get("ts") for e in t3._entries_at(None)}
+    assert {"2020", "2021"} <= parts and any("-" in str(p) for p in parts)
+    # pruning on the old layout selects only old files; new layout only new
+    assert sorted(r.id for r in t3.scan(spark, partition_filters={"ts": "2021"}).collect()) == [2]
+    assert sorted(r.id for r in t3.scan(spark, partition_filters={"ts": "2021-06"}).collect()) == [3]
+    # a full scan sees everything regardless of spec mix
+    assert t3.df(spark).count() == 4
+    # unpartitioned -> partitioned transition also works
+    t4 = t3.evolve_partition_spec([])
+    t5 = t4.append(rows([(5, "2022-01-01 00:00:00")]))
+    assert t5.df(spark).count() == 5
+    with pytest.raises(E.BadRequestException):
+        t5.evolve_partition_spec([{"name": "nope", "transform": "identity"}])
+    with pytest.raises(E.BadRequestException):
+        t5.evolve_partition_spec([{"name": "id", "transform": "cube[3]"}])
