@@ -441,3 +441,95 @@ def q_data_mixture(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE strpos('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+          < CASE lang WHEN 'en' THEN 8 WHEN 'de' THEN 4 ELSE 2 END
+    """,
+)
+def q_sample_stratified(spark, sf_dir):
+    """Stratified deterministic sampling: per-stratum (language) keep
+    rates applied via a content-hash bucket, so the sample is reproducible
+    across runs/clusters AND independent of the train/eval split hash
+    (different md5 hex position). The rate table joins as a broadcast —
+    at 100 TB the corpus never shuffles; this is a map-only filter."""
+    rates = spark.createDataFrame(
+        [("en", 8), ("de", 4), ("es", 2), ("fr", 2), ("zh", 2)],
+        "lang string, keep_16 int",
+    )
+    d = t(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1)) - 1"
+    )
+    return (
+        d.join(F.broadcast(rates), "lang", "left")
+        .filter(bucket < F.coalesce("keep_16", F.lit(2)))
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "q_text_chunk_dedup",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, c.i AS chunk_idx,
+             array_to_string(list_slice(toks, c.i * 10 + 1, c.i * 10 + 10), ' ')
+                 AS chunk
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           LATERAL (SELECT unnest(range(0,
+                      CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS i) c
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id, chunk
+                                   ORDER BY chunk_idx) AS rn
+      FROM c
+    )
+    SELECT doc_id,
+           string_agg(chunk, ' ' ORDER BY chunk_idx) AS dedup_text,
+           CAST(count(*) AS BIGINT) AS n_chunks_kept
+    FROM r WHERE rn = 1
+    GROUP BY doc_id
+    """,
+)
+def q_text_chunk_dedup(spark, sf_dir):
+    """Intra-document dedup: split each doc into 10-token chunks, drop
+    repeated chunks WITHIN the doc (keep first occurrence), reassemble in
+    order — the paragraph-dedup step for boilerplate-heavy corpora.
+
+    Shape at scale: explode is per-doc (chunk count ~ text length), the
+    only shuffle is the (doc_id, chunk) window + the doc_id re-aggregate;
+    both partition by doc_id, so AQE coalesces them over one exchange."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    n_chunks = F.ceil(F.size("toks") / F.lit(10.0)).cast("long")
+    chunks = (
+        d.select(
+            "doc_id", "toks",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id", "chunk_idx",
+            F.concat_ws(
+                " ",
+                F.slice("toks", (F.col("chunk_idx") * 10 + 1).cast("int"), 10),
+            ).alias("chunk"),
+        )
+    )
+    w = Window.partitionBy("doc_id", "chunk").orderBy("chunk_idx")
+    kept = chunks.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s.chunk,
+            ),
+            " ",
+        ).alias("dedup_text"),
+        F.count("*").alias("n_chunks_kept"),
+    )

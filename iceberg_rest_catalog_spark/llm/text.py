@@ -297,3 +297,50 @@ def q_text_tfidf(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", "tf", r4(tfidf).alias("tfidf"))
     )
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH x AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), b AS (
+      SELECT doc_id, toks,
+             list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bgs
+      FROM x
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round(len(list_distinct(toks)) / len(toks), 4) AS distinct_ratio,
+           round(1.0 - len(list_distinct(bgs)) / greatest(len(bgs), 1), 4)
+               AS bigram_repeat_ratio,
+           (len(list_distinct(toks)) / len(toks)) < 0.55 AS repetitive
+    FROM b
+    """,
+)
+def q_text_repetition(spark, sf_dir):
+    """Repetition / boilerplate scoring: type-token ratio and repeated-
+    bigram ratio per document, plus a low-diversity flag — the standard
+    cheap filters for machine-generated or template text in a training
+    corpus. Map-only (higher-order array functions, no explode, no
+    shuffle): at 100 TB this is a pure scan."""
+    d = t(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    bgs = F.when(F.size("toks") < 2, F.array().cast("array<string>")).otherwise(
+        F.expr(
+            "transform(sequence(1, size(toks)-1),"
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))"
+        )
+    )
+    d = d.withColumn("bgs", bgs)
+    distinct_ratio = F.size(F.array_distinct("toks")) / F.size("toks")
+    return d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        r4(distinct_ratio).alias("distinct_ratio"),
+        r4(
+            F.lit(1.0)
+            - F.size(F.array_distinct("bgs"))
+            / F.greatest(F.size("bgs"), F.lit(1))
+        ).alias("bigram_repeat_ratio"),
+        (distinct_ratio < 0.55).alias("repetitive"),
+    )
