@@ -374,3 +374,57 @@ def q_stream_catalog_sink(spark, sf_dir):
     tbl = cat.load_table(("db", "purchases"))
     assert len(tbl.metadata["snapshots"]) >= 2  # one commit per micro-batch
     return tbl.df(spark)
+
+
+@query(
+    "q_stream_catalog_source",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice,
+           CASE WHEN o_orderkey <= 100 THEN 1 ELSE 2 END AS batch_snapshot
+    FROM orders WHERE o_orderkey >= 1 AND o_orderkey <= 200
+    """,
+)
+def q_stream_catalog_source(spark, sf_dir):
+    """Streaming SOURCE over a cataloged table (incremental append scan):
+    each append snapshot becomes one micro-batch of exactly its added rows,
+    offsets checkpoint per snapshot. The oracle checks the batch boundary:
+    rows are tagged with the snapshot id whose batch delivered them, which
+    must equal the snapshot that appended them (keys 1-100 -> snapshot 1,
+    101-200 -> snapshot 2). Dual of q_stream_catalog_sink."""
+    from ..catalog import Catalog, NestedField, Schema
+    from .catalog_source import CatalogStreamReader
+
+    wh = scratch_dir(sf_dir, "stream_catalog_source")
+    shutil.rmtree(wh, ignore_errors=True)
+    os.makedirs(wh, exist_ok=True)
+    cat = Catalog(os.path.join(wh, "warehouse"))
+    cat.create_namespace(("db",))
+    sch = Schema(
+        0,
+        [
+            NestedField(1, "o_orderkey", "long"),
+            NestedField(2, "o_custkey", "long"),
+            NestedField(3, "o_totalprice", "double"),
+        ],
+    )
+    tbl = cat.create_table(("db", "orders_src"), sch)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tbl = tbl.append(orders.filter((F.col("o_orderkey") >= 1) & (F.col("o_orderkey") <= 100)))
+    tbl.append(orders.filter((F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 200)))
+
+    reader = CatalogStreamReader(cat, ("db", "orders_src"), os.path.join(wh, "ckpt"))
+    batches = []
+    reader.run_available_now(
+        spark, lambda df, sid: batches.append(df.withColumn("batch_snapshot", F.lit(sid)))
+    )
+    assert len(batches) == 2  # one micro-batch per append snapshot
+    out = batches[0]
+    for b in batches[1:]:
+        out = out.union(b)
+    return out.select(
+        "o_orderkey", "o_custkey",
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+        F.col("batch_snapshot").cast("long").alias("batch_snapshot"),
+    )

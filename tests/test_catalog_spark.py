@@ -818,3 +818,50 @@ def test_partition_spec_evolution(spark, catalog):
         t5.evolve_partition_spec([{"name": "nope", "transform": "identity"}])
     with pytest.raises(E.BadRequestException):
         t5.evolve_partition_spec([{"name": "id", "transform": "cube[3]"}])
+
+
+def test_catalog_stream_source_incremental(spark, catalog, table, tmp_path):
+    """Streaming source over a cataloged table: each append snapshot is one
+    micro-batch of exactly its added rows; offsets checkpoint per snapshot;
+    a restart resumes where it left off; compaction is skipped."""
+    from iceberg_rest_catalog_spark.streaming.catalog_source import CatalogStreamReader
+
+    t = table.append(_rows(spark, 0, 5))
+    t = t.append(_rows(spark, 5, 8))
+    reader = CatalogStreamReader(catalog, ("db", "t"), str(tmp_path / "ckpt"))
+    seen: list[tuple[int, list[int]]] = []
+
+    def sink(df, sid):
+        seen.append((sid, sorted(r.id for r in df.collect())))
+
+    assert reader.run_available_now(spark, sink) == [1, 2]
+    assert seen == [(1, [0, 1, 2, 3, 4]), (2, [5, 6, 7])]
+    # nothing pending: drain is a no-op
+    assert reader.run_available_now(spark, sink) == []
+    # new append, then a compaction: only the append is delivered
+    t = t.append(_rows(spark, 8, 10))
+    t = t.compact(spark)
+    assert reader.run_available_now(spark, sink) == [3]
+    assert seen[-1] == (3, [8, 9])
+    assert reader.last_committed() == 4  # skipped compaction advanced it
+    # a fresh reader on the same checkpoint dir resumes, not replays
+    reader2 = CatalogStreamReader(catalog, ("db", "t"), str(tmp_path / "ckpt"))
+    assert reader2.run_available_now(spark, sink) == []
+
+
+def test_catalog_stream_source_fail_on_changes(spark, catalog, table, tmp_path):
+    from iceberg_rest_catalog_spark.streaming.catalog_source import CatalogStreamReader
+
+    t = table.append(_rows(spark, 0, 10))
+    t = t.delete_where(spark, "id >= 8", mode="merge-on-read")
+    strict = CatalogStreamReader(
+        catalog, ("db", "t"), str(tmp_path / "c1"), fail_on_changes=True
+    )
+    drained: list[int] = []
+    with pytest.raises(E.BadRequestException):
+        strict.run_available_now(spark, lambda df, sid: drained.append(sid))
+    assert drained == [1]  # the append before the DML was delivered
+    # default mode skips the DML snapshot and keeps going
+    lax = CatalogStreamReader(catalog, ("db", "t"), str(tmp_path / "c2"))
+    assert lax.run_available_now(spark, lambda df, sid: None) == [1]
+    assert lax.last_committed() == 2
