@@ -302,3 +302,98 @@ def q_sim_ann_ivf(spark, sf_dir):
         .orderBy(F.desc("cos"), "vec_id")
         .limit(TOP_K)
     )
+
+
+K_CLUSTERS = 8
+
+
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_KMEANS_ASSIGN = """
+  SELECT vec_id, label, emb, cell FROM (
+    SELECT e.vec_id, e.label, e.emb, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.emb, c.c) ASC,
+                                       c.cell ASC) AS rn
+    FROM {src} e CROSS JOIN {cent} c
+  ) WHERE rn = 1
+"""
+
+_KMEANS_RECENTER = """
+  SELECT cell, list(v ORDER BY d) AS c FROM (
+    SELECT cell, i AS d, avg(emb[i]) AS v
+    FROM {assigned}, (SELECT unnest(range(1, 65)) AS i) dims
+    GROUP BY cell, i
+  ) GROUP BY cell
+"""
+
+_KMEANS_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cell, emb AS c FROM e WHERE vec_id < {K_CLUSTERS}),
+a1 AS ({_KMEANS_ASSIGN.format(src='e', cent='c0')}),
+c1 AS ({_KMEANS_RECENTER.format(assigned='a1')}),
+a2 AS ({_KMEANS_ASSIGN.format(src='e', cent='c1')}),
+c2 AS ({_KMEANS_RECENTER.format(assigned='a2')}),
+a3 AS ({_KMEANS_ASSIGN.format(src='e', cent='c2')})
+SELECT vec_id, label, CAST(cell AS BIGINT) AS cluster FROM a3
+"""
+
+
+@query("q_cluster_kmeans", oracle=_KMEANS_ORACLE)
+def q_cluster_kmeans(spark, sf_dir):
+    """K-means over the embedding corpus (3 Lloyd iterations, K=8,
+    deterministic first-K init) — the clustering step behind
+    curation/diversity sampling and IVF centroid training. The oracle
+    unrolls the identical 3 iterations in SQL, so assignments are
+    value-checked cross-engine, not rows-only.
+
+    Scale shape per iteration: centroids are K x 64 doubles -> broadcast
+    join (corpus never shuffles for assignment; the argmin window is keyed
+    by vec_id over K candidate rows); recentering is one posexplode +
+    (cell, dim) aggregate — K*64 output rows. localCheckpoint truncates
+    the iteration lineage (same pattern as q_dedup_cluster)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dbl("embedding").alias("emb")
+    )
+    cent = e.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("c")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+    assigned = None
+    for it in range(3):
+        assigned = (
+            e.join(F.broadcast(cent))
+            .withColumn("d2", _l2sq(F.col("emb"), F.col("c")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "label", "emb", "cell")
+        )
+        if it < 2:
+            cent = (
+                assigned.select("cell", F.posexplode("emb").alias("d", "val"))
+                .groupBy("cell", "d")
+                .agg(F.avg("val").alias("v"))
+                .groupBy("cell")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("d", "v"))),
+                        lambda s: s.v,
+                    ).alias("c")
+                )
+                .localCheckpoint()
+            )
+    return assigned.select(
+        "vec_id", "label", F.col("cell").cast("long").alias("cluster")
+    )

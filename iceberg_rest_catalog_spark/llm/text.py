@@ -344,3 +344,78 @@ def q_text_repetition(spark, sf_dir):
         ).alias("bigram_repeat_ratio"),
         (distinct_ratio < 0.55).alias("repetitive"),
     )
+
+
+@query(
+    "q_text_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), cnt AS (
+      SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT sum(c) AS n FROM cnt
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln(c / n)), 4) AS nll
+    FROM toks JOIN cnt USING (tok), tot
+    GROUP BY doc_id
+    """,
+)
+def q_text_perplexity(spark, sf_dir):
+    """Unigram language-model scoring: train token probabilities on the
+    corpus itself, score each document by mean negative log-likelihood —
+    the classic cheap fluency/outlier filter for pretraining data (docs
+    with high NLL are vocabulary outliers).
+
+    Scale shape: the model is the TOKEN FREQUENCY TABLE — vocabulary-sized,
+    so it broadcasts; the corpus explodes once, joins map-side against the
+    broadcast model, and aggregates back per doc. Two small shuffles
+    (vocab agg, doc agg), no corpus self-join."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = cnt.agg(F.sum("c").alias("n"))
+    model = F.broadcast(cnt.crossJoin(F.broadcast(total)))
+    return (
+        toks.join(model, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            r4(F.avg(-F.log(F.col("c") / F.col("n")))).alias("nll"),
+        )
+    )
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY md5(text)
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware exact dedup: among byte-identical documents keep the
+    BEST representative (longest, then lowest doc_id for determinism), not
+    an arbitrary one — the production variant of q_dedup_exact (survivor
+    choice matters when duplicates differ in metadata/source quality).
+
+    One hash-partitioned window over md5(text) — same shuffle as the plain
+    dedup aggregate; the ORDER BY adds only an in-partition sort."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )
