@@ -102,7 +102,10 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 # broadcast(1-row supplier count) — bounded build sides,
                 # map-only at any scale (tpch.py PARTSUPP_SQL comment)
                 "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16",
-                "q_tpch_q20"}
+                "q_tpch_q20",
+                # broadcast K-row centroid table / 1-row vocab-total: BNLJ
+                # with a bounded build side is the intended assignment shape
+                "q_cluster_kmeans", "q_text_perplexity"}
 ROW_PYTHON_OK = {"q_udf_python", "q_udtf"}  # ops whose SUBJECT is Python eval
 
 
