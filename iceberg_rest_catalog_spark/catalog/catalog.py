@@ -765,6 +765,81 @@ class Table:
             raise E.BadRequestException(f"unknown update mode {mode!r}")
         return self._mor_commit(spark, condition, assignments, prune)
 
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        on: str,
+        when_matched: dict | str | None = "update_all",
+        when_not_matched: str | None = "insert",
+    ) -> "Table":
+        """MERGE INTO (copy-on-write, file-pruned): upsert ``source`` into
+        the table keyed on column ``on``.
+
+        The target side is pruned FIRST: the source's key min/max (one tiny
+        aggregate) selects candidate files via manifest column stats, so a
+        MERGE whose keys touch one file rewrites one file — never the
+        table. Stats are conservative, so every possible match is inside
+        the candidate set; rows outside it can only be inserts.
+
+        ``when_matched``: "update_all" (source row replaces target row),
+        a {column: SQL expr} dict (exprs may reference ``t.<col>`` /
+        ``s.<col>``), or None (leave matches untouched).
+        ``when_not_matched``: "insert" or None. Duplicate source keys are
+        rejected (multiple-match MERGE is ambiguous — Iceberg errors too).
+        """
+        from pyspark.sql import functions as F
+
+        if when_matched not in (None, "update_all") and not isinstance(
+            when_matched, dict
+        ):
+            raise E.BadRequestException("when_matched: 'update_all', dict, or None")
+        if when_not_matched not in (None, "insert"):
+            raise E.BadRequestException("when_not_matched: 'insert' or None")
+        schema = self.schema().to_spark()
+        cols = [f.name for f in schema.fields]
+        if on not in cols:
+            raise E.BadRequestException(f"unknown merge key {on!r}")
+        source = source.select(*cols)
+        if not source.groupBy(on).count().filter("count > 1").isEmpty():
+            raise E.BadRequestException(
+                f"source has duplicate {on!r} keys: MERGE matches are ambiguous"
+            )
+        rng = source.agg(
+            F.min(on).alias("mn"), F.max(on).alias("mx")
+        ).collect()[0]
+        if rng.mn is None:
+            return self  # empty source: nothing to merge
+        prune = [(on, ">=", rng.mn), (on, "<=", rng.mx)]
+        cand = self._plan_entries(column_predicates=prune)
+        tdf = self._candidate_df(spark, prune)
+        if tdf is None:
+            if when_not_matched is None:
+                return self
+            return self._commit_files(source, "append", None)
+        t_al, s_al = tdf.alias("t"), source.alias("s")
+        joined = t_al.join(s_al, F.col(f"t.{on}") == F.col(f"s.{on}"), "full_outer")
+        matched = F.col(f"t.{on}").isNotNull() & F.col(f"s.{on}").isNotNull()
+        out_cols = []
+        for c in cols:
+            tcol, scol = F.col(f"t.{c}"), F.col(f"s.{c}")
+            if when_matched == "update_all":
+                upd = scol
+            elif isinstance(when_matched, dict) and c in when_matched:
+                upd = F.expr(when_matched[c])
+            else:
+                upd = tcol
+            expr = F.when(matched, upd).otherwise(F.coalesce(tcol, scol))
+            out_cols.append(expr.cast(dict(zip(cols, schema.fields))[c].dataType).alias(c))
+        new_df = joined
+        if when_not_matched is None:
+            new_df = new_df.filter(F.col(f"t.{on}").isNotNull())
+        new_df = new_df.select(*out_cols)
+        added = self._write_data_files(new_df, None)
+        return self._commit_snapshot(
+            "overwrite", added, removed=[e["path"] for e in cand]
+        )
+
     def rewrite(self, df: DataFrame, n_files: int = 1) -> "Table":
         """Replace the table contents with df in n_files files — the
         rewrite_data_files / small-file compaction maintenance action. Old

@@ -622,3 +622,62 @@ def q_partition_evolution(spark, sf_dir):
     return df.filter(F.date_format("o_orderdate", "yyyy-MM") == "1997-03").select(
         "o_orderkey", F.year("o_orderdate").cast("long").alias("order_year")
     )
+
+
+@query(
+    "q_merge_into_catalog",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 150
+    ), source AS (
+      SELECT o_orderkey, o_custkey, round(o_totalprice * 1.1, 4) AS o_totalprice
+      FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200
+    )
+    SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           coalesce(s.o_custkey, t.o_custkey)   AS o_custkey,
+           round(coalesce(s.o_totalprice, t.o_totalprice), 4) AS o_totalprice
+    FROM target t FULL JOIN source s ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def q_merge_into_catalog(spark, sf_dir):
+    """Catalog-native MERGE INTO: upsert a source into a cataloged table
+    as ONE overwrite snapshot, with the target pruned to candidate files
+    via the source's key min/max against manifest column stats — a MERGE
+    touching one file's key range rewrites one file, never the table
+    (cold files survive verbatim; asserted). Complements q_merge_upsert,
+    which shows the same semantics as a pure DataFrame plan."""
+    wh = scratch_dir(sf_dir, "catalog_data", "merge_into")
+    cat = Catalog(wh)
+    marker = os.path.join(wh, ".ready")
+    if not os.path.exists(marker):
+        shutil.rmtree(wh, ignore_errors=True)
+        os.makedirs(wh, exist_ok=True)
+        cat = Catalog(wh)
+        cat.create_namespace(("db",))
+        tbl = cat.create_table(
+            ("db", "orders_mi"), _ORDERS_SCHEMA,
+            write_order=[{"name": "o_orderkey", "direction": "asc"}],
+        )
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tbl = tbl.append(
+            orders.filter(F.col("o_orderkey") <= 150).repartitionByRange(
+                4, "o_orderkey"
+            )
+        )
+        before = {e["path"] for e in tbl._entries_at(None)}
+        src = orders.filter(
+            (F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 200)
+        ).select(
+            "o_orderkey", "o_custkey",
+            F.round(F.col("o_totalprice") * 1.1, 4).alias("o_totalprice"),
+        )
+        tbl = tbl.merge_into(spark, src, "o_orderkey")
+        after = {e["path"] for e in tbl._entries_at(None)}
+        assert before & after, "files below the source key range must survive"
+        assert tbl.current_snapshot()["operation"] == "overwrite"
+        open(marker, "w").close()
+    return cat.load_table(("db", "orders_mi")).df(spark).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
+    )

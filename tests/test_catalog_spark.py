@@ -865,3 +865,66 @@ def test_catalog_stream_source_fail_on_changes(spark, catalog, table, tmp_path):
     lax = CatalogStreamReader(catalog, ("db", "t"), str(tmp_path / "c2"))
     assert lax.run_available_now(spark, lambda df, sid: None) == [1]
     assert lax.last_committed() == 2
+
+
+def test_merge_into_prunes_and_upserts(spark, catalog):
+    """MERGE: source key-range prunes candidate files (cold files survive
+    verbatim), matched rows update, new keys insert, history time-travels."""
+    catalog.create_namespace(("mdb",))
+    tbl = catalog.create_table(
+        ("mdb", "m"),
+        Schema(0, [NestedField(1, "id", "long", False),
+                   NestedField(2, "name", "string", False)]),
+        write_order=[{"name": "id", "direction": "asc"}],
+    )
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(1000)], "id long, name string")
+    t = tbl.append(df.repartitionByRange(4, "id"))
+    before = {e["path"] for e in t._entries_at(None)}
+    src = spark.createDataFrame(
+        [(995, "updated"), (1500, "inserted")], "id long, name string"
+    )
+    t2 = t.merge_into(spark, src, "id")
+    after = {e["path"] for e in t2._entries_at(None)}
+    assert len(before & after) == 3  # only the top-range file rewrote
+    rows = {r.id: r.name for r in t2.df(spark).collect()}
+    assert len(rows) == 1001
+    assert rows[995] == "updated" and rows[1500] == "inserted" and rows[0] == "r0"
+    assert t2.df(spark, snapshot_id=1).count() == 1000  # time travel intact
+
+
+def test_merge_into_modes_and_validation(spark, catalog, table):
+    t = table.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    )
+    # expression-based matched update referencing both sides
+    src = spark.createDataFrame([(2, "B"), (3, "c")], "id long, name string")
+    t2 = t.merge_into(
+        spark, src, "id",
+        when_matched={"name": "concat(t.name, '+', s.name)"},
+    )
+    rows = {r.id: r.name for r in t2.df(spark).collect()}
+    assert rows == {1: "a", 2: "b+B", 3: "c"}
+    # insert-only merge leaves matches alone
+    src2 = spark.createDataFrame([(3, "X"), (4, "d")], "id long, name string")
+    t3 = t2.merge_into(spark, src2, "id", when_matched=None)
+    rows = {r.id: r.name for r in t3.df(spark).collect()}
+    assert rows[3] == "c" and rows[4] == "d"
+    # update-only merge never inserts
+    src3 = spark.createDataFrame([(4, "D"), (9, "z")], "id long, name string")
+    t4 = t3.merge_into(spark, src3, "id", when_not_matched=None)
+    rows = {r.id: r.name for r in t4.df(spark).collect()}
+    assert rows[4] == "D" and 9 not in rows
+    # duplicate source keys are ambiguous
+    with pytest.raises(E.BadRequestException):
+        t4.merge_into(
+            spark,
+            spark.createDataFrame([(1, "x"), (1, "y")], "id long, name string"),
+            "id",
+        )
+    # merge into an empty-candidate table appends
+    catalog.create_namespace(("mdb2",))
+    empty = catalog.create_table(("mdb2", "e"), SCHEMA)
+    t5 = empty.merge_into(
+        spark, spark.createDataFrame([(7, "n")], "id long, name string"), "id"
+    )
+    assert {r.id for r in t5.df(spark).collect()} == {7}
