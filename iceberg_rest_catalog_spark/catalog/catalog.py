@@ -980,6 +980,70 @@ class Table:
             updates=[{"action": "set-partition-spec", "spec": spec}],
         )
 
+    def set_write_order(self, order: list[dict]) -> "Table":
+        """Change the declared write sort order (Iceberg sort-order
+        evolution). Metadata-only: existing files keep their layout; files
+        written afterwards are sorted by the new order, so their parquet
+        min/max stats (and the manifest skip-index built from them) are
+        tight on the new columns. ``order`` is the create_table shape:
+        [{"name": col, "direction": "asc"|"desc"}]."""
+        names = set(self.schema().field_names())
+        for o in order:
+            if o["name"] not in names:
+                raise E.BadRequestException(f"unknown sort column {o['name']!r}")
+            if o.get("direction", "asc") not in ("asc", "desc"):
+                raise E.BadRequestException(f"bad direction {o.get('direction')!r}")
+        return self.catalog.update_table(
+            self.identifier,
+            requirements=[],
+            updates=[{"action": "set-sort-order", "order": order}],
+        )
+
+    def expire_unreachable(self) -> "Table":
+        """Drop snapshots no retained lineage can reach: after a rollback,
+        the rolled-past snapshots have HIGHER ids than the new head, so the
+        prefix-based expire_snapshots can never reclaim them. A snapshot is
+        kept iff it is an ancestor of the current snapshot or of any ref
+        head. Unreachable ones are removed in one CAS commit; their data
+        files become orphans for remove_orphan_files."""
+        keep: set[int] = set()
+        heads = [self.metadata.get("current-snapshot-id")] + [
+            r["snapshot-id"] for r in self.metadata.get("refs", {}).values()
+        ]
+        for h in heads:
+            if h is not None:
+                keep |= {s["snapshot-id"] for s in self._ancestors(h)}
+        drop = [
+            s for s in self.metadata.get("snapshots", [])
+            if s["snapshot-id"] not in keep
+        ]
+        if not drop:
+            return self
+        out = self.catalog.update_table(
+            self.identifier,
+            requirements=[
+                {
+                    "type": "assert-ref-snapshot-id",
+                    "snapshot-id": self.metadata.get("current-snapshot-id"),
+                }
+            ],
+            updates=[
+                {
+                    "action": "remove-snapshots",
+                    "snapshot-ids": [s["snapshot-id"] for s in drop],
+                }
+            ],
+        )
+        mroot = os.path.join(self.catalog._table_dir(self.identifier), "metadata")
+        for s in drop:  # best-effort manifest cleanup, orphans harmless
+            mp = s.get("manifest-path")
+            if mp and not os.path.isabs(mp):
+                try:
+                    self.catalog.fio.remove(os.path.join(mroot, mp))
+                except OSError:
+                    pass
+        return out
+
     def refs(self) -> dict:
         """Named refs (Iceberg table spec `refs`): tag/branch name →
         {snapshot-id, type}."""
@@ -1721,6 +1785,20 @@ class Catalog:
                 meta["location"] = upd["location"]
             elif action == "set-partition-spec":
                 meta["partition-specs"] = upd["spec"]
+            elif action == "set-sort-order":
+                meta["sort-orders"] = upd["order"]
+            elif action == "remove-snapshots":
+                ids = set(upd["snapshot-ids"])
+                cur = meta.get("current-snapshot-id")
+                pinned = {r["snapshot-id"] for r in meta.get("refs", {}).values()}
+                if cur in ids or ids & pinned:
+                    raise E.BadRequestException(
+                        "cannot remove the current or a ref-pinned snapshot"
+                    )
+                meta["snapshots"] = [
+                    s for s in meta.get("snapshots", [])
+                    if s["snapshot-id"] not in ids
+                ]
             elif action == "set-current-snapshot":
                 sid = upd["snapshot-id"]
                 if not any(

@@ -928,3 +928,40 @@ def test_merge_into_modes_and_validation(spark, catalog, table):
         spark, spark.createDataFrame([(7, "n")], "id long, name string"), "id"
     )
     assert {r.id for r in t5.df(spark).collect()} == {7}
+
+
+def test_expire_unreachable_after_rollback(spark, catalog, table):
+    """Rolled-past snapshots (higher ids than the head) are invisible to
+    prefix expiration; expire_unreachable reclaims exactly them."""
+    t = table.append(_rows(spark, 0, 2))
+    t = t.append(_rows(spark, 2, 4))
+    t = t.append(_rows(spark, 4, 6))
+    t = t.rollback_to(1)
+    assert t.expire_snapshots(retain_last=1) is t  # prefix rule can't help
+    t2 = t.expire_unreachable()
+    assert [s["snapshot-id"] for s in t2.metadata["snapshots"]] == [1]
+    assert t2.df(spark).count() == 2
+    with pytest.raises(E.BadRequestException):
+        t2.df(spark, snapshot_id=3)  # gone, loudly
+    # the dropped snapshots' files are now orphans
+    assert t2.remove_orphan_files()
+    assert t2.df(spark).count() == 2
+    # a ref-pinned side lineage is NOT unreachable
+    t3 = t2.append(_rows(spark, 6, 8))
+    t4 = t3.rollback_to(1).set_ref("keepme", t3.metadata["current-snapshot-id"])
+    assert t4.expire_unreachable() is t4  # tag pins the rolled-past snapshot
+
+
+def test_set_write_order(spark, catalog, table):
+    t = table.append(_rows(spark, 0, 100))
+    t2 = t.set_write_order([{"name": "id", "direction": "desc"}])
+    assert t2.metadata["sort-orders"] == [{"name": "id", "direction": "desc"}]
+    t3 = t2.append(_rows(spark, 100, 200))
+    # new files carry tight id stats from the sorted write
+    new = [e for e in t3._entries_at(None) if e.get("stats", {}).get("id", [0, 0])[0] >= 100]
+    # each sorted file covers a tight, narrow id range (skip-index quality)
+    assert new and all(e["stats"]["id"][1] - e["stats"]["id"][0] < 50 for e in new)
+    with pytest.raises(E.BadRequestException):
+        t3.set_write_order([{"name": "nope"}])
+    with pytest.raises(E.BadRequestException):
+        t3.set_write_order([{"name": "id", "direction": "sideways"}])
