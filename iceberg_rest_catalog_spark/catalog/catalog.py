@@ -417,6 +417,64 @@ class Table:
         return out
 
     @staticmethod
+    def _parquet_records(path: str) -> int | None:
+        """Row count from the parquet footer (writer-side, no data read)."""
+        try:
+            import pyarrow.parquet as pq
+
+            return pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            return None
+
+    def row_count(self, snapshot_id: int | None = None) -> int | None:
+        """``count(*)`` from METADATA alone — per-file record counts in the
+        manifests, no scan (Iceberg answers count(*) the same way). Returns
+        None when metadata cannot be exact: entries predating record
+        stamping, or stale merge-on-read delete tuples (a copy-on-write
+        overwrite after an unfolded MoR delete may orphan tuples, so the
+        per-snapshot removed-records sums no longer apply); callers fall
+        back to ``df(spark).count()``. Compaction restores exactness."""
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else self.metadata.get("current-snapshot-id")
+        )
+        if sid is None:
+            return 0
+        total, deletes_pending, inexact = 0, False, False
+        by_path: dict[str, dict] = {}
+        for s in self._ancestors(sid):
+            op = s.get("operation", "append")
+            doc = self._manifest_doc(s)
+            if op == "replace":
+                # compaction folded everything: exactness is restored
+                total, deletes_pending, inexact, by_path = 0, False, False, {}
+            elif doc.get("removed"):
+                # copy-on-write overwrite: subtract the removed files
+                if deletes_pending:
+                    inexact = True  # stale-tuple risk until the next replace
+                for p in doc["removed"]:
+                    e = by_path.get(os.path.normpath(p))
+                    if e is None or e.get("records") is None:
+                        inexact = True
+                        break
+                    total -= e["records"]
+            if doc.get("position-deletes"):
+                rr = s.get("removed-records")
+                if rr is None:
+                    inexact = True
+                else:
+                    total -= rr
+                deletes_pending = True
+            for e in self._manifest_entries(s):
+                if e.get("records") is None:
+                    inexact = True
+                    continue
+                total += e["records"]
+                by_path[os.path.normpath(e["path"])] = e
+        return None if inexact else total
+
+    @staticmethod
     def _transform_col(spec: dict):
         """Iceberg partition transform -> Spark column (identity, year,
         month, day, hour, bucket[N], truncate[W])."""
@@ -497,6 +555,7 @@ class Table:
                             "path": os.path.join(rel, relpath),
                             "partition": partition,
                             "stats": self._parquet_stats(os.path.join(dp, f)),
+                            "records": self._parquet_records(os.path.join(dp, f)),
                         }
                     )
         else:
@@ -506,6 +565,7 @@ class Table:
                     "path": os.path.join(rel, f),
                     "partition": {},
                     "stats": self._parquet_stats(os.path.join(out, f)),
+                    "records": self._parquet_records(os.path.join(out, f)),
                 }
                 for f in sorted(self.catalog.fio.listdir(out))
                 if f.endswith(".parquet")
@@ -574,6 +634,15 @@ class Table:
             snap["removed-files-count"] = len(removed)
         if position_deletes:
             snap["delete-files-count"] = len(position_deletes)
+            # delete-tuple count from the delete files' own footers (each
+            # tuple deletes exactly one live row) — keeps row_count()
+            # metadata-only through merge-on-read DML
+            recs = [
+                self._parquet_records(os.path.join(self.location, p))
+                for p in position_deletes
+            ]
+            if all(r is not None for r in recs):
+                snap["removed-records"] = sum(recs)
         if to_ref is not None:
             # Expected head is None when the branch doesn't exist yet (the
             # CAS then also guards against two writers racing to create it).
@@ -1193,9 +1262,13 @@ class Table:
                 size = fio.size(full)
             except OSError:
                 size = None
-            rows.append((e["path"], dict(e.get("partition", {})), size))
+            rows.append(
+                (e["path"], dict(e.get("partition", {})), size, e.get("records"))
+            )
         return spark.createDataFrame(
-            rows, "file_path string, partition map<string,string>, file_size_bytes long"
+            rows,
+            "file_path string, partition map<string,string>, "
+            "file_size_bytes long, record_count long",
         )
 
     def partitions_df(self, spark: SparkSession) -> DataFrame:

@@ -965,3 +965,27 @@ def test_set_write_order(spark, catalog, table):
         t3.set_write_order([{"name": "nope"}])
     with pytest.raises(E.BadRequestException):
         t3.set_write_order([{"name": "id", "direction": "sideways"}])
+
+
+def test_row_count_from_metadata(spark, catalog, table):
+    """count(*) answered from manifest record counts alone — exact through
+    appends, CoW/MoR DML, and compaction; None only when stale MoR tuples
+    make metadata inexact (CoW overwrite over pending deletes)."""
+    assert table.row_count() == 0
+    t = table.append(_rows(spark, 0, 100))
+    t = t.append(_rows(spark, 100, 150))
+    assert t.row_count() == 150
+    assert t.row_count(snapshot_id=1) == 100
+    t = t.delete_where(spark, "id >= 140")  # CoW
+    assert t.row_count() == 140
+    t = t.delete_where(spark, "id >= 130", mode="merge-on-read")
+    assert t.row_count() == 130
+    t = t.update_where(spark, "id = 0", {"name": "'zz'"}, mode="merge-on-read")
+    assert t.row_count() == 130  # MoR update: -1 delete, +1 rewritten row
+    # CoW over pending MoR deletes -> stale-tuple risk -> metadata punts
+    t2 = t.delete_where(spark, "id >= 120")
+    assert t2.row_count() is None
+    assert t2.df(spark).count() == 120  # the scan fallback stays right
+    # compaction folds everything; metadata is exact again
+    t3 = t2.compact(spark)
+    assert t3.row_count() == 120
