@@ -159,3 +159,46 @@ def q_evt_bigrams(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "event_type", "next_type")
     )
+
+
+@query(
+    "q_evt_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+           datediff('day', f.cohort, a.d) AS day_offset,
+           CAST(count(*) AS BIGINT) AS users
+    FROM first f JOIN act a USING (user_id)
+    WHERE datediff('day', f.cohort, a.d) BETWEEN 0 AND 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def q_evt_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity day, one
+    row per (cohort day, day offset 0-7) counting users active that many
+    days later — the standard product-analytics retention triangle.
+
+    Scale: both sides reduce to |users|-sized tables BEFORE the join
+    (per-user first day; distinct user-days), every aggregate and the join
+    key on user_id, so one shuffle family serves the whole plan; output is
+    |cohorts| x 8 rows."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    act = ev.distinct()
+    off = F.datediff(F.col("d"), F.col("cohort"))
+    return (
+        first.join(act, "user_id")
+        .filter((off >= 0) & (off <= 7))
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            off.alias("day_offset"),
+        )
+        .agg(F.count("*").alias("users"))
+    )
