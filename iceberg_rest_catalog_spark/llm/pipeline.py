@@ -533,3 +533,33 @@ def q_text_chunk_dedup(spark, sf_dir):
         ).alias("dedup_text"),
         F.count("*").alias("n_chunks_kept"),
     )
+
+
+@query(
+    "q_agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+           TRUE AS approx_within_2pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_approx_percentile(spark, sf_dir):
+    """Approximate percentile (the single-pass mergeable sketch behind
+    100 TB dashboards, vs q_agg_percentile's exact sort-based aggregate).
+    Self-asserting oracle pattern: the sketch estimate cannot be reproduced
+    in DuckDB, so the query emits the EXACT value as checkable ground truth
+    plus a boolean asserting its own approximation lands within 2% — the
+    oracle emits the exact value and literal TRUE."""
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx"),
+    )
+    return agg.select(
+        "l_returnflag",
+        r4(F.col("exact")).alias("exact_p50"),
+        (F.abs(F.col("approx") - F.col("exact")) <= 0.02 * F.abs("exact")).alias(
+            "approx_within_2pct"
+        ),
+    )
