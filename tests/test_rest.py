@@ -175,3 +175,36 @@ def test_request_id_middleware(server, caplog):
     assert by_id[rid1].path == "/v1/config" and by_id[rid1].method == "GET"
     assert by_id[rid1].status == 200 and by_id[rid1].latency_ms >= 0
     assert by_id[rid2].path == "/health" and by_id[rid2].size > 0
+
+
+def test_round3_update_actions_over_http(server):
+    """The round-3 update actions (partition spec / sort order / rollback
+    machinery) flow through the same updateTable endpoint the reference
+    exposes — no new wire surface needed."""
+    call("POST", f"{server}/v1/namespaces", {"namespace": ["db"]})
+    call("POST", f"{server}/v1/namespaces/db/tables",
+         {"name": "t", "schema": SCHEMA_JSON})
+    s, out = call(
+        "POST", f"{server}/v1/namespaces/db/tables/t",
+        {
+            "requirements": [],
+            "updates": [
+                {"action": "set-partition-spec",
+                 "spec": [{"name": "id", "transform": "bucket[4]"}]},
+                {"action": "set-sort-order",
+                 "order": [{"name": "id", "direction": "asc"}]},
+            ],
+        },
+    )
+    assert s == 200
+    assert out["metadata"]["partition-specs"] == [
+        {"name": "id", "transform": "bucket[4]"}
+    ]
+    assert out["metadata"]["sort-orders"] == [{"name": "id", "direction": "asc"}]
+    # removing a nonexistent snapshot id errors with the typed envelope
+    s, out = call(
+        "POST", f"{server}/v1/namespaces/db/tables/t",
+        {"requirements": [],
+         "updates": [{"action": "remove-snapshots", "snapshot-ids": [99]}]},
+    )
+    assert s == 200  # removal of already-absent ids is a no-op fold
