@@ -362,3 +362,63 @@ def q_dedup_cluster(spark, sf_dir):
             ),
         )
     )
+
+
+VERIFY_THRESHOLD = 0.6  # fixture near-dups sit at j >= 0.9, noise below 0.3
+
+
+@query(
+    "q_dedup_fuzzy_verified",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+               AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+          >= {VERIFY_THRESHOLD}
+    """,
+)
+def q_dedup_fuzzy_verified(spark, sf_dir):
+    """MinHash-LSH candidates -> EXACT trigram-Jaccard verification — the
+    production candidate/verify pipeline, and the evidence upgrade for the
+    rows-only q_dedup_fuzzy: the oracle brute-forces exact Jaccard over ALL
+    pairs, so a hash-match proves the LSH stage had perfect recall at the
+    threshold (fixture near-dups sit at j >= 0.9, where the 4-band/4-row
+    S-curve gives P(candidate) ~ 0.99; the gap to the noise floor at 0.3
+    makes the comparison exact, not probabilistic).
+
+    Scale: candidates come from bucket co-membership (never all-pairs);
+    the verify join touches O(candidates) docs, keyed on doc_id."""
+    cands = (
+        _minhash_pairs(spark, sf_dir, threshold=0.0)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    d = t(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    grams = F.when(
+        F.size("toks") < 3, F.array().cast("array<string>")
+    ).otherwise(
+        F.expr(
+            "transform(sequence(1, size(toks)-2), i -> concat("
+            "element_at(toks, i), ' ', element_at(toks, i+1), ' ',"
+            " element_at(toks, i+2)))"
+        )
+    )
+    g = d.select("doc_id", F.array_distinct(grams).alias("sh"))
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter / (F.size("sa") + F.size("sb") - inter)
+    return (
+        cands.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .filter(jac >= VERIFY_THRESHOLD)
+        .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
+    )
