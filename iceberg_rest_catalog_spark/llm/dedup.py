@@ -396,6 +396,10 @@ def q_dedup_fuzzy_verified(spark, sf_dir):
 
     Scale: candidates come from bucket co-membership (never all-pairs);
     the verify join touches O(candidates) docs, keyed on doc_id."""
+    return _exact_jaccard_pairs(spark, sf_dir)
+
+
+def _exact_jaccard_pairs(spark, sf_dir):
     cands = (
         _minhash_pairs(spark, sf_dir, threshold=0.0)
         .select("doc_a", "doc_b")
@@ -421,4 +425,73 @@ def q_dedup_fuzzy_verified(spark, sf_dir):
         .join(gb, "doc_b")
         .filter(jac >= VERIFY_THRESHOLD)
         .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
+    )
+
+
+@query(
+    "q_dedup_cluster_verified",
+    oracle=f"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ), p AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            >= {VERIFY_THRESHOLD}
+    ), e AS (
+      SELECT a, b FROM p UNION SELECT b, a FROM p
+      UNION SELECT a, a FROM p UNION SELECT b, b FROM p
+    ), reach AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+    ), lab AS (
+      SELECT a AS node, min(b) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+           string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS member_ids
+    FROM lab GROUP BY cluster_id
+    """,
+)
+def q_dedup_cluster_verified(spark, sf_dir):
+    """Connected components over the VERIFIED near-dup graph: because the
+    edge set is exact trigram-Jaccard pairs (DuckDB-reproducible, unlike
+    the raw LSH graph), the oracle can rebuild the same graph and compute
+    components via a recursive-CTE transitive closure — value-checking the
+    iterative Spark fixpoint itself, which q_dedup_cluster can only check
+    rows-only. Same min-label propagation loop, tiny-diameter clusters."""
+    pairs = _exact_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = edges.select(F.col("doc_a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(4):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy(F.col("doc_a").alias("node2"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.sort_array(F.collect_list("node")).alias("members"))
+        .select(
+            "cluster_id",
+            F.size("members").cast("long").alias("cluster_size"),
+            F.array_join(
+                F.transform("members", lambda m: m.cast("string")), ","
+            ).alias("member_ids"),
+        )
     )
