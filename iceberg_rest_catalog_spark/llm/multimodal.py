@@ -95,3 +95,72 @@ def q_multimodal_cols(spark, sf_dir):
         "doc_id", "payload", F.col("meta.mime").alias("mime")
     )
     return back.mapInPandas(_fake_decode_batch, schema=_DECODE_SCHEMA)
+
+
+_RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, out_w int, out_h int, feature array<double>"
+)
+
+
+def _fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for resize + feature extraction. A real
+    implementation decodes the payload, resizes to fit 224 on the long
+    side, and runs an encoder; here the geometry is integer-exact (so the
+    oracle reproduces it) and the 8-dim "embedding" is a fixed function of
+    the first payload byte. Arrow batch shape identical to production."""
+    for pdf in batches:
+        w, h = pdf["width"], pdf["height"]
+        long_side = w.combine(h, max)
+        scale_needed = long_side > 224
+        out_w = (w * 224 // long_side).where(scale_needed, w)
+        out_h = (h * 224 // long_side).where(scale_needed, h)
+        fb = pdf["payload"].map(lambda b: b[0] if len(b) else 0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": w,
+                "height": h,
+                "out_w": out_w,
+                "out_h": out_h,
+                "feature": fb.map(
+                    lambda x: [((x * 31 + i) % 97) / 97.0 for i in range(8)]
+                ),
+            }
+        )
+
+
+@query(
+    "q_multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(100 + doc_id % 1200 AS INT)       AS width,
+           CAST(100 + (doc_id * 7) % 900 AS INT)  AS height,
+           CAST(CASE WHEN greatest(100 + doc_id % 1200, 100 + (doc_id * 7) % 900) > 224
+                THEN (100 + doc_id % 1200) * 224 // greatest(100 + doc_id % 1200, 100 + (doc_id * 7) % 900)
+                ELSE 100 + doc_id % 1200 END AS INT) AS out_w,
+           CAST(CASE WHEN greatest(100 + doc_id % 1200, 100 + (doc_id * 7) % 900) > 224
+                THEN (100 + (doc_id * 7) % 900) * 224 // greatest(100 + doc_id % 1200, 100 + (doc_id * 7) % 900)
+                ELSE 100 + (doc_id * 7) % 900 END AS INT) AS out_h,
+           list_transform(range(0, 8),
+                          i -> ((ascii(substr(text, 1, 1)) * 31 + i) % 97) / 97.0)
+               AS feature
+    FROM documents
+    """,
+)
+def q_multimodal_resize(spark, sf_dir):
+    """Resize + feature-extract stage over multimodal payloads: typed
+    (width, height) metadata rides next to the binary column, an
+    Arrow-batched mapInPandas computes fit-to-224 output geometry
+    (integer-exact, so the oracle reproduces it) and a deterministic fake
+    8-dim feature vector — swap `_fake_resize_batch` for a PIL/encoder
+    implementation without touching the Spark plumbing.
+
+    Scale: mapInPandas streams Arrow batches; geometry/feature output is
+    O(docs), payload bytes never shuffle (the stage is map-only)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        (F.lit(100) + F.col("doc_id") % 1200).cast("int").alias("width"),
+        (F.lit(100) + (F.col("doc_id") * 7) % 900).cast("int").alias("height"),
+    )
+    return d.mapInPandas(_fake_resize_batch, _RESIZE_SCHEMA)
