@@ -419,3 +419,33 @@ def q_dedup_keep_best(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@query(
+    "q_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g')) AS norm_text,
+           md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g'))) AS norm_hash
+    FROM documents
+    """,
+)
+def q_text_normalize(spark, sf_dir):
+    """Canonical text normalization (lowercase, strip non-alphanumerics,
+    collapse whitespace) + the normalized content hash — the
+    pre-deduplication canonicalization step: exact dedup over norm_hash
+    catches case/punctuation-only duplicates that byte-hashing misses.
+    Map-only chain of JVM regexp_replace; at 100 TB this is a pure scan."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id", norm.alias("norm_text"), F.md5(norm).alias("norm_hash")
+    )

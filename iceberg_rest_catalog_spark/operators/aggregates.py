@@ -243,3 +243,31 @@ def q_agg_mode_median(spark, sf_dir):
         F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
         F.bool_or(F.col("o_totalprice") > 400000).alias("any_large"),
     )
+
+
+@query(
+    "q_agg_filtered",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_discount > 0.05)      AS n_discounted,
+           CAST(round(sum(l_quantity) FILTER (WHERE l_tax > 0.04), 4) AS DOUBLE)
+               AS qty_taxed,
+           bool_and(l_quantity <= 50)                     AS all_small,
+           bool_or(l_discount >= 0.09)                    AS any_deep_discount
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_filtered(spark, sf_dir):
+    """Conditional aggregates: FILTER-clause counts/sums and boolean
+    every/any per group — one hash aggregate, the conditions evaluate
+    map-side inside the partial agg (no extra pass, no shuffle beyond the
+    group-by's)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.round(
+            F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_quantity"))), 4
+        ).cast("double").alias("qty_taxed"),
+        F.bool_and(F.col("l_quantity") <= 50).alias("all_small"),
+        F.bool_or(F.col("l_discount") >= 0.09).alias("any_deep_discount"),
+    )
