@@ -87,3 +87,37 @@ def q_sub_exists_corr(spark, sf_dir):
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
         "c_custkey", "c_name"
     )
+
+
+_NOT_IN_SQL = """
+  SELECT 'poisoned' AS variant, c_custkey, c_name
+  FROM {c}
+  WHERE c_custkey NOT IN (
+    SELECT CASE WHEN o_totalprice > 400000.0 THEN NULL ELSE o_custkey END
+    FROM {o} WHERE o_orderkey <= 500
+  )
+  UNION ALL
+  SELECT 'null_free', c_custkey, c_name
+  FROM {c}
+  WHERE c_custkey NOT IN (
+    SELECT o_custkey FROM {o}
+    WHERE o_orderkey <= 500 AND o_custkey IS NOT NULL
+  )
+"""
+
+
+@query(
+    "q_sub_not_in_null",
+    oracle=_NOT_IN_SQL.format(c="customer", o="orders"),
+)
+def q_sub_not_in_null(spark, sf_dir):
+    """NOT IN under three-valued logic, both ways: the 'poisoned' branch
+    has a NULL in the subquery list, so `x NOT IN (...)` is never TRUE and
+    the branch MUST be empty; the 'null_free' branch is the same predicate
+    with NULLs filtered, returning the real anti set. Expressed through
+    Spark SQL so Catalyst plans the null-aware anti join — a hand-rolled
+    left-anti join gets the poisoned case silently wrong."""
+    spark.sql("SET spark.sql.legacy.parquet.nanosAsLong=true")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(_NOT_IN_SQL.format(c="v_customer", o="v_orders"))

@@ -137,3 +137,27 @@ def test_bucketed_join_has_no_exchange(spark):
     assert "SortMergeJoin" in p
     assert "Exchange" not in p
     assert p.count("Bucketed: true") == 2
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Joining a partitioned fact scan with a filtered dimension must plan
+    a dynamic-pruning subquery on the partition column: at 100 TB DPP is
+    the difference between scanning one year and scanning the table when
+    the partition predicate only exists on the dim side."""
+    from pyspark.sql import functions as F
+
+    fact_dir = str(tmp_path / "fact")
+    spark.range(0, 10_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("part"),
+        (F.col("id") * 2).alias("v"),
+    ).write.partitionBy("part").parquet(fact_dir)
+    dim = spark.range(0, 10).select(
+        F.col("id").alias("part"), F.lit("x").alias("tag")
+    ).filter(F.col("part") == 3)
+    fact = spark.read.parquet(fact_dir)
+    joined = fact.join(dim, "part").groupBy("part").agg(F.sum("v").alias("s"))
+    p = joined._sc._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in p.lower(), p[:2000]
