@@ -428,3 +428,56 @@ def q_stream_catalog_source(spark, sf_dir):
         F.round("o_totalprice", 4).alias("o_totalprice"),
         F.col("batch_snapshot").cast("long").alias("batch_snapshot"),
     )
+
+
+@query(
+    "q_stream_changelog",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice,
+           'insert' AS _change_type,
+           CASE WHEN o_orderkey <= 100 THEN 1 ELSE 2 END AS batch_snapshot
+    FROM orders WHERE o_orderkey >= 1 AND o_orderkey <= 200
+    UNION ALL
+    SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice,
+           'delete' AS _change_type, 3 AS batch_snapshot
+    FROM orders
+    WHERE o_orderkey >= 1 AND o_orderkey <= 200 AND o_totalprice < 50000.0
+    """,
+)
+def q_stream_changelog(spark, sf_dir):
+    """CDC changelog over a cataloged table: appends stream as inserts,
+    a merge-on-read DELETE streams as exact row retractions (its position
+    tuples resolved back to rows) — the Iceberg changelog-scan shape. The
+    oracle reconstructs all three batches, value-checking both the rows
+    and which snapshot delivered them."""
+    from ..catalog import Catalog, NestedField, Schema
+    from .catalog_source import CatalogStreamReader
+
+    wh = scratch_dir(sf_dir, "stream_changelog")
+    shutil.rmtree(wh, ignore_errors=True)
+    os.makedirs(wh, exist_ok=True)
+    cat = Catalog(os.path.join(wh, "warehouse"))
+    cat.create_namespace(("db",))
+    tbl = cat.create_table(
+        ("db", "orders_c"),
+        Schema(0, [NestedField(1, "o_orderkey", "long"),
+                   NestedField(2, "o_totalprice", "double")]),
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tbl = tbl.append(orders.filter((F.col("o_orderkey") >= 1) & (F.col("o_orderkey") <= 100)))
+    tbl = tbl.append(orders.filter((F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 200)))
+    tbl.delete_where(spark, "o_totalprice < 50000.0", mode="merge-on-read")
+
+    reader = CatalogStreamReader(cat, ("db", "orders_c"), os.path.join(wh, "ckpt"))
+    batches = []
+    reader.run_changelog(
+        spark, lambda df, sid: batches.append(df.withColumn("batch_snapshot", F.lit(sid)))
+    )
+    assert len(batches) == 3
+    out = batches[0]
+    for b in batches[1:]:
+        out = out.union(b)
+    return out.select(
+        "o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice"),
+        "_change_type", F.col("batch_snapshot").cast("long").alias("batch_snapshot"),
+    )
