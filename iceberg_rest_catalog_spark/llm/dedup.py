@@ -495,3 +495,72 @@ def q_dedup_cluster_verified(spark, sf_dir):
             ).alias("member_ids"),
         )
     )
+
+
+CONTAIN_THRESHOLD = 0.8
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    )
+    SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 4)
+               AS containment
+    FROM g a JOIN g b
+      ON a.doc_id <> b.doc_id
+     AND (len(a.sh) < len(b.sh) OR (len(a.sh) = len(b.sh) AND a.doc_id < b.doc_id))
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh)
+          >= {CONTAIN_THRESHOLD}
+    """,
+)
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric CONTAINMENT dedup: |A∩B| / |A| of trigram sets, the
+    measure that catches a document embedded inside a longer one (quote
+    expansion, boilerplate wrapping) where symmetric Jaccard stays low.
+    Candidates come from the same MinHash-LSH buckets; the smaller doc of
+    each pair is scored against the bigger. Oracle brute-forces all pairs
+    — a value match again proves candidate recall at the threshold.
+
+    Scale: identical candidate/verify shape as q_dedup_fuzzy_verified;
+    containment is computed on the O(candidates) verify join only."""
+    cands = (
+        _minhash_pairs(spark, sf_dir, threshold=0.0)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    d = t(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    grams = F.when(
+        F.size("toks") < 3, F.array().cast("array<string>")
+    ).otherwise(
+        F.expr(
+            "transform(sequence(1, size(toks)-2), i -> concat("
+            "element_at(toks, i), ' ', element_at(toks, i+1), ' ',"
+            " element_at(toks, i+2)))"
+        )
+    )
+    g = d.select("doc_id", F.array_distinct(grams).alias("sh"))
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    paired = cands.join(ga, "doc_a").join(gb, "doc_b")
+    # orient each pair small -> big (ties by id) to make containment
+    # well-defined and match the oracle's orientation
+    small_first = (F.size("sa") < F.size("sb")) | (
+        (F.size("sa") == F.size("sb")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    oriented = paired.select(
+        F.when(small_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_small"),
+        F.when(small_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_big"),
+        F.when(small_first, F.col("sa")).otherwise(F.col("sb")).alias("ss"),
+        F.when(small_first, F.col("sb")).otherwise(F.col("sa")).alias("sb2"),
+    )
+    cont = F.size(F.array_intersect("ss", "sb2")) / F.size("ss")
+    return (
+        oriented.filter(cont >= CONTAIN_THRESHOLD)
+        .select("doc_small", "doc_big", r4(cont).alias("containment"))
+        .distinct()
+    )
