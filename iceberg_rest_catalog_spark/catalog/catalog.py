@@ -659,7 +659,9 @@ class Table:
             updates=[{"action": "add-snapshot", "snapshot": snap, "ref": to_ref}],
         )
 
-    def append(self, df: DataFrame, branch: str | None = None) -> "Table":
+    def append(
+        self, df: DataFrame, branch: str | None = None, retries: int = 0
+    ) -> "Table":
         """Append data files + commit a new snapshot (micro-batch append =
         snapshot commit; the streaming-source model of SURVEY §1.2).
 
@@ -667,8 +669,26 @@ class Table:
         main — the write half of write-audit-publish: audit the branch
         (``df(spark, snapshot_id=snapshot_for_ref(branch))``), then
         ``fast_forward(branch)`` to publish. Main readers never see the
-        staged snapshot (reads follow lineage, not snapshot ids)."""
-        return self._commit_files(df, "append", None, to_ref=branch)
+        staged snapshot (reads follow lineage, not snapshot ids).
+
+        ``retries`` > 0: a CAS loss re-commits the SAME already-written
+        files against the reloaded head (Iceberg's commit.retry behavior).
+        Safe for appends specifically: an append is position-independent —
+        it doesn't depend on the file set it was planned against, so under
+        N concurrent writers the data writes (the expensive part) happen
+        once and only the metadata swap retries. The default (0) keeps a
+        CAS loss visible, which snapshot-pinned workflows (WAP, rollback)
+        want; streaming sinks pass retries>0. DML/replace commits never
+        auto-retry: their validity depends on the planned file set."""
+        added = self._write_data_files(df, None)
+        tbl = self
+        for attempt in range(retries + 1):
+            try:
+                return tbl._commit_snapshot("append", added, to_ref=branch)
+            except E.CommitFailedException:
+                if attempt == retries:
+                    raise
+                tbl = self.catalog.load_table(self.identifier)
 
     # -- row-level DML (copy-on-write) --------------------------------------
     def _rewrite_rows(

@@ -1083,3 +1083,32 @@ def test_catalog_stream_changelog(spark, catalog, table, tmp_path):
                 if not state[(id_, name)]:
                     del state[(id_, name)]
     assert {k for k in state} == {(r.id, r.name) for r in t.df(spark).collect()}
+
+
+def test_append_retry_wins_cas_race(spark, catalog, table):
+    """With retries>0 a stale append re-commits its already-written files
+    against the new head; with the default it surfaces the conflict."""
+    stale = catalog.load_table(("db", "t"))
+    table.append(_rows(spark, 0, 3))          # moves the head under `stale`
+    t2 = stale.append(_rows(spark, 10, 13), retries=3)
+    assert sorted(r.id for r in t2.df(spark).collect()) == [0, 1, 2, 10, 11, 12]
+    assert len(t2.metadata["snapshots"]) == 2
+
+
+def test_concurrent_mor_deletes_one_wins_cleanly(spark, catalog, table):
+    """Two writers planning MoR deletes from the same snapshot: exactly one
+    CAS commit wins; the loser raises without corrupting state, leaving
+    only orphan delete files for the sweep."""
+    t = table.append(_rows(spark, 0, 20))
+    a = catalog.load_table(("db", "t"))
+    b = catalog.load_table(("db", "t"))
+    t_a = a.delete_where(spark, "id >= 15", mode="merge-on-read")
+    with pytest.raises(E.CommitFailedException):
+        b.delete_where(spark, "id < 5", mode="merge-on-read")
+    cur = catalog.load_table(("db", "t"))
+    assert sorted(r.id for r in cur.df(spark).collect()) == list(range(15))
+    assert cur.row_count() == 15
+    # the loser's unreferenced delete files are reclaimable orphans
+    removed = cur.remove_orphan_files()
+    assert all("-deletes" in p for p in removed) and removed
+    assert sorted(r.id for r in cur.df(spark).collect()) == list(range(15))
