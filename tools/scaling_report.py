@@ -25,6 +25,11 @@ QUERIES = [
     "q_sim_lsh",
     "q_text_tokens",
     "q_evt_sessionize",
+    # round-3 additions
+    "q_dedup_fuzzy_verified",
+    "q_cluster_kmeans",
+    "q_text_perplexity",
+    "q_text_chunk_dedup",
 ]
 
 
