@@ -334,3 +334,46 @@ def q_fn_hash(spark, sf_dir):
         F.sha2(F.col("text").cast("binary"), 256).alias("h_sha256"),
         F.substring(F.md5("text"), 1, 8).alias("h_short"),
     )
+
+
+@query(
+    "q_sql_recursive",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events
+    ), spine(d) AS (
+      SELECT lo FROM bounds
+      UNION ALL
+      SELECT d + INTERVAL 1 DAY FROM spine, bounds WHERE d < hi
+    ), daily AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1
+    )
+    SELECT strftime(spine.d, '%Y-%m-%d') AS day,
+           CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events
+    FROM spine LEFT JOIN daily ON spine.d = daily.d
+    """,
+)
+def q_sql_recursive(spark, sf_dir):
+    """Recursive CTE (Spark 4 WITH RECURSIVE): build a dense day spine
+    over the events date range, then gap-fill daily counts with zeros —
+    the standard time-series densification a dashboard needs (missing
+    days must show as 0, not vanish). The recursion is bounded by the
+    date range, independent of event volume; the daily aggregate is one
+    hash agg over the corpus."""
+    spark.sql("SET spark.sql.legacy.parquet.nanosAsLong=true")
+    t(spark, sf_dir, "events").createOrReplaceTempView("v_events")
+    return spark.sql("""
+      WITH RECURSIVE bounds AS (
+        SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+        FROM v_events
+      ), spine(d) AS (
+        SELECT lo FROM bounds
+        UNION ALL
+        SELECT d + INTERVAL 1 DAY FROM spine, bounds WHERE d < hi
+      ), daily AS (
+        SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM v_events GROUP BY 1
+      )
+      SELECT date_format(spine.d, 'yyyy-MM-dd') AS day,
+             coalesce(daily.n, 0) AS n_events
+      FROM spine LEFT JOIN daily ON spine.d = daily.d
+    """)
