@@ -377,3 +377,43 @@ def q_sql_recursive(spark, sf_dir):
              coalesce(daily.n, 0) AS n_events
       FROM spine LEFT JOIN daily ON spine.d = daily.d
     """)
+
+
+@query(
+    "q_fn_variant",
+    oracle="""
+    WITH j AS (
+      SELECT o_orderkey,
+             '{"cust": ' || o_custkey || ', "price": ' || round(o_totalprice, 2)
+             || ', "meta": {"status": "' || o_orderstatus || '"}}' AS payload
+      FROM orders WHERE o_orderkey <= 300
+    )
+    SELECT o_orderkey,
+           CAST(json_extract(payload, '$.cust') AS BIGINT)   AS cust,
+           CAST(json_extract(payload, '$.price') AS DOUBLE)  AS price,
+           json_extract_string(payload, '$.meta.status')     AS status,
+           CAST(json_extract(payload, '$.missing') AS BIGINT) AS missing
+    FROM j
+    """,
+)
+def q_fn_variant(spark, sf_dir):
+    """Semi-structured VARIANT columns (Spark 4 / Iceberg v3's new type):
+    JSON payloads parse once into the binary variant encoding, then typed
+    path extraction (`try_variant_get`) replaces repeated string JSON
+    parsing — the shape for ingesting heterogeneous event payloads at
+    scale (parse once, extract many, no schema migration per new field).
+    Missing paths yield typed NULLs, never errors."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    payload = F.concat(
+        F.lit('{"cust": '), F.col("o_custkey").cast("string"),
+        F.lit(', "price": '), F.round("o_totalprice", 2).cast("string"),
+        F.lit(', "meta": {"status": "'), F.col("o_orderstatus"), F.lit('"}}'),
+    )
+    v = o.select("o_orderkey", F.parse_json(payload).alias("v"))
+    return v.select(
+        "o_orderkey",
+        F.try_variant_get("v", "$.cust", "long").alias("cust"),
+        F.try_variant_get("v", "$.price", "double").alias("price"),
+        F.try_variant_get("v", "$.meta.status", "string").alias("status"),
+        F.try_variant_get("v", "$.missing", "long").alias("missing"),
+    )
