@@ -34,6 +34,9 @@ ENGINE_DEFAULTS: dict[str, str] = {
     # (measured on q_udf_pandas at sf0.1); still far below memory limits.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     "spark.sql.parquet.filterPushdown": "true",
+    # allow the Python Data Source (catalog/datasource.py) to prune files
+    # from pushed comparison filters
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.ui.enabled": "false",

@@ -1112,3 +1112,96 @@ def test_concurrent_mor_deletes_one_wins_cleanly(spark, catalog, table):
     removed = cur.remove_orphan_files()
     assert all("-deletes" in p for p in removed) and removed
     assert sorted(r.id for r in cur.df(spark).collect()) == list(range(15))
+
+
+# -- Python Data Source (format("icsb")) -----------------------------------
+def _register_icsb(spark):
+    from iceberg_rest_catalog_spark.catalog.datasource import CatalogDataSource
+
+    try:
+        spark.dataSource.register(CatalogDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+
+def _icsb(spark, catalog, table="db.t", **opts):
+    r = (spark.read.format("icsb")
+         .option("warehouse", catalog.warehouse)
+         .option("table", table))
+    if getattr(catalog, "db_path", None):
+        r = r.option("db", catalog.db_path)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_datasource_batch_read(spark, catalog, table):
+    _register_icsb(spark)
+    t = table.append(_rows(spark, 0, 50))
+    t = t.delete_where(spark, "id >= 45", mode="merge-on-read")
+    df = _icsb(spark, catalog)
+    assert df.columns == ["id", "name"]
+    assert sorted(r.id for r in df.collect()) == list(range(45))
+    # snapshot option time-travels
+    old = _icsb(spark, catalog, snapshot="1")
+    assert old.count() == 50
+    # Spark-applied filters stay exact on top of the stats pruning
+    assert _icsb(spark, catalog).filter("id >= 40").count() == 5
+
+
+def test_datasource_field_id_projection(spark, catalog, table):
+    _register_icsb(spark)
+    t = table.append(spark.createDataFrame([(1, "a")], "id long, name string"))
+    t = t.evolve_schema(renames={"name": "label"})
+    t.append(spark.createDataFrame([(2, "b")], "id long, label string"))
+    rows = {r.id: r.label for r in _icsb(spark, catalog).collect()}
+    assert rows == {1: "a", 2: "b"}
+
+
+def test_datasource_pushdown_prunes_files(spark, catalog):
+    from iceberg_rest_catalog_spark.catalog.datasource import CatalogBatchReader
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    catalog.create_namespace(("dsb",))
+    tbl = catalog.create_table(
+        ("dsb", "p"),
+        Schema(0, [NestedField(1, "id", "long", False),
+                   NestedField(2, "name", "string", False)]),
+        write_order=[{"name": "id", "direction": "asc"}],
+    )
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(1000)], "id long, name string")
+    tbl.append(df.repartitionByRange(4, "id"))
+    opts = {"warehouse": catalog.warehouse, "table": "dsb.p"}
+    if getattr(catalog, "db_path", None):
+        opts["db"] = catalog.db_path
+    reader = CatalogBatchReader(opts)
+    assert len(reader.partitions()) == 4
+    unsupported = list(reader.pushFilters([GreaterThanOrEqual(("id",), 900)]))
+    assert len(unsupported) == 1  # prune-only: Spark re-applies exactly
+    assert len(reader.partitions()) == 1  # 3 cold files never opened
+
+
+def test_datasource_streaming_incremental(spark, catalog, table, tmp_path):
+    _register_icsb(spark)
+    t = table.append(_rows(spark, 0, 5))
+    t = t.append(_rows(spark, 5, 8))
+    opts = {"warehouse": catalog.warehouse, "table": "db.t"}
+    if getattr(catalog, "db_path", None):
+        opts["db"] = catalog.db_path
+
+    def run():
+        got = []
+        r = spark.readStream.format("icsb")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        q = (r.load().writeStream
+             .foreachBatch(lambda b, _id: got.extend(x.id for x in b.collect()))
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return sorted(got)
+
+    assert run() == list(range(8))
+    # new append + restart from the same checkpoint: only the new rows
+    t.append(_rows(spark, 8, 10))
+    assert run() == [8, 9]
