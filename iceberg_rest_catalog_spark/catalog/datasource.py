@@ -43,6 +43,8 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    DataSourceArrowWriter,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -232,3 +234,97 @@ class CatalogDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType):  # noqa: N802
         return CatalogSimpleStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> CatalogDataWriter:
+        return CatalogDataWriter(self.options, overwrite)
+
+
+@dataclasses.dataclass
+class _WrittenFile(WriterCommitMessage):
+    rel_path: str | None
+    records: int | None = None
+
+
+class CatalogDataWriter(DataSourceArrowWriter):
+    """Writer half of the integration — the Iceberg write architecture
+    through Spark's native sink API: each TASK streams its Arrow batches
+    into one parquet file under the table's data dir and reports the file
+    back; the DRIVER turns the reported files into manifest entries and
+    commits ONE snapshot (append for mode("append"), replace for
+    mode("overwrite")) under the usual CAS, retrying the metadata swap on
+    conflict (safe: the data files are position-independent). abort()
+    removes any files written by a failed job — uncommitted files are
+    invisible to readers either way."""
+
+    def __init__(self, options, overwrite: bool):
+        self.options = dict(options)
+        cat = _open_catalog(options)
+        tbl = cat.load_table(_ident(options))
+        self.location = tbl.location
+        self.field_names = [f.name for f in tbl.schema().fields]
+        self.rel_dir = os.path.join("data", __import__("uuid").uuid4().hex)
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import uuid as _uuid
+
+        out_dir = os.path.join(self.location, self.rel_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        rel = os.path.join(self.rel_dir, f"task-{_uuid.uuid4().hex}.parquet")
+        writer, n = None, 0
+        for batch in iterator:
+            tb = pa.Table.from_batches([batch]).select(self.field_names)
+            if writer is None:
+                writer = pq.ParquetWriter(
+                    os.path.join(self.location, rel), tb.schema
+                )
+            writer.write_table(tb)
+            n += tb.num_rows
+        if writer is None:
+            return _WrittenFile(None)  # empty task: no file
+        writer.close()
+        return _WrittenFile(rel, n)
+
+    def _entries(self, messages):
+        from .catalog import Table
+
+        added = []
+        for m in messages:
+            if m is None or m.rel_path is None:
+                continue
+            full = os.path.join(self.location, m.rel_path)
+            added.append(
+                {
+                    "path": m.rel_path,
+                    "partition": {},
+                    "stats": Table._parquet_stats(full),
+                    "records": m.records,
+                }
+            )
+        return added
+
+    def commit(self, messages) -> None:
+        from . import errors as E
+
+        added = self._entries(messages)
+        cat = _open_catalog(self.options)
+        op = "replace" if self.overwrite else "append"
+        tbl = cat.load_table(_ident(self.options))
+        for attempt in range(3):
+            try:
+                tbl._commit_snapshot(op, list(added))
+                return
+            except E.CommitFailedException:
+                if attempt == 2:
+                    raise
+                tbl = cat.load_table(_ident(self.options))
+
+    def abort(self, messages) -> None:
+        for m in messages or []:
+            if m is not None and m.rel_path:
+                try:
+                    os.remove(os.path.join(self.location, m.rel_path))
+                except OSError:
+                    pass

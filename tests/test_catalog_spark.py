@@ -1205,3 +1205,33 @@ def test_datasource_streaming_incremental(spark, catalog, table, tmp_path):
     # new append + restart from the same checkpoint: only the new rows
     t.append(_rows(spark, 8, 10))
     assert run() == [8, 9]
+
+
+def test_datasource_write_append_and_overwrite(spark, catalog, table):
+    """Writer half of format('icsb'): tasks write parquet files, the
+    driver commits one snapshot per save — append and overwrite modes."""
+    _register_icsb(spark)
+    opts = {"warehouse": catalog.warehouse, "table": "db.t"}
+    if getattr(catalog, "db_path", None):
+        opts["db"] = catalog.db_path
+
+    def save(df, mode):
+        w = df.write.format("icsb").mode(mode)
+        for k, v in opts.items():
+            w = w.option(k, v)
+        w.save()
+
+    save(_rows(spark, 0, 10), "append")
+    save(_rows(spark, 10, 15), "append")
+    t = catalog.load_table(("db", "t"))
+    assert sorted(r.id for r in t.df(spark).collect()) == list(range(15))
+    assert len(t.metadata["snapshots"]) == 2  # one snapshot per save
+    assert t.row_count() == 15  # writer records footer counts too
+    # round trip through the reader side
+    assert _icsb(spark, catalog).count() == 15
+    # mode("overwrite") commits a replace snapshot; history time-travels
+    save(_rows(spark, 100, 103), "overwrite")
+    t = catalog.load_table(("db", "t"))
+    assert sorted(r.id for r in t.df(spark).collect()) == [100, 101, 102]
+    assert t.current_snapshot()["operation"] == "replace"
+    assert t.df(spark, snapshot_id=1).count() == 10
