@@ -940,6 +940,79 @@ class Table:
         """Compact current contents into n_files files (self-rewrite)."""
         return self.rewrite(self.df(spark), n_files)
 
+    def rewrite_zorder(
+        self, spark: SparkSession, columns: list[str], n_files: int = 8
+    ) -> "Table":
+        """Z-order clustering rewrite (Iceberg's ``rewrite_data_files``
+        with ``strategy=sort, sort_order=zorder(...)``): interleave the
+        bits of min/max-normalized column values into a Morton code,
+        range-partition the table by that code, and commit the clustered
+        files as a ``replace`` snapshot.
+
+        Why at 100 TB: a 1-D write order gives tight per-file min/max on
+        ONE column; a predicate on any other column scans every file.
+        Z-ordering makes the per-file bounding boxes small in EVERY
+        z-dimension simultaneously, so :meth:`plan_files` column-stats
+        pruning skips files for predicates on any (or several) of them.
+
+        Scale shape: one global min/max aggregate (one row to the driver),
+        then a purely map-side Morton-code projection (shift/and/or —
+        whole-stage codegen, no Python), one range shuffle on the code,
+        and a parquet write. Nulls sort first (normalized to 0). Numeric
+        and date columns only — the bit-interleave needs a total order on
+        fixed-width integers.
+        """
+        from pyspark.sql import functions as F
+
+        df = self.df(spark)
+        bits = 16  # per-column resolution: 2^16 rank buckets
+        # One pass for the normalization bounds — O(columns) scalars.
+        norm_src: dict[str, "F.Column"] = {}
+        for c in columns:
+            dt = dict(df.dtypes)[c]
+            if dt == "date":
+                norm_src[c] = F.unix_date(F.col(c)).cast("double")
+            elif dt.startswith("timestamp"):
+                norm_src[c] = F.col(c).cast("long").cast("double")
+            elif dt in ("string", "binary"):
+                raise ValueError(f"z-order needs a numeric/date column: {c} is {dt}")
+            else:
+                norm_src[c] = F.col(c).cast("double")
+        bounds = df.agg(
+            *[F.min(e).alias(f"mn_{c}") for c, e in norm_src.items()],
+            *[F.max(e).alias(f"mx_{c}") for c, e in norm_src.items()],
+        ).collect()[0]
+        # Normalize each column to a 16-bit integer rank, then interleave
+        # bit i of column j into position i*k + j (round-robin), giving a
+        # single long whose order is the Z-curve over all k columns.
+        k = len(columns)
+        lanes = []
+        for c in columns:
+            mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+            span = (mx - mn) if (mx is not None and mx > mn) else 1.0
+            lanes.append(
+                F.coalesce(
+                    F.round((norm_src[c] - F.lit(mn)) / F.lit(span) * F.lit(2**bits - 1))
+                    .cast("long"),
+                    F.lit(0),
+                )
+            )
+        z = F.lit(0).cast("long")
+        for bit in range(bits):
+            for j, lane in enumerate(lanes):
+                z = z.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(lane, bit).bitwiseAND(F.lit(1)), bit * k + j
+                    )
+                )
+        clustered = (
+            df.withColumn("_zval", z)
+            .repartitionByRange(n_files, "_zval")
+            .sortWithinPartitions("_zval")
+            .drop("_zval")
+        )
+        return self._commit_files(clustered, "replace", None)
+
     def analyze(self, spark: SparkSession) -> "Table":
         """ANALYZE TABLE: collect per-column min/max/null-count/NDV in ONE
         aggregate pass and commit them into table properties

@@ -120,6 +120,52 @@ def q_agg_approx_distinct(spark, sf_dir):
 
 
 @query(
+    "q_agg_hll_merge",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS merged_within_5pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_hll_merge(spark, sf_dir):
+    """Two-level mergeable HLL rollup (DataSketches ``hll_sketch_agg`` /
+    ``hll_union_agg`` / ``hll_sketch_estimate``, Spark 4).
+
+    The 100 TB pattern this models: persist one fixed-size sketch per
+    (group, partition) — e.g. distinct users per day — then answer any
+    coarser rollup (per month, all time) by UNIONING the stored sketches,
+    never rescanning raw data. Stage 1 builds a sketch per
+    (o_orderstatus, order month); stage 2 merges the monthly sketches per
+    status with ``hll_union_agg``. The shuffle between the stages carries
+    ~1 KB binary sketches per group regardless of row count.
+
+    Oracle strategy: sketch estimates aren't cross-engine-reproducible, so
+    (as q_agg_approx_distinct) the query self-asserts — it computes the
+    exact distinct count and a boolean that the MERGED estimate landed
+    within 5%; the oracle emits the exact count and a literal TRUE.
+    """
+    orders = t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderstatus", F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sketch"))
+    merged = monthly.groupBy("o_orderstatus").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("merged_estimate")
+    )
+    exact = orders.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("exact_customers")
+    )
+    return exact.join(merged, "o_orderstatus").select(
+        "o_orderstatus",
+        "exact_customers",
+        (
+            F.abs(F.col("merged_estimate") - F.col("exact_customers"))
+            <= F.lit(0.05) * F.col("exact_customers")
+        ).alias("merged_within_5pct"),
+    )
+
+
+@query(
     "q_agg_having",
     oracle="""
     SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS sum_price
