@@ -185,3 +185,68 @@ def q_scan_stats_prune(spark, sf_dir):
     return tbl.scan(spark, column_predicates=pred).select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
     )
+
+
+@query(
+    "q_scan_zorder",
+    oracle="""
+    SELECT l_orderkey, l_partkey,
+           round(l_quantity, 4) AS l_quantity,
+           round(l_extendedprice, 4) AS l_extendedprice
+    FROM lineitem WHERE l_orderkey <= 1200 AND l_partkey <= 300
+    """,
+)
+def q_scan_zorder(spark, sf_dir):
+    """Multi-dimensional file skipping via Z-order clustering
+    (``Table.rewrite_zorder`` — Iceberg's rewrite_data_files zorder
+    strategy).
+
+    A 1-D write order keeps per-file min/max tight on one column only;
+    after the Morton-code rewrite every file's bounding box is small in
+    BOTH z-dimensions, so the manifest-stats planner skips files for a
+    conjunctive predicate on (l_orderkey, l_partkey) — two columns with
+    independent value distributions. The scan re-applies the predicate
+    exactly, so the oracle is the plain fixture filter; pruning
+    effectiveness itself is pinned by ``tests/test_catalog_spark.py``.
+    """
+    import os
+
+    from ..catalog import Catalog, NestedField, Schema
+
+    wh = scratch_dir(sf_dir, "zorder")
+    marker = os.path.join(wh, ".ready")
+    cat = Catalog(os.path.join(wh, "warehouse"))
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(wh, ignore_errors=True)
+        os.makedirs(wh, exist_ok=True)
+        cat = Catalog(os.path.join(wh, "warehouse"))
+        cat.create_namespace(("db",))
+        sch = Schema(
+            0,
+            [
+                NestedField(1, "l_orderkey", "long"),
+                NestedField(2, "l_partkey", "long"),
+                NestedField(3, "l_quantity", "double"),
+                NestedField(4, "l_extendedprice", "double"),
+            ],
+        )
+        tbl = cat.create_table(("db", "lineitem_z"), sch)
+        li = t(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_partkey",
+            F.col("l_quantity").cast("double"),
+            F.col("l_extendedprice").cast("double"),
+        )
+        tbl = tbl.append(li)
+        tbl.rewrite_zorder(spark, ["l_orderkey", "l_partkey"], n_files=16)
+        open(marker, "w").close()
+    tbl = cat.load_table(("db", "lineitem_z"))
+    pred = [("l_orderkey", "<=", 1200), ("l_partkey", "<=", 300)]
+    return tbl.scan(spark, column_predicates=pred).select(
+        "l_orderkey",
+        "l_partkey",
+        F.round("l_quantity", 4).alias("l_quantity"),
+        F.round("l_extendedprice", 4).alias("l_extendedprice"),
+    )

@@ -1235,3 +1235,57 @@ def test_datasource_write_append_and_overwrite(spark, catalog, table):
     assert sorted(r.id for r in t.df(spark).collect()) == [100, 101, 102]
     assert t.current_snapshot()["operation"] == "replace"
     assert t.df(spark, snapshot_id=1).count() == 10
+
+
+def test_zorder_rewrite_prunes_both_dimensions(spark, catalog):
+    """Z-order clustering: after rewrite_zorder on (x, y) — two columns
+    with INDEPENDENT distributions — manifest stats prune files for
+    selective predicates on either dimension alone and on the conjunction,
+    which no 1-D sort order can do. Contents are unchanged."""
+    catalog.create_namespace(("zdb",))
+    tbl = catalog.create_table(
+        ("zdb", "zt"),
+        Schema(0, [NestedField(1, "x", "long", False),
+                   NestedField(2, "y", "long", False),
+                   NestedField(3, "payload", "string", False)]),
+    )
+    # x and y are independent: sorting by x leaves y spread 0..99 in every
+    # file (and vice versa), so only a true multi-dim clustering helps both.
+    df = spark.createDataFrame(
+        [(i % 100, (i * 7919) % 100, f"p{i}") for i in range(10_000)],
+        "x long, y long, payload string",
+    )
+    t2 = tbl.append(df).rewrite_zorder(spark, ["x", "y"], n_files=16)
+
+    total = len(t2.plan_files())
+    assert total == 16
+    x_only = t2.plan_files(column_predicates=[("x", "<=", 10)])
+    y_only = t2.plan_files(column_predicates=[("y", "<=", 10)])
+    corner = t2.plan_files(
+        column_predicates=[("x", "<=", 10), ("y", "<=", 10)]
+    )
+    assert len(x_only) < total  # prunes on dim 1 alone
+    assert len(y_only) < total  # prunes on dim 2 alone
+    assert len(corner) <= min(len(x_only), len(y_only))  # box query: best
+    assert len(corner) <= total // 2  # corner box touches a minority of files
+
+    # exactness: the rewrite is a replace snapshot, rows are identical
+    got = t2.scan(spark, column_predicates=[("x", "<=", 10), ("y", "<=", 10)])
+    exp = df.filter("x <= 10 and y <= 10")
+    assert sorted((r.x, r.y, r.payload) for r in got.collect()) == sorted(
+        (r.x, r.y, r.payload) for r in exp.collect()
+    )
+    # time travel still sees the pre-rewrite snapshot
+    assert t2.df(spark, snapshot_id=1).count() == 10_000
+
+
+def test_zorder_rejects_string_columns(spark, catalog):
+    catalog.create_namespace(("zdb2",))
+    tbl = catalog.create_table(
+        ("zdb2", "zt"),
+        Schema(0, [NestedField(1, "x", "long", False),
+                   NestedField(2, "s", "string", False)]),
+    )
+    t2 = tbl.append(spark.createDataFrame([(1, "a")], "x long, s string"))
+    with pytest.raises(ValueError, match="numeric/date"):
+        t2.rewrite_zorder(spark, ["x", "s"])
