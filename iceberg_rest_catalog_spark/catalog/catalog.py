@@ -578,9 +578,11 @@ class Table:
         operation: str,
         n_files: int | None,
         to_ref: str | None = None,
+        summary: dict | None = None,
     ) -> "Table":
         return self._commit_snapshot(
-            operation, self._write_data_files(df, n_files), to_ref=to_ref
+            operation, self._write_data_files(df, n_files), to_ref=to_ref,
+            summary=summary,
         )
 
     def _commit_snapshot(
@@ -590,6 +592,7 @@ class Table:
         removed: list[str] | None = None,
         position_deletes: list[str] | None = None,
         to_ref: str | None = None,
+        summary: dict | None = None,
     ) -> "Table":
         # Stamp every entry with its WRITE-TIME schema id: evolution
         # (rename/drop) later resolves these files' columns by field ID
@@ -630,6 +633,12 @@ class Table:
             ),
             "added-files-count": len(added),
         }
+        if summary:
+            # User-facing snapshot summary (Iceberg's snapshot.summary map):
+            # carried INSIDE the snapshot, so e.g. a streaming sink's batch
+            # id commits atomically with the data — the exactly-once marker
+            # can never drift from the commit it describes.
+            snap["summary"] = {str(k): str(v) for k, v in summary.items()}
         if removed:
             snap["removed-files-count"] = len(removed)
         if position_deletes:
@@ -660,7 +669,11 @@ class Table:
         )
 
     def append(
-        self, df: DataFrame, branch: str | None = None, retries: int = 0
+        self,
+        df: DataFrame,
+        branch: str | None = None,
+        retries: int = 0,
+        snapshot_summary: dict | None = None,
     ) -> "Table":
         """Append data files + commit a new snapshot (micro-batch append =
         snapshot commit; the streaming-source model of SURVEY §1.2).
@@ -684,11 +697,32 @@ class Table:
         tbl = self
         for attempt in range(retries + 1):
             try:
-                return tbl._commit_snapshot("append", added, to_ref=branch)
+                return tbl._commit_snapshot(
+                    "append", added, to_ref=branch, summary=snapshot_summary
+                )
             except E.CommitFailedException:
                 if attempt == retries:
                     raise
                 tbl = self.catalog.load_table(self.identifier)
+
+    def last_committed_batch_id(self, sink_id: str) -> int | None:
+        """Highest streaming batch id committed by ``sink_id``, read from
+        snapshot summaries (:meth:`_commit_snapshot` ``summary=``).
+
+        The exactly-once contract for streaming sinks: foreachBatch may
+        REPLAY a batch after a failure, so before applying batch N the sink
+        checks ``last_committed_batch_id(sink) >= N`` and skips — the id
+        was committed atomically with the data it describes, so the check
+        can neither miss a committed batch nor skip an uncommitted one.
+        Scans retained snapshots only: expiration keeps the recent head of
+        the lineage, which is where any replayable batch id lives."""
+        best = None
+        for s in self.metadata.get("snapshots", []):
+            sm = s.get("summary") or {}
+            if sm.get("streaming.sink-id") == sink_id and "streaming.batch-id" in sm:
+                b = int(sm["streaming.batch-id"])
+                best = b if best is None else max(best, b)
+        return best
 
     # -- row-level DML (copy-on-write) --------------------------------------
     def _rewrite_rows(
@@ -861,6 +895,7 @@ class Table:
         on: str,
         when_matched: dict | str | None = "update_all",
         when_not_matched: str | None = "insert",
+        snapshot_summary: dict | None = None,
     ) -> "Table":
         """MERGE INTO (copy-on-write, file-pruned): upsert ``source`` into
         the table keyed on column ``on``.
@@ -905,7 +940,9 @@ class Table:
         if tdf is None:
             if when_not_matched is None:
                 return self
-            return self._commit_files(source, "append", None)
+            return self._commit_files(
+                source, "append", None, summary=snapshot_summary
+            )
         t_al, s_al = tdf.alias("t"), source.alias("s")
         joined = t_al.join(s_al, F.col(f"t.{on}") == F.col(f"s.{on}"), "full_outer")
         matched = F.col(f"t.{on}").isNotNull() & F.col(f"s.{on}").isNotNull()
@@ -926,7 +963,8 @@ class Table:
         new_df = new_df.select(*out_cols)
         added = self._write_data_files(new_df, None)
         return self._commit_snapshot(
-            "overwrite", added, removed=[e["path"] for e in cand]
+            "overwrite", added, removed=[e["path"] for e in cand],
+            summary=snapshot_summary,
         )
 
     def rewrite(self, df: DataFrame, n_files: int = 1) -> "Table":

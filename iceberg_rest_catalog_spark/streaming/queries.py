@@ -481,3 +481,95 @@ def q_stream_changelog(spark, sf_dir):
         "o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice"),
         "_change_type", F.col("batch_snapshot").cast("long").alias("batch_snapshot"),
     )
+
+
+@query(
+    "q_stream_upsert",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(CASE WHEN o_orderkey > 50 THEN o_totalprice * 1.1
+                      ELSE o_totalprice END, 4) AS o_totalprice
+    FROM orders WHERE o_orderkey >= 1 AND o_orderkey <= 150
+    """,
+)
+def q_stream_upsert(spark, sf_dir):
+    """Exactly-once streaming UPSERT into a cataloged table: foreachBatch
+    applies each micro-batch as MERGE INTO, recording the batch id in the
+    snapshot summary ATOMICALLY with the commit
+    (``merge_into(snapshot_summary=...)``). Replayed batches — Structured
+    Streaming's failure mode, since foreachBatch is at-least-once — are
+    detected via ``last_committed_batch_id`` and skipped, which the query
+    proves by re-applying the final batch and asserting no new snapshot.
+
+    Two ordered waves: keys 1..100 at original price, then 51..150 at
+    price*1.1 (updates 51..100, inserts 101..150). The oracle is the
+    final CDC-applied state over the fixture."""
+    from ..catalog import Catalog, NestedField, Schema
+
+    wh = scratch_dir(sf_dir, "stream_upsert")
+    shutil.rmtree(wh, ignore_errors=True)
+    os.makedirs(wh, exist_ok=True)
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double")
+    )
+    wave1 = orders.filter((F.col("o_orderkey") >= 1) & (F.col("o_orderkey") <= 100))
+    wave2 = (
+        orders.filter((F.col("o_orderkey") > 50) & (F.col("o_orderkey") <= 150))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    )
+    # one file per wave, mtime + path order both increasing so the file
+    # source delivers them as ordered micro-batches
+    src_dir = os.path.join(wh, "src")
+    for i, wave in enumerate((wave1, wave2)):
+        d = os.path.join(src_dir, f"wave{i}")
+        wave.coalesce(1).write.mode("overwrite").parquet(d)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (1_000_000 + i * 60, 1_000_000 + i * 60))
+
+    cat = Catalog(os.path.join(wh, "warehouse"))
+    cat.create_namespace(("db",))
+    sch = Schema(
+        0,
+        [
+            NestedField(1, "o_orderkey", "long"),
+            NestedField(2, "o_custkey", "long"),
+            NestedField(3, "o_totalprice", "double"),
+        ],
+    )
+    cat.create_table(("db", "orders_up"), sch)
+    ident = ("db", "orders_up")
+
+    def commit_batch(batch_df, batch_id):
+        tbl = cat.load_table(ident)
+        last = tbl.last_committed_batch_id("orders_up_sink")
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already committed exactly once
+        tbl.merge_into(
+            spark,
+            batch_df,
+            "o_orderkey",
+            snapshot_summary={
+                "streaming.sink-id": "orders_up_sink",
+                "streaming.batch-id": batch_id,
+            },
+        )
+
+    sdf = (
+        spark.readStream.schema(wave1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src_dir, "*"))
+    )
+    q = sdf.writeStream.foreachBatch(commit_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    tbl = cat.load_table(ident)
+    n_snaps = len(tbl.metadata["snapshots"])
+    assert tbl.last_committed_batch_id("orders_up_sink") == 1
+    # simulate foreachBatch redelivery of the last batch after a failure:
+    # the sink must recognize the committed id and skip — no new snapshot
+    commit_batch(wave2, 1)
+    assert len(cat.load_table(ident).metadata["snapshots"]) == n_snaps
+    return tbl.df(spark).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
+    )

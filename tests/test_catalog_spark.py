@@ -1289,3 +1289,23 @@ def test_zorder_rejects_string_columns(spark, catalog):
     t2 = tbl.append(spark.createDataFrame([(1, "a")], "x long, s string"))
     with pytest.raises(ValueError, match="numeric/date"):
         t2.rewrite_zorder(spark, ["x", "s"])
+
+
+def test_snapshot_summary_and_batch_id_tracking(spark, catalog, table):
+    """Snapshot summaries commit atomically with the snapshot; the
+    exactly-once helper returns the max committed id per sink and ignores
+    other sinks' commits."""
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    t1 = table.append(df, snapshot_summary={"streaming.sink-id": "s1",
+                                            "streaming.batch-id": 0})
+    t2 = t1.append(df, snapshot_summary={"streaming.sink-id": "s1",
+                                         "streaming.batch-id": 1})
+    t3 = t2.append(df, snapshot_summary={"streaming.sink-id": "s2",
+                                         "streaming.batch-id": 7})
+    assert t3.last_committed_batch_id("s1") == 1
+    assert t3.last_committed_batch_id("s2") == 7
+    assert t3.last_committed_batch_id("nope") is None
+    # summaries survive the metadata round-trip (stringified, Iceberg-style)
+    snaps = catalog.load_table(("db", "t")).metadata["snapshots"]
+    assert snaps[0]["summary"] == {"streaming.sink-id": "s1",
+                                   "streaming.batch-id": "0"}
