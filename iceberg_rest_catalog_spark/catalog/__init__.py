@@ -7,7 +7,16 @@ a warehouse directory plus Spark DataFrames for the data plane.
 
 from . import errors
 from .catalog import Catalog, Table
+from .rest_client import RestCatalog
 from .schema import NestedField, Schema
 from .sql_catalog import SqlCatalog
 
-__all__ = ["Catalog", "SqlCatalog", "Table", "Schema", "NestedField", "errors"]
+__all__ = [
+    "Catalog",
+    "RestCatalog",
+    "SqlCatalog",
+    "Table",
+    "Schema",
+    "NestedField",
+    "errors",
+]

@@ -157,7 +157,12 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(200, self.catalog.health())
 
     def list_ns(self):
-        out = self.catalog.list_namespaces()
+        # Optional ?parent=a\x1Fb (reference namespaces.go:12-47): 404s via
+        # the catalog if the parent namespace is missing.
+        q = parse_qs(urlsplit(self.path).query)
+        raw = q.get("parent", [None])[-1]
+        parent = tuple(unquote(raw).split(SEP)) if raw else None
+        out = self.catalog.list_namespaces(parent)
         self._send(200, {"namespaces": [list(n) for n in out]})
 
     def create_ns(self):

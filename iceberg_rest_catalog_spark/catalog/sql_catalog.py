@@ -372,4 +372,12 @@ def open_catalog(props: dict) -> Catalog:
         return Catalog(props["warehouse"])
     if kind == "sql":
         return SqlCatalog(props["warehouse"], props.get("db"))
+    if kind == "rest":
+        from .rest_client import RestCatalog
+
+        return RestCatalog(props["uri"], props["warehouse"])
+    if kind == "glue":
+        # The reference registers a glue backend too (main.go:13); it needs
+        # AWS credentials + endpoints that don't exist in this environment.
+        raise E.NotImplementedException("glue catalog requires AWS")
     raise E.NotImplementedException(f"catalog type {kind!r}")

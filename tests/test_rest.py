@@ -162,16 +162,19 @@ def test_request_id_middleware(server, caplog):
         # records to land before asserting
         deadline = _time.monotonic() + 5.0
         while _time.monotonic() < deadline:
+            # Key on the two request IDs we hold, not record count: with the
+            # rest-backend server each outer request triggers a NESTED facade
+            # request that logs on the same logger.
             recs = [
                 r for r in caplog.records
                 if r.name == "iceberg_rest_catalog_spark.rest"
             ]
-            if len(recs) >= 2:
+            by_id = {r.requestID: r for r in recs}
+            if rid1 in by_id and rid2 in by_id:
                 break
             _time.sleep(0.02)
     assert rid1 and rid2 and rid1 != rid2
-    assert len(recs) == 2
-    by_id = {r.requestID: r for r in recs}
+    assert len({r.requestID for r in recs}) == len(recs)  # IDs unique per request
     assert by_id[rid1].path == "/v1/config" and by_id[rid1].method == "GET"
     assert by_id[rid1].status == 200 and by_id[rid1].latency_ms >= 0
     assert by_id[rid2].path == "/health" and by_id[rid2].size > 0
