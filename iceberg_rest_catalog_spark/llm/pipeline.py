@@ -563,3 +563,35 @@ def q_agg_approx_percentile(spark, sf_dir):
             "approx_within_2pct"
         ),
     )
+
+
+@query(
+    "q_sample_importance",
+    oracle="""
+    SELECT doc_id, lang,
+           round(least(1.0, n_chars / 1500.0), 4) AS weight
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+          / 16777216.0 < least(1.0, n_chars / 1500.0)
+    """,
+)
+def q_sample_importance(spark, sf_dir):
+    """Importance sampling with a continuous per-document weight: accept a
+    doc with probability proportional to its quality proxy (here length,
+    capped at 1.0) — the quality-weighted downsampling step modern corpus
+    pipelines run between filtering and mixing.
+
+    The acceptance draw is hash-uniform (md5 prefix / 16^6), NOT rand():
+    the kept set is reproducible across runs/clusters and independent of
+    the q_sample_hash split and q_data_mixture draws (different hash
+    positions). Map-only — one filter over the scan, no shuffle; both the
+    weight and the draw are computed from the SAME integer inputs in every
+    engine, so the boundary comparison is bit-deterministic."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    w = F.least(F.lit(1.0), F.col("n_chars") / 1500.0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        / 16777216.0
+    )
+    return d.filter(u < w).select("doc_id", "lang", F.round(w, 4).alias("weight"))

@@ -317,3 +317,33 @@ def q_agg_filtered(spark, sf_dir):
         F.bool_and(F.col("l_quantity") <= 50).alias("all_small"),
         F.bool_or(F.col("l_discount") >= 0.09).alias("any_deep_discount"),
     )
+
+
+@query(
+    "q_agg_corr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4)        AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4)  AS covar_qty_price,
+           round(regr_slope(l_extendedprice, l_quantity), 4)  AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_corr(spark, sf_dir):
+    """Bivariate statistics per group: Pearson correlation, sample
+    covariance, and least-squares regression (price ~ quantity).
+
+    All five are single-pass algebraic aggregates (sums of x, y, x*y, x2,
+    y2): one hash aggregate with map-side partials, exactly the cost of a
+    sum — no second pass, no sort, scales like q_agg_group at 100 TB."""
+    li = t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        r4(F.corr(q, p)).alias("corr_qty_price"),
+        r4(F.covar_samp(q, p)).alias("covar_qty_price"),
+        r4(F.regr_slope(p, q)).alias("slope"),
+        r4(F.regr_intercept(p, q)).alias("intercept"),
+        F.regr_count(p, q).alias("n_pairs"),
+    )

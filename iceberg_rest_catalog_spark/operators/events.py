@@ -202,3 +202,48 @@ def q_evt_retention(spark, sf_dir):
         )
         .agg(F.count("*").alias("users"))
     )
+
+
+@query(
+    "q_evt_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), stats AS (
+      SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
+      FROM daily GROUP BY event_type
+    )
+    SELECT daily.event_type, strftime(d, '%Y-%m-%d') AS day, n,
+           round((n - mu) / sd, 4) AS z,
+           abs(n - mu) > 2 * sd AS is_anomaly
+    FROM daily JOIN stats ON daily.event_type = stats.event_type
+    WHERE sd > 0
+    """,
+)
+def q_evt_anomaly(spark, sf_dir):
+    """Time-series anomaly detection: z-score each (event type, day) count
+    against that type's daily mean/stddev, flagging |z| > 2 outliers — the
+    standard volume-monitoring query over an event log.
+
+    Two aggregates and a join, but all three group on event_type (the
+    second agg collapses |types|x|days| rows, the stats side is |types|
+    rows and broadcasts), so the only data-sized shuffle is the first
+    count's — and its key space (type x day) is dense and unskewed."""
+    ev = t(spark, sf_dir, "events").select("event_type", F.to_date("ts").alias("d"))
+    daily = ev.groupBy("event_type", "d").agg(F.count("*").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
+    n, mu, sd = F.col("n"), F.col("mu"), F.col("sd")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(sd > 0)
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.round((n - mu) / sd, 4).alias("z"),
+            (F.abs(n - mu) > 2 * sd).alias("is_anomaly"),
+        )
+    )
