@@ -408,3 +408,86 @@ def q_join_bucketed(spark, sf_dir):
     return o.join(c.hint("merge"), o.o_custkey == c.c_custkey).select(
         "o_orderkey", "o_custkey", "c_name", r4("o_totalprice").alias("o_totalprice")
     )
+
+
+@query(
+    "q_join_bloom_prune",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS sum_total
+    FROM orders o
+    WHERE o.o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_join_bloom_prune(spark, sf_dir):
+    """Semi join with a broadcast Bloom-filter prefilter on the fact side.
+
+    The 100 TB pattern: before shuffling a huge fact table into a join,
+    broadcast a compact Bloom filter of the (filtered) dimension keys and
+    drop non-matching fact rows AT THE SCAN — the shuffle then carries only
+    candidate rows. Spark injects this automatically in some shapes
+    (runtime row-level filtering); this operator builds the filter
+    explicitly so the technique works on any join the optimizer misses.
+
+    Mechanics, all JVM-side codegen: k=3 bit positions per key via salted
+    xxhash64 mod m=65536; the build side ORs one-hot words into a
+    1024-long bitmap (a tiny two-stage aggregate on an already-filtered
+    dim); the bitmap ships as a literal array and the probe tests all
+    three bits with element_at + bitwise AND. False positives are removed
+    by the exact semi join that follows, so results are EXACTLY the plain
+    semi join's (the oracle checks that); false negatives are impossible
+    by construction. At sf0.1 the bloom passes ~20% of orders to the
+    shuffle (the BUILDING share) plus <1% false positives."""
+    m_bits, n_words = 65536, 1024
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+
+    def positions(key: str):
+        # SQL-expr form: shiftleft/element_at take column shift amounts in
+        # SQL, but PySpark's F.shiftleft only accepts a Python int.
+        return [f"pmod(xxhash64({key}, {i}), {m_bits})" for i in range(3)]
+
+    # Build: explode the 3 positions, OR one-hot words per 64-bit slot.
+    build = (
+        cust.select(
+            F.expr("explode(array(" + ", ".join(positions("c_custkey")) + "))").alias(
+                "pos"
+            )
+        )
+        .select(
+            F.expr("CAST(pos DIV 64 AS INT)").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    words = [0] * n_words
+    for row in build:
+        words[row["word"]] = row["bits"]
+    bitmap = F.array(*[F.lit(w) for w in words])
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    probe = " AND ".join(
+        f"(element_at(bm, CAST(({p}) DIV 64 AS INT) + 1)"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(({p}) % 64 AS INT))) != 0"
+        for p in positions("o_custkey")
+    )
+    # scan-level prune; only candidate rows reach the join's shuffle
+    candidates = o.withColumn("bm", bitmap).filter(F.expr(probe)).drop("bm")
+    return (
+        candidates.join(F.broadcast(cust), o.o_custkey == cust.c_custkey, "semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+    )
