@@ -491,3 +491,94 @@ def q_join_bloom_prune(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
         )
     )
+
+
+@query(
+    "q_join_interval_overlap",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked),
+    s AS (
+      SELECT user_id, sid, min(ts) AS s_start,
+             max(ts) + INTERVAL 30 MINUTE AS s_end
+      FROM sess GROUP BY user_id, sid)
+    SELECT a.user_id AS u1, b.user_id AS u2,
+           CAST(count(*) AS BIGINT) AS n_overlaps
+    FROM s a JOIN s b
+      ON a.user_id < b.user_id
+     AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+    GROUP BY u1, u2
+    """,
+)
+def q_join_interval_overlap(spark, sf_dir):
+    """Large x large interval-overlap join (user co-presence): count, per
+    user pair, how many of their activity sessions overlap in time. A
+    session's active window runs to 30 minutes past its last event (the
+    inactivity timeout).
+
+    The scale technique is BUCKET QUANTIZATION: a naive overlap join is a
+    BroadcastNestedLoopJoin with an |s|^2 predicate pass, which no cluster
+    survives when both sides are large. Instead each interval explodes
+    into the hour buckets it spans (short sessions -> 1-2 rows), the join
+    becomes an EQUI join on the bucket (one shuffle, AQE splits hot
+    hours), the exact overlap predicate re-filters candidates, and a
+    distinct collapses intervals that met in several buckets. Cost is
+    O(candidate pairs per bucket), never O(|s|^2) — the standard binning
+    pattern behind temporal/spatial joins at 100 TB."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    sess = (
+        ev.withColumn(
+            "new_s",
+            F.when(
+                prev.isNull() | (prev < F.col("ts") - F.expr("INTERVAL 30 MINUTES")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("s_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("s_end"),
+        )
+    )
+    bucketed = sess.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s_start"),
+                F.date_trunc("hour", "s_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.s_start") <= F.col("b.s_end"))
+            & (F.col("b.s_start") <= F.col("a.s_end")),
+        )
+        .select(
+            F.col("a.user_id").alias("u1"),
+            F.col("a.sid").alias("sid1"),
+            F.col("b.user_id").alias("u2"),
+            F.col("b.sid").alias("sid2"),
+        )
+        .distinct()  # an interval pair may meet in several buckets
+    )
+    return pairs.groupBy("u1", "u2").agg(F.count("*").alias("n_overlaps"))
