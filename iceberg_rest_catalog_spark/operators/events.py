@@ -247,3 +247,171 @@ def q_evt_anomaly(spark, sf_dir):
             (F.abs(n - mu) > 2 * sd).alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "q_evt_attribution",
+    oracle="""
+    WITH touched AS (
+      SELECT event_type, ts, value,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS) OVER w AS touch_type,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN ts END IGNORE NULLS) OVER w AS touch_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT coalesce(CASE WHEN touch_ts >= ts - INTERVAL 72 HOUR
+                         THEN touch_type END, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS purchases,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY channel
+    """,
+)
+def q_evt_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase's value is credited to the
+    user's most recent click/view within a 72-hour lookback, else to
+    'direct' — the standard marketing-attribution rollup.
+
+    One window over (user_id ORDER BY ts) carries the last-touch type and
+    time to every row (`last(..., ignoreNulls)` — no self-join against the
+    touch stream, which at 100 TB would be a second data-sized shuffle);
+    the purchase filter then reduces to a |channels|-row aggregate. Revenue
+    sums in integer cents, so the cross-engine hash is exact (fixture
+    values carry 2 decimals; double-sum order would differ in the last ulp).
+    """
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    touched = ev.select(
+        "event_type",
+        "ts",
+        "value",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(
+                    F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 72 HOURS"),
+                    F.col("touch_type"),
+                ),
+                F.lit("direct"),
+            ).alias("channel"),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("revenue_cents"),
+        )
+    )
+
+
+@query(
+    "q_ts_interpolate",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, min(d) AS d0, max(d) AS d1 FROM p GROUP BY user_id
+    ), spine AS (
+      SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ), joined AS (
+      SELECT spine.user_id, spine.d, p.n FROM spine
+      LEFT JOIN p ON p.user_id = spine.user_id AND p.d = spine.d
+    ), ctx AS (
+      SELECT user_id, d, n,
+             last_value(CASE WHEN n IS NOT NULL THEN d END IGNORE NULLS) OVER wp AS pd,
+             last_value(n IGNORE NULLS) OVER wp AS pn,
+             first_value(CASE WHEN n IS NOT NULL THEN d END IGNORE NULLS) OVER wf AS nd,
+             first_value(n IGNORE NULLS) OVER wf AS nn
+      FROM joined
+      WINDOW wp AS (PARTITION BY user_id ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY d
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+           n IS NOT NULL AS observed,
+           round(CASE WHEN n IS NOT NULL THEN n * 1.0
+                      ELSE pn + (nn - pn) * date_diff('day', pd, d) * 1.0
+                                          / date_diff('day', pd, nd) END,
+                 4) AS filled
+    FROM ctx
+    """,
+)
+def q_ts_interpolate(spark, sf_dir):
+    """Sparse-series gap fill with LINEAR INTERPOLATION: each user's daily
+    purchase counts between their first and last purchase day, missing days
+    interpolated between the surrounding observed points — the resampling
+    step before any per-entity time-series model.
+
+    The spine is per-user `sequence(first, last day)` (O(series length),
+    never a global calendar cross join); carrying the previous/next
+    observed point uses the two classic `last/first(..., ignoreNulls)`
+    windows over the SAME user-day ordering, so the whole fill is two
+    window passes over one shuffle by user_id. Interior days always have
+    both neighbours because the series endpoints are observed by
+    construction."""
+    p = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    spine = (
+        p.groupBy("user_id")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d"),
+        )
+    )
+    joined = spine.join(p, ["user_id", "d"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("n").isNotNull(), F.col("d"))
+    ctx = joined.select(
+        "user_id",
+        "d",
+        "n",
+        F.last(obs_d, ignorenulls=True).over(wp).alias("pd"),
+        F.last("n", ignorenulls=True).over(wp).alias("pn"),
+        F.first(obs_d, ignorenulls=True).over(wf).alias("nd"),
+        F.first("n", ignorenulls=True).over(wf).alias("nn"),
+    )
+    interp = F.col("pn") + (F.col("nn") - F.col("pn")) * F.datediff(
+        "d", "pd"
+    ) * 1.0 / F.datediff("nd", "pd")
+    return ctx.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n").isNotNull().alias("observed"),
+        F.round(
+            F.when(F.col("n").isNotNull(), F.col("n") * 1.0).otherwise(interp), 4
+        ).alias("filled"),
+    )

@@ -69,6 +69,9 @@ _QUERY_MODULES = (
     "iceberg_rest_catalog_spark.operators.filters",
     "iceberg_rest_catalog_spark.operators.joins",
     "iceberg_rest_catalog_spark.operators.skew",
+    # round-3 late additions — appended so the earlier window stays stable
+    "iceberg_rest_catalog_spark.llm.embedding",
+    "iceberg_rest_catalog_spark.operators.graph",
 )
 
 

@@ -30,6 +30,9 @@ QUERIES = [
     "q_cluster_kmeans",
     "q_text_perplexity",
     "q_text_chunk_dedup",
+    "q_join_bloom_prune",
+    "q_join_interval_overlap",
+    "q_evt_anomaly",
 ]
 
 
