@@ -72,6 +72,7 @@ _QUERY_MODULES = (
     # round-3 late additions — appended so the earlier window stays stable
     "iceberg_rest_catalog_spark.llm.embedding",
     "iceberg_rest_catalog_spark.operators.graph",
+    "iceberg_rest_catalog_spark.llm.curation",
 )
 
 

@@ -107,8 +107,10 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 # with a bounded build side is the intended assignment shape
                 "q_cluster_kmeans", "q_text_perplexity",
                 # 1-row broadcast calibration/count rows (scale vector,
-                # node count): map-only distribution of a scalar aggregate
-                "q_embed_quantize", "q_graph_pagerank"}
+                # node count, mixture normalizer): map-only distribution
+                # of a scalar aggregate
+                "q_embed_quantize", "q_graph_pagerank",
+                "q_data_mixture_temperature"}
 ROW_PYTHON_OK = {"q_udf_python", "q_udtf"}  # ops whose SUBJECT is Python eval
 
 
