@@ -33,6 +33,12 @@ QUERIES = [
     "q_join_bloom_prune",
     "q_join_interval_overlap",
     "q_evt_anomaly",
+    "q_embed_quantize",
+    "q_graph_pagerank",
+    "q_evt_attribution",
+    "q_ts_interpolate",
+    "q_shard_assign",
+    "q_text_bpe_pairs",
 ]
 
 
