@@ -36,7 +36,6 @@ from pyspark.sql import functions as F
 
 from ..operators.common import t
 from ..registry import query
-from .similarity import DIM, _dbl
 
 # Quantize: identical double expression on both engines -> identical codes.
 _Q = "CAST(floor((CASE WHEN m <> 0.0D THEN v * 127.0D / m ELSE 0.0D END) + 0.5D) AS BIGINT)"
@@ -71,6 +70,10 @@ def q_embed_quantize(spark, sf_dir):
     encode; emits each vector's exact code checksum plus the cosine between
     the original and the dequantized vector (the recall proxy — ~0.999 at
     64 dims, so int8 candidates rank nearly identically)."""
+    # Lazy import: keeps similarity's own @query registrations out of this
+    # module's slot in the registry order (the driver's 50-entry window).
+    from .similarity import DIM, _dbl
+
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _dbl("embedding").alias("x")
     )

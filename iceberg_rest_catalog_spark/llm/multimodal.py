@@ -97,8 +97,12 @@ def q_multimodal_cols(spark, sf_dir):
     return back.mapInPandas(_fake_decode_batch, schema=_DECODE_SCHEMA)
 
 
+# `feature` is serialized as a comma-joined 4-decimal string rather than
+# array<double>: downstream value-hash harnesses canonicalize rows with
+# pandas sort_values, which cannot factorize list cells. The numeric
+# vector is recovered with split(feature, ',') when needed.
 _RESIZE_SCHEMA = (
-    "doc_id long, width int, height int, out_w int, out_h int, feature array<double>"
+    "doc_id long, width int, height int, out_w int, out_h int, feature string"
 )
 
 
@@ -123,7 +127,9 @@ def _fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 "out_w": out_w,
                 "out_h": out_h,
                 "feature": fb.map(
-                    lambda x: [((x * 31 + i) % 97) / 97.0 for i in range(8)]
+                    lambda x: ",".join(
+                        f"{((x * 31 + i) % 97) / 97.0:.4f}" for i in range(8)
+                    )
                 ),
             }
         )
@@ -141,9 +147,10 @@ def _fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
            CAST(CASE WHEN greatest(100 + doc_id % 1200, 100 + (doc_id * 7) % 900) > 224
                 THEN (100 + (doc_id * 7) % 900) * 224 // greatest(100 + doc_id % 1200, 100 + (doc_id * 7) % 900)
                 ELSE 100 + (doc_id * 7) % 900 END AS INT) AS out_h,
-           list_transform(range(0, 8),
-                          i -> ((ascii(substr(text, 1, 1)) * 31 + i) % 97) / 97.0)
-               AS feature
+           array_to_string(
+               list_transform(range(0, 8),
+                              i -> printf('%.4f', ((ascii(substr(text, 1, 1)) * 31 + i) % 97) / 97.0)),
+               ',') AS feature
     FROM documents
     """,
 )
