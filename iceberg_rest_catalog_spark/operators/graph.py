@@ -14,10 +14,11 @@ against the edge list k times; here the graph is |event_types| nodes, but
 the SAME loop runs with a billion-node edge table: ranks and edges both
 shuffle on the join key, the per-iteration aggregate is map-side combined,
 and localCheckpoint truncates the growing lineage each round (the
-q_dedup_cluster pattern). Dangling mass: every fixture event type has
-out-transitions, so the classic (1-d)/N + d*sum(in) update conserves mass
-up to the taught approximation; the oracle computes the identical unrolled
-recurrence.
+q_dedup_cluster pattern). The node set is DISTINCT event_type from the
+events themselves (not edges.src), so a sink node — one with inbound
+transitions but none outbound — still holds rank; its outflow leaks, the
+classic dangling-mass approximation, identically on both engines because
+the oracle computes the same unrolled recurrence over the same node set.
 
 Unlike q_dedup_cluster (rows-only by design), the fixed iteration count
 makes this one fully oracle-checkable: the DuckDB oracle UNROLLS the ten
@@ -73,12 +74,10 @@ def _pagerank_oracle(iters: int) -> str:
     )
 
 
-@query("q_graph_pagerank", oracle=_pagerank_oracle(ITERS))
-def q_graph_pagerank(spark, sf_dir):
-    """Weighted PageRank (d=0.85, 10 iterations) over the event-transition
-    graph: edge u->v with probability = share of u-events whose same-user
-    successor is v. Returns (node, rank) rounded to 6 dp."""
-    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+def _pagerank(ev):
+    """Core PageRank over an events DataFrame (user_id, event_type, ts,
+    event_id). Extracted so unit tests can run it on a hand-built graph
+    (e.g. one containing a sink node) without parquet fixtures."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = ev.select(
         F.col("event_type").alias("src"), F.lead("event_type").over(w).alias("dst")
@@ -92,7 +91,10 @@ def q_graph_pagerank(spark, sf_dir):
         "dst",
         (F.col("cnt") * 1.0 / F.sum("cnt").over(Window.partitionBy("src"))).alias("p"),
     ).localCheckpoint()  # edge build runs ONCE, not once per iteration
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # Node set comes from the EVENTS, not from edges.src: a sink node (only
+    # ever a dst, no out-transitions) must still hold rank, matching the
+    # oracle's `SELECT DISTINCT event_type FROM events`.
+    nodes = ev.select(F.col("event_type").alias("node")).distinct().localCheckpoint()
     ncnt = nodes.agg(F.count("*").alias("c"))
     ranks = nodes.join(F.broadcast(ncnt)).select(
         "node", (F.lit(1.0) / F.col("c")).alias("rank")
@@ -116,3 +118,12 @@ def q_graph_pagerank(spark, sf_dir):
             .localCheckpoint()  # truncate per-iteration lineage growth
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+@query("q_graph_pagerank", oracle=_pagerank_oracle(ITERS))
+def q_graph_pagerank(spark, sf_dir):
+    """Weighted PageRank (d=0.85, 10 iterations) over the event-transition
+    graph: edge u->v with probability = share of u-events whose same-user
+    successor is v. Returns (node, rank) rounded to 6 dp."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    return _pagerank(ev)

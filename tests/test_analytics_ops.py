@@ -28,6 +28,33 @@ def test_pagerank_is_a_probability_vector(spark, qs):
     assert abs(sum(r.rank for r in rows) - 1.0) < 1e-3
 
 
+def test_pagerank_keeps_sink_nodes(spark):
+    """A node that only ever appears as a transition TARGET (no outbound
+    edges) must still be in the rank vector — regression for deriving the
+    node set from edges.src, which silently dropped sinks."""
+    from iceberg_rest_catalog_spark.operators.graph import DAMPING, ITERS, _pagerank
+
+    # one user: a -> b -> a -> c ; c is terminal => sink node
+    ev = spark.createDataFrame(
+        [(1, "a", 1, 1), (1, "b", 2, 2), (1, "a", 3, 3), (1, "c", 4, 4)],
+        "user_id long, event_type string, ts long, event_id long",
+    )
+    got = {r.node: r.rank for r in _pagerank(ev).collect()}
+    assert set(got) == {"a", "b", "c"}
+
+    # reference implementation of the same damped recurrence
+    edges = {("a", "b"): 0.5, ("a", "c"): 0.5, ("b", "a"): 1.0}
+    pr = {n: 1 / 3 for n in "abc"}
+    for _ in range(ITERS):
+        pr = {
+            n: 0.15 / 3
+            + DAMPING * sum(pr[s] * p for (s, d), p in edges.items() if d == n)
+            for n in "abc"
+        }
+    for n in "abc":
+        assert abs(got[n] - pr[n]) < 1e-6
+
+
 def test_quantize_preserves_geometry_and_is_deterministic(spark, qs):
     a = qs["q_embed_quantize"](spark, SF).collect()
     # int8 at 64 dims loses almost nothing: dequantized vectors stay
