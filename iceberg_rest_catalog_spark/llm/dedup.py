@@ -4,7 +4,12 @@ Five strategies, each shaped for 100 TB:
 
 - exact:      hash-groupBy (one shuffle, map-side combine)
 - MinHash LSH: banded signatures + groupBy(band) bucket join — candidate
-              pairs come from bucket co-membership, NEVER an all-pairs join
+              pairs come from bucket co-membership, NEVER an all-pairs join.
+              Signatures use an md5-derived multiply-mod-prime family (one
+              digest per shingle -> 44-bit w -> h_i = (c_i*w + d_i) mod P)
+              so DuckDB reproduces them exactly: every dedup operator here,
+              including the LSH and SimHash ones, is value-checked, not
+              rows-only.
 - SimHash:    64-bit signature per doc (map-only), 16-bit chunk blocking
               (pigeonhole: hamming<=3 pairs share a chunk), bit_count verify
 - n-gram Jaccard: inverted-index self-join on shingles with a frequent-
@@ -28,6 +33,38 @@ from ..registry import query
 N_HASHES = 16
 N_BANDS = 4  # r = 4 rows/band: P(candidate) = 1-(1-j^4)^4; j=0.99 -> ~1.0
 SHINGLE_DF_CAP = 50  # drop shingles occurring in more docs (skew guard)
+
+# Multiply-mod-prime universal family for the minhashes: ONE md5 per
+# shingle yields a 44-bit word w (11 hex chars); minhash i minimizes
+# h_i = (c_i * w + d_i) mod P.  The modular wraparound makes the 16
+# minimizers independent — monotone families (h_i = a + i*b, or positive
+# linear mixes of digest words) share one "small" minimizing shingle across
+# every i, inflating signature agreement: measured 135 and 53 pairs at
+# est>=0.5 vs the true 25 at sf0.01; this family gives exactly 25, all with
+# exact Jaccard >= 0.5.  Bounds: c < 2^18, w < 2^44 keeps c*w + d < 2^63,
+# inside BIGINT for DuckDB, whose integer arithmetic errors on overflow.
+# Engine-portable by construction: md5 + hex-parse + % run identically in
+# DuckDB, so every LSH-derived operator below is value-checked, not
+# rows-only.
+_P = 17592186044423  # smallest prime > 2^44
+_PARAMS = (
+    (259786, 610682961596),
+    (140043, 117908811856),
+    (35550, 237085159523),
+    (171746, 412099847596),
+    (261632, 687126221315),
+    (30843, 440442314551),
+    (207098, 812210612251),
+    (214699, 879133394334),
+    (64381, 678780765557),
+    (240870, 341212806774),
+    (186823, 914705967827),
+    (81128, 783624745471),
+    (244796, 808047940193),
+    (238022, 1060538500821),
+    (37546, 987134627340),
+    (186112, 107004884168),
+)
 
 
 def _shingles(d, n=3, dedup=True):
@@ -73,15 +110,23 @@ def _minhash_pairs(spark, sf_dir, threshold=0.5):
     """Near-dup pairs via MinHash + banded LSH over word-3-gram shingles.
 
     Pipeline (all shuffle-parallel): shingle explode -> 16 minhashes per doc
-    (one hash aggregate) -> 4 band hashes -> groupBy(band) bucket self-join
+    (one hash aggregate) -> 4 band keys -> groupBy(band) bucket self-join
     for candidates -> signature-agreement Jaccard estimate -> threshold.
     Candidate generation cost is bounded by bucket sizes, not n^2; skewed
     buckets are split by AQE skew-join handling.
 
-    Design note (measured): a map-only alternative — 16×
-    array_min(transform(grams, xxhash64)) with no explode — is 12x SLOWER
+    Hash family: ONE md5 per shingle yields a 44-bit word; minhash i
+    minimizes the multiply-mod-prime h_i = (c_i*w + d_i) mod P (see _PARAMS
+    note). Engine-portable (md5 + hex-parse + integer arithmetic run
+    identically in DuckDB), so the signatures — and therefore est_jaccard —
+    are value-checked by the oracle, not rows-only. It is also CHEAPER than
+    the previous 16x xxhash64(sh, seed) per shingle: one digest, 16 cheap
+    multiply-mod chains.
+
+    Design note (measured): a map-only alternative — 16x
+    array_min(transform(grams, hash)) with no explode — is 12x SLOWER
     (19.9s vs 1.6s at sf0.1) because higher-order functions are interpreted
-    and re-evaluate the gram array per hash, while explode + min(xxhash64)
+    and re-evaluate the gram array per hash, while explode + min()
     stays inside whole-stage codegen. The extra shuffle is the cheap part.
     """
     d = t(spark, sf_dir, "documents")
@@ -89,10 +134,14 @@ def _minhash_pairs(spark, sf_dir, threshold=0.5):
     # shingle MULTISET equals min over the set, so deduplicating first would
     # only add a full extra shuffle for an identical signature.
     sh = _shingles(d, dedup=False)
-    sig = sh.groupBy("doc_id").agg(
+    hx = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("sh"), 1, 11), 16, 10).cast("long").alias("w"),
+    )
+    sig = hx.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}")
-            for i in range(N_HASHES)
+            F.min((F.lit(c) * F.col("w") + F.lit(d)) % F.lit(_P)).alias(f"h{i}")
+            for i, (c, d) in enumerate(_PARAMS)
         ]
     )
     r = N_HASHES // N_BANDS
@@ -100,6 +149,9 @@ def _minhash_pairs(spark, sf_dir, threshold=0.5):
     # self-join then yields candidate pairs AND both signatures in ONE
     # shuffle — the corpus is scanned/minhashed exactly once (the naive
     # cand-join-sig-join-sig shape recomputes the signature pipeline 3x).
+    # The bucket key is the band's raw 4-value struct (not a hash of it):
+    # struct equality joins exactly the oracle's candidate set, and 4 longs
+    # of shuffle key is noise next to the carried signature array.
     bands = sig.select(
         "doc_id",
         F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("sig"),
@@ -108,7 +160,12 @@ def _minhash_pairs(spark, sf_dir, threshold=0.5):
                 *[
                     F.struct(
                         F.lit(j).alias("band"),
-                        F.xxhash64(*[f"h{j * r + i}" for i in range(r)]).alias("bh"),
+                        F.struct(
+                            *[
+                                F.col(f"h{j * r + i}").alias(f"v{i + 1}")
+                                for i in range(r)
+                            ]
+                        ).alias("bh"),
                     )
                     for j in range(N_BANDS)
                 ]
@@ -134,53 +191,194 @@ def _minhash_pairs(spark, sf_dir, threshold=0.5):
     )
 
 
-@query("q_dedup_fuzzy", oracle=None)  # xxhash64 signatures: rows-only check
+def _lsh_ctes() -> str:
+    """The shared DuckDB CTE chain mirroring _minhash_pairs' candidate
+    stage: shingles -> md5-derived (a, b) -> 16 h_i = a + i*b minhashes ->
+    4 bands -> band-sharing candidate pairs. Every LSH-based oracle below
+    (fuzzy, cluster, fuzzy_verified, containment, cluster_verified) builds
+    on this so the candidate SET is identical on both engines by
+    construction — correctness never rides on probabilistic LSH recall."""
+    h_cols = ",\n             ".join(
+        f"min(({c} * w + {d}) % {_P}) AS h{i}"
+        for i, (c, d) in enumerate(_PARAMS)
+    )
+    r = N_HASHES // N_BANDS
+    bands_union = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {j} AS band, {vs} FROM sig".format(
+            j=j,
+            vs=", ".join(f"h{j * r + i} AS v{i + 1}" for i in range(r)),
+        )
+        for j in range(N_BANDS)
+    )
+    return f"""sh AS (
+      SELECT doc_id,
+             array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ') AS s
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(
+                      1, greatest(len(string_split(text, ' ')) - 2, 1))) AS i)
+    ), hx AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(s), 1, 11))::BIGINT AS w
+      FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             {h_cols}
+      FROM hx GROUP BY doc_id
+    ), bands AS (
+      {bands_union}
+    ), cand AS (
+      SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
+      FROM bands ba JOIN bands bb
+        USING (band, {", ".join(f"v{i + 1}" for i in range(r))})
+      WHERE ba.doc_id < bb.doc_id
+    )"""
+
+
+# per-doc distinct trigram sets — the exact-verify side of the oracles
+_TRIGRAM_CTE = """g AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    )"""
+
+
+def _minhash_oracle(threshold: float) -> str:
+    """DuckDB mirror of _minhash_pairs: candidates from _lsh_ctes, ranked
+    by signature agreement."""
+    agree = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
+    )
+    return f"""
+    WITH {_lsh_ctes()}
+    SELECT doc_a, doc_b, round(({agree}) / 16.0, 4) AS est_jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b
+    WHERE ({agree}) / 16.0 >= {threshold}
+    """
+
+
+@query("q_dedup_fuzzy", oracle=_minhash_oracle(0.5))
 def q_dedup_fuzzy(spark, sf_dir):
-    """Near-dup pairs via MinHash + banded LSH (see _minhash_pairs)."""
+    """Near-dup pairs via MinHash + banded LSH (see _minhash_pairs). The
+    md5-derived signature family is engine-portable, so the oracle rebuilds
+    the identical signatures and bands in SQL — a full value check of the
+    LSH pipeline, upgraded from the rows-only check the old xxhash64
+    signatures allowed."""
     return _minhash_pairs(spark, sf_dir)
 
 
-@query("q_dedup_simhash", oracle=None)  # xxhash64 bit votes: rows-only check
+def _simhash_oracle() -> str:
+    """DuckDB mirror of q_dedup_simhash: identical md5-derived token bits,
+    identical vote/threshold/chunk-blocking recurrence."""
+    va = ",\n             ".join(
+        f"sum(CASE WHEN (a >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS va{i}"
+        for i in range(32)
+    )
+    vb = ",\n             ".join(
+        f"sum(CASE WHEN (b >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS vb{i}"
+        for i in range(32)
+    )
+    sa = " + ".join(f"CASE WHEN va{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(32))
+    sb = " + ".join(f"CASE WHEN vb{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(32))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents
+    ), hx AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tk), 1, 8))::BIGINT AS a,
+             ('0x' || substr(md5(tk), 9, 8))::BIGINT AS b
+      FROM tok
+    ), votes AS (
+      SELECT doc_id,
+             {va},
+             {vb}
+      FROM hx GROUP BY doc_id
+    ), sim AS (
+      SELECT doc_id, CAST({sa} AS BIGINT) AS sa, CAST({sb} AS BIGINT) AS sb
+      FROM votes
+    ), chunks AS (
+      SELECT doc_id, 0 AS chunk, sa & 65535 AS ch FROM sim
+      UNION ALL SELECT doc_id, 1, (sa >> 16) & 65535 FROM sim
+      UNION ALL SELECT doc_id, 2, sb & 65535 FROM sim
+      UNION ALL SELECT doc_id, 3, (sb >> 16) & 65535 FROM sim
+    ), cand AS (
+      SELECT DISTINCT ca.doc_id AS doc_a, cb.doc_id AS doc_b
+      FROM chunks ca JOIN chunks cb USING (chunk, ch)
+      WHERE ca.doc_id < cb.doc_id
+    )
+    SELECT doc_a, doc_b,
+           bit_count(xor(pa.sa, pb.sa)) + bit_count(xor(pa.sb, pb.sb)) AS hamming
+    FROM cand
+    JOIN sim pa ON pa.doc_id = doc_a
+    JOIN sim pb ON pb.doc_id = doc_b
+    WHERE bit_count(xor(pa.sa, pb.sa)) + bit_count(xor(pa.sb, pb.sb)) <= 3
+    """
+
+
+@query("q_dedup_simhash", oracle=_simhash_oracle())
 def q_dedup_simhash(spark, sf_dir):
     """Near-dup pairs via 64-bit SimHash + chunk blocking.
 
-    The signature is computed per-row with higher-order functions (map-only,
-    no shuffle); candidates must share one of four 16-bit chunks (pigeonhole
-    guarantees recall for hamming<=3); verification is bit_count(xor)."""
+    The 64 signature bits come as two 32-bit halves (sa, sb) of one md5 per
+    token — engine-portable, so the oracle value-checks the whole
+    vote/threshold/blocking recurrence (upgraded from rows-only under the
+    old xxhash64 votes). Candidates must share one of four 16-bit chunks
+    (pigeonhole guarantees recall for hamming<=3); verification is
+    bit_count(xor) on each half."""
     d = t(spark, sf_dir, "documents")
     # Bit votes as 64 codegen'd aggregates over exploded token hashes — the
     # same explode+agg-beats-interpreted-HOF trade-off measured for MinHash
     # (a nested transform/filter HOF form of this was 15s at sf0.1; this
     # shape is ~1s). Map-side partial aggregation keeps the shuffle at one
     # row of 64 counters per doc per partition.
-    th = d.select(
-        "doc_id", F.explode(F.expr("transform(split(text, ' '), tk -> xxhash64(tk))")).alias("h")
+    th = d.select("doc_id", F.explode(F.split("text", " ")).alias("tk"))
+    hx = th.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tk"), 1, 8), 16, 10).cast("long").alias("a"),
+        F.conv(F.substring(F.md5("tk"), 9, 8), 16, 10).cast("long").alias("b"),
     )
-    votes = th.groupBy("doc_id").agg(
+    votes = hx.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright("h", i).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(64)
-        ]
+                F.when(F.shiftright("a", i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"va{i}")
+            for i in range(32)
+        ],
+        *[
+            F.sum(
+                F.when(F.shiftright("b", i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"vb{i}")
+            for i in range(32)
+        ],
     )
-    simhash_col = None
-    for i in range(64):
-        term = F.when(
-            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-        simhash_col = term if simhash_col is None else simhash_col + term
-    sim = votes.select("doc_id", simhash_col.alias("simhash"))
+
+    def _half(prefix):
+        col = None
+        for i in range(32):
+            term = F.when(
+                F.col(f"{prefix}{i}") > 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            col = term if col is None else col + term
+        return col
+
+    sim = votes.select("doc_id", _half("va").alias("sa"), _half("vb").alias("sb"))
     chunks = sim.select(
         "doc_id",
-        "simhash",
+        "sa",
+        "sb",
         F.explode(
             F.expr(
-                """transform(sequence(0, 3), j ->
-                     struct(j AS chunk, shiftrightunsigned(simhash, 16 * j) & 65535 AS ch))"""
+                """array(struct(0 AS chunk, sa & 65535 AS ch),
+                         struct(1 AS chunk, shiftrightunsigned(sa, 16) & 65535 AS ch),
+                         struct(2 AS chunk, sb & 65535 AS ch),
+                         struct(3 AS chunk, shiftrightunsigned(sb, 16) & 65535 AS ch))"""
             )
         ).alias("c"),
-    ).select("doc_id", "simhash", "c.chunk", "c.ch")
+    ).select("doc_id", "sa", "sb", "c.chunk", "c.ch")
+    hamming = F.bit_count(
+        F.col("a.sa").bitwiseXOR(F.col("b.sa"))
+    ) + F.bit_count(F.col("a.sb").bitwiseXOR(F.col("b.sb")))
     return (
         chunks.alias("a")
         .join(chunks.alias("b"), ["chunk", "ch"])
@@ -188,9 +386,7 @@ def q_dedup_simhash(spark, sf_dir):
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            hamming.alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= 3)
@@ -314,7 +510,40 @@ def q_dedup_embedding(spark, sf_dir):
     return e.join(dups, "vec_id", "left_anti").select("vec_id", "label")
 
 
-@query("q_dedup_cluster", oracle=None)  # iterative algorithm: rows-only check
+def _cluster_oracle() -> str:
+    """Recursive-CTE transitive closure over the SAME md5-minhash LSH pair
+    graph the Spark side propagates labels on — the q_dedup_cluster_verified
+    oracle pattern applied to the raw LSH graph, which became possible once
+    the signatures moved to the engine-portable md5 family."""
+    agree = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
+    )
+    return f"""
+    WITH RECURSIVE {_lsh_ctes()}, p AS (
+      SELECT doc_a, doc_b
+      FROM cand
+      JOIN sig sa ON sa.doc_id = doc_a
+      JOIN sig sb ON sb.doc_id = doc_b
+      WHERE ({agree}) / 16.0 >= 0.5
+    ), e AS (
+      SELECT doc_a AS a, doc_b AS b FROM p
+      UNION SELECT doc_b, doc_a FROM p
+      UNION SELECT doc_a, doc_a FROM p
+      UNION SELECT doc_b, doc_b FROM p
+    ), reach AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+    ), lab AS (
+      SELECT a AS node, min(b) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+           string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS member_ids
+    FROM lab GROUP BY cluster_id
+    """
+
+
+@query("q_dedup_cluster", oracle=_cluster_oracle())
 def q_dedup_cluster(spark, sf_dir):
     """Near-duplicate CLUSTERS via iterative min-label propagation
     (connected components) over the MinHash-LSH pair graph — the step that
@@ -326,7 +555,8 @@ def q_dedup_cluster(spark, sf_dir):
     rounds converges; each round is one join + one aggregate (shuffle on
     node id). At petabyte scale the same loop runs with checkpointing every
     few rounds (lineage truncation) or the large-star/small-star variant.
-    Non-SQL-expressible (iterative) -> rows-only driver check by design.
+    The md5-portable LSH graph lets a recursive-CTE oracle value-check the
+    fixpoint (upgraded from the rows-only check the xxhash64 graph forced).
     """
     pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     # undirected edge list, both directions; materialized ONCE — without
@@ -356,7 +586,7 @@ def q_dedup_cluster(spark, sf_dir):
         .agg(F.sort_array(F.collect_list("node")).alias("members"))
         .select(
             F.col("label").alias("cluster_id"),
-            F.size("members").alias("cluster_size"),
+            F.size("members").cast("long").alias("cluster_size"),
             F.array_join(F.transform("members", lambda m: m.cast("string")), ",").alias(
                 "member_ids"
             ),
@@ -370,16 +600,14 @@ VERIFY_THRESHOLD = 0.6  # fixture near-dups sit at j >= 0.9, noise below 0.3
 @query(
     "q_dedup_fuzzy_verified",
     oracle=f"""
-    WITH g AS (
-      SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
-             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    WITH {_lsh_ctes()}, {_TRIGRAM_CTE}
+    SELECT c.doc_a, c.doc_b,
            round(len(list_intersect(a.sh, b.sh)) * 1.0 /
                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
                AS jaccard
-    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    FROM cand c
+    JOIN g a ON a.doc_id = c.doc_a
+    JOIN g b ON b.doc_id = c.doc_b
     WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
           >= {VERIFY_THRESHOLD}
@@ -387,12 +615,12 @@ VERIFY_THRESHOLD = 0.6  # fixture near-dups sit at j >= 0.9, noise below 0.3
 )
 def q_dedup_fuzzy_verified(spark, sf_dir):
     """MinHash-LSH candidates -> EXACT trigram-Jaccard verification — the
-    production candidate/verify pipeline, and the evidence upgrade for the
-    rows-only q_dedup_fuzzy: the oracle brute-forces exact Jaccard over ALL
-    pairs, so a hash-match proves the LSH stage had perfect recall at the
-    threshold (fixture near-dups sit at j >= 0.9, where the 4-band/4-row
-    S-curve gives P(candidate) ~ 0.99; the gap to the noise floor at 0.3
-    makes the comparison exact, not probabilistic).
+    production candidate/verify pipeline. The oracle rebuilds the SAME
+    md5-minhash band candidates in SQL and exact-verifies them, so the
+    value check covers both stages deterministically (it no longer rides on
+    the LSH stage happening to have perfect recall on the fixture — with
+    the 4-band/4-row S-curve, a j ~ 0.6 pair is only ~43% likely to become
+    a candidate; both engines miss or keep exactly the same pairs).
 
     Scale: candidates come from bucket co-membership (never all-pairs);
     the verify join touches O(candidates) docs, keyed on doc_id."""
@@ -431,15 +659,13 @@ def _exact_jaccard_pairs(spark, sf_dir):
 @query(
     "q_dedup_cluster_verified",
     oracle=f"""
-    WITH RECURSIVE g AS (
-      SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
-             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-    ), p AS (
-      SELECT a.doc_id AS a, b.doc_id AS b
-      FROM g a JOIN g b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
-            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+    WITH RECURSIVE {_lsh_ctes()}, {_TRIGRAM_CTE}, p AS (
+      SELECT c.doc_a AS a, c.doc_b AS b
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.doc_a
+      JOIN g gb ON gb.doc_id = c.doc_b
+      WHERE len(list_intersect(ga.sh, gb.sh)) * 1.0 /
+            (len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)))
             >= {VERIFY_THRESHOLD}
     ), e AS (
       SELECT a, b FROM p UNION SELECT b, a FROM p
@@ -457,12 +683,12 @@ def _exact_jaccard_pairs(spark, sf_dir):
     """,
 )
 def q_dedup_cluster_verified(spark, sf_dir):
-    """Connected components over the VERIFIED near-dup graph: because the
-    edge set is exact trigram-Jaccard pairs (DuckDB-reproducible, unlike
-    the raw LSH graph), the oracle can rebuild the same graph and compute
-    components via a recursive-CTE transitive closure — value-checking the
-    iterative Spark fixpoint itself, which q_dedup_cluster can only check
-    rows-only. Same min-label propagation loop, tiny-diameter clusters."""
+    """Connected components over the VERIFIED near-dup graph: the oracle
+    rebuilds the identical LSH-candidate + exact-trigram-Jaccard edge set
+    and computes components via a recursive-CTE transitive closure —
+    value-checking the iterative Spark fixpoint itself against a
+    closed-form SQL recurrence. Same min-label propagation loop,
+    tiny-diameter clusters."""
     pairs = _exact_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -503,19 +729,27 @@ CONTAIN_THRESHOLD = 0.8
 @query(
     "q_dedup_containment",
     oracle=f"""
-    WITH g AS (
-      SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
-             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    WITH {_lsh_ctes()}, {_TRIGRAM_CTE}, pairs AS (
+      SELECT CASE WHEN len(a.sh) < len(b.sh)
+                    OR (len(a.sh) = len(b.sh) AND c.doc_a < c.doc_b)
+                  THEN a.sh ELSE b.sh END AS ss,
+             CASE WHEN len(a.sh) < len(b.sh)
+                    OR (len(a.sh) = len(b.sh) AND c.doc_a < c.doc_b)
+                  THEN b.sh ELSE a.sh END AS sb2,
+             CASE WHEN len(a.sh) < len(b.sh)
+                    OR (len(a.sh) = len(b.sh) AND c.doc_a < c.doc_b)
+                  THEN c.doc_a ELSE c.doc_b END AS doc_small,
+             CASE WHEN len(a.sh) < len(b.sh)
+                    OR (len(a.sh) = len(b.sh) AND c.doc_a < c.doc_b)
+                  THEN c.doc_b ELSE c.doc_a END AS doc_big
+      FROM cand c
+      JOIN g a ON a.doc_id = c.doc_a
+      JOIN g b ON b.doc_id = c.doc_b
     )
-    SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
-           round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 4)
-               AS containment
-    FROM g a JOIN g b
-      ON a.doc_id <> b.doc_id
-     AND (len(a.sh) < len(b.sh) OR (len(a.sh) = len(b.sh) AND a.doc_id < b.doc_id))
-    WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh)
-          >= {CONTAIN_THRESHOLD}
+    SELECT DISTINCT doc_small, doc_big,
+           round(len(list_intersect(ss, sb2)) * 1.0 / len(ss), 4) AS containment
+    FROM pairs
+    WHERE len(list_intersect(ss, sb2)) * 1.0 / len(ss) >= {CONTAIN_THRESHOLD}
     """,
 )
 def q_dedup_containment(spark, sf_dir):
@@ -523,8 +757,9 @@ def q_dedup_containment(spark, sf_dir):
     measure that catches a document embedded inside a longer one (quote
     expansion, boilerplate wrapping) where symmetric Jaccard stays low.
     Candidates come from the same MinHash-LSH buckets; the smaller doc of
-    each pair is scored against the bigger. Oracle brute-forces all pairs
-    — a value match again proves candidate recall at the threshold.
+    each pair is scored against the bigger. The oracle rebuilds the
+    identical band-candidate set and verifies it — both stages
+    value-checked deterministically.
 
     Scale: identical candidate/verify shape as q_dedup_fuzzy_verified;
     containment is computed on the O(candidates) verify join only."""
