@@ -90,6 +90,10 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(payload)))
         self.send_header("X-Request-ID", getattr(self, "request_id", "-"))
+        # CORS middleware (reference main.go:113 `cors.Default()` — allow
+        # every origin): echo the permissive header on any browser request.
+        if self.headers.get("Origin"):
+            self.send_header("Access-Control-Allow-Origin", "*")
         self.end_headers()
         if payload and not head_only:
             self.wfile.write(payload)
@@ -149,8 +153,29 @@ class _Handler(BaseHTTPRequestHandler):
     def do_HEAD(self):
         self._dispatch("HEAD")
 
+    def do_OPTIONS(self):
+        # CORS preflight (reference main.go:113 `cors.Default()`): allow all
+        # origins, the standard method set, and the simple request headers.
+        self.send_response(204)
+        self.send_header("Access-Control-Allow-Origin", "*")
+        self.send_header(
+            "Access-Control-Allow-Methods",
+            "GET,POST,PUT,PATCH,DELETE,HEAD,OPTIONS",
+        )
+        self.send_header(
+            "Access-Control-Allow-Headers", "Origin,Content-Length,Content-Type"
+        )
+        self.send_header("Access-Control-Max-Age", "43200")
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
     # -- handlers (reference api/handlers/{tables,namespaces}.go) -----------
     def get_config(self):
+        # The reference warns and ignores a client-supplied ?warehouse=
+        # (tables.go:41-44) — the endpoint contract documents the param even
+        # though this single-warehouse server doesn't honor it.
+        if "warehouse" in parse_qs(urlsplit(self.path).query):
+            LOG.warning("warehouse query parameter is not supported")
         self._send(200, self.catalog.config())
 
     def health(self):
@@ -275,3 +300,45 @@ def serve(catalog: Catalog, host: str = "127.0.0.1", port: int = 0):
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
     thread.start()
     return srv, f"http://{srv.server_address[0]}:{srv.server_address[1]}"
+
+
+def main(argv: list[str] | None = None) -> int:
+    """Process entrypoint: ``python -m iceberg_rest_catalog_spark.catalog.rest``.
+
+    Mirrors the reference's run-group (main.go:123-135): serve until SIGINT
+    or SIGTERM, then shut down gracefully — stop accepting connections and
+    let in-flight requests drain before exiting.
+    """
+    import argparse
+    import signal
+
+    p = argparse.ArgumentParser(description="Iceberg REST catalog server")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--warehouse", default="warehouse", help="warehouse directory")
+    p.add_argument("--log-level", default="INFO")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=args.log_level.upper())
+    srv, url = serve(Catalog(args.warehouse), host=args.host, port=args.port)
+    LOG.info("serving %s (warehouse=%s)", url, args.warehouse)
+
+    stop = threading.Event()
+
+    def _on_signal(signum, frame):
+        LOG.info("received signal %d, shutting down", signum)
+        stop.set()
+
+    signal.signal(signal.SIGINT, _on_signal)
+    signal.signal(signal.SIGTERM, _on_signal)
+    stop.wait()
+    # shutdown() stops the accept loop; ThreadingHTTPServer then joins its
+    # per-request threads (block_on_close), draining in-flight requests.
+    srv.shutdown()
+    srv.server_close()
+    LOG.info("shutdown complete")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -211,3 +211,88 @@ def test_round3_update_actions_over_http(server):
          "updates": [{"action": "remove-snapshots", "snapshot-ids": [99]}]},
     )
     assert s == 200  # removal of already-absent ids is a no-op fold
+
+
+def test_cors_headers_and_preflight(server):
+    """CORS parity (reference main.go:113 `cors.Default()`): browser
+    requests get Access-Control-Allow-Origin: * and an OPTIONS preflight
+    answers with the permissive method/header set."""
+    import urllib.request
+
+    req = urllib.request.Request(f"{server}/v1/config")
+    req.add_header("Origin", "http://localhost:3000")
+    with urllib.request.urlopen(req) as resp:
+        assert resp.headers["Access-Control-Allow-Origin"] == "*"
+
+    # no Origin header -> no CORS header (plain API client)
+    with urllib.request.urlopen(f"{server}/v1/config") as resp:
+        assert resp.headers["Access-Control-Allow-Origin"] is None
+
+    pre = urllib.request.Request(f"{server}/v1/namespaces", method="OPTIONS")
+    pre.add_header("Origin", "http://localhost:3000")
+    pre.add_header("Access-Control-Request-Method", "POST")
+    with urllib.request.urlopen(pre) as resp:
+        assert resp.status == 204
+        assert resp.headers["Access-Control-Allow-Origin"] == "*"
+        assert "POST" in resp.headers["Access-Control-Allow-Methods"]
+        assert "Content-Type" in resp.headers["Access-Control-Allow-Headers"]
+
+
+def test_get_config_warehouse_param_warns_and_ignores(server, caplog):
+    """GetConfig ?warehouse= parity (reference tables.go:41-44): the param
+    is accepted, a warning is logged, and the response is unchanged."""
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="iceberg_rest_catalog_spark.rest"):
+        s, cfg = call("GET", f"{server}/v1/config?warehouse=s3://elsewhere")
+    assert s == 200 and set(cfg) == {"defaults", "overrides"}
+    assert any(
+        "warehouse" in r.getMessage() for r in caplog.records
+        if r.name == "iceberg_rest_catalog_spark.rest"
+    )
+    # and identical to the un-parameterized response
+    s2, cfg2 = call("GET", f"{server}/v1/config")
+    assert (s2, cfg2) == (s, cfg)
+
+
+def test_main_entrypoint_serves_and_shuts_down_gracefully(tmp_path):
+    """Process entrypoint parity (reference main.go:123-135): `python -m
+    ...catalog.rest` serves until SIGTERM, then drains and exits 0."""
+    import signal
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "iceberg_rest_catalog_spark.catalog.rest",
+         "--host", "127.0.0.1", "--port", "0",
+         "--warehouse", str(tmp_path / "wh")],
+        cwd="/root/repo",
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        env={"PATH": "/usr/bin:/bin", "PYTHONPATH": "/root/repo",
+             "HOME": str(tmp_path)},
+    )
+    try:
+        # the entrypoint logs the bound URL on startup; wait for it
+        deadline = time.monotonic() + 10
+        url = None
+        lines = []
+        while time.monotonic() < deadline and url is None:
+            line = proc.stdout.readline()
+            if not line:
+                time.sleep(0.05)
+                continue
+            lines.append(line)
+            if "serving http://" in line:
+                url = line.split("serving ")[1].split(" ")[0]
+        assert url, f"server never announced itself: {lines}"
+        with urllib.request.urlopen(f"{url}/health", timeout=5) as resp:
+            assert resp.status == 200
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=10) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
