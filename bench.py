@@ -59,6 +59,13 @@ HEADLINE = [
     "q_merge_upsert",
     "q_text_tokens",
     "q_stream_tumbling",
+    # round-3 operators with no previously recorded wall-time (VERDICT r3
+    # item 6): track them so a regression is visible round-over-round.
+    "q_join_interval_overlap",
+    "q_graph_pagerank",
+    "q_cluster_kmeans",
+    "q_merge_into_catalog",
+    "q_dedup_fuzzy_verified",
 ]
 
 

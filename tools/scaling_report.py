@@ -32,6 +32,7 @@ QUERIES = [
     "q_text_chunk_dedup",
     "q_join_bloom_prune",
     "q_join_interval_overlap",
+    "q_sim_ann_ivf",
     "q_evt_anomaly",
     "q_embed_quantize",
     "q_graph_pagerank",
