@@ -15,31 +15,6 @@ from .common import r4, t
 
 
 @query(
-    "q_agg_global",
-    oracle="""
-    SELECT count(*) AS n_rows,
-           round(sum(l_quantity), 4) AS sum_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(min(l_extendedprice), 4) AS min_price,
-           round(max(l_extendedprice), 4) AS max_price,
-           round(sum(l_extendedprice * l_discount), 4) AS sum_disc_amount
-    FROM lineitem
-    """,
-)
-def q_agg_global(spark, sf_dir):
-    """Ungrouped global aggregate over lineitem."""
-    li = t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.count("*").alias("n_rows"),
-        r4(F.sum("l_quantity")).alias("sum_qty"),
-        r4(F.avg("l_extendedprice")).alias("avg_price"),
-        r4(F.min("l_extendedprice")).alias("min_price"),
-        r4(F.max("l_extendedprice")).alias("max_price"),
-        r4(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("sum_disc_amount"),
-    )
-
-
-@query(
     "q_agg_group",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
@@ -346,4 +321,31 @@ def q_agg_corr(spark, sf_dir):
         r4(F.regr_slope(p, q)).alias("slope"),
         r4(F.regr_intercept(p, q)).alias("intercept"),
         F.regr_count(p, q).alias("n_pairs"),
+    )
+
+
+# Registered last: q_agg_global was driver-confirmed in round 2, so it
+# yields its slot in the 50-entry verification window to never-checked ops.
+@query(
+    "q_agg_global",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(min(l_extendedprice), 4) AS min_price,
+           round(max(l_extendedprice), 4) AS max_price,
+           round(sum(l_extendedprice * l_discount), 4) AS sum_disc_amount
+    FROM lineitem
+    """,
+)
+def q_agg_global(spark, sf_dir):
+    """Ungrouped global aggregate over lineitem."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        r4(F.sum("l_quantity")).alias("sum_qty"),
+        r4(F.avg("l_extendedprice")).alias("avg_price"),
+        r4(F.min("l_extendedprice")).alias("min_price"),
+        r4(F.max("l_extendedprice")).alias("max_price"),
+        r4(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("sum_disc_amount"),
     )
