@@ -397,3 +397,79 @@ def q_cluster_kmeans(spark, sf_dir):
     return assigned.select(
         "vec_id", "label", F.col("cell").cast("long").alias("cluster")
     )
+
+
+HAMMING_TOP_K = 20
+
+
+def _hamming_oracle() -> str:
+    """DuckDB mirror of q_sim_hamming: identical sign-bit codes, identical
+    Hamming ranking."""
+    def half(off):
+        return " + ".join(
+            f"CASE WHEN e[{off + i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+            for i in range(32)
+        )
+    return f"""
+    WITH x AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ), c AS (
+      SELECT vec_id, label,
+             CAST({half(0)} AS BIGINT) AS code_a,
+             CAST({half(32)} AS BIGINT) AS code_b
+      FROM x
+    ), q AS (
+      SELECT code_a AS qa, code_b AS qb FROM c WHERE vec_id = {QUERY_VEC_ID}
+    )
+    SELECT c.vec_id, c.label, c.code_a, c.code_b,
+           bit_count(xor(c.code_a, q.qa)) + bit_count(xor(c.code_b, q.qb))
+               AS hamming
+    FROM c, q
+    WHERE c.vec_id <> {QUERY_VEC_ID}
+    ORDER BY hamming, c.vec_id
+    LIMIT {HAMMING_TOP_K}
+    """
+
+
+@query("q_sim_hamming", oracle=_hamming_oracle())
+def q_sim_hamming(spark, sf_dir):
+    """Binary-embedding similarity: 1-bit (sign) quantization of the 64-dim
+    embedding into two 32-bit code halves, then a Hamming-distance top-k
+    scan against the vec_id=0 query code — the standard 64x-compression
+    prefilter production ANN pipelines run before exact re-ranking (the
+    q_sim_topk shape takes over on the survivors).
+
+    Scale: the encode is one map-only projection (64 sign tests -> 16 bytes
+    per row, replacing 256 bytes of float32); the query code broadcasts;
+    the scan is xor + popcount — memory-bandwidth-bound and ~16x lighter
+    than float cosine — and top-k compiles to TakeOrderedAndProject, so
+    only k rows per partition reach the driver. Codes are pure integer
+    functions of the data, so the oracle reproduces them exactly."""
+    e = t(spark, sf_dir, "embeddings")
+
+    def half(off):
+        col = None
+        for i in range(32):
+            term = F.when(
+                F.col("embedding")[off + i] > 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            col = term if col is None else col + term
+        return col
+
+    c = e.select(
+        "vec_id", "label", half(0).alias("code_a"), half(32).alias("code_b")
+    )
+    q = (
+        c.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("code_a").alias("qa"), F.col("code_b").alias("qb"))
+    )
+    hamming = F.bit_count(F.col("code_a").bitwiseXOR(F.col("qa"))) + F.bit_count(
+        F.col("code_b").bitwiseXOR(F.col("qb"))
+    )
+    return (
+        c.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select("vec_id", "label", "code_a", "code_b", hamming.alias("hamming"))
+        .orderBy("hamming", "vec_id")
+        .limit(HAMMING_TOP_K)
+    )

@@ -124,3 +124,22 @@ def test_bpe_pairs_ranked_and_tiebroken(spark, qs):
     for prev, cur in zip(rows, rows[1:]):
         if prev.freq == cur.freq:
             assert prev.pair < cur.pair
+
+
+def test_hamming_codes_agree_with_signs_and_bound(spark, qs):
+    from iceberg_rest_catalog_spark.io import load_table
+
+    rows = qs["q_sim_hamming"](spark, SF).collect()
+    assert len(rows) == 20
+    hs = [r.hamming for r in rows]
+    assert hs == sorted(hs) and all(0 <= h <= 64 for h in hs)
+    # codes are the sign pattern of the float vector, bit-for-bit
+    emb = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+    for r in rows[:5]:
+        v = emb[r.vec_id]
+        expect_a = sum(1 << i for i in range(32) if v[i] > 0)
+        expect_b = sum(1 << i for i in range(32) if v[32 + i] > 0)
+        assert (r.code_a, r.code_b) == (expect_a, expect_b)

@@ -166,3 +166,10 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
         joined._jdf.queryExecution(), "formatted"
     )
     assert "dynamicpruning" in p.lower(), p[:2000]
+
+
+def test_sim_hamming_is_takeordered_broadcast_scan(spark):
+    p = plan(spark, "q_sim_hamming")
+    assert "TakeOrderedAndProject" in p  # top-k never sorts the full table
+    assert "BroadcastExchange" in p      # 1-row query code ships broadcast
+    assert "BatchEvalPython" not in p    # encode/scan stays JVM-side
