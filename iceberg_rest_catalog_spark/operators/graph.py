@@ -99,7 +99,7 @@ def _pagerank(ev):
     ranks = nodes.join(F.broadcast(ncnt)).select(
         "node", (F.lit(1.0) / F.col("c")).alias("rank")
     )
-    for _ in range(ITERS):
+    for it in range(ITERS):
         contrib = (
             ranks.join(edges, ranks.node == edges.src)
             .groupBy(F.col("dst").alias("cnode"))
@@ -115,8 +115,14 @@ def _pagerank(ev):
                     + F.lit(0.85) * F.coalesce("inflow", F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()  # truncate per-iteration lineage growth
         )
+        # Truncate lineage every 2nd round (and on the last): a 2-deep
+        # join chain re-plans fine, and halving the checkpoint count saves
+        # one full rank-vector materialization per round at scale (local
+        # wall-clock is scheduling-bound on the tiny type graph and
+        # unchanged).
+        if it % 2 == 1 or it == ITERS - 1:
+            ranks = ranks.localCheckpoint()
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
