@@ -1,6 +1,6 @@
 # Developer entrypoints (parity with the reference Makefile:1-99:
 # test / run / bench / docker targets, adapted to a Python+PySpark repo).
-.PHONY: all test check bench serve scaling docker-build clean
+.PHONY: all test check check-perturbed bench serve scaling docker-build clean
 
 APP_NAME = iceberg-rest-catalog-spark
 PY ?= python
@@ -25,6 +25,11 @@ bench:
 # sf0.001/0.01/0.1 scaling sweep
 scaling:
 	$(PY) tools/scaling_report.py
+
+# oracle comparison on a deliberately degraded fixture copy — catches
+# divergences the clean fixture masks (empty docs, missing domains, ...)
+check-perturbed:
+	$(PY) tools/perturbed_check.py
 
 # REST catalog server (SIGINT/SIGTERM shut it down gracefully)
 serve:

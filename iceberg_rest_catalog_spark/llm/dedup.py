@@ -234,11 +234,17 @@ def _lsh_ctes() -> str:
     )"""
 
 
-# per-doc distinct trigram sets — the exact-verify side of the oracles
+# per-doc distinct trigram sets — the exact-verify side of the oracles.
+# Docs with no trigrams (< 3 tokens, incl. empty) are excluded: they cannot
+# near-duplicate at trigram granularity, and keeping them makes the Jaccard
+# / containment denominators zero (all empty docs share one minhash
+# signature, so they ALWAYS pair up in the candidate stage).
 _TRIGRAM_CTE = """g AS (
-      SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
-             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      SELECT doc_id, sh FROM (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+      WHERE len(sh) > 0
     )"""
 
 
@@ -643,7 +649,14 @@ def _exact_jaccard_pairs(spark, sf_dir):
             " element_at(toks, i+2)))"
         )
     )
-    g = d.select("doc_id", F.array_distinct(grams).alias("sh"))
+    # Drop docs with no trigrams (< 3 tokens): they cannot near-duplicate at
+    # trigram granularity, and because every empty doc shares one minhash
+    # signature they always become candidates of each other — the verify
+    # Jaccard would then divide by zero (found by the perturbed-fixture
+    # audit; the clean corpus has no such docs).
+    g = d.select("doc_id", F.array_distinct(grams).alias("sh")).filter(
+        F.size("sh") > 0
+    )
     ga = g.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
     gb = g.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
@@ -778,7 +791,11 @@ def q_dedup_containment(spark, sf_dir):
             " element_at(toks, i+2)))"
         )
     )
-    g = d.select("doc_id", F.array_distinct(grams).alias("sh"))
+    # same no-trigram guard as _exact_jaccard_pairs: an empty smaller set
+    # would make the containment denominator zero
+    g = d.select("doc_id", F.array_distinct(grams).alias("sh")).filter(
+        F.size("sh") > 0
+    )
     ga = g.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
     gb = g.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
     paired = cands.join(ga, "doc_a").join(gb, "doc_b")

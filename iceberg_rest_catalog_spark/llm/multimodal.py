@@ -40,6 +40,9 @@ def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
     A real decoder would open payload bytes with PIL/ffmpeg here; the Arrow
     batch shape (columnar pandas in, columnar pandas out) is identical.
+    Empty payloads decode to first_byte = -1 (the oracle mirrors the
+    sentinel); first_byte is the first PAYLOAD byte, which equals the
+    ascii() of the first character for this ASCII corpus.
     """
     for pdf in batches:
         payloads = pdf["payload"]
@@ -65,7 +68,8 @@ def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                            WHEN 1 THEN 'audio/wav'
                            ELSE 'video/mp4' END          AS mime,
            octet_length(encode(text))                    AS n_bytes,
-           ascii(substr(text, 1, 1))                     AS first_byte,
+           CASE WHEN text = '' THEN -1
+                ELSE ascii(substr(text, 1, 1)) END       AS first_byte,
            array_to_string(list_transform(generate_series(0, 3),
                            i -> i * (octet_length(encode(text)) // 4)), ',')
                                                          AS frame_offsets

@@ -126,6 +126,7 @@ class _TokenizeUdtf:
          LATERAL (SELECT unnest(string_split(d.text, ' ')) AS tok,
                          generate_subscripts(string_split(d.text, ' '), 1) AS i) t
     WHERE d.doc_id <= 100
+      AND d.text IS NOT NULL AND d.text <> ''
     """,
 )
 def q_udtf(spark, sf_dir):
