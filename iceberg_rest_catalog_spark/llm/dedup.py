@@ -129,7 +129,12 @@ def _minhash_pairs(spark, sf_dir, threshold=0.5):
     and re-evaluate the gram array per hash, while explode + min()
     stays inside whole-stage codegen. The extra shuffle is the cheap part.
     """
-    d = t(spark, sf_dir, "documents")
+    # NULL-text docs are excluded by contract (a null document has no
+    # content to near-duplicate). Without the explicit filter the engines
+    # diverge: Spark's size(NULL) = -1 + never-null concat_ws give every
+    # NULL doc an ''-shingle signature (so they all pair up at est 1.0)
+    # while SQL NULL propagation silently drops them.
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     # No .distinct() before the signature aggregate: min(hash) over the
     # shingle MULTISET equals min over the set, so deduplicating first would
     # only add a full extra shuffle for an identical signature.
@@ -216,6 +221,7 @@ def _lsh_ctes() -> str:
       FROM documents,
            LATERAL (SELECT unnest(generate_series(
                       1, greatest(len(string_split(text, ' ')) - 2, 1))) AS i)
+      WHERE text IS NOT NULL
     ), hx AS (
       SELECT doc_id,
              ('0x' || substr(md5(s), 1, 11))::BIGINT AS w
@@ -406,6 +412,7 @@ WITH sh AS (
   FROM documents,
        LATERAL (SELECT unnest(generate_series(
                   1, greatest(len(string_split(text, ' ')) - 2, 1))) AS i)
+  WHERE text IS NOT NULL
 ),
 kept AS (
   SELECT doc_id, s FROM sh
@@ -432,8 +439,10 @@ def q_dedup_ngram(spark, sf_dir):
 
     Shingles with document frequency above SHINGLE_DF_CAP are dropped before
     the join — the standard guard that bounds every join bucket and removes
-    the quadratic blow-up on common shingles at scale."""
-    d = t(spark, sf_dir, "documents")
+    the quadratic blow-up on common shingles at scale. NULL-text docs are
+    excluded by contract (same divergence as _minhash_pairs: Spark would
+    give them all one '' shingle)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     sh = _shingles(d)
     # Frequent-shingle cap via aggregate + broadcast ANTI join: the df
     # aggregate is map-side-combined (intermediate = distinct shingles, not

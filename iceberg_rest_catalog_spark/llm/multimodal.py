@@ -74,13 +74,16 @@ def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                            i -> i * (octet_length(encode(text)) // 4)), ',')
                                                          AS frame_offsets
     FROM documents
+    WHERE text IS NOT NULL
     """,
 )
 def q_multimodal_cols(spark, sf_dir):
     """Binary payload + typed metadata: parquet round-trip, then an
     Arrow-batched mapInPandas decode stage. Map-only end to end — at 100 TB
-    the decode parallelism equals the input partition count; no shuffle."""
-    d = t(spark, sf_dir, "documents")
+    the decode parallelism equals the input partition count; no shuffle.
+    NULL payloads (missing objects) are filtered before the decode stage —
+    a real decoder would crash on them exactly like the fake one does."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     mm = d.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("payload"),
@@ -156,6 +159,7 @@ def _fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                               i -> printf('%.4f', ((ascii(substr(text, 1, 1)) * 31 + i) % 97) / 97.0)),
                ',') AS feature
     FROM documents
+    WHERE text IS NOT NULL
     """,
 )
 def q_multimodal_resize(spark, sf_dir):
@@ -167,8 +171,9 @@ def q_multimodal_resize(spark, sf_dir):
     implementation without touching the Spark plumbing.
 
     Scale: mapInPandas streams Arrow batches; geometry/feature output is
-    O(docs), payload bytes never shuffle (the stage is map-only)."""
-    d = t(spark, sf_dir, "documents").select(
+    O(docs), payload bytes never shuffle (the stage is map-only). NULL
+    payloads are filtered before decode, like q_multimodal_cols."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.encode("text", "utf-8").alias("payload"),
         (F.lit(100) + F.col("doc_id") % 1200).cast("int").alias("width"),

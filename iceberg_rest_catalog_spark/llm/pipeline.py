@@ -53,14 +53,18 @@ def q_sample_hash(spark, sf_dir):
          LATERAL (SELECT unnest(generate_series(
                     0, greatest(CAST(ceil((len(string_split(text, ' ')) - 32)
                                           / 24.0) AS BIGINT), 0))) AS i) c
+    WHERE text IS NOT NULL
     """,
 )
 def q_doc_chunk(spark, sf_dir):
     """Fixed-size token chunking with overlap (window 32 tokens, stride 24 —
     8-token overlap), the standard pre-tokenization shard step. Higher-order
     sequence + one explode; chunk count scales with text length, not corpus
-    row count."""
-    d = t(spark, sf_dir, "documents")
+    row count. NULL-text docs chunk to nothing by contract (without the
+    filter, Spark would emit one '' chunk per NULL doc and SQL one NULL
+    chunk — engine-specific NULL propagation, found by the NULL-injection
+    audit)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = F.split("text", " ")
     n = F.size(toks)
     n_chunks = F.greatest(

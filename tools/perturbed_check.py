@@ -8,14 +8,18 @@ degrades the fixture —
 
 - 20% of rows deleted from the TPC-H tables (dangling foreign keys),
 - one whole event_type removed (sink nodes, missing funnel steps/domains),
-- documents truncated to one token / emptied / given an unknown lang,
+- documents truncated to one token / emptied / NULLed / given an unknown
+  or NULL lang,
 - a slice of embeddings negated (orientation-dependent code paths)
 
 — then runs tools/check_queries.py against the copy. Any FAIL/ERROR is a
 real latent bug, not fixture noise. Round-4 catches: divide-by-zero in the
-three trigram-verify dedup ops on empty-shingle candidate pairs, a
-first_byte sentinel mismatch in q_multimodal_cols, and an empty-string
-tokenization off-by-one in q_udtf.
+three trigram-verify dedup ops on empty-shingle candidate pairs; a
+first_byte sentinel mismatch in q_multimodal_cols; an empty-string
+tokenization off-by-one in q_udtf; and from the NULL injection — NULL-text
+docs all pairing up at est 1.0 in q_dedup_fuzzy (Spark's size(NULL) = -1 +
+never-null concat_ws vs SQL NULL propagation), a '' vs NULL chunk in
+q_doc_chunk, and len(None) crashes in both multimodal decode stages.
 
 Usage: python tools/perturbed_check.py [query ...]
 """
@@ -56,7 +60,14 @@ def build() -> None:
                 cols["text"][i] = ""        # empty doc
             for i in range(2, n, 151):
                 cols["lang"][i] = "xx"      # unknown language
-            t = pa.table(cols, schema=t.schema)
+            for i in range(3, n, 101):
+                cols["text"][i] = None      # missing document body
+            for i in range(5, n, 113):
+                cols["lang"][i] = None      # missing language tag
+            schema = pa.schema(
+                [pa.field(f.name, f.type, nullable=True) for f in t.schema]
+            )
+            t = pa.table(cols, schema=schema)
         elif name == "embeddings":
             cols = t.to_pydict()
             for i in range(1, n, 41):       # keep the vec_id=0 query vector
