@@ -480,9 +480,9 @@ _COS = """list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])""
     "q_dedup_embedding",
     oracle=f"""
     SELECT e.vec_id, e.label
-    FROM embeddings e
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e
     WHERE NOT EXISTS (
-        SELECT 1 FROM embeddings p
+        SELECT 1 FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) p
         WHERE p.label = e.label AND p.vec_id < e.vec_id
           AND round(list_cosine_similarity(p.embedding::DOUBLE[],
                                            e.embedding::DOUBLE[]), 4) >= 0.4)
@@ -495,9 +495,9 @@ def q_dedup_embedding(spark, sf_dir):
     Plan: block self-join on label (bounded buckets) -> duplicate set ->
     broadcast-able anti-join. For unlabeled corpora the label key is
     replaced by an SRP-LSH bucket id — identical plan shape."""
-    from .similarity import _dot, _norm
+    from .similarity import _dot, _emb, _norm
 
-    e = t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     dbl = e.withColumn(
         "emb", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     ).withColumn("nrm", _norm(F.col("emb")))  # per-vector norm computed once

@@ -47,7 +47,7 @@ _Q = "CAST(floor((CASE WHEN m <> 0.0D THEN v * 127.0D / m ELSE 0.0D END) + 0.5D)
     WITH ex AS (
       SELECT vec_id, label, generate_subscripts(embedding, 1) AS d,
              CAST(unnest(embedding) AS DOUBLE) AS v
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ), dims AS (
       SELECT d, max(abs(v)) AS m FROM ex GROUP BY d
     ), qq AS (
@@ -72,9 +72,9 @@ def q_embed_quantize(spark, sf_dir):
     64 dims, so int8 candidates rank nearly identically)."""
     # Lazy import: keeps similarity's own @query registrations out of this
     # module's slot in the registry order (the driver's 50-entry window).
-    from .similarity import DIM, _dbl
+    from .similarity import DIM, _dbl, _emb
 
-    e = t(spark, sf_dir, "embeddings").select(
+    e = _emb(spark, sf_dir).select(
         "vec_id", "label", _dbl("embedding").alias("x")
     )
     # calibration: 64 codegen'd max(abs) aggregates -> one broadcast row

@@ -53,6 +53,15 @@ def _srp_signs(j: int) -> list[int]:
 _SRP = [_srp_signs(j) for j in range(LSH_BITS)]
 
 
+def _emb(spark, sf_dir):
+    """embeddings with missing (NULL) vectors excluded — the uniform
+    vector-op contract: a row without an embedding cannot be searched,
+    clustered or quantized (NULL rows crash the numpy pair scorer and
+    diverge between engines otherwise; found by the NULL-injection
+    audit)."""
+    return t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+
+
 def _dbl(col):
     return F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))")
 
@@ -91,9 +100,9 @@ def _cos(a, b):
     oracle=f"""
     SELECT e.vec_id, e.label,
            round(list_cosine_similarity(e.embedding::DOUBLE[],
-                 (SELECT embedding::DOUBLE[] FROM embeddings
+                 (SELECT embedding::DOUBLE[] FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)
                   WHERE vec_id = {QUERY_VEC_ID})), 4) AS cos
-    FROM embeddings e
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e
     WHERE e.vec_id <> {QUERY_VEC_ID}
     ORDER BY cos DESC, e.vec_id
     LIMIT {TOP_K}
@@ -101,7 +110,7 @@ def _cos(a, b):
 )
 def q_sim_topk(spark, sf_dir):
     """Brute-force cosine top-k vs the vec_id=0 query vector."""
-    e = t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     q = (
         e.filter(F.col("vec_id") == QUERY_VEC_ID)
         .select(_dbl("embedding").alias("qe"))
@@ -125,7 +134,7 @@ def q_sim_topk(spark, sf_dir):
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
            round(list_cosine_similarity(a.embedding::DOUBLE[],
                                         b.embedding::DOUBLE[]), 4) AS cos
-    FROM embeddings a JOIN embeddings b
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) a JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                        b.embedding::DOUBLE[]), 4) >= {PAIR_THRESHOLD}
@@ -135,7 +144,7 @@ def q_sim_pairs(spark, sf_dir):
     """All pairs with cosine >= threshold inside each label block —
     block-matrix scoring (one shuffle by label, numpy matmul per block;
     see q_sim_lsh for the pattern rationale)."""
-    e = t(spark, sf_dir, "embeddings").withColumn("emb", _dbl("embedding"))
+    e = _emb(spark, sf_dir).withColumn("emb", _dbl("embedding"))
     out = _block_pairs(
         e.select("vec_id", F.col("label").cast("string").alias("block"), "emb")
     )
@@ -194,7 +203,7 @@ def _lsh_bucket_sql() -> str:
     oracle=f"""
     WITH b AS (
       SELECT vec_id, label, embedding, {_lsh_bucket_sql()} AS bucket
-      FROM embeddings
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)
     )
     SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.bucket,
            round(list_cosine_similarity(a.embedding::DOUBLE[],
@@ -211,7 +220,7 @@ def q_sim_lsh(spark, sf_dir):
     The unlabeled-corpus counterpart of q_sim_pairs: bucket count scales as
     2^bits so block sizes stay bounded as the corpus grows — candidate
     generation is a hash-partitioned self-join, never all-pairs."""
-    e = t(spark, sf_dir, "embeddings").withColumn("emb", _dbl("embedding"))
+    e = _emb(spark, sf_dir).withColumn("emb", _dbl("embedding"))
     bucket = F.concat(
         *[
             F.when(
@@ -238,17 +247,17 @@ def q_sim_lsh(spark, sf_dir):
 
 _IVF_ORACLE = f"""
 WITH cent AS (
-  SELECT vec_id AS cell, embedding::DOUBLE[] AS c FROM embeddings
+  SELECT vec_id AS cell, embedding::DOUBLE[] AS c FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)
   WHERE vec_id < {N_CELLS}
 ),
-q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE embedding IS NOT NULL AND vec_id = {QUERY_VEC_ID}),
 assigned AS (
   SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS emb, cent.cell,
          row_number() OVER (
            PARTITION BY e.vec_id
            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cent.c) DESC,
                     cent.cell) AS rn
-  FROM embeddings e CROSS JOIN cent
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e CROSS JOIN cent
 ),
 probed AS (
   SELECT cell FROM cent CROSS JOIN q
@@ -273,7 +282,7 @@ def q_sim_ann_ivf(spark, sf_dir):
     N_CELLS vectors (a real system would k-means them offline)."""
     from pyspark.sql import Window
 
-    e = t(spark, sf_dir, "embeddings").withColumn("emb", _dbl("embedding"))
+    e = _emb(spark, sf_dir).withColumn("emb", _dbl("embedding"))
     cent = e.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cell"), F.col("emb").alias("c")
     )
@@ -337,7 +346,7 @@ _KMEANS_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-  FROM embeddings
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)
 ),
 c0 AS (SELECT vec_id AS cell, emb AS c FROM e WHERE vec_id < {K_CLUSTERS}),
 a1 AS ({_KMEANS_ASSIGN.format(src='e', cent='c0')}),
@@ -364,7 +373,7 @@ def q_cluster_kmeans(spark, sf_dir):
     the iteration lineage (same pattern as q_dedup_cluster)."""
     from pyspark.sql import Window
 
-    e = t(spark, sf_dir, "embeddings").select(
+    e = _emb(spark, sf_dir).select(
         "vec_id", "label", _dbl("embedding").alias("emb")
     )
     cent = e.filter(F.col("vec_id") < K_CLUSTERS).select(
@@ -412,7 +421,7 @@ def _hamming_oracle() -> str:
         )
     return f"""
     WITH x AS (
-      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)
     ), c AS (
       SELECT vec_id, label,
              CAST({half(0)} AS BIGINT) AS code_a,
@@ -445,7 +454,7 @@ def q_sim_hamming(spark, sf_dir):
     than float cosine — and top-k compiles to TakeOrderedAndProject, so
     only k rows per partition reach the driver. Codes are pure integer
     functions of the data, so the oracle reproduces them exactly."""
-    e = t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
 
     def half(off):
         col = None

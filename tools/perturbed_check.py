@@ -8,9 +8,10 @@ degrades the fixture —
 
 - 20% of rows deleted from the TPC-H tables (dangling foreign keys),
 - one whole event_type removed (sink nodes, missing funnel steps/domains),
+- events given NULL user_id / value / props (anonymous events),
 - documents truncated to one token / emptied / NULLed / given an unknown
   or NULL lang,
-- a slice of embeddings negated (orientation-dependent code paths)
+- a slice of embeddings negated, another NULLed (missing vectors)
 
 — then runs tools/check_queries.py against the copy. Any FAIL/ERROR is a
 real latent bug, not fixture noise. Round-4 catches: divide-by-zero in the
@@ -52,6 +53,18 @@ def build() -> None:
             t = t.filter(pa.array([i % 5 != 0 for i in range(n)]))
         elif name == "events":
             t = t.filter(pc.not_equal(t["event_type"], pa.scalar("click")))
+            cols = t.to_pydict()
+            m = t.num_rows
+            for i in range(3, m, 89):
+                cols["user_id"][i] = None   # anonymous events
+            for i in range(5, m, 97):
+                cols["value"][i] = None
+            for i in range(7, m, 103):
+                cols["props"][i] = None
+            schema = pa.schema(
+                [pa.field(f.name, f.type, nullable=True) for f in t.schema]
+            )
+            t = pa.table(cols, schema=schema)
         elif name == "documents":
             cols = t.to_pydict()
             for i in range(0, n, 97):
@@ -72,7 +85,12 @@ def build() -> None:
             cols = t.to_pydict()
             for i in range(1, n, 41):       # keep the vec_id=0 query vector
                 cols["embedding"][i] = [-x for x in cols["embedding"][i]]
-            t = pa.table(cols, schema=t.schema)
+            for i in range(7, n, 59):
+                cols["embedding"][i] = None  # missing vector
+            schema = pa.schema(
+                [pa.field(f.name, f.type, nullable=True) for f in t.schema]
+            )
+            t = pa.table(cols, schema=schema)
         pq.write_table(t, f"{DST}/{name}.parquet")
 
 
