@@ -41,8 +41,9 @@ def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     A real decoder would open payload bytes with PIL/ffmpeg here; the Arrow
     batch shape (columnar pandas in, columnar pandas out) is identical.
     Empty payloads decode to first_byte = -1 (the oracle mirrors the
-    sentinel); first_byte is the first PAYLOAD byte, which equals the
-    ascii() of the first character for this ASCII corpus.
+    sentinel); first_byte is the first PAYLOAD byte — the oracle computes
+    it from hex(encode(text)), so multi-byte UTF-8 first characters agree
+    byte-for-byte with the decoder.
     """
     for pdf in batches:
         payloads = pdf["payload"]
@@ -69,7 +70,8 @@ def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                            ELSE 'video/mp4' END          AS mime,
            octet_length(encode(text))                    AS n_bytes,
            CASE WHEN text = '' THEN -1
-                ELSE ascii(substr(text, 1, 1)) END       AS first_byte,
+                ELSE ('0x' || substr(hex(encode(text)), 1, 2))::BIGINT
+           END                                           AS first_byte,
            array_to_string(list_transform(generate_series(0, 3),
                            i -> i * (octet_length(encode(text)) // 4)), ',')
                                                          AS frame_offsets
@@ -156,7 +158,10 @@ def _fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 ELSE 100 + (doc_id * 7) % 900 END AS INT) AS out_h,
            array_to_string(
                list_transform(range(0, 8),
-                              i -> printf('%.4f', ((ascii(substr(text, 1, 1)) * 31 + i) % 97) / 97.0)),
+                              i -> printf('%.4f',
+                                   (((CASE WHEN text = '' THEN 0
+                                      ELSE ('0x' || substr(hex(encode(text)), 1, 2))::BIGINT
+                                      END) * 31 + i) % 97) / 97.0)),
                ',') AS feature
     FROM documents
     WHERE text IS NOT NULL

@@ -9,8 +9,8 @@ degrades the fixture —
 - 20% of rows deleted from the TPC-H tables (dangling foreign keys),
 - one whole event_type removed (sink nodes, missing funnel steps/domains),
 - events given NULL user_id / value / props (anonymous events),
-- documents truncated to one token / emptied / NULLed / given an unknown
-  or NULL lang,
+- documents truncated to one token / emptied / NULLed / prefixed with
+  multi-byte UTF-8 / given an unknown or NULL lang,
 - a slice of embeddings negated, another NULLed (missing vectors)
 
 — then runs tools/check_queries.py against the copy. Any FAIL/ERROR is a
@@ -69,6 +69,8 @@ def build() -> None:
             cols = t.to_pydict()
             for i in range(0, n, 97):
                 cols["text"][i] = "single"  # < 3 tokens: shingle edge
+            for i in range(11, n, 67):      # multi-byte UTF-8 (first char too)
+                cols["text"][i] = "héllo wörld日本語 🎉 " + cols["text"][i]
             for i in range(1, n, 131):
                 cols["text"][i] = ""        # empty doc
             for i in range(2, n, 151):
