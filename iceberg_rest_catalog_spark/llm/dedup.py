@@ -658,14 +658,16 @@ def _exact_jaccard_pairs(spark, sf_dir):
             " element_at(toks, i+2)))"
         )
     )
-    # Drop docs with no trigrams (< 3 tokens): they cannot near-duplicate at
-    # trigram granularity, and because every empty doc shares one minhash
-    # signature they always become candidates of each other — the verify
-    # Jaccard would then divide by zero (found by the perturbed-fixture
-    # audit; the clean corpus has no such docs).
-    g = d.select("doc_id", F.array_distinct(grams).alias("sh")).filter(
-        F.size("sh") > 0
-    )
+    # Drop docs with no trigrams (< 3 tokens, incl. NULL): they cannot
+    # near-duplicate at trigram granularity, and because every empty doc
+    # shares one minhash signature they always become candidates of each
+    # other — the verify Jaccard would then divide by zero (found by the
+    # perturbed-fixture audit). The predicate is on the TOKEN count, not on
+    # size of the built gram array — filtering on the computed column made
+    # Catalyst evaluate the gram-transform chain twice per row (measured
+    # +1.2 s at sf0.1).
+    d = d.filter(F.size("toks") >= 3)
+    g = d.select("doc_id", F.array_distinct(grams).alias("sh"))
     ga = g.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
     gb = g.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
@@ -800,11 +802,11 @@ def q_dedup_containment(spark, sf_dir):
             " element_at(toks, i+2)))"
         )
     )
-    # same no-trigram guard as _exact_jaccard_pairs: an empty smaller set
-    # would make the containment denominator zero
-    g = d.select("doc_id", F.array_distinct(grams).alias("sh")).filter(
-        F.size("sh") > 0
-    )
+    # same no-trigram guard as _exact_jaccard_pairs (token-count predicate,
+    # not size of the built gram array): an empty smaller set would make
+    # the containment denominator zero
+    d = d.filter(F.size("toks") >= 3)
+    g = d.select("doc_id", F.array_distinct(grams).alias("sh"))
     ga = g.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
     gb = g.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
     paired = cands.join(ga, "doc_a").join(gb, "doc_b")
