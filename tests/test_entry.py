@@ -38,3 +38,17 @@ def test_every_oracle_has_query():
     qs, osql = e.queries(), e.oracle_sql()
     dangling = [k for k in osql if k not in qs]
     assert not dangling, dangling
+
+
+def test_round5_window_leads_registration_order():
+    """The driver verifies the first ~50 queries() entries per round; the
+    explicit rotation list must lead the dict exactly, with every listed id
+    actually registered (a typo would silently waste a window slot)."""
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as e
+    from iceberg_rest_catalog_spark import registry
+
+    ids = list(e.queries())
+    window = list(registry._ROUND5_WINDOW)
+    assert ids[: len(window)] == window
+    assert len(set(window)) == len(window)
