@@ -198,8 +198,12 @@ def _minhash_pairs(spark, sf_dir, threshold=0.5):
 
 def _lsh_ctes() -> str:
     """The shared DuckDB CTE chain mirroring _minhash_pairs' candidate
-    stage: shingles -> md5-derived (a, b) -> 16 h_i = a + i*b minhashes ->
-    4 bands -> band-sharing candidate pairs. Every LSH-based oracle below
+    stage: shingles -> md5-derived word w -> 16 multiply-mod-prime
+    minhashes h_i = min((c_i*w + d_i) mod P) over per-hash constants
+    (c_i, d_i) from _PARAMS -> 4 bands -> band-sharing candidate pairs
+    (NOT the monotone a + i*b family, which _PARAMS rejects as biased:
+    it preserves ordering between docs, so all 16 minima tend to agree
+    or disagree together). Every LSH-based oracle below
     (fuzzy, cluster, fuzzy_verified, containment, cluster_verified) builds
     on this so the candidate SET is identical on both engines by
     construction — correctness never rides on probabilistic LSH recall."""
@@ -558,6 +562,49 @@ def _cluster_oracle() -> str:
     """
 
 
+def _propagate_min_labels(labels, edges, max_rounds: int = 50):
+    """Min-label propagation to the EXACT fixpoint: each round every node
+    takes the minimum label among itself and its neighbours; stop when no
+    label changed. The recursive-CTE oracles compute the full transitive
+    closure, so a fixed round count would silently diverge on any
+    component whose diameter exceeds it (chain-shaped near-dup runs) —
+    iterating to convergence removes that failure mode entirely.
+
+    Convergence test: labels are monotone non-increasing, so the label sum
+    is unchanged between rounds iff every individual label is unchanged —
+    one cheap aggregate per round instead of a self-join diff. Summed as
+    decimal(38,0) so billions of 64-bit ids cannot overflow the check.
+    Each round is one join + one aggregate (shuffle on node id) and a
+    localCheckpoint to truncate lineage; `max_rounds` only guards against
+    a logic bug, and hitting it raises rather than returning unmerged
+    clusters."""
+    label_sum = lambda df: df.agg(  # noqa: E731
+        F.sum(F.col("label").cast("decimal(38,0)"))
+    ).first()[0]
+    prev = label_sum(labels)
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy(F.col("doc_a").alias("node2"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+            .localCheckpoint()  # truncate lineage each fixed-point round
+        )
+        cur = label_sum(labels)
+        if cur == prev:
+            return labels
+        prev = cur
+    raise RuntimeError(
+        f"min-label propagation did not converge within {max_rounds} rounds"
+    )
+
+
 @query("q_dedup_cluster", oracle=_cluster_oracle())
 def q_dedup_cluster(spark, sf_dir):
     """Near-duplicate CLUSTERS via iterative min-label propagation
@@ -581,21 +628,7 @@ def q_dedup_cluster(spark, sf_dir):
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
     nodes = edges.select(F.col("doc_a").alias("node")).distinct()
-    labels = nodes.withColumn("label", F.col("node"))
-    for _ in range(4):  # fixture cluster diameter is 1-2; 4 rounds is safe
-        neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.node)
-            .groupBy(F.col("doc_a").alias("node2"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        labels = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
-            )
-            .localCheckpoint()  # truncate lineage each fixed-point round
-        )
+    labels = _propagate_min_labels(nodes.withColumn("label", F.col("node")), edges)
     return (
         labels.groupBy("label")
         .agg(F.sort_array(F.collect_list("node")).alias("members"))
@@ -717,23 +750,12 @@ def q_dedup_cluster_verified(spark, sf_dir):
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
-    labels = edges.select(F.col("doc_a").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    labels = _propagate_min_labels(
+        edges.select(F.col("doc_a").alias("node")).distinct().withColumn(
+            "label", F.col("node")
+        ),
+        edges,
     )
-    for _ in range(4):
-        neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.node)
-            .groupBy(F.col("doc_a").alias("node2"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        labels = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
-            )
-            .localCheckpoint()
-        )
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(F.sort_array(F.collect_list("node")).alias("members"))

@@ -58,3 +58,22 @@ def test_hash_split_is_deterministic_and_disjoint(spark, qs):
     for r in rows1:
         by_split.setdefault(r.split, set()).add(r.doc_id)
     assert not (by_split.get("eval", set()) & by_split.get("train", set()))
+
+
+def test_min_label_propagation_converges_on_long_chains(spark):
+    """Connected components must reach the exact fixpoint on components
+    whose diameter exceeds any small fixed round count — a chain
+    0-1-...-9 (diameter 9) collapses to a single cluster labeled 0."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rest_catalog_spark.llm.dedup import _propagate_min_labels
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    nodes = edges.select(F.col("doc_a").alias("node")).distinct()
+    labels = _propagate_min_labels(nodes.withColumn("label", F.col("node")), edges)
+    assert {r.label for r in labels.collect()} == {0}

@@ -264,16 +264,22 @@ def test_main_entrypoint_serves_and_shuts_down_gracefully(tmp_path):
     import time
     import urllib.request
 
+    import os
+    import pathlib
+
+    repo_root = str(pathlib.Path(__file__).resolve().parents[1])
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    env["HOME"] = str(tmp_path)
     proc = subprocess.Popen(
         [sys.executable, "-m", "iceberg_rest_catalog_spark.catalog.rest",
          "--host", "127.0.0.1", "--port", "0",
          "--warehouse", str(tmp_path / "wh")],
-        cwd="/root/repo",
+        cwd=repo_root,
         stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT,
         text=True,
-        env={"PATH": "/usr/bin:/bin", "PYTHONPATH": "/root/repo",
-             "HOME": str(tmp_path)},
+        env=env,
     )
     try:
         # the entrypoint logs the bound URL on startup; wait for it

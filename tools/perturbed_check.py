@@ -38,6 +38,13 @@ import pyarrow.parquet as pq
 SRC = os.environ.get("PERTURB_SRC", "/root/testdata/sf0.001")
 DST = os.environ.get("PERTURB_DST", "/tmp/perturb/sf")
 
+if not os.path.isdir(SRC):
+    sys.exit(
+        f"perturbed_check: source fixture dir {SRC!r} does not exist — "
+        "set PERTURB_SRC to a directory containing the ten "
+        "region/nation/.../embeddings parquet fixtures"
+    )
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
