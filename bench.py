@@ -80,8 +80,15 @@ def run_one(spark, fn) -> float:
     return time.perf_counter() - t0
 
 
+N_PASSES = 3
+
+
 def main() -> None:
     spark = get_spark("bench")
+    # Pin the shuffle partition count regardless of the host's CPU env so
+    # round-over-round deltas are attributable to the code, not to the
+    # driver box (session default derives it from $SPARK_GRAFT_CPUS).
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     qs = registry.queries()
     names = [n for n in HEADLINE if n in qs]
 
@@ -90,19 +97,22 @@ def main() -> None:
     if names:
         run_one(spark, qs[names[0]])
 
-    # Two full passes, per-query min: reports the steady-state plan cost.
+    # Three interleaved passes, per-query MEDIAN, spread recorded.
     # A single sample folds in whole-stage-codegen JIT warmup and host
     # scheduling jitter (observed >1.8x run-to-run swings on an otherwise
-    # idle box at sf0.1, where fixed overheads dominate the ~17 MB scan);
-    # the min of two interleaved passes measures what the PLAN costs, which
-    # is the number that extrapolates to cluster scale.
-    times: dict[str, float] = {}
-    for _ in range(2):
+    # idle box at sf0.1, where fixed overheads dominate the ~17 MB scan).
+    # The median of three is robust in both directions — one slow sample
+    # (scheduling stall) and one fast fluke both drop out — and the
+    # per-query spread (max - min across passes) makes run-to-run noise
+    # visible next to any regression it might otherwise masquerade as.
+    # NOTE vs rounds 3-4: those reported min-of-2, so medians here read
+    # systematically a few % higher for equal plans; compare within-statistic.
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(N_PASSES):
         for name in names:
-            dt = run_one(spark, qs[name])
-            if name not in times or dt < times[name]:
-                times[name] = dt
-    times = {n: round(v, 3) for n, v in times.items()}
+            samples[name].append(run_one(spark, qs[name]))
+    times = {n: round(sorted(v)[len(v) // 2], 3) for n, v in samples.items()}
+    spread = {n: round(max(v) - min(v), 3) for n, v in samples.items()}
 
     out = {
         "metric": "headline_suite_wall",
@@ -110,6 +120,9 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": _sf_from_dir(SF_DIR),
+        "passes": N_PASSES,
+        "stat": "median",
+        "spread": spread,
     }
     print(json.dumps(out))
 
