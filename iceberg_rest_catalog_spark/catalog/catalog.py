@@ -1580,7 +1580,12 @@ class Catalog:
     stale_claim_seconds: float = 60.0
 
     def __init__(self, warehouse: str, fileio: FileIO | None = None):
-        self.warehouse = os.path.abspath(warehouse)
+        # URI warehouses (s3://bucket/prefix) pass through verbatim — only
+        # local paths get absolutized (os.path.abspath would mangle the
+        # scheme's double slash).
+        self.warehouse = (
+            warehouse if "://" in warehouse else os.path.abspath(warehouse)
+        )
         self.fio = fileio or LocalFileIO()
         self.fio.mkdirs(self.warehouse)
 

@@ -29,10 +29,37 @@ _DEFAULTS = {
 
 
 @dataclass
+class LogConfig:
+    """Mirror of the reference's logger config (logger/zerolog.go:10-17):
+    ``file-name`` switches output from stdout to a size-rotated log file
+    (lumberjack semantics — max-size in MB per file, max-backups retained,
+    max-age days, optional gzip of rolled files)."""
+
+    debug: bool = False
+    file_name: str = ""
+    max_size_mb: float = 100.0
+    max_backups: int = 0  # 0 = keep all (lumberjack default)
+    max_age_days: int = 0  # 0 = never expire by age
+    compress: bool = False
+
+    @classmethod
+    def from_dict(cls, doc: dict) -> "LogConfig":
+        return cls(
+            debug=bool(doc.get("debug", False)),
+            file_name=str(doc.get("file-name", doc.get("file_name", "")) or ""),
+            max_size_mb=float(doc.get("max-size", doc.get("max_size", 100)) or 100),
+            max_backups=int(doc.get("max-backups", doc.get("max_backups", 0)) or 0),
+            max_age_days=int(doc.get("max-age", doc.get("max_age", 0)) or 0),
+            compress=bool(doc.get("compress", False)),
+        )
+
+
+@dataclass
 class EngineConfig:
     log_level: str = "info"
     default_catalog: str = "default"
     catalogs: dict = field(default_factory=dict)
+    logger: LogConfig = field(default_factory=LogConfig)
 
     def catalog_props(self, name: str | None = None) -> dict:
         name = name or self.default_catalog
@@ -78,4 +105,82 @@ def load_config(path: str | None = None) -> EngineConfig:
         log_level=str(merged.get("log_level", "info")),
         default_catalog=str(merged.get("default_catalog", "default")),
         catalogs=dict(merged.get("catalogs") or {}),
+        logger=LogConfig.from_dict(dict(merged.get("logger") or {})),
     )
+
+
+class _RotatingGzipHandler:
+    """Factory for the engine's size-rotating file handler.
+
+    stdlib ``RotatingFileHandler`` supplies size-based rollover and backup
+    count; the two lumberjack behaviors it lacks — gzip of rolled files
+    (``compress``) and age-based expiry (``max-age``) — are layered on via
+    the handler's ``rotator`` hook and a post-rollover sweep.
+    """
+
+    def __new__(cls, cfg: LogConfig):
+        import gzip
+        import logging.handlers
+        import time
+
+        handler = logging.handlers.RotatingFileHandler(
+            cfg.file_name,
+            maxBytes=max(int(cfg.max_size_mb * 1024 * 1024), 1),
+            backupCount=cfg.max_backups if cfg.max_backups > 0 else 10_000,
+        )
+
+        def _sweep_aged() -> None:
+            if cfg.max_age_days <= 0:
+                return
+            cutoff = time.time() - cfg.max_age_days * 86400
+            base = os.path.basename(cfg.file_name)
+            d = os.path.dirname(cfg.file_name) or "."
+            for name in os.listdir(d):
+                p = os.path.join(d, name)
+                if name.startswith(base + ".") and os.path.getmtime(p) < cutoff:
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
+
+        def _rotate(source: str, dest: str) -> None:
+            if cfg.compress:
+                with open(source, "rb") as fin, gzip.open(dest, "wb") as fout:
+                    fout.writelines(fin)
+                os.remove(source)
+            else:
+                os.replace(source, dest)
+            _sweep_aged()
+
+        handler.rotator = _rotate
+        if cfg.compress:
+            # backups are named base.N.gz so doRollover's existence checks
+            # and N -> N+1 shuffling operate on the compressed files
+            handler.namer = lambda name: name + ".gz"
+        return handler
+
+
+def configure_logging(cfg: LogConfig, level: str | None = None) -> None:
+    """Apply the logger config to the engine's logger tree — parity with
+    reference logger/zerolog.go NewLogger: debug flag selects the level
+    (explicit ``level`` wins), and a non-empty ``file-name`` REPLACES
+    stdout with the rotating file writer (the reference swaps the zerolog
+    writer rather than teeing)."""
+    import logging
+
+    root = logging.getLogger("iceberg_rest_catalog_spark")
+    root.setLevel(
+        (level or ("debug" if cfg.debug else "info")).upper()
+    )
+    if cfg.file_name:
+        for h in list(root.handlers):
+            root.removeHandler(h)
+        handler = _RotatingGzipHandler(cfg)
+        handler.setFormatter(
+            logging.Formatter(
+                '{"time":"%(asctime)s","level":"%(levelname)s",'
+                '"logger":"%(name)s","message":"%(message)s"}'
+            )
+        )
+        root.addHandler(handler)
+        root.propagate = False

@@ -317,9 +317,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--warehouse", default="warehouse", help="warehouse directory")
     p.add_argument("--log-level", default="INFO")
+    p.add_argument(
+        "--config",
+        default=None,
+        help="engine config file; its `logger:` section enables size-rotated "
+        "file logging (reference logger/zerolog.go lumberjack parity)",
+    )
     args = p.parse_args(argv)
 
+    from .config import configure_logging, load_config
+
+    cfg = load_config(args.config)
     logging.basicConfig(level=args.log_level.upper())
+    configure_logging(cfg.logger, level=args.log_level)
     srv, url = serve(Catalog(args.warehouse), host=args.host, port=args.port)
     LOG.info("serving %s (warehouse=%s)", url, args.warehouse)
 

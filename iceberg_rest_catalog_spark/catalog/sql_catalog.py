@@ -369,7 +369,15 @@ def open_catalog(props: dict) -> Catalog:
     catalog.Load dispatch, main.go:97-109 + blank-import registrations)."""
     kind = props.get("type", "fs")
     if kind == "fs":
-        return Catalog(props["warehouse"])
+        wh = props["warehouse"]
+        if wh.startswith("s3://"):
+            # object-store warehouse (the reference's sample config is
+            # S3-first, configs/.iceberg-go.yaml:7-10): same fs commit
+            # protocol, claims arbitrated by S3 conditional puts
+            from .fileio import S3FileIO
+
+            return Catalog(wh, fileio=S3FileIO(region=props.get("region")))
+        return Catalog(wh)
     if kind == "sql":
         return SqlCatalog(props["warehouse"], props.get("db"))
     if kind == "rest":
@@ -377,7 +385,11 @@ def open_catalog(props: dict) -> Catalog:
 
         return RestCatalog(props["uri"], props["warehouse"])
     if kind == "glue":
-        # The reference registers a glue backend too (main.go:13); it needs
-        # AWS credentials + endpoints that don't exist in this environment.
+        # The reference registers a glue backend too (main.go:13). Permanent
+        # non-goal here (SURVEY.md §7): it would duplicate the sql/rest
+        # pointer-CAS machinery behind an AWS-only control plane that cannot
+        # be exercised in this environment; the error contract below is the
+        # tested behavior (tests/test_catalog.py
+        # test_missing_catalog_and_unknown_type).
         raise E.NotImplementedException("glue catalog requires AWS")
     raise E.NotImplementedException(f"catalog type {kind!r}")

@@ -10,6 +10,16 @@ import pytest
 
 from iceberg_rest_catalog_spark.catalog import Catalog, NestedField, Schema
 from iceberg_rest_catalog_spark.catalog import errors as E
+from tests.conftest import make_catalog
+
+
+@pytest.fixture(params=["fs", "sql", "rest", "s3"])
+def catalog(tmp_path, request):
+    """Override: the metadata-plane behavioral suite additionally runs on
+    the s3 object-store backend (S3FileIO + in-memory conditional-put
+    client). The shared fixture keeps fs/sql/rest for suites that also
+    touch the data plane through Spark."""
+    yield from make_catalog(request.param, tmp_path)
 
 FIELDS = [
     NestedField(1, "id", "long", required=True),
@@ -242,10 +252,13 @@ class TestCommitProtocol:
                         "covered by test_commit_properties + TestSqlBackend")
         catalog.create_namespace(("ns",))
         catalog.create_table(("ns", "t"), SCHEMA)
-        # simulate a concurrent writer that has CLAIMED v2 (O_EXCL file
-        # exists) but not yet flushed its JSON: our commit must lose the CAS
+        # simulate a concurrent writer that has CLAIMED v2 (exclusive-create
+        # succeeded — O_EXCL on fs, If-None-Match put on s3) but not yet
+        # flushed its JSON: our commit must lose the CAS
         mdir = os.path.join(catalog._table_dir(("ns", "t")), "metadata")
-        open(os.path.join(mdir, "v2.metadata.json"), "w").close()  # empty claim
+        assert catalog.fio.create_exclusive(
+            os.path.join(mdir, "v2.metadata.json"), ""
+        )
         with pytest.raises(E.CommitFailedException):
             catalog.update_table(
                 ("ns", "t"), [], [{"action": "set-properties", "updates": {"b": "2"}}]
@@ -264,8 +277,7 @@ class TestCommitProtocol:
         # a stalled writer swapped the hint backwards after a later commit;
         # the hint is advisory — load must still find the newest version
         mdir = os.path.join(catalog._table_dir(("ns", "t")), "metadata")
-        with open(os.path.join(mdir, "version-hint.text"), "w") as f:
-            f.write("1")
+        catalog.fio.write_text_atomic(os.path.join(mdir, "version-hint.text"), "1")
         t = catalog.load_table(("ns", "t"))
         assert t.version == 2
         assert t.properties() == {"a": "1"}
@@ -368,8 +380,7 @@ class TestHardening:
         claim = os.path.join(
             catalog._table_dir(("db", "t")), "metadata", "v2.metadata.json"
         )
-        with open(claim, "w") as f:
-            f.write("{")  # writer claimed v2 and died mid-flush
+        assert catalog.fio.create_exclusive(claim, "{")  # claimed, died mid-flush
         upd = [{"action": "set-properties", "updates": {"k": "v"}}]
         # young claim: may still be in flight -> CAS conflict preserved
         with pytest.raises(E.CommitFailedException):
@@ -467,3 +478,105 @@ class TestFileIOSeam:
         for op in ("write_text_atomic", "read_text", "create_exclusive",
                    "isfile", "listdir", "mkdirs", "rename", "rmtree"):
             assert calls.get(op, 0) > 0, f"{op} bypassed the FileIO seam"
+
+
+class TestLogRotation:
+    """Reference logger parity (logger/zerolog.go:10-41): a `logger:`
+    config with file-name switches output to a size-rotated file."""
+
+    @staticmethod
+    def _configured(tmp_path, **kw):
+        from iceberg_rest_catalog_spark.catalog.config import (
+            LogConfig,
+            configure_logging,
+        )
+
+        cfg = LogConfig(file_name=str(tmp_path / "engine.log"), **kw)
+        configure_logging(cfg)
+        return cfg
+
+    @staticmethod
+    def _restore():
+        import logging
+
+        root = logging.getLogger("iceberg_rest_catalog_spark")
+        for h in list(root.handlers):
+            h.close()
+            root.removeHandler(h)
+        root.propagate = True
+
+    def test_size_rollover_produces_second_file(self, tmp_path):
+        import logging
+
+        self._configured(tmp_path, max_size_mb=0.001, max_backups=3)  # ~1 KB
+        try:
+            log = logging.getLogger("iceberg_rest_catalog_spark.rest")
+            for i in range(100):
+                log.info("request %d %s", i, "x" * 80)
+            files = sorted(p.name for p in tmp_path.iterdir())
+            assert "engine.log" in files
+            assert "engine.log.1" in files, files
+        finally:
+            self._restore()
+
+    def test_compressed_backups_are_gzip_and_shuffled(self, tmp_path):
+        import gzip
+        import logging
+
+        self._configured(
+            tmp_path, max_size_mb=0.001, max_backups=2, compress=True
+        )
+        try:
+            log = logging.getLogger("iceberg_rest_catalog_spark.rest")
+            for i in range(300):
+                log.info("request %d %s", i, "y" * 80)
+            names = sorted(p.name for p in tmp_path.iterdir())
+            assert "engine.log.1.gz" in names, names
+            with gzip.open(tmp_path / "engine.log.1.gz", "rt") as f:
+                assert "request" in f.read()
+            # backupCount=2 bounds retention even under many rollovers
+            assert not any(n.startswith("engine.log.3") for n in names), names
+        finally:
+            self._restore()
+
+    def test_logger_section_parsed_from_config_file(self, tmp_path, monkeypatch):
+        from iceberg_rest_catalog_spark.catalog.config import (
+            CONFIG_NAME,
+            load_config,
+        )
+
+        (tmp_path / CONFIG_NAME).write_text(
+            "logger:\n"
+            "  debug: true\n"
+            f"  file-name: {tmp_path}/svc.log\n"
+            "  max-size: 5\n"
+            "  max-backups: 7\n"
+            "  max-age: 14\n"
+            "  compress: true\n"
+        )
+        monkeypatch.setenv("ICSB_SPARK_HOME", str(tmp_path))
+        lc = load_config().logger
+        assert (lc.debug, lc.file_name, lc.max_size_mb) == (
+            True,
+            f"{tmp_path}/svc.log",
+            5.0,
+        )
+        assert (lc.max_backups, lc.max_age_days, lc.compress) == (7, 14, True)
+
+    def test_aged_backups_swept_after_rollover(self, tmp_path):
+        import logging
+        import os
+        import time
+
+        self._configured(tmp_path, max_size_mb=0.001, max_backups=5, max_age_days=1)
+        try:
+            stale = tmp_path / "engine.log.9"
+            stale.write_text("old")
+            old = time.time() - 3 * 86400
+            os.utime(stale, (old, old))
+            log = logging.getLogger("iceberg_rest_catalog_spark.rest")
+            for i in range(100):
+                log.info("request %d %s", i, "z" * 80)
+            assert not stale.exists()
+        finally:
+            self._restore()
