@@ -581,7 +581,7 @@ def _propagate_min_labels(labels, edges, max_rounds: int = 50):
     label_sum = lambda df: df.agg(  # noqa: E731
         F.sum(F.col("label").cast("decimal(38,0)"))
     ).first()[0]
-    prev = label_sum(labels)
+    prev = None  # first round is never compared — one less action up front
     for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.node)
@@ -597,7 +597,7 @@ def _propagate_min_labels(labels, edges, max_rounds: int = 50):
             .localCheckpoint()  # truncate lineage each fixed-point round
         )
         cur = label_sum(labels)
-        if cur == prev:
+        if prev is not None and cur == prev:
             return labels
         prev = cur
     raise RuntimeError(
