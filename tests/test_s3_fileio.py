@@ -118,3 +118,150 @@ def test_config_routes_s3_warehouse_to_s3_fileio(tmp_path, monkeypatch):
     cat = load_config().open_catalog()
     assert isinstance(cat.fio, S3FileIO)
     assert cat.warehouse == "s3://prod-bucket/warehouse"
+
+
+# ---------------------------------------------------------------------------
+# Property-based equivalence: under the catalog's usage contract (mkdirs
+# before write, rename to fresh destinations, remove files / rmtree dirs),
+# LocalFileIO and S3FileIO must be observationally identical — the property
+# that makes the s3 backend a drop-in for every catalog code path.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from iceberg_rest_catalog_spark.catalog.fileio import LocalFileIO
+
+_NAMES = ("x", "y", "z")
+_path = st.lists(st.sampled_from(_NAMES), min_size=1, max_size=3).map("/".join)
+# no bare \r: POSIX text-mode reads apply universal-newline translation,
+# which is irrelevant to the JSON metadata the catalog actually stores
+_text = st.text(
+    alphabet=st.characters(blacklist_characters="\r"), max_size=8
+)
+_op = st.one_of(
+    st.tuples(st.just("write"), _path, _text),
+    st.tuples(st.just("excl"), _path, _text),
+    st.tuples(st.just("remove"), _path),
+    st.tuples(st.just("rmtree"), _path),
+    st.tuples(st.just("rename"), _path, _path),
+)
+
+
+def _file_map(fio, root):
+    out = {}
+    if not fio.isdir(root):
+        return out
+    for dp, _dn, fns in fio.walk(root):
+        rel = dp[len(root):].strip("/")
+        for fn in fns:
+            p = f"{dp}/{fn}"
+            out[f"{rel}/{fn}" if rel else fn] = fio.read_text(p)
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(ops=st.lists(_op, max_size=12))
+def test_local_and_s3_fileio_are_observationally_equivalent(tmp_path_factory, ops):
+    """Both backends are driven by the same MODEL-derived decisions (the
+    catalog's usage contract: mkdirs before write, never write under a
+    file, rename to fresh destinations, remove files / rmtree dirs), so
+    any divergence in resulting file trees or create_exclusive outcomes
+    is a backend bug, not an environment-sensitivity of the test."""
+    local = LocalFileIO()
+    lroot = str(tmp_path_factory.mktemp("wh"))
+    s3 = S3FileIO(client=InMemoryS3Client())
+    sroot = "s3://b/wh"
+    model: dict[str, str] = {}  # relpath -> content, the reference state
+    # paths where a POSIX directory may linger after its files are gone
+    # (empty dirs are unrepresentable on S3; the catalog's layout never
+    # places a FILE at a path that has ever been a directory)
+    residue: set[str] = set()
+
+    def _ancestors(p):
+        parts = p.split("/")
+        return {"/".join(parts[:i]) for i in range(1, len(parts))}
+
+    def m_isfile(p):
+        return p in model
+
+    def m_isdir(p):
+        return any(k.startswith(p + "/") for k in model)
+
+    def m_ancestor_is_file(p):
+        return any(a in model for a in _ancestors(p))
+
+    def apply(fio, root, op):
+        kind, p, *rest = op
+        fp = f"{root}/{p}"
+        if kind == "write":
+            fio.mkdirs(fp.rsplit("/", 1)[0])
+            fio.write_text_atomic(fp, rest[0])
+        elif kind == "excl":
+            fio.mkdirs(fp.rsplit("/", 1)[0])
+            return fio.create_exclusive(fp, rest[0])
+        elif kind == "remove":
+            fio.remove(fp)
+        elif kind == "rmtree":
+            fio.rmtree(fp)
+        else:
+            dst = f"{root}/{rest[0]}"
+            fio.mkdirs(dst.rsplit("/", 1)[0])
+            fio.rename(fp, dst)
+
+    for op in ops:
+        kind, p, *rest = op
+        # decide from the model whether the catalog would issue this op
+        if kind in ("write", "excl"):
+            if m_isdir(p) or p in residue or m_ancestor_is_file(p):
+                continue
+        elif kind == "remove":
+            if not m_isfile(p):
+                continue
+        elif kind == "rmtree":
+            if not m_isdir(p):
+                continue
+        else:
+            dst = rest[0]
+            if not (m_isfile(p) or m_isdir(p)):
+                continue
+            if (
+                m_isfile(dst)
+                or m_isdir(dst)
+                or dst in residue
+                or dst == p
+                or dst.startswith(p + "/")
+                or m_ancestor_is_file(dst)
+            ):
+                continue
+        got_l = apply(local, lroot, op)
+        got_s = apply(s3, sroot, op)
+        # update the model
+        if kind == "write":
+            model[p] = rest[0]
+            residue |= _ancestors(p)
+        elif kind == "excl":
+            expected = p not in model
+            assert got_l is expected and got_s is expected, (op, got_l, got_s)
+            if expected:
+                model[p] = rest[0]
+                residue |= _ancestors(p)
+        elif kind == "remove":
+            del model[p]
+        elif kind == "rmtree":
+            for k in [k for k in model if k.startswith(p + "/")]:
+                del model[k]
+            residue -= {d for d in residue if d == p or d.startswith(p + "/")}
+        else:
+            dst = rest[0]
+            if p in model:
+                model[dst] = model.pop(p)
+            else:
+                for k in [k for k in model if k.startswith(p + "/")]:
+                    model[dst + k[len(p):]] = model.pop(k)
+                moved = {d for d in residue if d == p or d.startswith(p + "/")}
+                residue -= moved
+                residue |= {dst + d[len(p):] for d in moved}
+            residue |= _ancestors(dst)
+        assert _file_map(local, lroot) == model, op
+        assert _file_map(s3, sroot) == model, op
