@@ -16,12 +16,21 @@ from iceberg_rest_catalog_spark.catalog import errors as E
 
 BASE = Schema(0, [NestedField(1, "id", "long", True)])
 
-BACKENDS = ["fs", "sql"]
+BACKENDS = ["fs", "sql", "s3"]
 
 
 def _make_cat(base_dir, backend: str) -> Catalog:
     if backend == "fs":
         return Catalog(str(base_dir / "wh"))
+    if backend == "s3":
+        # fs commit protocol with claims arbitrated by S3 conditional puts:
+        # the serialization invariants must hold identically on the store
+        from iceberg_rest_catalog_spark.catalog.fileio import (
+            InMemoryS3Client,
+            S3FileIO,
+        )
+
+        return Catalog("s3://race-bucket/wh", fileio=S3FileIO(client=InMemoryS3Client()))
     return SqlCatalog(str(base_dir / "wh"), str(base_dir / "cat.db"))
 
 # one step = set-props / remove-props / add-schema+set-current / bad-requirement
@@ -114,7 +123,7 @@ def test_commit_sequence_invariants(tmp_path_factory, backend, steps):
     versions = sorted(
         # fs names v{N}.metadata.json; sql names v{N}-{uuid8}.metadata.json
         int(f[1:].split(".")[0].split("-")[0])
-        for f in os.listdir(mdir)
+        for f in cat.fio.listdir(mdir)
         if f.endswith(".metadata.json")
     )
     assert versions == list(range(1, expected_version + 1))
