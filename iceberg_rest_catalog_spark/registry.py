@@ -79,7 +79,15 @@ _QUERY_MODULES = (
 
 # Round-5 driver window, front of the registry (52 candidates for ~50
 # slots; the overflow rolls to round 6 and is deliberately the two most
-# trivially-judge-verified scalar-function demos).  Composition, in order:
+# trivially-judge-verified scalar-function demos).
+#
+# ROUND-6 NOTE: after a clean r5 window, every id will have driver
+# evidence except the final two here (q_fn_cond, q_fn_math, if the window
+# is exactly 50) — rotate those plus any r5-red ids to the front, then
+# order the rest by staleness (r2-confirmed ids first) so evidence
+# refreshes oldest-first.
+#
+# Composition, in order:
 #   1. the 3 ids driver-ERR in r3 (portable-hash fix landed in r4; they
 #      MUST show driver-green);
 #   2. the catalog DML / evolution / file-skipping tail — the highest
