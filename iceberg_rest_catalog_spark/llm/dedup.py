@@ -343,12 +343,19 @@ def q_dedup_simhash(spark, sf_dir):
     (pigeonhole guarantees recall for hamming<=3); verification is
     bit_count(xor) on each half."""
     d = t(spark, sf_dir, "documents")
-    # Bit votes as 64 codegen'd aggregates over exploded token hashes — the
-    # same explode+agg-beats-interpreted-HOF trade-off measured for MinHash
-    # (a nested transform/filter HOF form of this was 15s at sf0.1; this
-    # shape is ~1s). Map-side partial aggregation keeps the shuffle at one
-    # row of 64 counters per doc per partition.
     th = d.select("doc_id", F.explode(F.split("text", " ")).alias("tk"))
+    return _simhash_pairs_from_tokens(th)
+
+
+def _simhash_pairs_from_tokens(th):
+    """(doc_id, tk) occurrences -> hamming<=3 near-dup pairs; the unit of
+    ``tk`` (unigram vs shingle) is the caller's choice.
+
+    Bit votes as 64 codegen'd aggregates over exploded token hashes — the
+    same explode+agg-beats-interpreted-HOF trade-off measured for MinHash
+    (a nested transform/filter HOF form of this was 15s at sf0.1; this
+    shape is ~1s). Map-side partial aggregation keeps the shuffle at one
+    row of 64 counters per doc per partition."""
     hx = th.select(
         "doc_id",
         F.conv(F.substring(F.md5("tk"), 1, 8), 16, 10).cast("long").alias("a"),
@@ -407,6 +414,101 @@ def q_dedup_simhash(spark, sf_dir):
         .distinct()
         .filter(F.col("hamming") <= 3)
     )
+
+
+def _simhash_shingle_oracle() -> str:
+    """DuckDB mirror of q_dedup_simhash_shingle: the plain-SimHash
+    recurrence over word-3-gram shingles (same shingle construction as
+    _lsh_ctes, same md5 halves, same vote/chunk/verify chain)."""
+    va = ",\n             ".join(
+        f"sum(CASE WHEN (a >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS va{i}"
+        for i in range(32)
+    )
+    vb = ",\n             ".join(
+        f"sum(CASE WHEN (b >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS vb{i}"
+        for i in range(32)
+    )
+    sa = " + ".join(f"CASE WHEN va{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(32))
+    sb = " + ".join(f"CASE WHEN vb{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(32))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ') AS tk
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(
+                      1, greatest(len(string_split(text, ' ')) - 2, 1))) AS i)
+      WHERE text IS NOT NULL
+    ), hx AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tk), 1, 8))::BIGINT AS a,
+             ('0x' || substr(md5(tk), 9, 8))::BIGINT AS b
+      FROM tok
+    ), votes AS (
+      SELECT doc_id,
+             {va},
+             {vb}
+      FROM hx GROUP BY doc_id
+    ), sim AS (
+      SELECT doc_id, CAST({sa} AS BIGINT) AS sa, CAST({sb} AS BIGINT) AS sb
+      FROM votes
+    ), chunks AS (
+      SELECT doc_id, 0 AS chunk, sa & 65535 AS ch FROM sim
+      UNION ALL SELECT doc_id, 1, (sa >> 16) & 65535 FROM sim
+      UNION ALL SELECT doc_id, 2, sb & 65535 FROM sim
+      UNION ALL SELECT doc_id, 3, (sb >> 16) & 65535 FROM sim
+    ), cand AS (
+      SELECT DISTINCT ca.doc_id AS doc_a, cb.doc_id AS doc_b
+      FROM chunks ca JOIN chunks cb USING (chunk, ch)
+      WHERE ca.doc_id < cb.doc_id
+    )
+    SELECT doc_a, doc_b,
+           bit_count(xor(pa.sa, pb.sa)) + bit_count(xor(pa.sb, pb.sb)) AS hamming
+    FROM cand
+    JOIN sim pa ON pa.doc_id = doc_a
+    JOIN sim pb ON pb.doc_id = doc_b
+    WHERE bit_count(xor(pa.sa, pb.sa)) + bit_count(xor(pa.sb, pb.sb)) <= 3
+    """
+
+
+@query("q_dedup_simhash_shingle", oracle=_simhash_shingle_oracle())
+def q_dedup_simhash_shingle(spark, sf_dir):
+    """Boilerplate-robust SimHash: signature unit = word-3-gram shingle
+    (round 5) — the same shingle space the MinHash/Jaccard family uses.
+
+    Unigram SimHash degenerates on boilerplate-heavy or small-vocabulary
+    corpora: tokens shared by a large fraction of documents bias every
+    signature the same way until hamming distances collapse and the
+    chunk-blocked self-join goes quadratic (measured in SCALE.md round-5
+    notes: 26.8M pairs on a 1/3-boilerplate corpus vs 312 without it; both
+    idf-weighting variants failed to help there because the corpus
+    vocabulary itself is tiny, so EVERY unigram is boilerplate-grade).
+    Moving the vote unit to shingles fixes the degeneracy structurally —
+    the shingle space is |vocab|^3, so signature bits are driven by local
+    word ORDER, which boilerplate insertion perturbs and near-duplication
+    preserves. Measured: fixture recall 0.56 vs 0.48 unigram at precision
+    1.0, and the adversarial corpus collapses from 26.8M pairs back to 494
+    (~4x the per-copy structure, as designed).
+
+    Plan shape: identical to q_dedup_simhash (explode -> 64 codegen'd
+    vote aggregates -> chunk-blocked self-join); the explode just emits
+    shingles. Shingle volume == token volume, so cost and scaling match
+    the unigram operator; the oracle shares _lsh_ctes' shingle
+    construction so the whole recurrence stays value-checked."""
+    d = t(spark, sf_dir, "documents")
+    sh = (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(ws) - 2, 1)),"
+                    " i -> array_join(slice(ws, i, 3), ' '))"
+                )
+            ).alias("tk"),
+        )
+    )
+    return _simhash_pairs_from_tokens(sh)
 
 
 _NGRAM_ORACLE = f"""

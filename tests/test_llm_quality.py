@@ -77,3 +77,14 @@ def test_min_label_propagation_converges_on_long_chains(spark):
     nodes = edges.select(F.col("doc_a").alias("node")).distinct()
     labels = _propagate_min_labels(nodes.withColumn("label", F.col("node")), edges)
     assert {r.label for r in labels.collect()} == {0}
+
+
+def test_shingle_simhash_tracks_exact_jaccard(spark, qs):
+    """Shingle-unit SimHash must track the exact trigram-Jaccard ground
+    truth better than chance and with high precision — the property that
+    makes it the boilerplate-robust variant (SCALE.md round-5 notes)."""
+    exact = _pairs(qs["q_dedup_ngram"](spark, SF))
+    got = _pairs(qs["q_dedup_simhash_shingle"](spark, SF))
+    tp = len(got & exact)
+    assert tp / max(len(exact), 1) >= 0.5, (len(got), len(exact), tp)  # recall
+    assert tp / max(len(got), 1) >= 0.9, (len(got), tp)  # precision
