@@ -40,6 +40,8 @@ QUERIES = [
     "q_ts_interpolate",
     "q_shard_assign",
     "q_text_bpe_pairs",
+    # round-5 addition
+    "q_dedup_simhash_shingle",
 ]
 
 
