@@ -1586,7 +1586,18 @@ class Catalog:
         self.warehouse = (
             warehouse if "://" in warehouse else os.path.abspath(warehouse)
         )
-        self.fio = fileio or LocalFileIO()
+        if fileio is None:
+            if self.warehouse.startswith("s3://"):
+                # every construction path (library, config, REST server
+                # entrypoint) must route object-store warehouses to the S3
+                # FileIO — defaulting to LocalFileIO here would silently
+                # write metadata into a local "s3:" directory
+                from .fileio import S3FileIO
+
+                fileio = S3FileIO()
+            else:
+                fileio = LocalFileIO()
+        self.fio = fileio
         self.fio.mkdirs(self.warehouse)
 
     # -- storage helpers (everything below goes through the FileIO seam) ----

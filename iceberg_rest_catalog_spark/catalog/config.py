@@ -123,10 +123,16 @@ class _RotatingGzipHandler:
         import logging.handlers
         import time
 
+        # max_backups <= 0 means keep-all (lumberjack default). Numbered
+        # rollover can't express that (its shuffle is O(backupCount) stat
+        # calls inside the logging lock), so keep-all switches to
+        # lumberjack-style TIMESTAMPED backup names: O(1) per rollover,
+        # genuinely unbounded, and the age sweep still matches the prefix.
+        keep_all = cfg.max_backups <= 0
         handler = logging.handlers.RotatingFileHandler(
             cfg.file_name,
             maxBytes=max(int(cfg.max_size_mb * 1024 * 1024), 1),
-            backupCount=cfg.max_backups if cfg.max_backups > 0 else 10_000,
+            backupCount=1 if keep_all else cfg.max_backups,
         )
 
         def _sweep_aged() -> None:
@@ -144,6 +150,11 @@ class _RotatingGzipHandler:
                         pass
 
         def _rotate(source: str, dest: str) -> None:
+            if keep_all:
+                # ignore the numbered dest: stamp the rolled file uniquely
+                dest = f"{source}.{time.time_ns()}"
+                if cfg.compress:
+                    dest += ".gz"
             if cfg.compress:
                 with open(source, "rb") as fin, gzip.open(dest, "wb") as fout:
                     fout.writelines(fin)
@@ -153,7 +164,7 @@ class _RotatingGzipHandler:
             _sweep_aged()
 
         handler.rotator = _rotate
-        if cfg.compress:
+        if cfg.compress and not keep_all:
             # backups are named base.N.gz so doRollover's existence checks
             # and N -> N+1 shuffling operate on the compressed files
             handler.namer = lambda name: name + ".gz"

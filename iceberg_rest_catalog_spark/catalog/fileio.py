@@ -233,17 +233,33 @@ class S3FileIO(FileIO):
         self.s3.put_object(Bucket=b, Key=k, Body=text.encode("utf-8"))
 
     def create_exclusive(self, path: str, text: str) -> bool:
+        """Create iff absent via conditional put. 412 PreconditionFailed
+        means the key exists -> claim lost (False). 409
+        ConditionalRequestConflict means a CONCURRENT conditional put is in
+        flight — the key may not exist at all, so folding it into False
+        would fail both racers while neither wrote; S3's documented
+        contract is to retry until the winner's object lands (then 412) or
+        our put succeeds."""
+        import time
+
         b, k = self._bk(path)
-        try:
-            self.s3.put_object(
-                Bucket=b, Key=k, Body=text.encode("utf-8"), IfNoneMatch="*"
-            )
-            return True
-        except Exception as exc:
-            code, status = _err_code(exc)
-            if code == "PreconditionFailed" or status in (409, 412):
-                return False
-            raise
+        for attempt in range(8):
+            try:
+                self.s3.put_object(
+                    Bucket=b, Key=k, Body=text.encode("utf-8"), IfNoneMatch="*"
+                )
+                return True
+            except Exception as exc:
+                code, status = _err_code(exc)
+                if code == "PreconditionFailed" or status == 412:
+                    return False
+                if code == "ConditionalRequestConflict" or status == 409:
+                    time.sleep(0.05 * (attempt + 1))
+                    continue
+                raise
+        raise RuntimeError(
+            f"conditional put on {path} still conflicting after 8 retries"
+        )
 
     def isfile(self, path: str) -> bool:
         b, k = self._bk(path)
@@ -276,7 +292,7 @@ class S3FileIO(FileIO):
         b, k = self._bk(path)
         base = k + "/" if k else ""
         # one recursive listing; rebuild the directory tree client-side
-        dirs: dict[str, tuple[set, list]] = {k: (set(), [])}
+        dirs: dict[str, tuple[set, list]] = {}
         for contents, _ in self._list(b, base):
             for o in contents:
                 rel = o["Key"][len(base):]
@@ -286,12 +302,15 @@ class S3FileIO(FileIO):
                     dirs.setdefault(parent, (set(), []))[0].add(d)
                     parent = f"{parent}/{d}" if parent else d
                 dirs.setdefault(parent, (set(), []))[1].append(parts[-1])
+        if not dirs:
+            return  # nonexistent prefix: os.walk parity is an empty iterator
+        dirs.setdefault(k, (set(), []))
         order = sorted(dirs)
         if not topdown:
             order.reverse()
         for d in order:
             subdirs, files = dirs[d]
-            yield f"s3://{b}/{d}", sorted(subdirs), sorted(files)
+            yield (f"s3://{b}/{d}" if d else f"s3://{b}"), sorted(subdirs), sorted(files)
 
     def mkdirs(self, path: str) -> None:
         pass  # directories are implicit prefixes
@@ -312,7 +331,11 @@ class S3FileIO(FileIO):
             for contents, _ in self._list(b, k + "/" if k else "")
             for o in contents
         ]
-        if not keys and not self.isfile(path):
+        if not keys:
+            if self.isfile(path):
+                # shutil.rmtree on a file raises; silently leaving the
+                # object in place would be worse
+                raise NotADirectoryError(path)
             raise FileNotFoundError(path)  # parity with shutil.rmtree
         for key in keys:
             self.s3.delete_object(Bucket=b, Key=key)
@@ -326,19 +349,20 @@ class S3FileIO(FileIO):
             )
             self.s3.delete_object(Bucket=sb, Key=sk)
             return
-        moved = False
-        for contents, _ in self._list(sb, sk + "/"):
-            for o in contents:
-                rel = o["Key"][len(sk) + 1:]
-                self.s3.copy_object(
-                    Bucket=db,
-                    Key=f"{dk}/{rel}",
-                    CopySource={"Bucket": sb, "Key": o["Key"]},
-                )
-                self.s3.delete_object(Bucket=sb, Key=o["Key"])
-                moved = True
-        if not moved:
+        # materialize the full key list BEFORE mutating: deleting while a
+        # paginated listing is in flight can shift later pages and silently
+        # skip keys (same discipline as rmtree)
+        keys = [
+            o["Key"] for contents, _ in self._list(sb, sk + "/") for o in contents
+        ]
+        if not keys:
             raise FileNotFoundError(src)
+        for key in keys:
+            rel = key[len(sk) + 1:]
+            self.s3.copy_object(
+                Bucket=db, Key=f"{dk}/{rel}", CopySource={"Bucket": sb, "Key": key}
+            )
+            self.s3.delete_object(Bucket=sb, Key=key)
 
     def getmtime(self, path: str) -> float:
         b, k = self._bk(path)
@@ -432,11 +456,17 @@ class InMemoryS3Client:
         MaxKeys=1000,
         **_,
     ):
+        # Marker-based pagination like real S3: the token is the last
+        # emitted key/rolled-up prefix, and each page re-lists everything
+        # AFTER it in UTF-8 order — so keys deleted between pages are
+        # skipped the way S3 skips them, instead of shifting an index and
+        # silently dropping survivors. Contents and CommonPrefixes
+        # interleave in one lexicographic sequence, also like S3.
         with self._lock:
             keys = sorted(
                 k for (b, k) in self._objects if b == Bucket and k.startswith(Prefix)
             )
-        contents, prefixes, seen = [], [], set()
+        merged, seen = [], set()
         for k in keys:
             if Delimiter:
                 rest = k[len(Prefix):]
@@ -444,17 +474,17 @@ class InMemoryS3Client:
                     p = Prefix + rest.split(Delimiter)[0] + Delimiter
                     if p not in seen:
                         seen.add(p)
-                        prefixes.append({"Prefix": p})
+                        merged.append(("p", p, {"Prefix": p}))
                     continue
-            contents.append({"Key": k})
-        merged = [("c", c) for c in contents] + [("p", p) for p in prefixes]
-        start = int(ContinuationToken or 0)
-        page = merged[start : start + MaxKeys]
+            merged.append(("c", k, {"Key": k}))
+        if ContinuationToken:
+            merged = [e for e in merged if e[1] > ContinuationToken]
+        page, rest = merged[:MaxKeys], merged[MaxKeys:]
         out = {
-            "Contents": [v for t, v in page if t == "c"],
-            "CommonPrefixes": [v for t, v in page if t == "p"],
-            "IsTruncated": start + MaxKeys < len(merged),
+            "Contents": [v for t, _s, v in page if t == "c"],
+            "CommonPrefixes": [v for t, _s, v in page if t == "p"],
+            "IsTruncated": bool(rest),
         }
-        if out["IsTruncated"]:
-            out["NextContinuationToken"] = str(start + MaxKeys)
+        if rest:
+            out["NextContinuationToken"] = page[-1][1]
         return out

@@ -316,7 +316,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--warehouse", default="warehouse", help="warehouse directory")
-    p.add_argument("--log-level", default="INFO")
+    # default None so "flag not given" is distinguishable: only an EXPLICIT
+    # --log-level overrides the config file's `logger.debug` selection
+    p.add_argument("--log-level", default=None)
     p.add_argument(
         "--config",
         default=None,
@@ -328,7 +330,7 @@ def main(argv: list[str] | None = None) -> int:
     from .config import configure_logging, load_config
 
     cfg = load_config(args.config)
-    logging.basicConfig(level=args.log_level.upper())
+    logging.basicConfig(level=(args.log_level or "INFO").upper())
     configure_logging(cfg.logger, level=args.log_level)
     srv, url = serve(Catalog(args.warehouse), host=args.host, port=args.port)
     LOG.info("serving %s (warehouse=%s)", url, args.warehouse)

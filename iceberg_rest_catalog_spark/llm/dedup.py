@@ -683,7 +683,14 @@ def _propagate_min_labels(labels, edges, max_rounds: int = 50):
     label_sum = lambda df: df.agg(  # noqa: E731
         F.sum(F.col("label").cast("decimal(38,0)"))
     ).first()[0]
-    prev = None  # first round is never compared — one less action up front
+    prev = label_sum(labels)
+    if prev is None:
+        # empty candidate graph (fully deduplicated corpus / tiny sf):
+        # there is nothing to propagate — the empty frame IS the fixpoint.
+        # Without this, sum() stays None every round, None == None is never
+        # compared against a real value, and the loop would burn max_rounds
+        # and raise.
+        return labels
     for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.node)
@@ -699,7 +706,7 @@ def _propagate_min_labels(labels, edges, max_rounds: int = 50):
             .localCheckpoint()  # truncate lineage each fixed-point round
         )
         cur = label_sum(labels)
-        if prev is not None and cur == prev:
+        if cur == prev:
             return labels
         prev = cur
     raise RuntimeError(

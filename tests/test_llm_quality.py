@@ -88,3 +88,20 @@ def test_shingle_simhash_tracks_exact_jaccard(spark, qs):
     tp = len(got & exact)
     assert tp / max(len(exact), 1) >= 0.5, (len(got), len(exact), tp)  # recall
     assert tp / max(len(got), 1) >= 0.9, (len(got), tp)  # precision
+
+
+def test_min_label_propagation_handles_empty_graph(spark):
+    """A fully deduplicated corpus yields zero candidate pairs; the
+    propagation must return the empty fixpoint immediately instead of
+    burning max_rounds on None label sums and raising (round-5 review)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rest_catalog_spark.llm.dedup import _propagate_min_labels
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    nodes = (
+        empty.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    assert _propagate_min_labels(nodes, empty, max_rounds=3).count() == 0

@@ -265,3 +265,59 @@ def test_local_and_s3_fileio_are_observationally_equivalent(tmp_path_factory, op
             residue |= _ancestors(dst)
         assert _file_map(local, lroot) == model, op
         assert _file_map(s3, sroot) == model, op
+
+
+def test_prefix_rename_survives_pagination(fio):
+    """Round-5 review: rename must materialize the key list before
+    mutating — deleting during a paginated listing loses keys past the
+    first page (>1000 objects)."""
+    for i in range(2500):
+        fio.s3.put_object(Bucket="b", Key=f"wh/src/f{i:04d}", Body=b".")
+    fio.rename("s3://b/wh/src", "s3://b/wh/dst")
+    assert not fio.isdir("s3://b/wh/src")
+    assert len(fio.listdir("s3://b/wh/dst")) == 2500
+
+
+def test_walk_of_missing_prefix_is_empty(fio):
+    assert list(fio.walk("s3://b/missing")) == []  # os.walk parity
+
+
+def test_rmtree_on_file_raises(fio):
+    fio.write_text_atomic("s3://b/wh/f.txt", "x")
+    with pytest.raises(NotADirectoryError):
+        fio.rmtree("s3://b/wh/f.txt")
+    assert fio.isfile("s3://b/wh/f.txt")  # untouched
+
+
+def test_conditional_conflict_is_retried_not_lost():
+    """A transient 409 ConditionalRequestConflict (concurrent conditional
+    put in flight on real S3) must be retried, not reported as 'claim
+    already exists' — neither racer may have written yet."""
+    from iceberg_rest_catalog_spark.catalog.fileio import _S3Error
+
+    class Flaky(InMemoryS3Client):
+        def __init__(self):
+            super().__init__()
+            self.conflicts = 2
+
+        def put_object(self, *a, **kw):
+            if kw.get("IfNoneMatch") == "*" and self.conflicts:
+                self.conflicts -= 1
+                raise _S3Error("ConditionalRequestConflict", 409)
+            return super().put_object(*a, **kw)
+
+    fio = S3FileIO(client=Flaky())
+    assert fio.create_exclusive("s3://b/wh/v2.json", "m") is True
+    assert fio.read_text("s3://b/wh/v2.json") == "m"
+    # and a genuine 412 still reports the lost claim
+    assert fio.create_exclusive("s3://b/wh/v2.json", "other") is False
+
+
+def test_entrypoint_catalog_routes_s3_warehouse():
+    """Catalog(warehouse='s3://...') with no explicit fileio must construct
+    S3FileIO — not write metadata into a local 's3:' directory (the REST
+    server entrypoint builds Catalog(args.warehouse) directly)."""
+    from iceberg_rest_catalog_spark.catalog import Catalog
+
+    cat = Catalog("s3://prod-bucket/warehouse")
+    assert isinstance(cat.fio, S3FileIO)
