@@ -220,6 +220,25 @@ class Table:
             dels.extend(self._manifest_position_deletes(s))
         return dels
 
+    def _removed_records_at(self, snapshot_id: int) -> int | None:
+        """Accumulated merge-on-read delete-tuple count visible at a
+        snapshot, mirroring :meth:`_deletes_at` (a ``replace`` folds deletes
+        into rewritten data, clearing the sum). None when any contributing
+        snapshot lacks its ``removed-records`` stamp — the caller must then
+        leave the fold unstamped so ``row_count`` reports inexact rather
+        than confidently wrong."""
+        total, exact = 0, True
+        for s in self._ancestors(snapshot_id):
+            if s.get("operation", "append") == "replace":
+                total, exact = 0, True
+            if self._manifest_position_deletes(s):
+                rr = s.get("removed-records")
+                if rr is None:
+                    exact = False
+                else:
+                    total += rr
+        return total if exact else None
+
     def _rel_file_path_col(self):
         """``_metadata.file_path`` rewritten relative to the table location
         — the key position-delete files store, so deletes stay valid across
@@ -1417,10 +1436,23 @@ class Table:
         )
 
     def snapshot_as_of(self, timestamp_ms: int) -> int:
-        """Newest snapshot committed at or before timestamp_ms (Iceberg's
-        FOR TIMESTAMP AS OF resolution)."""
+        """Newest MAIN-lineage snapshot committed at or before timestamp_ms
+        (Iceberg's FOR TIMESTAMP AS OF resolution, which walks the
+        snapshot log of the main branch). Restricted to ancestors of the
+        current snapshot: unpublished WAP branch commits and rolled-past
+        snapshots have recent timestamps and high ids but are NOT part of
+        main's history — resolving to them would leak unaudited staged
+        data into a time-travel read."""
+        cur = self.metadata.get("current-snapshot-id")
+        lineage = (
+            {s["snapshot-id"] for s in self._ancestors(cur)}
+            if cur is not None
+            else set()
+        )
         best = None
         for s in self.metadata.get("snapshots", []):
+            if s["snapshot-id"] not in lineage:
+                continue
             if s["timestamp-ms"] <= timestamp_ms and (
                 best is None or s["snapshot-id"] > best["snapshot-id"]
             ):
@@ -1468,14 +1500,38 @@ class Table:
             expire.append(s)
         if not expire:
             return self
-        oldest_kept = snaps[len(expire)]
-        folded = self._entries_at(oldest_kept["snapshot-id"])
-        rebased_manifest = self.catalog._write_manifest(
-            self.identifier, oldest_kept["snapshot-id"], folded,
+        # Fold into EVERY retained snapshot whose parent chain breaks —
+        # i.e. whose parent is expired. With branches present more than one
+        # lineage can hang off the expired prefix (main's next snapshot AND
+        # a branch head both forked from an expired ancestor); rebasing
+        # only one of them silently drops the expired ancestors' files from
+        # every other lineage's reads.
+        expire_ids = {s["snapshot-id"] for s in expire}
+        rebases: list[dict] = []
+        for s in snaps[len(expire):]:
+            if s.get("parent-snapshot-id") not in expire_ids:
+                continue
+            sid = s["snapshot-id"]
+            folded = self._entries_at(sid)
             # merge-on-read deletes visible at the rebase point must fold
             # with the entries or expired-ancestor deletes would resurrect
-            position_deletes=self._deletes_at(oldest_kept["snapshot-id"]),
-        )
+            dels = self._deletes_at(sid)
+            rb = {
+                "snapshot-id": sid,
+                "manifest-path": self.catalog._write_manifest(
+                    self.identifier, sid, folded, position_deletes=dels
+                ),
+                "count": len(folded),
+            }
+            if dels:
+                # row_count() subtracts the per-snapshot removed-records;
+                # the fold must carry the ACCUMULATED delete-tuple count of
+                # the collapsed chain or counts go silently wrong (reads
+                # apply every folded delete file, the summary must agree)
+                rr = self._removed_records_at(sid)
+                if rr is not None:
+                    rb["removed-records"] = rr
+            rebases.append(rb)
         out = self.catalog.update_table(
             self.identifier,
             requirements=[
@@ -1487,18 +1543,19 @@ class Table:
             updates=[
                 {
                     "action": "expire-snapshots",
-                    "snapshot-ids": [s["snapshot-id"] for s in expire],
-                    "rebase-snapshot-id": oldest_kept["snapshot-id"],
-                    "rebased-manifest-path": rebased_manifest,
-                    "rebased-count": len(folded),
+                    "snapshot-ids": sorted(expire_ids),
+                    "rebases": rebases,
                 }
             ],
         )
         # Post-commit manifest cleanup: the expired snapshots' (and the
-        # rebased snapshot's superseded) manifest files are unreferenced
+        # rebased snapshots' superseded) manifest files are unreferenced
         # now — reclaim them; best-effort, orphans are harmless.
+        rebased_ids = {rb["snapshot-id"] for rb in rebases}
         stale = [s.get("manifest-path") for s in expire] + [
-            oldest_kept.get("manifest-path")
+            s.get("manifest-path")
+            for s in snaps
+            if s["snapshot-id"] in rebased_ids
         ]
         mroot = os.path.join(self.catalog._table_dir(self.identifier), "metadata")
         for mp in stale:
@@ -1587,14 +1644,29 @@ class Catalog:
             warehouse if "://" in warehouse else os.path.abspath(warehouse)
         )
         if fileio is None:
-            if self.warehouse.startswith("s3://"):
+            scheme = (
+                self.warehouse.split("://", 1)[0].lower()
+                if "://" in self.warehouse
+                else ""
+            )
+            if scheme in ("s3", "s3a", "s3n"):
                 # every construction path (library, config, REST server
                 # entrypoint) must route object-store warehouses to the S3
                 # FileIO — defaulting to LocalFileIO here would silently
-                # write metadata into a local "s3:" directory
+                # write metadata into a local "s3:" directory. s3a/s3n are
+                # the Hadoop-conventional spellings of the same store.
                 from .fileio import S3FileIO
 
+                self.warehouse = "s3://" + self.warehouse.split("://", 1)[1]
                 fileio = S3FileIO()
+            elif scheme == "file":
+                self.warehouse = self.warehouse.split("://", 1)[1]
+                fileio = LocalFileIO()
+            elif scheme:
+                # loud beats a silent local 'hdfs:' directory tree
+                raise E.BadRequestException(
+                    f"no FileIO for warehouse scheme {scheme!r}; pass fileio="
+                )
             else:
                 fileio = LocalFileIO()
         self.fio = fileio
@@ -1794,7 +1866,16 @@ class Catalog:
         metadata = {
             "format-version": 2,
             "table-uuid": str(uuid.uuid4()),
-            "location": os.path.abspath(location) if location else tdir,
+            # URI locations (s3://...) pass through verbatim like the
+            # warehouse in __init__ — abspath would collapse the scheme's
+            # double slash into a local 's3:' path
+            "location": (
+                location
+                if location and "://" in location
+                else os.path.abspath(location)
+                if location
+                else tdir
+            ),
             "last-updated-ms": int(time.time() * 1000),
             "schemas": [schema.to_json()],
             "current-schema-id": schema.schema_id,
@@ -1807,7 +1888,15 @@ class Catalog:
             "snapshots": [],
             "current-snapshot-id": None,
         }
-        self._write_json(os.path.join(mdir, "v1.metadata.json"), metadata)
+        # v1 is claimed EXCLUSIVELY (O_EXCL / S3 conditional put) like every
+        # later version: two clients racing create_table must not both
+        # report success with one schema silently clobbered — the loser
+        # gets the same AlreadyExists the _is_table precheck gives.
+        if not self.fio.create_exclusive(
+            os.path.join(mdir, "v1.metadata.json"),
+            json.dumps(metadata, indent=1, sort_keys=True),
+        ):
+            raise E.TableAlreadyExistsException(".".join(ident))
         self.fio.write_text_atomic(os.path.join(mdir, "version-hint.text"), "1")
         return Table(self, ident, 1, metadata)
 
@@ -1922,8 +2011,30 @@ class Catalog:
         except (json.JSONDecodeError, OSError):
             pass
         try:
-            if time.time() - self.fio.getmtime(path) >= self.stale_claim_seconds:
-                self.fio.remove(path)
+            mt = self.fio.getmtime(path)
+            if time.time() - mt < self.stale_claim_seconds:
+                return
+            # Last-moment re-verify: another recoverer may have removed the
+            # stale claim, re-claimed, and FLUSHED a complete commit since
+            # we sampled — removing that would lose a successful commit.
+            # A parseable or mtime-refreshed file is not the abandoned
+            # claim we decided on. (Without a conditional-delete primitive
+            # a zero-width window remains — the inherent limit of
+            # timeout-based lease recovery without fencing tokens; the
+            # conservative stale_claim_seconds makes it unreachable in
+            # practice: the re-check and remove are microseconds apart
+            # while a competing full gc+claim+flush cycle takes far
+            # longer than the remaining window.)
+            try:
+                self._read_json(path)
+                return
+            except FileNotFoundError:
+                return
+            except (json.JSONDecodeError, OSError):
+                pass
+            if self.fio.getmtime(path) != mt:
+                return
+            self.fio.remove(path)
         except FileNotFoundError:
             pass  # another recoverer got there first
 
@@ -1986,6 +2097,20 @@ class Catalog:
                     meta["properties"].pop(k, None)
             elif action == "add-snapshot":
                 snap = upd["snapshot"]
+                if any(
+                    s["snapshot-id"] == snap["snapshot-id"]
+                    for s in meta.get("snapshots", [])
+                ):
+                    # Snapshot ids are minted (max+1) from the WRITER's
+                    # loaded metadata; a concurrent commit to another ref
+                    # passes the head assertion but may have taken the same
+                    # id. Colliding ids would collapse both lineages in
+                    # _ancestors' by_id map — reject so the writer reloads
+                    # and re-mints (append retries do this automatically).
+                    raise E.CommitFailedException(
+                        f"snapshot id {snap['snapshot-id']} already exists "
+                        "(concurrent commit); reload and retry"
+                    )
                 meta["snapshots"].append(snap)
                 ref = upd.get("ref")
                 if ref is not None:
@@ -2059,17 +2184,20 @@ class Catalog:
                 meta["snapshots"] = [
                     s for s in meta["snapshots"] if s["snapshot-id"] not in ids
                 ]
-                # Fold expired ancestors' files into the oldest survivor so
-                # every retained snapshot still sees its full file list.
+                # Fold expired ancestors' files into every retained child
+                # whose parent chain broke, so each surviving lineage
+                # (main AND branches) still sees its full file list.
+                rebases = {rb["snapshot-id"]: rb for rb in upd.get("rebases", [])}
                 for s in meta["snapshots"]:
-                    if s["snapshot-id"] == upd["rebase-snapshot-id"]:
-                        if "rebased-manifest-path" in upd:
-                            s.pop("added-files", None)
-                            s["manifest-path"] = upd["rebased-manifest-path"]
-                            s["added-files-count"] = upd.get("rebased-count")
-                        else:  # legacy inline form
-                            s.pop("manifest-path", None)
-                            s["added-files"] = upd["rebased-added-files"]
+                    rb = rebases.get(s["snapshot-id"])
+                    if rb is not None:
+                        s.pop("added-files", None)
+                        s["manifest-path"] = rb["manifest-path"]
+                        s["added-files-count"] = rb.get("count")
+                        if "removed-records" in rb:
+                            s["removed-records"] = rb["removed-records"]
+                        else:
+                            s.pop("removed-records", None)
                         s["parent-snapshot-id"] = None
             else:
                 raise E.BadRequestException(f"unknown update {action!r}")

@@ -236,7 +236,15 @@ class SqlCatalog(Catalog):
         metadata = {
             "format-version": 2,
             "table-uuid": str(uuid.uuid4()),
-            "location": os.path.abspath(location) if location else tdir,
+            # URI locations pass through verbatim (same rule as the fs
+            # backend): abspath would mangle s3:// into a local path
+            "location": (
+                location
+                if location and "://" in location
+                else os.path.abspath(location)
+                if location
+                else tdir
+            ),
             "last-updated-ms": int(time.time() * 1000),
             "schemas": [schema.to_json()],
             "current-schema-id": schema.schema_id,
@@ -370,13 +378,15 @@ def open_catalog(props: dict) -> Catalog:
     kind = props.get("type", "fs")
     if kind == "fs":
         wh = props["warehouse"]
-        if wh.startswith("s3://"):
-            # object-store warehouse (the reference's sample config is
-            # S3-first, configs/.iceberg-go.yaml:7-10): same fs commit
-            # protocol, claims arbitrated by S3 conditional puts
+        if wh.startswith("s3://") and props.get("region"):
+            # Catalog.__init__ already routes s3:// warehouses to S3FileIO
+            # (the reference's sample config is S3-first,
+            # configs/.iceberg-go.yaml:7-10); construct explicitly only to
+            # carry the configured region, so the routing rule lives in
+            # ONE place
             from .fileio import S3FileIO
 
-            return Catalog(wh, fileio=S3FileIO(region=props.get("region")))
+            return Catalog(wh, fileio=S3FileIO(region=props["region"]))
         return Catalog(wh)
     if kind == "sql":
         return SqlCatalog(props["warehouse"], props.get("db"))

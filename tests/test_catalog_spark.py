@@ -1309,3 +1309,63 @@ def test_snapshot_summary_and_batch_id_tracking(spark, catalog, table):
     snaps = catalog.load_table(("db", "t")).metadata["snapshots"]
     assert snaps[0]["summary"] == {"streaming.sink-id": "s1",
                                    "streaming.batch-id": "0"}
+
+
+class TestLineageIntegrity:
+    """Round-5 review regressions: branch lineages, time-travel resolution
+    and metadata counts must survive maintenance and concurrency."""
+
+    @staticmethod
+    def _mk(spark, *ids):
+        return spark.createDataFrame([(i, str(i)) for i in ids], "id long, name string")
+
+    def test_expire_preserves_every_lineage_with_branches(self, spark, table):
+        t = table.append(self._mk(spark, 1, 2, 3))            # s1 main
+        t = t.append(self._mk(spark, 100), branch="audit")    # s2 branch
+        t = t.append(self._mk(spark, 4, 5))                   # s3 main
+        t = t.expire_snapshots(retain_last=1)
+        assert sorted(r.id for r in t.df(spark).collect()) == [1, 2, 3, 4, 5]
+        bsid = t.snapshot_for_ref("audit")
+        assert sorted(r.id for r in t.df(spark, snapshot_id=bsid).collect()) == [
+            1, 2, 3, 100,
+        ]
+
+    def test_snapshot_as_of_never_resolves_to_branch(self, spark, table):
+        import time as _time
+
+        t = table.append(self._mk(spark, 1))
+        t = t.append(self._mk(spark, 2))
+        t = t.append(self._mk(spark, 999), branch="audit")    # newest id
+        sid = t.snapshot_as_of(int(_time.time() * 1000) + 10_000)
+        assert sid == t.metadata["current-snapshot-id"]
+        assert sorted(r.id for r in t.df(spark, snapshot_id=sid).collect()) == [1, 2]
+
+    def test_row_count_exact_after_expiring_mor_chain(self, spark, table):
+        t = table.append(self._mk(spark, *range(1, 11)))
+        t = t.delete_where(spark, "id <= 2", mode="merge-on-read")
+        t = t.delete_where(spark, "id in (3, 4)", mode="merge-on-read")
+        t = t.expire_snapshots(retain_last=1)
+        assert t.df(spark).count() == 6
+        assert t.row_count() == 6  # folded removed-records must accumulate
+
+    def test_concurrent_branch_and_main_commits_mint_unique_ids(
+        self, spark, catalog, table
+    ):
+        t = table.append(self._mk(spark, 1))
+        stale = catalog.load_table(("db", "t"))   # loaded before the branch commit
+        t = t.append(self._mk(spark, 50), branch="b")
+        out = stale.append(self._mk(spark, 2), retries=3)
+        ids = [s["snapshot-id"] for s in out.metadata["snapshots"]]
+        assert len(ids) == len(set(ids)), ids
+        assert sorted(r.id for r in out.df(spark).collect()) == [1, 2]
+
+    def test_stale_commit_without_retries_fails_loudly_on_id_collision(
+        self, spark, catalog, table
+    ):
+        from iceberg_rest_catalog_spark.catalog import errors as E
+
+        t = table.append(self._mk(spark, 1))
+        stale = catalog.load_table(("db", "t"))
+        t.append(self._mk(spark, 50), branch="b")
+        with pytest.raises(E.CommitFailedException):
+            stale.append(self._mk(spark, 2))  # retries=0: surfaced, not corrupted
