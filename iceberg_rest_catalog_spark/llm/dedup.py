@@ -135,6 +135,31 @@ def _minhash_pairs(spark, sf_dir, threshold=0.5):
     # NULL doc an ''-shingle signature (so they all pair up at est 1.0)
     # while SQL NULL propagation silently drops them.
     d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    bands = _signature_bands(d)
+
+    a = bands.select("band", "bh", F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"))
+    b = bands.select("band", "bh", F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"))
+    agree = F.size(
+        F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m)
+    )
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            r4(agree / F.lit(float(N_HASHES))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
+    )
+
+
+def _signature_bands(d):
+    """(doc_id, sig: array<long>[16], band, bh) — the shared MinHash
+    signature + banded-LSH explode used by every LSH dedup operator
+    (symmetric self-join in :func:`_minhash_pairs`, asymmetric batch->corpus
+    join in :func:`q_dedup_incremental`). One scan, one shuffle."""
     # No .distinct() before the signature aggregate: min(hash) over the
     # shingle MULTISET equals min over the set, so deduplicating first would
     # only add a full extra shuffle for an identical signature.
@@ -177,26 +202,10 @@ def _minhash_pairs(spark, sf_dir, threshold=0.5):
             )
         ).alias("b"),
     ).select("doc_id", "sig", "b.band", "b.bh")
-
-    a = bands.select("band", "bh", F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"))
-    b = bands.select("band", "bh", F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"))
-    agree = F.size(
-        F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m)
-    )
-    return (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            r4(agree / F.lit(float(N_HASHES))).alias("est_jaccard"),
-        )
-        .filter(F.col("est_jaccard") >= threshold)
-        .distinct()
-    )
+    return bands
 
 
-def _lsh_ctes() -> str:
+def _lsh_ctes(cand_where: str = "ba.doc_id < bb.doc_id") -> str:
     """The shared DuckDB CTE chain mirroring _minhash_pairs' candidate
     stage: shingles -> md5-derived word w -> 16 multiply-mod-prime
     minhashes h_i = min((c_i*w + d_i) mod P) over per-hash constants
@@ -240,7 +249,7 @@ def _lsh_ctes() -> str:
       SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
       FROM bands ba JOIN bands bb
         USING (band, {", ".join(f"v{i + 1}" for i in range(r))})
-      WHERE ba.doc_id < bb.doc_id
+      WHERE {cand_where}
     )"""
 
 
@@ -282,6 +291,120 @@ def q_dedup_fuzzy(spark, sf_dir):
     LSH pipeline, upgraded from the rows-only check the old xxhash64
     signatures allowed."""
     return _minhash_pairs(spark, sf_dir)
+
+
+def _incremental_oracle(threshold: float = 0.5) -> str:
+    """DuckDB mirror of q_dedup_incremental: identical signatures, but the
+    candidate join is ASYMMETRIC (batch side doc_id % 5 = 0 vs corpus side
+    doc_id % 5 <> 0), plus the exact-md5 tier and the per-batch-doc
+    verdict join."""
+    agree = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
+    )
+    ctes = _lsh_ctes(cand_where="ba.doc_id % 5 = 0 AND bb.doc_id % 5 <> 0")
+    return f"""
+    WITH {ctes},
+    near AS (
+      SELECT doc_a AS doc_id, count(DISTINCT doc_b) AS n_near
+      FROM cand
+      JOIN sig sa ON sa.doc_id = doc_a
+      JOIN sig sb ON sb.doc_id = doc_b
+      WHERE ({agree}) / 16.0 >= {threshold}
+      GROUP BY doc_a
+    ),
+    batch AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+      WHERE text IS NOT NULL AND doc_id % 5 = 0
+    ),
+    corpus_h AS (
+      SELECT DISTINCT md5(text) AS h FROM documents
+      WHERE text IS NOT NULL AND doc_id % 5 <> 0
+    )
+    SELECT b.doc_id,
+           CAST(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS exact_dup,
+           CAST(COALESCE(n.n_near, 0) AS BIGINT) AS n_near,
+           CAST(CASE WHEN c.h IS NULL AND COALESCE(n.n_near, 0) = 0
+                THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM batch b
+    LEFT JOIN corpus_h c USING (h)
+    LEFT JOIN near n ON n.doc_id = b.doc_id
+    """
+
+
+@query("q_dedup_incremental", oracle=_incremental_oracle())
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental (delta-vs-corpus) dedup: admit a NEW batch of documents
+    against an EXISTING corpus — the shape production pipelines actually
+    run at 100 TB, where the corpus is never re-deduplicated; only the
+    day's delta is checked against it. Batch membership is deterministic
+    here (doc_id % 5 == 0, ~20% of docs) so both engines split identically.
+
+    Two tiers, mirroring a real ingest gate:
+
+    - EXACT: md5(text) left-join against the corpus's distinct hash set —
+      at scale this is the materialized content-hash index (or a bloom
+      filter pushed to the scan); the join key is a 128-bit hash, so the
+      shuffle carries no text.
+    - NEAR: the same banded MinHash-LSH signatures as q_dedup_fuzzy
+      (:func:`_signature_bands` — one scan, one shuffle over the union),
+      but the bucket join is ASYMMETRIC batch->corpus: candidates are
+      bounded by bucket co-membership exactly as in the self-join case,
+      and the output is per-batch-doc, never per-pair. At scale the
+      corpus side of this join is a MATERIALIZED signature index (write
+      it once, partitioned/bucketed by the band struct); the daily cost
+      is then |delta| signatures + one bucket join, not a corpus
+      re-scan — this function computes both sides from the raw table
+      only because the fixture ships no precomputed index.
+
+    Returns one row per non-null-text batch doc: (doc_id, exact_dup 0/1,
+    n_near = distinct corpus near-dups at est_jaccard >= 0.5, kept 0/1).
+    kept = no exact copy AND no near-dup — the admitted set."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    is_batch = (F.col("doc_id") % 5) == 0
+
+    bands = _signature_bands(d)
+    a = bands.filter(is_batch).select(
+        "band", "bh", F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")
+    )
+    b = bands.filter(~is_batch).select(
+        "band", "bh", F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m)
+    )
+    near = (
+        a.join(b, ["band", "bh"])
+        .filter((agree / F.lit(float(N_HASHES))) >= 0.5)
+        .select("doc_a", "doc_b")
+        .distinct()  # a pair sharing several bands counts once
+        .groupBy("doc_a")
+        .agg(F.count("*").alias("n_near"))
+        .withColumnRenamed("doc_a", "doc_id")
+    )
+
+    batch = d.filter(is_batch).select("doc_id", F.md5("text").alias("h"))
+    corpus_h = (
+        d.filter(~is_batch).select(F.md5("text").alias("h")).distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    n_near = F.coalesce(F.col("n_near"), F.lit(0))
+    return (
+        batch.join(corpus_h, "h", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("in_corpus").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("exact_dup"),
+            n_near.cast("long").alias("n_near"),
+            F.when(F.col("in_corpus").isNull() & (n_near == 0), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("kept"),
+        )
+    )
 
 
 def _simhash_oracle() -> str:

@@ -105,3 +105,42 @@ def test_min_label_propagation_handles_empty_graph(spark):
         .withColumn("label", F.col("node"))
     )
     assert _propagate_min_labels(nodes, empty, max_rounds=3).count() == 0
+
+
+def test_incremental_dedup_consistent_with_full_dedup(spark, qs):
+    """The incremental verdict must agree with the global operators on the
+    same fixture: every batch doc flagged exact_dup shares its md5 with a
+    corpus doc (cross-checked via q_dedup_exact groups), every batch doc
+    with n_near > 0 appears in a q_dedup_fuzzy pair with a corpus doc, and
+    kept <=> neither tier fired."""
+    inc = {r.doc_id: r for r in qs["q_dedup_incremental"](spark, SF).collect()}
+    assert inc, "batch split must be non-empty"
+
+    # cross-check the exact tier against q_dedup_exact's hash groups
+    exact_groups = qs["q_dedup_exact"](spark, SF).collect()
+    # rebuild doc_id -> hash via a raw read (the operator returns groups)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    by_doc = {
+        r.doc_id: r.h
+        for r in docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.md5("text").alias("h"))
+        .collect()
+    }
+    corpus_hashes = {h for d, h in by_doc.items() if d % 5 != 0}
+    for doc_id, r in inc.items():
+        assert doc_id % 5 == 0
+        want_exact = 1 if by_doc[doc_id] in corpus_hashes else 0
+        assert r.exact_dup == want_exact, (doc_id, r)
+
+    # cross-check the near tier against the symmetric fuzzy pairs
+    fuzzy = _pairs(qs["q_dedup_fuzzy"](spark, SF))
+    cross = {}
+    for a, b in fuzzy:
+        for x, y in ((a, b), (b, a)):
+            if x % 5 == 0 and y % 5 != 0:
+                cross.setdefault(x, set()).add(y)
+    for doc_id, r in inc.items():
+        assert r.n_near == len(cross.get(doc_id, ())), (doc_id, r)
+        assert r.kept == (1 if r.exact_dup == 0 and r.n_near == 0 else 0)
