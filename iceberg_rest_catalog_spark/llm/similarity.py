@@ -313,6 +313,120 @@ def q_sim_ann_ivf(spark, sf_dir):
     )
 
 
+KNN_K = 3
+KNN_QSTEP = 25  # query set = vec_id % 25 == 0 (deterministic, ~4%)
+
+_KNN_BATCH_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+cent AS (SELECT vec_id AS cell, emb AS c FROM e WHERE vec_id < {N_CELLS}),
+assigned AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT e.vec_id, e.emb, cent.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.emb, cent.c), 4) DESC,
+                      cent.cell) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_vec_id, emb AS qe FROM e
+      WHERE vec_id % {KNN_QSTEP} = 0),
+probed AS (
+  SELECT q_vec_id, qe, cell FROM (
+    SELECT q.q_vec_id, q.qe, cent.cell,
+           row_number() OVER (
+             PARTITION BY q.q_vec_id
+             ORDER BY round(list_cosine_similarity(q.qe, cent.c), 4) DESC,
+                      cent.cell) AS rn
+    FROM q CROSS JOIN cent
+  ) WHERE rn <= {N_PROBE}
+)
+SELECT q_vec_id, nn_vec_id, CAST(rank AS BIGINT) AS rank, cos FROM (
+  SELECT p.q_vec_id, a.vec_id AS nn_vec_id,
+         round(list_cosine_similarity(a.emb, p.qe), 4) AS cos,
+         row_number() OVER (
+           PARTITION BY p.q_vec_id
+           ORDER BY round(list_cosine_similarity(a.emb, p.qe), 4) DESC,
+                    a.vec_id) AS rank
+  FROM probed p JOIN assigned a USING (cell)
+  WHERE a.vec_id <> p.q_vec_id
+) WHERE rank <= {KNN_K}
+"""
+
+
+@query("q_sim_knn_batch", oracle=_KNN_BATCH_ORACLE)
+def q_sim_knn_batch(spark, sf_dir):
+    """Batched IVF k-NN JOIN: top-{KNN_K} nearest corpus neighbours for
+    EVERY vector in a deterministic query set (vec_id % 25 == 0) — the
+    production ANN shape. Single-query top-k (q_sim_topk / q_sim_ann_ivf)
+    answers a lookup; training-data pipelines instead join a whole table
+    of queries (new batch embeddings, eval probes, retrieval buckets)
+    against the corpus at once.
+
+    Plan shape (and why it scales):
+    - centroid table (N_CELLS rows) is BROADCAST twice — once to assign
+      every corpus vector to its cell (explode x16 + windowed argmin,
+      identical to q_sim_ann_ivf's assignment), once to give each query
+      its N_PROBE probe cells;
+    - the probe join is an EQUI join on cell: each query meets only the
+      ~N_PROBE/N_CELLS fraction of the corpus sharing its probed cells,
+      never the full corpus — the batched generalization of "read 4 of 16
+      cells". At cluster scale the corpus side is written partitioned by
+      cell (q_sink_partitioned) so the probe join partition-prunes;
+    - per-query top-k is a window over the candidate set, ranked on the
+      ROUNDED cosine with vec_id tiebreak so both engines rank
+      identically (unrounded ranking diverges at 1e-16 across engines).
+
+    Scoring stays JVM-side (zip_with/aggregate); candidate volume here is
+    |queries| x corpus/4, well under the pair-scorer threshold where the
+    Arrow numpy path (_dot_pd) wins."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).select("vec_id", _dbl("embedding").alias("emb"))
+    cent = e.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("c")
+    )
+
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cell")
+    assigned = (
+        e.join(F.broadcast(cent))
+        .withColumn("cc", r4(_cos(F.col("emb"), F.col("c"))))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "cell")
+    )
+
+    q = e.filter(F.col("vec_id") % KNN_QSTEP == 0).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("emb").alias("qe")
+    )
+    pw = Window.partitionBy("q_vec_id").orderBy(F.desc("qc"), "cell")
+    probed = (
+        q.join(F.broadcast(cent))
+        .withColumn("qc", r4(_cos(F.col("qe"), F.col("c"))))
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("q_vec_id", "qe", "cell")
+    )
+
+    kw = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), "nn_vec_id")
+    return (
+        F.broadcast(probed)
+        .join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select(
+            "q_vec_id",
+            F.col("vec_id").alias("nn_vec_id"),
+            r4(_cos(F.col("emb"), F.col("qe"))).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(kw).cast("long"))
+        .filter(F.col("rank") <= KNN_K)
+        .select("q_vec_id", "nn_vec_id", "rank", "cos")
+    )
+
+
 K_CLUSTERS = 8
 
 

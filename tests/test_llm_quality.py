@@ -144,3 +144,28 @@ def test_incremental_dedup_consistent_with_full_dedup(spark, qs):
     for doc_id, r in inc.items():
         assert r.n_near == len(cross.get(doc_id, ())), (doc_id, r)
         assert r.kept == (1 if r.exact_dup == 0 and r.n_near == 0 else 0)
+
+
+def test_knn_batch_structure_and_agreement_with_single_query(spark, qs):
+    """Every query vector gets exactly K ranked neighbours (rank 1..K,
+    cos non-increasing), and for vec_id 0 — also q_sim_ann_ivf's query —
+    the batched result substantially overlaps the single-query IVF top-10
+    (same centroids, same probe budget; only tie-rounding may differ)."""
+    from iceberg_rest_catalog_spark.llm.similarity import KNN_K, KNN_QSTEP
+
+    rows = qs["q_sim_knn_batch"](spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        assert r.q_vec_id % KNN_QSTEP == 0
+        by_q.setdefault(r.q_vec_id, []).append(r)
+    assert by_q, "query set must be non-empty"
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, KNN_K + 1)), (q, rs)
+        cos = [r.cos for r in rs]
+        assert cos == sorted(cos, reverse=True), (q, rs)
+        assert all(r.nn_vec_id != q for r in rs)
+
+    ivf = {r.vec_id for r in qs["q_sim_ann_ivf"](spark, SF).collect()}
+    got0 = {r.nn_vec_id for r in by_q[0]}
+    assert len(got0 & ivf) >= 2, (got0, ivf)
