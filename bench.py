@@ -66,6 +66,10 @@ HEADLINE = [
     "q_cluster_kmeans",
     "q_merge_into_catalog",
     "q_dedup_fuzzy_verified",
+    # round-5 operators: incremental ingest-gate dedup and the batched
+    # IVF k-NN join — tracked from birth so regressions are visible.
+    "q_dedup_incremental",
+    "q_sim_knn_batch",
 ]
 
 

@@ -40,8 +40,10 @@ QUERIES = [
     "q_ts_interpolate",
     "q_shard_assign",
     "q_text_bpe_pairs",
-    # round-5 addition
+    # round-5 additions
     "q_dedup_simhash_shingle",
+    "q_dedup_incremental",
+    "q_sim_knn_batch",
 ]
 
 
