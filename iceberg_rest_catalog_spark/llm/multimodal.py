@@ -185,3 +185,173 @@ def q_multimodal_resize(spark, sf_dir):
         (F.lit(100) + (F.col("doc_id") * 7) % 900).cast("int").alias("height"),
     )
     return d.mapInPandas(_fake_resize_batch, _RESIZE_SCHEMA)
+
+
+N_FRAME_SLOTS = 4
+
+_FRAME_SCHEMA = "doc_id long, slot int, frame_idx int, ts_ms long, phash string"
+
+
+def _fake_frame_sample_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for video frame sampling: a real
+    implementation seeks ffmpeg to each sampled timestamp and emits one
+    decoded frame per slot; here frame geometry comes from the typed
+    metadata and the per-frame 'perceptual hash' is a fixed function of
+    (first payload byte, frame index). The ROW-MULTIPLYING shape — one
+    input video row fans out to N_FRAME_SLOTS output frame rows inside the
+    Python stage — is exactly production's."""
+    for pdf in batches:
+        n = len(pdf)
+        if n == 0:
+            continue
+        import numpy as np
+
+        doc_id = np.repeat(pdf["doc_id"].to_numpy(), N_FRAME_SLOTS)
+        n_frames = np.repeat(pdf["n_frames"].to_numpy(), N_FRAME_SLOTS)
+        fps = np.repeat(pdf["fps"].to_numpy(), N_FRAME_SLOTS)
+        fb = np.repeat(
+            pdf["payload"].map(lambda b: b[0] if len(b) else 0).to_numpy(),
+            N_FRAME_SLOTS,
+        )
+        slot = np.tile(np.arange(N_FRAME_SLOTS), n)
+        frame_idx = slot * (n_frames - 1) // (N_FRAME_SLOTS - 1)
+        yield pd.DataFrame(
+            {
+                "doc_id": doc_id,
+                "slot": slot.astype("int32"),
+                "frame_idx": frame_idx.astype("int32"),
+                "ts_ms": frame_idx * 1000 // fps,
+                "phash": [
+                    f"{(int(b) * 131 + int(i) * 17) % 65536:04x}"
+                    for b, i in zip(fb, frame_idx)
+                ],
+            }
+        )
+
+
+@query(
+    "q_multimodal_frame_sample",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id,
+             1 + doc_id % 300 AS n_frames,
+             24 + (doc_id % 2) * 6 AS fps,
+             CASE WHEN text = '' THEN 0
+                  ELSE ('0x' || substr(hex(encode(text)), 1, 2))::BIGINT
+             END AS fb
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, CAST(s AS INT) AS slot,
+           CAST(s * (n_frames - 1) // {N_FRAME_SLOTS - 1} AS INT) AS frame_idx,
+           CAST((s * (n_frames - 1) // {N_FRAME_SLOTS - 1}) * 1000 // fps
+                AS BIGINT) AS ts_ms,
+           printf('%04x',
+                  (fb * 131
+                   + (s * (n_frames - 1) // {N_FRAME_SLOTS - 1}) * 17)
+                  % 65536) AS phash
+    FROM v, (SELECT unnest(generate_series(0, {N_FRAME_SLOTS - 1})) AS s)
+    """,
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling: each video row (binary payload + typed
+    n_frames/fps metadata) fans out to {N_FRAME_SLOTS} uniformly-spaced
+    sampled frames — slot s maps to frame s*(n_frames-1)//(slots-1), so
+    short clips repeat their only frames and long clips sample evenly, the
+    standard uniform temporal sampling for video training data.
+
+    The decode is a deterministic fake (no ffmpeg in this container;
+    metadata is derived from doc_id so the oracle reproduces it); the
+    Spark plumbing is production-real: Arrow-batched mapInPandas whose
+    OUTPUT is a multiple of its input rows — the frame-explosion stage.
+    Map-only: payload bytes never shuffle, output is O(docs x slots), and
+    at 100 TB the stage parallelism equals the input partition count."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        (F.lit(1) + F.col("doc_id") % 300).cast("long").alias("n_frames"),
+        (F.lit(24) + (F.col("doc_id") % 2) * 6).cast("long").alias("fps"),
+    )
+    return d.mapInPandas(_fake_frame_sample_batch, _FRAME_SCHEMA)
+
+
+N_AUDIO_WINDOWS = 4
+
+_AUDIO_SCHEMA = "doc_id long, duration_ms long, win int, energy long, peak int"
+
+
+def _audio_feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL windowed audio features (not a stub): the payload is treated as
+    8-bit 8 kHz mono PCM and each row fans out to N_AUDIO_WINDOWS windows
+    with exact per-window energy (sum of sample values) and peak — the
+    numpy-over-Arrow-batch shape a real feature extractor (RMS, VAD,
+    loudness) uses. Sample i belongs to window i*W//n (floor), matching
+    the oracle's integer arithmetic exactly."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "duration_ms": [], "win": [], "energy": [], "peak": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = np.frombuffer(payload, dtype=np.uint8)
+            n = b.size
+            if n == 0:
+                continue
+            w = np.arange(n) * N_AUDIO_WINDOWS // n
+            dur = n * 1000 // 8000
+            for win in range(N_AUDIO_WINDOWS):
+                m = b[w == win]
+                if m.size == 0:
+                    continue
+                out["doc_id"].append(doc_id)
+                out["duration_ms"].append(dur)
+                out["win"].append(win)
+                out["energy"].append(int(m.sum()))
+                out["peak"].append(int(m.max()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "duration_ms": pd.Series(out["duration_ms"], dtype="int64"),
+                "win": pd.Series(out["win"], dtype="int32"),
+                "energy": pd.Series(out["energy"], dtype="int64"),
+                "peak": pd.Series(out["peak"], dtype="int32"),
+            }
+        )
+
+
+@query(
+    "q_multimodal_audio",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ),
+    samples AS (
+      SELECT doc_id, n,
+             i * {N_AUDIO_WINDOWS} // n AS win,
+             ('0x' || substr(hx, i * 2 + 1, 2))::BIGINT AS v
+      FROM a, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i)
+    )
+    SELECT doc_id,
+           CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(win AS INT) AS win,
+           CAST(sum(v) AS BIGINT) AS energy,
+           CAST(max(v) AS INT) AS peak
+    FROM samples GROUP BY doc_id, n, win
+    """,
+)
+def q_multimodal_audio(spark, sf_dir):
+    """Audio feature extraction over binary payloads: per-window energy +
+    peak treating the payload as 8-bit 8 kHz PCM. Unlike the image/video
+    stages this one is NOT stubbed — the numpy window/energy math is the
+    real computation shape (swap the 8-bit interpretation for
+    np.frombuffer(dtype=int16) when real WAV bytes arrive).
+
+    Map-only mapInPandas; each doc fans out to at most {N_AUDIO_WINDOWS}
+    windows, so output is O(docs), payloads never shuffle, and the oracle
+    re-derives the identical windows byte-for-byte from hex(payload)."""
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    ).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return d.mapInPandas(_audio_feature_batch, _AUDIO_SCHEMA)

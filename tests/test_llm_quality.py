@@ -169,3 +169,36 @@ def test_knn_batch_structure_and_agreement_with_single_query(spark, qs):
     ivf = {r.vec_id for r in qs["q_sim_ann_ivf"](spark, SF).collect()}
     got0 = {r.nn_vec_id for r in by_q[0]}
     assert len(got0 & ivf) >= 2, (got0, ivf)
+
+
+def test_frame_sample_and_audio_window_shapes(spark, qs):
+    """Frame sampling: exactly 4 slots per doc, frame indices within
+    [0, n_frames), non-decreasing in slot, ts consistent with fps. Audio:
+    per-doc window energies sum to the total byte sum of the payload."""
+    frames = qs["q_multimodal_frame_sample"](spark, SF).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.slot)
+        n_frames = 1 + doc_id % 300
+        fps = 24 + (doc_id % 2) * 6
+        assert [r.slot for r in rs] == [0, 1, 2, 3]
+        idx = [r.frame_idx for r in rs]
+        assert idx == sorted(idx) and 0 <= idx[0] and idx[-1] == n_frames - 1
+        for r in rs:
+            assert r.ts_ms == r.frame_idx * 1000 // fps
+
+    docs = {
+        r.doc_id: r.text.encode("utf-8")
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+        if r.text
+    }
+    audio = qs["q_multimodal_audio"](spark, SF).collect()
+    energy = {}
+    for r in audio:
+        energy[r.doc_id] = energy.get(r.doc_id, 0) + r.energy
+        assert 0 <= r.peak <= 255
+    assert energy.keys() == docs.keys()
+    for doc_id, b in docs.items():
+        assert energy[doc_id] == sum(b), doc_id
