@@ -81,10 +81,14 @@ _QUERY_MODULES = (
 # slots; the overflow rolls to round 6 and is deliberately the two most
 # trivially-judge-verified scalar-function demos).
 #
-# ROUND-6 NOTE: after a clean r5 window, every id will have driver
-# evidence except the final two here (q_fn_cond, q_fn_math, if the window
-# is exactly 50) — rotate those plus any r5-red ids to the front, then
-# order the rest by staleness (r2-confirmed ids first) so evidence
+# ROUND-6 NOTE: after a clean r5 window, rotate to the front (in order):
+#   1. any r5-red ids;
+#   2. the window overflow if the window was exactly 50 (q_fn_cond,
+#      q_fn_math);
+#   3. the five round-5 additions, which have never been in a window:
+#      q_dedup_simhash_shingle, q_dedup_incremental, q_sim_knn_batch,
+#      q_multimodal_frame_sample, q_multimodal_audio;
+# then order the rest by staleness (r2-confirmed ids first) so evidence
 # refreshes oldest-first.
 #
 # Composition, in order:
