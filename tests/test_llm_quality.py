@@ -202,3 +202,59 @@ def test_frame_sample_and_audio_window_shapes(spark, qs):
     assert energy.keys() == docs.keys()
     for doc_id, b in docs.items():
         assert energy[doc_id] == sum(b), doc_id
+
+
+def _labels_of(df):
+    return {(r.node, r.label) for r in df.collect()}
+
+
+def test_cc_star_equals_min_label_on_fixture_and_random_graphs(spark, qs):
+    """large-star/small-star must compute the identical component-minimum
+    labeling as min-label propagation on the real LSH pair graph and on
+    random Erdos-Renyi-ish graphs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from iceberg_rest_catalog_spark.llm.dedup import (
+        _cc_star,
+        _minhash_pairs,
+        _propagate_min_labels,
+    )
+
+    def minlabel(pairs_df):
+        edges = pairs_df.union(
+            pairs_df.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        ).localCheckpoint()
+        nodes = edges.select(F.col("doc_a").alias("node")).distinct()
+        return _propagate_min_labels(
+            nodes.withColumn("label", F.col("node")), edges, max_rounds=600
+        )
+
+    real = _minhash_pairs(spark, SF).select("doc_a", "doc_b").localCheckpoint()
+    assert _labels_of(_cc_star(real)) == _labels_of(minlabel(real))
+
+    rng = random.Random(7)
+    for n, m in [(50, 40), (80, 120)]:
+        es = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(m)
+        ]
+        es = [(a, b) for a, b in es if a != b]
+        pairs = spark.createDataFrame(es, "doc_a long, doc_b long")
+        assert _labels_of(_cc_star(pairs)) == _labels_of(minlabel(pairs))
+
+
+def test_cc_star_logarithmic_rounds_on_chain(spark):
+    """A 256-node chain has diameter 255: min-label needs ~255 rounds;
+    the star alternation must finish within 12 — the property that makes
+    it the 100 TB path."""
+    from iceberg_rest_catalog_spark.llm.dedup import _cc_star
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(255)], "doc_a long, doc_b long"
+    )
+    labels = _labels_of(_cc_star(chain, max_rounds=12))
+    assert labels == {(i, 0) for i in range(256)}
