@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators.common import r4, t
+from ..operators.common import r4, scratch_dir, t
 from ..registry import query
 
 N_HASHES = 16
@@ -155,11 +155,9 @@ def _minhash_pairs(spark, sf_dir, threshold=0.5):
     )
 
 
-def _signature_bands(d):
-    """(doc_id, sig: array<long>[16], band, bh) — the shared MinHash
-    signature + banded-LSH explode used by every LSH dedup operator
-    (symmetric self-join in :func:`_minhash_pairs`, asymmetric batch->corpus
-    join in :func:`q_dedup_incremental`). One scan, one shuffle."""
+def _signatures(d):
+    """(doc_id, h0..h15) — one MinHash signature row per doc; the
+    materialized form of the LSH index (see :func:`q_dedup_index`)."""
     # No .distinct() before the signature aggregate: min(hash) over the
     # shingle MULTISET equals min over the set, so deduplicating first would
     # only add a full extra shuffle for an identical signature.
@@ -168,12 +166,25 @@ def _signature_bands(d):
         "doc_id",
         F.conv(F.substring(F.md5("sh"), 1, 11), 16, 10).cast("long").alias("w"),
     )
-    sig = hx.groupBy("doc_id").agg(
+    return hx.groupBy("doc_id").agg(
         *[
             F.min((F.lit(c) * F.col("w") + F.lit(d)) % F.lit(_P)).alias(f"h{i}")
             for i, (c, d) in enumerate(_PARAMS)
         ]
     )
+
+
+def _signature_bands(d):
+    """(doc_id, sig: array<long>[16], band, bh) — the shared MinHash
+    signature + banded-LSH explode used by every LSH dedup operator
+    (symmetric self-join in :func:`_minhash_pairs`, asymmetric batch->corpus
+    join in :func:`q_dedup_incremental`). One scan, one shuffle."""
+    return _explode_bands(_signatures(d))
+
+
+def _explode_bands(sig):
+    """Band-explode a signature frame (doc_id, h0..h15) into
+    (doc_id, sig array, band, bh struct) — map-only."""
     r = N_HASHES // N_BANDS
     # Carry the full signature array through the band explode: the bucket
     # self-join then yields candidate pairs AND both signatures in ONE
@@ -404,6 +415,42 @@ def q_dedup_incremental(spark, sf_dir):
             .cast("long")
             .alias("kept"),
         )
+    )
+
+
+@query(
+    "q_dedup_index",
+    oracle=f"""
+    WITH {_lsh_ctes()}
+    SELECT doc_id, {", ".join(f"h{i}" for i in range(N_HASHES))} FROM sig
+    """,
+)
+def q_dedup_index(spark, sf_dir):
+    """Materialize the MinHash-LSH SIGNATURE INDEX — the write path whose
+    read path is q_dedup_incremental's corpus side. The banded signature
+    frame is written to parquet PARTITIONED BY band (so a band-bucket
+    probe join partition-prunes to 1/N_BANDS of the index), then read
+    back through the partition filter to prove the round trip, and the
+    per-doc signature rows (doc_id, h0..h15) are returned.
+
+    At 100 TB this is the nightly index build: one corpus scan + one
+    hash aggregate + a map-only band explode; the daily incremental gate
+    then joins |delta| signatures against this index instead of
+    re-scanning the corpus. The oracle value-checks the signatures
+    themselves (the `sig` CTE of the shared LSH chain), so index builder
+    and oracle agree bit-for-bit on every minhash."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sig = _signatures(d)
+    bands = _explode_bands(sig)
+    path = scratch_dir(sf_dir, "lsh_index")
+    bands.write.mode("overwrite").partitionBy("band").parquet(path)
+    # read back ONE band partition (partition-pruned scan) and unpack the
+    # carried signature array — every doc appears in every band, so band 0
+    # alone reconstructs the full per-doc signature table.
+    back = spark.read.parquet(path).filter(F.col("band") == 0)
+    return back.select(
+        "doc_id",
+        *[F.col("sig")[i].alias(f"h{i}") for i in range(N_HASHES)],
     )
 
 

@@ -258,3 +258,30 @@ def test_cc_star_logarithmic_rounds_on_chain(spark):
     )
     labels = _labels_of(_cc_star(chain, max_rounds=12))
     assert labels == {(i, 0) for i in range(256)}
+
+
+def test_dedup_index_roundtrip_matches_signatures(spark, qs):
+    """The materialized index must round-trip bit-identical signatures and
+    lay out one parquet partition per band."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iceberg_rest_catalog_spark.llm.dedup import (
+        N_BANDS,
+        _signatures,
+    )
+    from iceberg_rest_catalog_spark.operators.common import scratch_dir, t
+
+    got = {r.doc_id: tuple(r)[1:] for r in qs["q_dedup_index"](spark, SF).collect()}
+    direct = {
+        r.doc_id: tuple(r)[1:]
+        for r in _signatures(
+            t(spark, SF, "documents").filter(F.col("text").isNotNull())
+        ).collect()
+    }
+    assert got == direct
+
+    path = scratch_dir(SF, "lsh_index")
+    parts = {p for p in os.listdir(path) if p.startswith("band=")}
+    assert parts == {f"band={b}" for b in range(N_BANDS)}

@@ -92,7 +92,7 @@ def test_similarity_ops_never_all_pairs(spark, name):
 SIDE_EFFECT_PREFIXES = ("c_", "q_sink", "q_stream", "q_scan_partition_prune",
                         "q_time_travel", "q_incremental_read", "q_compact",
                         "q_schema_evolution_read", "q_meta_prune", "q_source",
-                        "q_multimodal", "q_snapshot_expire")
+                        "q_multimodal", "q_snapshot_expire", "q_dedup_index")
 CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 "q_sim_hamming",  # 1-row broadcast query code, like q_sim_topk
                 "q_sim_ann_ivf", "q_udtf",  # deliberate cross/theta/lateral shapes
