@@ -454,6 +454,77 @@ def q_dedup_index(spark, sf_dir):
     )
 
 
+SPAN_W = 20  # tokens per rolling window (Lee et al. use 50 BPE tokens)
+
+
+@query(
+    "q_dedup_spans",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             md5(array_to_string(
+                 list_slice(string_split(text, ' '), i, i + {SPAN_W - 1}), ' '))
+               AS h
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(
+                      1, greatest(len(string_split(text, ' ')) - {SPAN_W - 1},
+                                  1))) AS i)
+      WHERE text IS NOT NULL
+    ),
+    df AS (SELECT h, count(*) AS n FROM w GROUP BY h)
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN df.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeated,
+           CAST(max(df.n) AS BIGINT) AS max_span_df
+    FROM w JOIN df USING (h)
+    GROUP BY w.doc_id
+    """,
+)
+def q_dedup_spans(spark, sf_dir):
+    """Substring-level duplicate-span detection — the rolling-window exact
+    dedup of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better": a document is penalized not for being a near-copy of
+    another document but for CONTAINING any {SPAN_W}-token span that
+    occurs more than once in the corpus (cross-doc boilerplate, quoted
+    passages, within-doc repetition alike). Doc-level MinHash misses a
+    paragraph pasted into an otherwise unique page; this catches it.
+
+    Per doc: total spans, spans whose corpus frequency > 1, and the max
+    span frequency (a redaction-priority signal).
+
+    Scale: one scan -> rolling-window explode (the token-volume-bound
+    step, same cost class as the shingle pipeline) -> ONE hash aggregate
+    over span hashes (map-side combined; the md5 keys are uniform so the
+    shuffle cannot skew) -> join back on hash -> per-doc aggregate. No
+    self-join, no candidate pairs: cost is O(tokens), which is the floor
+    for this operator at any scale. The true suffix-array construction
+    is strictly more expensive and only needed for variable-length
+    maximal matches; the fixed-W rolling hash is the standard
+    production approximation."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (SPAN_W - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, SPAN_W)),
+    )
+    w = d.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.md5("g").alias("h")
+    )
+    df_counts = w.groupBy("h").agg(F.count("*").alias("n"))
+    return (
+        w.join(df_counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_repeated"),
+            F.max("n").alias("max_span_df"),
+        )
+    )
+
+
 def _simhash_oracle() -> str:
     """DuckDB mirror of q_dedup_simhash: identical md5-derived token bits,
     identical vote/threshold/chunk-blocking recurrence."""

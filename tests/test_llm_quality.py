@@ -285,3 +285,20 @@ def test_dedup_index_roundtrip_matches_signatures(spark, qs):
     path = scratch_dir(SF, "lsh_index")
     parts = {p for p in os.listdir(path) if p.startswith("band=")}
     assert parts == {f"band={b}" for b in range(N_BANDS)}
+
+
+def test_span_dedup_flags_planted_near_dups(spark, qs):
+    """Fixture near-dups mostly share long verbatim runs, so docs in
+    fuzzy near-dup pairs should overwhelmingly show repeated 20-token
+    spans (edit-dense pairs may legitimately break every window); counts
+    are bounded by totals and by the corpus-frequency definition."""
+    spans = {r.doc_id: r for r in qs["q_dedup_spans"](spark, SF).collect()}
+    for r in spans.values():
+        assert 0 <= r.n_repeated <= r.n_spans
+        assert r.max_span_df >= 1
+        assert (r.n_repeated > 0) == (r.max_span_df > 1)
+    pairs = _pairs(qs["q_dedup_fuzzy"](spark, SF))
+    strong = {d for a, b in pairs for d in (a, b) if d in spans}
+    flagged = {d for d, r in spans.items() if r.n_repeated > 0}
+    assert strong, "fixture must contain planted near-dups"
+    assert len(strong & flagged) / len(strong) >= 0.8, strong - flagged
