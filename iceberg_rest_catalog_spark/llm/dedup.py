@@ -136,23 +136,39 @@ def _minhash_pairs(spark, sf_dir, threshold=0.5):
     # while SQL NULL propagation silently drops them.
     d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     bands = _signature_bands(d)
+    return _candidate_pairs(
+        bands, bands, threshold, pair_filter=F.col("doc_a") < F.col("doc_b")
+    ).distinct()
 
-    a = bands.select("band", "bh", F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"))
-    b = bands.select("band", "bh", F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"))
+
+def _candidate_pairs(a_bands, b_bands, threshold, pair_filter=None):
+    """Join two banded signature frames on the band bucket and score every
+    candidate pair by signature agreement — the single definition of the
+    LSH candidate/score convention, shared by the symmetric self-join
+    (:func:`_minhash_pairs`) and the asymmetric batch->corpus join
+    (:func:`q_dedup_incremental`) so the two tiers cannot drift apart.
+
+    Returns (doc_a, doc_b, est_jaccard) with est >= threshold; pairs
+    sharing several bands appear once per shared band (callers .distinct()
+    when pair-set semantics are needed). ``pair_filter`` prunes the join
+    output before scoring (e.g. doc_a < doc_b for the self-join)."""
+    a = a_bands.select(
+        "band", "bh", F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")
+    )
+    b = b_bands.select(
+        "band", "bh", F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")
+    )
+    j = a.join(b, ["band", "bh"])
+    if pair_filter is not None:
+        j = j.filter(pair_filter)
     agree = F.size(
         F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m)
     )
-    return (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            r4(agree / F.lit(float(N_HASHES))).alias("est_jaccard"),
-        )
-        .filter(F.col("est_jaccard") >= threshold)
-        .distinct()
-    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        r4(agree / F.lit(float(N_HASHES))).alias("est_jaccard"),
+    ).filter(F.col("est_jaccard") >= threshold)
 
 
 def _signatures(d):
@@ -358,8 +374,12 @@ def q_dedup_incremental(spark, sf_dir):
       filter pushed to the scan); the join key is a 128-bit hash, so the
       shuffle carries no text.
     - NEAR: the same banded MinHash-LSH signatures as q_dedup_fuzzy
-      (:func:`_signature_bands` — one scan, one shuffle over the union),
-      but the bucket join is ASYMMETRIC batch->corpus: candidates are
+      (:func:`_signature_bands`, localCheckpointed so the token-volume-
+      bound shingle/minhash pipeline materializes ONCE and both join
+      sides read the checkpoint — without it Spark cannot reuse the
+      exchange across the two differently-filtered sides and runs the
+      pipeline twice), but the bucket join is ASYMMETRIC batch->corpus:
+      candidates are
       bounded by bucket co-membership exactly as in the self-join case,
       and the output is per-batch-doc, never per-pair. At scale the
       corpus side of this join is a MATERIALIZED signature index (write
@@ -374,19 +394,9 @@ def q_dedup_incremental(spark, sf_dir):
     d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     is_batch = (F.col("doc_id") % 5) == 0
 
-    bands = _signature_bands(d)
-    a = bands.filter(is_batch).select(
-        "band", "bh", F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")
-    )
-    b = bands.filter(~is_batch).select(
-        "band", "bh", F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")
-    )
-    agree = F.size(
-        F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m)
-    )
+    bands = _signature_bands(d).localCheckpoint()
     near = (
-        a.join(b, ["band", "bh"])
-        .filter((agree / F.lit(float(N_HASHES))) >= 0.5)
+        _candidate_pairs(bands.filter(is_batch), bands.filter(~is_batch), 0.5)
         .select("doc_a", "doc_b")
         .distinct()  # a pair sharing several bands counts once
         .groupBy("doc_a")
@@ -971,12 +981,14 @@ def _cc_star(edges, max_rounds: int = 30):
 
     Input: (doc_a, doc_b) pair frame, either orientation, self-loops ok.
     Output: (node, label) for every node incident to an edge, label =
-    component minimum. Fixpoint detected by an order-independent edge-set
-    signature (count + decimal sum of a per-edge linear form — collision
-    here only delays the stop by one identical round, never corrupts the
-    result, because the star set is also verified stable by construction
-    once small-star output repeats). Each round localCheckpoints to
-    truncate lineage, like the min-label loop."""
+    component minimum. Fixpoint detection is two-tier: a cheap
+    order-independent signature (count + decimal sum of xxhash64(u, v)
+    over the distinct edge set) gates an EXACT anti-join equality check
+    that must also pass before the loop stops — a signature collision
+    (structured role-swaps defeat linear-form signatures; a 64-bit hash
+    sum makes them ~2^-64 but not impossible) therefore costs one extra
+    join, never a wrong cluster. Each round localCheckpoints to truncate
+    lineage, like the min-label loop."""
     E = (
         edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -987,11 +999,15 @@ def _cc_star(edges, max_rounds: int = 30):
     def _sig(e):
         row = e.agg(
             F.count("*").alias("n"),
-            F.sum(
-                (F.col("u").cast("decimal(38,0)") * 1000003 + F.col("v"))
-            ).alias("s"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
         ).first()
         return (row["n"], row["s"])
+
+    def _same_edges(a, b):
+        # exact equality given equal cardinality (the signature gate
+        # already matched counts): both frames are DISTINCT edge sets, so
+        # a ⊆ b together with |a| == |b| implies a == b — one anti-join
+        return a.join(b, ["u", "v"], "left_anti").limit(1).count() == 0
 
     def _large(e):
         und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -1018,15 +1034,16 @@ def _cc_star(edges, max_rounds: int = 30):
             .distinct()
         )
 
-    prev = _sig(E)
-    if prev[0] == 0:
+    prev_sig = _sig(E)
+    if prev_sig[0] == 0:
         return E.select(F.col("u").alias("node"), F.col("v").alias("label"))
     for _ in range(max_rounds):
-        E = _small(_large(E)).localCheckpoint()
-        cur = _sig(E)
-        if cur == prev:
+        nxt = _small(_large(E)).localCheckpoint()
+        cur = _sig(nxt)
+        if cur == prev_sig and _same_edges(nxt, E):
+            E = nxt
             break
-        prev = cur
+        E, prev_sig = nxt, cur
     else:
         raise RuntimeError(f"star CC did not converge within {max_rounds} rounds")
     # stars: (leaf, center) edges + centers labeling themselves
@@ -1049,10 +1066,10 @@ def q_dedup_cluster(spark, sf_dir):
     round per unit of graph diameter. Both compute the exact components,
     so the recursive-CTE transitive-closure oracle is unchanged.
     """
-    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    # materialized ONCE — without this every CC iteration would recompute
-    # the whole LSH pipeline (measured 8.6s -> ~2s at sf0.1).
-    labels = _cc_star(pairs.localCheckpoint())
+    # _cc_star checkpoints its canonical edge set up front, so the LSH
+    # pipeline is materialized once and never re-runs per CC round
+    # (measured 8.6s -> ~2s at sf0.1 when this property was introduced).
+    labels = _cc_star(_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b"))
     return (
         labels.groupBy("label")
         .agg(F.sort_array(F.collect_list("node")).alias("members"))
@@ -1170,8 +1187,7 @@ def q_dedup_cluster_verified(spark, sf_dir):
     value-checking the iterative Spark fixpoint itself against a
     closed-form SQL recurrence. Same large-star/small-star CC as
     q_dedup_cluster."""
-    pairs = _exact_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    labels = _cc_star(pairs.localCheckpoint())
+    labels = _cc_star(_exact_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b"))
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(F.sort_array(F.collect_list("node")).alias("members"))

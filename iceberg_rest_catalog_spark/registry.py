@@ -85,9 +85,10 @@ _QUERY_MODULES = (
 #   1. any r5-red ids;
 #   2. the window overflow if the window was exactly 50 (q_fn_cond,
 #      q_fn_math);
-#   3. the five round-5 additions, which have never been in a window:
-#      q_dedup_simhash_shingle, q_dedup_incremental, q_sim_knn_batch,
-#      q_multimodal_frame_sample, q_multimodal_audio;
+#   3. the round-5 additions, which have never been in a window:
+#      q_dedup_simhash_shingle, q_dedup_incremental, q_dedup_index,
+#      q_dedup_spans, q_sim_knn_batch, q_multimodal_frame_sample,
+#      q_multimodal_audio;
 # then order the rest by staleness (r2-confirmed ids first) so evidence
 # refreshes oldest-first.
 #
