@@ -98,3 +98,93 @@ def q_embed_quantize(spark, sf_dir):
             F.round(F.expr(f"{dot} / ({nx} * {ndq})"), 4).alias("cos_dequant"),
         )
     )
+
+
+N_SUB = 8   # subspaces
+SUB_DIM = 8  # dims per subspace (N_SUB * SUB_DIM == similarity.DIM)
+K_CODES = 16  # codewords per subspace (first K corpus vectors, like IVF)
+
+_PQ_SUBS = "(SELECT unnest(range(0, 8)) AS s)"
+_PQ_D2 = (
+    "round(list_sum(list_transform(range(1, 9), "
+    "i -> (sub[i] - csub[i]) * (sub[i] - csub[i]))), 4)"
+)
+
+_PQ_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+sub AS (
+  SELECT vec_id, label, s, list_slice(emb, s * 8 + 1, s * 8 + 8) AS sub
+  FROM e, {_PQ_SUBS}
+),
+cb AS (
+  SELECT vec_id AS code, s, list_slice(emb, s * 8 + 1, s * 8 + 8) AS csub
+  FROM e, {_PQ_SUBS} WHERE vec_id < {K_CODES}
+),
+a AS (
+  SELECT vec_id, label, s, code,
+         row_number() OVER (PARTITION BY vec_id, s
+                            ORDER BY {_PQ_D2} ASC, code ASC) AS rn
+  FROM sub JOIN cb USING (s)
+)
+SELECT vec_id, label,
+       {", ".join(f"CAST(max(CASE WHEN s = {s} THEN code END) AS BIGINT) AS c{s}" for s in range(8))}
+FROM a WHERE rn = 1
+GROUP BY vec_id, label
+"""
+
+
+@query("q_embed_pq", oracle=_PQ_ORACLE)
+def q_embed_pq(spark, sf_dir):
+    """Product quantization (PQ) encode: split each 64-dim vector into 8
+    subvectors of 8 dims and replace each with the id of its nearest
+    codeword in that subspace's 16-entry codebook — 64 floats become 8
+    small codes (32x compression), the standard memory layout for
+    billion-scale ANN (IVF-PQ). Codebooks are deterministic (subvectors of
+    the first K_CODES corpus vectors, the same convention as
+    q_sim_ann_ivf's centroids; production would k-means them offline).
+
+    Plan shape: the codebook (8 x 16 rows) is BROADCAST; each vector
+    explodes into its 8 subvectors map-side, meets only its subspace's 16
+    codewords in the broadcast equi-join on s, and a (vec_id, s) window
+    takes the argmin — O(vectors x 8 x 16) work, one narrow shuffle for
+    the final per-vector pivot. Distances are ranked on the ROUNDED
+    squared L2 with code-asc tiebreak so both engines rank identically
+    (the q_sim_knn_batch convention)."""
+    from pyspark.sql import Window
+
+    from .similarity import _dbl, _emb
+
+    e = _emb(spark, sf_dir).select("vec_id", "label", _dbl("embedding").alias("x"))
+    subs = F.array(*[F.slice("x", s * SUB_DIM + 1, SUB_DIM) for s in range(N_SUB)])
+    sub = e.select("vec_id", "label", F.posexplode(subs).alias("s", "sub"))
+    cb = (
+        e.filter(F.col("vec_id") < K_CODES)
+        .select(F.col("vec_id").alias("code"), F.posexplode(subs).alias("s", "csub"))
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("sub", "csub", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        4,
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
+    assigned = (
+        sub.join(F.broadcast(cb), "s")
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return assigned.groupBy("vec_id", "label").agg(
+        *[
+            F.max(F.when(F.col("s") == s, F.col("code")))
+            .cast("long")
+            .alias(f"c{s}")
+            for s in range(N_SUB)
+        ]
+    )

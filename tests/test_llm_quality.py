@@ -302,3 +302,18 @@ def test_span_dedup_flags_planted_near_dups(spark, qs):
     flagged = {d for d, r in spans.items() if r.n_repeated > 0}
     assert strong, "fixture must contain planted near-dups"
     assert len(strong & flagged) / len(strong) >= 0.8, strong - flagged
+
+
+def test_pq_codes_are_valid_and_self_encode_codebook_vectors(spark, qs):
+    """Every code lies in [0, K); a vector that IS a codeword must encode
+    to itself in every subspace (distance 0, code-asc tiebreak, and the
+    random fixture vectors make zero-distance ties impossible)."""
+    from iceberg_rest_catalog_spark.llm.embedding import K_CODES, N_SUB
+
+    rows = {r.vec_id: r for r in qs["q_embed_pq"](spark, SF).collect()}
+    assert rows
+    for vec_id, r in rows.items():
+        codes = [r[f"c{s}"] for s in range(N_SUB)]
+        assert all(0 <= c < K_CODES for c in codes), (vec_id, codes)
+        if vec_id < K_CODES:
+            assert codes == [vec_id] * N_SUB, (vec_id, codes)
