@@ -44,6 +44,9 @@ QUERIES = [
     "q_dedup_simhash_shingle",
     "q_dedup_incremental",
     "q_sim_knn_batch",
+    "q_dedup_spans",
+    "q_dedup_index",
+    "q_embed_pq",
 ]
 
 
