@@ -110,8 +110,7 @@ _PQ_D2 = (
     "i -> (sub[i] - csub[i]) * (sub[i] - csub[i]))), 4)"
 )
 
-_PQ_ORACLE = f"""
-WITH e AS (
+_PQ_CTES = f"""e AS (
   SELECT vec_id, label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM embeddings WHERE embedding IS NOT NULL
@@ -129,7 +128,10 @@ a AS (
          row_number() OVER (PARTITION BY vec_id, s
                             ORDER BY {_PQ_D2} ASC, code ASC) AS rn
   FROM sub JOIN cb USING (s)
-)
+)"""
+
+_PQ_ORACLE = f"""
+WITH {_PQ_CTES}
 SELECT vec_id, label,
        {", ".join(f"CAST(max(CASE WHEN s = {s} THEN code END) AS BIGINT) AS c{s}" for s in range(8))}
 FROM a WHERE rn = 1
@@ -154,32 +156,7 @@ def q_embed_pq(spark, sf_dir):
     the final per-vector pivot. Distances are ranked on the ROUNDED
     squared L2 with code-asc tiebreak so both engines rank identically
     (the q_sim_knn_batch convention)."""
-    from pyspark.sql import Window
-
-    from .similarity import _dbl, _emb
-
-    e = _emb(spark, sf_dir).select("vec_id", "label", _dbl("embedding").alias("x"))
-    subs = F.array(*[F.slice("x", s * SUB_DIM + 1, SUB_DIM) for s in range(N_SUB)])
-    sub = e.select("vec_id", "label", F.posexplode(subs).alias("s", "sub"))
-    cb = (
-        e.filter(F.col("vec_id") < K_CODES)
-        .select(F.col("vec_id").alias("code"), F.posexplode(subs).alias("s", "csub"))
-    )
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with("sub", "csub", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-        4,
-    )
-    w = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
-    assigned = (
-        sub.join(F.broadcast(cb), "s")
-        .withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-    )
+    assigned = _pq_assignments(spark, sf_dir)
     return assigned.groupBy("vec_id", "label").agg(
         *[
             F.max(F.when(F.col("s") == s, F.col("code")))
@@ -187,4 +164,108 @@ def q_embed_pq(spark, sf_dir):
             .alias(f"c{s}")
             for s in range(N_SUB)
         ]
+    )
+
+
+def _pq_subframes(spark, sf_dir):
+    """(sub, cb): the per-vector subvector explode and the broadcastable
+    8x16 codebook frame — shared by PQ encode and ADC search."""
+    from .similarity import _dbl, _emb
+
+    e = _emb(spark, sf_dir).select("vec_id", "label", _dbl("embedding").alias("x"))
+    subs = F.array(*[F.slice("x", s * SUB_DIM + 1, SUB_DIM) for s in range(N_SUB)])
+    sub = e.select("vec_id", "label", F.posexplode(subs).alias("s", "sub"))
+    cb = e.filter(F.col("vec_id") < K_CODES).select(
+        F.col("vec_id").alias("code"), F.posexplode(subs).alias("s", "csub")
+    )
+    return sub, cb
+
+
+def _sq_l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_assignments(spark, sf_dir):
+    """(vec_id, label, s, code) — each vector's nearest codeword per
+    subspace, ranked on rounded squared L2 with code-asc tiebreak."""
+    from pyspark.sql import Window
+
+    sub, cb = _pq_subframes(spark, sf_dir)
+    w = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
+    return (
+        sub.join(F.broadcast(cb), "s")
+        .withColumn("d2", F.round(_sq_l2(F.col("sub"), F.col("csub")), 4))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "s", "code")
+    )
+
+
+ADC_TOP_K = 10
+
+# query subvector table + per-(subspace, code) distance lookup table:
+# the entire ADC score of a vector is 8 table lookups + a sum.
+def _adc_oracle() -> str:
+    from .similarity import QUERY_VEC_ID
+
+    qd2 = (
+        "round(list_sum(list_transform(range(1, 9), "
+        "i -> (qsub[i] - csub[i]) * (qsub[i] - csub[i]))), 4)"
+    )
+    return f"""
+    WITH {_PQ_CTES},
+    q AS (SELECT s, sub AS qsub FROM sub WHERE vec_id = {QUERY_VEC_ID}),
+    lut AS (
+      SELECT cb.s, cb.code, {qd2} AS d2
+      FROM cb JOIN q USING (s)
+    ),
+    scored AS (
+      SELECT a.vec_id, a.label, round(sum(lut.d2), 4) AS adc_d2
+      FROM a JOIN lut ON a.s = lut.s AND a.code = lut.code
+      WHERE a.rn = 1 AND a.vec_id <> {QUERY_VEC_ID}
+      GROUP BY a.vec_id, a.label
+    )
+    SELECT vec_id, label, adc_d2 FROM scored
+    ORDER BY adc_d2 ASC, vec_id ASC LIMIT {ADC_TOP_K}
+    """
+
+
+@query("q_sim_ann_pq", oracle=_adc_oracle())
+def q_sim_ann_pq(spark, sf_dir):
+    """ANN search over PQ codes with ASYMMETRIC DISTANCE COMPUTATION
+    (ADC) — the FAISS IndexPQ query shape, completing the compression
+    family: q_embed_pq builds the codes, this searches them. The query
+    stays in full precision; each corpus vector's approximate distance is
+    the sum of 8 precomputed lookups d2(query_sub[s], codeword[s, code]),
+    so the scan reads 8 small codes per vector instead of 64 floats — at
+    100 TB that is the difference between a memory-resident index and a
+    disk-bound one.
+
+    Plan shape: the 8x16-entry lookup table is built from the broadcast
+    codebook and the 1-row query (tiny), broadcast again, and joined to
+    the code assignments on (s, code) — map-only scoring, one partial-
+    aggregated sum per vector, TakeOrdered for the top-k. Final ranking
+    on the ROUNDED ADC distance with vec_id tiebreak (the engine-parity
+    convention)."""
+    from .similarity import QUERY_VEC_ID
+
+    sub, cb = _pq_subframes(spark, sf_dir)
+    assigned = _pq_assignments(spark, sf_dir)
+    q = sub.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        "s", F.col("sub").alias("qsub")
+    )
+    lut = cb.join(F.broadcast(q), "s").select(
+        "s", "code", F.round(_sq_l2(F.col("csub"), F.col("qsub")), 4).alias("d2")
+    )
+    return (
+        assigned.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(lut), ["s", "code"])
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sum("d2"), 4).alias("adc_d2"))
+        .orderBy("adc_d2", "vec_id")
+        .limit(ADC_TOP_K)
     )

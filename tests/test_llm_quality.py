@@ -317,3 +317,31 @@ def test_pq_codes_are_valid_and_self_encode_codebook_vectors(spark, qs):
         assert all(0 <= c < K_CODES for c in codes), (vec_id, codes)
         if vec_id < K_CODES:
             assert codes == [vec_id] * N_SUB, (vec_id, codes)
+
+
+def test_adc_search_tracks_exact_l2(spark, qs):
+    """ADC over PQ codes must return ascending rounded distances, never
+    the query itself, and keep contact with the exact L2 top-10 (random
+    vectors + 16 codewords/subspace leave high distortion, so the floor
+    is modest — the bit-level correctness is the DuckDB oracle's job)."""
+    import numpy as np
+
+    from iceberg_rest_catalog_spark.llm.similarity import QUERY_VEC_ID
+
+    rows = qs["q_sim_ann_pq"](spark, SF).collect()
+    assert len(rows) == 10
+    d = [r.adc_d2 for r in rows]
+    assert d == sorted(d) and all(x >= 0 for x in d)
+    assert all(r.vec_id != QUERY_VEC_ID for r in rows)
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+        if r.embedding is not None
+    }
+    q = emb[QUERY_VEC_ID]
+    exact = sorted(
+        ((((v - q) ** 2).sum(), k) for k, v in emb.items() if k != QUERY_VEC_ID),
+    )[:10]
+    exact_ids = {k for _, k in exact}
+    assert exact_ids & {r.vec_id for r in rows}, (exact_ids, rows)
