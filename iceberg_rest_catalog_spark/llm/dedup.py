@@ -409,9 +409,18 @@ def q_dedup_incremental(spark, sf_dir):
         d.filter(~is_batch).select(F.md5("text").alias("h")).distinct()
         .withColumn("in_corpus", F.lit(1))
     )
+    return _ingest_verdict(batch, corpus_h, near)
+
+
+def _ingest_verdict(batch_hashed, corpus_h, near):
+    """(doc_id, exact_dup, n_near, kept) — the admission verdict join,
+    shared by the batch incremental gate (:func:`q_dedup_incremental`)
+    and the streaming ingest gate (streaming/queries.py). ``batch_hashed``
+    is (doc_id, h=md5(text)); ``corpus_h`` is the corpus's distinct hash
+    set flagged with in_corpus=1; ``near`` is (doc_id, n_near)."""
     n_near = F.coalesce(F.col("n_near"), F.lit(0))
     return (
-        batch.join(corpus_h, "h", "left")
+        batch_hashed.join(corpus_h, "h", "left")
         .join(near, "doc_id", "left")
         .select(
             "doc_id",

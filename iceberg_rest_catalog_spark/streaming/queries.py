@@ -573,3 +573,83 @@ def q_stream_upsert(spark, sf_dir):
     return tbl.df(spark).select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
     )
+
+
+def _incremental_gate_oracle() -> str:
+    from ..llm.dedup import _incremental_oracle
+
+    return _incremental_oracle()
+
+
+@query("q_stream_ingest_gate", oracle=_incremental_gate_oracle())
+def q_stream_ingest_gate(spark, sf_dir):
+    """STREAMING ingest gate: the day's document delta arrives as a
+    stream and every micro-batch is admitted against the STATIC corpus
+    index — the deployment shape of q_dedup_incremental, whose verdict
+    (and oracle) this op reproduces exactly through the streaming path.
+
+    Mechanics: the corpus side (banded MinHash signatures + distinct md5
+    set, doc_id % 5 <> 0) is computed once and localCheckpointed — in
+    production it IS the materialized q_dedup_index table, loaded not
+    built. The delta (doc_id % 5 == 0) streams from a file source;
+    foreachBatch signatures each micro-batch (|delta| docs, not the
+    corpus), runs the same asymmetric band join + exact-hash join via the
+    shared :func:`~..llm.dedup._candidate_pairs` /
+    :func:`~..llm.dedup._ingest_verdict` helpers, and appends verdicts to
+    the sink. State is bounded: the stream holds no aggregation state at
+    all — every batch joins against the static index, so watermarks are
+    unnecessary and a 100 TB/day delta shards by file."""
+    import shutil
+
+    from ..llm.dedup import (
+        _candidate_pairs,
+        _ingest_verdict,
+        _signature_bands,
+    )
+
+    d_all = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    corpus = d_all.filter((F.col("doc_id") % 5) != 0)
+    corpus_bands = _signature_bands(corpus).localCheckpoint()
+    corpus_h = (
+        corpus.select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(1))
+        .localCheckpoint()
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    d = scratch_dir(sf_dir, "stream_gate_src")
+    link = os.path.join(d, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    sink = os.path.join(scratch_dir(sf_dir, "stream_gate"), "out")
+    if os.path.exists(sink):
+        shutil.rmtree(sink)
+
+    def admit(batch_df, _batch_id):
+        b = batch_df.filter(
+            F.col("text").isNotNull() & ((F.col("doc_id") % 5) == 0)
+        )
+        near = (
+            _candidate_pairs(_signature_bands(b), corpus_bands, 0.5)
+            .select("doc_a", "doc_b")
+            .distinct()
+            .groupBy("doc_a")
+            .agg(F.count("*").alias("n_near"))
+            .withColumnRenamed("doc_a", "doc_id")
+        )
+        out = _ingest_verdict(
+            b.select("doc_id", F.md5("text").alias("h")), corpus_h, near
+        )
+        out.write.mode("append").parquet(sink)
+
+    schema = spark.read.parquet(src).schema
+    sdf = spark.readStream.schema(schema).parquet(d)
+    with _state_parallelism(spark):
+        q = (
+            sdf.writeStream.foreachBatch(admit)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(sink)

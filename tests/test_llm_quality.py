@@ -345,3 +345,11 @@ def test_adc_search_tracks_exact_l2(spark, qs):
     )[:10]
     exact_ids = {k for _, k in exact}
     assert exact_ids & {r.vec_id for r in rows}, (exact_ids, rows)
+
+
+def test_streaming_ingest_gate_equals_batch_incremental(spark, qs):
+    """The streaming deployment of the ingest gate must produce exactly
+    the batch incremental verdict — same docs, same tiers, same counts."""
+    batch = sorted(map(tuple, qs["q_dedup_incremental"](spark, SF).collect()))
+    stream = sorted(map(tuple, qs["q_stream_ingest_gate"](spark, SF).collect()))
+    assert stream == batch
