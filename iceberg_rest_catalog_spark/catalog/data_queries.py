@@ -681,3 +681,151 @@ def q_merge_into_catalog(spark, sf_dir):
     return cat.load_table(("db", "orders_mi")).df(spark).select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
     )
+
+
+@query(
+    "q_wap_publish",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+    FROM orders WHERE o_orderkey <= 200
+    """,
+)
+def q_wap_publish(spark, sf_dir):
+    """Write-audit-publish: the staged-commit workflow Iceberg branches
+    exist for (reference api/handlers/tables.go:150-227 commits snapshots
+    the same optimistic way; branch refs are the repo's extension of that
+    lineage model — catalog.py append(branch=)/fast_forward docstrings).
+
+    A poisoned batch (negated prices for keys 151..160) is staged on an
+    ``audit`` branch: MAIN READERS NEVER SEE IT (asserted — reads follow
+    lineage from main's head, not snapshot ids). The audit gate (a
+    distributed aggregate, driver sees one number) rejects it; the branch
+    is simply never published. A clean re-stage on a second branch passes
+    the gate and is published with an O(1) metadata-only fast_forward.
+
+    At 100 TB this is the only safe ingest shape: the expensive data write
+    happens once into an unpublished branch, validation runs against real
+    committed files, and publish/abandon are both metadata-sized."""
+    wh = scratch_dir(sf_dir, "catalog_data", "wap")
+    cat = Catalog(wh)
+    marker = os.path.join(wh, ".ready")
+    if not os.path.exists(marker):
+        shutil.rmtree(wh, ignore_errors=True)
+        os.makedirs(wh, exist_ok=True)
+        cat = Catalog(wh)
+        cat.create_namespace(("db",))
+        tbl = cat.create_table(("db", "orders_wap"), _ORDERS_SCHEMA)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tbl = tbl.append(orders.filter(F.col("o_orderkey") <= 100))
+        main_before = tbl.metadata.get("current-snapshot-id")
+
+        poisoned = orders.filter(
+            (F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 200)
+        ).withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey").between(151, 160), -F.col("o_totalprice")
+            ).otherwise(F.col("o_totalprice")),
+        )
+        tbl = tbl.append(poisoned, branch="audit")
+        assert tbl.metadata.get("current-snapshot-id") == main_before, (
+            "staging on a branch must not advance main"
+        )
+        staged = tbl.df(spark, snapshot_id=tbl.snapshot_for_ref("audit"))
+        n_bad = staged.filter(F.col("o_totalprice") < 0).count()
+        assert n_bad > 0, "the audit gate must actually catch the poison"
+        # gate failed -> never fast_forward "audit"; the branch stays
+        # unpublished (abandon is free: no data moves either way).
+
+        clean = orders.filter(
+            (F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 200)
+        )
+        tbl = tbl.append(clean, branch="audit_retry")
+        restaged = tbl.df(spark, snapshot_id=tbl.snapshot_for_ref("audit_retry"))
+        assert restaged.filter(F.col("o_totalprice") < 0).count() == 0
+        tbl = tbl.fast_forward("audit_retry")
+        open(marker, "w").close()
+    return cat.load_table(("db", "orders_wap")).df(spark).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
+    )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    SELECT 'delete' AS change_type, o_orderkey, o_custkey,
+           round(o_totalprice, 4) AS o_totalprice
+    FROM orders WHERE o_orderkey <= 100 AND o_orderkey % 10 = 0
+    UNION ALL
+    SELECT 'insert' AS change_type, o_orderkey, o_custkey,
+           round(o_totalprice, 4) AS o_totalprice
+    FROM orders WHERE o_orderkey > 200 AND o_orderkey <= 250
+    """,
+)
+def q_snapshot_diff(spark, sf_dir):
+    """Row-level changelog between two snapshots (Iceberg's
+    create_changelog_view): inserts AND deletes across a lineage that
+    mixes a copy-on-write DELETE with an append.
+
+    The scale property is FILE-LINEAGE PRUNING: the diff reads only files
+    that entered or left the manifest between the snapshots — untouched
+    files (identical path in both) contribute nothing and are never
+    opened (asserted below). Row-level work is then two exceptAll
+    hash-aggregates over just the churned files: a 100 TB table whose day
+    touched 1% of files diffs 1% of the data, not the table."""
+    wh = scratch_dir(sf_dir, "catalog_data", "snapshot_diff")
+    cat = Catalog(wh)
+    marker = os.path.join(wh, ".ready")
+    if not os.path.exists(marker):
+        shutil.rmtree(wh, ignore_errors=True)
+        os.makedirs(wh, exist_ok=True)
+        cat = Catalog(wh)
+        cat.create_namespace(("db",))
+        tbl = cat.create_table(
+            ("db", "orders_cdc"), _ORDERS_SCHEMA,
+            write_order=[{"name": "o_orderkey", "direction": "asc"}],
+        )
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tbl = tbl.append(
+            orders.filter(F.col("o_orderkey") <= 200).repartitionByRange(
+                4, "o_orderkey"
+            )
+        )
+        tbl = tbl.delete_where(
+            spark,
+            "o_orderkey % 10 = 0 AND o_orderkey <= 100",
+            prune=[("o_orderkey", "<=", 100)],
+        )
+        tbl.append(orders.filter(
+            (F.col("o_orderkey") > 200) & (F.col("o_orderkey") <= 250)
+        ))
+        open(marker, "w").close()
+    tbl = cat.load_table(("db", "orders_cdc"))
+    f_old = set(tbl._files_at(1))
+    f_new = set(tbl._files_at(None))
+    assert f_old & f_new, "files untouched by the DELETE must survive the diff"
+    schema = tbl.schema().to_spark()
+
+    def _read(paths):
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(tbl.location, p) for p in sorted(paths)]
+        )
+
+    old_churn = _read(f_old - f_new)   # files removed/rewritten since s1
+    new_churn = _read(f_new - f_old)   # files added since s1
+    deletes = old_churn.exceptAll(new_churn).withColumn(
+        "change_type", F.lit("delete")
+    )
+    inserts = new_churn.exceptAll(old_churn).withColumn(
+        "change_type", F.lit("insert")
+    )
+    return deletes.unionByName(inserts).select(
+        "change_type", "o_orderkey", "o_custkey",
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+    )

@@ -165,3 +165,142 @@ def q_text_bpe_pairs(spark, sf_dir):
         .orderBy(F.desc("freq"), "pair")
         .limit(TOP_PAIRS)
     )
+
+
+VOCAB_K = 64
+
+
+@query(
+    "q_tokenizer_apply",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE text IS NOT NULL
+    ), w2 AS (
+      SELECT doc_id, word FROM w WHERE word <> ''
+    ), vocab AS (
+      SELECT word FROM (
+        SELECT word, count(*) AS c FROM w2 GROUP BY word
+        ORDER BY c DESC, word LIMIT {VOCAB_K})
+    ), tok AS (
+      SELECT w2.doc_id,
+             CASE WHEN v.word IS NOT NULL THEN 1 ELSE len(w2.word) END AS cost,
+             CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+      FROM w2 LEFT JOIN vocab v ON w2.word = v.word
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(cost) AS BIGINT) AS n_tokens,
+           round(sum(oov) * 1.0 / count(*), 4) AS oov_rate
+    FROM tok GROUP BY doc_id
+    """,
+)
+def q_tokenizer_apply(spark, sf_dir):
+    """Apply a corpus-derived vocabulary to the corpus — the tokenizer
+    EXECUTION step that follows q_text_bpe_pairs' vocabulary TRAINING:
+    in-vocab words cost 1 token, OOV words fall back to characters (the
+    WordPiece/byte-fallback degradation), yielding per-doc token budget
+    and OOV rate — the two numbers that size a training run and flag
+    out-of-domain shards.
+
+    Scale shape: vocab is a {VOCAB_K}-row TakeOrdered aggregate (at real
+    vocab sizes, 32k-256k rows — still broadcast territory), the corpus
+    joins against it BROADCAST hash (no shuffle of the exploded words by
+    join key; their only shuffle is the per-doc re-aggregate keyed by
+    doc_id), and everything is JVM codegen — no Python in the loop."""
+    words = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "word")
+        .limit(VOCAB_K)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    tok = words.join(F.broadcast(vocab), "word", "left").select(
+        "doc_id",
+        F.when(F.col("in_vocab").isNotNull(), 1)
+        .otherwise(F.length("word"))
+        .alias("cost"),
+        F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    return tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("cost").cast("long").alias("n_tokens"),
+        r4(F.sum("oov") / F.count("*")).alias("oov_rate"),
+    )
+
+
+from .similarity import _lsh_bucket_sql  # noqa: E402  (shared SRP family)
+
+
+@query(
+    "q_caption_pairs",
+    oracle=f"""
+    WITH p AS (
+      SELECT d.doc_id, d.text, e.embedding, {_lsh_bucket_sql()} AS bucket
+      FROM documents d
+      JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e
+        ON d.doc_id = e.vec_id
+      WHERE d.text IS NOT NULL
+    ), r AS (
+      SELECT doc_id, bucket, len(text) AS cap_len,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY len(text) DESC, doc_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT)
+               AS n_candidates
+      FROM p
+    )
+    SELECT bucket, doc_id AS kept_doc_id, cap_len, n_candidates
+    FROM r WHERE rn = 1
+    """,
+)
+def q_caption_pairs(spark, sf_dir):
+    """Image-text pair curation (the LAION/DataComp dedup-and-keep-best
+    step): captions join their image embeddings 1:1, near-duplicate
+    images collapse into SRP-LSH buckets (visually-similar images land in
+    the same sign-bit bucket), and ONE caption survives per bucket — the
+    longest (proxy for richest), doc_id as tiebreak.
+
+    Scale shape: the doc<->embedding equi-join is one co-partitionable
+    shuffle (both sides keyed by id; bucketed storage makes it
+    shuffle-free), the bucket key is map-only HOF arithmetic (shared with
+    q_sim_lsh — srp_bucket), and keep-best is a windowed row_number over
+    buckets whose size LSH bounds. No pairwise comparison ever
+    materializes — the bucket IS the near-dup verdict here; chain
+    q_dedup_embedding after it when exact cosine verification is needed."""
+    from .similarity import _dbl, srp_bucket
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.length("text").alias("cap_len"))
+    )
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", _dbl("embedding").alias("emb"))
+    )
+    p = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "cap_len", srp_bucket("emb").alias("bucket")
+    )
+    w = Window.partitionBy("bucket")
+    r = p.select(
+        "bucket",
+        "doc_id",
+        "cap_len",
+        F.row_number()
+        .over(w.orderBy(F.desc("cap_len"), "doc_id"))
+        .alias("rn"),
+        F.count("*").over(w).alias("n_candidates"),
+    )
+    return r.filter(F.col("rn") == 1).select(
+        F.col("bucket"),
+        F.col("doc_id").alias("kept_doc_id"),
+        "cap_len",
+        "n_candidates",
+    )

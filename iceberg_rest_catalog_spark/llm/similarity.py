@@ -198,6 +198,31 @@ def _lsh_bucket_sql() -> str:
     return " || ".join(bits)
 
 
+def srp_bucket(col: str = "emb"):
+    """SRP-LSH bucket key: LSH_BITS sign bits of dot(v, fixed hyperplanes),
+    concatenated to a '0101'-style string. JVM-side HOF arithmetic; the
+    DuckDB twin is :func:`_lsh_bucket_sql`. Shared by q_sim_lsh and the
+    caption-curation op (llm/curation.py:q_caption_pairs)."""
+    return F.concat(
+        *[
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        col,
+                        F.array(*[F.lit(float(s)) for s in _SRP[j]]),
+                        lambda x, s: x * s,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                "1",
+            ).otherwise("0")
+            for j in range(LSH_BITS)
+        ]
+    )
+
+
 @query(
     "q_sim_lsh",
     oracle=f"""
@@ -221,25 +246,7 @@ def q_sim_lsh(spark, sf_dir):
     2^bits so block sizes stay bounded as the corpus grows — candidate
     generation is a hash-partitioned self-join, never all-pairs."""
     e = _emb(spark, sf_dir).withColumn("emb", _dbl("embedding"))
-    bucket = F.concat(
-        *[
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        "emb",
-                        F.array(*[F.lit(float(s)) for s in _SRP[j]]),
-                        lambda x, s: x * s,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                > 0,
-                "1",
-            ).otherwise("0")
-            for j in range(LSH_BITS)
-        ]
-    )
-    eb = e.withColumn("block", bucket).select("vec_id", "block", "emb")
+    eb = e.withColumn("block", srp_bucket("emb")).select("vec_id", "block", "emb")
     return _block_pairs(eb).select(
         "id_a", "id_b", F.col("block").alias("bucket"), "cos"
     )

@@ -349,3 +349,108 @@ def q_agg_global(spark, sf_dir):
         r4(F.max("l_extendedprice")).alias("max_price"),
         r4(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("sum_disc_amount"),
     )
+
+
+# Count-min sketch geometry: CM_D hash rows x CM_W buckets.  Small enough
+# that the counter table always broadcasts (CM_D*CM_W counters regardless
+# of data size), big enough that collisions are real at sf0.01 (~1k
+# distinct custkeys over 256 buckets), so the estimate-vs-truth comparison
+# actually exercises the min-over-rows bound.
+CM_D, CM_W = 4, 256
+
+
+def _cm_bucket_sql(i_sql: str, key: str) -> str:
+    """Portable bucket hash: ('0x'||substr(md5(i:key),1,8)) % CM_W — the
+    same md5 hex-parse family every LSH oracle uses (llm/dedup.py:_lsh_ctes),
+    so DuckDB computes bit-identical buckets to :func:`_cm_bucket_dyn`."""
+    return (
+        f"('0x' || substr(md5({i_sql} || ':' || CAST({key} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {CM_W}"
+    )
+
+
+@query(
+    "q_agg_countmin",
+    oracle=f"""
+    WITH ev AS (
+      SELECT o_custkey, i,
+             {_cm_bucket_sql("CAST(i AS VARCHAR)", "o_custkey")} AS bucket
+      FROM orders, (SELECT unnest(generate_series(0, {CM_D - 1})) AS i)
+    ), counters AS (
+      SELECT i, bucket, count(*) AS cnt FROM ev GROUP BY i, bucket
+    ), truth AS (
+      SELECT o_custkey, count(*) AS true_cnt FROM orders GROUP BY o_custkey
+    ), probes AS (
+      SELECT o_custkey, i,
+             {_cm_bucket_sql("CAST(i AS VARCHAR)", "o_custkey")} AS bucket
+      FROM truth, (SELECT unnest(generate_series(0, {CM_D - 1})) AS i)
+    ), est AS (
+      SELECT p.o_custkey, min(c.cnt) AS cm_est
+      FROM probes p JOIN counters c ON p.i = c.i AND p.bucket = c.bucket
+      GROUP BY p.o_custkey
+    )
+    SELECT t.o_custkey, t.true_cnt, e.cm_est,
+           e.cm_est - t.true_cnt AS overcount
+    FROM truth t JOIN est e ON t.o_custkey = e.o_custkey
+    ORDER BY t.true_cnt DESC, t.o_custkey LIMIT 20
+    """,
+)
+def q_agg_countmin(spark, sf_dir):
+    """Count-min sketch heavy hitters: estimate per-customer order counts
+    from a {CM_D}x{CM_W} counter grid and report the top-20 against truth
+    (overcount >= 0 always — CM can only overestimate).
+
+    The sketch family member HLL (q_agg_approx_distinct) can't cover:
+    per-key FREQUENCY estimates from O(d*w) space. At 100 TB the counter
+    build is one map-combined aggregate whose shuffle carries at most
+    d*w pre-merged rows per map partition (the sketch IS the partial
+    state, exactly how a CM UDAF would merge); the probe side joins
+    against the d*w-row counter table by BROADCAST, so no data-sized
+    shuffle exists anywhere. Truth (for the report) is one more hash agg.
+    """
+    orders = t(spark, sf_dir, "orders").select("o_custkey")
+    idx = F.explode(F.array(*[F.lit(i) for i in range(CM_D)])).alias("i")
+    ev = orders.select("o_custkey", idx).select(
+        "i", _cm_bucket_dyn(F.col("i"), F.col("o_custkey")).alias("bucket")
+    )
+    counters = ev.groupBy("i", "bucket").agg(F.count("*").alias("cnt"))
+    truth = orders.groupBy("o_custkey").agg(F.count("*").alias("true_cnt"))
+    probes = truth.select("o_custkey", idx).select(
+        "o_custkey",
+        "i",
+        _cm_bucket_dyn(F.col("i"), F.col("o_custkey")).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("o_custkey")
+        .agg(F.min("cnt").alias("cm_est"))
+    )
+    return (
+        truth.join(est, "o_custkey")
+        .select(
+            "o_custkey",
+            "true_cnt",
+            "cm_est",
+            (F.col("cm_est") - F.col("true_cnt")).alias("overcount"),
+        )
+        .orderBy(F.desc("true_cnt"), "o_custkey")
+        .limit(20)
+    )
+
+
+def _cm_bucket_dyn(i_col, key_col):
+    """Bucket hash with a dynamic row index column (explode output)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", i_col.cast("string"), key_col.cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CM_W
+    )

@@ -88,7 +88,9 @@ _QUERY_MODULES = (
 #   3. the round-5 additions, which have never been in a window:
 #      q_dedup_simhash_shingle, q_dedup_incremental, q_dedup_index,
 #      q_dedup_spans, q_sim_knn_batch, q_sim_ann_pq, q_embed_pq,
-#      q_stream_ingest_gate, q_multimodal_frame_sample, q_multimodal_audio;
+#      q_stream_ingest_gate, q_multimodal_frame_sample, q_multimodal_audio,
+#      q_wap_publish, q_snapshot_diff, q_agg_countmin, q_tokenizer_apply,
+#      q_caption_pairs;
 # then order the rest by staleness (r2-confirmed ids first) so evidence
 # refreshes oldest-first.
 #

@@ -143,3 +143,66 @@ def test_hamming_codes_agree_with_signs_and_bound(spark, qs):
         expect_a = sum(1 << i for i in range(32) if v[i] > 0)
         expect_b = sum(1 << i for i in range(32) if v[32 + i] > 0)
         assert (r.code_a, r.code_b) == (expect_a, expect_b)
+
+
+def test_countmin_never_underestimates(spark, qs):
+    """CM sketch guarantee: estimate >= truth, and the top-20 report is
+    exactly 20 rows with deterministic (true_cnt desc, key) ranking."""
+    rows = qs["q_agg_countmin"](spark, SF).collect()
+    assert len(rows) == 20
+    assert all(r.cm_est >= r.true_cnt for r in rows)
+    assert all(r.overcount == r.cm_est - r.true_cnt for r in rows)
+    ranks = [(-r.true_cnt, r.o_custkey) for r in rows]
+    assert ranks == sorted(ranks)
+
+
+def test_wap_audit_gate_blocks_poison_from_main(spark, qs):
+    """The published table must contain exactly the clean keys <= 200 —
+    the poisoned staged batch (negative prices) never reaches main."""
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    out = qs["q_wap_publish"](spark, SF)
+    assert out.filter("o_totalprice < 0").count() == 0
+    expected = t(spark, SF, "orders").filter("o_orderkey <= 200").count()
+    assert out.count() == expected
+
+
+def test_snapshot_diff_classifies_churn_exactly(spark, qs):
+    """Every changelog row is either a delete of a key%10==0 row from the
+    first hundred or an insert of a 200<key<=250 row — nothing else."""
+    rows = qs["q_snapshot_diff"](spark, SF).collect()
+    assert rows, "fixture lineage must produce churn"
+    for r in rows:
+        if r.change_type == "delete":
+            assert r.o_orderkey % 10 == 0 and r.o_orderkey <= 100
+        else:
+            assert r.change_type == "insert"
+            assert 200 < r.o_orderkey <= 250
+
+
+def test_tokenizer_char_fallback_bounds(spark, qs):
+    """Token cost is 1 per vocab word and len(word) per OOV word, so
+    n_tokens >= n_words always, with equality iff the doc is fully
+    in-vocab; oov_rate is a proper rate."""
+    rows = qs["q_tokenizer_apply"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.oov_rate <= 1.0
+        assert r.n_tokens >= r.n_words
+        if r.oov_rate == 0.0:
+            assert r.n_tokens == r.n_words
+
+
+def test_caption_pairs_keep_longest_per_bucket(spark, qs):
+    """One survivor per SRP bucket; candidates partition the joined
+    corpus; the survivor's caption is maximal in its bucket."""
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    rows = qs["q_caption_pairs"](spark, SF).collect()
+    buckets = [r.bucket for r in rows]
+    assert len(buckets) == len(set(buckets))
+    assert all(set(b) <= {"0", "1"} for b in buckets)
+    docs = t(spark, SF, "documents").filter("text IS NOT NULL").select("doc_id")
+    emb = t(spark, SF, "embeddings").filter("embedding IS NOT NULL").select("vec_id")
+    n_joined = docs.join(emb, docs.doc_id == emb.vec_id).count()
+    assert sum(r.n_candidates for r in rows) == n_joined
