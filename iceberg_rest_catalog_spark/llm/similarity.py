@@ -603,3 +603,86 @@ def q_sim_hamming(spark, sf_dir):
         .orderBy("hamming", "vec_id")
         .limit(HAMMING_TOP_K)
     )
+
+
+MRL_DIM = 16     # truncation prefix (Matryoshka nesting level)
+MRL_K = 5        # top-k whose recall we measure
+MRL_QUERY_MOD = 50
+
+
+@query(
+    "q_embed_matryoshka",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE embedding IS NOT NULL
+    ), q AS (
+      SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id % {MRL_QUERY_MOD} = 0
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             row_number() OVER (PARTITION BY q.query_id ORDER BY
+               round(list_cosine_similarity(e.emb, q.qe), 4) DESC, e.vec_id)
+               AS rn_full,
+             row_number() OVER (PARTITION BY q.query_id ORDER BY
+               round(list_cosine_similarity(list_slice(e.emb, 1, {MRL_DIM}),
+                                            list_slice(q.qe, 1, {MRL_DIM})), 4)
+               DESC, e.vec_id) AS rn_trunc
+      FROM q JOIN e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id,
+           round(count(*) FILTER (rn_full <= {MRL_K} AND rn_trunc <= {MRL_K})
+                 * 1.0 / {MRL_K}, 4) AS recall_at_{MRL_K}
+    FROM scored GROUP BY query_id
+    """,
+)
+def q_embed_matryoshka(spark, sf_dir):
+    """Matryoshka/MRL truncation audit: for a probe batch, how much of the
+    exact top-{MRL_K} neighbourhood survives when vectors are truncated to
+    their first {MRL_DIM} of {DIM} dims (per-query recall@{MRL_K}) — the
+    measurement that decides whether a 4x cheaper prefix index (the
+    coarse stage of an adaptive-retrieval funnel) is safe to deploy.
+
+    Completes the vector-compression family's third axis: PQ codes
+    (q_embed_pq/q_sim_ann_pq), int8 scalar quantization
+    (q_embed_quantize), and dimension truncation here.
+
+    Scale shape: probe set broadcasts (it is batch-sized, not
+    corpus-sized); ONE corpus scan scores both resolutions (the truncated
+    dot is a prefix slice, not a second pass); two row_numbers share one
+    (query) shuffle partition; output is |probes| rows. The corpus-side
+    ranking at 100 TB runs per-partition and TakeOrdered-merges — nothing
+    here materializes beyond |probes| x k candidate rows."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).select("vec_id", _dbl("embedding").alias("emb"))
+    q = e.filter(F.col("vec_id") % MRL_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    j = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        r4(_cos("emb", "qe")).alias("cos_full"),
+        r4(
+            _cos(F.slice("emb", 1, MRL_DIM), F.slice("qe", 1, MRL_DIM))
+        ).alias("cos_trunc"),
+    )
+    w = Window.partitionBy("query_id")
+    ranked = j.select(
+        "query_id",
+        F.row_number()
+        .over(w.orderBy(F.desc("cos_full"), "vec_id"))
+        .alias("rn_full"),
+        F.row_number()
+        .over(w.orderBy(F.desc("cos_trunc"), "vec_id"))
+        .alias("rn_trunc"),
+    )
+    return ranked.groupBy("query_id").agg(
+        r4(
+            F.sum(
+                F.when(
+                    (F.col("rn_full") <= MRL_K) & (F.col("rn_trunc") <= MRL_K), 1
+                ).otherwise(0)
+            )
+            / F.lit(float(MRL_K))
+        ).alias(f"recall_at_{MRL_K}")
+    )

@@ -415,3 +415,66 @@ def q_ts_interpolate(spark, sf_dir):
             F.when(F.col("n").isNotNull(), F.col("n") * 1.0).otherwise(interp), 4
         ).alias("filled"),
     )
+
+
+@query(
+    "q_evt_rolling_dau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT d FROM du
+    ), contrib AS (
+      SELECT y.d AS target, du.user_id
+      FROM du, LATERAL (
+        SELECT unnest(generate_series(du.d, du.d + INTERVAL 6 DAY,
+                                      INTERVAL 1 DAY))::DATE AS d) y
+    ), roll AS (
+      SELECT c.target AS d, count(DISTINCT c.user_id) AS rolling_7d_users
+      FROM contrib c JOIN days ON days.d = c.target
+      GROUP BY c.target
+    ), dau AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY d
+    )
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau,
+           CAST(roll.rolling_7d_users AS BIGINT) AS rolling_7d_users
+    FROM dau JOIN roll ON dau.d = roll.d
+    """,
+)
+def q_evt_rolling_dau(spark, sf_dir):
+    """Daily active users + trailing-7-day distinct users per day — the
+    dashboard query every event pipeline serves, and the canonical
+    rolling-DISTINCT problem: COUNT(DISTINCT) is not decomposable over a
+    sliding frame, so a window function cannot compute it.
+
+    The scale technique is WINDOW-WIDTH EXPLODE: the corpus first
+    collapses to distinct (day, user) pairs (one hash agg — the big
+    shrink happens before anything else), then each pair fans out to the
+    <=7 target days it can contribute to, and one countDistinct per
+    target day finishes. Work is bounded at 7x|user-days| exploded rows —
+    linear in data, NEVER the day-range self-join (whose cost is
+    |days| x |user-days|). Target days are semi-joined back to observed
+    days so sparse calendars don't emit phantom rows."""
+    du = (
+        t(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+    )
+    days = du.select("d").distinct()
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("target"),
+        "user_id",
+    )
+    roll = (
+        contrib.join(F.broadcast(days), contrib.target == days.d)
+        .groupBy("target")
+        .agg(F.countDistinct("user_id").alias("rolling_7d_users"))
+    )
+    dau = du.groupBy("d").agg(F.count("*").alias("dau"))
+    return dau.join(roll, dau.d == roll.target).select(
+        F.date_format(dau.d, "yyyy-MM-dd").alias("day"),
+        "dau",
+        "rolling_7d_users",
+    )

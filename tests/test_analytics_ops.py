@@ -206,3 +206,42 @@ def test_caption_pairs_keep_longest_per_bucket(spark, qs):
     emb = t(spark, SF, "embeddings").filter("embedding IS NOT NULL").select("vec_id")
     n_joined = docs.join(emb, docs.doc_id == emb.vec_id).count()
     assert sum(r.n_candidates for r in rows) == n_joined
+
+
+def test_rolling_dau_bounds_and_coverage(spark, qs):
+    """7-day rolling distinct users is bounded below by the day's DAU and
+    above by the trailing week's DAU sum; every observed day appears."""
+    from iceberg_rest_catalog_spark.operators.common import t
+    import datetime as dt
+
+    rows = {r.day: r for r in qs["q_evt_rolling_dau"](spark, SF).collect()}
+    n_days = (
+        t(spark, SF, "events").selectExpr("to_date(ts) AS d").distinct().count()
+    )
+    assert len(rows) == n_days
+    for day, r in rows.items():
+        assert r.rolling_7d_users >= r.dau
+        d0 = dt.date.fromisoformat(day)
+        week_sum = sum(
+            rows[k].dau
+            for k in rows
+            if 0 <= (d0 - dt.date.fromisoformat(k)).days <= 6
+        )
+        assert r.rolling_7d_users <= week_sum
+
+
+def test_matryoshka_recall_is_a_rate(spark, qs):
+    """Per-probe recall@5 lies on the {0, .2, .4, .6, .8, 1} grid, one row
+    per probe vector."""
+    from iceberg_rest_catalog_spark.llm.similarity import MRL_K, MRL_QUERY_MOD
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    rows = qs["q_embed_matryoshka"](spark, SF).collect()
+    n_probes = (
+        t(spark, SF, "embeddings")
+        .filter(f"embedding IS NOT NULL AND vec_id % {MRL_QUERY_MOD} = 0")
+        .count()
+    )
+    assert len(rows) == n_probes
+    grid = {round(i / MRL_K, 4) for i in range(MRL_K + 1)}
+    assert all(r[f"recall_at_{MRL_K}"] in grid for r in rows)

@@ -107,6 +107,10 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 # broadcast K-row centroid table / 1-row vocab-total: BNLJ
                 # with a bounded build side is the intended assignment shape
                 "q_cluster_kmeans", "q_text_perplexity", "q_sim_knn_batch",
+                # broadcast probe BATCH (batch-sized build side, never the
+                # corpus) scored against one corpus scan — the brute-force
+                # recall-audit baseline, deliberately exact
+                "q_embed_matryoshka",
                 # 1-row broadcast calibration/count rows (scale vector,
                 # node count, mixture normalizer): map-only distribution
                 # of a scalar aggregate
