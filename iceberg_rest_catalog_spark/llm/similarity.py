@@ -651,20 +651,38 @@ def q_embed_matryoshka(spark, sf_dir):
     dot is a prefix slice, not a second pass); two row_numbers share one
     (query) shuffle partition; output is |probes| rows. The corpus-side
     ranking at 100 TB runs per-partition and TakeOrdered-merges — nothing
-    here materializes beyond |probes| x k candidate rows."""
+    here materializes beyond |probes| x k candidate rows.
+
+    Hot-path note: norms are computed ONCE PER ROW before the pair join
+    (cos = dot of pre-normalized vectors), and the two per-pair dots run
+    through the Arrow-batched numpy kernel (:func:`_dot_pd`) — per-pair
+    higher-order-function cosines (which re-derive both norms for every
+    pair) measured 3.4 s vs ~1 s for this shape at sf0.1."""
     from pyspark.sql import Window
 
-    e = _emb(spark, sf_dir).select("vec_id", _dbl("embedding").alias("emb"))
+    def _with_units(df, emb_col):
+        full_n = _norm(emb_col)
+        pre = F.slice(emb_col, 1, MRL_DIM)
+        pre_n = _norm(pre)
+        return df.select(
+            *df.columns,
+            F.transform(emb_col, lambda x: x / full_n).alias("u_full"),
+            F.transform(pre, lambda x: x / pre_n).alias("u_trunc"),
+        )
+
+    e = _with_units(
+        _emb(spark, sf_dir).select("vec_id", _dbl("embedding").alias("emb")), "emb"
+    ).drop("emb")
     q = e.filter(F.col("vec_id") % MRL_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("u_full").alias("q_full"),
+        F.col("u_trunc").alias("q_trunc"),
     )
     j = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         "vec_id",
-        r4(_cos("emb", "qe")).alias("cos_full"),
-        r4(
-            _cos(F.slice("emb", 1, MRL_DIM), F.slice("qe", 1, MRL_DIM))
-        ).alias("cos_trunc"),
+        r4(_dot_pd("u_full", "q_full")).alias("cos_full"),
+        r4(_dot_pd("u_trunc", "q_trunc")).alias("cos_trunc"),
     )
     w = Window.partitionBy("query_id")
     ranked = j.select(
