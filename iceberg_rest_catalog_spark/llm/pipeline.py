@@ -599,3 +599,63 @@ def q_sample_importance(spark, sf_dir):
         / 16777216.0
     )
     return d.filter(u < w).select("doc_id", "lang", F.round(w, 4).alias("weight"))
+
+
+@query(
+    "q_sample_balanced",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang FROM documents WHERE text IS NOT NULL
+    ), nmin AS (
+      SELECT min(c) AS n FROM (SELECT count(*) AS c FROM d GROUP BY lang)
+    ), ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM d
+    )
+    SELECT r.doc_id, r.lang FROM ranked r, nmin WHERE r.rk <= nmin.n
+    """,
+)
+def q_sample_balanced(spark, sf_dir):
+    """Class-balanced downsample: every language keeps exactly n_min docs
+    (n_min = the smallest class's size), selected by md5 priority — the
+    rebalancing step before training a classifier (language-ID, quality)
+    on skewed corpus labels, deterministic across runs and partitionings.
+
+    Scale shape: class counts are a |classes|-row aggregate; n_min is a
+    1-ROW broadcast (scalar-distribution BNLJ, see q_agg_histogram); the
+    per-class row_number sorts WITHIN class partitions only. At 100 TB
+    with huge classes the same hash column supports a sort-free variant —
+    keep rows whose hash falls below the class's n_min/|class| quantile —
+    because the md5 priority is uniform; row_number is kept here for
+    exact-count semantics the oracle can pin."""
+    from pyspark.sql import Window
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "lang")
+    )
+    nmin = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .agg(F.min("c").alias("n"))
+    )
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("rk"),
+    )
+    return (
+        ranked.join(F.broadcast(nmin))
+        .filter(F.col("rk") <= F.col("n"))
+        .select("doc_id", "lang")
+    )

@@ -454,3 +454,64 @@ def _cm_bucket_dyn(i_col, key_col):
         ).cast("long")
         % CM_W
     )
+
+
+HIST_BUCKETS = 20
+
+
+@query(
+    "q_agg_histogram",
+    oracle=f"""
+    WITH mm AS (
+      SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+    ), b AS (
+      SELECT least(CAST(floor((o_totalprice - mm.lo) * {HIST_BUCKETS}
+                               / (mm.hi - mm.lo)) AS BIGINT),
+                   {HIST_BUCKETS - 1}) AS bucket,
+             mm.lo, mm.hi
+      FROM orders, mm
+    )
+    SELECT bucket,
+           round(lo + bucket * (hi - lo) / {HIST_BUCKETS}, 4) AS bucket_lo,
+           round(lo + (bucket + 1) * (hi - lo) / {HIST_BUCKETS}, 4) AS bucket_hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket, lo, hi
+    """,
+)
+def q_agg_histogram(spark, sf_dir):
+    """Equi-width histogram of order totals ({HIST_BUCKETS} buckets between
+    the global min and max) — the statistics-building primitive behind
+    optimizer column histograms, data-profiling dashboards and drift
+    monitors.
+
+    Scale shape: pass 1 is a 1-ROW min/max aggregate; that row BROADCASTS
+    into pass 2 (a BNLJ with a single build row — the scale-safe scalar
+    distribution shape, see q_tpch_q22), where bucketing is map-only
+    arithmetic and the count is a {HIST_BUCKETS}-group map-combined
+    aggregate. Two scans, no data-sized shuffle anywhere. Bucket edges are
+    computed with the identical expression order on both engines, so IEEE
+    doubles agree bit-for-bit."""
+    orders = t(spark, sf_dir, "orders").select("o_totalprice")
+    mm = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    b = orders.join(F.broadcast(mm)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                * HIST_BUCKETS
+                / (F.col("hi") - F.col("lo"))
+            ).cast("long"),
+            F.lit(HIST_BUCKETS - 1),
+        ).alias("bucket"),
+        "lo",
+        "hi",
+    )
+    return b.groupBy("bucket", "lo", "hi").agg(
+        F.count("*").alias("n")
+    ).select(
+        "bucket",
+        r4(F.col("lo") + F.col("bucket") * (F.col("hi") - F.col("lo")) / HIST_BUCKETS).alias("bucket_lo"),
+        r4(F.col("lo") + (F.col("bucket") + 1) * (F.col("hi") - F.col("lo")) / HIST_BUCKETS).alias("bucket_hi"),
+        "n",
+    )

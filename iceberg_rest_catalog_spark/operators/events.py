@@ -21,7 +21,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from .common import t
+from .common import r4, t
 
 
 @query(
@@ -477,4 +477,68 @@ def q_evt_rolling_dau(spark, sf_dir):
         F.date_format(dau.d, "yyyy-MM-dd").alias("day"),
         "dau",
         "rolling_7d_users",
+    )
+
+
+@query(
+    "q_evt_rfm",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS now FROM events),
+    u AS (
+      SELECT user_id,
+             datediff('day', max(ts), (SELECT now FROM mx)) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(coalesce(sum(value), 0), 4) AS monetary
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           ntile(4) OVER (ORDER BY recency_days ASC, user_id) AS r_score,
+           ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+           ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_score
+    FROM u
+    """,
+)
+def q_evt_rfm(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary): the classic
+    customer-value quartiling — days since last event, event count, and
+    value sum per user, each scored 1-4 by ntile with a user_id tiebreak
+    so both engines quartile identically (monetary is coalesced to 0:
+    engines disagree on NULL placement under DESC).
+
+    Scale shape: the corpus collapses to ONE |users|-row aggregate before
+    anything else; the three ntiles are whole-frame windows over that
+    aggregate — fine while |users| fits a single sort (ntile needs global
+    rank; at extreme user counts swap ntile for a quantile-threshold join
+    against approx_percentile bounds, same outputs up to tie handling).
+    The reference-corpus max(ts) is a 1-row broadcast."""
+    ev = t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("now"))
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("frequency"),
+            r4(F.coalesce(F.sum("value"), F.lit(0.0))).alias("monetary"),
+        )
+        .join(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("now"), F.to_date("last_ts")).alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    wa = Window.orderBy(F.asc("recency_days"), "user_id")
+    wf = Window.orderBy(F.desc("frequency"), "user_id")
+    wm = Window.orderBy(F.desc("monetary"), "user_id")
+    return u.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wa).alias("r_score"),
+        F.ntile(4).over(wf).alias("f_score"),
+        F.ntile(4).over(wm).alias("m_score"),
     )

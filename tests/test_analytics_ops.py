@@ -245,3 +245,49 @@ def test_matryoshka_recall_is_a_rate(spark, qs):
     assert len(rows) == n_probes
     grid = {round(i / MRL_K, 4) for i in range(MRL_K + 1)}
     assert all(r[f"recall_at_{MRL_K}"] in grid for r in rows)
+
+
+def test_histogram_partitions_all_rows(spark, qs):
+    """Bucket counts sum to the table row count; edges are ordered and
+    buckets lie in [0, 19]."""
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    rows = qs["q_agg_histogram"](spark, SF).collect()
+    total = t(spark, SF, "orders").count()
+    assert sum(r.n for r in rows) == total
+    assert all(0 <= r.bucket <= 19 for r in rows)
+    assert all(r.bucket_lo < r.bucket_hi for r in rows)
+
+
+def test_balanced_sample_equalizes_classes(spark, qs):
+    """Every language keeps exactly n_min docs."""
+    from collections import Counter
+
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    rows = qs["q_sample_balanced"](spark, SF).collect()
+    kept = Counter(r.lang for r in rows)
+    full = {
+        r.lang: r.c
+        for r in t(spark, SF, "documents")
+        .filter("text IS NOT NULL")
+        .groupBy("lang")
+        .count()
+        .withColumnRenamed("count", "c")
+        .collect()
+    }
+    n_min = min(full.values())
+    assert set(kept) == set(full)
+    assert all(v == n_min for v in kept.values())
+
+
+def test_rfm_scores_are_balanced_quartiles(spark, qs):
+    """Each score dimension is 1..4 and ntile keeps bucket sizes within
+    one of each other."""
+    from collections import Counter
+
+    rows = qs["q_evt_rfm"](spark, SF).collect()
+    for dim in ("r_score", "f_score", "m_score"):
+        c = Counter(getattr(r, dim) for r in rows)
+        assert set(c) == {1, 2, 3, 4}
+        assert max(c.values()) - min(c.values()) <= 1

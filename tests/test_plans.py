@@ -115,7 +115,10 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 # node count, mixture normalizer): map-only distribution
                 # of a scalar aggregate
                 "q_embed_quantize", "q_graph_pagerank",
-                "q_data_mixture_temperature"}
+                "q_data_mixture_temperature",
+                # 1-row min/max broadcast into the bucketing pass
+                # (scalar-distribution shape, like q_tpch_q22)
+                "q_agg_histogram", "q_sample_balanced", "q_evt_rfm"}
 ROW_PYTHON_OK = {"q_udf_python", "q_udtf"}  # ops whose SUBJECT is Python eval
 
 

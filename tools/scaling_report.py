@@ -47,6 +47,12 @@ QUERIES = [
     "q_dedup_spans",
     "q_dedup_index",
     "q_embed_pq",
+    # round-5 second wave
+    "q_agg_countmin",
+    "q_tokenizer_apply",
+    "q_caption_pairs",
+    "q_evt_rolling_dau",
+    "q_embed_matryoshka",
 ]
 
 
