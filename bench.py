@@ -70,6 +70,12 @@ HEADLINE = [
     # IVF k-NN join — tracked from birth so regressions are visible.
     "q_dedup_incremental",
     "q_sim_knn_batch",
+    # round-5 second wave: the data-proportional additions (the other new
+    # ops reduce to 1-row / |classes|-row aggregates and track nothing).
+    "q_agg_countmin",
+    "q_tokenizer_apply",
+    "q_evt_rolling_dau",
+    "q_embed_matryoshka",
 ]
 
 

@@ -752,12 +752,57 @@ def q_wap_publish(spark, sf_dir):
     )
 
 
+def _cdc_lineage_table(spark, sf_dir):
+    """Build (idempotently per sf_dir) the append → CoW-DELETE → append
+    lineage shared by q_snapshot_diff and q_meta_history.
+
+    The DELETE predicate includes the table's min key so it matches at
+    least one row on ANY non-empty fixture — a predicate that happens to
+    match nothing would make delete_where a no-op commit-wise and the
+    lineage (and q_meta_history's literal oracle) fixture-dependent
+    (found by the perturbed-fixture audit, which deletes every
+    %10 key)."""
+    wh = scratch_dir(sf_dir, "catalog_data", "snapshot_diff")
+    cat = Catalog(wh)
+    marker = os.path.join(wh, ".ready")
+    if not os.path.exists(marker):
+        shutil.rmtree(wh, ignore_errors=True)
+        os.makedirs(wh, exist_ok=True)
+        cat = Catalog(wh)
+        cat.create_namespace(("db",))
+        tbl = cat.create_table(
+            ("db", "orders_cdc"), _ORDERS_SCHEMA,
+            write_order=[{"name": "o_orderkey", "direction": "asc"}],
+        )
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        mn = orders.agg(F.min("o_orderkey")).collect()[0][0]
+        tbl = tbl.append(
+            orders.filter(F.col("o_orderkey") <= 200).repartitionByRange(
+                4, "o_orderkey"
+            )
+        )
+        tbl = tbl.delete_where(
+            spark,
+            f"(o_orderkey % 10 = 0 AND o_orderkey <= 100) OR o_orderkey = {mn}",
+            prune=[("o_orderkey", "<=", max(100, mn))],
+        )
+        tbl.append(orders.filter(
+            (F.col("o_orderkey") > 200) & (F.col("o_orderkey") <= 250)
+        ))
+        open(marker, "w").close()
+    return cat
+
+
 @query(
     "q_snapshot_diff",
     oracle="""
     SELECT 'delete' AS change_type, o_orderkey, o_custkey,
            round(o_totalprice, 4) AS o_totalprice
-    FROM orders WHERE o_orderkey <= 100 AND o_orderkey % 10 = 0
+    FROM orders
+    WHERE (o_orderkey <= 100 AND o_orderkey % 10 = 0)
+       OR o_orderkey = (SELECT min(o_orderkey) FROM orders)
     UNION ALL
     SELECT 'insert' AS change_type, o_orderkey, o_custkey,
            round(o_totalprice, 4) AS o_totalprice
@@ -775,35 +820,7 @@ def q_snapshot_diff(spark, sf_dir):
     opened (asserted below). Row-level work is then two exceptAll
     hash-aggregates over just the churned files: a 100 TB table whose day
     touched 1% of files diffs 1% of the data, not the table."""
-    wh = scratch_dir(sf_dir, "catalog_data", "snapshot_diff")
-    cat = Catalog(wh)
-    marker = os.path.join(wh, ".ready")
-    if not os.path.exists(marker):
-        shutil.rmtree(wh, ignore_errors=True)
-        os.makedirs(wh, exist_ok=True)
-        cat = Catalog(wh)
-        cat.create_namespace(("db",))
-        tbl = cat.create_table(
-            ("db", "orders_cdc"), _ORDERS_SCHEMA,
-            write_order=[{"name": "o_orderkey", "direction": "asc"}],
-        )
-        orders = t(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey", "o_totalprice"
-        )
-        tbl = tbl.append(
-            orders.filter(F.col("o_orderkey") <= 200).repartitionByRange(
-                4, "o_orderkey"
-            )
-        )
-        tbl = tbl.delete_where(
-            spark,
-            "o_orderkey % 10 = 0 AND o_orderkey <= 100",
-            prune=[("o_orderkey", "<=", 100)],
-        )
-        tbl.append(orders.filter(
-            (F.col("o_orderkey") > 200) & (F.col("o_orderkey") <= 250)
-        ))
-        open(marker, "w").close()
+    cat = _cdc_lineage_table(spark, sf_dir)
     tbl = cat.load_table(("db", "orders_cdc"))
     f_old = set(tbl._files_at(1))
     f_new = set(tbl._files_at(None))
@@ -828,4 +845,42 @@ def q_snapshot_diff(spark, sf_dir):
     return deletes.unionByName(inserts).select(
         "change_type", "o_orderkey", "o_custkey",
         F.round("o_totalprice", 4).alias("o_totalprice"),
+    )
+
+
+@query(
+    "q_meta_history",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'append',    FALSE),
+      (2, 'overwrite', FALSE),
+      (3, 'append',    TRUE)
+    ) AS h(seq, operation, is_current)
+    """,
+)
+def q_meta_history(spark, sf_dir):
+    """Snapshot-history metadata table (Iceberg's ``table.history`` /
+    ``snapshots``): one row per MAIN-LINEAGE snapshot, oldest first, with
+    its operation and whether it is the current head. Runs over the shared
+    CDC lineage (append → copy-on-write DELETE committed as 'overwrite' →
+    append), so the oracle is the literal expected lineage.
+
+    Metadata-plane only: the query never opens a data file — it reads the
+    snapshot list the commits maintained (reference tables.go keeps the
+    same lineage for its UpdateTable commits). Lineage matters: a WAP
+    branch snapshot has a higher id than main's head but is NOT an
+    ancestor, and must not appear here (Table._ancestors follows
+    parent-snapshot-id, never id order). At 100 TB this is THE debugging
+    query — what happened to this table, in order — and costs O(history
+    length), independent of data size."""
+    cat = _cdc_lineage_table(spark, sf_dir)
+    tbl = cat.load_table(("db", "orders_cdc"))
+    cur = tbl.metadata["current-snapshot-id"]
+    chain = tbl._ancestors(cur)
+    rows = [
+        (i + 1, s["operation"], s["snapshot-id"] == cur)
+        for i, s in enumerate(chain)
+    ]
+    return spark.createDataFrame(
+        rows, "seq int, operation string, is_current boolean"
     )

@@ -168,13 +168,19 @@ def test_wap_audit_gate_blocks_poison_from_main(spark, qs):
 
 
 def test_snapshot_diff_classifies_churn_exactly(spark, qs):
-    """Every changelog row is either a delete of a key%10==0 row from the
-    first hundred or an insert of a 200<key<=250 row — nothing else."""
+    """Every changelog row is either a delete (a key%10==0 row from the
+    first hundred, or the table's min key — the always-matches guard) or
+    an insert of a 200<key<=250 row — nothing else."""
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    mn = t(spark, SF, "orders").agg({"o_orderkey": "min"}).collect()[0][0]
     rows = qs["q_snapshot_diff"](spark, SF).collect()
     assert rows, "fixture lineage must produce churn"
     for r in rows:
         if r.change_type == "delete":
-            assert r.o_orderkey % 10 == 0 and r.o_orderkey <= 100
+            assert (r.o_orderkey % 10 == 0 and r.o_orderkey <= 100) or (
+                r.o_orderkey == mn
+            )
         else:
             assert r.change_type == "insert"
             assert 200 < r.o_orderkey <= 250
@@ -291,3 +297,11 @@ def test_rfm_scores_are_balanced_quartiles(spark, qs):
         c = Counter(getattr(r, dim) for r in rows)
         assert set(c) == {1, 2, 3, 4}
         assert max(c.values()) - min(c.values()) <= 1
+
+
+def test_meta_history_walks_main_lineage_only(spark, qs):
+    """History is append → overwrite (the CoW DELETE) → append, oldest
+    first, exactly one current head."""
+    rows = sorted(qs["q_meta_history"](spark, SF).collect(), key=lambda r: r.seq)
+    assert [r.operation for r in rows] == ["append", "overwrite", "append"]
+    assert [r.is_current for r in rows] == [False, False, True]
