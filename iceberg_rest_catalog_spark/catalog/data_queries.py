@@ -213,19 +213,9 @@ def q_compact(spark, sf_dir):
     )
 
 
-@query(
-    "q_meta_prune",
-    oracle="""
-    SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
-    FROM orders WHERE o_orderkey <= 2000 AND year(o_orderdate) = 1997
-    """,
-)
-def q_meta_prune(spark, sf_dir):
-    """Metadata-level partition pruning: a cataloged table partitioned by
-    year(o_orderdate) records per-file partition values in its snapshot
-    manifest; scan(partition_filters={"o_orderdate": "1997"}) selects the
-    surviving file paths from METADATA — no directory listing, no footer
-    reads outside the chosen year. The Iceberg read-path model."""
+def _partitioned_orders_table(spark, sf_dir):
+    """Build (idempotently per sf_dir) the year-partitioned orders table
+    shared by q_meta_prune and q_meta_partition_stats."""
     from .schema import NestedField as NF
     from .schema import Schema as Sch
 
@@ -257,7 +247,23 @@ def q_meta_prune(spark, sf_dir):
         )
         tbl.append(orders.filter(F.col("o_orderkey") <= 2000))
         open(marker, "w").close()
-    tbl = cat.load_table(("db", "orders_p"))
+    return cat.load_table(("db", "orders_p"))
+
+
+@query(
+    "q_meta_prune",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+    FROM orders WHERE o_orderkey <= 2000 AND year(o_orderdate) = 1997
+    """,
+)
+def q_meta_prune(spark, sf_dir):
+    """Metadata-level partition pruning: a cataloged table partitioned by
+    year(o_orderdate) records per-file partition values in its snapshot
+    manifest; scan(partition_filters={"o_orderdate": "1997"}) selects the
+    surviving file paths from METADATA — no directory listing, no footer
+    reads outside the chosen year. The Iceberg read-path model."""
+    tbl = _partitioned_orders_table(spark, sf_dir)
     return tbl.scan(spark, partition_filters={"o_orderdate": "1997"}).select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
     )
@@ -883,4 +889,39 @@ def q_meta_history(spark, sf_dir):
     ]
     return spark.createDataFrame(
         rows, "seq int, operation string, is_current boolean"
+    )
+
+
+@query(
+    "q_meta_partition_stats",
+    oracle="""
+    SELECT year(o_orderdate) AS partition_year,
+           CAST(count(*) AS BIGINT) AS n_records
+    FROM orders WHERE o_orderkey <= 2000
+    GROUP BY partition_year
+    """,
+)
+def q_meta_partition_stats(spark, sf_dir):
+    """Partition-stats metadata table (Iceberg's ``partitions``): per
+    partition value, the record count summed from MANIFEST entries — no
+    data file is ever opened. The oracle recomputes the same counts from
+    the data, so hash equality proves the write path's per-file record
+    stamps are exact (the integrity contract that lets count(*),
+    partition layouts and file-skip plans be answered from metadata at
+    100 TB; reference models.go:66 declares the partition-spec surface
+    this serves).
+
+    Cost is O(|manifest entries|), independent of data size; the
+    aggregate runs over a |files|-row local frame."""
+    tbl = _partitioned_orders_table(spark, sf_dir)
+    entries = tbl._entries_at(None)
+    rows = [
+        (int(e["partition"]["o_orderdate"]), int(e["records"]))
+        for e in entries
+    ]
+    assert rows and all(r[1] > 0 for r in rows)
+    return (
+        spark.createDataFrame(rows, "partition_year int, n_records long")
+        .groupBy("partition_year")
+        .agg(F.sum("n_records").cast("long").alias("n_records"))
     )

@@ -305,3 +305,25 @@ def test_meta_history_walks_main_lineage_only(spark, qs):
     rows = sorted(qs["q_meta_history"](spark, SF).collect(), key=lambda r: r.seq)
     assert [r.operation for r in rows] == ["append", "overwrite", "append"]
     assert [r.is_current for r in rows] == [False, False, True]
+
+
+def test_partition_stats_match_data_counts(spark, qs):
+    """Manifest record counts per partition equal the data's actual
+    per-year counts — metadata is exact."""
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    meta = {
+        r.partition_year: r.n_records
+        for r in qs["q_meta_partition_stats"](spark, SF).collect()
+    }
+    truth = {
+        r.y: r.c
+        for r in t(spark, SF, "orders")
+        .filter("o_orderkey <= 2000")
+        .selectExpr("year(o_orderdate) AS y")
+        .groupBy("y")
+        .count()
+        .withColumnRenamed("count", "c")
+        .collect()
+    }
+    assert meta == truth
