@@ -542,3 +542,72 @@ def q_evt_rfm(spark, sf_dir):
         F.ntile(4).over(wf).alias("f_score"),
         F.ntile(4).over(wm).alias("m_score"),
     )
+
+
+@query(
+    "q_evt_drift_ks",
+    oracle="""
+    WITH pts AS (
+      SELECT round(value, 4) AS v,
+             CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS g
+      FROM events WHERE value IS NOT NULL
+    ), cnt AS (
+      SELECT v,
+             count(*) FILTER (g = 0) AS c0,
+             count(*) FILTER (g = 1) AS c1
+      FROM pts GROUP BY v
+    ), cdf AS (
+      SELECT v,
+             CAST(sum(c0) OVER (ORDER BY v) AS DOUBLE)
+               / (SELECT count(*) FROM pts WHERE g = 0) AS f0,
+             CAST(sum(c1) OVER (ORDER BY v) AS DOUBLE)
+               / (SELECT count(*) FROM pts WHERE g = 1) AS f1
+      FROM cnt
+    )
+    SELECT round(max(abs(f0 - f1)), 4) AS ks_stat,
+           (SELECT CAST(count(*) AS BIGINT) FROM pts WHERE g = 0) AS n_a,
+           (SELECT CAST(count(*) AS BIGINT) FROM pts WHERE g = 1) AS n_b
+    FROM cdf
+    """,
+)
+def q_evt_drift_ks(spark, sf_dir):
+    """Two-sample distribution-drift check: the Kolmogorov-Smirnov
+    statistic (max CDF gap) between event values from the first vs second
+    half of the month — the data-quality gate that catches a silently
+    shifted metric before it trains into a model. Values quantize to 4
+    decimals first, so the comparison grid is bounded and both engines
+    walk identical points.
+
+    Scale shape: one hash agg collapses the corpus to |distinct quantized
+    values| rows with BOTH sides' counts; the two CDFs come from ONE
+    running-sum sort over that collapsed grid (totals are whole-frame
+    window sums — no extra pass); output is a single row. At 100 TB the
+    quantization bounds the sort; coarser bins or a t-digest sketch are
+    the documented swaps if even that grid grows hot."""
+    pts = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.round("value", 4).alias("v"),
+            F.when(F.dayofmonth("ts") <= 15, 0).otherwise(1).alias("g"),
+        )
+    )
+    cnt = pts.groupBy("v").agg(
+        F.count(F.when(F.col("g") == 0, 1)).alias("c0"),
+        F.count(F.when(F.col("g") == 1, 1)).alias("c1"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    whole = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cdf = cnt.select(
+        (F.sum("c0").over(w).cast("double") / F.sum("c0").over(whole)).alias("f0"),
+        (F.sum("c1").over(w).cast("double") / F.sum("c1").over(whole)).alias("f1"),
+        F.sum("c0").over(whole).alias("n_a"),
+        F.sum("c1").over(whole).alias("n_b"),
+    )
+    return cdf.agg(
+        r4(F.max(F.abs(F.col("f0") - F.col("f1")))).alias("ks_stat"),
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+    )

@@ -327,3 +327,14 @@ def test_partition_stats_match_data_counts(spark, qs):
         .collect()
     }
     assert meta == truth
+
+
+def test_ks_drift_is_a_proper_statistic(spark, qs):
+    """KS lies in [0,1]; sample sizes partition the non-null values."""
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    r = qs["q_evt_drift_ks"](spark, SF).collect()[0]
+    assert 0.0 <= r.ks_stat <= 1.0
+    total = t(spark, SF, "events").filter("value IS NOT NULL").count()
+    assert r.n_a + r.n_b == total
+    assert r.n_a > 0 and r.n_b > 0
