@@ -653,3 +653,93 @@ def q_stream_ingest_gate(spark, sf_dir):
         )
         q.awaitTermination()
     return spark.read.parquet(sink)
+
+
+@query(
+    "q_stream_wap",
+    oracle="""
+    SELECT event_id, user_id, event_type, round(value, 4) AS value
+    FROM events
+    WHERE event_type = 'purchase' AND value IS NOT NULL
+      AND event_id % 7 <> 0
+    """,
+)
+def q_stream_wap(spark, sf_dir):
+    """Streaming write-audit-publish: every micro-batch stages on its OWN
+    branch, an audit gate (here: no NULL values — rows with NULL value are
+    poison) decides per batch, and only clean batches fast_forward into
+    main; dirty batches leave their branch unpublished and main never sees
+    a single bad row, even transiently. The streaming composition of
+    q_wap_publish with q_stream_catalog_sink's exactly-once commit shape.
+
+    At 100 TB/day this is the production ingest gate for tables with
+    read-side SLOs: data lands once (branch append), validation runs
+    against real committed files, and the publish is an O(1) metadata
+    swap per batch — a failed audit quarantines exactly one batch without
+    stalling the stream or dirtying readers."""
+    from ..catalog import Catalog, NestedField, Schema
+
+    wh = scratch_dir(sf_dir, "stream_wap")
+    shutil.rmtree(wh, ignore_errors=True)
+    os.makedirs(wh, exist_ok=True)
+
+    src_dir = os.path.join(wh, "src")
+    ev = t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "event_id", "user_id", "event_type", F.round("value", 4).alias("value")
+    )
+    # one source file carries synthesized poison (every 7th event's value
+    # nulled), three are clean — exactly one audit fails, three publish
+    clean = ev.filter(F.col("event_id") % 7 != 0).repartition(3)
+    poison = ev.filter(F.col("event_id") % 7 == 0).withColumn(
+        "value", F.lit(None).cast("double")
+    )
+    clean.write.mode("overwrite").parquet(src_dir)
+    poison.write.mode("append").parquet(src_dir)
+
+    cat = Catalog(os.path.join(wh, "warehouse"))
+    cat.create_namespace(("db",))
+    sch = Schema(
+        0,
+        [
+            NestedField(1, "event_id", "long"),
+            NestedField(2, "user_id", "long"),
+            NestedField(3, "event_type", "string"),
+            NestedField(4, "value", "double"),
+        ],
+    )
+    cat.create_table(("db", "purchases_wap"), sch)
+    outcomes: list[tuple[int, bool]] = []
+
+    def wap_batch(batch_df, batch_id):
+        branch = f"audit-{batch_id}"
+        tbl = cat.load_table(("db", "purchases_wap")).append(
+            batch_df, branch=branch
+        )
+        staged = tbl.df(spark, snapshot_id=tbl.snapshot_for_ref(branch))
+        n_bad = staged.filter(F.col("value").isNull()).count()
+        if n_bad == 0:
+            tbl.fast_forward(branch)
+            outcomes.append((batch_id, True))
+        else:
+            outcomes.append((batch_id, False))  # branch stays unpublished
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(wap_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    published = [b for b, ok in outcomes if ok]
+    rejected = [b for b, ok in outcomes if not ok]
+    assert len(rejected) >= 1, "the poison batch must fail its audit"
+    assert len(published) >= 2, "clean batches must publish"
+    tbl = cat.load_table(("db", "purchases_wap"))
+    out = tbl.df(spark)
+    assert out.filter(F.col("value").isNull()).count() == 0
+    return out

@@ -338,3 +338,19 @@ def test_ks_drift_is_a_proper_statistic(spark, qs):
     total = t(spark, SF, "events").filter("value IS NOT NULL").count()
     assert r.n_a + r.n_b == total
     assert r.n_a > 0 and r.n_b > 0
+
+
+def test_stream_wap_quarantines_only_the_poison_batch(spark, qs):
+    """Main contains every clean purchase and zero NULL-value rows; the
+    poisoned batch (event_id % 7 == 0, nulled) never publishes."""
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    out = qs["q_stream_wap"](spark, SF)
+    assert out.filter("value IS NULL").count() == 0
+    assert out.filter("event_id % 7 = 0").count() == 0
+    expected = (
+        t(spark, SF, "events")
+        .filter("event_type = 'purchase' AND value IS NOT NULL AND event_id % 7 <> 0")
+        .count()
+    )
+    assert out.count() == expected
