@@ -1125,12 +1125,17 @@ def q_dedup_fuzzy_verified(spark, sf_dir):
     return _exact_jaccard_pairs(spark, sf_dir)
 
 
-def _exact_jaccard_pairs(spark, sf_dir):
-    cands = (
-        _minhash_pairs(spark, sf_dir, threshold=0.0)
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+def _trigram_sets(spark, sf_dir):
+    """(doc_id, sh: distinct word-trigram array) — the exact-verify side.
+
+    Drops docs with no trigrams (< 3 tokens, incl. NULL): they cannot
+    near-duplicate at trigram granularity, and because every empty doc
+    shares one minhash signature they always become candidates of each
+    other — the verify Jaccard would then divide by zero (found by the
+    perturbed-fixture audit). The predicate is on the TOKEN count, not on
+    size of the built gram array — filtering on the computed column made
+    Catalyst evaluate the gram-transform chain twice per row (measured
+    +1.2 s at sf0.1)."""
     d = t(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
     grams = F.when(
         F.size("toks") < 3, F.array().cast("array<string>")
@@ -1141,16 +1146,17 @@ def _exact_jaccard_pairs(spark, sf_dir):
             " element_at(toks, i+2)))"
         )
     )
-    # Drop docs with no trigrams (< 3 tokens, incl. NULL): they cannot
-    # near-duplicate at trigram granularity, and because every empty doc
-    # shares one minhash signature they always become candidates of each
-    # other — the verify Jaccard would then divide by zero (found by the
-    # perturbed-fixture audit). The predicate is on the TOKEN count, not on
-    # size of the built gram array — filtering on the computed column made
-    # Catalyst evaluate the gram-transform chain twice per row (measured
-    # +1.2 s at sf0.1).
     d = d.filter(F.size("toks") >= 3)
-    g = d.select("doc_id", F.array_distinct(grams).alias("sh"))
+    return d.select("doc_id", F.array_distinct(grams).alias("sh"))
+
+
+def _exact_jaccard_pairs(spark, sf_dir):
+    cands = (
+        _minhash_pairs(spark, sf_dir, threshold=0.0)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    g = _trigram_sets(spark, sf_dir)
     ga = g.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
     gb = g.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
@@ -1289,4 +1295,94 @@ def q_dedup_containment(spark, sf_dir):
         oriented.filter(cont >= CONTAIN_THRESHOLD)
         .select("doc_small", "doc_big", r4(cont).alias("containment"))
         .distinct()
+    )
+
+
+SWEEP_THRESHOLDS = (0.3, 0.5, 0.7, 0.9)
+
+
+def _sweep_oracle() -> str:
+    agree = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
+    )
+    vals = ", ".join(f"({t})" for t in SWEEP_THRESHOLDS)
+    return f"""
+    WITH {_lsh_ctes()}, {_TRIGRAM_CTE}, scored AS (
+      SELECT c.doc_a, c.doc_b,
+             round(({agree}) / 16.0, 4) AS est,
+             round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                   4) AS truej
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b
+      JOIN g a ON a.doc_id = c.doc_a
+      JOIN g b ON b.doc_id = c.doc_b
+    )
+    SELECT CAST(t.th AS DOUBLE) AS threshold,
+           CAST(count(*) FILTER (est >= t.th) AS BIGINT) AS n_pred,
+           CAST(count(*) FILTER (truej >= t.th) AS BIGINT) AS n_true,
+           CAST(count(*) FILTER (est >= t.th AND truej >= t.th) AS BIGINT)
+             AS n_both,
+           round(CASE WHEN count(*) FILTER (est >= t.th) = 0 THEN 0
+                 ELSE count(*) FILTER (est >= t.th AND truej >= t.th) * 1.0
+                      / count(*) FILTER (est >= t.th) END, 4) AS precision_at,
+           round(CASE WHEN count(*) FILTER (truej >= t.th) = 0 THEN 0
+                 ELSE count(*) FILTER (est >= t.th AND truej >= t.th) * 1.0
+                      / count(*) FILTER (truej >= t.th) END, 4) AS recall_at
+    FROM scored, (VALUES {vals}) AS t(th)
+    GROUP BY t.th
+    """
+
+
+@query("q_dedup_eval_sweep", oracle=_sweep_oracle())
+def q_dedup_eval_sweep(spark, sf_dir):
+    """LSH threshold-sweep evaluation: the tuning table every dedup
+    deployment builds before fixing its threshold — over the SHARED
+    candidate set, at each threshold t: pairs the MinHash estimate would
+    keep (n_pred), pairs the exact trigram Jaccard keeps (n_true), their
+    overlap, and the implied precision / recall-within-candidates. Shows
+    the banded-LSH S-curve directly: low thresholds over-predict (est
+    quantizes to 1/16ths), high thresholds track truth.
+
+    Scale: ONE candidate generation (bucket-bounded, never all-pairs) and
+    ONE exact-verify join, scored once; the sweep is a 4x threshold
+    explode over the already-scored pair table, then a 4-group aggregate.
+    Evaluating 10 thresholds costs the same as one."""
+    cands = _minhash_pairs(spark, sf_dir, threshold=0.0).select(
+        "doc_a", "doc_b", F.col("est_jaccard").alias("est")
+    ).distinct()
+    g = _trigram_sets(spark, sf_dir)
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter / (F.size("sa") + F.size("sb") - inter)
+    scored = (
+        cands.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select("est", r4(jac).alias("truej"))
+    )
+    th = F.explode(
+        F.array(*[F.lit(float(x)) for x in SWEEP_THRESHOLDS])
+    ).alias("threshold")
+    sw = scored.select("est", "truej", th)
+    pred = F.sum(F.when(F.col("est") >= F.col("threshold"), 1).otherwise(0))
+    true_ = F.sum(F.when(F.col("truej") >= F.col("threshold"), 1).otherwise(0))
+    both = F.sum(
+        F.when(
+            (F.col("est") >= F.col("threshold"))
+            & (F.col("truej") >= F.col("threshold")),
+            1,
+        ).otherwise(0)
+    )
+    return sw.groupBy("threshold").agg(
+        pred.cast("long").alias("n_pred"),
+        true_.cast("long").alias("n_true"),
+        both.cast("long").alias("n_both"),
+        r4(
+            F.when(pred == 0, 0.0).otherwise(both / pred)
+        ).alias("precision_at"),
+        r4(
+            F.when(true_ == 0, 0.0).otherwise(both / true_)
+        ).alias("recall_at"),
     )

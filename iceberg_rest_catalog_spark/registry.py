@@ -92,7 +92,8 @@ _QUERY_MODULES = (
 #      q_wap_publish, q_snapshot_diff, q_agg_countmin, q_tokenizer_apply,
 #      q_caption_pairs, q_evt_rolling_dau, q_embed_matryoshka,
 #      q_agg_histogram, q_sample_balanced, q_evt_rfm, q_meta_history,
-#      q_meta_partition_stats, q_evt_drift_ks, q_stream_wap;
+#      q_meta_partition_stats, q_evt_drift_ks, q_stream_wap,
+#      q_dedup_eval_sweep;
 # then order the rest by staleness (r2-confirmed ids first) so evidence
 # refreshes oldest-first.
 #

@@ -354,3 +354,18 @@ def test_stream_wap_quarantines_only_the_poison_batch(spark, qs):
         .count()
     )
     assert out.count() == expected
+
+
+def test_eval_sweep_counts_are_consistent(spark, qs):
+    """n_both <= min(n_pred, n_true); counts shrink as thresholds rise;
+    rates live in [0,1]."""
+    rows = sorted(
+        qs["q_dedup_eval_sweep"](spark, SF01).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert [r.threshold for r in rows] == [0.3, 0.5, 0.7, 0.9]
+    for r in rows:
+        assert r.n_both <= min(r.n_pred, r.n_true)
+        assert 0.0 <= r.precision_at <= 1.0 and 0.0 <= r.recall_at <= 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_pred <= a.n_pred and b.n_true <= a.n_true
