@@ -611,3 +611,57 @@ def q_evt_drift_ks(spark, sf_dir):
         F.max("n_a").cast("long").alias("n_a"),
         F.max("n_b").cast("long").alias("n_b"),
     )
+
+
+@query(
+    "q_evt_forecast_eval",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, d
+    ), scored AS (
+      SELECT a.event_type, a.n AS actual, f.n AS forecast
+      FROM daily a JOIN daily f
+        ON f.event_type = a.event_type AND f.d = a.d - INTERVAL 7 DAY
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days_scored,
+           round(avg(abs(actual - forecast)), 4) AS mae,
+           round(avg(actual - forecast), 4) AS bias
+    FROM scored GROUP BY event_type
+    """,
+)
+def q_evt_forecast_eval(spark, sf_dir):
+    """Seasonal-naive forecast backtest: predict each day's event count
+    with the same weekday last week (the baseline every real forecasting
+    model must beat) and score per event type with MAE and signed bias —
+    the capacity-planning sanity check a metrics pipeline runs daily.
+
+    Scale shape: the corpus collapses to a (type, day) count aggregate
+    FIRST (|types| x |days| rows — tiny at any data size), and the
+    forecast join is an equi-join on (type, day-7) over that aggregate,
+    robust to missing days (a lag-7-ROWS window would silently misalign
+    across gaps). Everything after the first aggregate is
+    metadata-sized."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    a = daily.alias("a")
+    f = daily.alias("f")
+    scored = a.join(
+        f,
+        (F.col("f.event_type") == F.col("a.event_type"))
+        & (F.col("f.d") == F.date_sub(F.col("a.d"), 7)),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("actual"),
+        F.col("f.n").alias("forecast"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_days_scored"),
+        r4(F.avg(F.abs(F.col("actual") - F.col("forecast")))).alias("mae"),
+        r4(F.avg(F.col("actual") - F.col("forecast"))).alias("bias"),
+    )

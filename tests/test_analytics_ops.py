@@ -369,3 +369,26 @@ def test_eval_sweep_counts_are_consistent(spark, qs):
         assert 0.0 <= r.precision_at <= 1.0 and 0.0 <= r.recall_at <= 1.0
     for a, b in zip(rows, rows[1:]):
         assert b.n_pred <= a.n_pred and b.n_true <= a.n_true
+
+
+def test_forecast_eval_scores_only_aligned_days(spark, qs):
+    """MAE >= |bias| always (triangle inequality on the mean), and every
+    type scores fewer days than it has (the first week has no
+    reference)."""
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    rows = qs["q_evt_forecast_eval"](spark, SF).collect()
+    assert rows
+    days_per_type = {
+        r.event_type: r.c
+        for r in t(spark, SF, "events")
+        .selectExpr("event_type", "to_date(ts) AS d")
+        .distinct()
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "c")
+        .collect()
+    }
+    for r in rows:
+        assert r.mae >= abs(r.bias) - 1e-9
+        assert 0 < r.n_days_scored < days_per_type[r.event_type]
