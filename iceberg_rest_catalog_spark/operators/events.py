@@ -665,3 +665,60 @@ def q_evt_forecast_eval(spark, sf_dir):
         r4(F.avg(F.abs(F.col("actual") - F.col("forecast")))).alias("mae"),
         r4(F.avg(F.col("actual") - F.col("forecast"))).alias("bias"),
     )
+
+
+PATTERN = "view>click>purchase"
+
+
+@query(
+    "q_evt_pattern_match",
+    oracle=f"""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(len(regexp_extract_all(seq, '{PATTERN}')) AS BIGINT)
+             AS n_matches
+    FROM seqs
+    WHERE len(regexp_extract_all(seq, '{PATTERN}')) >= 1
+    """,
+)
+def q_evt_pattern_match(spark, sf_dir):
+    """Sequence-pattern matching (the MATCH_RECOGNIZE shape Spark SQL
+    lacks): count, per user, occurrences of the consecutive event pattern
+    view -> click -> purchase in their exact event timeline — behavioral
+    path mining beyond what per-stage funnels (q_evt_funnel allows gaps)
+    can express.
+
+    Implementation: each user's timeline folds to ONE delimited string
+    (deterministic (ts, event_id) order) and the pattern is a literal
+    substring scan — no per-event joins, no self-join chains (the naive
+    3-way consecutive-event join shuffles the corpus twice and breaks at
+    k-step patterns). One user_id shuffle; per-user work is linear in
+    their history; fixture event types share no token suffixes, so the
+    unanchored scan cannot false-positive across delimiters (asserted in
+    tests). Hot users (bots) bound the per-row cost — cap timeline length
+    at ingest if that's a concern."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x.event_type,
+            ),
+            ">",
+        ).alias("seq"),
+        F.count("*").alias("n_events"),
+    )
+    n_matches = F.size(F.regexp_extract_all("seq", F.lit(PATTERN), F.lit(0)))
+    return (
+        seqs.select("user_id", "n_events", n_matches.alias("n_matches"))
+        .filter(F.col("n_matches") >= 1)
+    )

@@ -392,3 +392,38 @@ def test_forecast_eval_scores_only_aligned_days(spark, qs):
     for r in rows:
         assert r.mae >= abs(r.bias) - 1e-9
         assert 0 < r.n_days_scored < days_per_type[r.event_type]
+
+
+def test_pattern_match_counts_consecutive_triples(spark, qs):
+    """Every reported user truly has >= n_matches consecutive
+    view,click,purchase triples; event-type tokens share no suffixes (the
+    precondition for the unanchored substring scan)."""
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    types = [
+        r.event_type
+        for r in t(spark, SF, "events").select("event_type").distinct().collect()
+    ]
+    for a in types:
+        for b in types:
+            assert a == b or not a.endswith(b), (a, b)
+
+    rows = qs["q_evt_pattern_match"](spark, SF).collect()
+    assert rows
+    ev = (
+        t(spark, SF, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = {}
+    for e in ev:
+        by_user.setdefault(e.user_id, []).append(e)
+    for r in rows[:10]:
+        tl = sorted(by_user[r.user_id], key=lambda e: (e.ts, e.event_id))
+        seq = [e.event_type for e in tl]
+        n = sum(
+            1
+            for i in range(len(seq) - 2)
+            if seq[i : i + 3] == ["view", "click", "purchase"]
+        )
+        assert n >= r.n_matches >= 1
