@@ -925,3 +925,78 @@ def q_meta_partition_stats(spark, sf_dir):
         .groupBy("partition_year")
         .agg(F.sum("n_records").cast("long").alias("n_records"))
     )
+
+
+@query(
+    "q_incremental_agg_maintenance",
+    oracle="""
+    WITH final_state AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE (o_orderkey <= 200
+             AND NOT ((o_orderkey % 10 = 0 AND o_orderkey <= 100)
+                      OR o_orderkey = (SELECT min(o_orderkey) FROM orders)))
+         OR (o_orderkey > 200 AND o_orderkey <= 250)
+    )
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 4) AS sum_price
+    FROM final_state GROUP BY o_custkey
+    """,
+)
+def q_incremental_agg_maintenance(spark, sf_dir):
+    """Incremental view maintenance (IVM): a per-customer SUM/COUNT
+    materialization is kept current by applying the snapshot CHANGELOG
+    (+1 for inserts, -1 for deletes) to the old aggregate — never
+    re-reading the base table. Groups whose count reaches zero drop out
+    (the retraction rule that makes SUM/COUNT views exactly
+    maintainable).
+
+    The 100 TB motivation: recomputing a view over a table that changed
+    by 0.1% costs the full table scan every time; IVM costs
+    O(|changelog| + |touched groups|). The changelog itself reads only
+    churned files (q_snapshot_diff's file-lineage pruning), so the whole
+    maintenance pass never touches cold data. The oracle computes the
+    view directly over the final state, so hash equality proves the
+    delta algebra is exact."""
+    cat = _cdc_lineage_table(spark, sf_dir)
+    tbl = cat.load_table(("db", "orders_cdc"))
+    schema = tbl.schema().to_spark()
+
+    def _read(paths):
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(tbl.location, p) for p in sorted(paths)]
+        )
+
+    f_old = set(tbl._files_at(1))
+    f_new = set(tbl._files_at(None))
+    base = _read(f_old)  # the view's last refresh point: snapshot 1
+    agg0 = base.groupBy("o_custkey").agg(
+        F.count("*").alias("n"), F.sum("o_totalprice").alias("s")
+    )
+    old_churn, new_churn = _read(f_old - f_new), _read(f_new - f_old)
+    deltas = (
+        old_churn.exceptAll(new_churn).withColumn("sign", F.lit(-1))
+        .unionByName(
+            new_churn.exceptAll(old_churn).withColumn("sign", F.lit(1))
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("sign").alias("dn"),
+            F.sum(F.col("sign") * F.col("o_totalprice")).alias("ds"),
+        )
+    )
+    maintained = (
+        agg0.join(deltas, "o_custkey", "full")
+        .select(
+            "o_custkey",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+            (F.coalesce("s", F.lit(0.0)) + F.coalesce("ds", F.lit(0.0))).alias("s"),
+        )
+        .filter(F.col("n") > 0)  # retraction: empty groups leave the view
+    )
+    return maintained.select(
+        "o_custkey",
+        F.col("n").cast("long").alias("n_orders"),
+        F.round("s", 4).alias("sum_price"),
+    )

@@ -427,3 +427,27 @@ def test_pattern_match_counts_consecutive_triples(spark, qs):
             if seq[i : i + 3] == ["view", "click", "purchase"]
         )
         assert n >= r.n_matches >= 1
+
+
+def test_ivm_equals_direct_recompute(spark, qs):
+    """The maintained aggregate equals a direct recompute over the final
+    table state — the IVM correctness contract, checked end to end."""
+    from iceberg_rest_catalog_spark.catalog.data_queries import (
+        _cdc_lineage_table,
+    )
+
+    maintained = {
+        r.o_custkey: (r.n_orders, r.sum_price)
+        for r in qs["q_incremental_agg_maintenance"](spark, SF).collect()
+    }
+    tbl = _cdc_lineage_table(spark, SF).load_table(("db", "orders_cdc"))
+    direct = {
+        r.o_custkey: (r.n, round(r.s, 4))
+        for r in tbl.df(spark)
+        .groupBy("o_custkey")
+        .agg({"*": "count", "o_totalprice": "sum"})
+        .withColumnRenamed("count(1)", "n")
+        .withColumnRenamed("sum(o_totalprice)", "s")
+        .collect()
+    }
+    assert maintained == direct
