@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators.common import t
+from ..operators.common import r4, t
 from ..registry import query
 
 # Quantize: identical double expression on both engines -> identical codes.
@@ -268,4 +268,49 @@ def q_sim_ann_pq(spark, sf_dir):
         .agg(F.round(F.sum("d2"), 4).alias("adc_d2"))
         .orderBy("adc_d2", "vec_id")
         .limit(ADC_TOP_K)
+    )
+
+
+@query(
+    "q_embed_dim_stats",
+    oracle="""
+    WITH u AS (
+      SELECT vec_id, CAST(d.i - 1 AS INT) AS dim, CAST(d.x AS DOUBLE) AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS i) AS d
+      WHERE embedding IS NOT NULL
+    )
+    SELECT dim,
+           round(avg(x), 4) AS mean_x,
+           round(stddev_samp(x), 4) AS std_x,
+           round(min(x), 4) AS min_x,
+           round(max(x), 4) AS max_x,
+           CAST(count(*) FILTER (x = 0.0) AS BIGINT) AS n_zero
+    FROM u GROUP BY dim
+    """,
+)
+def q_embed_dim_stats(spark, sf_dir):
+    """Embedding-health profile: per-DIMENSION mean / std / min / max and
+    zero counts across the corpus — the QA pass that catches dead
+    dimensions (std ~ 0), collapsed encoders (all dims correlated), and
+    truncation bugs (hard zeros past some index) before a similarity
+    index is built on bad vectors.
+
+    Scale shape: posexplode is map-only (|corpus| x 64 rows, never
+    materialized — it feeds straight into a partial aggregate), and the
+    shuffle carries at most 64 pre-combined rows per map partition. The
+    output is always exactly |dims| rows, independent of corpus size."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    u = e.select(
+        F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")).alias(
+            "dim", "x"
+        )
+    )
+    return u.groupBy("dim").agg(
+        r4(F.avg("x")).alias("mean_x"),
+        r4(F.stddev_samp("x")).alias("std_x"),
+        r4(F.min("x")).alias("min_x"),
+        r4(F.max("x")).alias("max_x"),
+        F.count(F.when(F.col("x") == 0.0, 1)).alias("n_zero"),
     )

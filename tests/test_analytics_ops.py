@@ -451,3 +451,13 @@ def test_ivm_equals_direct_recompute(spark, qs):
         .collect()
     }
     assert maintained == direct
+
+
+def test_dim_stats_cover_every_dimension(spark, qs):
+    """Exactly 64 rows; min <= mean <= max; std is non-negative."""
+    rows = qs["q_embed_dim_stats"](spark, SF).collect()
+    assert sorted(r.dim for r in rows) == list(range(64))
+    for r in rows:
+        assert r.min_x <= r.mean_x <= r.max_x
+        assert r.std_x >= 0.0
+        assert r.n_zero >= 0

@@ -53,6 +53,10 @@ QUERIES = [
     "q_caption_pairs",
     "q_evt_rolling_dau",
     "q_embed_matryoshka",
+    # round-5 third wave (the data-proportional ones)
+    "q_dedup_eval_sweep",
+    "q_evt_pattern_match",
+    "q_evt_drift_ks",
 ]
 
 
