@@ -449,3 +449,71 @@ def q_text_normalize(spark, sf_dir):
     return d.select(
         "doc_id", norm.alias("norm_text"), F.md5(norm).alias("norm_hash")
     )
+
+
+@query(
+    "q_corpus_report",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, text, n_chars,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS n_words
+      FROM documents WHERE text IS NOT NULL
+    ), dup AS (
+      SELECT source, md5(text) AS h, count(*) AS c
+      FROM d GROUP BY source, md5(text)
+    ), dups AS (
+      SELECT source,
+             CAST(sum(c - 1) AS BIGINT) AS n_exact_dups
+      FROM dup GROUP BY source
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(min(n_chars) * 1.0, 4) AS min_chars,
+           round(max(n_chars) * 1.0, 4) AS max_chars,
+           max(dups.n_exact_dups) AS n_exact_dups
+    FROM d JOIN dups ON d.source = dups.source
+    GROUP BY d.source
+    """,
+)
+def q_corpus_report(spark, sf_dir):
+    """Per-source corpus report card: doc/word volumes, length envelope,
+    and within-source exact-duplicate count — the one-page profiling
+    table a data curator reads before deciding mixture weights and
+    filter thresholds for each source.
+
+    Scale shape: two hash aggregates keyed by source (+md5 for the dup
+    tier), both map-combined; the join between them carries |sources|
+    rows. Nothing here is wider than the dedup hash pass the corpus
+    already runs."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            "text",
+            "n_chars",
+            F.size(
+                F.filter(F.split("text", " "), lambda w: w != "")
+            ).alias("n_words"),
+        )
+    )
+    dups = (
+        d.groupBy("source", F.md5("text").alias("h"))
+        .agg(F.count("*").alias("c"))
+        .groupBy("source")
+        .agg(F.sum(F.col("c") - 1).cast("long").alias("n_exact_dups"))
+    )
+    stats = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        r4(F.avg("n_chars")).alias("avg_chars"),
+        r4(F.min("n_chars") * 1.0).alias("min_chars"),
+        r4(F.max("n_chars") * 1.0).alias("max_chars"),
+    )
+    return stats.join(dups, "source").select(
+        "source", "n_docs", "n_words", "avg_chars", "min_chars",
+        "max_chars", "n_exact_dups",
+    )

@@ -515,3 +515,48 @@ def q_agg_histogram(spark, sf_dir):
         r4(F.col("lo") + (F.col("bucket") + 1) * (F.col("hi") - F.col("lo")) / HIST_BUCKETS).alias("bucket_hi"),
         "n",
     )
+
+
+@query(
+    "q_agg_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS d, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY d, event_type
+    ), tot AS (
+      SELECT d, sum(n) AS total FROM c GROUP BY d
+    )
+    SELECT strftime(c.d, '%Y-%m-%d') AS day,
+           CAST(max(tot.total) AS BIGINT) AS n_events,
+           round(-sum((n * 1.0 / tot.total) * ln(n * 1.0 / tot.total)), 4)
+             AS entropy
+    FROM c JOIN tot ON c.d = tot.d
+    GROUP BY c.d
+    """,
+)
+def q_agg_entropy(spark, sf_dir):
+    """Shannon entropy of the daily event-type mix — the
+    behavior-diversity metric monitoring pipelines track (a sudden
+    entropy drop means one event type is flooding, a spike means new
+    noise). Natural-log p*ln(p) over at most |event_types| terms per day.
+
+    Scale shape: the corpus collapses to a (day, type) count aggregate
+    first; totals join back on day (both sides |days|x|types| at most);
+    the entropy sum is a |types|-term aggregate per day. Output is one
+    row per day regardless of data size."""
+    c = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = c.groupBy("d").agg(F.sum("n").alias("total"))
+    p = F.col("n") * 1.0 / F.col("total")
+    return (
+        c.join(tot, "d")
+        .groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.max("total").cast("long").alias("n_events"),
+            r4(-F.sum(p * F.log(p))).alias("entropy"),
+        )
+    )

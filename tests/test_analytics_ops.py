@@ -461,3 +461,29 @@ def test_dim_stats_cover_every_dimension(spark, qs):
         assert r.min_x <= r.mean_x <= r.max_x
         assert r.std_x >= 0.0
         assert r.n_zero >= 0
+
+
+def test_corpus_report_conserves_volumes(spark, qs):
+    """Doc counts sum to the corpus; dup counts are bounded by docs-1
+    per source; length envelope ordered."""
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    rows = qs["q_corpus_report"](spark, SF).collect()
+    total = t(spark, SF, "documents").filter("text IS NOT NULL").count()
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        assert 0 <= r.n_exact_dups < r.n_docs
+        assert r.min_chars <= r.avg_chars <= r.max_chars
+
+
+def test_entropy_bounded_by_log_types(spark, qs):
+    """0 <= H <= ln(|event types|) for every day."""
+    import math
+
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    k = t(spark, SF, "events").select("event_type").distinct().count()
+    rows = qs["q_agg_entropy"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r.entropy <= math.log(k) + 1e-9
