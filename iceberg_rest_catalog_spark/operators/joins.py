@@ -595,3 +595,82 @@ def q_join_interval_overlap(spark, sf_dir):
         F.col("b.user_id").alias("u2"),
     )
     return pairs.groupBy("u1", "u2").agg(F.count("*").alias("n_overlaps"))
+
+
+ASOF_TOLERANCE_MIN = 30
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle=f"""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT user_id, ts, max(value) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, round(p.value, 4) AS purchase_value,
+           CASE WHEN c.ts IS NOT NULL
+                 AND p.ts - c.ts <= INTERVAL {ASOF_TOLERANCE_MIN} MINUTE
+                THEN round(c.click_value, 4) END AS last_click_value,
+           CASE WHEN c.ts IS NOT NULL
+                 AND p.ts - c.ts <= INTERVAL {ASOF_TOLERANCE_MIN} MINUTE
+                THEN CAST(date_diff('second', c.ts, p.ts) AS BIGINT)
+                END AS staleness_s
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_join_asof_tolerance(spark, sf_dir):
+    """As-of join WITH a staleness bound (merge_asof tolerance= / the
+    feature-store freshness rule): the latest prior click joins only if
+    it is at most {ASOF_TOLERANCE_MIN} minutes old — older state must NOT
+    leak into the row (a stale feature silently joining is the classic
+    training-serving skew bug; here it surfaces as NULL + no staleness).
+
+    Same single-shuffle union+window shape as q_join_asof — the tolerance
+    is a POST-carry filter on the carried timestamp, not a join-condition
+    change, so the plan cost is identical and the bound can vary per
+    query without re-partitioning anything."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    tagged = purchases.select(
+        "user_id", "ts", F.lit(1).alias("is_p"), "event_id", "value",
+        F.lit(None).cast("double").alias("click_value"),
+    ).unionByName(
+        clicks.select(
+            "user_id", "ts", F.lit(0).alias("is_p"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+            "click_value",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.withColumn(
+        "lcv", F.last("click_value", ignorenulls=True).over(w)
+    ).withColumn(
+        "lct",
+        F.last(F.when(F.col("is_p") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    age_s = F.unix_timestamp("ts") - F.unix_timestamp("lct")
+    fresh = F.col("lct").isNotNull() & (age_s <= ASOF_TOLERANCE_MIN * 60)
+    return carried.filter(F.col("is_p") == 1).select(
+        "event_id",
+        "user_id",
+        r4("value").alias("purchase_value"),
+        F.when(fresh, r4("lcv")).alias("last_click_value"),
+        F.when(fresh, age_s).cast("long").alias("staleness_s"),
+    )

@@ -487,3 +487,20 @@ def test_entropy_bounded_by_log_types(spark, qs):
     assert rows
     for r in rows:
         assert -1e-9 <= r.entropy <= math.log(k) + 1e-9
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, qs):
+    """Fresh rows carry staleness <= 30 min; stale/no-match rows have
+    BOTH value and staleness NULL; the tolerance-free asof join is a
+    superset of the fresh matches."""
+    rows = qs["q_join_asof_tolerance"](spark, SF).collect()
+    assert rows
+    n_fresh = 0
+    for r in rows:
+        if r.staleness_s is not None:
+            n_fresh += 1
+            assert 0 <= r.staleness_s <= 30 * 60
+            assert r.last_click_value is not None
+        else:
+            assert r.last_click_value is None
+    assert 0 < n_fresh < len(rows)  # the bound actually bites
