@@ -722,3 +722,75 @@ def q_evt_pattern_match(spark, sf_dir):
         seqs.select("user_id", "n_events", n_matches.alias("n_matches"))
         .filter(F.col("n_matches") >= 1)
     )
+
+
+@query(
+    "q_evt_ab_test",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS cohort, avg(value) AS user_mean
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY user_id
+    ), c AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS n_users,
+             avg(user_mean) AS m, var_samp(user_mean) AS v
+      FROM u GROUP BY cohort
+    ), wide AS (
+      SELECT max(CASE WHEN cohort = 0 THEN n_users END) AS n_a,
+             max(CASE WHEN cohort = 0 THEN m END) AS m_a,
+             max(CASE WHEN cohort = 0 THEN v END) AS v_a,
+             max(CASE WHEN cohort = 1 THEN n_users END) AS n_b,
+             max(CASE WHEN cohort = 1 THEN m END) AS m_b,
+             max(CASE WHEN cohort = 1 THEN v END) AS v_b
+      FROM c
+    )
+    SELECT n_a, n_b,
+           round(m_a, 4) AS mean_a,
+           round(m_b, 4) AS mean_b,
+           round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 4) AS z_stat
+    FROM wide
+    """,
+)
+def q_evt_ab_test(spark, sf_dir):
+    """A/B experiment readout: Welch z on per-user mean purchase value
+    between two cohorts split by the deterministic id-parity hash — here
+    a null A/A test (parity is independent of behavior), the calibration
+    run experimenters do before trusting a pipeline: |z| should be small.
+
+    Per-user means first (not raw events) — the unit of randomization is
+    the USER, and computing the statistic over raw events would understate
+    variance via within-user correlation (the classic A/B mistake).
+
+    Scale shape: corpus -> one row per user (map-combined), -> 2 cohort
+    rows, -> 1. All post-aggregate arithmetic stays in the plan (no
+    collect); expression order matches the oracle so IEEE doubles agree
+    at 4dp."""
+    ev = t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    u = ev.groupBy("user_id").agg(F.avg("value").alias("user_mean")).withColumn(
+        "cohort", F.col("user_id") % 2
+    )
+    c = u.groupBy("cohort").agg(
+        F.count("*").alias("n_users"),
+        F.avg("user_mean").alias("m"),
+        F.var_samp("user_mean").alias("v"),
+    )
+    wide = c.agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("cohort") == 0, F.col("m"))).alias("m_a"),
+        F.max(F.when(F.col("cohort") == 0, F.col("v"))).alias("v_a"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("cohort") == 1, F.col("m"))).alias("m_b"),
+        F.max(F.when(F.col("cohort") == 1, F.col("v"))).alias("v_b"),
+    )
+    z = (F.col("m_a") - F.col("m_b")) / F.sqrt(
+        F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    )
+    return wide.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        r4("m_a").alias("mean_a"),
+        r4("m_b").alias("mean_b"),
+        r4(z).alias("z_stat"),
+    )

@@ -504,3 +504,20 @@ def test_asof_tolerance_nulls_stale_matches(spark, qs):
         else:
             assert r.last_click_value is None
     assert 0 < n_fresh < len(rows)  # the bound actually bites
+
+
+def test_ab_test_is_calibrated_null(spark, qs):
+    """The A/A split: cohorts partition the purchasing users, and the
+    null z-statistic is finite (a reasonable magnitude, not NaN/inf)."""
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    r = qs["q_evt_ab_test"](spark, SF).collect()[0]
+    total = (
+        t(spark, SF, "events")
+        .filter("event_type = 'purchase' AND value IS NOT NULL")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r.n_a + r.n_b == total
+    assert abs(r.z_stat) < 10  # null split: no astronomical significance
