@@ -1386,3 +1386,45 @@ def q_dedup_eval_sweep(spark, sf_dir):
             F.when(true_ == 0, 0.0).otherwise(both / true_)
         ).alias("recall_at"),
     )
+
+
+def _cross_source_oracle(threshold: float = 0.5) -> str:
+    agree = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
+    )
+    return f"""
+    WITH {_lsh_ctes()}
+    SELECT c.doc_a, c.doc_b, da.source AS source_a, db.source AS source_b,
+           round(({agree}) / 16.0, 4) AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    WHERE da.source <> db.source AND ({agree}) / 16.0 >= {threshold}
+    """
+
+
+@query("q_dedup_cross_source", oracle=_cross_source_oracle())
+def q_dedup_cross_source(spark, sf_dir):
+    """Provenance-aware near-dup pairs: only matches whose two documents
+    come from DIFFERENT sources — the question asked when merging crawls
+    ("how much of source B is already in source A?"), where same-source
+    duplicates are handled by each source's own dedup pass and
+    cross-source overlap drives keep/drop and licensing decisions.
+
+    Scale shape: identical LSH candidate pipeline as q_dedup_fuzzy (one
+    scan, bucket-bounded candidates); the source filter needs the doc ->
+    source mapping, an id-keyed join against a projection that is tiny
+    relative to the corpus (and broadcastable when sources metadata is a
+    side table)."""
+    src = t(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = _minhash_pairs(spark, sf_dir)
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .select("doc_a", "doc_b", "source_a", "source_b", "est_jaccard")
+    )

@@ -560,3 +560,63 @@ def q_agg_entropy(spark, sf_dir):
             r4(-F.sum(p * F.log(p))).alias("entropy"),
         )
     )
+
+
+@query(
+    "q_agg_gini",
+    oracle="""
+    WITH x AS (
+      SELECT o_custkey, sum(o_totalprice) AS spend FROM orders
+      GROUP BY o_custkey
+    ), ranked AS (
+      SELECT spend,
+             row_number() OVER (ORDER BY spend, o_custkey) AS rk,
+             count(*) OVER () AS n,
+             sum(spend) OVER () AS total
+      FROM x
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           round(max(total), 4) AS total_spend,
+           round(2.0 * sum(rk * spend) / (max(n) * max(total))
+                 - (max(n) + 1.0) / max(n), 4) AS gini
+    FROM ranked
+    """,
+)
+def q_agg_gini(spark, sf_dir):
+    """Gini coefficient of customer spend — the inequality metric behind
+    "what share of revenue comes from the top X%" dashboards (and the
+    skew indicator that warns when a single hot key will dominate a
+    downstream join). Exact rank formulation:
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending spend.
+
+    Scale shape: the corpus collapses to one |customers|-row aggregate;
+    the rank is ONE sort over that aggregate (with key tiebreak so both
+    engines rank ties identically — ties change sum(i*x_i) otherwise);
+    output is a single row. At extreme |customers| swap the exact rank
+    for a quantile-bucketed approximation over the same aggregate."""
+    x = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("spend", "o_custkey")
+    whole = Window.orderBy("spend", "o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = x.select(
+        "spend",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(whole).alias("n"),
+        F.sum("spend").over(whole).alias("total"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        r4(F.max("total")).alias("total_spend"),
+        r4(
+            2.0 * F.sum(F.col("rk") * F.col("spend"))
+            / (F.max("n") * F.max("total"))
+            - (F.max("n") + 1.0) / F.max("n")
+        ).alias("gini"),
+    )

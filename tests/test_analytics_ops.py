@@ -521,3 +521,17 @@ def test_ab_test_is_calibrated_null(spark, qs):
     )
     assert r.n_a + r.n_b == total
     assert abs(r.z_stat) < 10  # null split: no astronomical significance
+
+
+def test_cross_source_pairs_have_distinct_sources(spark, qs):
+    rows = qs["q_dedup_cross_source"](spark, SF01).collect()
+    assert rows
+    for r in rows:
+        assert r.source_a != r.source_b
+        assert r.est_jaccard >= 0.5
+
+
+def test_gini_is_a_bounded_inequality_index(spark, qs):
+    r = qs["q_agg_gini"](spark, SF).collect()[0]
+    assert 0.0 <= r.gini < 1.0
+    assert r.n_customers > 0 and r.total_spend > 0
