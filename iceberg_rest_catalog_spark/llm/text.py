@@ -517,3 +517,50 @@ def q_corpus_report(spark, sf_dir):
         "source", "n_docs", "n_words", "avg_chars", "min_chars",
         "max_chars", "n_exact_dups",
     )
+
+
+@query(
+    "q_text_langid_eval",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang, {_langid_case_sql()} AS pred_lang
+      FROM (SELECT lang, {_langid_scores_sql()} FROM documents
+            WHERE text IS NOT NULL)
+    )
+    SELECT lang, pred_lang,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY lang), 4)
+             AS frac_of_actual
+    FROM pred GROUP BY lang, pred_lang
+    """,
+)
+def q_text_langid_eval(spark, sf_dir):
+    """Language-ID confusion matrix: the classifier-QA table for
+    q_text_langid — per (actual, predicted) pair, counts and the share of
+    the actual language they represent (diagonal = per-class recall).
+    Every heuristic classifier in a curation pipeline needs this readout
+    before its predictions gate real filtering decisions.
+
+    Scale shape: the marker scoring is the same map-only pass as
+    q_text_langid; the matrix is a <=|langs|^2-group aggregate and the
+    recall share a window over that tiny matrix. Output is bounded by
+    |langs|^2 regardless of corpus size."""
+    from pyspark.sql import Window
+
+    # Align with the oracle's `text IS NOT NULL`: q_text_langid emits a
+    # row for every doc (a NULL text scores -1 on every marker and still
+    # argmaxes), so restrict to docs that actually have text.
+    with_text = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id")
+    )
+    preds = q_text_langid(spark, sf_dir).join(with_text, "doc_id", "semi")
+    m = preds.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang")
+    return m.select(
+        "lang",
+        "pred_lang",
+        "n",
+        r4(F.col("n") * 1.0 / F.sum("n").over(w)).alias("frac_of_actual"),
+    )

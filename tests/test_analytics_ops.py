@@ -535,3 +535,14 @@ def test_gini_is_a_bounded_inequality_index(spark, qs):
     r = qs["q_agg_gini"](spark, SF).collect()[0]
     assert 0.0 <= r.gini < 1.0
     assert r.n_customers > 0 and r.total_spend > 0
+
+
+def test_langid_eval_shares_sum_to_one_per_class(spark, qs):
+    from collections import defaultdict
+
+    rows = qs["q_text_langid_eval"](spark, SF01).collect()
+    by_lang = defaultdict(float)
+    for r in rows:
+        by_lang[r.lang] += r.frac_of_actual
+    for lang, s in by_lang.items():
+        assert abs(s - 1.0) < 0.01, (lang, s)
