@@ -135,9 +135,15 @@ from iceberg_rest_catalog_spark.catalog.fileio import LocalFileIO
 _NAMES = ("x", "y", "z")
 _path = st.lists(st.sampled_from(_NAMES), min_size=1, max_size=3).map("/".join)
 # no bare \r: POSIX text-mode reads apply universal-newline translation,
-# which is irrelevant to the JSON metadata the catalog actually stores
+# which is irrelevant to the JSON metadata the catalog actually stores.
+# No lone surrogates either: they cannot UTF-8-encode at all (both
+# backends raise identically before any I/O), and the catalog only ever
+# stores JSON — always valid-UTF-8 text.
 _text = st.text(
-    alphabet=st.characters(blacklist_characters="\r"), max_size=8
+    alphabet=st.characters(
+        blacklist_characters="\r", blacklist_categories=("Cs",)
+    ),
+    max_size=8,
 )
 _op = st.one_of(
     st.tuples(st.just("write"), _path, _text),
