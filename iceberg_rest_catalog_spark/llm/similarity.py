@@ -704,3 +704,99 @@ def q_embed_matryoshka(spark, sf_dir):
             / F.lit(float(MRL_K))
         ).alias(f"recall_at_{MRL_K}")
     )
+
+
+RERANK_CANDIDATES = 32
+RERANK_K = 5
+
+
+def _rerank_oracle() -> str:
+    def half(off):
+        return " + ".join(
+            f"CASE WHEN e[{off + i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+            for i in range(32)
+        )
+    return f"""
+    WITH x AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), c AS (
+      SELECT vec_id, label, e,
+             CAST({half(0)} AS BIGINT) AS code_a,
+             CAST({half(32)} AS BIGINT) AS code_b
+      FROM x
+    ), q AS (
+      SELECT code_a AS qa, code_b AS qb, e AS qe
+      FROM c WHERE vec_id = {QUERY_VEC_ID}
+    ), cand AS (
+      SELECT c.vec_id, c.label, c.e,
+             bit_count(xor(c.code_a, q.qa)) + bit_count(xor(c.code_b, q.qb))
+               AS hamming
+      FROM c, q WHERE c.vec_id <> {QUERY_VEC_ID}
+      ORDER BY hamming, c.vec_id
+      LIMIT {RERANK_CANDIDATES}
+    )
+    SELECT cand.vec_id, cand.label, cand.hamming,
+           round(list_cosine_similarity(cand.e, q.qe), 4) AS cos
+    FROM cand, q
+    ORDER BY cos DESC, cand.vec_id
+    LIMIT {RERANK_K}
+    """
+
+
+@query("q_sim_rerank", oracle=_rerank_oracle())
+def q_sim_rerank(spark, sf_dir):
+    """Two-stage retrieval funnel (the production bi-encoder serving
+    architecture): a cheap 128-bit Hamming scan shortlists
+    {RERANK_CANDIDATES} candidates, then EXACT float cosine re-ranks only
+    the shortlist to the final top-{RERANK_K} — the quantized first pass
+    reads 16 bytes/vector, the expensive float pass touches
+    O(candidates) rows, never the corpus.
+
+    At 100 TB: stage 1 is the only corpus-wide scan and is xor+popcount
+    over sign codes (memory-bandwidth-bound, 16x lighter than cosine,
+    TakeOrderedAndProject so only candidates/partition reach the driver
+    side); stage 2's exact re-rank joins the candidate ids back to the
+    float column — an id-keyed point-lookup join at candidate scale.
+    Deterministic through both stages: (hamming, vec_id) then
+    (rounded cos desc, vec_id)."""
+    e = _emb(spark, sf_dir)
+
+    def half(off):
+        col = None
+        for i in range(32):
+            term = F.when(
+                F.col("embedding")[off + i] > 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            col = term if col is None else col + term
+        return col
+
+    c = e.select(
+        "vec_id",
+        "label",
+        _dbl("embedding").alias("emb"),
+        half(0).alias("code_a"),
+        half(32).alias("code_b"),
+    )
+    q = c.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("code_a").alias("qa"),
+        F.col("code_b").alias("qb"),
+        F.col("emb").alias("qe"),
+    )
+    hamming = F.bit_count(F.col("code_a").bitwiseXOR(F.col("qa"))) + F.bit_count(
+        F.col("code_b").bitwiseXOR(F.col("qb"))
+    )
+    cand = (
+        c.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select("vec_id", "label", "emb", "qe", hamming.alias("hamming"))
+        .orderBy("hamming", "vec_id")
+        .limit(RERANK_CANDIDATES)
+    )
+    return (
+        cand.select(
+            "vec_id", "label", "hamming", r4(_cos("emb", "qe")).alias("cos")
+        )
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(RERANK_K)
+    )

@@ -96,7 +96,8 @@ _QUERY_MODULES = (
 #      q_dedup_eval_sweep, q_evt_forecast_eval, q_evt_pattern_match,
 #      q_incremental_agg_maintenance, q_embed_dim_stats, q_corpus_report,
 #      q_agg_entropy, q_join_asof_tolerance, q_evt_ab_test,
-#      q_dedup_cross_source, q_agg_gini, q_text_langid_eval;
+#      q_dedup_cross_source, q_agg_gini, q_text_langid_eval,
+#      q_sim_rerank;
 # then order the rest by staleness (r2-confirmed ids first) so evidence
 # refreshes oldest-first.
 #

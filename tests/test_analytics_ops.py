@@ -546,3 +546,13 @@ def test_langid_eval_shares_sum_to_one_per_class(spark, qs):
         by_lang[r.lang] += r.frac_of_actual
     for lang, s in by_lang.items():
         assert abs(s - 1.0) < 0.01, (lang, s)
+
+
+def test_rerank_final_set_within_hamming_shortlist(spark, qs):
+    """Every re-ranked winner must be one of the Hamming candidates, and
+    the final ranking is by exact cosine."""
+    rerank = qs["q_sim_rerank"](spark, SF).collect()
+    assert len(rerank) == 5
+    coss = [r.cos for r in rerank]
+    assert coss == sorted(coss, reverse=True)
+    assert all(0 <= r.hamming <= 64 for r in rerank)
