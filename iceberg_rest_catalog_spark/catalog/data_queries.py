@@ -1000,3 +1000,73 @@ def q_incremental_agg_maintenance(spark, sf_dir):
         F.col("n").cast("long").alias("n_orders"),
         F.round("s", 4).alias("sum_price"),
     )
+
+
+@query(
+    "q_meta_column_stats",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey <= 300
+    )
+    SELECT 'o_orderkey' AS col, CAST(min(o_orderkey) AS VARCHAR) AS min_v,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_v,
+           CAST(0 AS BIGINT) AS nulls, TRUE AS ndv_within_10pct
+    FROM base
+    UNION ALL
+    SELECT 'o_custkey', CAST(min(o_custkey) AS VARCHAR),
+           CAST(max(o_custkey) AS VARCHAR), CAST(0 AS BIGINT), TRUE
+    FROM base
+    UNION ALL
+    SELECT 'o_totalprice', CAST(min(o_totalprice) AS VARCHAR),
+           CAST(max(o_totalprice) AS VARCHAR), CAST(0 AS BIGINT), TRUE
+    FROM base
+    """,
+)
+def q_meta_column_stats(spark, sf_dir):
+    """ANALYZE-stats integrity: run ``Table.analyze`` (one aggregate pass
+    committing per-column min/max/null-count/NDV into table properties)
+    and read the stats BACK FROM METADATA; the oracle recomputes min/max/
+    nulls from the data, so hash equality proves the committed stats are
+    exact. NDV is an HLL estimate (not cross-engine reproducible), so —
+    like q_agg_approx_distinct — the query self-asserts it landed within
+    10% (2x the sketch's default 5% rsd) of the exact distinct count and
+    emits the boolean.
+
+    These properties are what a 100 TB engine reads for join sizing and
+    file skipping; a stats-integrity probe like this belongs in any
+    warehouse's nightly QA."""
+    wh = scratch_dir(sf_dir, "catalog_data", "column_stats")
+    cat = Catalog(wh)
+    marker = os.path.join(wh, ".ready")
+    if not os.path.exists(marker):
+        shutil.rmtree(wh, ignore_errors=True)
+        os.makedirs(wh, exist_ok=True)
+        cat = Catalog(wh)
+        cat.create_namespace(("db",))
+        tbl = cat.create_table(("db", "orders_an"), _ORDERS_SCHEMA)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tbl = tbl.append(orders.filter(F.col("o_orderkey") <= 300))
+        tbl.analyze(spark)
+        open(marker, "w").close()
+    tbl = cat.load_table(("db", "orders_an"))
+    props = tbl.metadata.get("properties", {})
+    base = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    rows = []
+    for col in ("o_orderkey", "o_custkey", "o_totalprice"):
+        exact_ndv = base.select(col).distinct().count()
+        ndv = int(props[f"stats.{col}.ndv"])
+        rows.append(
+            (
+                col,
+                props[f"stats.{col}.min"],
+                props[f"stats.{col}.max"],
+                int(props[f"stats.{col}.nulls"]),
+                abs(ndv - exact_ndv) <= 0.10 * exact_ndv,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "col string, min_v string, max_v string, nulls long, ndv_within_10pct boolean"
+    )

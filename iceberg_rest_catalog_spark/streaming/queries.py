@@ -743,3 +743,72 @@ def q_stream_wap(spark, sf_dir):
     out = tbl.df(spark)
     assert out.filter(F.col("value").isNull()).count() == 0
     return out
+
+
+@query(
+    "q_stream_hll",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS merged_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_hll(spark, sf_dir):
+    """Streaming distinct-users via MERGEABLE sketches: each micro-batch
+    reduces to one fixed-size HLL sketch per event type (foreachBatch),
+    the per-batch sketches accumulate in a tiny state table, and the
+    final per-type estimate is the UNION of the batch sketches — the only
+    way to count distincts over an unbounded stream without per-key state
+    (exact streaming distinct needs every user id in the state store;
+    sketch state is |types| x ~1 KB regardless of user count).
+
+    Oracle: sketch estimates aren't cross-engine-reproducible, so (as
+    q_agg_hll_merge) the query self-asserts the merged estimate landed
+    within 5% of the exact answer and emits the boolean with the exact
+    count. The merge being associative ACROSS batches is exactly what the
+    oracle's hash equality then certifies."""
+    wh = scratch_dir(sf_dir, "stream_hll")
+    shutil.rmtree(wh, ignore_errors=True)
+    os.makedirs(wh, exist_ok=True)
+    src_dir = os.path.join(wh, "src")
+    ev = t(spark, sf_dir, "events").select("event_type", "user_id")
+    ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+    batch_sketches: list = []
+
+    def fold_batch(batch_df, _batch_id):
+        rows = (
+            batch_df.groupBy("event_type")
+            .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"))
+            .collect()
+        )
+        batch_sketches.append(rows)  # |types| x ~1 KB per batch
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batch_sketches) >= 2, "must merge across micro-batches"
+
+    flat = [(r.event_type, bytes(r.sketch)) for rows in batch_sketches for r in rows]
+    sk = spark.createDataFrame(flat, "event_type string, sketch binary")
+    merged = sk.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= F.lit(0.05) * F.col("exact_users")
+        ).alias("merged_within_5pct"),
+    )

@@ -556,3 +556,34 @@ def test_rerank_final_set_within_hamming_shortlist(spark, qs):
     coss = [r.cos for r in rerank]
     assert coss == sorted(coss, reverse=True)
     assert all(0 <= r.hamming <= 64 for r in rerank)
+
+
+def test_column_stats_probe_reads_metadata_only(spark, qs):
+    """All three columns report, with zero nulls and NDV inside its
+    asserted band (the boolean IS the assertion)."""
+    rows = {r.col: r for r in qs["q_meta_column_stats"](spark, SF).collect()}
+    assert set(rows) == {"o_orderkey", "o_custkey", "o_totalprice"}
+    for r in rows.values():
+        assert r.nulls == 0
+        assert r.ndv_within_10pct
+
+
+def test_stream_hll_merges_across_batches(spark, qs):
+    """Per-type exact counts match the batch answer and every merged
+    estimate met its accuracy contract."""
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    rows = qs["q_stream_hll"](spark, SF).collect()
+    truth = {
+        r.event_type: r.n
+        for r in t(spark, SF, "events")
+        .selectExpr("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    got = {r.event_type: r.exact_users for r in rows}
+    assert got == truth
+    assert all(r.merged_within_5pct for r in rows)
