@@ -794,3 +794,42 @@ def q_evt_ab_test(spark, sf_dir):
         r4("m_b").alias("mean_b"),
         r4(z).alias("z_stat"),
     )
+
+
+@query(
+    "q_evt_heatmap",
+    oracle="""
+    WITH c AS (
+      SELECT isodow(ts) AS dow, hour(ts) AS hod,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY dow, hod
+    )
+    SELECT dow, hod, n,
+           round(n * 1.0 / sum(n) OVER (), 4) AS share
+    FROM c
+    """,
+)
+def q_evt_heatmap(spark, sf_dir):
+    """Activity heatmap: events per (ISO weekday, hour-of-day) cell with
+    each cell's share of total traffic — the capacity-planning /
+    anomaly-context matrix every event dashboard renders first.
+
+    Scale shape: one map-combined aggregate to at most 7x24 cells; the
+    share is a whole-frame window over those 168 rows. ISO weekday is
+    used because the engines' default DAYOFWEEK origins differ (Spark
+    Sunday=1, DuckDB Sunday=0) while isodow/weekday+1 agree."""
+    c = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            (F.weekday("ts") + 1).alias("dow"), F.hour("ts").alias("hod")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    whole = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return c.select(
+        "dow", "hod", "n", r4(F.col("n") * 1.0 / F.sum("n").over(whole)).alias("share")
+    )

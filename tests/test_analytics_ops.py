@@ -587,3 +587,12 @@ def test_stream_hll_merges_across_batches(spark, qs):
     got = {r.event_type: r.exact_users for r in rows}
     assert got == truth
     assert all(r.merged_within_5pct for r in rows)
+
+
+def test_heatmap_cells_partition_traffic(spark, qs):
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    rows = qs["q_evt_heatmap"](spark, SF).collect()
+    assert all(1 <= r.dow <= 7 and 0 <= r.hod <= 23 for r in rows)
+    assert sum(r.n for r in rows) == t(spark, SF, "events").count()
+    assert abs(sum(r.share for r in rows) - 1.0) < 0.01
