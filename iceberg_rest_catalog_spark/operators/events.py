@@ -833,3 +833,106 @@ def q_evt_heatmap(spark, sf_dir):
     return c.select(
         "dow", "hod", "n", r4(F.col("n") * 1.0 / F.sum("n").over(whole)).alias("share")
     )
+
+
+@query(
+    "q_ts_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, d
+    ), ma AS (
+      SELECT event_type, d, n,
+             avg(n) OVER w AS trend,
+             count(*) OVER w AS w_n
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n,
+           round(trend, 4) AS trend,
+           round(n - trend, 4) AS residual
+    FROM ma WHERE w_n = 7
+    """,
+)
+def q_ts_decompose(spark, sf_dir):
+    """Trend/residual decomposition of the daily count series (STL-lite):
+    trend = 7-day centered moving average per event type, residual = the
+    de-trended remainder — the first step of seasonality analysis and the
+    input a robust anomaly detector actually scores (raw counts confound
+    trend shifts with outliers; q_evt_anomaly on residuals is the
+    composed production shape).
+
+    Edge rows without a full 7-day window are excluded (their "trend"
+    would mix window sizes) via the frame's own row count — no date
+    arithmetic, so calendar gaps degrade gracefully.
+
+    Scale shape: corpus → (type, day) counts first; the centered frame is
+    a per-type window over that tiny series; output <= |types|x|days|."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    ma = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.avg("n").over(w).alias("trend"),
+        F.count("*").over(w).alias("w_n"),
+    )
+    return ma.filter(F.col("w_n") == 7).select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n",
+        r4("trend").alias("trend"),
+        r4(F.col("n") - F.col("trend")).alias("residual"),
+    )
+
+
+@query(
+    "q_ts_autocorr",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, d
+    ), lagged AS (
+      SELECT event_type, n,
+             lag(n, 1) OVER (PARTITION BY event_type ORDER BY d) AS n_1,
+             lag(n, 7) OVER (PARTITION BY event_type ORDER BY d) AS n_7
+      FROM daily
+    )
+    SELECT event_type,
+           round(corr(n, n_1), 4) AS acf_1,
+           round(corr(n, n_7), 4) AS acf_7
+    FROM lagged GROUP BY event_type
+    """,
+)
+def q_ts_autocorr(spark, sf_dir):
+    """Lag-1 and lag-7 autocorrelation of the daily count series per
+    event type — the two numbers that justify (or kill) the seasonal-naive
+    forecast (q_evt_forecast_eval): a high acf_7 says same-weekday
+    history predicts; acf_1 near zero says yesterday doesn't.
+
+    corr() skips rows with a NULL lag on both engines, so the first
+    1 / 7 days drop out of each estimate identically. Corpus collapses to
+    the (type, day) aggregate before any window; output is |types| rows."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "n",
+        F.lag("n", 1).over(w).alias("n_1"),
+        F.lag("n", 7).over(w).alias("n_7"),
+    )
+    return lagged.groupBy("event_type").agg(
+        r4(F.corr("n", "n_1")).alias("acf_1"),
+        r4(F.corr("n", "n_7")).alias("acf_7"),
+    )

@@ -596,3 +596,21 @@ def test_heatmap_cells_partition_traffic(spark, qs):
     assert all(1 <= r.dow <= 7 and 0 <= r.hod <= 23 for r in rows)
     assert sum(r.n for r in rows) == t(spark, SF, "events").count()
     assert abs(sum(r.share for r in rows) - 1.0) < 0.01
+
+
+def test_decompose_residuals_cancel_against_trend(spark, qs):
+    """n = trend + residual per row (to rounding), and only full-window
+    rows appear."""
+    rows = qs["q_ts_decompose"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert abs((r.trend + r.residual) - r.n) < 1e-3
+
+
+def test_autocorr_values_are_correlations(spark, qs):
+    rows = qs["q_ts_autocorr"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        for v in (r.acf_1, r.acf_7):
+            if v is not None:
+                assert -1.0 - 1e-9 <= v <= 1.0 + 1e-9
