@@ -133,3 +133,81 @@ def q_graph_pagerank(spark, sf_dir):
     successor is v. Returns (node, rank) rounded to 6 dp."""
     ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
     return _pagerank(ev)
+
+
+@query(
+    "q_graph_triangles",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked),
+    s AS (
+      SELECT user_id, sid, min(ts) AS s_start,
+             max(ts) + INTERVAL 30 MINUTE AS s_end
+      FROM sess GROUP BY user_id, sid),
+    e AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM s a JOIN s b
+        ON a.user_id < b.user_id
+       AND a.s_start <= b.s_end AND b.s_start <= a.s_end),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles,
+           round((SELECT count(*) FROM tri) * 1.0 /
+                 nullif((SELECT count(*)
+                         FROM e e1 JOIN e e2 ON e2.u = e1.v), 0), 4)
+             AS closure_rate
+    """,
+)
+def q_graph_triangles(spark, sf_dir):
+    """Triangle count + global clustering (transitivity) of the user
+    co-presence graph — the cohesion metric behind community/bot-ring
+    detection (bot swarms show near-complete triangles; drive-by overlap
+    shows almost none). Edges = session-overlapping user pairs (the
+    q_join_interval_overlap relation, deduplicated).
+
+    The algorithm is the node-ORDERED wedge join: with every edge stored
+    u < v, each wedge a<b<c is generated once (e(a,b) ⋈ e(b,c)) and
+    closed against e(a,c) — each triangle counted exactly once, no /6
+    correction, no symmetric-edge blowup. At 100 TB-scale graphs the
+    same join ordered by DEGREE instead of id bounds wedge counts by
+    arboricity (the classic optimization; id-order keeps the oracle
+    portable here). closure_rate = triangles / ORDERED wedges — with
+    id-ordered edges each triangle closes exactly one ordered wedge
+    (a<b, b<c), so the ratio is already the wedge-closure probability;
+    the unordered transitivity formula's x3 does not apply.
+
+    Edge construction REUSES q_join_interval_overlap's bucket-quantized
+    interval join (its output rows ARE the distinct overlapping pairs) —
+    the naive theta self-join over sessions is exactly the
+    BroadcastNestedLoopJoin that operator exists to avoid."""
+    from .joins import q_join_interval_overlap
+
+    edges = q_join_interval_overlap(spark, sf_dir).select(
+        F.col("u1").alias("u"), F.col("u2").alias("v")
+    )
+    edges = edges.localCheckpoint()  # bound lineage: 3 self-join arms
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "b")
+    tri = wedges.join(e3, ["a", "c"])
+    n_edges = edges.count()
+    n_wedges = wedges.count()
+    n_tri = tri.count()
+    rate = round(1.0 * n_tri / n_wedges, 4) if n_wedges else None
+    return spark.createDataFrame(
+        [(n_edges, n_tri, rate)],
+        "n_edges long, n_triangles long, closure_rate double",
+    )

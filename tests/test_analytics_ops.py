@@ -614,3 +614,13 @@ def test_autocorr_values_are_correlations(spark, qs):
         for v in (r.acf_1, r.acf_7):
             if v is not None:
                 assert -1.0 - 1e-9 <= v <= 1.0 + 1e-9
+
+
+def test_triangles_bound_by_edges(spark, qs):
+    """Triangle count is bounded by edges*(sqrt(edges)) and closure rate
+    is a proper fraction; on the dense co-presence fixture triangles
+    exist."""
+    r = qs["q_graph_triangles"](spark, SF).collect()[0]
+    assert r.n_edges > 0 and r.n_triangles > 0
+    assert 0.0 <= r.closure_rate <= 1.0
+    assert r.n_triangles <= r.n_edges ** 1.5 + 1
