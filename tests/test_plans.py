@@ -95,6 +95,7 @@ SIDE_EFFECT_PREFIXES = ("c_", "q_sink", "q_stream", "q_scan_partition_prune",
                         "q_multimodal", "q_snapshot_expire", "q_dedup_index")
 CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 "q_sim_hamming",  # 1-row broadcast query code, like q_sim_topk
+                "q_sim_rerank",   # same 1-row broadcast query, both stages
                 "q_sim_ann_ivf", "q_udtf",  # deliberate cross/theta/lateral shapes
                 # 1-row scalar-aggregate broadcast compared with `>`: BNLJ with a
                 # single build row is the correct scale-safe plan (map-side compare)
