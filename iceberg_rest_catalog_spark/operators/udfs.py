@@ -141,3 +141,68 @@ def q_udtf(spark, sf_dir):
         FROM _udtf_docs d, LATERAL icsb_tokenize(d.text) tk
         """
     )
+
+
+@query(
+    "q_udf_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS net,
+           round(l_quantity * l_extendedprice, 4) AS volume
+    FROM lineitem WHERE l_orderkey <= 500
+    """,
+)
+def q_udf_arrow(spark, sf_dir):
+    """``mapInArrow``: the lowest-level Python batch API — the function
+    receives raw ``pyarrow.RecordBatch`` objects (no pandas conversion at
+    all) and yields batches back. The right surface when the Python side
+    is itself Arrow-native (pyarrow.compute, DuckDB, polars, ray data):
+    it skips the pandas materialization both ways, which is the dominant
+    cost of a pandas UDF whose compute is trivial.
+
+    Completes the Python-eval surface matrix: row-at-a-time (q_udf_python)
+    / pandas scalar (q_udf_pandas) / pandas grouped-agg (q_udaf_pandas) /
+    table function (q_udtf) / Arrow-batch (here). Map-only: partition
+    count, ordering and pruning are unaffected; arithmetic runs in
+    pyarrow.compute's vectorized kernels."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batch_fn(batches):
+        for b in batches:
+            net = pc.round(
+                pc.multiply(
+                    b.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+                ),
+                ndigits=4,
+            )
+            volume = pc.round(
+                pc.multiply(b.column("l_quantity"), b.column("l_extendedprice")),
+                ndigits=4,
+            )
+            # the declared Spark schema says long/long/double/double —
+            # cast the int32 line number up front (Arrow types must match
+            # the declared schema exactly; Spark reads the vectors raw)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("l_orderkey"),
+                    b.column("l_linenumber").cast(pa.int64()),
+                    net,
+                    volume,
+                ],
+                ["l_orderkey", "l_linenumber", "net", "volume"],
+            )
+
+    src = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 500)
+        .select(
+            "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+            "l_quantity",
+        )
+    )
+    return src.mapInArrow(
+        batch_fn,
+        "l_orderkey long, l_linenumber long, net double, volume double",
+    )

@@ -624,3 +624,28 @@ def test_triangles_bound_by_edges(spark, qs):
     assert r.n_edges > 0 and r.n_triangles > 0
     assert 0.0 <= r.closure_rate <= 1.0
     assert r.n_triangles <= r.n_edges ** 1.5 + 1
+
+
+def test_udf_arrow_matches_jvm_arithmetic(spark, qs):
+    """The Arrow-batch computation equals the same arithmetic as a JVM
+    expression, row for row."""
+    from iceberg_rest_catalog_spark.operators.common import t
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.l_orderkey, r.l_linenumber): (r.net, r.volume)
+        for r in qs["q_udf_arrow"](spark, SF).collect()
+    }
+    ref = {
+        (r.l_orderkey, r.l_linenumber): (r.net, r.volume)
+        for r in t(spark, SF, "lineitem")
+        .filter("l_orderkey <= 500")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net"),
+            F.round(F.col("l_quantity") * F.col("l_extendedprice"), 4).alias("volume"),
+        )
+        .collect()
+    }
+    assert got == ref
