@@ -648,4 +648,10 @@ def test_udf_arrow_matches_jvm_arithmetic(spark, qs):
         )
         .collect()
     }
-    assert got == ref
+    # pyarrow and the JVM round through different float paths, so the
+    # doubles can differ in their last bits (54190.922099999996 vs
+    # 54190.9221) — identical at the 4-dp precision both claim
+    assert set(got) == set(ref)
+    for k, (n1, v1) in got.items():
+        n2, v2 = ref[k]
+        assert abs(n1 - n2) < 1e-6 and abs(v1 - v2) < 1e-6
