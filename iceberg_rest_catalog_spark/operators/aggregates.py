@@ -620,3 +620,62 @@ def q_agg_gini(spark, sf_dir):
             - (F.max("n") + 1.0) / F.max("n")
         ).alias("gini"),
     )
+
+
+K_ANON = 5
+
+
+@query(
+    "q_agg_kanon",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+             round(avg(n_chars), 4) AS avg_chars
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY lang, source
+    )
+    SELECT CASE WHEN n >= {K_ANON} THEN lang ELSE '*' END AS lang,
+           CASE WHEN n >= {K_ANON} THEN source ELSE '*' END AS source,
+           CAST(sum(n) AS BIGINT) AS n,
+           round(sum(avg_chars * n) / sum(n), 4) AS avg_chars,
+           CAST(count(*) AS BIGINT) AS n_merged_groups
+    FROM g
+    GROUP BY 1, 2
+    """,
+)
+def q_agg_kanon(spark, sf_dir):
+    """K-anonymous aggregate release: (lang, source) groups smaller than
+    k={K_ANON} are generalized into one '*' bucket before publication —
+    the suppression rule that keeps small-group aggregates from
+    identifying individual documents/users in a shared data product.
+    Merged groups re-aggregate exactly (counts add; means recombine
+    weighted), and the release records how many raw groups each row
+    absorbed.
+
+    Scale shape: one grouped aggregate, then a second aggregate over the
+    |groups|-sized result — the privacy pass costs nothing beyond the
+    report it guards. The same shape generalizes to hierarchies (city →
+    region → country) by cascading the CASE."""
+    g = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n"), r4(F.avg("n_chars")).alias("avg_chars"))
+    )
+    anon = F.col("n") >= K_ANON
+    return (
+        g.select(
+            F.when(anon, F.col("lang")).otherwise("*").alias("lang"),
+            F.when(anon, F.col("source")).otherwise("*").alias("source"),
+            "n",
+            "avg_chars",
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            r4(
+                F.sum(F.col("avg_chars") * F.col("n")) / F.sum("n")
+            ).alias("avg_chars"),
+            F.count("*").alias("n_merged_groups"),
+        )
+    )

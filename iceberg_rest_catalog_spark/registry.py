@@ -98,7 +98,8 @@ _QUERY_MODULES = (
 #      q_agg_entropy, q_join_asof_tolerance, q_evt_ab_test,
 #      q_dedup_cross_source, q_agg_gini, q_text_langid_eval,
 #      q_sim_rerank, q_meta_column_stats, q_stream_hll, q_evt_heatmap,
-#      q_ts_decompose, q_ts_autocorr, q_graph_triangles, q_udf_arrow;
+#      q_ts_decompose, q_ts_autocorr, q_graph_triangles, q_udf_arrow,
+#      q_agg_kanon;
 # then order the rest by staleness (r2-confirmed ids first) so evidence
 # refreshes oldest-first.
 #

@@ -655,3 +655,16 @@ def test_udf_arrow_matches_jvm_arithmetic(spark, qs):
     for k, (n1, v1) in got.items():
         n2, v2 = ref[k]
         assert abs(n1 - n2) < 1e-6 and abs(v1 - v2) < 1e-6
+
+
+def test_kanon_suppresses_small_groups_and_conserves_mass(spark, qs):
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    rows = qs["q_agg_kanon"](spark, SF).collect()
+    total = t(spark, SF, "documents").filter("text IS NOT NULL").count()
+    assert sum(r.n for r in rows) == total
+    for r in rows:
+        if r.lang != "*":
+            assert r.n >= 5 and r.n_merged_groups == 1
+    stars = [r for r in rows if r.lang == "*"]
+    assert len(stars) <= 1
