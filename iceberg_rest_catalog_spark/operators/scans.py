@@ -250,3 +250,63 @@ def q_scan_zorder(spark, sf_dir):
         F.round("l_quantity", 4).alias("l_quantity"),
         F.round("l_extendedprice", 4).alias("l_extendedprice"),
     )
+
+
+@query(
+    "q_sink_dynamic_overwrite",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CASE WHEN year(o_orderdate) = 1997 THEN 'rewritten'
+                ELSE 'original' END AS batch
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def q_sink_dynamic_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite (INSERT OVERWRITE ... PARTITION): a
+    rewrite of ONE year replaces only that year's directory — every other
+    partition survives byte-for-byte untouched (asserted on file mtimes).
+    The write mode behind idempotent daily backfills at 100 TB: re-running
+    a day's job replaces exactly that day, never truncating the table
+    (static overwrite mode would drop all other partitions — the classic
+    data-loss footgun this mode exists to fix).
+
+    partitionOverwriteMode=dynamic is set per-write via option(), not
+    session-wide, so concurrent writers with different intents don't
+    interfere."""
+    out = scratch_dir("sink_dynamic", sf_dir)
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    )
+    # seed: the full table, every year marked 'original'
+    orders.withColumn("batch", F.lit("original")).write.mode(
+        "overwrite"
+    ).partitionBy("yr").parquet(out)
+    import glob as _glob
+    import os as _os
+
+    before = {
+        p: _os.path.getmtime(p)
+        for p in _glob.glob(_os.path.join(out, "yr=*", "*.parquet"))
+        if "yr=1997" not in p
+    }
+    # backfill: rewrite ONLY 1997 with the corrected batch label
+    (
+        orders.filter(F.col("yr") == 1997)
+        .withColumn("batch", F.lit("rewritten"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("yr")
+        .parquet(out)
+    )
+    after = {
+        p: _os.path.getmtime(p)
+        for p in _glob.glob(_os.path.join(out, "yr=*", "*.parquet"))
+        if "yr=1997" not in p
+    }
+    assert before == after, "untouched partitions must survive byte-for-byte"
+    return spark.read.parquet(out).select(
+        "o_orderkey", "o_totalprice", F.col("yr").cast("int").alias("yr"), "batch"
+    )
