@@ -54,3 +54,63 @@ def q_source_orc(spark, sf_dir):
     base = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
     base.write.mode("overwrite").orc(out)
     return spark.read.schema("r_regionkey long, r_name string").orc(out)
+
+
+@query(
+    "q_source_binaryfile",
+    oracle="""
+    SELECT 'doc_' || doc_id || '.bin' AS fname,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < 20 AND text IS NOT NULL
+      AND strlen(text) > 0
+    """,
+)
+def q_source_binaryfile(spark, sf_dir):
+    """``binaryFile`` source — the ingestion format for multimodal
+    payloads (images/audio/model checkpoints): each file becomes one row
+    of (path, modificationTime, length, content BINARY), feeding the
+    mapInPandas decode stage (llm/multimodal.py) without any parsing.
+
+    The round trip writes one file per small doc (bytes = the utf-8
+    text), reads the directory back through binaryFile, and proves
+    length+md5 of every payload — which the oracle recomputes from the
+    source strings (md5 of a string hashes its utf-8 bytes on both
+    engines).
+
+    Scale notes: binaryFile parallelizes per-file (one row each, files
+    never split), so millions of small payloads need the usual
+    small-file hygiene (tar/shard containers — q_shard_assign's layout —
+    or compaction); spark.sql.files.maxPartitionBytes groups small files
+    per task."""
+    import os as _os
+    import shutil as _shutil
+
+    docs = [
+        (r.doc_id, r.text)
+        for r in t(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < 20)
+            & F.col("text").isNotNull()
+            # a 0-byte payload is not a meaningful binary, and the
+            # binaryFile source skips empty files entirely (found by the
+            # perturbed audit's emptied-doc injection) — exclude on BOTH
+            # engines
+            & (F.octet_length("text") > 0)
+        )
+        .collect()
+    ]
+    out = scratch_dir("source_binary", sf_dir)
+    # self-clean: a doc excluded since the last run must not linger as a
+    # stray payload file
+    _shutil.rmtree(out, ignore_errors=True)
+    _os.makedirs(out, exist_ok=True)
+    for doc_id, text in docs:
+        with open(_os.path.join(out, f"doc_{doc_id}.bin"), "wb") as f:
+            f.write(text.encode("utf-8"))
+    raw = spark.read.format("binaryFile").load(out)
+    return raw.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
