@@ -189,5 +189,54 @@ def test_countmin_never_underestimates_on_random_keys(spark, keys):
         assert r.cm_est >= r.true_cnt
 
 
+@SLOW
+@given(
+    st.lists(
+        st.floats(min_value=1.0, max_value=100.0, allow_nan=False),
+        min_size=3,
+        max_size=20,
+    ),
+    st.lists(
+        st.floats(min_value=1.0, max_value=100.0, allow_nan=False),
+        min_size=3,
+        max_size=20,
+    ),
+)
+def test_welch_z_matches_reference(spark, a, b):
+    """The q_evt_ab_test plan shape (conditional-max pivot + Welch z)
+    equals the direct python computation."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    va, vb = statistics.variance(a), statistics.variance(b)
+    if va == 0 or vb == 0:
+        return  # degenerate groups: z undefined, op never sees them
+    expected = (statistics.mean(a) - statistics.mean(b)) / math.sqrt(
+        va / len(a) + vb / len(b)
+    )
+    rows = [(x, 0) for x in a] + [(x, 1) for x in b]
+    df = spark.createDataFrame(rows, "v double, g int")
+    c = df.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.avg("v").alias("m"),
+        F.var_samp("v").alias("s2"),
+    )
+    wide = c.agg(
+        F.max(F.when(F.col("g") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("g") == 0, F.col("m"))).alias("m_a"),
+        F.max(F.when(F.col("g") == 0, F.col("s2"))).alias("v_a"),
+        F.max(F.when(F.col("g") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("g") == 1, F.col("m"))).alias("m_b"),
+        F.max(F.when(F.col("g") == 1, F.col("s2"))).alias("v_b"),
+    )
+    z = wide.select(
+        (
+            (F.col("m_a") - F.col("m_b"))
+            / F.sqrt(F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b"))
+        ).alias("z")
+    ).collect()[0].z
+    assert abs(z - expected) < 1e-7
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
