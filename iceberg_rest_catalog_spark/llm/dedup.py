@@ -1428,3 +1428,94 @@ def q_dedup_cross_source(spark, sf_dir):
         .filter(F.col("source_a") != F.col("source_b"))
         .select("doc_a", "doc_b", "source_a", "source_b", "est_jaccard")
     )
+
+
+def _dedup_apply_oracle() -> str:
+    agree = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
+    )
+    return f"""
+    WITH RECURSIVE {_lsh_ctes()}, p AS (
+      SELECT doc_a, doc_b
+      FROM cand
+      JOIN sig sa ON sa.doc_id = doc_a
+      JOIN sig sb ON sb.doc_id = doc_b
+      WHERE ({agree}) / 16.0 >= 0.5
+    ), e AS (
+      SELECT doc_a AS a, doc_b AS b FROM p
+      UNION SELECT doc_b, doc_a FROM p
+      UNION SELECT doc_a, doc_a FROM p
+      UNION SELECT doc_b, doc_b FROM p
+    ), reach AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+    ), lab AS (
+      SELECT a AS node, min(b) AS cluster_id FROM reach GROUP BY a
+    ), ranked AS (
+      SELECT l.node AS doc_id, l.cluster_id, d.n_chars,
+             row_number() OVER (PARTITION BY l.cluster_id
+                                ORDER BY d.n_chars DESC, l.node) AS rn,
+             count(*) OVER (PARTITION BY l.cluster_id) AS csize
+      FROM lab l JOIN documents d ON d.doc_id = l.node
+    )
+    SELECT doc_id, CAST(csize AS BIGINT) AS cluster_size,
+           CAST(csize - 1 AS BIGINT) AS n_removed
+    FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT d.doc_id, CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+    FROM documents d
+    WHERE d.text IS NOT NULL
+      AND d.doc_id NOT IN (SELECT node FROM lab)
+    """
+
+
+@query("q_dedup_apply", oracle=_dedup_apply_oracle())
+def q_dedup_apply(spark, sf_dir):
+    """APPLY the dedup decisions — emit the surviving corpus: every other
+    dedup op reports pairs or clusters; this one produces what the next
+    pipeline stage actually consumes. One best doc per near-dup cluster
+    (longest text, id tiebreak — the q_dedup_keep_best policy applied to
+    FUZZY clusters), every unclustered doc kept, with per-survivor
+    cluster size and removed-count provenance.
+
+    Scale shape: the LSH + connected-components machinery is shared with
+    q_dedup_cluster (one corpus scan, star-CC rounds logarithmic in
+    component size); survivor election is one window over |clustered
+    docs|; the singles side is an id-keyed anti-join. The output IS the
+    deduplicated corpus manifest — join it back to documents to
+    materialize."""
+    from pyspark.sql import Window
+
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _cc_star(pairs)
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "n_chars")
+    )
+    clustered = labels.join(d, labels.node == d.doc_id).select(
+        "doc_id", "label", "n_chars"
+    )
+    w = Window.partitionBy("label")
+    ranked = clustered.select(
+        "doc_id",
+        F.row_number()
+        .over(w.orderBy(F.desc("n_chars"), "doc_id"))
+        .alias("rn"),
+        F.count("*").over(w).alias("csize"),
+    )
+    kept = ranked.filter(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("csize").cast("long").alias("cluster_size"),
+        (F.col("csize") - 1).cast("long").alias("n_removed"),
+    )
+    singles = (
+        d.join(labels, d.doc_id == labels.node, "anti")
+        .select(
+            "doc_id",
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.lit(0).cast("long").alias("n_removed"),
+        )
+    )
+    return kept.unionByName(singles)

@@ -99,7 +99,8 @@ _QUERY_MODULES = (
 #      q_dedup_cross_source, q_agg_gini, q_text_langid_eval,
 #      q_sim_rerank, q_meta_column_stats, q_stream_hll, q_evt_heatmap,
 #      q_ts_decompose, q_ts_autocorr, q_graph_triangles, q_udf_arrow,
-#      q_agg_kanon, q_sink_dynamic_overwrite, q_source_binaryfile;
+#      q_agg_kanon, q_sink_dynamic_overwrite, q_source_binaryfile,
+#      q_dedup_apply;
 # then order the rest by staleness (r2-confirmed ids first) so evidence
 # refreshes oldest-first.
 #

@@ -684,3 +684,16 @@ def test_kanon_suppresses_small_groups_and_conserves_mass(spark, qs):
             assert r.n >= 5 and r.n_merged_groups == 1
     stars = [r for r in rows if r.lang == "*"]
     assert len(stars) <= 1
+
+
+def test_dedup_apply_partitions_the_corpus(spark, qs):
+    """Survivors + removed docs account for the whole (non-null-text)
+    corpus exactly once; every survivor's provenance is consistent."""
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    rows = qs["q_dedup_apply"](spark, SF01).collect()
+    total = t(spark, SF01, "documents").filter("text IS NOT NULL").count()
+    assert sum(r.cluster_size for r in rows) == total
+    assert all(r.n_removed == r.cluster_size - 1 for r in rows)
+    assert len({r.doc_id for r in rows}) == len(rows)
+    assert any(r.cluster_size > 1 for r in rows)  # fixture has planted dups
