@@ -77,98 +77,73 @@ _QUERY_MODULES = (
     "iceberg_rest_catalog_spark.llm.text",
 )
 
-# Round-5 driver window, front of the registry (52 candidates for ~50
-# slots; the overflow rolls to round 6 and is deliberately the two most
-# trivially-judge-verified scalar-function demos).
-#
-# ROUND-6 NOTE: after a clean r5 window, rotate to the front (in order):
-#   1. any r5-red ids;
-#   2. the window overflow if the window was exactly 50 (q_fn_cond,
-#      q_fn_math);
-#   3. the round-5 additions, which have never been in a window:
-#      q_dedup_simhash_shingle, q_dedup_incremental, q_dedup_index,
-#      q_dedup_spans, q_sim_knn_batch, q_sim_ann_pq, q_embed_pq,
-#      q_stream_ingest_gate, q_multimodal_frame_sample, q_multimodal_audio,
-#      q_wap_publish, q_snapshot_diff, q_agg_countmin, q_tokenizer_apply,
-#      q_caption_pairs, q_evt_rolling_dau, q_embed_matryoshka,
-#      q_agg_histogram, q_sample_balanced, q_evt_rfm, q_meta_history,
-#      q_meta_partition_stats, q_evt_drift_ks, q_stream_wap,
-#      q_dedup_eval_sweep, q_evt_forecast_eval, q_evt_pattern_match,
-#      q_incremental_agg_maintenance, q_embed_dim_stats, q_corpus_report,
-#      q_agg_entropy, q_join_asof_tolerance, q_evt_ab_test,
-#      q_dedup_cross_source, q_agg_gini, q_text_langid_eval,
-#      q_sim_rerank, q_meta_column_stats, q_stream_hll, q_evt_heatmap,
-#      q_ts_decompose, q_ts_autocorr, q_graph_triangles, q_udf_arrow,
-#      q_agg_kanon, q_sink_dynamic_overwrite, q_source_binaryfile,
-#      q_dedup_apply;
-# then order the rest by staleness (r2-confirmed ids first) so evidence
-# refreshes oldest-first.
+# Round-6 driver window: exactly the 50 ids with NO driver row yet after
+# the clean 50/50 round-5 window (CORRECTNESS_r05.json).
 #
 # Composition, in order:
-#   1. the 3 ids driver-ERR in r3 (portable-hash fix landed in r4; they
-#      MUST show driver-green);
-#   2. the catalog DML / evolution / file-skipping tail — the highest
-#      user-value never-windowed ops (row-level DML and evolution are what
-#      users adopt an Iceberg catalog FOR);
-#   3. the remaining never-checked join/similarity/aggregate singles;
-#   4. whole never-checked families: windows, sorts, setops, subqueries,
-#      udfs;
-#   5. scalar functions last, simplest final so overflow is lowest-risk.
-# Everything driver-green in r2-r4 keeps its registration order after
-# these — zero previously-green ids inside the new window.
-_ROUND5_WINDOW = (
-    "q_dedup_fuzzy",
-    "q_dedup_simhash",
-    "q_dedup_cluster",
-    "q_delete_where",
-    "q_update_where",
-    "q_delete_merge_on_read",
-    "q_schema_evolution_rename",
-    "q_partition_evolution",
-    "q_merge_into_catalog",
-    "q_scan_stats_prune",
-    "q_scan_zorder",
-    "q_join_bloom_prune",
-    "q_join_interval_overlap",
-    "q_sim_hamming",
-    "q_agg_filtered",
-    "q_agg_corr",
-    "q_win_rank",
-    "q_win_topk_per_group",
-    "q_win_running",
-    "q_win_sliding_rows",
-    "q_win_range_frame",
-    "q_win_lag_lead",
-    "q_win_ntile_percent",
-    "q_win_value_fns",
-    "q_sort_multi",
-    "q_topk",
-    "q_limit_offset",
-    "q_union_all",
-    "q_union_distinct",
-    "q_intersect",
-    "q_except",
-    "q_sub_scalar",
-    "q_sub_in",
-    "q_sub_exists_corr",
-    "q_sub_not_in_null",
-    "q_udf_python",
-    "q_udf_pandas",
-    "q_udaf_pandas",
-    "q_udtf",
-    "q_fn_variant",
-    "q_sql_recursive",
-    "q_sql_cte",
-    "q_fn_json",
-    "q_fn_map",
-    "q_fn_array",
-    "q_fn_bitwise",
-    "q_fn_hash",
-    "q_fn_cast",
-    "q_fn_date",
-    "q_fn_string",
+#   1. the 2 ids the 50-cap cut from the r5 window (q_fn_cond, q_fn_math) —
+#      they were staged, never checked;
+#   2. the 48 round-5 additions, which postdate every driver window.
+# A green r6 window takes cumulative driver evidence to 245/245 — every
+# SURVEY §2 id driver-verified at least once, zero driver-red.
+# Everything driver-green in r2-r5 keeps registration order after these.
+#
+# ROUND-7 NOTE: once r6 is green, rotate by staleness — the r2-confirmed
+# ids first (catalog / scan / source / filter / join families, 4 rounds
+# stale by then), then r3's, so no id's evidence ages more than ~3 rounds.
+_ROUND6_WINDOW = (
+    # 1. r5 window overflow
     "q_fn_cond",
     "q_fn_math",
+    # 2. round-5 additions, never in any driver window
+    "q_dedup_simhash_shingle",
+    "q_dedup_incremental",
+    "q_dedup_index",
+    "q_dedup_spans",
+    "q_dedup_apply",
+    "q_dedup_cross_source",
+    "q_dedup_eval_sweep",
+    "q_sim_knn_batch",
+    "q_sim_ann_pq",
+    "q_sim_rerank",
+    "q_embed_pq",
+    "q_embed_matryoshka",
+    "q_embed_dim_stats",
+    "q_stream_ingest_gate",
+    "q_stream_wap",
+    "q_stream_hll",
+    "q_multimodal_frame_sample",
+    "q_multimodal_audio",
+    "q_source_binaryfile",
+    "q_sink_dynamic_overwrite",
+    "q_wap_publish",
+    "q_snapshot_diff",
+    "q_meta_history",
+    "q_meta_partition_stats",
+    "q_meta_column_stats",
+    "q_incremental_agg_maintenance",
+    "q_agg_countmin",
+    "q_agg_histogram",
+    "q_agg_entropy",
+    "q_agg_gini",
+    "q_agg_kanon",
+    "q_tokenizer_apply",
+    "q_caption_pairs",
+    "q_corpus_report",
+    "q_sample_balanced",
+    "q_text_langid_eval",
+    "q_evt_rolling_dau",
+    "q_evt_rfm",
+    "q_evt_drift_ks",
+    "q_evt_forecast_eval",
+    "q_evt_pattern_match",
+    "q_evt_ab_test",
+    "q_evt_heatmap",
+    "q_ts_decompose",
+    "q_ts_autocorr",
+    "q_join_asof_tolerance",
+    "q_graph_triangles",
+    "q_udf_arrow",
 )
 
 
@@ -188,7 +163,7 @@ def collect() -> dict[str, Entry]:
     """Import every query module that exists; missing modules are simply
     not-yet-implemented (the registry degrades gracefully as modules land).
 
-    The returned dict is ordered: ids named in ``_ROUND5_WINDOW`` first (in
+    The returned dict is ordered: ids named in ``_ROUND6_WINDOW`` first (in
     that order), then everything else in registration order — the grading
     driver verifies the first ~50 entries each round."""
     for mod in _QUERY_MODULES:
@@ -201,7 +176,7 @@ def collect() -> dict[str, Entry]:
             if e.name is None or not (mod == e.name or mod.startswith(e.name + ".")):
                 raise
     ordered: dict[str, Entry] = {}
-    for name in _ROUND5_WINDOW:
+    for name in _ROUND6_WINDOW:
         if name in _REGISTRY:
             ordered[name] = _REGISTRY[name]
     for name, entry in _REGISTRY.items():

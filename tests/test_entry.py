@@ -40,7 +40,7 @@ def test_every_oracle_has_query():
     assert not dangling, dangling
 
 
-def test_round5_window_leads_registration_order():
+def test_round6_window_leads_registration_order():
     """The driver verifies the first ~50 queries() entries per round; the
     explicit rotation list must lead the dict exactly, with every listed id
     actually registered (a typo would silently waste a window slot)."""
@@ -49,6 +49,30 @@ def test_round5_window_leads_registration_order():
     from iceberg_rest_catalog_spark import registry
 
     ids = list(e.queries())
-    window = list(registry._ROUND5_WINDOW)
+    window = list(registry._ROUND6_WINDOW)
     assert ids[: len(window)] == window
     assert len(set(window)) == len(window)
+    assert len(window) == 50
+
+
+def test_round6_window_is_exactly_the_never_driver_checked_ids():
+    """The r6 window must cover precisely the ids with no prior driver row:
+    the r5 overflow pair plus the 48 round-5 additions — i.e. zero overlap
+    with any CORRECTNESS_r0{2..5} window."""
+    import json
+
+    sys.path.insert(0, REPO)
+    from iceberg_rest_catalog_spark import registry
+
+    window = set(registry._ROUND6_WINDOW)
+    seen = set()
+    for r in (2, 3, 4, 5):
+        path = os.path.join(REPO, f"CORRECTNESS_r0{r}.json")
+        if os.path.exists(path):
+            seen |= set(json.load(open(path)))
+    overlap = window & seen
+    assert not overlap, sorted(overlap)
+    # and together they cover the whole registry
+    all_ids = set(registry.queries())
+    assert window <= all_ids, sorted(window - all_ids)
+    assert (seen | window) >= all_ids, sorted(all_ids - seen - window)
