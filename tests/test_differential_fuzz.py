@@ -163,3 +163,227 @@ def test_random_filter_group_agg_matches_duckdb(lineitem, ddb, spec):
     want = _canon([tuple(r) for r in pdf.itertuples(index=False, name=None)])
 
     assert got == want, (spec, q, got[:3], want[:3])
+
+
+# ---------------------------------------------------------------------------
+# Join fuzz (round 6): two-table equi joins with NULL-key injection.
+#
+# The base tables have no NULL keys, so NULLs are injected via a CASE over a
+# modulus — this is exactly the surface where Spark and DuckDB could diverge
+# silently: standard `=` never matches NULL, null-safe (`<=>` / IS NOT
+# DISTINCT FROM) matches NULL=NULL, and outer-join padding interacts with
+# both. The joined frame is reduced by a deterministic aggregate over
+# left-table columns so the compare stays small and canonical.
+# ---------------------------------------------------------------------------
+
+_JOIN_TYPES = [
+    # (spark how, sql template kind)
+    ("inner", "inner"),
+    ("left", "left"),
+    ("right", "right"),
+    ("full", "full"),
+    ("left_semi", "semi"),
+    ("left_anti", "anti"),
+]
+_NULL_MODS = [7, 13]  # o_orderkey % m == 0 → NULL left key
+_RIGHT_NULL_MODS = [None, 11]  # c_custkey % m == 0 → NULL right key
+
+
+@pytest.fixture(scope="module")
+def join_tables(spark):
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    return t(spark, SF, "orders"), t(spark, SF, "customer")
+
+
+@pytest.fixture(scope="module")
+def ddb_join():
+    con = duckdb.connect()
+    for name in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF}/{name}.parquet')"
+        )
+    return con
+
+
+join_spec = st.tuples(
+    st.sampled_from(range(len(_JOIN_TYPES))),
+    st.sampled_from(_NULL_MODS),
+    st.sampled_from(_RIGHT_NULL_MODS),
+    st.booleans(),  # null-safe equality?
+)
+
+
+@settings(
+    max_examples=24,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(join_spec)
+def test_random_null_key_join_matches_duckdb(join_tables, ddb_join, spec):
+    from pyspark.sql import functions as F
+
+    jt_ix, lmod, rmod, null_safe = spec
+    how, kind = _JOIN_TYPES[jt_ix]
+
+    orders, customer = join_tables
+    lkey = F.when(F.col("o_orderkey") % lmod == 0, F.lit(None)).otherwise(
+        F.col("o_custkey")
+    )
+    left = orders.select(
+        lkey.cast("long").alias("jk"), "o_orderpriority", "o_totalprice"
+    )
+    rkey = F.col("c_custkey")
+    if rmod is not None:
+        rkey = F.when(F.col("c_custkey") % rmod == 0, F.lit(None)).otherwise(
+            F.col("c_custkey")
+        )
+    right = customer.select(rkey.cast("long").alias("ck"), "c_mktsegment")
+
+    cond = left["jk"].eqNullSafe(right["ck"]) if null_safe else left["jk"] == right["ck"]
+    joined = left.join(right, cond, how)
+    # semi/anti expose only left columns; outer joins may NULL-pad either side
+    df = joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+    )
+    df = df.select(*sorted(df.columns))
+    got = _canon([tuple(r) for r in df.collect()])
+
+    lkey_sql = f"CASE WHEN o_orderkey % {lmod} = 0 THEN NULL ELSE o_custkey END"
+    rkey_sql = (
+        f"CASE WHEN c_custkey % {rmod} = 0 THEN NULL ELSE c_custkey END"
+        if rmod is not None
+        else "c_custkey"
+    )
+    eq = "IS NOT DISTINCT FROM" if null_safe else "="
+    lsub = f"(SELECT {lkey_sql} AS jk, o_orderpriority, o_totalprice FROM orders) l"
+    rsub = f"(SELECT {rkey_sql} AS ck, c_mktsegment FROM customer) r"
+    if kind == "semi":
+        frm = f"{lsub} WHERE EXISTS (SELECT 1 FROM {rsub} WHERE l.jk {eq} r.ck)"
+    elif kind == "anti":
+        frm = f"{lsub} WHERE NOT EXISTS (SELECT 1 FROM {rsub} WHERE l.jk {eq} r.ck)"
+    else:
+        jw = {"inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
+              "full": "FULL JOIN"}[kind]
+        frm = f"{lsub} {jw} {rsub} ON l.jk {eq} r.ck"
+    q = (
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows, "
+        f"round(sum(o_totalprice), 4) AS sum_price FROM {frm} "
+        "GROUP BY o_orderpriority"
+    )
+    pdf = ddb_join.execute(q).fetchdf()
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    want = _canon([tuple(r) for r in pdf.itertuples(index=False, name=None)])
+
+    assert got == want, (spec, q, got[:3], want[:3])
+
+
+# ---------------------------------------------------------------------------
+# Window fuzz (round 6): rank / value / frame-agg specs with explicit null
+# ordering.
+#
+# Spark's ASC default is NULLS FIRST; DuckDB's is NULLS LAST — every oracle
+# in the registry therefore spells null placement out. The grammar samples
+# (partition, nullable order expr, direction, null placement, function,
+# frame) and requires bit-identical rows; the unique o_orderkey tiebreak in
+# every ORDER BY keeps peer groups singleton so RANGE/ROWS defaults agree.
+# ---------------------------------------------------------------------------
+
+_WIN_PARTITIONS = [None, "o_orderpriority", "o_orderstatus"]
+_WIN_ORDER_NULL_MODS = [None, 7]  # o_orderkey % m == 0 → NULL order value
+
+
+@pytest.fixture(scope="module")
+def win_orders(spark):
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    return t(spark, SF, "orders")
+
+
+win_spec = st.tuples(
+    st.sampled_from(range(len(_WIN_PARTITIONS))),
+    st.sampled_from(_WIN_ORDER_NULL_MODS),
+    st.booleans(),  # descending?
+    st.booleans(),  # nulls first?
+    st.sampled_from(["row_number", "rank", "dense_rank", "lag", "sum_default",
+                     "sum_rows2", "sum_unbounded", "first_value"]),
+)
+
+
+@settings(
+    max_examples=24,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(win_spec)
+def test_random_window_spec_matches_duckdb(win_orders, ddb_join, spec):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    part_ix, nmod, desc, nulls_first, fn = spec
+    part = _WIN_PARTITIONS[part_ix]
+
+    order_col = F.col("o_totalprice")
+    order_sql = "o_totalprice"
+    if nmod is not None:
+        order_col = F.when(F.col("o_orderkey") % nmod == 0, F.lit(None)).otherwise(
+            F.col("o_totalprice")
+        )
+        order_sql = f"CASE WHEN o_orderkey % {nmod} = 0 THEN NULL ELSE o_totalprice END"
+    if desc:
+        ordered = order_col.desc_nulls_first() if nulls_first else order_col.desc_nulls_last()
+        dir_sql = "DESC NULLS FIRST" if nulls_first else "DESC NULLS LAST"
+    else:
+        ordered = order_col.asc_nulls_first() if nulls_first else order_col.asc_nulls_last()
+        dir_sql = "ASC NULLS FIRST" if nulls_first else "ASC NULLS LAST"
+
+    w = Window.partitionBy(*( [part] if part else [] )).orderBy(
+        ordered, F.col("o_orderkey").asc()
+    )
+    over_sql = (
+        (f"PARTITION BY {part} " if part else "")
+        + f"ORDER BY {order_sql} {dir_sql}, o_orderkey ASC"
+    )
+    if fn == "row_number":
+        val, vsql = F.row_number().over(w), f"row_number() OVER ({over_sql})"
+    elif fn == "rank":
+        val, vsql = F.rank().over(w), f"rank() OVER ({over_sql})"
+    elif fn == "dense_rank":
+        val, vsql = F.dense_rank().over(w), f"dense_rank() OVER ({over_sql})"
+    elif fn == "lag":
+        val = F.round(F.lag("o_totalprice", 1).over(w), 4)
+        vsql = f"round(lag(o_totalprice, 1) OVER ({over_sql}), 4)"
+    elif fn == "first_value":
+        val = F.round(F.first("o_totalprice").over(w), 4)
+        vsql = f"round(first_value(o_totalprice) OVER ({over_sql}), 4)"
+    elif fn == "sum_rows2":
+        val = F.round(F.sum("o_totalprice").over(w.rowsBetween(-2, 0)), 4)
+        vsql = (
+            f"round(sum(o_totalprice) OVER ({over_sql} "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)"
+        )
+    elif fn == "sum_unbounded":
+        val = F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
+        )
+        vsql = (
+            f"round(sum(o_totalprice) OVER ({over_sql} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)"
+        )
+    else:  # sum_default: RANGE UNBOUNDED PRECEDING..CURRENT ROW in both engines
+        val = F.round(F.sum("o_totalprice").over(w), 4)
+        vsql = f"round(sum(o_totalprice) OVER ({over_sql}), 4)"
+
+    df = win_orders.select("o_orderkey", val.alias("win_val"))
+    df = df.select(*sorted(df.columns))
+    got = _canon([tuple(r) for r in df.collect()])
+
+    q = f"SELECT o_orderkey, {vsql} AS win_val FROM orders"
+    pdf = ddb_join.execute(q).fetchdf()
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    want = _canon([tuple(r) for r in pdf.itertuples(index=False, name=None)])
+
+    assert got == want, (spec, q, got[:3], want[:3])
