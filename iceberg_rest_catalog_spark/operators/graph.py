@@ -203,11 +203,25 @@ def q_graph_triangles(spark, sf_dir):
     e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
     wedges = e1.join(e2, "b")
     tri = wedges.join(e3, ["a", "c"])
-    n_edges = edges.count()
-    n_wedges = wedges.count()
-    n_tri = tri.count()
-    rate = round(1.0 * n_tri / n_wedges, 4) if n_wedges else None
-    return spark.createDataFrame(
-        [(n_edges, n_tri, rate)],
-        "n_edges long, n_triangles long, closure_rate double",
+    # One ACTION for all three counts: tag each relation, union the per-tag
+    # aggregates, and pivot to a single row — the checkpointed edge list is
+    # the only materialized input, and the whole summary is one job when the
+    # caller collects (was: three separate .count() jobs).
+    counts = (
+        edges.agg(F.count(F.lit(1)).alias("n")).select(F.lit("e").alias("k"), "n")
+        .unionByName(
+            wedges.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("w").alias("k"), "n"
+            )
+        )
+        .unionByName(
+            tri.agg(F.count(F.lit(1)).alias("n")).select(F.lit("t").alias("k"), "n")
+        )
+    )
+    n_w = F.max(F.when(F.col("k") == "w", F.col("n")))
+    n_t = F.max(F.when(F.col("k") == "t", F.col("n")))
+    return counts.agg(
+        F.max(F.when(F.col("k") == "e", F.col("n"))).alias("n_edges"),
+        n_t.alias("n_triangles"),
+        F.round(n_t * 1.0 / F.when(n_w != 0, n_w), 4).alias("closure_rate"),
     )
