@@ -950,7 +950,7 @@ class Table:
             )
         rng = source.agg(
             F.min(on).alias("mn"), F.max(on).alias("mx")
-        ).collect()[0]
+        ).collect()[0]  # single-row aggregate: two scalars to the driver
         if rng.mn is None:
             return self  # empty source: nothing to merge
         prune = [(on, ">=", rng.mn), (on, "<=", rng.mx)]
@@ -1038,7 +1038,7 @@ class Table:
         bounds = df.agg(
             *[F.min(e).alias(f"mn_{c}") for c, e in norm_src.items()],
             *[F.max(e).alias(f"mx_{c}") for c, e in norm_src.items()],
-        ).collect()[0]
+        ).collect()[0]  # single-row aggregate: 2k scalars (column bounds)
         # Normalize each column to a 16-bit integer rank, then interleave
         # bit i of column j into position i*k + j (round-robin), giving a
         # single long whose order is the Z-curve over all k columns.
@@ -1088,6 +1088,7 @@ class Table:
                 F.approx_count_distinct(c).alias(f"{c}.ndv"),
             ]
             names.append(c)
+        # single-row aggregate: 4 scalars per column to the driver
         row = df.agg(F.count("*").alias("row_count"), *aggs).collect()[0].asDict()
         props = {"stats.row_count": str(row["row_count"])}
         for c in names:

@@ -783,7 +783,7 @@ def _cdc_lineage_table(spark, sf_dir):
         orders = t(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_totalprice"
         )
-        mn = orders.agg(F.min("o_orderkey")).collect()[0][0]
+        mn = orders.agg(F.min("o_orderkey")).collect()[0][0]  # 1 scalar
         tbl = tbl.append(
             orders.filter(F.col("o_orderkey") <= 200).repartitionByRange(
                 4, "o_orderkey"

@@ -466,6 +466,8 @@ def q_join_bloom_prune(spark, sf_dir):
         )
         .groupBy("word")
         .agg(F.bit_or("bit").alias("bits"))
+        # driver-side bound: ≤ n_words rows (1024 longs, 8 KB) — the whole
+        # point is that the bitmap is small enough to ship as a literal
         .collect()
     )
     words = [0] * n_words

@@ -98,6 +98,9 @@ def q_source_binaryfile(spark, sf_dir):
             # engines
             & (F.octet_length("text") > 0)
         )
+        # driver-side ONLY to build the ≤20-file test fixture; the
+        # production ingest path is binaryFile over an EXISTING object
+        # store prefix — payloads never materialize on the driver
         .collect()
     ]
     out = scratch_dir("source_binary", sf_dir)

@@ -131,6 +131,8 @@ class CatalogStreamReader:
         ddf = spark.read.parquet(
             *[os.path.join(tbl.location, p) for p in delete_rel_paths]
         )
+        # driver-side bound: O(|files churned this micro-batch|) paths —
+        # metadata-plane only, never row data
         touched = [r.file_path for r in ddf.select("file_path").distinct().collect()]
         if not touched:
             return None

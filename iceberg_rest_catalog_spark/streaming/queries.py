@@ -781,6 +781,8 @@ def q_stream_hll(spark, sf_dir):
         rows = (
             batch_df.groupBy("event_type")
             .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"))
+            # driver-side bound: |event_types| sketch rows (~1 KB each)
+            # per batch — sketch state, never row data
             .collect()
         )
         batch_sketches.append(rows)  # |types| x ~1 KB per batch
