@@ -76,6 +76,12 @@ HEADLINE = [
     "q_tokenizer_apply",
     "q_evt_rolling_dau",
     "q_embed_matryoshka",
+    # round-6 promotions: the most expensive of the remaining round-5
+    # additions (VERDICT r5 item 4), tracked from birth.
+    "q_graph_triangles",
+    "q_sim_rerank",
+    "q_dedup_apply",
+    "q_evt_drift_ks",
 ]
 
 

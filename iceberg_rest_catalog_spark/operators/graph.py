@@ -135,6 +135,79 @@ def q_graph_pagerank(spark, sf_dir):
     return _pagerank(ev)
 
 
+# Dense-path ceiling: above this the n^2/8-byte adjacency matrix stops
+# being "tiny" (100k nodes = 1.25 GB) — and a graph THAT wide can only be
+# storable if it is sparse, which is the wedge join's regime.
+_DENSE_MAX_NODES = 100_000
+
+
+def _triangles_dense(spark, edges, nodes):
+    """Exact triangle count for dense graphs via adjacency bitsets.
+
+    Builds the packed n x ceil(n/64) adjacency matrix with ONE codegen'd
+    bit_or aggregate (rows = (node, word, bits), the q_join_bloom_prune
+    one-hot pattern), collects it (n^2/8 bytes — 280 KB at n=1500, gated
+    by _DENSE_MAX_NODES), and probes it from a mapInPandas pass over the
+    EDGE list: for edge (u, v) with u < v, popcount(B[u] & B[v] &
+    mask(index > v)) is the number of triangles whose id-minimal edge is
+    (u, v) — each triangle counted exactly once. Returns a 1-row (n)
+    DataFrame; the probe stays fully distributed and touches O(|edges| *
+    n/64) vectorized words, never wedge rows."""
+    import numpy as np
+
+    n = len(nodes)
+    n_words = (n + 63) // 64
+    order = {node: i for i, node in enumerate(sorted(nodes))}
+    idx_df = spark.createDataFrame(
+        [(node, i) for node, i in order.items()], "node long, idx int"
+    )
+    ei = (
+        edges.join(F.broadcast(idx_df.withColumnRenamed("node", "u")), "u")
+        .withColumnRenamed("idx", "ui")
+        .join(F.broadcast(idx_df.withColumnRenamed("node", "v")), "v")
+        .withColumnRenamed("idx", "vi")
+        .select("ui", "vi")
+    ).localCheckpoint()  # reused by the bit build AND the probe
+
+    adj = ei.unionAll(ei.select(F.col("vi").alias("ui"), F.col("ui").alias("vi")))
+    words = (
+        adj.select(
+            "ui",
+            F.expr("CAST(vi DIV 64 AS INT)").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(vi % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("ui", "word")
+        .agg(F.bit_or("bit").alias("bits"))
+        # driver-side bound: <= n * n/64 rows = n^2/8 bytes of bitmap,
+        # small by the density gate above
+        .collect()
+    )
+    B = np.zeros((n, n_words), dtype=np.uint64)
+    for r in words:
+        B[r["ui"], r["word"]] = np.uint64(r["bits"] % (1 << 64))
+    # masks[v] keeps only neighbor indices STRICTLY ABOVE v
+    masks = np.zeros((n, n_words), dtype=np.uint64)
+    for v in range(n):
+        w, b = divmod(v + 1, 64)
+        if w < n_words:
+            masks[v, w] = np.uint64((~0) << b & 0xFFFFFFFFFFFFFFFF)
+            masks[v, w + 1:] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    popcnt = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint64)
+
+    def count_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ui = pdf["ui"].to_numpy()
+            vi = pdf["vi"].to_numpy()
+            inter = B[ui] & B[vi] & masks[vi]
+            total = int(popcnt[inter.view(np.uint8)].sum())
+            yield pd.DataFrame({"n": [total]})
+
+    partial = ei.mapInPandas(count_batches, "n long")
+    return partial.agg(F.sum("n").alias("n"))
+
+
 @query(
     "q_graph_triangles",
     oracle="""
@@ -177,16 +250,34 @@ def q_graph_triangles(spark, sf_dir):
     shows almost none). Edges = session-overlapping user pairs (the
     q_join_interval_overlap relation, deduplicated).
 
-    The algorithm is the node-ORDERED wedge join: with every edge stored
-    u < v, each wedge a<b<c is generated once (e(a,b) ⋈ e(b,c)) and
-    closed against e(a,c) — each triangle counted exactly once, no /6
-    correction, no symmetric-edge blowup. At 100 TB-scale graphs the
-    same join ordered by DEGREE instead of id bounds wedge counts by
-    arboricity (the classic optimization; id-order keeps the oracle
-    portable here). closure_rate = triangles / ORDERED wedges — with
-    id-ordered edges each triangle closes exactly one ordered wedge
-    (a<b, b<c), so the ratio is already the wedge-closure probability;
-    the unordered transitivity formula's x3 does not apply.
+    Counting strategy is DENSITY-AWARE — the co-presence relation is the
+    canonical dense graph (a 30-day window makes almost every active-user
+    pair overlap; at sf0.1 the graph is 1500 nodes at mean degree 1494,
+    i.e. 99.6% complete, where an id- or even degree-ordered wedge join
+    materializes 5.6e8 rows for a one-row answer):
+
+    - ORDERED WEDGES are never materialized: with every edge stored u < v,
+      the wedge count is the aggregate sum over b of indeg(b)*outdeg(b) —
+      one self-join of two |nodes|-row degree frames, not an edge⋈edge.
+    - TRIANGLES use per-node adjacency BITSETS: n*n/8 bytes is SMALL
+      exactly when the wedge join is pathological (dense ⇒ n is bounded
+      by the edge count's square root). Bit rows build as a codegen'd
+      bit_or aggregate (the q_join_bloom_prune pattern), the packed
+      matrix ships to executors in the task closure, and a mapInPandas
+      pass over the EDGES — never the wedges — popcounts
+      ``B[u] & B[v] & mask(id > v)``, counting each triangle once at its
+      id-minimal edge. 1.1M edges cost ~17 MB of Arrow and vectorized
+      numpy AND/LUT-popcount, vs 5.6e8 shuffled wedge rows.
+    - On SPARSE graphs (node count above _DENSE_MAX_NODES, where n^2/8
+      would not fit but wedge counts are arboricity-bounded) the classic
+      ordered wedge join takes over — same counts, opposite density
+      regime. Both paths close each triangle exactly once, so the DuckDB
+      oracle (plain wedge join) is identical for either.
+
+    closure_rate = triangles / ORDERED wedges — with id-ordered edges
+    each triangle closes exactly one ordered wedge (a<b, b<c), so the
+    ratio is already the wedge-closure probability; the unordered
+    transitivity formula's x3 does not apply.
 
     Edge construction REUSES q_join_interval_overlap's bucket-quantized
     interval join (its output rows ARE the distinct overlapping pairs) —
@@ -197,26 +288,40 @@ def q_graph_triangles(spark, sf_dir):
     edges = q_join_interval_overlap(spark, sf_dir).select(
         F.col("u1").alias("u"), F.col("u2").alias("v")
     )
-    edges = edges.localCheckpoint()  # bound lineage: 3 self-join arms
-    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    wedges = e1.join(e2, "b")
-    tri = wedges.join(e3, ["a", "c"])
-    # One ACTION for all three counts: tag each relation, union the per-tag
-    # aggregates, and pivot to a single row — the checkpointed edge list is
-    # the only materialized input, and the whole summary is one job when the
-    # caller collects (was: three separate .count() jobs).
+    edges = edges.localCheckpoint()  # materialize once: degree + probe arms
+
+    # Ordered-wedge count as an aggregate: sum_b indeg(b)*outdeg(b).
+    indeg = edges.groupBy(F.col("v").alias("x")).agg(F.count("*").alias("ind"))
+    outdeg = edges.groupBy(F.col("u").alias("x")).agg(F.count("*").alias("outd"))
+    wedge_cnt = indeg.join(outdeg, "x").agg(
+        F.sum(F.col("ind") * F.col("outd")).alias("n")
+    )
+
+    nodes = [
+        r.x
+        # driver-side bound: |nodes| ids — the dense path exists only
+        # while n^2/8 bytes is small, so n is inherently bounded here
+        for r in edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .distinct()
+        .collect()
+    ]
+    if len(nodes) <= _DENSE_MAX_NODES:
+        tri_cnt = _triangles_dense(spark, edges, nodes)
+    else:
+        e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+        tri_cnt = e1.join(e2, "b").join(e3, ["a", "c"]).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    # One ACTION for all three counts when the caller collects: tag each
+    # 1-row aggregate, union, pivot to a single row.
     counts = (
         edges.agg(F.count(F.lit(1)).alias("n")).select(F.lit("e").alias("k"), "n")
-        .unionByName(
-            wedges.agg(F.count(F.lit(1)).alias("n")).select(
-                F.lit("w").alias("k"), "n"
-            )
-        )
-        .unionByName(
-            tri.agg(F.count(F.lit(1)).alias("n")).select(F.lit("t").alias("k"), "n")
-        )
+        .unionByName(wedge_cnt.select(F.lit("w").alias("k"), "n"))
+        .unionByName(tri_cnt.select(F.lit("t").alias("k"), "n"))
     )
     n_w = F.max(F.when(F.col("k") == "w", F.col("n")))
     n_t = F.max(F.when(F.col("k") == "t", F.col("n")))

@@ -642,6 +642,18 @@ def test_triangles_match_exact_python_count(spark, qs):
     assert r.n_triangles == tri
 
 
+def test_triangles_sparse_path_matches_dense(spark, qs, monkeypatch):
+    """The wedge-join (sparse) branch and the bitset (dense) branch are the
+    same counting function in opposite density regimes — forcing the sparse
+    branch must reproduce the dense branch's row exactly."""
+    from iceberg_rest_catalog_spark.operators import graph
+
+    dense = qs["q_graph_triangles"](spark, SF).collect()[0]
+    monkeypatch.setattr(graph, "_DENSE_MAX_NODES", 0)
+    sparse = qs["q_graph_triangles"](spark, SF).collect()[0]
+    assert dense == sparse
+
+
 def test_udf_arrow_matches_jvm_arithmetic(spark, qs):
     """The Arrow-batch computation equals the same arithmetic as a JVM
     expression, row for row."""
