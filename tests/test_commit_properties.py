@@ -129,13 +129,121 @@ def test_commit_sequence_invariants(tmp_path_factory, backend, steps):
     assert versions == list(range(1, expected_version + 1))
 
 
-@pytest.mark.parametrize("backend", BACKENDS)
+# The rest backend adds the wire hop: a live facade over an fs-backed
+# catalog, with the client's requirements re-validated server-side. The
+# reference only exercises this race for rest (two httptest clients); here
+# the SAME invariants run on all four backends.
+BACKENDS4 = BACKENDS + ["rest"]
+
+
+def _make_cat4(base_dir, backend):
+    """Like _make_cat, plus the rest backend; returns (catalog, closer)."""
+    if backend == "rest":
+        from iceberg_rest_catalog_spark.catalog.rest import serve
+        from iceberg_rest_catalog_spark.catalog.rest_client import RestCatalog
+
+        wh = str(base_dir / "wh")
+        srv, base = serve(Catalog(wh))
+        return RestCatalog(base, wh), srv.shutdown
+    return _make_cat(base_dir, backend), (lambda: None)
+
+
+# one interleaved-writer op: reload the writer's view, commit properties
+# from the (possibly stale) view, or evolve the schema from the view
+_iop = st.one_of(
+    st.tuples(st.just("load"), st.integers(0, 1)),
+    st.tuples(
+        st.just("set"),
+        st.integers(0, 1),
+        st.dictionaries(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.text(alphabet="xyz", min_size=1, max_size=2),
+            min_size=1,
+            max_size=2,
+        ),
+    ),
+    st.tuples(st.just("evolve"), st.integers(0, 1)),
+)
+
+
+@pytest.mark.parametrize("backend", BACKENDS4)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(schedule=st.lists(_iop, max_size=14))
+def test_interleaved_writers_cas_serializes(tmp_path_factory, backend, schedule):
+    """Two writers interleave commits built from their own (possibly stale)
+    snapshot of the table, every commit guarded by assert-current-schema-id
+    from that snapshot — the optimistic-CAS shape of a real two-client race,
+    made deterministic so hypothesis can shrink it. A commit must succeed
+    iff its requirement holds against the CURRENT state at commit time;
+    versions stay linear, the final state is exactly the fold of the
+    successful commits in schedule order, failures leak nothing.
+    """
+    cat, closer = _make_cat4(tmp_path_factory.mktemp("run"), backend)
+    try:
+        cat.create_namespace(("db",))
+        cat.create_table(("db", "t"), BASE)
+
+        # each writer's cached view: the current-schema-id it last loaded
+        views = {0: BASE.schema_id, 1: BASE.schema_id}
+        cur_sid = BASE.schema_id
+        expected_props: dict = {}
+        expected_version = 1
+        next_schema_id = 1
+
+        for op in schedule:
+            kind, w = op[0], op[1]
+            if kind == "load":
+                views[w] = cat.load_table(("db", "t")).metadata[
+                    "current-schema-id"
+                ]
+                continue
+            req = [
+                {"type": "assert-current-schema-id", "current-schema-id": views[w]}
+            ]
+            if kind == "set":
+                updates = [{"action": "set-properties", "updates": op[2]}]
+            else:  # evolve
+                sch = Schema(
+                    next_schema_id,
+                    BASE.fields
+                    + [
+                        NestedField(100 + next_schema_id, f"c{next_schema_id}", "string")
+                    ],
+                )
+                updates = [
+                    {"action": "add-schema", "schema": sch.to_json()},
+                    {"action": "set-current-schema", "schema-id": next_schema_id},
+                ]
+            should_win = views[w] == cur_sid
+            if should_win:
+                cat.update_table(("db", "t"), req, updates)
+                expected_version += 1
+                if kind == "set":
+                    expected_props.update(op[2])
+                else:
+                    cur_sid = next_schema_id
+            else:  # stale view: the CAS must reject and mutate nothing
+                with pytest.raises(E.CommitFailedException):
+                    cat.update_table(("db", "t"), req, updates)
+            if kind == "evolve":
+                # ids are globally unique whether or not the commit won
+                next_schema_id += 1
+
+            t = cat.load_table(("db", "t"))
+            assert t.version == expected_version
+            assert t.metadata["current-schema-id"] == cur_sid
+            assert t.properties() == expected_props
+    finally:
+        closer()
+
+
+@pytest.mark.parametrize("backend", BACKENDS4)
 def test_concurrent_writers_serialize_without_lost_updates(tmp_path, backend):
     """N threads race property commits; every successful commit must be
     present in the final state (no lost updates) and versions stay linear."""
     from concurrent.futures import ThreadPoolExecutor
 
-    cat = _make_cat(tmp_path, backend)
+    cat, _closer = _make_cat4(tmp_path, backend)
     cat.create_namespace(("db",))
     cat.create_table(("db", "t"), BASE)
 
@@ -159,3 +267,4 @@ def test_concurrent_writers_serialize_without_lost_updates(tmp_path, backend):
     t = cat.load_table(("db", "t"))
     assert t.version == 1 + wins  # exactly one version per successful commit
     assert len(t.properties()) == wins  # every winning commit is visible
+    _closer()
