@@ -304,3 +304,125 @@ def q_caption_pairs(spark, sf_dir):
         "cap_len",
         "n_candidates",
     )
+
+
+CURRICULUM_BUCKETS = 4
+CURRICULUM_BLOCKS = 16
+
+
+@query(
+    "q_curriculum_order",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             round(n_chars * 1.0 / len(string_split(text, ' ')), 4)
+               AS difficulty,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+               % {CURRICULUM_BLOCKS} AS block,
+             md5(CAST(doc_id AS VARCHAR)) AS ord
+      FROM documents WHERE text IS NOT NULL),
+    th AS (
+      SELECT round(quantile_cont(difficulty, 0.25), 4) AS t1,
+             round(quantile_cont(difficulty, 0.50), 4) AS t2,
+             round(quantile_cont(difficulty, 0.75), 4) AS t3
+      FROM d),
+    b AS (
+      SELECT d.*,
+             1 + CAST(difficulty > t1 AS INT) + CAST(difficulty > t2 AS INT)
+               + CAST(difficulty > t3 AS INT) AS bucket
+      FROM d, th),
+    rn AS (
+      SELECT doc_id, difficulty, bucket, block,
+             row_number() OVER (PARTITION BY bucket, block
+                                ORDER BY ord, doc_id) AS r
+      FROM b),
+    cnt AS (SELECT bucket, block, count(*) AS c FROM b GROUP BY bucket, block),
+    off AS (
+      SELECT bucket, block,
+             sum(c) OVER (ORDER BY bucket, block
+                          ROWS UNBOUNDED PRECEDING) - c AS o
+      FROM cnt)
+    SELECT CAST(off.o + rn.r AS BIGINT) AS step,
+           CAST(rn.bucket AS INT) AS bucket, rn.doc_id, rn.difficulty
+    FROM rn JOIN off ON off.bucket = rn.bucket AND off.block = rn.block
+    """,
+)
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum schedule for a training run: every document gets a global
+    step number such that difficulty quartile 1 streams first, then 2, 3,
+    4 — but WITHIN a quartile the order is a deterministic md5 shuffle, so
+    no spurious correlation (source adjacency, ingest order) leaks into
+    the batch sequence. difficulty = mean chars per whitespace token, the
+    cheap long-word-density proxy. Returns (step, bucket, doc_id,
+    difficulty). Docs without text are unschedulable and excluded (the
+    uniform text contract; Spark's size(split(NULL)) = -1 would otherwise
+    diverge from SQL NULL propagation — perturbed-fixture catch).
+
+    A global row_number is the WRONG shape at corpus scale (one partition
+    sorts everything), so the step number is assembled the
+    q_pack_sequences way from pieces that each stay bounded or
+    distributed: (1) quartile thresholds are ONE exact-percentile
+    aggregate reduced to a 3-number broadcast — the corpus is never
+    globally sorted, bucket assignment is three comparisons per row; (2)
+    within (bucket, md5-block) the row_number window is as parallel as
+    the block count; (3) global offsets per (bucket, block) come from a
+    |buckets|x|blocks|-row count aggregate cumsum'd on the driver-sized
+    frame and broadcast back. step = offset + local rank: total order,
+    zero global sorts, the widest window is corpus/(buckets*blocks) rows.
+
+    Reference scope: no curation family in the reference; sibling of
+    q_shard_assign (same md5-deal idiom) on the training-pipeline side.
+    """
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        r4(F.col("n_chars") * 1.0 / F.size(F.split("text", " "))).alias(
+            "difficulty"
+        ),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("int")
+            % CURRICULUM_BLOCKS
+        ).alias("block"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord"),
+    )
+    th = d.agg(
+        r4(F.expr("percentile(difficulty, 0.25)")).alias("t1"),
+        r4(F.expr("percentile(difficulty, 0.50)")).alias("t2"),
+        r4(F.expr("percentile(difficulty, 0.75)")).alias("t3"),
+    )
+    b = d.join(F.broadcast(th)).select(
+        "doc_id",
+        "difficulty",
+        "block",
+        "ord",
+        (
+            F.lit(1)
+            + (F.col("difficulty") > F.col("t1")).cast("int")
+            + (F.col("difficulty") > F.col("t2")).cast("int")
+            + (F.col("difficulty") > F.col("t3")).cast("int")
+        ).alias("bucket"),
+    )
+    rn = b.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("bucket", "block").orderBy("ord", "doc_id")
+        ),
+    )
+    cnt = b.groupBy("bucket", "block").agg(F.count("*").alias("c"))
+    off = cnt.select(
+        "bucket",
+        "block",
+        (
+            F.sum("c").over(
+                Window.partitionBy().orderBy("bucket", "block")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - F.col("c")
+        ).alias("o"),
+    )
+    return rn.join(F.broadcast(off), ["bucket", "block"]).select(
+        (F.col("o") + F.col("r")).cast("bigint").alias("step"),
+        F.col("bucket").cast("int").alias("bucket"),
+        "doc_id",
+        "difficulty",
+    )

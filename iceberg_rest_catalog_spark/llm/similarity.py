@@ -800,3 +800,148 @@ def q_sim_rerank(spark, sf_dir):
         .orderBy(F.desc("cos"), "vec_id")
         .limit(RERANK_K)
     )
+
+
+# -- MMR diversified retrieval ----------------------------------------------
+
+MMR_PROBES = 4       # query vectors: vec_id < MMR_PROBES
+MMR_CANDIDATES = 8   # relevance top-N entering the diversifier
+MMR_K = 4            # diversified picks per query
+MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle() -> str:
+    """Greedy MMR unrolled: one (sel_k, S_k) CTE pair per pick — the
+    q_graph_pagerank closed-form-recurrence trick applied to a greedy
+    selection instead of a power iteration."""
+    ctes = [
+        f"""e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE embedding IS NOT NULL),
+    q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < {MMR_PROBES}),
+    scored AS (
+      SELECT q.qid, e.vec_id, e.emb,
+             round(list_cosine_similarity(e.emb, q.qe), 4) AS rel,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY round(list_cosine_similarity(e.emb, q.qe), 4) DESC,
+                        e.vec_id) AS rn
+      FROM e JOIN q ON e.vec_id <> q.qid),
+    cand AS (SELECT qid, vec_id, emb, rel FROM scored
+             WHERE rn <= {MMR_CANDIDATES}),
+    ps AS (
+      SELECT a.qid, a.vec_id AS i, b.vec_id AS j,
+             round(list_cosine_similarity(a.emb, b.emb), 4) AS s
+      FROM cand a JOIN cand b
+        ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+    sel1 AS (
+      SELECT qid, vec_id, round({MMR_LAMBDA} * rel, 4) AS mmr
+      FROM (SELECT qid, vec_id, rel,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY rel DESC, vec_id) AS rn
+            FROM cand)
+      WHERE rn = 1),
+    s1 AS (SELECT qid, vec_id FROM sel1)"""
+    ]
+    for k in range(2, MMR_K + 1):
+        score = f"round({MMR_LAMBDA} * c.rel - {round(1 - MMR_LAMBDA, 4)} * max(p.s), 4)"
+        ctes.append(
+            f"""sel{k} AS (
+      SELECT qid, vec_id, mmr FROM (
+        SELECT c.qid, c.vec_id, {score} AS mmr,
+               row_number() OVER (PARTITION BY c.qid
+                                  ORDER BY {score} DESC, c.vec_id) AS rn
+        FROM cand c
+        JOIN s{k - 1} s ON s.qid = c.qid
+        JOIN ps p ON p.qid = c.qid AND p.i = c.vec_id AND p.j = s.vec_id
+        LEFT JOIN s{k - 1} x ON x.qid = c.qid AND x.vec_id = c.vec_id
+        WHERE x.vec_id IS NULL
+        GROUP BY c.qid, c.vec_id, c.rel)
+      WHERE rn = 1),
+    s{k} AS (SELECT qid, vec_id FROM s{k - 1}
+             UNION ALL SELECT qid, vec_id FROM sel{k})"""
+        )
+    parts = [
+        f"SELECT qid AS query_id, CAST({k} AS INT) AS rank, vec_id, mmr FROM sel{k}"
+        for k in range(1, MMR_K + 1)
+    ]
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(parts)
+
+
+@query("q_sim_mmr", oracle=_mmr_oracle())
+def q_sim_mmr(spark, sf_dir):
+    """Maximal-marginal-relevance retrieval: per query, take the relevance
+    top-{MMR_CANDIDATES} then greedily pick {MMR_K} results maximizing
+    ``lambda*rel(d) - (1-lambda)*max_{{s in S}} sim(d, s)`` — the standard
+    diversified-retrieval/RAG-context selection objective (relevant AND
+    mutually non-redundant, so near-duplicate passages don't crowd the
+    context window). Returns (query_id, rank, vec_id, mmr).
+
+    Two-stage shape is the scale design: stage 1 (relevance top-N per
+    query) is the existing broadcast-probe scan + per-query window — one
+    pass over the corpus however large, N bounded. Stage 2 (the inherently
+    SEQUENTIAL greedy loop) runs inside applyInPandas per query group over
+    exactly N candidates — O(K*N) rounded-cosine comparisons on a numpy
+    matrix that fits in L1. The quadratic/sequential part never touches
+    the corpus, only the bounded candidate set, so 1e9 vectors cost the
+    same diversifier work as 1e3. All cosines are rounded to 4 dp BEFORE
+    the greedy argmax (half-away-from-zero on both engines) so the pick
+    sequence is bit-stable across Spark, numpy and the DuckDB oracle,
+    which unrolls the greedy recurrence as one (sel_k, S_k) CTE pair per
+    pick. Ties break on vec_id ascending.
+
+    Reference scope: no similarity family in the reference facade; sibling
+    of q_sim_rerank (exactness rerank) — this one diversifies instead.
+    """
+    emb = _emb(spark, sf_dir).select("vec_id", _dbl("embedding").alias("emb"))
+    q = emb.filter(F.col("vec_id") < MMR_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qe")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("rel"), "vec_id")
+    cand = (
+        emb.join(F.broadcast(q), emb.vec_id != q.qid)
+        .select("qid", "vec_id", "emb", r4(_cos("emb", "qe")).alias("rel"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_CANDIDATES)
+        .drop("rn")
+    )
+
+    def diversify(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        E = np.stack(pdf["emb"].to_numpy())
+        nrm = np.linalg.norm(E, axis=1)
+        sims = (E @ E.T) / np.outer(nrm, nrm)
+        # half-away-from-zero to 4 dp — the F.round / DuckDB round convention
+        # (np.round is half-even and WOULD diverge on exact .00005 ties)
+        r = lambda x: np.floor(np.abs(x) * 1e4 + 0.5) * np.sign(x) / 1e4
+        sims = r(sims)
+        rel = pdf["rel"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        chosen: list[int] = []
+        # -inf, not 0: cosine is signed, and max over a selected set whose
+        # members are all ANTI-similar to d must stay negative (a 0 floor
+        # silently rewards redundancy-with-negatives; caught by the oracle)
+        maxsim = np.full(len(pdf), -np.inf)
+        out = []
+        for k in range(1, min(MMR_K, len(pdf)) + 1):
+            score = (
+                r(MMR_LAMBDA * rel)
+                if k == 1
+                else r(MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * maxsim)
+            )
+            score = np.where(np.isin(np.arange(len(pdf)), chosen), -np.inf, score)
+            # argmax with vec_id-ascending tiebreak: rows are vec_id-sorted,
+            # argmax returns the FIRST max
+            pick = int(np.argmax(score))
+            chosen.append(pick)
+            out.append((int(pdf["qid"].iloc[0]), k, int(ids[pick]), float(score[pick])))
+            maxsim = np.maximum(maxsim, sims[:, pick])
+        return pd.DataFrame(out, columns=["query_id", "rank", "vec_id", "mmr"])
+
+    return cand.groupBy("qid").applyInPandas(
+        diversify, "query_id long, rank int, vec_id long, mmr double"
+    )

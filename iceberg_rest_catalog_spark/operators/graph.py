@@ -330,3 +330,99 @@ def q_graph_triangles(spark, sf_dir):
         n_t.alias("n_triangles"),
         F.round(n_t * 1.0 / F.when(n_w != 0, n_w), 4).alias("closure_rate"),
     )
+
+
+# -- connected components ----------------------------------------------------
+
+CC_ITERS = 8
+
+
+def _cc_oracle(iters: int) -> str:
+    """Unrolled min-label propagation: lbl0..lbl{iters} as chained CTEs."""
+    ctes = [
+        """nxt AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events),
+    de AS (
+      SELECT DISTINCT src AS u, dst AS v FROM nxt
+      WHERE dst IS NOT NULL AND src <> dst),
+    edges AS (SELECT u, v FROM de UNION SELECT v AS u, u AS v FROM de),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    lbl0 AS (SELECT node, node AS lbl FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""lbl{k} AS (
+      SELECT n.node, least(p.lbl, coalesce(min(q.lbl), p.lbl)) AS lbl
+      FROM nodes n
+      JOIN lbl{k - 1} p ON p.node = n.node
+      LEFT JOIN edges e ON e.u = n.node
+      LEFT JOIN lbl{k - 1} q ON q.node = e.v
+      GROUP BY n.node, p.lbl)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, lbl AS component FROM lbl{iters}"
+    )
+
+
+@query("q_graph_cc", oracle=_cc_oracle(CC_ITERS))
+def q_graph_cc(spark, sf_dir):
+    """Connected components of the undirected event-transition graph by
+    min-label propagation ({CC_ITERS} fixed rounds): every node starts
+    labeled with itself; each round it takes the minimum of its own label
+    and its neighbors' — after k rounds a node holds the smallest id within
+    k hops, so components whose diameter fits in the budget are exact.
+    Returns (node, component).
+
+    The FIXED round count is what makes this value-checkable (the DuckDB
+    oracle unrolls the identical recurrence as chained CTEs, the
+    q_graph_pagerank trick) — unlike q_dedup_cluster's converge-until-done
+    loop, which is rows-only by design. Same loop discipline as PageRank:
+    neighbor-min is one join keyed on the edge's far end plus one
+    map-combined min-agg keyed on the near end, and localCheckpoint every
+    second round truncates lineage so round k re-plans a 2-deep chain, not
+    a k-deep one. At billion-edge scale the round budget is the known
+    weakness of plain propagation (rounds ~ graph diameter); the
+    production swap is alternating large-star/small-star (O(log n) rounds,
+    same per-round join+agg shape), at the cost of the closed-form oracle.
+
+    Reference scope: the reference (Go REST facade) has no graph ops;
+    this extends the engine's analytics family alongside q_graph_pagerank.
+    """
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    de = (
+        ev.select(
+            F.col("event_type").alias("u"),
+            F.lead("event_type").over(w).alias("v"),
+        )
+        .filter(F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+        .distinct()
+    )
+    edges = (
+        de.unionAll(de.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()  # edge build runs ONCE, not once per round
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    lbl = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint()
+    for it in range(CC_ITERS):
+        nbr_min = (
+            edges.join(lbl, edges.v == lbl.node)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        lbl = (
+            lbl.join(nbr_min, lbl.node == nbr_min.u, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+            )
+        )
+        if it % 2 == 1 or it == CC_ITERS - 1:
+            lbl = lbl.localCheckpoint()
+    return lbl.select("node", F.col("lbl").alias("component"))

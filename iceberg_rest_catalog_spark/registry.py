@@ -146,6 +146,16 @@ _ROUND6_WINDOW = (
     "q_udf_arrow",
 )
 
+# Operators registered AFTER the round-6 window froze (it is 50/50 staged on
+# the never-driver-checked backlog, which these postdate). They are the
+# round-7 rotation seed: a green r6 window plus these in r7 keeps the
+# invariant "every id driver-verified at least once" converging.
+_ROUND6_ADDITIONS = (
+    "q_graph_cc",
+    "q_sim_mmr",
+    "q_curriculum_order",
+)
+
 
 def query(name: str, oracle: str | None = None):
     """Decorator: register fn as queries()[name], with optional DuckDB oracle."""

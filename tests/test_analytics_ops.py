@@ -709,3 +709,85 @@ def test_dedup_apply_partitions_the_corpus(spark, qs):
     assert all(r.n_removed == r.cluster_size - 1 for r in rows)
     assert len({r.doc_id for r in rows}) == len(rows)
     assert any(r.cluster_size > 1 for r in rows)  # fixture has planted dups
+
+
+# -- round-6 additions: cc / mmr / curriculum --------------------------------
+
+
+def test_cc_matches_python_union_find(spark, qs):
+    """Exact recount: min-label CC over the transition graph must equal a
+    driver-side union-find over the same edges (8 rounds converge on the
+    fixture graph, whose diameter is far below the budget)."""
+    import duckdb
+
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""SELECT DISTINCT src, dst FROM (
+              SELECT event_type AS src,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS dst
+              FROM read_parquet('{SF}/events.parquet'))
+            WHERE dst IS NOT NULL AND src <> dst"""
+    ).fetchall()
+    nodes = con.execute(
+        f"SELECT DISTINCT event_type FROM read_parquet('{SF}/events.parquet')"
+    ).fetchall()
+    parent = {n: n for (n,) in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # min-id representative per component
+    want = {}
+    for (n,) in nodes:
+        root = find(n)
+        want.setdefault(root, []).append(n)
+    expect = {n: min(members) for members in want.values() for n in members}
+
+    got = {r.node: r.component for r in qs["q_graph_cc"](spark, SF).collect()}
+    assert got == expect
+
+
+def test_mmr_first_pick_is_relevance_top1_and_scores_decay(spark, qs):
+    from iceberg_rest_catalog_spark.llm.similarity import MMR_K, MMR_PROBES
+
+    rows = qs["q_sim_mmr"](spark, SF01).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(MMR_PROBES))
+    for qid, picks in by_q.items():
+        picks.sort(key=lambda r: r.rank)
+        assert [r.rank for r in picks] == list(range(1, MMR_K + 1))
+        # no repeats: the whole point of the diversifier
+        assert len({r.vec_id for r in picks}) == MMR_K
+        # greedy marginal gain is non-increasing: each round the penalty
+        # only grows and the pool only shrinks
+        scores = [r.mmr for r in picks]
+        assert all(a >= b for a, b in zip(scores, scores[1:]))
+        # pick 1 is the plain relevance argmax of the candidate pool —
+        # lambda scales all first-round scores equally
+        assert picks[0].mmr == max(
+            r.mmr for r in rows if r.query_id == qid and r.rank == 1
+        )
+
+
+def test_curriculum_is_a_bucket_ordered_permutation(spark, qs):
+    rows = qs["q_curriculum_order"](spark, SF01).collect()
+    steps = sorted(r.step for r in rows)
+    assert steps == list(range(1, len(rows) + 1))  # total order, no gaps
+    # curriculum invariant: every quartile-k step precedes every
+    # quartile-(k+1) step, and difficulty is monotone across the boundary
+    for b in range(1, 4):
+        cur = [r for r in rows if r.bucket == b]
+        nxt = [r for r in rows if r.bucket == b + 1]
+        assert cur and nxt
+        assert max(r.step for r in cur) < min(r.step for r in nxt)
+        assert max(r.difficulty for r in cur) <= min(r.difficulty for r in nxt)

@@ -72,7 +72,10 @@ def test_round6_window_is_exactly_the_never_driver_checked_ids():
             seen |= set(json.load(open(path)))
     overlap = window & seen
     assert not overlap, sorted(overlap)
-    # and together they cover the whole registry
+    # and together they cover the whole registry, except ids registered
+    # after the window froze — those must be EXACTLY the declared round-6
+    # additions (the staged r7 rotation seed), nothing anonymous
     all_ids = set(registry.queries())
     assert window <= all_ids, sorted(window - all_ids)
-    assert (seen | window) >= all_ids, sorted(all_ids - seen - window)
+    post_window = all_ids - seen - window
+    assert post_window == set(registry._ROUND6_ADDITIONS), sorted(post_window)

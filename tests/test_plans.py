@@ -117,6 +117,13 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 # of a scalar aggregate
                 "q_embed_quantize", "q_graph_pagerank",
                 "q_data_mixture_temperature",
+                # 4-row broadcast probe batch under a non-equi (id !=)
+                # condition: the matryoshka shape — build side is the
+                # probe set, never the corpus
+                "q_sim_mmr",
+                # 3-number quartile-threshold broadcast into the bucketing
+                # pass (scalar-distribution shape, like q_tpch_q22)
+                "q_curriculum_order",
                 # 1-row min/max broadcast into the bucketing pass
                 # (scalar-distribution shape, like q_tpch_q22)
                 "q_agg_histogram", "q_sample_balanced", "q_evt_rfm"}
