@@ -141,34 +141,22 @@ def q_graph_pagerank(spark, sf_dir):
 _DENSE_MAX_NODES = 100_000
 
 
-def _triangles_dense(spark, edges, nodes):
+def _triangles_dense(spark, ei, n):
     """Exact triangle count for dense graphs via adjacency bitsets.
 
-    Builds the packed n x ceil(n/64) adjacency matrix with ONE codegen'd
-    bit_or aggregate (rows = (node, word, bits), the q_join_bloom_prune
-    one-hot pattern), collects it (n^2/8 bytes — 280 KB at n=1500, gated
-    by _DENSE_MAX_NODES), and probes it from a mapInPandas pass over the
-    EDGE list: for edge (u, v) with u < v, popcount(B[u] & B[v] &
-    mask(index > v)) is the number of triangles whose id-minimal edge is
-    (u, v) — each triangle counted exactly once. Returns a 1-row (n)
-    DataFrame; the probe stays fully distributed and touches O(|edges| *
-    n/64) vectorized words, never wedge rows."""
+    Takes the already-materialized INT-indexed edge list (ui < vi). Builds
+    the packed n x ceil(n/64) adjacency matrix with ONE codegen'd bit_or
+    aggregate (rows = (node, word, bits), the q_join_bloom_prune one-hot
+    pattern), collects it (n^2/8 bytes — 280 KB at n=1500, 28 MB at
+    n=15000, gated by _DENSE_MAX_NODES), and probes it from a mapInPandas
+    pass over the EDGE list: for edge (u, v) with u < v, popcount(B[u] &
+    B[v] & mask(index > v)) is the number of triangles whose id-minimal
+    edge is (u, v) — each triangle counted exactly once. Returns a 1-row
+    (n) DataFrame; the probe stays fully distributed and touches
+    O(|edges| * n/64) vectorized words, never wedge rows."""
     import numpy as np
 
-    n = len(nodes)
     n_words = (n + 63) // 64
-    order = {node: i for i, node in enumerate(sorted(nodes))}
-    idx_df = spark.createDataFrame(
-        [(node, i) for node, i in order.items()], "node long, idx int"
-    )
-    ei = (
-        edges.join(F.broadcast(idx_df.withColumnRenamed("node", "u")), "u")
-        .withColumnRenamed("idx", "ui")
-        .join(F.broadcast(idx_df.withColumnRenamed("node", "v")), "v")
-        .withColumnRenamed("idx", "vi")
-        .select("ui", "vi")
-    ).localCheckpoint()  # reused by the bit build AND the probe
-
     adj = ei.unionAll(ei.select(F.col("vi").alias("ui"), F.col("ui").alias("vi")))
     words = (
         adj.select(
@@ -283,20 +271,21 @@ def q_graph_triangles(spark, sf_dir):
     interval join (its output rows ARE the distinct overlapping pairs) —
     the naive theta self-join over sessions is exactly the
     BroadcastNestedLoopJoin that operator exists to avoid."""
+    from pyspark import StorageLevel
+
     from .joins import q_join_interval_overlap
 
-    edges = q_join_interval_overlap(spark, sf_dir).select(
-        F.col("u1").alias("u"), F.col("u2").alias("v")
+    # Stage the raw (long, long) pair relation DISK_ONLY: it is consumed
+    # exactly twice (node collect, int re-index) and then dropped. Caching
+    # it deserialized on-heap next to the int edge list held the working
+    # set at 2x |edges| rows and OOM'd the 16 GB JVM at the x10 decade
+    # step (112M pairs); disk staging costs one sequential re-read and
+    # frees the heap for the shuffles that actually need it.
+    edges = (
+        q_join_interval_overlap(spark, sf_dir)
+        .select(F.col("u1").alias("u"), F.col("u2").alias("v"))
+        .persist(StorageLevel.DISK_ONLY)
     )
-    edges = edges.localCheckpoint()  # materialize once: degree + probe arms
-
-    # Ordered-wedge count as an aggregate: sum_b indeg(b)*outdeg(b).
-    indeg = edges.groupBy(F.col("v").alias("x")).agg(F.count("*").alias("ind"))
-    outdeg = edges.groupBy(F.col("u").alias("x")).agg(F.count("*").alias("outd"))
-    wedge_cnt = indeg.join(outdeg, "x").agg(
-        F.sum(F.col("ind") * F.col("outd")).alias("n")
-    )
-
     nodes = [
         r.x
         # driver-side bound: |nodes| ids — the dense path exists only
@@ -306,12 +295,37 @@ def q_graph_triangles(spark, sf_dir):
         .distinct()
         .collect()
     ]
-    if len(nodes) <= _DENSE_MAX_NODES:
-        tri_cnt = _triangles_dense(spark, edges, nodes)
+    n = len(nodes)
+    # Re-index node ids to dense ints ONCE and make that the only resident
+    # edge representation (~16 B/row vs the long-pair original): degrees,
+    # edge count, and both triangle paths all read it. Rank-in-sorted-order
+    # is monotone, so ui < vi still holds for every stored edge.
+    order = {node: i for i, node in enumerate(sorted(nodes))}
+    idx_df = spark.createDataFrame(
+        [(node, i) for node, i in order.items()], "node long, idx int"
+    )
+    ei = (
+        edges.join(F.broadcast(idx_df.withColumnRenamed("node", "u")), "u")
+        .withColumnRenamed("idx", "ui")
+        .join(F.broadcast(idx_df.withColumnRenamed("node", "v")), "v")
+        .withColumnRenamed("idx", "vi")
+        .select("ui", "vi")
+    ).localCheckpoint()  # the single materialization every arm reads
+    edges.unpersist()
+
+    # Ordered-wedge count as an aggregate: sum_b indeg(b)*outdeg(b).
+    indeg = ei.groupBy(F.col("vi").alias("x")).agg(F.count("*").alias("ind"))
+    outdeg = ei.groupBy(F.col("ui").alias("x")).agg(F.count("*").alias("outd"))
+    wedge_cnt = indeg.join(outdeg, "x").agg(
+        F.sum(F.col("ind") * F.col("outd")).alias("n")
+    )
+
+    if n <= _DENSE_MAX_NODES:
+        tri_cnt = _triangles_dense(spark, ei, n)
     else:
-        e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-        e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
-        e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+        e1 = ei.select(F.col("ui").alias("a"), F.col("vi").alias("b"))
+        e2 = ei.select(F.col("ui").alias("b"), F.col("vi").alias("c"))
+        e3 = ei.select(F.col("ui").alias("a"), F.col("vi").alias("c"))
         tri_cnt = e1.join(e2, "b").join(e3, ["a", "c"]).agg(
             F.count(F.lit(1)).alias("n")
         )
@@ -319,7 +333,7 @@ def q_graph_triangles(spark, sf_dir):
     # One ACTION for all three counts when the caller collects: tag each
     # 1-row aggregate, union, pivot to a single row.
     counts = (
-        edges.agg(F.count(F.lit(1)).alias("n")).select(F.lit("e").alias("k"), "n")
+        ei.agg(F.count(F.lit(1)).alias("n")).select(F.lit("e").alias("k"), "n")
         .unionByName(wedge_cnt.select(F.lit("w").alias("k"), "n"))
         .unionByName(tri_cnt.select(F.lit("t").alias("k"), "n"))
     )
