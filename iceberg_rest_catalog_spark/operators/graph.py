@@ -159,7 +159,13 @@ def _triangles_dense(spark, ei, n):
     n_words = (n + 63) // 64
     adj = ei.unionAll(ei.select(F.col("vi").alias("ui"), F.col("ui").alias("vi")))
     words = (
-        adj.select(
+        # Cluster by node BEFORE the aggregate: raw edge order is random, so
+        # a straight partial agg builds a near-complete n*n/64-group hash
+        # table in EVERY task (OOM'd the decade step at 224M adjacency rows
+        # x 32 tasks); after the ui shuffle each task holds one node range
+        # and its table is n_words * (n / parallelism) entries.
+        adj.repartition("ui")
+        .select(
             "ui",
             F.expr("CAST(vi DIV 64 AS INT)").alias("word"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(vi % 64 AS INT))").alias("bit"),
@@ -167,12 +173,14 @@ def _triangles_dense(spark, ei, n):
         .groupBy("ui", "word")
         .agg(F.bit_or("bit").alias("bits"))
         # driver-side bound: <= n * n/64 rows = n^2/8 bytes of bitmap,
-        # small by the density gate above
-        .collect()
+        # small by the density gate above; Arrow toPandas, not collect() —
+        # 3.5M JVM Row objects at n=15000 were half the driver-heap story
+        .toPandas()
     )
     B = np.zeros((n, n_words), dtype=np.uint64)
-    for r in words:
-        B[r["ui"], r["word"]] = np.uint64(r["bits"] % (1 << 64))
+    B[words["ui"].to_numpy(), words["word"].to_numpy()] = (
+        words["bits"].to_numpy(np.int64).astype(np.uint64)
+    )
     # masks[v] keeps only neighbor indices STRICTLY ABOVE v
     masks = np.zeros((n, n_words), dtype=np.uint64)
     for v in range(n):
