@@ -1519,3 +1519,75 @@ def q_dedup_apply(spark, sf_dir):
         )
     )
     return kept.unionByName(singles)
+
+
+# -- semantic (cluster-blocked) embedding dedup ------------------------------
+
+SEM_THRESHOLD = 0.4
+
+
+def _semantic_oracle() -> str:
+    from .similarity import _KMEANS_CTES
+
+    return f"""
+    WITH {_KMEANS_CTES}
+    SELECT a.vec_id, a.label, CAST(a.cell AS BIGINT) AS cluster
+    FROM a3 a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM a3 p
+      WHERE p.cell = a.cell AND p.vec_id < a.vec_id
+        AND round(list_cosine_similarity(p.emb, a.emb), 4)
+              >= {SEM_THRESHOLD})
+    """
+
+
+@query("q_dedup_semantic", oracle=_semantic_oracle())
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-shape semantic dedup: cluster the corpus with the
+    deterministic 3-iteration k-means (the q_cluster_kmeans assignment,
+    shared code AND shared oracle CTEs), then inside each cluster drop any
+    vector whose cosine to an earlier (lower vec_id) cluster member is
+    >= 0.4. Returns the surviving (vec_id, label, cluster).
+
+    This is q_dedup_embedding with LEARNED blocks instead of given label
+    blocks — the production semantic-dedup recipe for unlabeled corpora
+    (cluster first, pair only within a cluster, so the quadratic term is
+    bounded by cluster size, not corpus size). At 100 TB the only knob
+    that moves is K: SemDeDup-style runs use tens of thousands of
+    centroids so E[|cluster|^2] stays flat as the corpus grows; the
+    assignment stays a broadcast join + per-vector argmin whatever K is.
+    The pair scan carries each vector's norm computed once, and the drop
+    set returns via a half-join (id_a < id_b) + distinct + anti-join —
+    the q_dedup_embedding plan keyed by cell instead of label."""
+    from .similarity import _dot, _kmeans_assigned, _norm
+
+    assigned = (
+        _kmeans_assigned(spark, sf_dir)
+        # one materialization feeds both self-join arms AND the anti-join
+        .localCheckpoint()
+        .withColumn("nrm", _norm(F.col("emb")))
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), "cell",
+        F.col("emb").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), "cell",
+        F.col("emb").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b",
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= SEM_THRESHOLD)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(dups, "vec_id", "left_anti").select(
+        "vec_id", "label", F.col("cell").cast("long").alias("cluster")
+    )

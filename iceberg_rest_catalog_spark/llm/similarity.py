@@ -463,8 +463,10 @@ _KMEANS_RECENTER = """
   ) GROUP BY cell
 """
 
-_KMEANS_ORACLE = f"""
-WITH e AS (
+# The unrolled 3-iteration Lloyd CTE chain, shared by the kmeans oracle and
+# the semantic-dedup oracle (llm/dedup.py q_dedup_semantic): a3 is the final
+# (vec_id, label, emb, cell) assignment.
+_KMEANS_CTES = f"""e AS (
   SELECT vec_id, label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)
@@ -474,24 +476,18 @@ a1 AS ({_KMEANS_ASSIGN.format(src='e', cent='c0')}),
 c1 AS ({_KMEANS_RECENTER.format(assigned='a1')}),
 a2 AS ({_KMEANS_ASSIGN.format(src='e', cent='c1')}),
 c2 AS ({_KMEANS_RECENTER.format(assigned='a2')}),
-a3 AS ({_KMEANS_ASSIGN.format(src='e', cent='c2')})
+a3 AS ({_KMEANS_ASSIGN.format(src='e', cent='c2')})"""
+
+_KMEANS_ORACLE = f"""
+WITH {_KMEANS_CTES}
 SELECT vec_id, label, CAST(cell AS BIGINT) AS cluster FROM a3
 """
 
 
-@query("q_cluster_kmeans", oracle=_KMEANS_ORACLE)
-def q_cluster_kmeans(spark, sf_dir):
-    """K-means over the embedding corpus (3 Lloyd iterations, K=8,
-    deterministic first-K init) — the clustering step behind
-    curation/diversity sampling and IVF centroid training. The oracle
-    unrolls the identical 3 iterations in SQL, so assignments are
-    value-checked cross-engine, not rows-only.
-
-    Scale shape per iteration: centroids are K x 64 doubles -> broadcast
-    join (corpus never shuffles for assignment; the argmin window is keyed
-    by vec_id over K candidate rows); recentering is one posexplode +
-    (cell, dim) aggregate — K*64 output rows. localCheckpoint truncates
-    the iteration lineage (same pattern as q_dedup_cluster)."""
+def _kmeans_assigned(spark, sf_dir):
+    """The 3-iteration Lloyd assignment (vec_id, label, emb, cell) — the
+    body of q_cluster_kmeans, extracted so q_dedup_semantic can derive its
+    dedup blocks from the SAME deterministic clustering the oracle unrolls."""
     from pyspark.sql import Window
 
     e = _emb(spark, sf_dir).select(
@@ -524,7 +520,23 @@ def q_cluster_kmeans(spark, sf_dir):
                 )
                 .localCheckpoint()
             )
-    return assigned.select(
+    return assigned
+
+
+@query("q_cluster_kmeans", oracle=_KMEANS_ORACLE)
+def q_cluster_kmeans(spark, sf_dir):
+    """K-means over the embedding corpus (3 Lloyd iterations, K=8,
+    deterministic first-K init) — the clustering step behind
+    curation/diversity sampling and IVF centroid training. The oracle
+    unrolls the identical 3 iterations in SQL, so assignments are
+    value-checked cross-engine, not rows-only.
+
+    Scale shape per iteration: centroids are K x 64 doubles -> broadcast
+    join (corpus never shuffles for assignment; the argmin window is keyed
+    by vec_id over K candidate rows); recentering is one posexplode +
+    (cell, dim) aggregate — K*64 output rows. localCheckpoint truncates
+    the iteration lineage (same pattern as q_dedup_cluster)."""
+    return _kmeans_assigned(spark, sf_dir).select(
         "vec_id", "label", F.col("cell").cast("long").alias("cluster")
     )
 

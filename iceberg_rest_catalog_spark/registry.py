@@ -154,6 +154,7 @@ _ROUND6_ADDITIONS = (
     "q_graph_cc",
     "q_sim_mmr",
     "q_curriculum_order",
+    "q_dedup_semantic",
 )
 
 

@@ -791,3 +791,24 @@ def test_curriculum_is_a_bucket_ordered_permutation(spark, qs):
         assert cur and nxt
         assert max(r.step for r in cur) < min(r.step for r in nxt)
         assert max(r.difficulty for r in cur) <= min(r.difficulty for r in nxt)
+
+
+def test_semantic_dedup_blocks_by_kmeans_and_keeps_earliest(spark, qs):
+    """Survivors must be: (a) assigned the same cluster q_cluster_kmeans
+    gives them (shared blocking), (b) consistent with keep-earliest
+    pairwise marking — a vector is dropped iff SOME earlier cluster member
+    is above threshold, so the minimum-vec_id member of every cluster can
+    never be dropped — and (c) the threshold actually fires on the
+    fixture (a vacuous dedup would pass (a)+(b) trivially)."""
+    from iceberg_rest_catalog_spark.llm.dedup import SEM_THRESHOLD
+
+    sem = {r.vec_id: r.cluster for r in qs["q_dedup_semantic"](spark, SF01).collect()}
+    km = {r.vec_id: r.cluster for r in qs["q_cluster_kmeans"](spark, SF01).collect()}
+    assert sem == {v: c for v, c in km.items() if v in sem}  # same clustering
+    by_cell = {}
+    for v, c in km.items():
+        by_cell.setdefault(c, []).append(v)
+    for c, members in by_cell.items():
+        assert min(members) in sem  # the earliest member can never be dropped
+    dropped = set(km) - set(sem)
+    assert dropped  # threshold is low enough to actually fire on the fixture

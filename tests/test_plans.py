@@ -116,6 +116,9 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 # node count, mixture normalizer): map-only distribution
                 # of a scalar aggregate
                 "q_embed_quantize", "q_graph_pagerank",
+                # kmeans-assignment broadcast (K-row centroid table) inside
+                # the semantic-dedup block derivation
+                "q_dedup_semantic",
                 "q_data_mixture_temperature",
                 # 4-row broadcast probe batch under a non-equi (id !=)
                 # condition: the matryoshka shape — build side is the
