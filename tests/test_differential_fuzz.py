@@ -387,3 +387,74 @@ def test_random_window_spec_matches_duckdb(win_orders, ddb_join, spec):
     want = _canon([tuple(r) for r in pdf.itertuples(index=False, name=None)])
 
     assert got == want, (spec, q, got[:3], want[:3])
+
+
+# -- family 4 (round 6): set operations over projected/filtered branches ----
+#
+# UNION/INTERSECT/EXCEPT each carry TWO cross-engine traps the fixed
+# oracles only sample: bag-vs-set semantics (Spark's unionByName is UNION
+# ALL, intersect/subtract are DISTINCT, intersectAll/exceptAll are the bag
+# forms) and NULL equality (set ops treat NULL = NULL as a match, unlike
+# join keys). Branch projections include a nullif-derived column so every
+# sampled spec exercises NULL-bearing rows through the dedup machinery.
+
+_PROJ = [
+    ("flag", lambda F: F.col("l_returnflag"), "l_returnflag"),
+    ("status", lambda F: F.col("l_linestatus"), "l_linestatus"),
+    ("ln", lambda F: F.col("l_linenumber"), "l_linenumber"),
+    (
+        "tax_n",
+        lambda F: F.when(F.col("l_tax") != 0.0, F.col("l_tax")),
+        "nullif(l_tax, 0.0)",
+    ),
+    ("k5", lambda F: F.col("l_orderkey") % 5, "l_orderkey % 5"),
+]
+
+_SETOPS = [
+    ("union_all", lambda a, b: a.unionByName(b), "UNION ALL"),
+    ("union", lambda a, b: a.unionByName(b).distinct(), "UNION"),
+    ("intersect", lambda a, b: a.intersect(b), "INTERSECT"),
+    ("intersect_all", lambda a, b: a.intersectAll(b), "INTERSECT ALL"),
+    ("except_d", lambda a, b: a.subtract(b), "EXCEPT"),
+    ("except_all", lambda a, b: a.exceptAll(b), "EXCEPT ALL"),
+]
+
+setop_spec = st.tuples(
+    st.lists(
+        st.sampled_from(range(len(_PROJ))), unique=True, min_size=1, max_size=3
+    ),
+    st.sampled_from(range(len(_PREDICATES))),
+    st.sampled_from(range(len(_PREDICATES))),
+    st.sampled_from(range(len(_SETOPS))),
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(setop_spec)
+def test_random_setop_matches_duckdb(lineitem, ddb, spec):
+    from pyspark.sql import functions as F
+
+    proj_ix, pa_ix, pb_ix, op_ix = spec
+    projs = [_PROJ[i] for i in proj_ix]
+    _, pa_build, pa_sql = _PREDICATES[pa_ix]
+    _, pb_build, pb_sql = _PREDICATES[pb_ix]
+    _, op_build, op_sql = _SETOPS[op_ix]
+
+    cols = [build(F).alias(name) for name, build, _ in projs]
+    a = lineitem.filter(pa_build(F)).select(*cols)
+    b = lineitem.filter(pb_build(F)).select(*cols)
+    got = _canon([tuple(r) for r in op_build(a, b).collect()])
+
+    sel = ", ".join(f"{sql} AS {name}" for name, _, sql in projs)
+    want = _canon(
+        ddb.execute(
+            f"SELECT {sel} FROM lineitem WHERE {pa_sql} "
+            f"{op_sql} SELECT {sel} FROM lineitem WHERE {pb_sql}"
+        ).fetchall()
+    )
+    assert got == want
