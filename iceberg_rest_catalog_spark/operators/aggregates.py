@@ -679,3 +679,138 @@ def q_agg_kanon(spark, sf_dir):
             F.count("*").alias("n_merged_groups"),
         )
     )
+
+
+# -- Bloom-filter membership sketch ------------------------------------------
+
+BLOOM_M = 256  # bits — sized so the fixture's fill ratio yields real FPs
+BLOOM_K = 3    # hash functions
+_BLOOM_MEMBER_SOURCE = "src1"  # the held-out "benchmark" corpus
+
+
+def _bloom_oracle() -> str:
+    h = (
+        "CAST(('0x' || substr(md5({t} || '|' || i), 1, 8)) AS BIGINT) "
+        f"% {BLOOM_M}"
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    m AS (SELECT DISTINCT text FROM d_src WHERE TRUE),
+    d_src AS (SELECT text FROM documents
+              WHERE text IS NOT NULL AND source = '{_BLOOM_MEMBER_SOURCE}'),
+    keys AS (SELECT unnest(range(0, {BLOOM_K})) AS i),
+    mb AS (SELECT {h.format(t='m.text')} AS h FROM m, keys),
+    bloom AS (
+      SELECT h // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(h % 32 AS INT)) AS bits
+      FROM mb GROUP BY h // 32),
+    probe AS (SELECT d.doc_id, d.text, {h.format(t='d.text')} AS h
+              FROM d, keys),
+    pj AS (
+      SELECT p.doc_id, p.text,
+             CASE WHEN b.bits IS NOT NULL
+                   AND (b.bits & (CAST(1 AS BIGINT)
+                                  << CAST(p.h % 32 AS INT))) <> 0
+                  THEN 1 ELSE 0 END AS hit
+      FROM probe p LEFT JOIN bloom b ON b.word = p.h // 32),
+    fl AS (SELECT doc_id, text, min(hit) AS flagged FROM pj
+           GROUP BY doc_id, text)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(flagged) AS BIGINT) AS n_flagged,
+           CAST(sum(CASE WHEN text IN (SELECT text FROM m)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_member_text,
+           CAST(sum(CASE WHEN flagged = 1
+                          AND text NOT IN (SELECT text FROM m)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+    FROM fl
+    """
+
+
+@query("q_agg_bloom", oracle=_bloom_oracle())
+def q_agg_bloom(spark, sf_dir):
+    """Bloom-filter membership audit — the decontamination primitive at
+    corpus scale: build a {BLOOM_M}-bit, k={BLOOM_K} Bloom filter over a
+    held-out "benchmark" text set (source=src1), probe EVERY document
+    against it, and report (n_docs, n_flagged, n_member_text,
+    n_false_pos). No false negatives by construction (every member text is
+    flagged); false positives are exactly counted against the true text
+    set, so the row doubles as an FP-rate calibration for the chosen
+    m/k.
+
+    Scale shape: the filter itself is m/8 bytes — built with the
+    q_join_bloom_prune one-hot bit_or aggregate (m/32 words) and BROADCAST
+    to the probe scan, which stays map-side however large the corpus; at
+    100 TB you size m to the benchmark (1.44 * n * log2(1/fp) bits) and the
+    probe still ships only the tiny word table. The engine-portable hash
+    family is the md5-prefix idiom (q_shard_assign), one md5 per (text,
+    i) with 32-bit word packing so the shifted bit stays in positive
+    BIGINT range on both engines. Completes the sketch family:
+    HLL (distinct), count-min (frequency), histogram (density), Bloom
+    (membership).
+
+    Reference scope: no sketch surface in the reference facade; sibling
+    of q_agg_countmin / q_agg_hll_merge on the engine side.
+    """
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    m_texts = (
+        t(spark, sf_dir, "documents")
+        .filter(
+            F.col("text").isNotNull() & (F.col("source") == _BLOOM_MEMBER_SOURCE)
+        )
+        .select("text")
+        .distinct()
+    )
+    keys = spark.range(BLOOM_K).select(F.col("id").cast("int").alias("i"))
+
+    def h_expr(tcol):
+        return (
+            F.conv(F.substring(F.md5(F.concat_ws("|", F.col(tcol), F.col("i"))), 1, 8), 16, 10)
+            .cast("bigint")
+            % BLOOM_M
+        )
+
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 32 AS INT))")
+    bloom = (
+        m_texts.join(F.broadcast(keys))
+        .select(h_expr("text").alias("h"))
+        .select(F.expr("h DIV 32").alias("word"), bit.alias("bit"))
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    probe = d.join(F.broadcast(keys)).select(
+        "doc_id", "text", h_expr("text").alias("h")
+    )
+    pj = (
+        probe.withColumn("word", F.expr("h DIV 32"))
+        .join(F.broadcast(bloom), "word", "left")
+        .select(
+            "doc_id",
+            "text",
+            F.when(
+                F.col("bits").isNotNull()
+                & (F.col("bits").bitwiseAND(bit) != 0),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+    )
+    fl = pj.groupBy("doc_id", "text").agg(F.min("hit").alias("flagged"))
+    is_member = F.when(F.col("mtext").isNotNull(), 1).otherwise(0)
+    fl = fl.join(
+        F.broadcast(m_texts.select(F.col("text").alias("mtext"))),
+        fl.text == F.col("mtext"),
+        "left",
+    )
+    return fl.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("flagged").alias("n_flagged"),
+        F.sum(is_member).alias("n_member_text"),
+        F.sum(
+            F.when((F.col("flagged") == 1) & F.col("mtext").isNull(), 1).otherwise(0)
+        ).alias("n_false_pos"),
+    )

@@ -155,6 +155,7 @@ _ROUND6_ADDITIONS = (
     "q_sim_mmr",
     "q_curriculum_order",
     "q_dedup_semantic",
+    "q_agg_bloom",
 )
 
 

@@ -812,3 +812,15 @@ def test_semantic_dedup_blocks_by_kmeans_and_keeps_earliest(spark, qs):
         assert min(members) in sem  # the earliest member can never be dropped
     dropped = set(km) - set(sem)
     assert dropped  # threshold is low enough to actually fire on the fixture
+
+
+def test_bloom_audit_has_no_false_negatives(spark, qs):
+    """Bloom contract: every member text flags (no false negatives), so
+    n_flagged decomposes exactly into members + false positives; the
+    fixture's fill ratio must produce at least one real FP (a filter too
+    big to ever collide would make the audit vacuous)."""
+    r = qs["q_agg_bloom"](spark, SF01).collect()[0]
+    assert r.n_flagged == r.n_member_text + r.n_false_pos
+    assert r.n_member_text > 0
+    assert r.n_false_pos > 0
+    assert r.n_flagged < r.n_docs  # and it isn't flagging everything

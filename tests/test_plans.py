@@ -119,6 +119,9 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 # kmeans-assignment broadcast (K-row centroid table) inside
                 # the semantic-dedup block derivation
                 "q_dedup_semantic",
+                # k-row hash-index fan-out (3 rows) + m/32-word filter
+                # broadcast: both build sides are sketch-sized constants
+                "q_agg_bloom",
                 "q_data_mixture_temperature",
                 # 4-row broadcast probe batch under a non-equi (id !=)
                 # condition: the matryoshka shape — build side is the
