@@ -57,6 +57,11 @@ QUERIES = [
     "q_dedup_eval_sweep",
     "q_evt_pattern_match",
     "q_evt_drift_ks",
+    # round-6 additions (the data-proportional ones; q_graph_cc reduces to
+    # the |event_types|-node graph and q_sim_mmr to a bounded candidate set)
+    "q_curriculum_order",
+    "q_dedup_semantic",
+    "q_agg_bloom",
 ]
 
 
