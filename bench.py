@@ -82,6 +82,9 @@ HEADLINE = [
     "q_sim_rerank",
     "q_dedup_apply",
     "q_evt_drift_ks",
+    # round-6 addition heavy enough to track (the other four new ops are
+    # overhead-bound at sf0.1 — see SCALE.md round-6 ratios).
+    "q_dedup_semantic",
 ]
 
 
