@@ -936,3 +936,85 @@ def q_ts_autocorr(spark, sf_dir):
         r4(F.corr("n", "n_1")).alias("acf_1"),
         r4(F.corr("n", "n_7")).alias("acf_7"),
     )
+
+
+@query(
+    "q_evt_conversion_lag",
+    oracle="""
+    WITH touch AS (
+      SELECT user_id, event_type AS touch_type, ts AS t_touch FROM (
+        SELECT user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type IN ('view', 'click'))
+      WHERE rn = 1),
+    conv AS (
+      SELECT t.user_id, t.touch_type,
+             min(epoch_us(p.ts) - epoch_us(t.t_touch)) AS lag_us
+      FROM touch t
+      JOIN events p ON p.user_id = t.user_id
+                   AND p.event_type = 'purchase' AND p.ts >= t.t_touch
+      GROUP BY t.user_id, t.touch_type)
+    SELECT touch_type,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           round(quantile_cont(lag_us, 0.5) / 60000000.0, 4) AS p50_minutes,
+           round(quantile_cont(lag_us, 0.9) / 60000000.0, 4) AS p90_minutes,
+           round(avg(lag_us) / 60000000.0, 4) AS avg_minutes
+    FROM conv GROUP BY touch_type
+    """,
+)
+def q_evt_conversion_lag(spark, sf_dir):
+    """Time-to-convert distribution: per user, the FIRST view-or-click
+    (ts + event_id tiebreak) is the acquisition touch; the first purchase
+    at-or-after it converts, and the lag is measured exactly in
+    microseconds (unix_micros/epoch_us on both engines — no truncated
+    second casts to diverge on sub-second fixtures). Reported per touch
+    type: conversion count, p50/p90/mean latency in minutes — the
+    measurement behind attribution-window tuning (q_evt_attribution picks
+    72h; THIS op is where that number comes from) and funnel-latency SLAs.
+
+    Scale shape: first-touch is one user-keyed window over the filtered
+    touch stream; conversion is a user-keyed join against purchases
+    reduced BEFORE the percentile (one row per converting user), so the
+    percentile aggregate sees |users| rows, never |events|. All three
+    stages share the user_id shuffle key — one shuffle end to end, then a
+    |touch_types|-row result.
+
+    Reference scope: no event analytics in the reference facade; sibling
+    of q_evt_funnel / q_evt_attribution / q_evt_retention."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    touch = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("touch_type"),
+            F.col("ts").alias("t_touch"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    conv = (
+        touch.join(purchases, "user_id")
+        .filter(F.col("p_ts") >= F.col("t_touch"))
+        .groupBy("user_id", "touch_type")
+        .agg(
+            F.min(
+                # fixture ts is TIMESTAMP_NTZ; unix_micros needs LTZ — the
+                # UTC session (ENGINE_OVERRIDES) makes the cast shift-free,
+                # and only the DIFFERENCE matters anyway
+                F.unix_micros(F.col("p_ts").cast("timestamp"))
+                - F.unix_micros(F.col("t_touch").cast("timestamp"))
+            ).alias("lag_us")
+        )
+    )
+    m = 60_000_000.0
+    return conv.groupBy("touch_type").agg(
+        F.count("*").alias("n_conversions"),
+        r4(F.expr("percentile(lag_us, 0.5)") / m).alias("p50_minutes"),
+        r4(F.expr("percentile(lag_us, 0.9)") / m).alias("p90_minutes"),
+        r4(F.avg("lag_us") / m).alias("avg_minutes"),
+    )

@@ -156,6 +156,7 @@ _ROUND6_ADDITIONS = (
     "q_curriculum_order",
     "q_dedup_semantic",
     "q_agg_bloom",
+    "q_evt_conversion_lag",
 )
 
 

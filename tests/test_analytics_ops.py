@@ -824,3 +824,24 @@ def test_bloom_audit_has_no_false_negatives(spark, qs):
     assert r.n_member_text > 0
     assert r.n_false_pos > 0
     assert r.n_flagged < r.n_docs  # and it isn't flagging everything
+
+
+def test_conversion_lag_bounds_and_population(spark, qs):
+    """Latency stats must be internally consistent (0 <= p50 <= p90,
+    mean >= 0) and converting users a subset of touched users — no
+    conversion without an acquisition touch."""
+    from iceberg_rest_catalog_spark.io import load_table
+
+    rows = qs["q_evt_conversion_lag"](spark, SF01).collect()
+    assert {r.touch_type for r in rows} <= {"view", "click"}
+    for r in rows:
+        assert 0 <= r.p50_minutes <= r.p90_minutes
+        assert r.avg_minutes >= 0
+    touched = (
+        load_table(spark, SF01, "events")
+        .filter("event_type IN ('view', 'click')")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_conversions for r in rows) <= touched
