@@ -96,7 +96,7 @@ def q_fn_date(spark, sf_dir):
            round(sqrt(l_extendedprice), 4)                  AS price_sqrt,
            round(ln(l_extendedprice + 1), 4)                AS price_ln,
            round(log10(l_extendedprice + 1), 4)             AS price_log10,
-           sign(l_discount - 0.05)                          AS disc_sign
+           CAST(sign(l_discount - 0.05) AS BIGINT)          AS disc_sign
     FROM lineitem
     """,
 )
@@ -115,7 +115,10 @@ def q_fn_math(spark, sf_dir):
         r4(F.sqrt(F.col("l_extendedprice"))).alias("price_sqrt"),
         r4(F.log(F.col("l_extendedprice") + 1)).alias("price_ln"),
         r4(F.log10(F.col("l_extendedprice") + 1)).alias("price_log10"),
-        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        # BIGINT on BOTH sides: Spark signum returns DOUBLE, DuckDB sign
+        # returns TINYINT — value-equal but hash-divergent under the
+        # driver's dtype-aware canonicalization (red r6 row).
+        F.signum(F.col("l_discount") - 0.05).cast("bigint").alias("disc_sign"),
     )
 
 

@@ -1,5 +1,15 @@
-"""Local correctness harness: run each queries() entry vs its oracle_sql() in DuckDB at sf0.01."""
-import sys, hashlib, math, os
+"""Local correctness harness: run each queries() entry vs its oracle_sql() in DuckDB at sf0.01.
+
+Dtype-strict by default (set CHECK_LAX_DTYPES=1 to disable): the driver's
+value-hash is dtype-aware — Spark DOUBLE `1.0` vs DuckDB TINYINT `1`
+hash-diverge there even though the 4-dp canonicalization below collapses
+them ("q_fn_math", red in CORRECTNESS_r06).  Each column is classified
+into a coarse kind (int / float / bool / str / datetime / array / binary)
+on BOTH engines and any int-vs-float style mismatch is a FAIL, so local
+green reproduces driver-level strictness.
+"""
+import sys, hashlib, math, os, datetime
+import numpy as np
 import duckdb
 import pandas as pd
 
@@ -8,7 +18,55 @@ import __spark_entry__ as entry
 from iceberg_rest_catalog_spark.session import get_spark
 
 SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
+STRICT_DTYPES = os.environ.get("CHECK_LAX_DTYPES", "") != "1"
 only = set(sys.argv[1:])
+
+
+def _kind(series: pd.Series) -> str:
+    """Coarse cross-engine type class for one result column.
+
+    int+NULL promotes to float64 on BOTH engines (Spark toPandas and DuckDB
+    fetchdf), so comparing coarse kinds is stable; the divergence this
+    catches is a genuinely-typed DOUBLE on one side vs integer on the other.
+    """
+    k = series.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in "mM":
+        return "datetime"
+    # object column: classify by first non-null value
+    for v in series:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, (int, np.integer)):
+            return "int"
+        if isinstance(v, (float, np.floating)):
+            return "float"
+        if isinstance(v, (datetime.date, datetime.datetime, pd.Timestamp)):
+            return "datetime"
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "array"
+        if isinstance(v, (bytes, bytearray)):
+            return "binary"
+        if isinstance(v, dict):
+            return "map"
+        return "str"
+    return "empty"  # all-NULL column: no evidence either way
+
+
+def dtype_mismatches(spdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    out = []
+    for col in sorted(set(spdf.columns) & set(odf.columns)):
+        a, b = _kind(spdf[col]), _kind(odf[col])
+        if a != b and "empty" not in (a, b):
+            out.append(f"{col}: spark={a} oracle={b}")
+    return out
 
 spark = get_spark("check")
 con = duckdb.connect()
@@ -44,10 +102,12 @@ for name in sorted(qs):
         ok_rows = len(spdf) == len(odf)
         ha = hashlib.md5("\n".join(a["r"]).encode()).hexdigest()
         hb = hashlib.md5("\n".join(b["r"]).encode()).hexdigest()
-        status = "PASS" if (ok_rows and ha == hb) else "FAIL"
+        dmm = dtype_mismatches(spdf, odf) if STRICT_DTYPES else []
+        status = "PASS" if (ok_rows and ha == hb and not dmm) else "FAIL"
         if status == "FAIL":
             fails.append(name)
             print(f"{name}: FAIL rows={len(spdf)}/{len(odf)} cols={sorted(spdf.columns)}/{sorted(odf.columns)}")
+            for m in dmm: print("  dtype:", m)
             amm = set(a["r"]); bmm = set(b["r"])
             for x in list(amm - bmm)[:3]: print("  spark-only:", x[:200])
             for x in list(bmm - amm)[:3]: print("  oracle-only:", x[:200])
