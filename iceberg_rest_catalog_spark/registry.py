@@ -77,79 +77,90 @@ _QUERY_MODULES = (
     "iceberg_rest_catalog_spark.llm.text",
 )
 
-# Round-6 driver window: exactly the 50 ids with NO driver row yet after
-# the clean 50/50 round-5 window (CORRECTNESS_r05.json).
+# Round-7 driver window: staleness-first rotation (the registry's own
+# ROUND-7 NOTE from r6, executed; VERDICT r6 item 2).
 #
 # Composition, in order:
-#   1. the 2 ids the 50-cap cut from the r5 window (q_fn_cond, q_fn_math) —
-#      they were staged, never checked;
-#   2. the 48 round-5 additions, which postdate every driver window.
-# A green r6 window takes cumulative driver evidence to 245/245 — every
-# SURVEY §2 id driver-verified at least once, zero driver-red.
-# Everything driver-green in r2-r5 keeps registration order after these.
+#   1. the 6 round-6 additions — local-pass only, never in a driver window;
+#   2. q_fn_math — the one red r6 row (disc_sign DOUBLE-vs-TINYINT type
+#      divergence, fixed this round: both sides now CAST ... AS BIGINT) —
+#      re-staged to re-earn its green row;
+#   3. all 50 ids whose last driver evidence is round 2 (catalog / scan /
+#      source / filter / join families, now 5 rounds stale).  The 15 c_*
+#      catalog ids go LAST: they share one implementation
+#      (catalog/queries.py:62), so if the driver caps the window at 50 and
+#      cuts the tail, every cut id's code path is still re-verified by its
+#      earlier-listed siblings.
 #
-# ROUND-7 NOTE: once r6 is green, rotate by staleness — the r2-confirmed
-# ids first (catalog / scan / source / filter / join families, 4 rounds
-# stale by then), then r3's, so no id's evidence ages more than ~3 rounds.
-_ROUND6_WINDOW = (
-    # 1. r5 window overflow
-    "q_fn_cond",
+# 57 ids total; a 50-cap driver window covers 1+2 fully and 43 of the r2
+# block.  Whatever the cap cuts rolls to the round-8 window head
+# (oldest-first, per the standing driver-refresh policy).
+_ROUND7_WINDOW = (
+    # 1. round-6 additions, never in any driver window
+    "q_agg_bloom",
+    "q_graph_cc",
+    "q_sim_mmr",
+    "q_curriculum_order",
+    "q_evt_conversion_lag",
+    "q_dedup_semantic",
+    # 2. the red r6 row, fixed (operators/functions.py disc_sign cast)
     "q_fn_math",
-    # 2. round-5 additions, never in any driver window
-    "q_dedup_simhash_shingle",
-    "q_dedup_incremental",
-    "q_dedup_index",
-    "q_dedup_spans",
-    "q_dedup_apply",
-    "q_dedup_cross_source",
-    "q_dedup_eval_sweep",
-    "q_sim_knn_batch",
-    "q_sim_ann_pq",
-    "q_sim_rerank",
-    "q_embed_pq",
-    "q_embed_matryoshka",
-    "q_embed_dim_stats",
-    "q_stream_ingest_gate",
-    "q_stream_wap",
-    "q_stream_hll",
-    "q_multimodal_frame_sample",
-    "q_multimodal_audio",
-    "q_source_binaryfile",
-    "q_sink_dynamic_overwrite",
-    "q_wap_publish",
-    "q_snapshot_diff",
-    "q_meta_history",
-    "q_meta_partition_stats",
-    "q_meta_column_stats",
-    "q_incremental_agg_maintenance",
-    "q_agg_countmin",
-    "q_agg_histogram",
-    "q_agg_entropy",
-    "q_agg_gini",
-    "q_agg_kanon",
-    "q_tokenizer_apply",
-    "q_caption_pairs",
-    "q_corpus_report",
-    "q_sample_balanced",
-    "q_text_langid_eval",
-    "q_evt_rolling_dau",
-    "q_evt_rfm",
-    "q_evt_drift_ks",
-    "q_evt_forecast_eval",
-    "q_evt_pattern_match",
-    "q_evt_ab_test",
-    "q_evt_heatmap",
-    "q_ts_decompose",
-    "q_ts_autocorr",
-    "q_join_asof_tolerance",
-    "q_graph_triangles",
-    "q_udf_arrow",
+    # 3a. r2-stale ids, non-catalog first
+    "q_agg_global",
+    "q_compact",
+    "q_filter_compound",
+    "q_filter_in_between_like",
+    "q_filter_null",
+    "q_incremental_read",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_bucketed",
+    "q_join_cross",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_multiway",
+    "q_join_range",
+    "q_join_right",
+    "q_join_semi",
+    "q_join_skew_salted",
+    "q_join_theta",
+    "q_merge_upsert",
+    "q_meta_prune",
+    "q_scan_filter",
+    "q_scan_full",
+    "q_scan_partition_prune",
+    "q_scan_project",
+    "q_scd2",
+    "q_schema_evolution_read",
+    "q_sink_parquet",
+    "q_sink_partitioned",
+    "q_snapshot_expire",
+    "q_source_csv",
+    "q_source_json",
+    "q_source_orc",
+    "q_time_travel",
+    # 3b. r2-stale catalog ids (one shared implementation; cap-cut-safe)
+    "c_create_namespace",
+    "c_create_table",
+    "c_drop_namespace",
+    "c_drop_table",
+    "c_get_config",
+    "c_health",
+    "c_list_namespaces",
+    "c_list_tables",
+    "c_load_namespace",
+    "c_load_table",
+    "c_namespace_exists",
+    "c_rename_table",
+    "c_table_exists",
+    "c_update_ns_props",
+    "c_update_table",
 )
 
-# Operators registered AFTER the round-6 window froze (it is 50/50 staged on
-# the never-driver-checked backlog, which these postdate). They are the
-# round-7 rotation seed: a green r6 window plus these in r7 keeps the
-# invariant "every id driver-verified at least once" converging.
+# Operators registered AFTER the round-6 window froze; they lead the
+# round-7 window above (never-driver-checked beats stale).
 _ROUND6_ADDITIONS = (
     "q_graph_cc",
     "q_sim_mmr",
@@ -158,6 +169,11 @@ _ROUND6_ADDITIONS = (
     "q_agg_bloom",
     "q_evt_conversion_lag",
 )
+
+# Operators registered AFTER the round-7 window froze: the round-8 rotation
+# seed (they lead the r8 window, followed by any ids the r7 50-cap cut,
+# then the r3-stale block).
+_ROUND7_ADDITIONS: tuple[str, ...] = ()
 
 
 def query(name: str, oracle: str | None = None):
@@ -176,7 +192,7 @@ def collect() -> dict[str, Entry]:
     """Import every query module that exists; missing modules are simply
     not-yet-implemented (the registry degrades gracefully as modules land).
 
-    The returned dict is ordered: ids named in ``_ROUND6_WINDOW`` first (in
+    The returned dict is ordered: ids named in ``_ROUND7_WINDOW`` first (in
     that order), then everything else in registration order — the grading
     driver verifies the first ~50 entries each round."""
     for mod in _QUERY_MODULES:
@@ -189,7 +205,7 @@ def collect() -> dict[str, Entry]:
             if e.name is None or not (mod == e.name or mod.startswith(e.name + ".")):
                 raise
     ordered: dict[str, Entry] = {}
-    for name in _ROUND6_WINDOW:
+    for name in _ROUND7_WINDOW:
         if name in _REGISTRY:
             ordered[name] = _REGISTRY[name]
     for name, entry in _REGISTRY.items():

@@ -40,7 +40,7 @@ def test_every_oracle_has_query():
     assert not dangling, dangling
 
 
-def test_round6_window_leads_registration_order():
+def test_round7_window_leads_registration_order():
     """The driver verifies the first ~50 queries() entries per round; the
     explicit rotation list must lead the dict exactly, with every listed id
     actually registered (a typo would silently waste a window slot)."""
@@ -49,33 +49,54 @@ def test_round6_window_leads_registration_order():
     from iceberg_rest_catalog_spark import registry
 
     ids = list(e.queries())
-    window = list(registry._ROUND6_WINDOW)
+    window = list(registry._ROUND7_WINDOW)
     assert ids[: len(window)] == window
     assert len(set(window)) == len(window)
-    assert len(window) == 50
+    # 6 round-6 additions + q_fn_math (red r6 row) + 50 r2-stale ids
+    assert len(window) == 57
 
 
-def test_round6_window_is_exactly_the_never_driver_checked_ids():
-    """The r6 window must cover precisely the ids with no prior driver row:
-    the r5 overflow pair plus the 48 round-5 additions — i.e. zero overlap
-    with any CORRECTNESS_r0{2..5} window."""
+def test_round7_window_is_staleness_first():
+    """The r7 window must be exactly: every id with NO driver row yet
+    (the round-6 additions), plus every driver-FAIL id, plus every id whose
+    last driver evidence is the oldest round present — computed from the
+    CORRECTNESS artifacts themselves so the rotation policy is mechanical,
+    not hand-maintained."""
     import json
 
     sys.path.insert(0, REPO)
     from iceberg_rest_catalog_spark import registry
 
-    window = set(registry._ROUND6_WINDOW)
-    seen = set()
-    for r in (2, 3, 4, 5):
+    last_seen: dict[str, int] = {}
+    failed: set[str] = set()
+    for r in (2, 3, 4, 5, 6):
         path = os.path.join(REPO, f"CORRECTNESS_r0{r}.json")
-        if os.path.exists(path):
-            seen |= set(json.load(open(path)))
-    overlap = window & seen
-    assert not overlap, sorted(overlap)
-    # and together they cover the whole registry, except ids registered
-    # after the window froze — those must be EXACTLY the declared round-6
-    # additions (the staged r7 rotation seed), nothing anonymous
+        if not os.path.exists(path):
+            continue
+        rows = json.load(open(path))
+        for qid, row in rows.items():
+            last_seen[qid] = r
+            ok = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match", True)
+                and not row.get("err")
+            )
+            if ok:
+                failed.discard(qid)
+            else:
+                failed.add(qid)
+
     all_ids = set(registry.queries())
-    assert window <= all_ids, sorted(window - all_ids)
-    post_window = all_ids - seen - window
-    assert post_window == set(registry._ROUND6_ADDITIONS), sorted(post_window)
+    never_checked = all_ids - set(last_seen)
+    oldest = min(last_seen.values())
+    stalest = {q for q, r in last_seen.items() if r == oldest and q in all_ids}
+    expected = never_checked | failed | stalest
+    window = set(registry._ROUND7_WINDOW)
+    assert window == expected, (
+        sorted(window - expected),
+        sorted(expected - window),
+    )
+    # never-checked ids lead the list (driver cap cuts from the tail)
+    head = list(registry._ROUND7_WINDOW)[: len(never_checked)]
+    assert set(head) == never_checked, head
