@@ -111,10 +111,13 @@ def main() -> None:
     qs = registry.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # Warm the JVM + parquet footers once with the cheapest headline query so
-    # per-query numbers measure the plan, not session startup.
-    if names:
-        run_one(spark, qs[names[0]])
+    # Full untimed warm pass BEFORE the timed passes (VERDICT r6 item 7):
+    # checkpoint-heavy queries (q_graph_triangles) previously folded their
+    # first-run edge materialization / page-cache misses into the pass-1
+    # sample, producing birth spreads of ~5 s on an 8 s median.  One warm
+    # run per query leaves all three timed samples measuring the plan.
+    for name in names:
+        run_one(spark, qs[name])
 
     # Three interleaved passes, per-query MEDIAN, spread recorded.
     # A single sample folds in whole-stage-codegen JIT warmup and host
@@ -133,6 +136,23 @@ def main() -> None:
     times = {n: round(sorted(v)[len(v) // 2], 3) for n, v in samples.items()}
     spread = {n: round(max(v) - min(v), 3) for n, v in samples.items()}
 
+    # TRUNCATION-PROOF OUTPUT CONTRACT (VERDICT r6 item 3): the driver
+    # captures only the last N bytes of stdout, and BENCH_r06 lost its
+    # TPC-H values when the single JSON line (queries + spread) outgrew
+    # that window.  Three layers, cheapest-to-parse last:
+    #   1. spread + samples detail -> stderr (never competes for the window)
+    #   2. one line-oriented `BENCH name=sec` record per query -> stdout
+    #      (each line self-contained; any tail window keeps whole records)
+    #   3. the ONE compact JSON line LAST, without spread (~1/3 the size),
+    #      so the driver's json parse sees a complete object.
+    # The full artifact (spread included) is also written to
+    # bench_runs/last_run.json for durable round-over-round comparison.
+    print(
+        json.dumps({"spread": spread, "samples": {n: [round(x, 3) for x in v] for n, v in samples.items()}}),
+        file=sys.stderr,
+    )
+    for name in names:
+        print(f"BENCH {name}={times[name]}")
     out = {
         "metric": "headline_suite_wall",
         "value": round(sum(times.values()), 3),
@@ -141,8 +161,16 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "passes": N_PASSES,
         "stat": "median",
-        "spread": spread,
     }
+    full = dict(out, spread=spread)
+    try:
+        os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_runs"), exist_ok=True)
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_runs", "last_run.json"), "w"
+        ) as f:
+            json.dump(full, f)
+    except OSError:
+        pass  # read-only checkout: stdout contract still holds
     print(json.dumps(out))
 
 
