@@ -238,5 +238,55 @@ def test_welch_z_matches_reference(spark, a, b):
     ).collect()[0].z
     assert abs(z - expected) < 1e-7
 
+@SLOW
+@given(
+    st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_triangle_orientations_agree(spark, raw_pairs):
+    """Triangle count is orientation-invariant: the dense bitset path
+    (id-ordered masks), the degree-ordered sparse wedge join, and a naive
+    pure-Python triple loop must agree on random graphs — this is the
+    property that lets q_graph_triangles swap id-ordering for
+    degree-ordering on big sparse graphs without touching the id-ordered
+    DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rest_catalog_spark.operators.graph import (
+        _triangles_dense,
+        _triangles_sparse,
+    )
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_pairs if a != b})
+    if not edges:
+        return
+    nodes = sorted({x for e in edges for x in e})
+    # naive reference: count node triples with all three edges present
+    eset = set(edges)
+    expected = sum(
+        1
+        for i, x in enumerate(nodes)
+        for j in range(i + 1, len(nodes))
+        for k in range(j + 1, len(nodes))
+        if (x, nodes[j]) in eset
+        and (x, nodes[k]) in eset
+        and (nodes[j], nodes[k]) in eset
+    )
+    ei = spark.createDataFrame(edges, "ui int, vi int")
+    n = max(x for e in edges for x in e) + 1
+    got_dense = _triangles_dense(spark, ei, n).collect()[0].n
+    got_sparse = _triangles_sparse(
+        ei.select(F.col("ui").cast("long"), F.col("vi").cast("long"))
+    ).collect()[0].n
+    assert got_dense == expected
+    assert got_sparse == expected
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
