@@ -849,8 +849,13 @@ def _mmr_oracle() -> str:
     sel1 AS (
       SELECT qid, vec_id, round({MMR_LAMBDA} * rel, 4) AS mmr
       FROM (SELECT qid, vec_id, rel,
+                   -- order by the ROUNDED score (the value returned and the
+                   -- one the numpy path argmaxes): distinct rels can tie
+                   -- after rounding 0.7*rel to 4 dp, and the tie must break
+                   -- on vec_id identically in both engines (ADVICE r6)
                    row_number() OVER (PARTITION BY qid
-                                      ORDER BY rel DESC, vec_id) AS rn
+                                      ORDER BY round({MMR_LAMBDA} * rel, 4) DESC,
+                                               vec_id) AS rn
             FROM cand)
       WHERE rn = 1),
     s1 AS (SELECT qid, vec_id FROM sel1)"""

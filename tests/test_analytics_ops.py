@@ -772,11 +772,43 @@ def test_mmr_first_pick_is_relevance_top1_and_scores_decay(spark, qs):
         # only grows and the pool only shrinks
         scores = [r.mmr for r in picks]
         assert all(a >= b for a, b in zip(scores, scores[1:]))
-        # pick 1 is the plain relevance argmax of the candidate pool —
-        # lambda scales all first-round scores equally
-        assert picks[0].mmr == max(
-            r.mmr for r in rows if r.query_id == qid and r.rank == 1
+    # pick 1 is the plain relevance argmax of the CANDIDATE POOL — lambda
+    # scales all first-round scores equally. Recompute the pool's top
+    # rounded relevance independently (the previous form compared
+    # picks[0].mmr to itself — ADVICE r6).
+    from iceberg_rest_catalog_spark.llm.similarity import (
+        MMR_CANDIDATES,
+        MMR_LAMBDA,
+        _cos,
+        _dbl,
+        _emb,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, SF01).select("vec_id", _dbl("embedding").alias("emb"))
+    q = emb.filter(F.col("vec_id") < MMR_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qe")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rel"), "vec_id")
+    top_rel = {
+        r.qid: r.top_rel
+        for r in (
+            emb.join(F.broadcast(q), emb.vec_id != q.qid)
+            .select(
+                "qid",
+                "vec_id",
+                F.round(_cos("emb", "qe"), 4).alias("rel"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= MMR_CANDIDATES)
+            .groupBy("qid")
+            .agg(F.round(F.max("rel") * MMR_LAMBDA, 4).alias("top_rel"))
+            .collect()
         )
+    }
+    for qid, picks in by_q.items():
+        assert abs(picks[0].mmr - top_rel[qid]) < 1e-9
 
 
 def test_curriculum_is_a_bucket_ordered_permutation(spark, qs):

@@ -244,27 +244,29 @@ def test_concurrent_writers_serialize_without_lost_updates(tmp_path, backend):
     from concurrent.futures import ThreadPoolExecutor
 
     cat, _closer = _make_cat4(tmp_path, backend)
-    cat.create_namespace(("db",))
-    cat.create_table(("db", "t"), BASE)
+    try:  # finally-close: an assertion failure must not leak the rest server
+        cat.create_namespace(("db",))
+        cat.create_table(("db", "t"), BASE)
 
-    def writer(i: int) -> int:
-        wins = 0
-        for j in range(10):
-            try:
-                cat.update_table(
-                    ("db", "t"),
-                    [],
-                    [{"action": "set-properties", "updates": {f"w{i}_{j}": "1"}}],
-                )
-                wins += 1
-            except E.CommitFailedException:
-                pass  # lost the race; a real writer would reload and retry
-        return wins
+        def writer(i: int) -> int:
+            wins = 0
+            for j in range(10):
+                try:
+                    cat.update_table(
+                        ("db", "t"),
+                        [],
+                        [{"action": "set-properties", "updates": {f"w{i}_{j}": "1"}}],
+                    )
+                    wins += 1
+                except E.CommitFailedException:
+                    pass  # lost the race; a real writer would reload and retry
+            return wins
 
-    with ThreadPoolExecutor(max_workers=8) as ex:
-        wins = sum(ex.map(writer, range(8)))
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            wins = sum(ex.map(writer, range(8)))
 
-    t = cat.load_table(("db", "t"))
-    assert t.version == 1 + wins  # exactly one version per successful commit
-    assert len(t.properties()) == wins  # every winning commit is visible
-    _closer()
+        t = cat.load_table(("db", "t"))
+        assert t.version == 1 + wins  # exactly one version per successful commit
+        assert len(t.properties()) == wins  # every winning commit is visible
+    finally:
+        _closer()
