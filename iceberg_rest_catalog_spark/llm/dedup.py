@@ -1541,28 +1541,28 @@ def _semantic_oracle() -> str:
     """
 
 
-@query("q_dedup_semantic", oracle=_semantic_oracle())
-def q_dedup_semantic(spark, sf_dir):
-    """SemDeDup-shape semantic dedup: cluster the corpus with the
-    deterministic 3-iteration k-means (the q_cluster_kmeans assignment,
-    shared code AND shared oracle CTEs), then inside each cluster drop any
-    vector whose cosine to an earlier (lower vec_id) cluster member is
-    >= 0.4. Returns the surviving (vec_id, label, cluster).
+def semantic_k_for(n_vectors: int) -> int:
+    """The SemDeDup centroid-count knob: K grows with the corpus so the
+    expected cluster size (and with it the within-cluster pair term
+    E[|cluster|^2] * K ~ n * E[|cluster|]) stays FLAT per input row.
+    Target ~512 vectors per cluster, floored at the oracle's K_CLUSTERS
+    and capped so the broadcast centroid table (K x 64 doubles) stays a
+    few MB. Measured on the x10 corpus in SCALE.md round 7: with K fixed
+    the decade step is quadratic-ish; with this formula it returns to the
+    linear band."""
+    from .similarity import K_CLUSTERS
 
-    This is q_dedup_embedding with LEARNED blocks instead of given label
-    blocks — the production semantic-dedup recipe for unlabeled corpora
-    (cluster first, pair only within a cluster, so the quadratic term is
-    bounded by cluster size, not corpus size). At 100 TB the only knob
-    that moves is K: SemDeDup-style runs use tens of thousands of
-    centroids so E[|cluster|^2] stays flat as the corpus grows; the
-    assignment stays a broadcast join + per-vector argmin whatever K is.
-    The pair scan carries each vector's norm computed once, and the drop
-    set returns via a half-join (id_a < id_b) + distinct + anti-join —
-    the q_dedup_embedding plan keyed by cell instead of label."""
+    return max(K_CLUSTERS, min(65_536, n_vectors // 512))
+
+
+def _semantic_survivors(spark, sf_dir, k: int):
+    """Core of q_dedup_semantic with the centroid count as a parameter —
+    the registered query pins k=K_CLUSTERS (what the unrolled oracle
+    computes); the scale path passes semantic_k_for(n)."""
     from .similarity import _dot, _kmeans_assigned, _norm
 
     assigned = (
-        _kmeans_assigned(spark, sf_dir)
+        _kmeans_assigned(spark, sf_dir, k)
         # one materialization feeds both self-join arms AND the anti-join
         .localCheckpoint()
         .withColumn("nrm", _norm(F.col("emb")))
@@ -1591,3 +1591,31 @@ def q_dedup_semantic(spark, sf_dir):
     return assigned.join(dups, "vec_id", "left_anti").select(
         "vec_id", "label", F.col("cell").cast("long").alias("cluster")
     )
+
+
+@query("q_dedup_semantic", oracle=_semantic_oracle())
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-shape semantic dedup: cluster the corpus with the
+    deterministic 3-iteration k-means (the q_cluster_kmeans assignment,
+    shared code AND shared oracle CTEs), then inside each cluster drop any
+    vector whose cosine to an earlier (lower vec_id) cluster member is
+    >= 0.4. Returns the surviving (vec_id, label, cluster).
+
+    This is q_dedup_embedding with LEARNED blocks instead of given label
+    blocks — the production semantic-dedup recipe for unlabeled corpora
+    (cluster first, pair only within a cluster, so the quadratic term is
+    bounded by cluster size, not corpus size). At 100 TB the only knob
+    that moves is K — and since round 7 the knob is real code, not prose:
+    :func:`_semantic_survivors` takes the centroid count and
+    :func:`semantic_k_for` scales it (~512 vectors/cluster, SemDeDup-style
+    tens of thousands of centroids at corpus scale) so E[|cluster|^2]
+    stays flat; the x10 measurement is in SCALE.md round 7. THIS registered
+    query pins k=K_CLUSTERS because that is the recurrence the DuckDB
+    oracle unrolls; the assignment stays a broadcast join + per-vector
+    argmin whatever K is. The pair scan carries each vector's norm
+    computed once, and the drop set returns via a half-join (id_a < id_b)
+    + distinct + anti-join — the q_dedup_embedding plan keyed by cell
+    instead of label."""
+    from .similarity import K_CLUSTERS
+
+    return _semantic_survivors(spark, sf_dir, K_CLUSTERS)

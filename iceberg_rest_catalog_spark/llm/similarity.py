@@ -484,16 +484,23 @@ SELECT vec_id, label, CAST(cell AS BIGINT) AS cluster FROM a3
 """
 
 
-def _kmeans_assigned(spark, sf_dir):
+def _kmeans_assigned(spark, sf_dir, k: int = K_CLUSTERS):
     """The 3-iteration Lloyd assignment (vec_id, label, emb, cell) — the
     body of q_cluster_kmeans, extracted so q_dedup_semantic can derive its
-    dedup blocks from the SAME deterministic clustering the oracle unrolls."""
+    dedup blocks from the SAME deterministic clustering the oracle unrolls.
+
+    ``k`` is the SemDeDup scale knob (VERDICT r6 item 4): the registered
+    queries pin k=K_CLUSTERS so the unrolled oracle stays exact, while the
+    scale path (llm/dedup.py semantic_k_for) grows k with the corpus so
+    E[|cluster|^2] stays flat. The plan shape is k-invariant: centroids
+    are k x 64 doubles broadcast to a per-vector argmin — the corpus never
+    shuffles for assignment at any k."""
     from pyspark.sql import Window
 
     e = _emb(spark, sf_dir).select(
         "vec_id", "label", _dbl("embedding").alias("emb")
     )
-    cent = e.filter(F.col("vec_id") < K_CLUSTERS).select(
+    cent = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cell"), F.col("emb").alias("c")
     )
     w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))

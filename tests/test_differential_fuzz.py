@@ -458,3 +458,96 @@ def test_random_setop_matches_duckdb(lineitem, ddb, spec):
         ).fetchall()
     )
     assert got == want
+
+
+# -- family 5 (round 7): subquery predicates under three-valued logic --------
+#
+# Correlated EXISTS / NOT EXISTS and (NOT) IN subqueries with NULLs injected
+# into the outer key, the inner key, or both — exactly the corner
+# (q_sub_not_in_null) where hand-written oracles go subtly wrong: `x NOT IN
+# (list containing NULL)` is never TRUE, NULL outer keys fail both IN and
+# NOT IN, while EXISTS is immune to key NULLs on the inner side it never
+# compares. One SQL text is built per spec and executed on BOTH engines
+# (Spark over temp views, so Catalyst plans the real null-aware anti join —
+# a hand-rolled left-anti would silently get the poisoned cases wrong).
+
+_SUB_KINDS = ["in", "not_in", "exists", "not_exists"]
+_SUB_KEY_MODS = [None, 7, 13]  # o_custkey % m == 0 -> NULL outer key
+_SUB_INNER_MODS = [None, 11]  # c_custkey % m == 0 -> NULL inner key
+_SUB_INNER_PREDS = [
+    "TRUE",
+    "c_acctbal > 5000.0",
+    "c_mktsegment = 'BUILDING'",
+    "c_acctbal < 0.0",  # near-empty inner set: (NOT) IN against {} / {NULL}
+]
+
+
+@pytest.fixture(scope="module")
+def sub_views(spark):
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    t(spark, SF, "orders").createOrReplaceTempView("fz_orders")
+    t(spark, SF, "customer").createOrReplaceTempView("fz_customer")
+    return spark
+
+
+sub_spec = st.tuples(
+    st.sampled_from(range(len(_SUB_KINDS))),
+    st.sampled_from(_SUB_KEY_MODS),
+    st.sampled_from(_SUB_INNER_MODS),
+    st.sampled_from(range(len(_SUB_INNER_PREDS))),
+)
+
+
+def _sub_sql(kind: str, kmod, imod, ipred: str, orders: str, customer: str) -> str:
+    okey = (
+        f"CASE WHEN o_orderkey % {kmod} = 0 THEN NULL ELSE o_custkey END"
+        if kmod is not None
+        else "o_custkey"
+    )
+    ikey = (
+        f"CASE WHEN c_custkey % {imod} = 0 THEN NULL ELSE c_custkey END"
+        if imod is not None
+        else "c_custkey"
+    )
+    outer = f"(SELECT {okey} AS jk, o_orderpriority, o_totalprice FROM {orders}) o"
+    if kind in ("in", "not_in"):
+        neg = "NOT " if kind == "not_in" else ""
+        where = f"o.jk {neg}IN (SELECT {ikey} FROM {customer} WHERE {ipred})"
+    else:
+        neg = "NOT " if kind == "not_exists" else ""
+        where = (
+            f"{neg}EXISTS (SELECT 1 FROM {customer} c"
+            f" WHERE {ikey} = o.jk AND {ipred})"
+        )
+    return (
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows, "
+        f"round(sum(o_totalprice), 4) AS sum_price FROM {outer} "
+        f"WHERE {where} GROUP BY o_orderpriority"
+    )
+
+
+@settings(
+    max_examples=24,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sub_spec)
+def test_random_subquery_predicate_matches_duckdb(sub_views, ddb_join, spec):
+    kind_ix, kmod, imod, ipred_ix = spec
+    kind = _SUB_KINDS[kind_ix]
+    ipred = _SUB_INNER_PREDS[ipred_ix]
+
+    spark = sub_views
+    sq = _sub_sql(kind, kmod, imod, ipred, "fz_orders", "fz_customer")
+    df = spark.sql(sq)
+    df = df.select(*sorted(df.columns))
+    got = _canon([tuple(r) for r in df.collect()])
+
+    dq = _sub_sql(kind, kmod, imod, ipred, "orders", "customer")
+    pdf = ddb_join.execute(dq).fetchdf()
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    want = _canon([tuple(r) for r in pdf.itertuples(index=False, name=None)])
+
+    assert got == want, (spec, sq, got[:3], want[:3])
