@@ -15,7 +15,12 @@ Conventions (oracle-stability, SURVEY.md §7 watch-list):
 
 from __future__ import annotations
 
+import functools
+import glob
 import importlib
+import json
+import os
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -77,103 +82,85 @@ _QUERY_MODULES = (
     "iceberg_rest_catalog_spark.llm.text",
 )
 
-# Round-7 driver window: staleness-first rotation (the registry's own
-# ROUND-7 NOTE from r6, executed; VERDICT r6 item 2).
+# Driver-window rotation — MECHANICAL since round 8 (VERDICT r7 item 2).
 #
-# Composition, in order:
-#   1. the 6 round-6 additions — local-pass only, never in a driver window;
-#   2. q_fn_math — the one red r6 row (disc_sign DOUBLE-vs-TINYINT type
-#      divergence, fixed this round: both sides now CAST ... AS BIGINT) —
-#      re-staged to re-earn its green row;
-#   3. all 50 ids whose last driver evidence is round 2 (catalog / scan /
-#      source / filter / join families, now 5 rounds stale).  The 15 c_*
-#      catalog ids go LAST: they share one implementation
-#      (catalog/queries.py:62), so if the driver caps the window at 50 and
-#      cuts the tail, every cut id's code path is still re-verified by its
-#      earlier-listed siblings.
+# Rounds 5-7 maintained an explicit id tuple (_ROUND{N}_WINDOW) plus a test
+# that recomputed the expected set from the CORRECTNESS artifacts and
+# checked the tuple against it.  Round 8 removes the tuple entirely: the
+# registry itself derives the ordering from the committed
+# CORRECTNESS_r*.json artifacts, so the rotation can never drift from the
+# policy.  The policy (unchanged since r5, staleness-first):
 #
-# 57 ids total; a 50-cap driver window covers 1+2 fully and 43 of the r2
-# block.  Whatever the cap cuts rolls to the round-8 window head
-# (oldest-first, per the standing driver-refresh policy).
-_ROUND7_WINDOW = (
-    # 1. round-6 additions, never in any driver window
-    "q_agg_bloom",
-    "q_graph_cc",
-    "q_sim_mmr",
-    "q_curriculum_order",
-    "q_evt_conversion_lag",
-    "q_dedup_semantic",
-    # 2. the red r6 row, fixed (operators/functions.py disc_sign cast)
-    "q_fn_math",
-    # 3a. r2-stale ids, non-catalog first
-    "q_agg_global",
-    "q_compact",
-    "q_filter_compound",
-    "q_filter_in_between_like",
-    "q_filter_null",
-    "q_incremental_read",
-    "q_join_anti",
-    "q_join_asof",
-    "q_join_broadcast",
-    "q_join_bucketed",
-    "q_join_cross",
-    "q_join_full",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_multiway",
-    "q_join_range",
-    "q_join_right",
-    "q_join_semi",
-    "q_join_skew_salted",
-    "q_join_theta",
-    "q_merge_upsert",
-    "q_meta_prune",
-    "q_scan_filter",
-    "q_scan_full",
-    "q_scan_partition_prune",
-    "q_scan_project",
-    "q_scd2",
-    "q_schema_evolution_read",
-    "q_sink_parquet",
-    "q_sink_partitioned",
-    "q_snapshot_expire",
-    "q_source_csv",
-    "q_source_json",
-    "q_source_orc",
-    "q_time_travel",
-    # 3b. r2-stale catalog ids (one shared implementation; cap-cut-safe)
-    "c_create_namespace",
-    "c_create_table",
-    "c_drop_namespace",
-    "c_drop_table",
-    "c_get_config",
-    "c_health",
-    "c_list_namespaces",
-    "c_list_tables",
-    "c_load_namespace",
-    "c_load_table",
-    "c_namespace_exists",
-    "c_rename_table",
-    "c_table_exists",
-    "c_update_ns_props",
-    "c_update_table",
-)
+#   1. ids with NO driver row yet (new operators) lead, in registration
+#      order — never-checked beats stale;
+#   2. then ids whose LAST driver row was red (FAIL/ERR) — they must
+#      re-earn a green row;
+#   3. then everything else, oldest last-evidence round first (ties break
+#      by id, so catalog c_* siblings — one shared implementation,
+#      catalog/queries.py:62 — cluster together and a driver cap cuts
+#      whole families, not random ids).
+#
+# The driver checks the first ~50 queries() entries per round and writes
+# CORRECTNESS_r0{N}.json at round end; committing that artifact is what
+# rotates the next round's window.  For round 8 the computed head is the
+# 7 catalog ids the r7 50-cap cut (last evidence r2) followed by the 45
+# r3-stale ids (TPC-H / dedup-verify / similarity / text families) —
+# pinned concretely in tests/test_entry.py.
 
-# Operators registered AFTER the round-6 window froze; they lead the
-# round-7 window above (never-driver-checked beats stale).
-_ROUND6_ADDITIONS = (
-    "q_graph_cc",
-    "q_sim_mmr",
-    "q_curriculum_order",
-    "q_dedup_semantic",
-    "q_agg_bloom",
-    "q_evt_conversion_lag",
-)
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Operators registered AFTER the round-7 window froze: the round-8 rotation
-# seed (they lead the r8 window, followed by any ids the r7 50-cap cut,
-# then the r3-stale block).
-_ROUND7_ADDITIONS: tuple[str, ...] = ()
+
+@functools.lru_cache(maxsize=1)
+def driver_evidence() -> tuple[dict[str, int], frozenset[str]]:
+    """Parse every committed CORRECTNESS_r*.json into (last_seen_round,
+    currently-red ids).  A row is green iff rows+schema+hash all match and
+    there is no error; a later green row supersedes an earlier red one."""
+    last_seen: dict[str, int] = {}
+    failed: set[str] = set()
+    paths = []
+    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            paths.append((int(m.group(1)), path))
+    for rnd, path in sorted(paths):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for qid, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            last_seen[qid] = rnd
+            ok = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match", True)
+                and not row.get("err")
+            )
+            if ok:
+                failed.discard(qid)
+            else:
+                failed.add(qid)
+    return last_seen, frozenset(failed)
+
+
+def staleness_order(ids: list[str]) -> list[str]:
+    """Order ids for the driver window: never-checked (registration order),
+    then red, then oldest-evidence-first with id tiebreak."""
+    last_seen, failed = driver_evidence()
+    reg_pos = {qid: i for i, qid in enumerate(ids)}
+
+    def key(qid: str):
+        if qid not in last_seen:
+            return (0, reg_pos[qid], "")
+        if qid in failed:
+            return (1, last_seen[qid], qid)
+        return (2, last_seen[qid], qid)
+
+    return sorted(ids, key=key)
 
 
 def query(name: str, oracle: str | None = None):
@@ -192,9 +179,10 @@ def collect() -> dict[str, Entry]:
     """Import every query module that exists; missing modules are simply
     not-yet-implemented (the registry degrades gracefully as modules land).
 
-    The returned dict is ordered: ids named in ``_ROUND7_WINDOW`` first (in
-    that order), then everything else in registration order — the grading
-    driver verifies the first ~50 entries each round."""
+    The returned dict is ordered by ``staleness_order`` — never-checked ids
+    first, then red rows, then oldest driver evidence first — so the grading
+    driver (which verifies the first ~50 entries each round) always sees the
+    ids most in need of fresh evidence."""
     for mod in _QUERY_MODULES:
         try:
             importlib.import_module(mod)
@@ -204,14 +192,7 @@ def collect() -> dict[str, Entry]:
             # still surface loudly.
             if e.name is None or not (mod == e.name or mod.startswith(e.name + ".")):
                 raise
-    ordered: dict[str, Entry] = {}
-    for name in _ROUND7_WINDOW:
-        if name in _REGISTRY:
-            ordered[name] = _REGISTRY[name]
-    for name, entry in _REGISTRY.items():
-        if name not in ordered:
-            ordered[name] = entry
-    return ordered
+    return {name: _REGISTRY[name] for name in staleness_order(list(_REGISTRY))}
 
 
 def queries() -> dict[str, QueryFn]:
