@@ -216,7 +216,15 @@ def _triangles_dense(spark, ei, n):
             yield pd.DataFrame({"n": [total]})
 
     partial = ei.mapInPandas(count_batches, "n long")
-    return partial.agg(F.sum("n").alias("n"))
+    # Run the count EAGERLY (one 1-row action over the already-checkpointed
+    # edge list) so the broadcast can be destroyed deterministically —
+    # at the 30k gate B is ~112 MB per executor, and bench's warm+3-pass
+    # loop would otherwise stack copies until GC/ContextCleaner got around
+    # to them (ADVICE r7).  The caller gets a literal 1-row frame; total
+    # work is unchanged (the count had to run anyway).
+    total = partial.agg(F.sum("n").alias("n")).collect()[0].n
+    B_bc.destroy()
+    return spark.createDataFrame([(int(total or 0),)], "n long")
 
 
 def _triangles_sparse(ei):
@@ -406,8 +414,10 @@ def q_graph_triangles(spark, sf_dir):
         F.sum(F.col("ind") * F.col("outd")).alias("n")
     )
 
-    # One ACTION for all three counts when the caller collects: tag each
-    # 1-row aggregate, union, pivot to a single row.
+    # One action for the edge/wedge counts when the caller collects: tag
+    # each 1-row aggregate, union, pivot to a single row.  (The dense
+    # triangle count is already a literal row — it ran eagerly inside
+    # _triangles_dense so its bitmap broadcast could be destroyed.)
     counts = (
         ei.agg(F.count(F.lit(1)).alias("n")).select(F.lit("e").alias("k"), "n")
         .unionByName(wedge_cnt.select(F.lit("w").alias("k"), "n"))

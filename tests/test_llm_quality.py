@@ -264,6 +264,58 @@ def test_graph_cc_star_path_equals_min_label_oracle_twin(spark, qs):
     assert got == want and got
 
 
+def test_event_graph_min_label_margin_within_cc_iters(spark):
+    """q_graph_cc's oracle unrolls exactly CC_ITERS min-label rounds while
+    the implementation computes exact components (star-CC); they agree iff
+    min-label CONVERGES within CC_ITERS on the fixture graph.  Measure the
+    actual rounds-to-convergence (max BFS distance from each component's
+    min-id node) at both driver scale factors and assert it fits with
+    margin — so a fixture regeneration that stretches the graph's diameter
+    fails THIS test loudly instead of surfacing as a driver hash mismatch
+    (ADVICE r7; TESTDATA.md fixture-regeneration checklist)."""
+    from collections import deque
+
+    from iceberg_rest_catalog_spark.operators.graph import CC_ITERS, _event_graph
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        nodes_df, de = _event_graph(spark, sf_dir)
+        # |nodes| = |event_types| — a handful; driver-side BFS is exact.
+        adj: dict = {}
+        for r in de.collect():
+            adj.setdefault(r.u, set()).add(r.v)
+            adj.setdefault(r.v, set()).add(r.u)
+        all_nodes = {r.node for r in nodes_df.collect()}
+        seen: set = set()
+        rounds_needed = 0
+        for start in sorted(all_nodes):
+            if start in seen:
+                continue
+            # component via BFS, then eccentricity of its min-id node
+            comp = {start}
+            dq = deque([start])
+            while dq:
+                x = dq.popleft()
+                for y in adj.get(x, ()):
+                    if y not in comp:
+                        comp.add(y)
+                        dq.append(y)
+            seen |= comp
+            root = min(comp)
+            dist = {root: 0}
+            dq = deque([root])
+            while dq:
+                x = dq.popleft()
+                for y in adj.get(x, ()):
+                    if y not in dist:
+                        dist[y] = dist[x] + 1
+                        dq.append(y)
+            rounds_needed = max(rounds_needed, max(dist.values(), default=0))
+        assert rounds_needed <= CC_ITERS, (
+            f"{sf_dir}: min-label needs {rounds_needed} rounds > "
+            f"CC_ITERS={CC_ITERS}; q_graph_cc's oracle twin no longer holds"
+        )
+
+
 def test_cc_star_logarithmic_rounds_on_chain(spark):
     """A 256-node chain has diameter 255: min-label needs ~255 rounds;
     the star alternation must finish within 12 — the property that makes

@@ -242,11 +242,15 @@ def test_welch_z_matches_reference(spark, a, b):
 @given(
     st.sets(
         st.tuples(
-            st.integers(min_value=0, max_value=14),
-            st.integers(min_value=0, max_value=14),
+            # 0-130 spans three 64-bit bitset words, so dense batches cross
+            # word boundaries and exercise the full-words-above-wb /
+            # partial-word-at-wb / wb>=n_words branches of _triangles_dense
+            # (ADVICE r7: a 0-14 cap kept n_words == 1 forever).
+            st.integers(min_value=0, max_value=130),
+            st.integers(min_value=0, max_value=130),
         ),
         min_size=1,
-        max_size=40,
+        max_size=60,
     )
 )
 def test_triangle_orientations_agree(spark, raw_pairs):

@@ -8,7 +8,7 @@ into a coarse kind (int / float / bool / str / datetime / array / binary)
 on BOTH engines and any int-vs-float style mismatch is a FAIL, so local
 green reproduces driver-level strictness.
 """
-import sys, hashlib, math, os, datetime
+import sys, hashlib, math, os, datetime, decimal
 import numpy as np
 import duckdb
 import pandas as pd
@@ -48,6 +48,13 @@ def _kind(series: pd.Series) -> str:
             return "int"
         if isinstance(v, (float, np.floating)):
             return "float"
+        if isinstance(v, decimal.Decimal):
+            # Spark DecimalType reaches pandas as object(Decimal); DuckDB
+            # fetchdf renders DECIMAL as float64.  Both are "float" for the
+            # coarse kind — the 4-dp canonicalization compares the values
+            # (ADVICE r7: a Decimal falling through to "str" would
+            # false-FAIL every DecimalType-returning query).
+            return "float"
         if isinstance(v, (datetime.date, datetime.datetime, pd.Timestamp)):
             return "datetime"
         if isinstance(v, (list, tuple, np.ndarray)):
@@ -77,6 +84,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     def canon(v):
         if v is None or (isinstance(v, float) and math.isnan(v)): return "NULL"
+        if isinstance(v, decimal.Decimal): v = float(v)  # render like DuckDB's float64
         if isinstance(v, float):
             if v == int(v) and abs(v) < 1e15: return str(int(v))
             return f"{v:.4f}"
