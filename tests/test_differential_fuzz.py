@@ -551,3 +551,114 @@ def test_random_subquery_predicate_matches_duckdb(sub_views, ddb_join, spec):
     want = _canon([tuple(r) for r in pdf.itertuples(index=False, name=None)])
 
     assert got == want, (spec, sq, got[:3], want[:3])
+
+
+# -- family 6 (round 8): random ROWS/RANGE frame specs -----------------------
+#
+# The 7 q_win_* oracles rest on hand-written frame + tiebreak discipline;
+# this family fuzzes the frame grammar itself (VERDICT r7 item 5): mode
+# (ROWS/RANGE), random preceding/following bounds, direction, NULL
+# placement, and five frame aggregates, requiring bit-identical rows.
+# Both engines execute the SAME SQL text, so any divergence is engine
+# semantics, not query-translation skew.
+#
+# Convention notes the family enforces:
+# - ROWS frames depend on the total order -> o_orderkey tiebreak is always
+#   present (with optional NULL injection into the leading order expr);
+# - RANGE frames with numeric offsets require exactly ONE order expression
+#   in Spark -> single non-null order column; frame membership is by value
+#   distance, so peers make the result deterministic without a tiebreak.
+
+# Aggregate in exact integer CENTS: windowed float sums diverge between
+# engines in the last ulp (DuckDB aggregates frames via segment trees,
+# Spark sequentially — different FP association), and the fuzzer WILL find
+# a value sitting on a 4-dp rounding boundary.  Frame SEMANTICS — what this
+# family tests — are unaffected; integer math makes the comparison exact.
+_PRICE_C = "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+_F6_FNS = {
+    "sum": f"CAST(sum({_PRICE_C}) OVER ({{w}}) AS DOUBLE)",  # duckdb sum->hugeint
+    # explicit half-away-from-zero at 4 dp (repo oracle convention): the
+    # engines' native round() disagree on ...X.Y5-boundary doubles (Spark
+    # rounds the exact binary expansion via BigDecimal HALF_UP, DuckDB a
+    # scaled nearbyint); floor(x*1e4 + 0.5) is the same double ops on both.
+    # Prices are positive, so no sign branch needed.
+    "avg": (
+        f"floor(CAST(sum({_PRICE_C}) OVER ({{w}}) AS DOUBLE)"
+        " / count(*) OVER ({w}) / 100 * 10000 + 0.5) / 10000"
+    ),
+    "min": f"min({_PRICE_C}) OVER ({{w}})",
+    "max": f"max({_PRICE_C}) OVER ({{w}})",
+    "count": "CAST(count(*) OVER ({w}) AS BIGINT)",
+}
+_F6_STARTS = ["ub", 2, 0]  # UNBOUNDED PRECEDING | k PRECEDING | CURRENT ROW
+_F6_ENDS = [0, 3, "ub"]    # CURRENT ROW | k FOLLOWING | UNBOUNDED FOLLOWING
+
+
+def _f6_frame(mode: str, start, end) -> str:
+    scale = 1000 if mode == "range" else 1  # o_totalprice spans ~1e3..5e5
+    lo = (
+        "UNBOUNDED PRECEDING"
+        if start == "ub"
+        else ("CURRENT ROW" if start == 0 else f"{start * scale} PRECEDING")
+    )
+    hi = (
+        "UNBOUNDED FOLLOWING"
+        if end == "ub"
+        else ("CURRENT ROW" if end == 0 else f"{end * scale} FOLLOWING")
+    )
+    return f"{mode.upper()} BETWEEN {lo} AND {hi}"
+
+
+frame_spec = st.tuples(
+    st.sampled_from(range(len(_WIN_PARTITIONS))),
+    st.booleans(),  # descending?
+    st.booleans(),  # nulls first?
+    st.sampled_from(["rows", "range"]),
+    st.sampled_from(range(len(_F6_STARTS))),
+    st.sampled_from(range(len(_F6_ENDS))),
+    st.sampled_from(sorted(_F6_FNS)),
+    st.sampled_from([None, 7]),  # NULL-inject order expr (ROWS mode only)
+)
+
+
+@settings(
+    max_examples=32,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(frame_spec)
+def test_random_frame_spec_matches_duckdb(win_orders, ddb_join, spec):
+    part_ix, desc, nulls_first, mode, s_ix, e_ix, fn, nmod = spec
+    part = _WIN_PARTITIONS[part_ix]
+    start, end = _F6_STARTS[s_ix], _F6_ENDS[e_ix]
+
+    dir_sql = ("DESC" if desc else "ASC") + (
+        " NULLS FIRST" if nulls_first else " NULLS LAST"
+    )
+    if mode == "range":
+        # single numeric order expression (Spark's rangeBetween contract)
+        order_sql = f"o_totalprice {dir_sql}"
+    else:
+        lead = "o_totalprice"
+        if nmod is not None:
+            lead = f"CASE WHEN o_orderkey % {nmod} = 0 THEN NULL ELSE o_totalprice END"
+        order_sql = f"{lead} {dir_sql}, o_orderkey ASC"
+
+    over = (
+        (f"PARTITION BY {part} " if part else "")
+        + f"ORDER BY {order_sql} {_f6_frame(mode, start, end)}"
+    )
+    sql = f"SELECT o_orderkey, {_F6_FNS[fn].format(w=over)} AS win_val FROM {{tbl}}"
+
+    spark = win_orders.sparkSession
+    win_orders.createOrReplaceTempView("f6_orders")
+    df = spark.sql(sql.format(tbl="f6_orders"))
+    df = df.select(*sorted(df.columns))
+    got = _canon([tuple(r) for r in df.collect()])
+
+    pdf = ddb_join.execute(sql.format(tbl="orders")).fetchdf()
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    want = _canon([tuple(r) for r in pdf.itertuples(index=False, name=None)])
+
+    assert got == want, (spec, sql, got[:3], want[:3])
