@@ -302,3 +302,56 @@ def test_main_entrypoint_serves_and_shuts_down_gracefully(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_cleanup_sweep_over_http_mirrors_reference(server):
+    """TestCleanup (server_test.go:317-346) asserted over the wire: discover
+    every namespace by LISTING (not by name), drop each namespace's tables
+    first, then the namespace, and require the final namespace list to be
+    EMPTY — the reference's end-state postcondition for the whole suite."""
+    for ns, tables in (("alpha", ["t1", "t2"]), ("beta", ["t3"]), ("gamma", [])):
+        assert call("POST", f"{server}/v1/namespaces", {"namespace": [ns]})[0] == 200
+        for name in tables:
+            s, _ = call(
+                "POST",
+                f"{server}/v1/namespaces/{ns}/tables",
+                {"name": name, "schema": SCHEMA_JSON},
+            )
+            assert s == 200
+
+    s, out = call("GET", f"{server}/v1/namespaces")
+    assert s == 200 and len(out["namespaces"]) == 3
+
+    for ns_ident in out["namespaces"]:
+        ns_path = SEP.join(ns_ident)
+        s, listed = call("GET", f"{server}/v1/namespaces/{ns_path}/tables")
+        assert s == 200
+        for ident in listed["identifiers"]:
+            tbl_ns, tbl = SEP.join(ident["namespace"]), ident["name"]
+            assert (
+                call("DELETE", f"{server}/v1/namespaces/{tbl_ns}/tables/{tbl}")[0]
+                == 204
+            )
+        assert call("DELETE", f"{server}/v1/namespaces/{ns_path}")[0] == 204
+
+    s, out = call("GET", f"{server}/v1/namespaces")
+    assert s == 200 and out == {"namespaces": []}
+
+
+def test_update_properties_dual_key_422_over_http(server):
+    """Reference namespaces.go:159-166: a property key named in BOTH
+    removals and updates is a 422 UnprocessableEntity — asserted over raw
+    HTTP (the backend-matrix client test covers the client path; this pins
+    the wire status + error envelope, VERDICT r7 item 7)."""
+    assert call("POST", f"{server}/v1/namespaces", {"namespace": ["dual"]})[0] == 200
+    s, err = call(
+        "POST",
+        f"{server}/v1/namespaces/dual/properties",
+        {"removals": ["k"], "updates": {"k": "v"}},
+    )
+    assert s == 422
+    assert err["error"]["type"] == "UnprocessableEntityException"
+    assert err["error"]["code"] == 422
+    # the offending update must NOT have been applied
+    s, out = call("GET", f"{server}/v1/namespaces/dual")
+    assert s == 200 and "k" not in out["properties"]
