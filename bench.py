@@ -151,8 +151,42 @@ def main() -> None:
         json.dumps({"spread": spread, "samples": {n: [round(x, 3) for x in v] for n, v in samples.items()}}),
         file=sys.stderr,
     )
+
+    # Per-query birth-baseline ratios (VERDICT r7 item 6): the perf gate is
+    # "no query >2x the wall time recorded when it first entered the suite";
+    # emit the comparison from the bench itself so it is machine-checked
+    # per round, not recomputed by hand.  bench_runs/birth_baselines.json
+    # is committed; regenerate with tools/birth_baselines.py when queries
+    # join the suite.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_runs", "birth_baselines.json")
+        ) as f:
+            birth = json.load(f)
+    except (OSError, ValueError):
+        birth = {}
+    ratios = {
+        n: round(times[n] / birth[n]["sec"], 2)
+        for n in names
+        if n in birth and birth[n]["sec"] > 0
+    }
+    print("query                          median  birth(rN)   ratio", file=sys.stderr)
+    for n in names:
+        b = birth.get(n)
+        if b:
+            print(
+                f"{n:<30} {times[n]:>6.3f}  {b['sec']:>6.3f}(r{b['round']})"
+                f"  {ratios[n]:>5.2f}x",
+                file=sys.stderr,
+            )
+        else:
+            print(f"{n:<30} {times[n]:>6.3f}     (no birth baseline)", file=sys.stderr)
+
     for name in names:
-        print(f"BENCH {name}={times[name]}")
+        r = f" ratio={ratios[name]}" if name in ratios else ""
+        print(f"BENCH {name}={times[name]}{r}")
+    worst = max(ratios, key=ratios.get) if ratios else None
     out = {
         "metric": "headline_suite_wall",
         "value": round(sum(times.values()), 3),
@@ -161,8 +195,10 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "passes": N_PASSES,
         "stat": "median",
+        "worst_ratio": ratios.get(worst) if worst else None,
+        "worst_ratio_query": worst,
     }
-    full = dict(out, spread=spread)
+    full = dict(out, spread=spread, birth_ratios=ratios)
     try:
         os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_runs"), exist_ok=True)
         with open(

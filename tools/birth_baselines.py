@@ -1,0 +1,83 @@
+"""Build bench_runs/birth_baselines.json: each headline query's FIRST
+recorded per-query wall time (its "birth baseline") and the round it was
+recorded in (VERDICT r7 item 6 — the 2x perf gate compares each query
+against the number recorded when it first entered the bench suite).
+
+Sources, oldest first, so the earliest appearance wins:
+  1. BENCH_r0{N}.json driver artifacts — the driver captures the stdout
+     TAIL, so per-query values are recovered from the line-oriented
+     ``BENCH name=sec`` records and/or the final JSON object embedded in
+     the tail (whichever survived the driver's byte window);
+  2. bench_runs/r{N}_local_idle_*.json — locally recorded full artifacts
+     (used when a query entered the suite mid-round).
+
+Stat drift note: rounds 3-4 reported min-of-2; round 5+ report
+median-of-3 (and round 7+ add an untimed warm pass).  The baseline
+records which stat its number used; ratios across stats are still the
+gate convention (they differ by a few %, far from the 2x threshold).
+
+Usage: python tools/birth_baselines.py   (writes the file; commit it)
+"""
+
+import glob
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "bench_runs", "birth_baselines.json")
+
+
+def from_tail(tail: str) -> dict[str, float]:
+    vals: dict[str, float] = {}
+    # the final JSON object (if the window kept it) is the most complete
+    for m in re.finditer(r'\{"metric":.*\}', tail):
+        try:
+            obj = json.loads(m.group(0))
+            vals.update({k: float(v) for k, v in obj.get("queries", {}).items()})
+        except ValueError:
+            pass
+    # line-oriented records fill anything the JSON window lost
+    for m in re.finditer(r"BENCH (q_\w+|c_\w+)=([0-9.]+)", tail):
+        vals.setdefault(m.group(1), float(m.group(2)))
+    return vals
+
+
+def main() -> None:
+    birth: dict[str, dict] = {}
+
+    rounds = []
+    for p in sorted(glob.glob(os.path.join(REPO, "BENCH_r0*.json"))):
+        rnd = int(re.search(r"BENCH_r0*(\d+)\.json", p).group(1))
+        try:
+            d = json.load(open(p))
+        except ValueError:
+            continue
+        rounds.append((rnd, from_tail(d.get("tail", "")), f"BENCH_r{rnd:02d}"))
+    for p in sorted(glob.glob(os.path.join(REPO, "bench_runs", "r*_local_idle_*.json"))):
+        rnd = int(re.search(r"r(\d+)_local_idle", p).group(1))
+        d = json.load(open(p))
+        rounds.append((rnd, {k: float(v) for k, v in d.get("queries", {}).items()},
+                       os.path.basename(p)))
+
+    # stat convention per round (see module docstring)
+    stat = {1: "single", 2: "single", 3: "min2", 4: "min2"}
+
+    for rnd, vals, src in sorted(rounds, key=lambda t: t[0]):
+        for q, sec in vals.items():
+            if q not in birth:
+                birth[q] = {
+                    "sec": sec,
+                    "round": rnd,
+                    "stat": stat.get(rnd, "median3"),
+                    "source": src,
+                }
+
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        json.dump(dict(sorted(birth.items())), f, indent=1)
+    print(f"wrote {OUT}: {len(birth)} queries")
+
+
+if __name__ == "__main__":
+    main()
