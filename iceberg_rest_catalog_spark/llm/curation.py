@@ -426,3 +426,52 @@ def q_curriculum_order(spark, sf_dir):
         "doc_id",
         "difficulty",
     )
+
+
+@query(
+    "q_sample_fixed_k",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS samp_rank,
+             count(*) OVER (PARTITION BY source) AS n_stratum
+      FROM documents)
+    SELECT source, doc_id, samp_rank, CAST(n_stratum AS BIGINT) AS n_stratum
+    FROM ranked WHERE samp_rank <= 50
+    """,
+)
+def q_sample_fixed_k(spark, sf_dir):
+    """Deterministic stratified sample: exactly min(K, |stratum|) docs per
+    source, K = 50, chosen by md5-of-id order — the eval-set / ablation
+    draw a curator makes from every source before a training run.
+
+    Hash order (not ingest order, not random()) makes the draw (a)
+    deterministic across engines and re-runs, (b) uniform within the
+    stratum, (c) STABLE under corpus growth: a doc's md5 never changes, so
+    adding new docs only ever displaces the tail of the selection, and the
+    same doc_id draws identically on every run and partitioning.
+
+    Scale shape: one shuffle on `source`, exact-K via row_number within
+    each stratum. A pathologically hot stratum serializes its sort into
+    one task; at 100 TB swap the exact-K gate for the hash-THRESHOLD
+    variant (keep rows with md5(id) < K/|stratum| of the key space —
+    map-only, approximate-K, same stability) once per-stratum exactness
+    stops mattering — that variant IS the registered q_sample_stratified
+    (llm/pipeline.py), whose rate table broadcasts and whose filter is
+    map-only; this op is its exact-K sibling. n_stratum rides the same window, so the draw and the
+    stratum size come from a single pass."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select(
+            "source",
+            "doc_id",
+            F.row_number().over(w).alias("samp_rank"),
+            F.count("*").over(Window.partitionBy("source")).alias("n_stratum"),
+        )
+        .filter(F.col("samp_rank") <= 50)
+    )

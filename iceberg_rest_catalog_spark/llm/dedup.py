@@ -1619,3 +1619,60 @@ def q_dedup_semantic(spark, sf_dir):
     from .similarity import K_CLUSTERS
 
     return _semantic_survivors(spark, sf_dir, K_CLUSTERS)
+
+
+@query(
+    "q_dedup_prefix",
+    oracle="""
+    WITH pref AS (
+      SELECT doc_id, substring(lower(text), 1, 64) AS prefix
+      FROM documents WHERE text IS NOT NULL),
+    g AS (
+      SELECT doc_id, prefix,
+             count(*) OVER (PARTITION BY prefix)  AS n_prefix,
+             min(doc_id) OVER (PARTITION BY prefix) AS keeper
+      FROM pref)
+    SELECT doc_id, prefix,
+           CAST(n_prefix AS BIGINT) AS n_prefix,
+           CAST(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM g WHERE n_prefix > 1
+    """,
+)
+def q_dedup_prefix(spark, sf_dir):
+    """Boilerplate-prefix duplicate detection: cluster docs whose first 64
+    characters (lowercased) are identical — the cheap screen for template
+    pages, licence headers, and scraped navigation chrome that exact-hash
+    dedup misses (bodies differ) and MinHash only catches at much higher
+    cost. Returns every doc in a shared-prefix cluster of size > 1 with
+    its cluster size and a kept flag (min doc_id survives).
+
+    Scale shape: the group key is a <=64-char substring computed in the
+    scan (projection pushes down; the shuffle carries 64 B + id per row,
+    never the document body), then ONE hash shuffle on the prefix and a
+    window per group. substring counts CHARACTERS in both engines, so
+    multi-byte text groups identically. At 100 TB this is the cheapest
+    dedup tier — it runs before shingling precisely because its shuffle
+    volume is bounded by the prefix width, not the corpus text volume."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    p = d.select("doc_id", F.substring(F.lower("text"), 1, 64).alias("prefix"))
+    w = Window.partitionBy("prefix")
+    return (
+        p.select(
+            "doc_id",
+            "prefix",
+            F.count("*").over(w).alias("n_prefix"),
+            F.min("doc_id").over(w).alias("keeper"),
+        )
+        .filter(F.col("n_prefix") > 1)
+        .select(
+            "doc_id",
+            "prefix",
+            F.col("n_prefix").cast("bigint").alias("n_prefix"),
+            F.when(F.col("doc_id") == F.col("keeper"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("kept"),
+        )
+    )

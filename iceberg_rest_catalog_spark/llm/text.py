@@ -564,3 +564,92 @@ def q_text_langid_eval(spark, sf_dir):
         "n",
         r4(F.col("n") * 1.0 / F.sum("n").over(w)).alias("frac_of_actual"),
     )
+
+
+@query(
+    "q_text_zipf",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token
+      FROM documents WHERE text IS NOT NULL),
+    tf AS (
+      SELECT token, count(*) AS n FROM tok WHERE token <> '' GROUP BY token),
+    ranked AS (
+      SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rk
+      FROM tf),
+    top AS (SELECT rk, n FROM ranked WHERE rk <= 100),
+    fit AS (
+      SELECT CAST(count(*) AS DOUBLE) AS k,
+             sum(ln(rk)) AS sx, sum(ln(n)) AS sy,
+             sum(ln(rk) * ln(n)) AS sxy, sum(ln(rk) * ln(rk)) AS sxx
+      FROM top)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM tf)  AS n_distinct_tokens,
+           (SELECT CAST(sum(n) AS BIGINT) FROM tf)    AS total_tokens,
+           (SELECT token FROM ranked WHERE rk = 1)    AS top_token,
+           (SELECT CAST(n AS BIGINT) FROM ranked WHERE rk = 1) AS top_n,
+           round(CASE WHEN k * sxx - sx * sx = 0 THEN NULL
+                      ELSE (k * sxy - sx * sy) / (k * sxx - sx * sx) END,
+                 4) AS zipf_slope
+    FROM fit
+    """,
+)
+def q_text_zipf(spark, sf_dir):
+    """Corpus token-frequency health check: vocabulary size, token volume,
+    the modal token, and the Zipf exponent — the log-log OLS slope of
+    frequency vs rank over the top-100 ranks. Natural text sits near -1;
+    a flat slope flags synthetic/templated corpora, a cliff flags
+    boilerplate domination — the one-number drift alarm a curator tracks
+    per crawl snapshot.
+
+    Scale shape: token explode + ONE map-combined hash aggregate (the
+    shuffle carries |distinct tokens| partial counts, not token
+    positions); the top-100 comes back via TakeOrderedAndProject (per-
+    partition heads, never a global sort); the regression then runs on a
+    100-row frame whose single-partition window costs nothing. The three
+    1-row frames (totals, fit, rank-1) meet in broadcast nested-loop
+    joins — bounded build sides, map-only at any corpus size
+    (CARTESIAN_OK in tests/test_plans.py).
+
+    ln() of exact integer rank/count values is bit-identical across
+    engines; the only cross-engine float work is the 100-term regression
+    sums, rounded to 4 dp like every float aggregate in the registry."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = d.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("token").agg(F.count("*").alias("n"))
+
+    totals = tf.agg(
+        F.count("*").cast("bigint").alias("n_distinct_tokens"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+    )
+    top = tf.orderBy(F.desc("n"), "token").limit(100)
+    ranked = top.select(
+        "token", "n", F.row_number().over(Window.orderBy(F.desc("n"), "token")).alias("rk")
+    )
+    lx = F.log(F.col("rk").cast("double"))
+    ly = F.log(F.col("n").cast("double"))
+    fit = ranked.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+    )
+    den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = fit.select(
+        F.round(
+            F.when(den == 0, F.lit(None)).otherwise(
+                (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+            ),
+            4,
+        ).alias("zipf_slope")
+    )
+    first = ranked.filter(F.col("rk") == 1).select(
+        F.col("token").alias("top_token"), F.col("n").cast("bigint").alias("top_n")
+    )
+    return totals.crossJoin(first).crossJoin(slope).select(
+        "n_distinct_tokens", "total_tokens", "top_token", "top_n", "zipf_slope"
+    )

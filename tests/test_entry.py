@@ -113,9 +113,17 @@ def test_round8_window_head_is_r2_catalog_then_r3_block():
 
         pytest.skip(f"rotation pin written against r7 artifacts (newest: r{newest})")
 
+    import json
+
     import __spark_entry__ as e
 
     ids = list(e.queries())
+    # round-8 additions have no driver row yet, so they lead the ordering;
+    # the staleness blocks follow them.
+    seen: set = set()
+    for p in _glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        seen |= set(json.load(open(p)))
+    n_new = len([q for q in ids if q not in seen])
     r2_catalog = [
         "c_load_namespace",
         "c_load_table",
@@ -125,8 +133,9 @@ def test_round8_window_head_is_r2_catalog_then_r3_block():
         "c_update_ns_props",
         "c_update_table",
     ]
-    assert ids[:7] == r2_catalog
-    r3_block = set(ids[7:52])
+    assert set(ids[:n_new]) == {q for q in ids if q not in seen}
+    assert ids[n_new : n_new + 7] == r2_catalog
+    r3_block = set(ids[n_new + 7 : n_new + 52])
     assert len(r3_block) == 45
     assert {q for q in r3_block if q.startswith("q_tpch_")} == {
         f"q_tpch_q{i}" for i in range(1, 23)

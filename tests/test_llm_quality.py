@@ -422,3 +422,90 @@ def test_streaming_ingest_gate_equals_batch_incremental(spark, qs):
     batch = sorted(map(tuple, qs["q_dedup_incremental"](spark, SF).collect()))
     stream = sorted(map(tuple, qs["q_stream_ingest_gate"](spark, SF).collect()))
     assert stream == batch
+
+
+def test_sample_fixed_k_matches_hash_order_recompute(spark, qs):
+    """Exact-K stratified draw: per source exactly min(50, |stratum|) docs,
+    contiguous ranks, true stratum size, and the SELECTION equals a pure-
+    python recompute of the md5-of-id order — determinism and uniformity
+    in one check."""
+    import hashlib
+    from collections import defaultdict
+
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    rows = qs["q_sample_fixed_k"](spark, SF).collect()
+    docs = t(spark, SF, "documents").select("source", "doc_id").collect()
+
+    by_src = defaultdict(list)
+    for r in docs:
+        by_src[r.source].append(r.doc_id)
+    want = {}
+    for src, ids in by_src.items():
+        order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        want[src] = order[:50]
+
+    got = defaultdict(dict)
+    for r in rows:
+        got[r.source][r.samp_rank] = r.doc_id
+        assert r.n_stratum == len(by_src[r.source])
+    assert set(got) == set(want)
+    for src, sel in want.items():
+        ranks = got[src]
+        assert sorted(ranks) == list(range(1, len(sel) + 1))
+        assert [ranks[k] for k in range(1, len(sel) + 1)] == sel
+
+
+def test_dedup_prefix_matches_python_recompute(spark, qs):
+    """Prefix clusters equal a pure-python group-by of the first 64
+    lowercased characters; keeper is the min doc_id of each cluster."""
+    from collections import defaultdict
+
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    docs = t(spark, SF, "documents").select("doc_id", "text").collect()
+    groups = defaultdict(list)
+    for r in docs:
+        if r.text is not None:
+            groups[r.text.lower()[:64]].append(r.doc_id)
+    want = {
+        d: (len(ids), 1 if d == min(ids) else 0)
+        for ids in groups.values()
+        if len(ids) > 1
+        for d in ids
+    }
+
+    rows = qs["q_dedup_prefix"](spark, SF).collect()
+    got = {r.doc_id: (r.n_prefix, r.kept) for r in rows}
+    assert got == want and got  # non-trivial on the fixture
+
+
+def test_text_zipf_matches_python_recompute(spark, qs):
+    """Vocab size, token volume, modal token and the fitted slope agree
+    with a Counter + numpy polyfit recompute; the slope is negative
+    (frequencies decay with rank)."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    docs = t(spark, SF, "documents").select("text").collect()
+    c = Counter()
+    for r in docs:
+        if r.text is not None:
+            c.update(w for w in r.text.lower().split(" ") if w)
+
+    r = qs["q_text_zipf"](spark, SF).collect()[0]
+    assert r.n_distinct_tokens == len(c)
+    assert r.total_tokens == sum(c.values())
+    top_token, top_n = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert (r.top_token, r.top_n) == (top_token, top_n)
+
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    xs = [math.log(i + 1) for i in range(len(ranked))]
+    ys = [math.log(n) for _, n in ranked]
+    slope = float(np.polyfit(xs, ys, 1)[0])
+    assert r.zipf_slope < 0
+    assert abs(r.zipf_slope - slope) < 1e-3

@@ -112,6 +112,10 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 # corpus) scored against one corpus scan — the brute-force
                 # recall-audit baseline, deliberately exact
                 "q_embed_matryoshka",
+                # three 1-row frames (totals / zipf fit / rank-1 token) meet
+                # via BNLJ with single-row build sides — map-only at any
+                # corpus size (llm/text.py q_text_zipf docstring)
+                "q_text_zipf",
                 # 1-row broadcast calibration/count rows (scale vector,
                 # node count, mixture normalizer): map-only distribution
                 # of a scalar aggregate
