@@ -76,7 +76,23 @@ def _shingles(d, n=3, dedup=True):
     (exact Jaccard). "doc" gives per-document set semantics MAP-SIDE
     (array_distinct before the explode — no shuffle), which is the right
     distinct for per-doc gram joins at corpus scale. False keeps the raw
-    multiset (minhash signatures are identical either way)."""
+    multiset (minhash signatures are identical either way).
+
+    FAN-OUT PARALLELISM: Spark sizes input splits by SCAN bytes, but this
+    stage fans each doc out ~|tokens| shingle rows and pays an md5 per
+    row — on a corpus that arrives in fewer splits than cores (one small
+    parquet file at bench scale; the tail of any file listing at cluster
+    scale) the entire token-volume-bound pipeline serializes onto those
+    few tasks. Round-8 profiling showed the whole LSH family bottlenecked
+    on ONE task this way (~1.7 s of a 2.5 s signature build). When the
+    incoming partition count is below the session's shuffle parallelism,
+    hash-repartition by doc_id first: one small shuffle of the raw docs
+    buys full-width execution of the expensive fan-out + hash stage.
+    When the input already has enough splits (any real 100 TB scan), this
+    is a no-op — no extra shuffle (operators/common.py widen)."""
+    from ..operators.common import widen
+
+    d = widen(d, "doc_id")
     toks = F.split("text", " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),

@@ -58,8 +58,18 @@ def _emb(spark, sf_dir):
     vector-op contract: a row without an embedding cannot be searched,
     clustered or quantized (NULL rows crash the numpy pair scorer and
     diverge between engines otherwise; found by the NULL-injection
-    audit)."""
-    return t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    audit).
+
+    widen(): the per-vector float math downstream (norms, dot products,
+    centroid assignment) is compute-heavy map work; see
+    operators/common.py widen — parallelizes the single-split bench scan,
+    no-op on a real many-split corpus."""
+    from ..operators.common import widen
+
+    return widen(
+        t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull()),
+        "vec_id",
+    )
 
 
 def _dbl(col):

@@ -32,3 +32,24 @@ def scratch_dir(*parts: str) -> str:
     d = os.path.join(SCRATCH_ROOT, *[p.replace("/", "_").strip("_") for p in parts])
     os.makedirs(d, exist_ok=True)
     return d
+
+
+def widen(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition to the session's shuffle parallelism when the
+    incoming split count is LOWER — otherwise a no-op.
+
+    Spark sizes input splits by scan BYTES, so a compute-heavy or
+    fanning-out map stage (per-shingle md5, per-vector float math) over a
+    corpus that arrives in fewer splits than cores serializes onto those
+    few tasks until the first shuffle (round-8 profiling: the whole LSH
+    family bottlenecked on ONE task this way at bench scale — single
+    parquet files well under maxPartitionBytes). One small shuffle of the
+    raw rows buys full-width execution of the expensive stage. At 100 TB
+    the scan already yields thousands of splits and this returns the
+    input unchanged — no extra shuffle. Hash partitioning on ``key``
+    keeps the layout deterministic; results are partition-invariant
+    either way (the oracle harness re-proves it)."""
+    want = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want, key)
+    return df

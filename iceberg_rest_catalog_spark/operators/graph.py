@@ -358,22 +358,28 @@ def q_graph_triangles(spark, sf_dir):
         .select(F.col("u1").alias("u"), F.col("u2").alias("v"))
         .persist(StorageLevel.DISK_ONLY)
     )
-    # Distributed 1-row aggregate for the density gate — the sparse branch
+    # Density gate via ONE shuffle-free pass: approx_count_distinct (HLL
+    # partial agg to a single row) estimates |nodes|; the sparse branch
     # (potentially billions of nodes) must NOT pay a driver-side node
-    # materialization or an n-row broadcast; only the dense branch, where
-    # n is bounded by the gate itself, may collect (ADVICE r6).
-    n = (
+    # materialization or an n-row broadcast, and since round 8 it no
+    # longer pays the exact-distinct COUNT shuffle either (the gate is a
+    # memory heuristic — a 2% HLL estimate with a 5% safety margin picks
+    # the same branch, and the dense arm gets its EXACT n from the node
+    # collect it performs anyway).  Borderline graphs within the margin
+    # go sparse, which is always correct, just not bitmap-accelerated.
+    n_est = (
         edges.select(F.col("u").alias("x"))
         .unionAll(edges.select(F.col("v").alias("x")))
-        .distinct()
-        .count()
+        .agg(F.approx_count_distinct("x", 0.02).alias("n"))
+        .collect()[0]
+        .n
     )
 
-    if n <= _DENSE_MAX_NODES:
+    if n_est * 1.05 <= _DENSE_MAX_NODES:
         # Re-index node ids to dense ints ONCE and make that the only
         # resident edge representation (~16 B/row vs the long-pair
         # original). Rank-in-sorted-order is monotone, so ui < vi still
-        # holds for every stored edge.  |nodes| <= _DENSE_MAX_NODES here,
+        # holds for every stored edge.  |nodes| <= ~_DENSE_MAX_NODES here,
         # so the collect and the broadcast map are both gate-bounded.
         nodes = [
             r.x
@@ -382,6 +388,7 @@ def q_graph_triangles(spark, sf_dir):
             .distinct()
             .collect()
         ]
+        n = len(nodes)  # exact, from the collect the dense arm needs anyway
         order = {node: i for i, node in enumerate(sorted(nodes))}
         idx_df = spark.createDataFrame(
             [(node, i) for node, i in order.items()], "node long, idx int"
