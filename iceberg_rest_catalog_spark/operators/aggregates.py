@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..registry import query
-from .common import r4, t
+from .common import r4, t, widen
 
 
 @query(
@@ -408,7 +408,10 @@ def q_agg_countmin(spark, sf_dir):
     against the d*w-row counter table by BROADCAST, so no data-sized
     shuffle exists anywhere. Truth (for the report) is one more hash agg.
     """
-    orders = t(spark, sf_dir, "orders").select("o_custkey")
+    # widen(): the sketch build is a CM_D-way explode + md5 bucket hash per
+    # row — fan-out map work that serializes on a few-split scan (see
+    # operators/common.py widen; no-op at real scale).
+    orders = widen(t(spark, sf_dir, "orders").select("o_custkey"), "o_custkey")
     idx = F.explode(F.array(*[F.lit(i) for i in range(CM_D)])).alias("i")
     ev = orders.select("o_custkey", idx).select(
         "i", _cm_bucket_dyn(F.col("i"), F.col("o_custkey")).alias("bucket")
