@@ -662,3 +662,65 @@ def test_random_frame_spec_matches_duckdb(win_orders, ddb_join, spec):
     want = _canon([tuple(r) for r in pdf.itertuples(index=False, name=None)])
 
     assert got == want, (spec, sql, got[:3], want[:3])
+
+
+# -- family 7 (round 8): grouping sets / rollup / cube -----------------------
+#
+# The Expand-operator surface: random grouping-set combinations over two
+# grouping columns + a filter, with the NULL group markers and the
+# grouping-set duplicate semantics (a set listed twice emits its rows
+# twice in BOTH engines).  Identical SQL text on both engines; aggregates
+# follow the family-6 exact-integer convention.
+
+# Every set list references BOTH columns somewhere: Spark rejects
+# grouping(c) when c appears in no grouping set (GROUPING_COLUMN_MISMATCH),
+# where DuckDB would permit it — a grammar constraint, not a semantics gap.
+_F7_SETS = [
+    "((o_orderstatus), (o_orderpriority))",
+    "((o_orderstatus, o_orderpriority), (o_orderstatus), ())",
+    "((o_orderpriority), (o_orderstatus, o_orderpriority))",
+    "((o_orderstatus, o_orderpriority), ())",
+    "ROLLUP (o_orderstatus, o_orderpriority)",
+    "CUBE (o_orderstatus, o_orderpriority)",
+    # duplicate set listed twice: its rows emit twice in both engines
+    "((o_orderstatus, o_orderpriority), (o_orderstatus, o_orderpriority))",
+]
+_F7_FILTERS = [None, "o_totalprice > 150000", "o_orderkey % 3 = 0"]
+
+
+def _f7_sql(set_ix: int, filt_ix: int, tbl: str) -> str:
+    gs = _F7_SETS[set_ix]
+    clause = gs if gs.startswith(("ROLLUP", "CUBE")) else f"GROUPING SETS {gs}"
+    where = f"WHERE {_F7_FILTERS[filt_ix]} " if _F7_FILTERS[filt_ix] else ""
+    return (
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) AS sum_c, "
+        "CAST(grouping(o_orderstatus) AS BIGINT) AS g_status, "
+        "CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio "
+        f"FROM {tbl} {where}GROUP BY {clause}"
+    )
+
+
+@settings(
+    max_examples=21,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.sampled_from(range(len(_F7_SETS))),
+    st.sampled_from(range(len(_F7_FILTERS))),
+)
+def test_random_grouping_sets_match_duckdb(win_orders, ddb_join, set_ix, filt_ix):
+    spark = win_orders.sparkSession
+    win_orders.createOrReplaceTempView("f7_orders")
+    df = spark.sql(_f7_sql(set_ix, filt_ix, "f7_orders"))
+    df = df.select(*sorted(df.columns))
+    got = _canon([tuple(r) for r in df.collect()])
+
+    pdf = ddb_join.execute(_f7_sql(set_ix, filt_ix, "orders")).fetchdf()
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    want = _canon([tuple(r) for r in pdf.itertuples(index=False, name=None)])
+
+    assert got == want, (set_ix, filt_ix, got[:3], want[:3])
