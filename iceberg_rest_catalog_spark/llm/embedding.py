@@ -314,3 +314,64 @@ def q_embed_dim_stats(spark, sf_dir):
         r4(F.max("x")).alias("max_x"),
         F.count(F.when(F.col("x") == 0.0, 1)).alias("n_zero"),
     )
+
+
+@query(
+    "q_embed_coverage",
+    oracle="""
+    SELECT CASE WHEN d.doc_id IS NULL THEN '<no-doc>'
+                ELSE coalesce(d.source, '<null-source>') END AS source,
+           CAST(count(d.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN e.vec_id IS NOT NULL
+                            AND e.embedding IS NOT NULL THEN 1 END)
+                AS BIGINT) AS n_with_vec,
+           CAST(count(CASE WHEN d.doc_id IS NOT NULL
+                            AND (e.vec_id IS NULL OR e.embedding IS NULL)
+                           THEN 1 END) AS BIGINT) AS n_missing_vec,
+           CAST(count(CASE WHEN d.doc_id IS NULL THEN 1 END) AS BIGINT)
+               AS n_orphan_vec
+    FROM documents d
+    FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY 1
+    """,
+)
+def q_embed_coverage(spark, sf_dir):
+    """Referential-integrity audit between the document corpus and its
+    embedding table — the data-quality gate a pipeline runs BEFORE building
+    any vector index: per source, how many docs exist, how many carry a
+    usable vector, how many are missing one (no row OR NULL embedding —
+    those rows silently vanish from every ANN/cluster/dedup result, see
+    _emb's NULL contract), and how many vectors are orphaned (no backing
+    doc — stale index entries after deletes). '<no-doc>' collects orphans;
+    '<null-source>' keeps NULL-source docs distinct from them.
+
+    Scale shape: ONE full outer hash join on the id keys (AQE handles
+    skew; both sides shuffle once) feeding a map-combined count aggregate
+    whose output is |sources|+2 rows. No vector arithmetic — the embedding
+    COLUMN is only null-checked, so column pruning keeps vector bytes out
+    of the shuffle entirely (ReadSchema carries vec_id + a null bit)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").isNotNull().alias("has_vec")
+    )
+    j = d.join(e, d.doc_id == e.vec_id, "full_outer")
+    src = F.when(F.col("doc_id").isNull(), F.lit("<no-doc>")).otherwise(
+        F.coalesce("source", F.lit("<null-source>"))
+    )
+    return (
+        j.groupBy(src.alias("source"))
+        .agg(
+            F.count("doc_id").alias("n_docs"),
+            F.count(
+                F.when(F.col("vec_id").isNotNull() & F.col("has_vec"), 1)
+            ).alias("n_with_vec"),
+            F.count(
+                F.when(
+                    F.col("doc_id").isNotNull()
+                    & (F.col("vec_id").isNull() | ~F.col("has_vec")),
+                    1,
+                )
+            ).alias("n_missing_vec"),
+            F.count(F.when(F.col("doc_id").isNull(), 1)).alias("n_orphan_vec"),
+        )
+    )

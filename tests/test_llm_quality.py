@@ -509,3 +509,42 @@ def test_text_zipf_matches_python_recompute(spark, qs):
     slope = float(np.polyfit(xs, ys, 1)[0])
     assert r.zipf_slope < 0
     assert abs(r.zipf_slope - slope) < 1e-3
+
+
+def test_embed_coverage_matches_python_recompute(spark, qs):
+    """The coverage audit equals a pure-python recompute over the raw
+    tables, and its totals are self-consistent (docs = with + missing;
+    orphans only under '<no-doc>')."""
+    from collections import defaultdict
+
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    docs = t(spark, SF, "documents").select("doc_id", "source").collect()
+    vecs = {
+        r.vec_id: r.has
+        for r in t(spark, SF, "embeddings")
+        .selectExpr("vec_id", "embedding IS NOT NULL AS has")
+        .collect()
+    }
+    want = defaultdict(lambda: [0, 0, 0, 0])  # docs, with, missing, orphan
+    doc_ids = set()
+    for r in docs:
+        doc_ids.add(r.doc_id)
+        key = r.source if r.source is not None else "<null-source>"
+        want[key][0] += 1
+        if vecs.get(r.doc_id):
+            want[key][1] += 1
+        else:
+            want[key][2] += 1
+    for vid in vecs:
+        if vid not in doc_ids:
+            want["<no-doc>"][3] += 1
+
+    got = {
+        r.source: [r.n_docs, r.n_with_vec, r.n_missing_vec, r.n_orphan_vec]
+        for r in qs["q_embed_coverage"](spark, SF).collect()
+    }
+    assert got == {k: v for k, v in want.items()}
+    for src, (n, w, m, o) in got.items():
+        assert n == w + m
+        assert (o > 0) <= (src == "<no-doc>")
