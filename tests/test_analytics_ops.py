@@ -877,3 +877,20 @@ def test_conversion_lag_bounds_and_population(spark, qs):
         .count()
     )
     assert sum(r.n_conversions for r in rows) <= touched
+
+
+def test_widen_repartitions_only_few_split_inputs(spark):
+    """widen() must lift a below-parallelism input to the session's shuffle
+    partition count and leave an already-wide input untouched (no extra
+    shuffle at real scale, where scans arrive many-split)."""
+    from iceberg_rest_catalog_spark.operators.common import widen
+
+    want = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    narrow = spark.range(0, 1000, 1, 2).withColumnRenamed("id", "k")
+    assert widen(narrow, "k").rdd.getNumPartitions() == want
+
+    wide = spark.range(0, 1000, 1, want + 8).withColumnRenamed("id", "k")
+    out = widen(wide, "k")
+    assert out is wide  # identical frame object: provably no added shuffle
+    # and values survive the round-trip unchanged
+    assert sorted(r.k for r in widen(narrow, "k").collect()) == list(range(1000))
