@@ -537,7 +537,14 @@ def q_dedup_spans(spark, sf_dir):
     is strictly more expensive and only needed for variable-length
     maximal matches; the fixed-W rolling hash is the standard
     production approximation."""
-    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    from ..operators.common import widen
+
+    # widen(): the span explode + per-span md5 is the same fan-out map
+    # shape as the shingle pipeline (operators/common.py widen) — no-op
+    # on a many-split scan, parallelizes the few-split bench fixture.
+    d = widen(
+        t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()), "doc_id"
+    )
     toks = F.split("text", " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (SPAN_W - 1), F.lit(1))),
