@@ -625,7 +625,11 @@ def q_dedup_simhash(spark, sf_dir):
     old xxhash64 votes). Candidates must share one of four 16-bit chunks
     (pigeonhole guarantees recall for hamming<=3); verification is
     bit_count(xor) on each half."""
-    d = t(spark, sf_dir, "documents")
+    from ..operators.common import widen
+
+    # widen(): per-token md5 vote explode — same fan-out map shape as the
+    # shingle pipeline (operators/common.py widen).
+    d = widen(t(spark, sf_dir, "documents"), "doc_id")
     th = d.select("doc_id", F.explode(F.split("text", " ")).alias("tk"))
     return _simhash_pairs_from_tokens(th)
 
