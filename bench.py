@@ -85,6 +85,12 @@ HEADLINE = [
     # round-6 addition heavy enough to track (the other four new ops are
     # overhead-bound at sf0.1 — see SCALE.md round-6 ratios).
     "q_dedup_semantic",
+    # round-8 second wave: the data-proportional additions (q_ts_ewma /
+    # q_evt_markov / q_meta_skew_audit collapse to |days| / |types|^2 /
+    # |keys| rows after one pass and are overhead-bound at sf0.1).
+    "q_dq_rules",
+    "q_sim_recall_eval",
+    "q_graph_knn_bfs",
 ]
 
 

@@ -979,3 +979,86 @@ def q_sim_mmr(spark, sf_dir):
     return cand.groupBy("qid").applyInPandas(
         diversify, "query_id long, rank int, vec_id long, mmr double"
     )
+
+
+_RECALL_ORACLE = f"""
+WITH ivf AS ({_KNN_BATCH_ORACLE}),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+q AS (SELECT vec_id AS q_vec_id, emb AS qe FROM e WHERE vec_id % {KNN_QSTEP} = 0),
+exact AS (
+  SELECT q_vec_id, nn_vec_id FROM (
+    SELECT q.q_vec_id, e.vec_id AS nn_vec_id,
+           row_number() OVER (
+             PARTITION BY q.q_vec_id
+             ORDER BY round(list_cosine_similarity(e.emb, q.qe), 4) DESC,
+                      e.vec_id) AS rk
+    FROM q CROSS JOIN e WHERE e.vec_id <> q.q_vec_id
+  ) WHERE rk <= {KNN_K}),
+hits AS (
+  SELECT x.q_vec_id, count(*) AS h
+  FROM exact x JOIN ivf i
+    ON i.q_vec_id = x.q_vec_id AND i.nn_vec_id = x.nn_vec_id
+  GROUP BY x.q_vec_id)
+SELECT q.q_vec_id, CAST(coalesce(h.h, 0) AS INTEGER) AS n_hits,
+       round(coalesce(h.h, 0) * 1.0 / {KNN_K}, 4) AS recall
+FROM q LEFT JOIN hits h USING (q_vec_id) ORDER BY q_vec_id
+"""
+
+
+@query("q_sim_recall_eval", oracle=_RECALL_ORACLE)
+def q_sim_recall_eval(spark, sf_dir):
+    """Recall@k audit of the IVF ANN index: for every query in the
+    deterministic probe batch (vec_id % {QSTEP} == 0), intersect the
+    IVF top-{K} (q_sim_knn_batch, probed-cells-only) with the EXACT
+    top-{K} (brute force over the full corpus) and report hits/recall per
+    query.  This is the measurement every ANN deployment runs before
+    trusting an index — approximate results without a recall number are
+    not results — and the op whose output tunes N_PROBE/N_CELLS.
+
+    Scale shape: the exact baseline is deliberately brute-force — that is
+    what makes it ground truth — but it runs over the PROBE BATCH only
+    (a fixed sample, ~4% here; a few hundred queries in production), so
+    cost is |batch| x corpus map work with the batch BROADCAST against
+    one corpus scan (the q_embed_matryoshka recall-audit shape, never a
+    corpus x corpus product).  The IVF side inherits q_sim_knn_batch's
+    equi-join-on-cell plan.  Both sides rank on the 4dp-ROUNDED cosine
+    with vec_id tiebreak, so hit membership is bit-stable across engines.
+    """
+    from pyspark.sql import Window
+
+    ivf = q_sim_knn_batch(spark, sf_dir).select("q_vec_id", "nn_vec_id")
+
+    e = _emb(spark, sf_dir).select("vec_id", _dbl("embedding").alias("emb"))
+    q = e.filter(F.col("vec_id") % KNN_QSTEP == 0).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("emb").alias("qe")
+    )
+    rw = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), "nn_vec_id")
+    exact = (
+        F.broadcast(q)
+        .join(e)
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select(
+            "q_vec_id",
+            F.col("vec_id").alias("nn_vec_id"),
+            r4(_cos(F.col("emb"), F.col("qe"))).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(rw))
+        .filter(F.col("rk") <= KNN_K)
+        .select("q_vec_id", "nn_vec_id")
+    )
+    hits = exact.join(ivf, ["q_vec_id", "nn_vec_id"]).groupBy("q_vec_id").agg(
+        F.count("*").alias("h")
+    )
+    return (
+        q.select("q_vec_id")
+        .join(hits, "q_vec_id", "left")
+        .select(
+            "q_vec_id",
+            F.coalesce("h", F.lit(0)).cast("int").alias("n_hits"),
+            F.round(F.coalesce("h", F.lit(0)) * 1.0 / KNN_K, 4).alias("recall"),
+        )
+        .orderBy("q_vec_id")
+    )

@@ -53,3 +53,25 @@ def widen(df: DataFrame, key: str) -> DataFrame:
     if df.rdd.getNumPartitions() < want:
         return df.repartition(want, key)
     return df
+
+
+def fixed_width(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition on ``keys`` at the session's FULL shuffle
+    parallelism, pinned against AQE coalescing.
+
+    The complement of :func:`widen` for the POST-shuffle side of the same
+    disease: AQE sizes coalesced partitions by shuffle BYTES, so a join or
+    grouped stage whose input is small but whose per-row work fans out
+    (bucket-quantized interval joins: ~MBs of session rows explode into
+    tens of millions of candidate pairs inside the join task) gets
+    coalesced onto one or two tasks and serializes (round-8 profiling:
+    the co-presence pair join ran 9.5s single-task, 1.6s at width 32).
+    An EXPLICIT numPartitions repartition is marked user-specified, which
+    AQE honors — the join runs at full width.  At real scale the shuffle
+    is large, AQE would not have coalesced, and this is the exchange the
+    planner would have inserted anyway (same key, same width), so the
+    pin costs nothing.  Trade-off: a user-specified exchange also opts
+    out of AQE's skew-split for that side — use only where the per-key
+    fan-out is bounded (e.g. hour buckets), not on skew-prone keys."""
+    want = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(want, *keys)

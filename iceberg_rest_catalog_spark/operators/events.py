@@ -1018,3 +1018,157 @@ def q_evt_conversion_lag(spark, sf_dir):
         r4(F.expr("percentile(lag_us, 0.9)") / m).alias("p90_minutes"),
         r4(F.avg("lag_us") / m).alias("avg_minutes"),
     )
+
+
+EWMA_ALPHA = 0.3
+EWMA_WINDOW = 14  # lookback days; 0.7^14 ~ 0.7% residual weight
+
+
+@query(
+    "q_ts_ewma",
+    oracle=f"""
+    WITH dc AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1
+    ), contrib AS (
+      SELECT y.target, dc.d, dc.n,
+             {EWMA_ALPHA} * power({1 - EWMA_ALPHA}, datediff('day', dc.d, y.target)) AS w
+      FROM dc, LATERAL (
+        SELECT unnest(generate_series(dc.d, dc.d + INTERVAL {EWMA_WINDOW - 1} DAY,
+                                      INTERVAL 1 DAY))::DATE AS target) y
+    ), sm AS (
+      SELECT c.target AS d, round(sum(c.w * c.n) / sum(c.w), 4) AS ewma
+      FROM contrib c JOIN (SELECT DISTINCT d FROM dc) days ON days.d = c.target
+      GROUP BY c.target
+    )
+    SELECT strftime(dc.d, '%Y-%m-%d') AS day, CAST(dc.n AS BIGINT) AS n,
+           sm.ewma,
+           round(dc.n / sm.ewma, 4) AS ratio,
+           CAST(CASE WHEN dc.n > 1.5 * sm.ewma THEN 1 ELSE 0 END AS INTEGER) AS is_spike
+    FROM dc JOIN sm ON dc.d = sm.d
+    ORDER BY day
+    """,
+)
+def q_ts_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average of the daily event count with
+    a spike flag — the smoothing/alerting primitive behind ingest-volume
+    monitors (EWMA reacts faster than a plain rolling mean and needs no
+    model fit; a day running >1.5x its own smoothed history is flagged).
+
+    Window frames cannot weight rows by their distance from the frame
+    head, so the EWMA uses the same WINDOW-WIDTH EXPLODE technique as
+    q_evt_rolling_dau: the corpus first collapses to |days| count rows
+    (the big shrink), each day then fans out to the <=14 future days it
+    contributes to, carrying weight alpha*(1-alpha)^gap, and one grouped
+    sum(w*n)/sum(w) per target day finishes.  Work is 14x|days| rows —
+    trivial after the pre-aggregate whatever the event volume.  The
+    normalizing sum(w) denominator makes the head of the series
+    well-defined (weights renormalize over the days actually present).
+
+    Cross-engine determinism: the spike comparison uses the 4dp-ROUNDED
+    ewma (identical double bits on both engines), never the raw float
+    sum, so ulp-level summation-order differences cannot flip the flag."""
+    dc = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    days = dc.select("d").distinct()
+    contrib = (
+        dc.select(
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), EWMA_WINDOW - 1))
+            ).alias("target"),
+            "d",
+            "n",
+        )
+        .withColumn(
+            "w",
+            F.lit(EWMA_ALPHA)
+            * F.pow(F.lit(1 - EWMA_ALPHA), F.datediff("target", "d")),
+        )
+        .drop("d")  # drop the source day before re-joining frames derived
+        # from dc — keeps the self-join lineage unambiguous
+    )
+    sm = (
+        contrib.join(F.broadcast(days), contrib.target == days.d)
+        .groupBy("target")
+        .agg(F.round(F.sum(F.col("w") * F.col("n")) / F.sum("w"), 4).alias("ewma"))
+    )
+    return (
+        dc.alias("dc")
+        .join(sm.alias("sm"), F.col("dc.d") == F.col("sm.target"))
+        .select(
+            F.date_format(F.col("dc.d"), "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("bigint").alias("n"),
+            "ewma",
+            F.round(F.col("n") / F.col("ewma"), 4).alias("ratio"),
+            F.when(F.col("n") > 1.5 * F.col("ewma"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_spike"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "q_evt_markov",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ), tr AS (
+      SELECT src, dst, count(*) AS n FROM seq
+      WHERE dst IS NOT NULL GROUP BY src, dst
+    ), tot AS (SELECT sum(n) AS total FROM tr)
+    SELECT src, dst, CAST(n AS BIGINT) AS n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY src), 4) AS prob,
+           round((n * 1.0 * (SELECT total FROM tot))
+                 / (sum(n) OVER (PARTITION BY src)
+                    * sum(n) OVER (PARTITION BY dst)), 4) AS lift
+    FROM tr ORDER BY src, dst
+    """,
+)
+def q_evt_markov(spark, sf_dir):
+    """First-order Markov transition model over user event sequences:
+    per-(src,dst) transition count, conditional probability P(dst|src),
+    and lift vs the unconditional destination rate — lift > 1 marks
+    transitions that happen MORE than the base rate predicts (the signal
+    q_evt_bigrams' raw counts can't show, since frequent event types
+    dominate every bigram list).
+
+    Scale shape: one user_id shuffle for the lead() window, then the
+    corpus collapses to <=|types|^2 transition rows; the per-src and
+    per-dst normalizers are windows over that tiny frame and the grand
+    total is a 1-row broadcast.  Lift is computed as one fused expression
+    (n*total)/(src_tot*dst_tot) of exact integer counts — a single
+    rounding site, bit-identical across engines."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.withColumn("dst", F.lead("event_type").over(w))
+        .filter(F.col("dst").isNotNull())
+        .select(F.col("event_type").alias("src"), "dst")
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = tr.agg(F.sum("n").alias("total"))
+    ws = Window.partitionBy("src")
+    wd = Window.partitionBy("dst")
+    return (
+        tr.join(F.broadcast(tot))
+        .select(
+            "src",
+            "dst",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") * 1.0 / F.sum("n").over(ws), 4).alias("prob"),
+            F.round(
+                (F.col("n") * 1.0 * F.col("total"))
+                / (F.sum("n").over(ws) * F.sum("n").over(wd)),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("src", "dst")
+    )

@@ -553,3 +553,204 @@ def q_graph_cc(spark, sf_dir):
     return nodes.join(labels, "node", "left").select(
         "node", F.coalesce("component", "node").alias("component")
     )
+
+
+# -- BFS over the kNN graph of the embedding corpus --------------------------
+
+BFS_ITERS = 6
+BFS_SRC = 0  # source vector (the q_sim_topk / q_sim_ann_ivf query vector)
+BFS_K = 3  # out-degree of the kNN graph (matches q_sim_knn_batch's KNN_K)
+_UNREACHED = 9999  # sentinel > any reachable fixed-round distance
+
+
+def _knn_bfs_oracle(iters: int) -> str:
+    """kNN-graph edges (the q_sim_knn_batch IVF shape, run for EVERY
+    vector) + unrolled min-plus BFS relaxation d0..d{iters}."""
+    from ..llm.similarity import N_CELLS, N_PROBE
+
+    ctes = [
+        f"""e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb
+      FROM embeddings WHERE embedding IS NOT NULL),
+    cent AS (SELECT vec_id AS cell, emb AS c FROM e WHERE vec_id < {N_CELLS}),
+    ranked_cells AS (
+      SELECT e.vec_id, e.emb, cent.cell,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.emb, cent.c), 4) DESC,
+                        cent.cell) AS rn
+      FROM e CROSS JOIN cent),
+    assigned AS (
+      SELECT vec_id, emb, cell FROM ranked_cells WHERE rn = 1),
+    probed AS (
+      SELECT vec_id AS q_vec_id, emb AS qe, cell
+      FROM ranked_cells WHERE rn <= {N_PROBE}),
+    knn AS (
+      SELECT q_vec_id AS u, nn_vec_id AS v FROM (
+        SELECT p.q_vec_id, a.vec_id AS nn_vec_id,
+               row_number() OVER (
+                 PARTITION BY p.q_vec_id
+                 ORDER BY round(list_cosine_similarity(a.emb, p.qe), 4) DESC,
+                          a.vec_id) AS rk
+        FROM probed p JOIN assigned a USING (cell)
+        WHERE a.vec_id <> p.q_vec_id
+      ) WHERE rk <= {BFS_K}),
+    edges AS (SELECT u, v FROM knn UNION SELECT v AS u, u AS v FROM knn),
+    d0 AS (
+      SELECT vec_id AS node,
+             CASE WHEN vec_id = {BFS_SRC} THEN 0 ELSE {_UNREACHED} END AS dist
+      FROM e)"""
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""d{k} AS (
+      SELECT p.node,
+             least(p.dist, coalesce(min(q.dist + 1), p.dist)) AS dist
+      FROM d{k - 1} p
+      LEFT JOIN edges ed ON ed.v = p.node
+      LEFT JOIN d{k - 1} q ON q.node = ed.u
+      GROUP BY p.node, p.dist)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS vec_id, CAST(dist AS INTEGER) AS dist
+    FROM d{iters} WHERE dist < {_UNREACHED} ORDER BY vec_id"""
+    )
+
+
+@query("q_graph_knn_bfs", oracle=_knn_bfs_oracle(BFS_ITERS))
+def q_graph_knn_bfs(spark, sf_dir):
+    """Hop distances from a seed vector over the mutualized kNN graph of
+    the embedding corpus ({BFS_K} IVF-bounded nearest neighbours per
+    vector, edges symmetrized): the reachability primitive behind
+    graph-based label propagation, semi-supervised seed expansion, and
+    kNN-graph diagnostics (an ANN index whose kNN graph fragments around
+    the seed has unreachable cells — the structural cousin of a bad
+    recall number).  Fixed {BFS_ITERS}-round contract: reports nodes
+    within {BFS_ITERS} hops; the DuckDB oracle unrolls the identical
+    min-plus relaxation, so both engines compute the same well-defined
+    quantity whatever the graph's true diameter.
+
+    Scale shape: edge construction inherits q_sim_knn_batch's plan — the
+    centroid table broadcasts, candidates come from an EQUI join on cell
+    (each vector meets ~N_PROBE/N_CELLS of the corpus, never all of it),
+    per-vector top-{BFS_K} is a window over that bounded candidate set.
+    The BFS loop is |edges|-linear per round with a fixed round budget:
+    join dist onto edges, min-reduce per head node, least() back into the
+    running distance — the same eager localCheckpoint-every-2-rounds
+    lineage discipline as PageRank/CC (a fixed-round loop whose per-round
+    cost is one shuffle keyed on node id at any graph size).  Ranking
+    everywhere uses the 4dp-ROUNDED cosine with id tiebreaks, so the edge
+    set — and therefore every distance — is bit-stable across engines."""
+    from pyspark.sql import Window as W
+
+    from ..llm.similarity import N_CELLS, N_PROBE, _cos, _dbl, _dot_pd, _emb, _norm
+
+    # Per-vector L2 norm computed ONCE here (JVM-side, |corpus| rows) so the
+    # candidate-pair hot path below can use the Arrow-batched numpy dot
+    # product: cell-join candidates number ~|corpus| * N_PROBE/N_CELLS each
+    # side, and interpreted zip_with/aggregate over millions of 64-dim pairs
+    # is the module-documented case where _dot_pd wins ~5-10x (measured
+    # here: 10.5s -> ~3s at sf0.1).  Centroid ASSIGNMENT stays JVM-side
+    # (x16 bounded fan-out, not the hot path).
+    e = _emb(spark, sf_dir).select(
+        "vec_id", _dbl("embedding").alias("emb")
+    ).withColumn("nrm", _norm("emb"))
+    cent = e.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("c")
+    )
+    cw = W.partitionBy("vec_id").orderBy(F.desc("cc"), "cell")
+    ranked_cells = (
+        e.join(F.broadcast(cent))
+        .withColumn("cc", F.round(_cos(F.col("emb"), F.col("c")), 4))
+        .withColumn("rn", F.row_number().over(cw))
+    )
+    assigned = ranked_cells.filter(F.col("rn") == 1).select(
+        "vec_id", "emb", "nrm", "cell"
+    )
+    # The probe side rebuilds the ranked-cells pipeline from a FRESH scan:
+    # cogroup's self-join analysis rejects two branches of one lineage
+    # sharing the grouping attribute, and a second ~x16-bounded assignment
+    # pass is cheaper than materializing corpus vectors to break lineage.
+    e2 = _emb(spark, sf_dir).select(
+        "vec_id", _dbl("embedding").alias("emb")
+    ).withColumn("nrm", _norm("emb"))
+    cent2 = e2.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("c")
+    )
+    probed = (
+        e2.join(F.broadcast(cent2))
+        .withColumn("cc", F.round(_cos(F.col("emb"), F.col("c")), 4))
+        .withColumn("rn", F.row_number().over(cw))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(
+            F.col("vec_id").alias("q_vec_id"),
+            F.col("emb").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+            "cell",
+        )
+    )
+    def _score_cell(probes, members):
+        """One numpy block product per cell: (|probes| x 64) @ (64 x
+        |members|).  Rounds HALF-AWAY-FROM-ZERO to match Spark/DuckDB
+        round() (np.round is half-even — the repo-wide convention)."""
+        import numpy as np
+        import pandas as pd
+
+        if probes.empty or members.empty:
+            return pd.DataFrame(
+                {"q_vec_id": [], "nn_vec_id": [], "cos": []}
+            ).astype({"q_vec_id": "int64", "nn_vec_id": "int64", "cos": "float64"})
+        Q = np.stack(probes["qe"].values)
+        M = np.stack(members["emb"].values)
+        S = (Q @ M.T) / np.outer(probes["qnrm"].values, members["nrm"].values)
+        S = np.sign(S) * np.floor(np.abs(S) * 1e4 + 0.5) / 1e4
+        nq, nm = len(probes), len(members)
+        out = pd.DataFrame(
+            {
+                "q_vec_id": np.repeat(probes["q_vec_id"].values, nm),
+                "nn_vec_id": np.tile(members["vec_id"].values, nq),
+                "cos": S.ravel(),
+            }
+        )
+        return out[out.q_vec_id != out.nn_vec_id]
+
+    kw = W.partitionBy("q_vec_id").orderBy(F.desc("cos"), "nn_vec_id")
+    knn = (
+        probed.groupBy("cell")
+        .cogroup(assigned.groupBy("cell"))
+        .applyInPandas(_score_cell, "q_vec_id long, nn_vec_id long, cos double")
+        .withColumn("rk", F.row_number().over(kw))
+        .filter(F.col("rk") <= BFS_K)
+        .select(F.col("q_vec_id").alias("u"), F.col("nn_vec_id").alias("v"))
+    )
+    edges = (
+        knn.unionAll(knn.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()  # edge build runs ONCE, not once per round
+    )
+    dist = e.select(
+        F.col("vec_id").alias("node"),
+        F.when(F.col("vec_id") == BFS_SRC, 0)
+        .otherwise(_UNREACHED)
+        .alias("dist"),
+    ).localCheckpoint()
+    for it in range(BFS_ITERS):
+        nbr = (
+            edges.join(dist, edges.u == dist.node)
+            .groupBy("v")
+            .agg(F.min(F.col("dist") + 1).alias("nd"))
+        )
+        dist = dist.join(nbr, dist.node == nbr.v, "left").select(
+            "node",
+            F.least(F.col("dist"), F.coalesce("nd", F.col("dist"))).alias("dist"),
+        )
+        if it % 2 == 1 or it == BFS_ITERS - 1:
+            dist = dist.localCheckpoint()
+    return (
+        dist.filter(F.col("dist") < _UNREACHED)
+        .select(F.col("node").alias("vec_id"), F.col("dist").cast("int").alias("dist"))
+        .orderBy("vec_id")
+    )

@@ -577,7 +577,16 @@ def q_join_interval_overlap(spark, sf_dir):
             )
         ),
     )
-    bucketed = bucketed.select("user_id", "s_start", "s_end", "bucket")
+    # fixed_width: the candidate-pair fan-out happens INSIDE the join
+    # task, so AQE (sizing by the ~MB shuffle input) would coalesce the
+    # exchange to 1-2 tasks and serialize the O(per-bucket^2) predicate
+    # work — see operators/common.py fixed_width (measured 9.5s -> 1.6s
+    # warm at sf0.1).
+    from .common import fixed_width
+
+    bucketed = fixed_width(
+        bucketed.select("user_id", "s_start", "s_end", "bucket"), "bucket"
+    )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     first_shared = F.date_trunc(
         "hour", F.greatest(F.col("a.s_start"), F.col("b.s_start"))

@@ -1,0 +1,263 @@
+"""Declarative data-quality rule audit — the admission gate a 100 TB
+ingest pipeline runs before publishing a snapshot.
+
+The reference exposes table metadata but no content validation
+(`tables.go:150-227` commits whatever the writer staged); production
+catalogs pair that commit path with a rule engine (null-rate, domain,
+uniqueness, referential integrity) whose report decides whether the
+snapshot is published or quarantined.  q_dq_rules is that engine over the
+TPC-H fixture tables, expressed Spark-first:
+
+- **predicate rules** (range / domain / null checks) compile to ONE
+  map-combined aggregate per table — `count(*)` plus one conditional sum
+  per rule — so adding a rule adds a column, not a scan, and the shuffle
+  carries a single partial row per partition whatever the table size;
+- **uniqueness rules** are one key-shuffle `groupBy(pk)` whose aggregate
+  emits both the checked total and the rows-in-duplicate-groups count
+  (sum(c) / sum(c) filtered c>1) — one pass, no self-join;
+- **referential rules** are LEFT ANTI equi-joins child→parent (broadcast
+  while the parent key set fits, AQE-planned shuffle join beyond that);
+- the final report is a UNION of 1-row frames — |rules| rows total, so
+  the assembly cost is nil at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from .common import t
+
+SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+SHIP_DEADLINE = "2001-06-30 00:00:00"
+
+_DQ_ORACLE = f"""
+WITH cust AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS v_acct,
+         sum(CASE WHEN c_mktsegment IS NULL
+                    OR c_mktsegment NOT IN {tuple(SEGMENTS)} THEN 1 ELSE 0 END) AS v_seg
+  FROM customer),
+ord AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN o_totalprice < 5000 THEN 1 ELSE 0 END) AS v_price,
+         sum(CASE WHEN o_orderstatus IS NULL
+                    OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS v_status
+  FROM orders),
+li AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS v_qty,
+         sum(CASE WHEN l_discount < 0 OR l_discount > 0.10 THEN 1 ELSE 0 END) AS v_disc,
+         sum(CASE WHEN l_shipdate > TIMESTAMP '{SHIP_DEADLINE}' THEN 1 ELSE 0 END) AS v_ship
+  FROM lineitem),
+cust_pk AS (
+  SELECT sum(c) AS n, coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS v
+  FROM (SELECT count(*) AS c FROM customer GROUP BY c_custkey)),
+ord_pk AS (
+  SELECT sum(c) AS n, coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS v
+  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)),
+ord_fk AS (
+  SELECT (SELECT count(*) FROM orders) AS n,
+         (SELECT count(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)) AS v),
+li_fk AS (
+  SELECT (SELECT count(*) FROM lineitem) AS n,
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey)) AS v),
+report AS (
+  SELECT 'customer_acctbal_nonneg' AS rule_id, n, v_acct AS v FROM cust
+  UNION ALL SELECT 'customer_pk_unique', n, v FROM cust_pk
+  UNION ALL SELECT 'customer_segment_domain', n, v_seg FROM cust
+  UNION ALL SELECT 'lineitem_discount_range', n, v_disc FROM li
+  UNION ALL SELECT 'lineitem_fk_orders', n, v FROM li_fk
+  UNION ALL SELECT 'lineitem_qty_le40', n, v_qty FROM li
+  UNION ALL SELECT 'lineitem_ship_deadline', n, v_ship FROM li
+  UNION ALL SELECT 'orders_fk_customer', n, v FROM ord_fk
+  UNION ALL SELECT 'orders_pk_unique', n, v FROM ord_pk
+  UNION ALL SELECT 'orders_price_min_5k', n, v_price FROM ord
+  UNION ALL SELECT 'orders_status_domain', n, v_status FROM ord)
+SELECT rule_id, CAST(n AS BIGINT) AS n_checked, CAST(v AS BIGINT) AS n_violations,
+       round(1.0 - v * 1.0 / n, 4) AS pass_rate
+FROM report ORDER BY rule_id
+"""
+
+
+def _pred_rules(df, rules):
+    """ONE aggregate computing count(*) + a conditional sum per rule, then
+    stack() to (rule_id, n_checked, n_violations) rows — adding a rule
+    adds a column to the partial aggregate, never another scan."""
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.when(cond, 1).otherwise(0)).alias(f"v{i}")
+        for i, (_, cond) in enumerate(rules)
+    ]
+    one = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{rid}', n, v{i}" for i, (rid, _) in enumerate(rules)
+    )
+    return one.selectExpr(
+        f"stack({len(rules)}, {parts}) AS (rule_id, n_checked, n_violations)"
+    )
+
+
+def _pk_rule(df, key, rule_id):
+    """Uniqueness in one pass: per-key counts, then sum(c) = checked and
+    sum(c where c>1) = rows participating in a duplicate group."""
+    return (
+        df.groupBy(key)
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.lit(rule_id).alias("rule_id"),
+            F.sum("c").alias("n_checked"),
+            F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)).alias(
+                "n_violations"
+            ),
+        )
+    )
+
+
+def _fk_rule(child, child_key, parent, parent_key, rule_id):
+    """Referential integrity: LEFT ANTI child→parent. NULL child keys
+    never match (SQL NOT EXISTS semantics: a NULL key is an orphan)."""
+    orphans = child.join(
+        parent.select(parent_key), child[child_key] == parent[parent_key], "left_anti"
+    )
+    total = child.agg(F.count("*").alias("n_checked"))
+    bad = orphans.agg(F.count("*").alias("n_violations"))
+    return total.join(bad).select(
+        F.lit(rule_id).alias("rule_id"), "n_checked", "n_violations"
+    )
+
+
+@query("q_dq_rules", oracle=_DQ_ORACLE)
+def q_dq_rules(spark, sf_dir):
+    """Data-quality rule audit over customer/orders/lineitem: 11 rules in
+    three families (predicate range/domain, primary-key uniqueness,
+    referential integrity), reported as (rule_id, n_checked, n_violations,
+    pass_rate).  The fixture exercises both outcomes: acctbal/qty/price/
+    shipdate rules catch real violations while pk/fk/domain rules pass —
+    the report discriminates, it doesn't rubber-stamp.
+
+    Scale shape (module docstring): predicate family = one map-combined
+    pass per table; uniqueness = one pk shuffle; referential = anti joins;
+    report assembly = |rules| rows of unions.  The two count frames per FK
+    rule meet in a 1-row×1-row join (bounded, map-only)."""
+    cust = t(spark, sf_dir, "customer")
+    ordr = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+
+    pred = _pred_rules(
+        cust,
+        [
+            ("customer_acctbal_nonneg", F.col("c_acctbal") < 0),
+            (
+                "customer_segment_domain",
+                F.col("c_mktsegment").isNull()
+                | ~F.col("c_mktsegment").isin(*SEGMENTS),
+            ),
+        ],
+    ).unionByName(
+        _pred_rules(
+            ordr,
+            [
+                ("orders_price_min_5k", F.col("o_totalprice") < 5000),
+                (
+                    "orders_status_domain",
+                    F.col("o_orderstatus").isNull()
+                    | ~F.col("o_orderstatus").isin("O", "F", "P"),
+                ),
+            ],
+        )
+    ).unionByName(
+        _pred_rules(
+            li,
+            [
+                ("lineitem_qty_le40", F.col("l_quantity") > 40),
+                (
+                    "lineitem_discount_range",
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 0.10),
+                ),
+                (
+                    "lineitem_ship_deadline",
+                    F.col("l_shipdate") > F.expr(f"TIMESTAMP_NTZ '{SHIP_DEADLINE}'"),
+                ),
+            ],
+        )
+    )
+    pks = _pk_rule(cust, "c_custkey", "customer_pk_unique").unionByName(
+        _pk_rule(ordr, "o_orderkey", "orders_pk_unique")
+    )
+    fks = _fk_rule(
+        ordr, "o_custkey", cust, "c_custkey", "orders_fk_customer"
+    ).unionByName(_fk_rule(li, "l_orderkey", ordr, "o_orderkey", "lineitem_fk_orders"))
+
+    return (
+        pred.unionByName(pks)
+        .unionByName(fks)
+        .select(
+            "rule_id",
+            F.col("n_checked").cast("bigint").alias("n_checked"),
+            F.col("n_violations").cast("bigint").alias("n_violations"),
+            F.round(
+                1.0 - F.col("n_violations") * 1.0 / F.col("n_checked"), 4
+            ).alias("pass_rate"),
+        )
+        .orderBy("rule_id")
+    )
+
+
+SKEW_TOP = 10
+
+_SKEW_ORACLE = f"""
+WITH kc AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+),
+st AS (
+  SELECT sum(n) AS total, avg(n) AS mean_n, count(*) AS n_keys FROM kc
+)
+SELECT kc.user_id, CAST(kc.n AS BIGINT) AS n,
+       round(kc.n * 1.0 / st.total, 4) AS share,
+       round(kc.n / st.mean_n, 4) AS skew_factor,
+       CAST(st.n_keys AS BIGINT) AS n_keys
+FROM kc CROSS JOIN st
+ORDER BY kc.n DESC, kc.user_id
+LIMIT {SKEW_TOP}
+"""
+
+
+@query("q_meta_skew_audit", oracle=_SKEW_ORACLE)
+def q_meta_skew_audit(spark, sf_dir):
+    """Hot-key skew audit over the events table's user_id — the
+    measurement that decides WHETHER a join/aggregation needs salting
+    (operators/skew.py) before anyone pays for it.  Reports the
+    {SKEW_TOP} heaviest keys with absolute count, corpus share, and skew
+    factor vs the mean key (skew_factor >> 1 on a key that also joins a
+    large build side = the AQE-skew-join / salting trigger).
+
+    Scale shape: ONE map-combined count per key (the same partial-agg
+    shuffle any groupBy pays), a 1-row stats aggregate broadcast back,
+    and a TakeOrderedAndProject top-{SKEW_TOP} — per-partition heads
+    only, never a global sort of the key histogram."""
+    kc = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    st = kc.agg(
+        F.sum("n").alias("total"),
+        F.avg("n").alias("mean_n"),
+        F.count("*").alias("n_keys"),
+    )
+    return (
+        kc.join(F.broadcast(st))
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") * 1.0 / F.col("total"), 4).alias("share"),
+            F.round(F.col("n") / F.col("mean_n"), 4).alias("skew_factor"),
+            F.col("n_keys").cast("bigint").alias("n_keys"),
+        )
+        .orderBy(F.desc("n"), "user_id")
+        .limit(SKEW_TOP)
+    )

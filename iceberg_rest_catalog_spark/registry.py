@@ -76,6 +76,7 @@ _QUERY_MODULES = (
     "iceberg_rest_catalog_spark.operators.filters",
     "iceberg_rest_catalog_spark.operators.joins",
     "iceberg_rest_catalog_spark.operators.skew",
+    "iceberg_rest_catalog_spark.operators.quality",
     "iceberg_rest_catalog_spark.operators.tpch",
     "iceberg_rest_catalog_spark.llm.dedup",
     "iceberg_rest_catalog_spark.llm.similarity",

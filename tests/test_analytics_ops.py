@@ -894,3 +894,160 @@ def test_widen_repartitions_only_few_split_inputs(spark):
     assert out is wide  # identical frame object: provably no added shuffle
     # and values survive the round-trip unchanged
     assert sorted(r.k for r in widen(narrow, "k").collect()) == list(range(1000))
+
+
+def test_dq_rules_match_python_recompute(spark, qs):
+    """Every rule's (checked, violations) equals a pure-python recompute
+    over the raw tables, and the fixture exercises BOTH outcomes (some
+    rules catch violations, some pass clean)."""
+    from iceberg_rest_catalog_spark.operators.common import t
+    from iceberg_rest_catalog_spark.operators.quality import SEGMENTS
+
+    cust = t(spark, SF01, "customer").collect()
+    ordr = t(spark, SF01, "orders").collect()
+    li = t(spark, SF01, "lineitem").collect()
+    import datetime
+    from collections import Counter
+
+    deadline = datetime.datetime(2001, 6, 30)
+    custkeys = {r.c_custkey for r in cust}
+    orderkeys = {r.o_orderkey for r in ordr}
+    ck = Counter(r.c_custkey for r in cust)
+    ok = Counter(r.o_orderkey for r in ordr)
+    want = {
+        "customer_acctbal_nonneg": (
+            len(cust), sum(1 for r in cust if r.c_acctbal is not None and r.c_acctbal < 0)
+        ),
+        "customer_pk_unique": (
+            len(cust), sum(c for c in ck.values() if c > 1)
+        ),
+        "customer_segment_domain": (
+            len(cust), sum(1 for r in cust if r.c_mktsegment not in SEGMENTS)
+        ),
+        "lineitem_discount_range": (
+            len(li),
+            sum(1 for r in li if r.l_discount is not None and not (0 <= r.l_discount <= 0.10)),
+        ),
+        "lineitem_fk_orders": (
+            len(li), sum(1 for r in li if r.l_orderkey not in orderkeys)
+        ),
+        "lineitem_qty_le40": (
+            len(li), sum(1 for r in li if r.l_quantity is not None and r.l_quantity > 40)
+        ),
+        "lineitem_ship_deadline": (
+            len(li), sum(1 for r in li if r.l_shipdate is not None and r.l_shipdate > deadline)
+        ),
+        "orders_fk_customer": (
+            len(ordr), sum(1 for r in ordr if r.o_custkey not in custkeys)
+        ),
+        "orders_pk_unique": (
+            len(ordr), sum(c for c in ok.values() if c > 1)
+        ),
+        "orders_price_min_5k": (
+            len(ordr), sum(1 for r in ordr if r.o_totalprice is not None and r.o_totalprice < 5000)
+        ),
+        "orders_status_domain": (
+            len(ordr), sum(1 for r in ordr if r.o_orderstatus not in ("O", "F", "P"))
+        ),
+    }
+    rows = qs["q_dq_rules"](spark, SF01).collect()
+    got = {r.rule_id: (r.n_checked, r.n_violations) for r in rows}
+    assert got == want
+    viols = [r for r in rows if r.n_violations > 0]
+    clean = [r for r in rows if r.n_violations == 0]
+    assert viols and clean  # the report discriminates
+    for r in rows:
+        assert abs(r.pass_rate - round(1 - r.n_violations / r.n_checked, 4)) < 1e-9
+
+
+def test_ewma_matches_python_recompute(spark, qs):
+    """The EWMA equals a direct python recompute of the truncated
+    exponential kernel, the flag fires iff n > 1.5 * rounded ewma, and
+    smoothing actually smooths (ewma variance < raw variance)."""
+    from collections import Counter
+
+    from iceberg_rest_catalog_spark.operators.common import t
+    from iceberg_rest_catalog_spark.operators.events import EWMA_ALPHA, EWMA_WINDOW
+
+    ev = t(spark, SF01, "events").select("ts").collect()
+    days = Counter(r.ts.date() for r in ev)
+    rows = qs["q_ts_ewma"](spark, SF01).collect()
+    assert len(rows) == len(days)
+    import datetime
+    import statistics
+
+    for r in rows:
+        d = datetime.date.fromisoformat(r.day)
+        num = den = 0.0
+        for j in range(EWMA_WINDOW):
+            src = d - datetime.timedelta(days=j)
+            if src in days:
+                w = EWMA_ALPHA * (1 - EWMA_ALPHA) ** j
+                num += w * days[src]
+                den += w
+        assert r.n == days[d]
+        assert abs(r.ewma - round(num / den, 4)) < 1e-9
+        assert r.is_spike == (1 if r.n > 1.5 * r.ewma else 0)
+    assert statistics.pvariance([r.ewma for r in rows]) < statistics.pvariance(
+        [float(r.n) for r in rows]
+    )
+
+
+def test_markov_is_a_transition_matrix(spark, qs):
+    """Per-src probabilities sum to 1, counts conserve the total number of
+    transitions, and lift recomputes from the count marginals."""
+    from collections import Counter
+
+    rows = qs["q_evt_markov"](spark, SF01).collect()
+    total = sum(r.n for r in rows)
+    src_tot = Counter()
+    dst_tot = Counter()
+    for r in rows:
+        src_tot[r.src] += r.n
+        dst_tot[r.dst] += r.n
+    by_src = Counter()
+    for r in rows:
+        by_src[r.src] += r.prob
+        assert abs(r.prob - round(r.n / src_tot[r.src], 4)) < 1e-9
+        assert (
+            abs(r.lift - round(r.n * total / (src_tot[r.src] * dst_tot[r.dst]), 4))
+            < 1e-9
+        )
+    for s, p in by_src.items():
+        assert abs(p - 1.0) < 5e-4  # 4dp rounding per term
+    # transitions = events - one per user timeline
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    ev = t(spark, SF01, "events").select("user_id").collect()
+    n_users = len({r.user_id for r in ev})
+    assert total == len(ev) - n_users
+
+
+def test_skew_audit_matches_python_recompute(spark, qs):
+    from collections import Counter
+
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    ev = t(spark, SF01, "events").select("user_id").collect()
+    counts = Counter(r.user_id for r in ev)
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    rows = qs["q_meta_skew_audit"](spark, SF01).collect()
+    assert [(r.user_id, r.n) for r in rows] == top
+    mean = len(ev) / len(counts)
+    for r in rows:
+        assert r.n_keys == len(counts)
+        assert abs(r.share - round(r.n / len(ev), 4)) < 1e-9
+        assert abs(r.skew_factor - round(r.n / mean, 4)) < 1e-9
+
+
+def test_fixed_width_pins_full_parallelism(spark):
+    """fixed_width() must produce exactly the session shuffle-partition
+    count (pinned against AQE coalescing) and preserve content."""
+    from iceberg_rest_catalog_spark.operators.common import fixed_width
+
+    want = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    out = fixed_width(df, "k")
+    assert out.rdd.getNumPartitions() == want
+    assert out.count() == 1000
+    assert {r.k for r in out.collect()} == set(range(1000))

@@ -548,3 +548,100 @@ def test_embed_coverage_matches_python_recompute(spark, qs):
     for src, (n, w, m, o) in got.items():
         assert n == w + m
         assert (o > 0) <= (src == "<no-doc>")
+
+
+def _numpy_ivf_knn(spark, k):
+    """Pure-numpy recompute of the IVF kNN edges (assignment, probing,
+    per-query top-k) using the same rounded-cosine + id-tiebreak ranking
+    as the Spark/DuckDB implementations.  Returns {q: [nn, ...]}."""
+    import numpy as np
+
+    from iceberg_rest_catalog_spark.llm.similarity import N_CELLS, N_PROBE
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    rows = (
+        t(spark, SF, "embeddings")
+        .filter("embedding IS NOT NULL")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cos = np.round(Xn @ Xn.T, 4)  # [i, j] rounded cosine
+
+    cent_idx = {int(v): i for i, v in enumerate(ids) if v < N_CELLS}
+    cells = sorted(cent_idx)  # cell ids
+    cmat = cos[:, [cent_idx[c] for c in cells]]  # similarity to each centroid
+
+    def ranked_cells(i):
+        return sorted(range(len(cells)), key=lambda j: (-cmat[i, j], cells[j]))
+
+    assign = {int(ids[i]): cells[ranked_cells(i)[0]] for i in range(len(ids))}
+    probe = {
+        int(ids[i]): {cells[j] for j in ranked_cells(i)[:N_PROBE]}
+        for i in range(len(ids))
+    }
+    idx_of = {int(v): i for i, v in enumerate(ids)}
+    knn = {}
+    for q in ids:
+        q = int(q)
+        cand = [
+            int(v)
+            for v in ids
+            if int(v) != q and assign[int(v)] in probe[q]
+        ]
+        cand.sort(key=lambda v: (-cos[idx_of[q], idx_of[v]], v))
+        knn[q] = cand[:k]
+    return idx_of, cos, knn
+
+
+def test_recall_eval_matches_numpy_recompute(spark, qs):
+    """Per-query recall equals |numpy-IVF-topk ∩ numpy-exact-topk| / k,
+    and the audit is non-degenerate (mean recall in (0, 1])."""
+    from iceberg_rest_catalog_spark.llm.similarity import KNN_K, KNN_QSTEP
+
+    idx_of, cos, ivf = _numpy_ivf_knn(spark, KNN_K)
+    rows = qs["q_sim_recall_eval"](spark, SF).collect()
+    assert rows and all(r.q_vec_id % KNN_QSTEP == 0 for r in rows)
+    for r in rows:
+        q = r.q_vec_id
+        exact = sorted(
+            (v for v in idx_of if v != q),
+            key=lambda v: (-cos[idx_of[q], idx_of[v]], v),
+        )[:KNN_K]
+        hits = len(set(exact) & set(ivf[q]))
+        assert (r.n_hits, r.recall) == (hits, round(hits / KNN_K, 4)), q
+    mean = sum(r.recall for r in rows) / len(rows)
+    assert 0 < mean <= 1
+
+
+def test_knn_bfs_matches_numpy_recompute(spark, qs):
+    """Hop distances equal a python BFS over the numpy-recomputed
+    symmetrized kNN graph, truncated at BFS_ITERS hops; the seed is at
+    distance 0 and every reported node is reachable."""
+    from collections import deque
+
+    from iceberg_rest_catalog_spark.operators.graph import BFS_ITERS, BFS_K, BFS_SRC
+
+    _, _, knn = _numpy_ivf_knn(spark, BFS_K)
+    adj = {v: set() for v in knn}
+    for u, vs in knn.items():
+        for v in vs:
+            adj[u].add(v)
+            adj[v].add(u)
+    dist = {BFS_SRC: 0}
+    dq = deque([BFS_SRC])
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= BFS_ITERS:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    rows = qs["q_graph_knn_bfs"](spark, SF).collect()
+    got = {r.vec_id: r.dist for r in rows}
+    assert got == dist
+    assert got[BFS_SRC] == 0
+    assert max(got.values()) <= BFS_ITERS

@@ -136,7 +136,16 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 "q_curriculum_order",
                 # 1-row min/max broadcast into the bucketing pass
                 # (scalar-distribution shape, like q_tpch_q22)
-                "q_agg_histogram", "q_sample_balanced", "q_evt_rfm"}
+                "q_agg_histogram", "q_sample_balanced", "q_evt_rfm",
+                # 1-row total / stats-aggregate broadcasts (scalar-
+                # distribution shape, like q_tpch_q22): DQ report joins two
+                # 1-row count frames per FK rule; markov/skew distribute a
+                # 1-row grand-total into a bounded report frame
+                "q_dq_rules", "q_evt_markov", "q_meta_skew_audit",
+                # broadcast probe BATCH scored against one corpus scan —
+                # the exact-baseline side of the recall audit (the
+                # q_embed_matryoshka shape; the IVF side is equi-join)
+                "q_sim_recall_eval"}
 ROW_PYTHON_OK = {"q_udf_python", "q_udtf"}  # ops whose SUBJECT is Python eval
 
 
