@@ -21,6 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from iceberg_rest_catalog_spark import registry
+from iceberg_rest_catalog_spark.operators.common import release_persistent_state
 from iceberg_rest_catalog_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -102,7 +103,16 @@ def _sf_from_dir(d: str) -> float:
 def run_one(spark, fn) -> float:
     t0 = time.perf_counter()
     fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    elapsed = time.perf_counter() - t0
+    # Release localCheckpoint RDDs and cached plans the query left behind
+    # (outside the timed window — this is harness hygiene, each query is
+    # measured standalone).  Without it the suite accumulates hundreds of
+    # leaked checkpoint RDDs across 49 queries x 4 passes, and the eviction
+    # pressure made q_graph_triangles read 16.5 s in-suite vs 6.5 s
+    # standalone — the bench was measuring the leak, not the plans.  See
+    # operators/common.py release_persistent_state.
+    release_persistent_state(spark)
+    return elapsed
 
 
 N_PASSES = 3

@@ -55,6 +55,32 @@ def widen(df: DataFrame, key: str) -> DataFrame:
     return df
 
 
+def release_persistent_state(spark: SparkSession) -> int:
+    """Unpersist every cached plan and persistent RDD in the session;
+    returns how many RDDs were released.
+
+    Iterative operators (pagerank, connected components, k-means, BFS,
+    LSH signature reuse) truncate lineage with ``localCheckpoint()``,
+    whose backing RDDs are NOT tracked by the SQL cache manager and stay
+    resident until the Python DataFrame is garbage-collected AND the
+    ContextCleaner gets around to them.  In a long-lived session running
+    many queries back-to-back this accumulates silently — round-8
+    profiling measured 21 leaked persistent RDDs after six graph/dedup
+    queries, and the eviction pressure they exert made later
+    storage-heavy queries (q_graph_triangles) run 2.5x slower inside the
+    bench suite than standalone.  Callers that run MANY INDEPENDENT
+    queries on one session (the bench harness, a query service draining
+    a queue) should call this between queries; within one query the
+    operators' own unpersist discipline bounds the working set."""
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for jrdd in list(jmap.values()):
+        jrdd.unpersist()
+        n += 1
+    return n
+
+
 def fixed_width(df: DataFrame, *keys: str) -> DataFrame:
     """Hash-repartition on ``keys`` at the session's FULL shuffle
     parallelism, pinned against AQE coalescing.
