@@ -475,3 +475,98 @@ def q_sample_fixed_k(spark, sf_dir):
         )
         .filter(F.col("samp_rank") <= 50)
     )
+
+
+@query(
+    "q_split_assign",
+    oracle="""
+    WITH cl AS (
+      SELECT doc_id, md5(substr(lower(coalesce(text, '')), 1, 64)) AS h
+      FROM documents
+    ), rep AS (
+      SELECT h, min(doc_id) AS rep FROM cl GROUP BY h
+    ), asg AS (
+      SELECT cl.doc_id, cl.h,
+             CASE WHEN CAST('0x' || substr(md5(CAST(rep.rep AS VARCHAR)), 1, 4)
+                        AS INTEGER) < 52429 THEN 'train'
+                  WHEN CAST('0x' || substr(md5(CAST(rep.rep AS VARCHAR)), 1, 4)
+                        AS INTEGER) < 58982 THEN 'val'
+                  ELSE 'test' END AS split,
+             CASE WHEN CAST('0x' || substr(md5(CAST(cl.doc_id AS VARCHAR)), 1, 4)
+                        AS INTEGER) < 52429 THEN 'train'
+                  WHEN CAST('0x' || substr(md5(CAST(cl.doc_id AS VARCHAR)), 1, 4)
+                        AS INTEGER) < 58982 THEN 'val'
+                  ELSE 'test' END AS naive_split
+      FROM cl JOIN rep USING (h)
+    ), leaky AS (
+      SELECT h, count(DISTINCT naive_split) AS ns FROM asg GROUP BY h
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(count(DISTINCT asg.h) AS BIGINT) AS clusters,
+           round(count(*) * 1.0 / (SELECT count(*) FROM documents), 4)
+             AS doc_share,
+           CAST(count(DISTINCT CASE WHEN leaky.ns > 1 THEN asg.h END)
+                AS BIGINT) AS naive_leaky_clusters
+    FROM asg JOIN leaky USING (h)
+    GROUP BY split ORDER BY split
+    """,
+)
+def q_split_assign(spark, sf_dir):
+    """Leakage-safe train/val/test assignment (80/10/10 by md5 threshold):
+    duplicate clusters — keyed here on the boilerplate-prefix family
+    (first 64 lowercased chars, the q_dedup_prefix key; swap in any
+    dedup family's cluster id) — are assigned AS A UNIT by hashing the
+    cluster representative (min doc_id), so two near-copies of one
+    template can never straddle train and test.  The report counts, per
+    split, docs / clusters / doc share, plus how many clusters a NAIVE
+    per-doc hash split would have leaked across splits — the number that
+    justifies cluster-aware splitting (0 for the safe split by
+    construction, >0 for naive whenever any cluster has >1 member).
+
+    Scale shape: one text-hash shuffle elects representatives (the
+    q_dedup_exact plan), the split decision is a map-side md5 threshold
+    (the q_sample_hash family — stable under corpus growth), and the
+    report collapses to 3 rows.  The leakage flag is a second aggregate
+    over the same hash key, so the whole plan rides one shuffle family."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.substring(F.lower(F.coalesce("text", F.lit(""))), 1, 64)).alias(
+            "h"
+        ),
+    )
+
+    def bucket(col):
+        return F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast(
+            "int"
+        )
+
+    def split_of(col):
+        b = bucket(col)
+        return (
+            F.when(b < 52429, "train").when(b < 58982, "val").otherwise("test")
+        )
+
+    wh = Window.partitionBy("h")
+    asg = d.select(
+        "doc_id",
+        "h",
+        split_of(F.min("doc_id").over(wh)).alias("split"),
+        split_of(F.col("doc_id")).alias("naive_split"),
+    ).withColumn(
+        "ns", F.size(F.collect_set("naive_split").over(wh))
+    )
+    total = d.select(F.count("*").alias("total"))
+    return (
+        asg.join(F.broadcast(total))
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("docs"),
+            F.count_distinct("h").cast("bigint").alias("clusters"),
+            F.round(F.count("*") * 1.0 / F.first("total"), 4).alias("doc_share"),
+            F.count_distinct(F.when(F.col("ns") > 1, F.col("h")))
+            .cast("bigint")
+            .alias("naive_leaky_clusters"),
+        )
+        .orderBy("split")
+    )

@@ -375,3 +375,156 @@ def q_embed_coverage(spark, sf_dir):
             F.count(F.when(F.col("doc_id").isNull(), 1)).alias("n_orphan_vec"),
         )
     )
+
+
+@query(
+    "q_embed_norm_outliers",
+    oracle="""
+    WITH nrm AS (
+      SELECT vec_id, label,
+             round(sqrt(list_sum(list_transform(embedding,
+                                                x -> CAST(x AS DOUBLE) * x))),
+                   4) AS nrm
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), st AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n,
+             round(avg(nrm), 4) AS mean_norm,
+             round(stddev_samp(nrm), 4) AS std_norm,
+             round(min(nrm), 4) AS min_norm,
+             round(max(nrm), 4) AS max_norm
+      FROM nrm GROUP BY label
+    )
+    SELECT st.label, st.n, st.mean_norm, st.std_norm, st.min_norm, st.max_norm,
+           CAST(count(*) FILTER (abs(nrm.nrm - st.mean_norm)
+                                 > 2 * st.std_norm) AS BIGINT) AS n_outliers
+    FROM nrm JOIN st USING (label)
+    GROUP BY st.label, st.n, st.mean_norm, st.std_norm, st.min_norm, st.max_norm
+    ORDER BY st.label
+    """,
+)
+def q_embed_norm_outliers(spark, sf_dir):
+    """Vector-norm QA per label: count, mean/std/min/max of the L2 norm,
+    and |z| > 2 outlier counts — the embedding-health screen that catches
+    unnormalized batches, near-zero (dead-encoder) vectors, and exploding
+    outputs before an index or clustering run inherits them (the per-ROW
+    complement of q_embed_dim_stats' per-DIMENSION profile).
+
+    Scale shape: the norm is a map-only array fold (sequential over the
+    array on both engines, so bit-identical), per-label stats collapse to
+    |labels| rows, and the outlier pass re-joins those stats by BROADCAST
+    — two scans, zero corpus shuffles beyond the |labels|-row aggregates.
+    The z comparison runs on 4-dp-ROUNDED norms and stats on both engines
+    (the q_sim_mmr argmax discipline), so ulp-level aggregate drift
+    cannot flip a boundary row."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    xs = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    nrm = e.select(
+        "vec_id",
+        "label",
+        F.round(
+            F.sqrt(F.aggregate(xs, F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("nrm"),
+    )
+    st = nrm.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("nrm"), 4).alias("mean_norm"),
+        F.round(F.stddev_samp("nrm"), 4).alias("std_norm"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+    )
+    return (
+        nrm.join(F.broadcast(st), "label")
+        .groupBy("label", "n", "mean_norm", "std_norm", "min_norm", "max_norm")
+        .agg(
+            F.count(
+                F.when(
+                    F.abs(F.col("nrm") - F.col("mean_norm"))
+                    > 2 * F.col("std_norm"),
+                    1,
+                )
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "q_embed_centroid_shift",
+    oracle="""
+    WITH u AS (
+      SELECT vec_id % 2 AS half, label,
+             CAST(d.i - 1 AS INT) AS dim, CAST(d.x AS DOUBLE) AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS i) AS d
+      WHERE embedding IS NOT NULL
+    ), m AS (
+      SELECT label, dim,
+             round(avg(x) FILTER (half = 0), 4) AS a,
+             round(avg(x) FILTER (half = 1), 4) AS b
+      FROM u GROUP BY label, dim
+    ), agg AS (
+      SELECT label, sum(a * b) AS ab, sum(a * a) AS aa, sum(b * b) AS bb
+      FROM m GROUP BY label
+    ), cnt AS (
+      SELECT label,
+             CAST(count(*) FILTER (vec_id % 2 = 0) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (vec_id % 2 = 1) AS BIGINT) AS n_b
+      FROM embeddings WHERE embedding IS NOT NULL GROUP BY label
+    )
+    SELECT agg.label, cnt.n_a, cnt.n_b,
+           round(ab / (sqrt(aa) * sqrt(bb)), 4) AS cos_shift
+    FROM agg JOIN cnt USING (label) ORDER BY agg.label
+    """,
+)
+def q_embed_centroid_shift(spark, sf_dir):
+    """Embedding-drift monitor: split the corpus into two halves (vec_id
+    parity — deterministic stand-in for snapshot A/B), compute each
+    label's mean vector per half, and report the cosine between the two
+    half-centroids — cos ~ 1.0 means the encoder/source is stable for
+    that label, a drop marks the label whose distribution moved (the
+    alarm run between crawl snapshots or encoder versions before anyone
+    re-clusters 100 TB on shifted vectors).
+
+    Scale shape: posexplode is map-only and feeds straight into a partial
+    aggregate (the q_embed_dim_stats plan); the per-(label, dim) mean
+    frame is |labels| x 64 rows, the cosine collapses it to |labels|
+    rows, and the half counts ride a second tiny aggregate joined at
+    |labels| rows.  Per-dim means are 4-dp-rounded on both engines
+    BEFORE the dot product, so the cosine is computed from identical
+    inputs."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    u = e.select(
+        (F.col("vec_id") % 2).alias("half"),
+        "label",
+        F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")).alias(
+            "dim", "x"
+        ),
+    )
+    m = u.groupBy("label", "dim").agg(
+        F.round(F.avg(F.when(F.col("half") == 0, F.col("x"))), 4).alias("a"),
+        F.round(F.avg(F.when(F.col("half") == 1, F.col("x"))), 4).alias("b"),
+    )
+    agg = m.groupBy("label").agg(
+        F.sum(F.col("a") * F.col("b")).alias("ab"),
+        F.sum(F.col("a") * F.col("a")).alias("aa"),
+        F.sum(F.col("b") * F.col("b")).alias("bb"),
+    )
+    cnt = e.groupBy("label").agg(
+        F.count(F.when(F.col("vec_id") % 2 == 0, 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(F.col("vec_id") % 2 == 1, 1)).cast("bigint").alias("n_b"),
+    )
+    return (
+        agg.join(cnt, "label")
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            F.round(F.col("ab") / (F.sqrt("aa") * F.sqrt("bb")), 4).alias(
+                "cos_shift"
+            ),
+        )
+        .orderBy("label")
+    )

@@ -653,3 +653,86 @@ def q_text_zipf(spark, sf_dir):
     return totals.crossJoin(first).crossJoin(slope).select(
         "n_distinct_tokens", "total_tokens", "top_token", "top_n", "zipf_slope"
     )
+
+
+@query(
+    "q_text_vocab_growth",
+    oracle="""
+    WITH mx AS (
+      SELECT max(doc_id) + 1 AS n_docs FROM documents
+    ), tok AS (
+      SELECT CAST(least(9, floor(doc_id * 10 / (SELECT n_docs FROM mx))) AS INT)
+               AS decile,
+             unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), vol AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS tokens
+      FROM tok GROUP BY decile
+    ), firsts AS (
+      SELECT token, min(decile) AS fb FROM tok GROUP BY token
+    ), novel AS (
+      SELECT fb AS decile, CAST(count(*) AS BIGINT) AS new_types
+      FROM firsts GROUP BY fb
+    )
+    SELECT vol.decile, vol.tokens,
+           CAST(sum(vol.tokens) OVER (ORDER BY vol.decile) AS BIGINT)
+             AS tokens_cum,
+           CAST(coalesce(novel.new_types, 0) AS BIGINT) AS new_types,
+           CAST(sum(coalesce(novel.new_types, 0)) OVER (ORDER BY vol.decile)
+                AS BIGINT) AS vocab_cum,
+           round(sum(coalesce(novel.new_types, 0)) OVER (ORDER BY vol.decile)
+                 * 1.0 / sum(vol.tokens) OVER (ORDER BY vol.decile), 4)
+             AS ttr_cum
+    FROM vol LEFT JOIN novel USING (decile)
+    ORDER BY vol.decile
+    """,
+)
+def q_text_vocab_growth(spark, sf_dir):
+    """Vocabulary-saturation curve (Heaps'-law audit): the corpus is cut
+    into 10 doc_id-ordered deciles and each reports its token volume,
+    NEW types (tokens first seen in that decile), and the cumulative
+    vocabulary + type-token ratio — a vocabulary that keeps growing
+    linearly means the crawl is still finding new content; a flat tail
+    means more data adds volume but no diversity (the decision input for
+    "is another snapshot worth ingesting?", and the growth-side
+    complement of q_text_zipf's frequency-shape alarm).
+
+    Scale shape: the decile label is a map-side expression against one
+    broadcast scalar (max doc_id — NOT ntile, which would funnel the
+    corpus through one window partition); token first-appearance is one
+    map-combined min() per token (the same shuffle q_text_tokens' count
+    uses); everything after collapses to 10 rows and the cumulative
+    windows run on that frame."""
+    d = t(spark, sf_dir, "documents")
+    mx = d.select((F.max("doc_id") + 1).alias("n_docs"))
+    tok = d.join(F.broadcast(mx)).select(
+        F.least(F.lit(9), F.floor(F.col("doc_id") * 10 / F.col("n_docs")))
+        .cast("int")
+        .alias("decile"),
+        F.explode(F.split(F.lower("text"), " ")).alias("token"),
+    )
+    vol = tok.groupBy("decile").agg(F.count("*").cast("bigint").alias("tokens"))
+    novel = (
+        tok.groupBy("token")
+        .agg(F.min("decile").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").cast("bigint").alias("new_types"))
+    )
+    from pyspark.sql import Window
+
+    wc = Window.orderBy("decile")
+    nt = F.coalesce(F.col("new_types"), F.lit(0))
+    return (
+        vol.join(novel, "decile", "left")
+        .select(
+            "decile",
+            "tokens",
+            F.sum("tokens").over(wc).cast("bigint").alias("tokens_cum"),
+            nt.cast("bigint").alias("new_types"),
+            F.sum(nt).over(wc).cast("bigint").alias("vocab_cum"),
+            F.round(
+                F.sum(nt).over(wc) * 1.0 / F.sum("tokens").over(wc), 4
+            ).alias("ttr_cum"),
+        )
+        .orderBy("decile")
+    )

@@ -1172,3 +1172,171 @@ def q_evt_markov(spark, sf_dir):
         )
         .orderBy("src", "dst")
     )
+
+
+@query(
+    "q_evt_lifecycle",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events WHERE event_type = 'purchase'
+    ), cls AS (
+      SELECT user_id, wk,
+             lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+             row_number() OVER (PARTITION BY user_id ORDER BY wk) AS rn
+      FROM uw
+    ), wkly AS (
+      SELECT wk,
+             CAST(count(*) AS BIGINT) AS active,
+             CAST(count(*) FILTER (rn = 1) AS BIGINT) AS new_users,
+             CAST(count(*) FILTER (rn > 1 AND datediff('day', prev_wk, wk) = 7)
+                  AS BIGINT) AS retained,
+             CAST(count(*) FILTER (rn > 1 AND datediff('day', prev_wk, wk) > 7)
+                  AS BIGINT) AS resurrected
+      FROM cls GROUP BY wk
+    )
+    SELECT strftime(wk, '%Y-%m-%d') AS week, active, new_users, retained,
+           resurrected,
+           CAST(coalesce(lag(active) OVER (ORDER BY wk), 0) - retained
+                AS BIGINT) AS churned_from_prev
+    FROM wkly ORDER BY week
+    """,
+)
+def q_evt_lifecycle(spark, sf_dir):
+    """Weekly growth accounting over PURCHASE activity: every buyer
+    classified as NEW (first-ever purchase week), RETAINED (also bought
+    the immediately preceding week), or RESURRECTED (buying again after a
+    lapsed week), plus churn pressure
+    (previous observed week's actives who did not retain) — the
+    new/retained/resurrected/churned ledger every growth team runs, and
+    the decomposition a bare DAU/WAU curve can't show (flat WAU can hide
+    high churn masked by acquisition).
+
+    Scale shape: the corpus collapses to DISTINCT (user, week) in one
+    map-side-combined pass, the lifecycle classification is one
+    user_id-partitioned window over that |users x weeks| frame, and the
+    weekly ledger is <=|weeks| rows; the final churn lag is a window over
+    that tiny frame (the |days|-frame convention of q_ts_ewma).  Weeks
+    are ISO Monday-start on both engines (date_trunc('week')); the churn
+    row for the first observed week is 0 by the coalesce convention."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("week", "ts").cast("date").alias("wk"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("wk")
+    cls = ev.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.row_number().over(w).alias("rn"),
+    )
+    gap = F.datediff("wk", "prev_wk")
+    wkly = cls.groupBy("wk").agg(
+        F.count("*").cast("bigint").alias("active"),
+        F.count(F.when(F.col("rn") == 1, 1)).cast("bigint").alias("new_users"),
+        F.count(F.when((F.col("rn") > 1) & (gap == 7), 1))
+        .cast("bigint")
+        .alias("retained"),
+        F.count(F.when((F.col("rn") > 1) & (gap > 7), 1))
+        .cast("bigint")
+        .alias("resurrected"),
+    )
+    ww = Window.orderBy("wk")
+    return (
+        wkly.select(
+            F.date_format("wk", "yyyy-MM-dd").alias("week"),
+            "active",
+            "new_users",
+            "retained",
+            "resurrected",
+            (F.coalesce(F.lag("active").over(ww), F.lit(0)) - F.col("retained"))
+            .cast("bigint")
+            .alias("churned_from_prev"),
+        )
+        .orderBy("week")
+    )
+
+
+@query(
+    "q_evt_cohort_ltv",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, value,
+             CAST(date_trunc('week', ts) AS DATE) AS wk,
+             CAST(min(date_trunc('week', ts)) OVER (PARTITION BY user_id)
+                  AS DATE) AS cohort
+      FROM events
+    ), cell AS (
+      SELECT cohort,
+             CAST(datediff('day', cohort, wk) / 7 AS INT) AS week_offset,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+             round(sum(value), 4) AS revenue
+      FROM ev GROUP BY cohort, week_offset
+    ), sized AS (
+      SELECT *,
+             first(users) OVER (PARTITION BY cohort ORDER BY week_offset)
+               AS cohort_size,
+             round(sum(revenue) OVER (PARTITION BY cohort
+                                      ORDER BY week_offset), 4) AS cum_revenue
+      FROM cell
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, week_offset, users,
+           revenue, cum_revenue,
+           round(cum_revenue / cohort_size, 4) AS ltv_per_user
+    FROM sized ORDER BY cohort_week, week_offset
+    """,
+)
+def q_evt_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value matrix: users grouped by first-activity week,
+    one row per (cohort week, week offset) with active users, period
+    revenue, cumulative revenue, and cumulative LTV per cohort member —
+    the payback-curve view that prices acquisition (q_evt_retention counts
+    WHO comes back; this prices WHAT they bring when they do).
+
+    Scale shape: the cohort label is a min() window over the single
+    user_id shuffle (no self-join back to the corpus), the matrix
+    aggregate collapses to |cohorts| x |offsets| rows, and the cumulative
+    windows run over that tiny frame.  The LTV denominator is the
+    offset-0 user count (every cohort has offset 0 by construction —
+    the cohort week itself is active).  Revenue is rounded to 4 dp per
+    cell BEFORE the cumulative sum, so the running total adds identical
+    4-dp values in identical offset order on both engines."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "value", F.date_trunc("week", "ts").cast("date").alias("wk")
+    )
+    wu = Window.partitionBy("user_id")
+    ev = ev.withColumn("cohort", F.min("wk").over(wu))
+    cell = (
+        ev.select(
+            "cohort",
+            (F.datediff("wk", "cohort") / 7).cast("int").alias("week_offset"),
+            "user_id",
+            "value",
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(
+            F.count_distinct("user_id").cast("bigint").alias("users"),
+            F.round(F.sum("value"), 4).alias("revenue"),
+        )
+    )
+    wc = Window.partitionBy("cohort").orderBy("week_offset")
+    sized = cell.select(
+        "*",
+        F.first("users").over(wc).alias("cohort_size"),
+        F.round(F.sum("revenue").over(wc), 4).alias("cum_revenue"),
+    )
+    return (
+        sized.select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "users",
+            "revenue",
+            "cum_revenue",
+            F.round(F.col("cum_revenue") / F.col("cohort_size"), 4).alias(
+                "ltv_per_user"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -1051,3 +1051,151 @@ def test_fixed_width_pins_full_parallelism(spark):
     assert out.rdd.getNumPartitions() == want
     assert out.count() == 1000
     assert {r.k for r in out.collect()} == set(range(1000))
+
+
+def test_lifecycle_ledger_balances(spark, qs):
+    """active = new + retained + resurrected each week, churn is the
+    previous observed week's actives who didn't retain, and the whole
+    ledger recomputes from per-user purchase-week sets."""
+    from collections import defaultdict
+
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    ev = (
+        t(spark, SF01, "events")
+        .filter("event_type = 'purchase'")
+        .selectExpr("user_id", "CAST(date_trunc('week', ts) AS DATE) AS wk")
+        .distinct()
+        .collect()
+    )
+    weeks_of = defaultdict(set)
+    for r in ev:
+        weeks_of[r.user_id].add(r.wk)
+    ledger = defaultdict(lambda: [0, 0, 0, 0])  # active,new,ret,res
+    for u, wks in weeks_of.items():
+        first = min(wks)
+        for w in wks:
+            row = ledger[w]
+            row[0] += 1
+            if w == first:
+                row[1] += 1
+            elif (w - first).days >= 7 and any(
+                (w - p).days == 7 for p in wks
+            ):
+                row[2] += 1
+            else:
+                row[3] += 1
+    rows = qs["q_evt_lifecycle"](spark, SF01).collect()
+    assert [r.week for r in rows] == sorted(r.week for r in rows)
+    prev_active = None
+    for r in rows:
+        import datetime
+
+        w = datetime.date.fromisoformat(r.week)
+        exp = ledger[w]
+        assert (r.active, r.new_users, r.retained, r.resurrected) == tuple(exp)
+        assert r.active == r.new_users + r.retained + r.resurrected
+        assert r.churned_from_prev == (prev_active or 0) - r.retained
+        prev_active = r.active
+    # purchase scoping keeps every column discriminating on the fixture
+    assert sum(r.resurrected for r in rows) > 0
+    assert sum(r.churned_from_prev for r in rows) > 0
+
+
+def test_cohort_ltv_conserves_revenue_and_accumulates(spark, qs):
+    """Cells conserve total event value, cumulative revenue is the running
+    sum of 4dp-rounded cells, LTV = cum / offset-0 users, and every
+    cohort starts at offset 0."""
+    from collections import defaultdict
+
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    rows = qs["q_evt_cohort_ltv"](spark, SF01).collect()
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r.cohort_week].append(r)
+    total_value = (
+        t(spark, SF01, "events").selectExpr("sum(value) v").collect()[0].v
+    )
+    assert abs(sum(r.revenue for r in rows) - total_value) < 0.01 * len(rows)
+    for c, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.week_offset)
+        assert rs[0].week_offset == 0
+        size = rs[0].users
+        run = 0.0
+        for r in rs:
+            run = round(run + r.revenue, 4)
+            assert abs(r.cum_revenue - run) < 1e-9
+            assert abs(r.ltv_per_user - round(run / size, 4)) < 1e-9
+            assert r.users <= size or r.week_offset == 0
+
+
+def test_split_assign_is_leakproof_and_total(spark, qs):
+    """Shares sum to 1, docs sum to the corpus, clusters are assigned as
+    units (recomputed via hashlib), and the naive-leak count matches a
+    python recompute — nonzero on the fixture (it has exact dups)."""
+    import hashlib
+    from collections import defaultdict
+
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    docs = t(spark, SF01, "documents").select("doc_id", "text").collect()
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def split_of(key):
+        b = int(md5(str(key))[:4], 16)
+        return "train" if b < 52429 else ("val" if b < 58982 else "test")
+
+    members = defaultdict(list)
+    for r in docs:
+        members[md5((r.text or "").lower()[:64])].append(r.doc_id)
+    exp = defaultdict(lambda: [0, 0, 0])  # docs, clusters, leaky
+    for h, ids in members.items():
+        sp = split_of(min(ids))
+        exp[sp][0] += len(ids)
+        exp[sp][1] += 1
+        if len({split_of(i) for i in ids}) > 1:
+            exp[sp][2] += 1
+    rows = qs["q_split_assign"](spark, SF01).collect()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    assert sum(r.docs for r in rows) == len(docs)
+    assert abs(sum(r.doc_share for r in rows) - 1.0) < 5e-4
+    for r in rows:
+        e = exp[r.split]
+        assert (r.docs, r.clusters, r.naive_leaky_clusters) == tuple(e), r.split
+    # the fixture has multi-member exact-dup clusters, so the unit
+    # assignment is actually exercised (leak count may still be 0 when
+    # every small cluster happens to agree under the naive hash)
+    assert sum(r.docs for r in rows) > sum(r.clusters for r in rows)
+
+
+def test_vocab_growth_monotone_and_conserves(spark, qs):
+    """Cumulative columns are running sums, the final row conserves the
+    corpus token volume and distinct-type count, and new_types is the
+    count of tokens whose FIRST decile is that row's."""
+    from collections import Counter
+
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    docs = t(spark, SF01, "documents").select("doc_id", "text").collect()
+    n_docs = max(r.doc_id for r in docs) + 1
+    first_dec = {}
+    vol = Counter()
+    for r in sorted(docs, key=lambda r: r.doc_id):
+        dec = min(9, r.doc_id * 10 // n_docs)
+        for tk in (r.text or "").lower().split(" "):
+            vol[dec] += 1
+            first_dec.setdefault(tk, dec)
+    rows = qs["q_text_vocab_growth"](spark, SF01).collect()
+    assert [r.decile for r in rows] == list(range(10))
+    tcum = vcum = 0
+    for r in rows:
+        assert r.tokens == vol[r.decile]
+        assert r.new_types == sum(1 for d in first_dec.values() if d == r.decile)
+        tcum += r.tokens
+        vcum += r.new_types
+        assert (r.tokens_cum, r.vocab_cum) == (tcum, vcum)
+        assert abs(r.ttr_cum - round(vcum / tcum, 4)) < 1e-9
+    assert tcum == sum(vol.values()) and vcum == len(first_dec)

@@ -645,3 +645,65 @@ def test_knn_bfs_matches_numpy_recompute(spark, qs):
     assert got == dist
     assert got[BFS_SRC] == 0
     assert max(got.values()) <= BFS_ITERS
+
+
+def test_norm_outliers_matches_numpy(spark, qs):
+    """Per-label stats and |z|>2 counts recompute from numpy on the raw
+    vectors under the 4dp-rounding discipline."""
+    import numpy as np
+
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    vecs = (
+        t(spark, SF, "embeddings")
+        .filter("embedding IS NOT NULL")
+        .select("label", "embedding")
+        .collect()
+    )
+    by_label = {}
+    for r in vecs:
+        nrm = round(
+            float(np.sqrt(np.sum(np.array(r.embedding, dtype=np.float64) ** 2))), 4
+        )
+        by_label.setdefault(r.label, []).append(nrm)
+    rows = qs["q_embed_norm_outliers"](spark, SF).collect()
+    assert {r.label for r in rows} == set(by_label)
+    for r in rows:
+        ns = np.array(by_label[r.label])
+        mean, std = round(float(ns.mean()), 4), round(float(ns.std(ddof=1)), 4)
+        assert (r.n, r.mean_norm, r.std_norm) == (len(ns), mean, std)
+        assert (r.min_norm, r.max_norm) == (round(float(ns.min()), 4),
+                                            round(float(ns.max()), 4))
+        assert r.n_outliers == int(np.sum(np.abs(ns - mean) > 2 * std))
+
+
+def test_centroid_shift_matches_numpy_and_is_stable(spark, qs):
+    """cos_shift recomputes from 4dp-rounded per-dim half means and both
+    halves are populated.  The fixture's labels are NOT directional
+    clusters (per-label means sit near the origin), so the cosine is
+    bounded but unconstrained in sign — the numpy recompute is the real
+    pin here."""
+    import numpy as np
+
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    vecs = (
+        t(spark, SF, "embeddings")
+        .filter("embedding IS NOT NULL")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    halves = {}
+    for r in vecs:
+        halves.setdefault((r.label, r.vec_id % 2), []).append(
+            np.array(r.embedding, dtype=np.float64)
+        )
+    rows = qs["q_embed_centroid_shift"](spark, SF).collect()
+    for r in rows:
+        a = np.round(np.mean(halves[(r.label, 0)], axis=0), 4)
+        b = np.round(np.mean(halves[(r.label, 1)], axis=0), 4)
+        exp = round(float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b))), 4)
+        assert abs(r.cos_shift - exp) < 1e-9, r.label
+        assert (r.n_a, r.n_b) == (len(halves[(r.label, 0)]),
+                                  len(halves[(r.label, 1)]))
+        assert -1.0 <= r.cos_shift <= 1.0
