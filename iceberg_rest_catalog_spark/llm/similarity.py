@@ -374,6 +374,71 @@ SELECT q_vec_id, nn_vec_id, CAST(rank AS BIGINT) AS rank, cos FROM (
 """
 
 
+RECALL_TARGET_PROBES = 400  # probe-batch size the recall audit converges at
+
+
+def recall_qstep_for(n_vectors: int) -> int:
+    """Probe-batch knob for the ANN audits: a recall (or kNN-join eval)
+    estimate is a statistic of the probe SAMPLE, so its confidence
+    interval depends on the batch SIZE, not the batch FRACTION — a few
+    hundred probes give the same +-few-% recall CI at any corpus size.
+    The fixed ``vec_id % KNN_QSTEP`` stride makes the batch grow linearly
+    with the corpus and the exact brute-force baseline |batch| x corpus =
+    QUADRATICALLY (measured: 8.25x for the x10 step, SCALE.md round 8);
+    scaling the stride pins the batch at ~RECALL_TARGET_PROBES and
+    returns the audit to one linear corpus scan — the q_dedup_semantic
+    ``semantic_k_for`` discipline applied to the probe side."""
+    return max(KNN_QSTEP, -(-n_vectors // RECALL_TARGET_PROBES))
+
+
+def _knn_batch(spark, sf_dir, qstep: int):
+    """Core of q_sim_knn_batch with the probe stride as a parameter — the
+    registered query pins qstep=KNN_QSTEP (what the oracle computes); the
+    scale path passes recall_qstep_for(n)."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).select("vec_id", _dbl("embedding").alias("emb"))
+    cent = e.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("c")
+    )
+
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cell")
+    assigned = (
+        e.join(F.broadcast(cent))
+        .withColumn("cc", r4(_cos(F.col("emb"), F.col("c"))))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "cell")
+    )
+
+    q = e.filter(F.col("vec_id") % qstep == 0).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("emb").alias("qe")
+    )
+    pw = Window.partitionBy("q_vec_id").orderBy(F.desc("qc"), "cell")
+    probed = (
+        q.join(F.broadcast(cent))
+        .withColumn("qc", r4(_cos(F.col("qe"), F.col("c"))))
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("q_vec_id", "qe", "cell")
+    )
+
+    kw = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), "nn_vec_id")
+    return (
+        F.broadcast(probed)
+        .join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select(
+            "q_vec_id",
+            F.col("vec_id").alias("nn_vec_id"),
+            r4(_cos(F.col("emb"), F.col("qe"))).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(kw).cast("long"))
+        .filter(F.col("rank") <= KNN_K)
+        .select("q_vec_id", "nn_vec_id", "rank", "cos")
+    )
+
+
 @query("q_sim_knn_batch", oracle=_KNN_BATCH_ORACLE)
 def q_sim_knn_batch(spark, sf_dir):
     """Batched IVF k-NN JOIN: top-{KNN_K} nearest corpus neighbours for
@@ -400,48 +465,7 @@ def q_sim_knn_batch(spark, sf_dir):
     Scoring stays JVM-side (zip_with/aggregate); candidate volume here is
     |queries| x corpus/4, well under the pair-scorer threshold where the
     Arrow numpy path (_dot_pd) wins."""
-    from pyspark.sql import Window
-
-    e = _emb(spark, sf_dir).select("vec_id", _dbl("embedding").alias("emb"))
-    cent = e.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cell"), F.col("emb").alias("c")
-    )
-
-    aw = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cell")
-    assigned = (
-        e.join(F.broadcast(cent))
-        .withColumn("cc", r4(_cos(F.col("emb"), F.col("c"))))
-        .withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "emb", "cell")
-    )
-
-    q = e.filter(F.col("vec_id") % KNN_QSTEP == 0).select(
-        F.col("vec_id").alias("q_vec_id"), F.col("emb").alias("qe")
-    )
-    pw = Window.partitionBy("q_vec_id").orderBy(F.desc("qc"), "cell")
-    probed = (
-        q.join(F.broadcast(cent))
-        .withColumn("qc", r4(_cos(F.col("qe"), F.col("c"))))
-        .withColumn("rn", F.row_number().over(pw))
-        .filter(F.col("rn") <= N_PROBE)
-        .select("q_vec_id", "qe", "cell")
-    )
-
-    kw = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), "nn_vec_id")
-    return (
-        F.broadcast(probed)
-        .join(assigned, "cell")
-        .filter(F.col("vec_id") != F.col("q_vec_id"))
-        .select(
-            "q_vec_id",
-            F.col("vec_id").alias("nn_vec_id"),
-            r4(_cos(F.col("emb"), F.col("qe"))).alias("cos"),
-        )
-        .withColumn("rank", F.row_number().over(kw).cast("long"))
-        .filter(F.col("rank") <= KNN_K)
-        .select("q_vec_id", "nn_vec_id", "rank", "cos")
-    )
+    return _knn_batch(spark, sf_dir, KNN_QSTEP)
 
 
 K_CLUSTERS = 8
@@ -1008,31 +1032,18 @@ FROM q LEFT JOIN hits h USING (q_vec_id) ORDER BY q_vec_id
 """
 
 
-@query("q_sim_recall_eval", oracle=_RECALL_ORACLE)
-def q_sim_recall_eval(spark, sf_dir):
-    """Recall@k audit of the IVF ANN index: for every query in the
-    deterministic probe batch (vec_id % {QSTEP} == 0), intersect the
-    IVF top-{K} (q_sim_knn_batch, probed-cells-only) with the EXACT
-    top-{K} (brute force over the full corpus) and report hits/recall per
-    query.  This is the measurement every ANN deployment runs before
-    trusting an index — approximate results without a recall number are
-    not results — and the op whose output tunes N_PROBE/N_CELLS.
-
-    Scale shape: the exact baseline is deliberately brute-force — that is
-    what makes it ground truth — but it runs over the PROBE BATCH only
-    (a fixed sample, ~4% here; a few hundred queries in production), so
-    cost is |batch| x corpus map work with the batch BROADCAST against
-    one corpus scan (the q_embed_matryoshka recall-audit shape, never a
-    corpus x corpus product).  The IVF side inherits q_sim_knn_batch's
-    equi-join-on-cell plan.  Both sides rank on the 4dp-ROUNDED cosine
-    with vec_id tiebreak, so hit membership is bit-stable across engines.
-    """
+def _recall_eval(spark, sf_dir, qstep: int):
+    """Core of q_sim_recall_eval with the probe stride as a parameter —
+    the registered query pins qstep=KNN_QSTEP (what the oracle computes);
+    the scale path passes recall_qstep_for(n) so the probe batch (and
+    with it the |batch| x corpus exact baseline) stays FIXED-SIZE as the
+    corpus grows."""
     from pyspark.sql import Window
 
-    ivf = q_sim_knn_batch(spark, sf_dir).select("q_vec_id", "nn_vec_id")
+    ivf = _knn_batch(spark, sf_dir, qstep).select("q_vec_id", "nn_vec_id")
 
     e = _emb(spark, sf_dir).select("vec_id", _dbl("embedding").alias("emb"))
-    q = e.filter(F.col("vec_id") % KNN_QSTEP == 0).select(
+    q = e.filter(F.col("vec_id") % qstep == 0).select(
         F.col("vec_id").alias("q_vec_id"), F.col("emb").alias("qe")
     )
     rw = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), "nn_vec_id")
@@ -1062,3 +1073,26 @@ def q_sim_recall_eval(spark, sf_dir):
         )
         .orderBy("q_vec_id")
     )
+
+
+@query("q_sim_recall_eval", oracle=_RECALL_ORACLE)
+def q_sim_recall_eval(spark, sf_dir):
+    """Recall@k audit of the IVF ANN index: for every query in the
+    deterministic probe batch (vec_id % {QSTEP} == 0), intersect the
+    IVF top-{K} (q_sim_knn_batch, probed-cells-only) with the EXACT
+    top-{K} (brute force over the full corpus) and report hits/recall per
+    query.  This is the measurement every ANN deployment runs before
+    trusting an index — approximate results without a recall number are
+    not results — and the op whose output tunes N_PROBE/N_CELLS.
+
+    Scale shape: the exact baseline is deliberately brute-force — that is
+    what makes it ground truth — but it runs over the PROBE BATCH only
+    (a fixed sample, ~4% here; a few hundred queries in production), so
+    cost is |batch| x corpus map work with the batch BROADCAST against
+    one corpus scan (the q_embed_matryoshka recall-audit shape, never a
+    corpus x corpus product).  The IVF side inherits q_sim_knn_batch's
+    equi-join-on-cell plan.  Both sides rank on the 4dp-ROUNDED cosine
+    with vec_id tiebreak, so hit membership is bit-stable across engines.
+    """
+    return _recall_eval(spark, sf_dir, KNN_QSTEP)
+

@@ -724,3 +724,163 @@ def test_random_grouping_sets_match_duckdb(win_orders, ddb_join, set_ix, filt_ix
     want = _canon([tuple(r) for r in pdf.itertuples(index=False, name=None)])
 
     assert got == want, (set_ix, filt_ix, got[:3], want[:3])
+
+
+# -- family 8 (round 8): as-of joins vs DuckDB's native ASOF JOIN ------------
+#
+# q_join_asof / q_join_asof_tolerance implement as-of via the union+window
+# carry-forward composition (one user_id shuffle, no range-join blowup).
+# Their fixed oracles pin ONE instance; this family fuzzes the semantic
+# grid around the composition — direction (backward/forward), strictness
+# (inclusive/strict at equal timestamps), join type (left/inner), key
+# granularity (raw user_id or a modulus that piles users onto shared
+# keys), and timestamp QUANTIZATION (coarser buckets manufacture the
+# equal-ts ties where inclusive/strict conventions actually bite) — and
+# requires bit-identical rows against DuckDB's engine-native ASOF JOIN,
+# which shares none of the composition's machinery.
+#
+# Conventions the family enforces (and documents):
+# - the right side is deduped to one row per (key, ts) with max(value),
+#   making the as-of pick deterministic under right-side ties (the
+#   q_join_asof GROUP BY convention);
+# - at equal quantized ts the right row sorts BEFORE the left row for
+#   inclusive semantics and AFTER it for strict — the is_l tiebreak IS
+#   the strictness switch;
+# - keys are non-null by construction: the union+window composition would
+#   happily carry values across a NULL-key partition (window PARTITION BY
+#   groups NULLs) where a relational join matches nothing, so production
+#   callers must pre-filter NULL keys — both texts filter them here.
+
+_F8_TYPES = ["click", "view", "purchase", "error", "signup"]
+
+
+@pytest.fixture(scope="module")
+def f8_events(spark):
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    return t(spark, SF, "events")
+
+
+@pytest.fixture(scope="module")
+def f8_ddb():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    return con
+
+
+asof_spec = st.tuples(
+    st.sampled_from(range(len(_F8_TYPES))),   # left event type
+    st.sampled_from(range(len(_F8_TYPES))),   # right event type
+    st.sampled_from([None, 3, 17]),           # key modulus (None = raw user)
+    st.sampled_from([1, 60, 3600, 86400]),    # ts quantum (seconds)
+    st.booleans(),                            # forward?
+    st.booleans(),                            # strict?
+    st.booleans(),                            # inner?
+)
+
+
+@settings(
+    max_examples=32,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(asof_spec)
+def test_random_asof_join_matches_duckdb(f8_events, f8_ddb, spec):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    l_ix, r_ix, kmod, q, fwd, strict, inner = spec
+    lt, rt = _F8_TYPES[l_ix], _F8_TYPES[r_ix % len(_F8_TYPES)]
+    if lt == rt:
+        rt = _F8_TYPES[(r_ix + 1) % len(_F8_TYPES)]
+    key_sql = f"user_id % {kmod}" if kmod else "user_id"
+
+    # ---- DuckDB: native ASOF JOIN over the same quantized frame ----
+    op = {
+        (False, False): ">=",  # backward inclusive: latest right at/before
+        (False, True): ">",
+        (True, False): "<=",   # forward: earliest right at/after
+        (True, True): "<",
+    }[(fwd, strict)]
+    jt = "ASOF JOIN" if inner else "ASOF LEFT JOIN"
+    sql = f"""
+    WITH lhs AS (
+      SELECT event_id, {key_sql} AS k,
+             CAST(floor(epoch_us(ts) / ({q} * 1000000.0)) * {q} AS BIGINT) AS tsq
+      FROM events WHERE event_type = '{lt}' AND user_id IS NOT NULL
+    ), rhs AS (
+      SELECT {key_sql} AS k,
+             CAST(floor(epoch_us(ts) / ({q} * 1000000.0)) * {q} AS BIGINT) AS tsq,
+             max(value) AS rv
+      FROM events WHERE event_type = '{rt}' AND user_id IS NOT NULL
+      GROUP BY k, tsq
+    )
+    SELECT lhs.event_id, lhs.k, lhs.tsq,
+           round(rhs.rv, 4) AS rv, rhs.tsq AS r_tsq
+    FROM lhs {jt} rhs ON lhs.k = rhs.k AND lhs.tsq {op} rhs.tsq
+    """
+    pdf = f8_ddb.execute(sql).fetchdf()
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    want = _canon([tuple(r) for r in pdf.itertuples(index=False, name=None)])
+
+    # ---- Spark: union + window carry-forward composition ----
+    ev = f8_events.filter(F.col("user_id").isNotNull())
+    key = (F.col("user_id") % kmod) if kmod else F.col("user_id")
+    # fixture ts is TIMESTAMP_NTZ; session tz is UTC so the cast is the
+    # identity epoch — single double division, identical operands to the
+    # oracle's epoch_us path
+    tsq = (
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / (q * 1e6)) * q
+    ).cast("bigint")
+    lhs = ev.filter(F.col("event_type") == lt).select(
+        "event_id", key.alias("k"), tsq.alias("tsq")
+    )
+    rhs = (
+        ev.filter(F.col("event_type") == rt)
+        .select(key.alias("k"), tsq.alias("tsq"), "value")
+        .groupBy("k", "tsq")
+        .agg(F.max("value").alias("rv"))
+    )
+    tagged = lhs.select(
+        "k",
+        "tsq",
+        F.lit(1).alias("is_l"),
+        "event_id",
+        F.lit(None).cast("double").alias("rv"),
+    ).unionByName(
+        rhs.select(
+            "k",
+            "tsq",
+            F.lit(0).alias("is_l"),
+            F.lit(None).cast("long").alias("event_id"),
+            "rv",
+        )
+    )
+    ts_ord = F.col("tsq").desc() if fwd else F.col("tsq").asc()
+    # inclusive: right (is_l=0) first at equal ts; strict: left first
+    tie_ord = F.col("is_l").desc() if strict else F.col("is_l").asc()
+    w = (
+        Window.partitionBy("k")
+        .orderBy(ts_ord, tie_ord)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.withColumn(
+        "rv_c", F.last("rv", ignorenulls=True).over(w)
+    ).withColumn(
+        "r_tsq",
+        F.last(
+            F.when(F.col("is_l") == 0, F.col("tsq")), ignorenulls=True
+        ).over(w),
+    )
+    out = carried.filter(F.col("is_l") == 1).select(
+        "event_id", "k", "tsq", F.round("rv_c", 4).alias("rv"), "r_tsq"
+    )
+    if inner:
+        out = out.filter(F.col("rv").isNotNull())
+    out = out.select(*sorted(out.columns))
+    got = _canon([tuple(r) for r in out.collect()])
+
+    assert got == want, (spec, len(got), len(want), got[:3], want[:3])
