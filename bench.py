@@ -92,6 +92,12 @@ HEADLINE = [
     "q_dq_rules",
     "q_sim_recall_eval",
     "q_graph_knn_bfs",
+    # round-8 third wave: the two data-proportional additions (token
+    # explode + corpus-wide prefix hash); the other four collapse to
+    # |weeks| / |cohorts| / |labels|-row frames after one scan and are
+    # overhead-bound at sf0.1 — see SCALE.md round-8 decade table.
+    "q_text_vocab_growth",
+    "q_split_assign",
 ]
 
 

@@ -375,6 +375,23 @@ SELECT q_vec_id, nn_vec_id, CAST(rank AS BIGINT) AS rank, cos FROM (
 
 
 RECALL_TARGET_PROBES = 400  # probe-batch size the recall audit converges at
+IVF_TARGET_CELL = 512  # target per-cell population for the cell-count knob
+
+
+def ivf_cells_for(n_vectors: int) -> int:
+    """IVF cell-count knob: with N_CELLS fixed, cell population grows
+    with the corpus, so every cell-equi-join candidate set (ANN probe,
+    kNN-graph edge build) grows linearly per query — quadratically in
+    total for full-corpus kNN joins (q_graph_knn_bfs measured 8.84x for
+    the x10 step, SCALE.md round 8). Scaling cells ~ n/IVF_TARGET_CELL
+    pins per-cell population, so probing a fixed N_PROBE cells costs the
+    same per query at any corpus size. Floored at the oracle's N_CELLS,
+    capped so the broadcast centroid table stays a few MB — the
+    semantic_k_for discipline applied to the index geometry. NOTE: unlike
+    the probe-stride knob this one moves the recall operating point
+    (fixed N_PROBE over smaller cells sees a smaller corpus fraction);
+    tools/ivf_cells_knob.py measures both the cost and that trade."""
+    return max(N_CELLS, min(65_536, n_vectors // IVF_TARGET_CELL))
 
 
 def recall_qstep_for(n_vectors: int) -> int:

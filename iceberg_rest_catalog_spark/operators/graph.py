@@ -620,37 +620,19 @@ def _knn_bfs_oracle(iters: int) -> str:
     )
 
 
-@query("q_graph_knn_bfs", oracle=_knn_bfs_oracle(BFS_ITERS))
-def q_graph_knn_bfs(spark, sf_dir):
-    """Hop distances from a seed vector over the mutualized kNN graph of
-    the embedding corpus ({BFS_K} IVF-bounded nearest neighbours per
-    vector, edges symmetrized): the reachability primitive behind
-    graph-based label propagation, semi-supervised seed expansion, and
-    kNN-graph diagnostics (an ANN index whose kNN graph fragments around
-    the seed has unreachable cells — the structural cousin of a bad
-    recall number).  Fixed {BFS_ITERS}-round contract: reports nodes
-    within {BFS_ITERS} hops; the DuckDB oracle unrolls the identical
-    min-plus relaxation, so both engines compute the same well-defined
-    quantity whatever the graph's true diameter.
-
-    Scale shape: edge construction inherits q_sim_knn_batch's plan — the
-    centroid table broadcasts, candidates come from an EQUI join on cell
-    (each vector meets ~N_PROBE/N_CELLS of the corpus, never all of it),
-    per-vector top-{BFS_K} is a window over that bounded candidate set.
-    The BFS loop is |edges|-linear per round with a fixed round budget:
-    join dist onto edges, min-reduce per head node, least() back into the
-    running distance — the same eager localCheckpoint-every-2-rounds
-    lineage discipline as PageRank/CC (a fixed-round loop whose per-round
-    cost is one shuffle keyed on node id at any graph size).  Ranking
-    everywhere uses the 4dp-ROUNDED cosine with id tiebreaks, so the edge
-    set — and therefore every distance — is bit-stable across engines."""
+def _knn_bfs(spark, sf_dir, n_cells: int):
+    """Core of q_graph_knn_bfs with the IVF cell count as a parameter —
+    the registered query pins n_cells=N_CELLS (what the oracle computes);
+    the scale path passes ivf_cells_for(n) so per-cell population (and
+    with it the cell-join candidate volume per vector) stays flat as the
+    corpus grows."""
     from pyspark.sql import Window as W
 
-    from ..llm.similarity import N_CELLS, N_PROBE, _cos, _dbl, _dot_pd, _emb, _norm
+    from ..llm.similarity import N_PROBE, _cos, _dbl, _dot_pd, _emb, _norm
 
     # Per-vector L2 norm computed ONCE here (JVM-side, |corpus| rows) so the
     # candidate-pair hot path below can use the Arrow-batched numpy dot
-    # product: cell-join candidates number ~|corpus| * N_PROBE/N_CELLS each
+    # product: cell-join candidates number ~|corpus| * N_PROBE/n_cells each
     # side, and interpreted zip_with/aggregate over millions of 64-dim pairs
     # is the module-documented case where _dot_pd wins ~5-10x (measured
     # here: 10.5s -> ~3s at sf0.1).  Centroid ASSIGNMENT stays JVM-side
@@ -658,7 +640,7 @@ def q_graph_knn_bfs(spark, sf_dir):
     e = _emb(spark, sf_dir).select(
         "vec_id", _dbl("embedding").alias("emb")
     ).withColumn("nrm", _norm("emb"))
-    cent = e.filter(F.col("vec_id") < N_CELLS).select(
+    cent = e.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("emb").alias("c")
     )
     cw = W.partitionBy("vec_id").orderBy(F.desc("cc"), "cell")
@@ -677,7 +659,7 @@ def q_graph_knn_bfs(spark, sf_dir):
     e2 = _emb(spark, sf_dir).select(
         "vec_id", _dbl("embedding").alias("emb")
     ).withColumn("nrm", _norm("emb"))
-    cent2 = e2.filter(F.col("vec_id") < N_CELLS).select(
+    cent2 = e2.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("emb").alias("c")
     )
     probed = (
@@ -754,3 +736,32 @@ def q_graph_knn_bfs(spark, sf_dir):
         .select(F.col("node").alias("vec_id"), F.col("dist").cast("int").alias("dist"))
         .orderBy("vec_id")
     )
+
+
+@query("q_graph_knn_bfs", oracle=_knn_bfs_oracle(BFS_ITERS))
+def q_graph_knn_bfs(spark, sf_dir):
+    """Hop distances from a seed vector over the mutualized kNN graph of
+    the embedding corpus ({BFS_K} IVF-bounded nearest neighbours per
+    vector, edges symmetrized): the reachability primitive behind
+    graph-based label propagation, semi-supervised seed expansion, and
+    kNN-graph diagnostics (an ANN index whose kNN graph fragments around
+    the seed has unreachable cells — the structural cousin of a bad
+    recall number).  Fixed {BFS_ITERS}-round contract: reports nodes
+    within {BFS_ITERS} hops; the DuckDB oracle unrolls the identical
+    min-plus relaxation, so both engines compute the same well-defined
+    quantity whatever the graph's true diameter.
+
+    Scale shape: edge construction inherits q_sim_knn_batch's plan — the
+    centroid table broadcasts, candidates come from an EQUI join on cell
+    (each vector meets ~N_PROBE/N_CELLS of the corpus, never all of it),
+    per-vector top-{BFS_K} is a window over that bounded candidate set.
+    The BFS loop is |edges|-linear per round with a fixed round budget:
+    join dist onto edges, min-reduce per head node, least() back into the
+    running distance — the same eager localCheckpoint-every-2-rounds
+    lineage discipline as PageRank/CC (a fixed-round loop whose per-round
+    cost is one shuffle keyed on node id at any graph size).  Ranking
+    everywhere uses the 4dp-ROUNDED cosine with id tiebreaks, so the edge
+    set — and therefore every distance — is bit-stable across engines."""
+    from ..llm.similarity import N_CELLS
+
+    return _knn_bfs(spark, sf_dir, N_CELLS)
