@@ -778,6 +778,7 @@ asof_spec = st.tuples(
     st.booleans(),                            # forward?
     st.booleans(),                            # strict?
     st.booleans(),                            # inner?
+    st.sampled_from([None, 3600, 86400]),     # tolerance (seconds)
 )
 
 
@@ -792,7 +793,7 @@ def test_random_asof_join_matches_duckdb(f8_events, f8_ddb, spec):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    l_ix, r_ix, kmod, q, fwd, strict, inner = spec
+    l_ix, r_ix, kmod, q, fwd, strict, inner, tol = spec
     lt, rt = _F8_TYPES[l_ix], _F8_TYPES[r_ix % len(_F8_TYPES)]
     if lt == rt:
         rt = _F8_TYPES[(r_ix + 1) % len(_F8_TYPES)]
@@ -822,6 +823,21 @@ def test_random_asof_join_matches_duckdb(f8_events, f8_ddb, spec):
            round(rhs.rv, 4) AS rv, rhs.tsq AS r_tsq
     FROM lhs {jt} rhs ON lhs.k = rhs.k AND lhs.tsq {op} rhs.tsq
     """
+    # bounded staleness: the as-of match is unique, so a tolerance is a
+    # POST-filter on the match gap (the q_join_asof_tolerance convention)
+    # -- too-stale matches null out (left) or drop the row (inner)
+    if tol is not None:
+        gap = "(q.r_tsq - q.tsq)" if fwd else "(q.tsq - q.r_tsq)"
+        keep = f"{gap} <= {tol}"
+        if inner:
+            sql = f"SELECT * FROM ({sql}) q WHERE {keep}"
+        else:
+            sql = (
+                f"SELECT q.event_id, q.k, q.tsq, "
+                f"CASE WHEN {keep} THEN q.rv END AS rv, "
+                f"CASE WHEN {keep} THEN q.r_tsq END AS r_tsq "
+                f"FROM ({sql}) q"
+            )
     pdf = f8_ddb.execute(sql).fetchdf()
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     want = _canon([tuple(r) for r in pdf.itertuples(index=False, name=None)])
@@ -878,6 +894,20 @@ def test_random_asof_join_matches_duckdb(f8_events, f8_ddb, spec):
     out = carried.filter(F.col("is_l") == 1).select(
         "event_id", "k", "tsq", F.round("rv_c", 4).alias("rv"), "r_tsq"
     )
+    if tol is not None:
+        gap = (
+            (F.col("r_tsq") - F.col("tsq"))
+            if fwd
+            else (F.col("tsq") - F.col("r_tsq"))
+        )
+        keep = gap <= tol
+        out = out.select(
+            "event_id",
+            "k",
+            "tsq",
+            F.when(keep, F.col("rv")).alias("rv"),
+            F.when(keep, F.col("r_tsq")).alias("r_tsq"),
+        )
     if inner:
         out = out.filter(F.col("rv").isNotNull())
     out = out.select(*sorted(out.columns))
