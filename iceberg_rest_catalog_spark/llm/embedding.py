@@ -528,3 +528,157 @@ def q_embed_centroid_shift(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+PCA_ITERS = 3  # fixed power-iteration rounds (the oracle unrolls exactly these)
+
+
+def _pca_oracle() -> str:
+    """Centered covariance + {PCA_ITERS} unrolled power-iteration rounds.
+
+    The iteration runs in EXACT INTEGER arithmetic (covariance and
+    iterate scaled by 1e4, matvec an exact BIGINT dot product, 4-dp
+    half-away rounding as +5000 // 10000) — the differential-fuzz
+    family-6 discipline: sums of 4-dp decimals land exactly ON the next
+    rounding midpoint, where binary summation ORDER (numpy pairwise vs
+    SQL sequential) decides the ulp and flips the rounded trajectory.
+    Norms/divisions go through doubles, but both engines divide the SAME
+    exact integers, so the doubles are bit-identical."""
+    ctes = [
+        """e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), n AS (SELECT count(*) AS n FROM e),
+    u AS (
+      SELECT vec_id, CAST(d.i - 1 AS INT) AS dim, CAST(d.x AS DOUBLE) AS x
+      FROM e, LATERAL (SELECT unnest(emb) AS x,
+                              generate_subscripts(emb, 1) AS i) AS d
+    ), mu AS (SELECT dim, round(avg(x), 4) AS m FROM u GROUP BY dim),
+    c AS (
+      SELECT a.dim AS i, b.dim AS j,
+             CAST(round(round(sum((a.x - ma.m) * (b.x - mb.m))
+                              / ((SELECT n FROM n) - 1), 4) * 10000, 0)
+                  AS BIGINT) AS cv
+      FROM u a JOIN u b USING (vec_id)
+      JOIN mu ma ON ma.dim = a.dim JOIN mu mb ON mb.dim = b.dim
+      GROUP BY a.dim, b.dim
+    ), v0 AS (SELECT dim, CAST(1250 AS BIGINT) AS vi FROM mu)"""
+    ]
+    prev = "v0"
+    for k in range(1, PCA_ITERS + 1):
+        ctes.append(
+            f"""s{k} AS (
+      SELECT c.i AS dim, sum(c.cv * p.vi) AS sv
+      FROM c JOIN {prev} p ON p.dim = c.j GROUP BY c.i
+    ), w{k} AS (
+      SELECT dim, (CASE WHEN sv < 0 THEN -1 ELSE 1 END)
+                  * ((abs(sv) + 5000) // 10000) AS w4 FROM s{k}
+    ), nw{k} AS (SELECT floor(sqrt(CAST(sum(w4 * w4) AS DOUBLE)) + 0.5)
+                        AS nwi FROM w{k}),
+    v{k} AS (
+      SELECT dim, (CASE WHEN w4 < 0 THEN -1 ELSE 1 END)
+                  * CAST(floor(abs(CAST(w4 AS DOUBLE)
+                                   / (SELECT nwi FROM nw{k})) * 10000 + 0.5)
+                         AS BIGINT) AS vi
+      FROM w{k})"""
+        )
+        prev = f"v{k}"
+    k = PCA_ITERS + 1
+    ctes.append(
+        f"""s{k} AS (
+      SELECT c.i AS dim, sum(c.cv * p.vi) AS sv
+      FROM c JOIN {prev} p ON p.dim = c.j GROUP BY c.i
+    ), w{k} AS (
+      SELECT dim, (CASE WHEN sv < 0 THEN -1 ELSE 1 END)
+                  * ((abs(sv) + 5000) // 10000) AS w4 FROM s{k}
+    ), lam AS (SELECT floor(sqrt(CAST(sum(w4 * w4) AS DOUBLE)) + 0.5)
+                      / 10000.0 AS top_eig FROM w{k}),
+    tr AS (SELECT sum(cv) / 10000.0 AS trace_var FROM c WHERE i = j)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT CAST((SELECT n FROM n) AS BIGINT) AS n,
+           tr.trace_var, lam.top_eig,
+           floor(lam.top_eig / tr.trace_var * 10000 + 0.5) / 10000.0
+             AS var_share
+    FROM lam, tr"""
+    )
+
+
+@query("q_embed_pca_var", oracle=_pca_oracle())
+def q_embed_pca_var(spark, sf_dir):
+    """Embedding anisotropy audit: total variance (covariance trace), the
+    top principal eigenvalue via {PCA_ITERS} fixed power-iteration
+    rounds, and the variance share it explains — the one-number encoder
+    health check (a share near 1 means the embedding space collapsed to
+    a line and every cosine is ~1 regardless of content; the known
+    anisotropy failure of contextual encoders).  Run before trusting any
+    cosine-based dedup/ANN pipeline on a new encoder.
+
+    Scale shape: per-dim means are one posexplode partial aggregate
+    (64 rows broadcast back); the covariance is computed as PER-BATCH
+    numpy outer products inside mapInPandas — each Arrow batch emits at
+    most 64x64 pre-combined (i, j, s) rows whatever its row count, so
+    the shuffle carries O(partitions x 4096) rows, never O(corpus) — and
+    the 64x64 matrix (4096 rows, ~100 KB) is collected to the driver
+    (bounded by DIMENSION, not corpus) where numpy runs the fixed
+    {PCA_ITERS}-round power iteration.  Every intermediate (means,
+    covariance entries, matvec, norms, iterate) is rounded to 4 dp on
+    both engines — the q_cluster_kmeans iterative-oracle discipline — so
+    the trajectory is bit-stable."""
+    import numpy as np
+    import pandas as pd
+
+    e = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    u = e.select(
+        F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")).alias(
+            "dim", "x"
+        )
+    )
+    mu_rows = u.groupBy("dim").agg(F.round(F.avg("x"), 4).alias("m")).collect()
+    dim = len(mu_rows)
+    mu = np.zeros(dim)
+    for r in mu_rows:
+        mu[r.dim] = r.m
+    n = e.count()
+
+    def _partial_cov(batches):
+        for pdf in batches:
+            X = np.stack(pdf["emb"].values).astype(np.float64) - mu
+            S = X.T @ X
+            ii, jj = np.indices(S.shape)
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "s": S.ravel()}
+            )
+
+    parts = (
+        e.selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
+        .mapInPandas(_partial_cov, "i int, j int, s double")
+        .groupBy("i", "j")
+        .agg(F.round(F.sum("s") / (n - 1), 4).alias("cov"))
+        .collect()  # BOUNDED: 64x64 = 4096 rows whatever the corpus size
+    )
+    C = np.zeros((dim, dim))
+    for r in parts:
+        C[r.i, r.j] = r.cov
+
+    # exact-integer power iteration (scale 1e4): see _pca_oracle docstring
+    Ci = np.round(C * 1e4).astype(np.int64)
+    vi = np.full(dim, 1250, dtype=np.int64)
+    for _ in range(PCA_ITERS):
+        sv = Ci @ vi
+        w4 = np.sign(sv) * ((np.abs(sv) + 5000) // 10000)
+        nwi = float(np.floor(np.sqrt(float(np.sum(w4 * w4))) + 0.5))
+        q = w4.astype(np.float64) / nwi
+        vi = (np.sign(q) * np.floor(np.abs(q) * 10000 + 0.5)).astype(np.int64)
+    sv = Ci @ vi
+    w4 = np.sign(sv) * ((np.abs(sv) + 5000) // 10000)
+    top_eig = float(np.floor(np.sqrt(float(np.sum(w4 * w4))) + 0.5)) / 1e4
+    trace = float(int(np.sum(np.diag(Ci)))) / 1e4
+    var_share = float(np.floor(top_eig / trace * 10000 + 0.5)) / 1e4
+    return spark.createDataFrame(
+        [(n, trace, top_eig, var_share)],
+        "n bigint, trace_var double, top_eig double, var_share double",
+    )

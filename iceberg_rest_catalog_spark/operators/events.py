@@ -1340,3 +1340,89 @@ def q_evt_cohort_ltv(spark, sf_dir):
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "q_evt_streaks",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+      FROM events WHERE event_type = 'purchase'
+    ), isl AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS island
+      FROM ud
+    ), runs AS (
+      SELECT user_id, island,
+             CAST(count(*) AS BIGINT) AS len,
+             min(d) AS start_d
+      FROM isl GROUP BY user_id, island
+    ), best AS (
+      SELECT user_id, len, start_d,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, start_d ASC) AS rn
+      FROM runs
+    ), stats AS (
+      SELECT user_id,
+             CAST(sum(len) AS BIGINT) AS active_days,
+             CAST(count(*) AS BIGINT) AS n_streaks
+      FROM runs GROUP BY user_id
+    )
+    SELECT s.user_id, s.active_days, s.n_streaks,
+           b.len AS longest_streak,
+           strftime(b.start_d, '%Y-%m-%d') AS longest_start
+    FROM stats s JOIN best b ON s.user_id = b.user_id AND b.rn = 1
+    ORDER BY s.user_id
+    """,
+)
+def q_evt_streaks(spark, sf_dir):
+    """Gaps-and-islands per user over purchase days: total active days,
+    number of distinct consecutive-day streaks, and the longest streak
+    with its start date — the engagement-continuity measure (habit
+    formation, streak features for churn models) that per-week ledgers
+    (q_evt_lifecycle) can't resolve.  The island key is the classic
+    ``day - row_number() days`` trick: consecutive days share it, any
+    gap starts a new one.
+
+    Scale shape: the corpus collapses to DISTINCT (user, day) in one
+    map-combined pass and EVERYTHING after — the island window, the run
+    aggregate, the per-user best-streak window, the stats aggregate and
+    the final join — is keyed on user_id, so one shuffle family serves
+    the whole plan; output is |users| rows.  Longest-streak ties break
+    on earliest start (deterministic on both engines)."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    wi = Window.partitionBy("user_id").orderBy("d")
+    isl = ev.withColumn(
+        "island", F.date_sub("d", F.row_number().over(wi))
+    )
+    runs = isl.groupBy("user_id", "island").agg(
+        F.count("*").cast("bigint").alias("len"),
+        F.min("d").alias("start_d"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(F.desc("len"), "start_d")
+    best = (
+        runs.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "len", "start_d")
+    )
+    stats = runs.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("active_days"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+    )
+    return (
+        stats.join(best, "user_id")
+        .select(
+            "user_id",
+            "active_days",
+            "n_streaks",
+            F.col("len").alias("longest_streak"),
+            F.date_format("start_d", "yyyy-MM-dd").alias("longest_start"),
+        )
+        .orderBy("user_id")
+    )

@@ -1199,3 +1199,43 @@ def test_vocab_growth_monotone_and_conserves(spark, qs):
         assert (r.tokens_cum, r.vocab_cum) == (tcum, vcum)
         assert abs(r.ttr_cum - round(vcum / tcum, 4)) < 1e-9
     assert tcum == sum(vol.values()) and vcum == len(first_dec)
+
+
+def test_streaks_recompute_from_day_sets(spark, qs):
+    """Islands recompute from per-user purchase-day sets: run count,
+    longest length, earliest-start tiebreak, and active-day conservation."""
+    from collections import defaultdict
+
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    days = defaultdict(set)
+    for r in (
+        t(spark, SF01, "events")
+        .filter("event_type = 'purchase'")
+        .selectExpr("user_id", "CAST(ts AS DATE) AS d")
+        .distinct()
+        .collect()
+    ):
+        days[r.user_id].add(r.d)
+
+    def runs(ds):
+        out, cur = [], []
+        for d in sorted(ds):
+            if cur and (d - cur[-1]).days != 1:
+                out.append(cur)
+                cur = []
+            cur.append(d)
+        out.append(cur)
+        return out
+
+    rows = qs["q_evt_streaks"](spark, SF01).collect()
+    assert {r.user_id for r in rows} == set(days)
+    for r in rows:
+        rs = runs(days[r.user_id])
+        assert r.active_days == len(days[r.user_id])
+        assert r.n_streaks == len(rs)
+        best = max(rs, key=lambda run: (len(run), -run[0].toordinal()))
+        assert r.longest_streak == len(best)
+        assert r.longest_start == best[0].isoformat()
+    # the purchase fixture has real gaps, so the op discriminates
+    assert any(r.n_streaks > 1 for r in rows)

@@ -707,3 +707,33 @@ def test_centroid_shift_matches_numpy_and_is_stable(spark, qs):
         assert (r.n_a, r.n_b) == (len(halves[(r.label, 0)]),
                                   len(halves[(r.label, 1)]))
         assert -1.0 <= r.cos_shift <= 1.0
+
+
+def test_pca_var_respects_rayleigh_bound(spark, qs):
+    """The fixed-round power-iteration estimate can never EXCEED the true
+    top eigenvalue (||Cv||/||v|| <= lambda_1 for every v), trace matches
+    numpy's covariance trace at 4dp granularity, and the share is the
+    ratio.  The fixture is near-isotropic (tiny spectral gap), so the
+    3-round estimate sits below lambda_1 — assert it lands within the
+    mean-eigenvalue..lambda_1 band rather than demanding convergence."""
+    import numpy as np
+
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    row = qs["q_embed_pca_var"](spark, SF).collect()[0]
+    X = np.stack(
+        [
+            r.embedding
+            for r in t(spark, SF, "embeddings")
+            .filter("embedding IS NOT NULL")
+            .collect()
+        ]
+    ).astype(np.float64)
+    C = np.cov(X.T)
+    lam1 = float(np.linalg.eigvalsh(C)[-1])
+    assert row.n == len(X)
+    assert abs(row.trace_var - np.trace(C)) < 0.05  # 4dp per-entry rounding
+    assert row.top_eig <= lam1 + 1e-3
+    assert row.top_eig >= np.trace(C) / C.shape[0] * 0.5
+    assert abs(row.var_share - round(row.top_eig / row.trace_var, 4)) < 1e-9
+    assert 0 < row.var_share <= 1
