@@ -737,3 +737,56 @@ def test_pca_var_respects_rayleigh_bound(spark, qs):
     assert row.top_eig >= np.trace(C) / C.shape[0] * 0.5
     assert abs(row.var_share - round(row.top_eig / row.trace_var, 4)) < 1e-9
     assert 0 < row.var_share <= 1
+
+
+def test_scale_knob_formulas():
+    """The three scale knobs share a contract: identity at/below the
+    oracle-pinned operating point (so the registered queries never
+    drift), monotone growth with the corpus, bounded caps."""
+    from iceberg_rest_catalog_spark.llm.dedup import semantic_k_for
+    from iceberg_rest_catalog_spark.llm.similarity import (
+        IVF_TARGET_CELL,
+        KNN_QSTEP,
+        N_CELLS,
+        RECALL_TARGET_PROBES,
+        ivf_cells_for,
+        recall_qstep_for,
+    )
+
+    for knob, floor in (
+        (recall_qstep_for, KNN_QSTEP),
+        (ivf_cells_for, N_CELLS),
+        (semantic_k_for, 8),
+    ):
+        assert knob(0) == floor and knob(100) == floor  # identity at fixture scale
+        prev = 0
+        for n in (10**3, 10**4, 10**6, 10**8):
+            cur = knob(n)
+            assert cur >= prev
+            prev = cur
+    # targets actually hold once past the floor
+    assert recall_qstep_for(10**6) == 10**6 // RECALL_TARGET_PROBES
+    assert ivf_cells_for(10**6) == 10**6 // IVF_TARGET_CELL
+    assert ivf_cells_for(10**12) == 65_536  # broadcast-table cap
+
+
+def test_recall_eval_scaled_stride_shrinks_batch(spark, qs):
+    """The parameterized core actually honours the stride: doubling it
+    halves the probe batch, every probe id respects the modulus, and the
+    registered query equals the core at the pinned stride."""
+    from iceberg_rest_catalog_spark.llm.similarity import (
+        KNN_QSTEP,
+        _recall_eval,
+    )
+
+    pinned = sorted(
+        (r.q_vec_id, r.n_hits) for r in qs["q_sim_recall_eval"](spark, SF).collect()
+    )
+    core = sorted(
+        (r.q_vec_id, r.n_hits)
+        for r in _recall_eval(spark, SF, KNN_QSTEP).collect()
+    )
+    assert pinned == core
+    wide = _recall_eval(spark, SF, KNN_QSTEP * 2).collect()
+    assert all(r.q_vec_id % (KNN_QSTEP * 2) == 0 for r in wide)
+    assert 0 < len(wide) < len(pinned)
