@@ -682,3 +682,105 @@ def q_embed_pca_var(spark, sf_dir):
         [(n, trace, top_eig, var_share)],
         "n bigint, trace_var double, top_eig double, var_share double",
     )
+
+
+RP_K = 16  # Johnson-Lindenstrauss target dimension
+
+
+def _rp_signs() -> list[list[int]]:
+    """The deterministic +-1 projection matrix: sign(j, i) = parity of the
+    first hex digit of md5("j|i").  Computed here with hashlib; the
+    DuckDB oracle RE-DERIVES every sign with SQL md5(), so the value-hash
+    cross-checks the generation recipe itself."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{j}|{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for i in range(64)
+        ]
+        for j in range(RP_K)
+    ]
+
+
+def _rp_oracle() -> str:
+    comps = ",\n           ".join(
+        f"""round(list_sum(list_transform(generate_series(1, 64),
+               i -> emb[i] * (CASE WHEN ('0x' || substr(md5({j} || '|' ||
+                    CAST(i - 1 AS VARCHAR)), 1, 1))::INT % 2 = 0
+                    THEN 1 ELSE -1 END))) / 4.0, 4) AS y{j}"""
+        for j in range(2)
+    )
+    ys = " , ".join(
+        f"""list_sum(list_transform(generate_series(1, 64),
+               i -> emb[i] * (CASE WHEN ('0x' || substr(md5({j} || '|' ||
+                    CAST(i - 1 AS VARCHAR)), 1, 1))::INT % 2 = 0
+                    THEN 1 ELSE -1 END))) / 4.0"""
+        for j in range(RP_K)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), p AS (
+      SELECT vec_id, emb, [{ys}] AS y FROM e
+    )
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(y, v -> v * v)))
+                 / sqrt(list_sum(list_transform(emb, x -> x * x))), 4)
+             AS norm_ratio,
+           {comps}
+    FROM p ORDER BY vec_id
+    """
+
+
+@query("q_embed_random_projection", oracle=_rp_oracle())
+def q_embed_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64 -> {RP_K} dims with a
+    deterministic +-1 matrix (md5-parity signs, scale 1/sqrt(k)) — the
+    cheap-index / sketch-level dimensionality reduction (4x fewer floats
+    than PQ's trained codebooks, zero training), reported per vector as
+    the norm-preservation ratio (JL: concentrates near 1) plus the first
+    two components.  The oracle RE-DERIVES every sign with SQL md5, so
+    the value-hash checks the matrix generation recipe, not just the
+    arithmetic.
+
+    Scale shape: map-only — the sign matrix is a PLAN CONSTANT (16
+    literal 64-arrays; no md5 per row on the Spark side, no broadcast,
+    no shuffle) and each component is one sequential zip_with fold, the
+    same list order DuckDB's list_sum uses, so the doubles are
+    bit-identical before the single 4-dp rounding site."""
+    signs = _rp_signs()
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.expr(
+            "transform(embedding, x -> CAST(x AS DOUBLE))"
+        ).alias("emb"))
+    )
+    def comp(j):
+        arr = ", ".join(str(v) for v in signs[j])
+        return F.expr(
+            f"aggregate(zip_with(emb, array({arr}), (x, s) -> x * s), "
+            "0D, (acc, v) -> acc + v) / 4.0"
+        )
+
+    p = e.select(
+        "vec_id",
+        "emb",
+        F.array(*[comp(j) for j in range(RP_K)]).alias("y"),
+    )
+    sq = "aggregate({0}, 0D, (acc, v) -> acc + v * v)"
+    return (
+        p.select(
+            "vec_id",
+            F.round(
+                F.sqrt(F.expr(sq.format("y"))) / F.sqrt(F.expr(sq.format("emb"))),
+                4,
+            ).alias("norm_ratio"),
+            F.round(F.element_at("y", 1), 4).alias("y0"),
+            F.round(F.element_at("y", 2), 4).alias("y1"),
+        )
+        .orderBy("vec_id")
+    )

@@ -355,3 +355,126 @@ def q_multimodal_audio(spark, sf_dir):
         F.col("text").isNotNull() & (F.col("text") != "")
     ).select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return d.mapInPandas(_audio_feature_batch, _AUDIO_SCHEMA)
+
+
+def _phash_oracle() -> str:
+    """DuckDB mirror of q_multimodal_phash_dedup: identical byte sampling,
+    exact mean (sum/64 is a power-of-two division — bit-exact in binary),
+    identical word packing and chunk/verify chain."""
+    return """
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+      WHERE text IS NOT NULL AND octet_length(encode(text)) >= 64
+    ), b AS (
+      SELECT doc_id, i,
+             ('0x' || substr(hx, 1 + 2 * i * (n // 64), 2))::BIGINT AS byte
+      FROM p, LATERAL (SELECT unnest(generate_series(0, 63)) AS i)
+    ), m AS (
+      SELECT doc_id, sum(byte) / 64.0 AS mean FROM b GROUP BY doc_id
+    ), ph AS (
+      SELECT b.doc_id,
+             CAST(sum(CASE WHEN i < 32 AND byte > mean
+                           THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                  AS BIGINT) AS pa,
+             CAST(sum(CASE WHEN i >= 32 AND byte > mean
+                           THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)
+                  AS BIGINT) AS pb
+      FROM b JOIN m USING (doc_id) GROUP BY b.doc_id
+    ), chunks AS (
+      SELECT doc_id, 0 AS chunk, pa & 65535 AS ch FROM ph
+      UNION ALL SELECT doc_id, 1, (pa >> 16) & 65535 FROM ph
+      UNION ALL SELECT doc_id, 2, pb & 65535 FROM ph
+      UNION ALL SELECT doc_id, 3, (pb >> 16) & 65535 FROM ph
+    ), cand AS (
+      SELECT DISTINCT ca.doc_id AS doc_a, cb.doc_id AS doc_b
+      FROM chunks ca JOIN chunks cb USING (chunk, ch)
+      WHERE ca.doc_id < cb.doc_id
+    )
+    SELECT doc_a, doc_b,
+           bit_count(xor(pa.pa, pb.pa)) + bit_count(xor(pa.pb, pb.pb))
+             AS hamming
+    FROM cand
+    JOIN ph pa ON pa.doc_id = doc_a
+    JOIN ph pb ON pb.doc_id = doc_b
+    WHERE bit_count(xor(pa.pa, pb.pa)) + bit_count(xor(pa.pb, pb.pb)) <= 3
+    """
+
+
+@query("q_multimodal_phash_dedup", oracle=_phash_oracle())
+def q_multimodal_phash_dedup(spark, sf_dir):
+    """Perceptual-hash near-dup pairs over BINARY payloads: a 64-bit
+    average-hash (64 evenly-strided payload bytes thresholded against
+    their exact mean — the aHash recipe applied to raw bytes; a real
+    image pipeline swaps the byte sampler for decoded-pixel sampling
+    without touching anything downstream), 16-bit chunk blocking
+    (pigeonhole: hamming<=3 pairs MUST share a chunk), bit_count(xor)
+    verify — near-dup DETECTION for the modality exact md5 can't serve
+    (two re-encodes of one image differ in bytes but not in structure;
+    here, near-dup payloads differ in a few sampled bytes).
+
+    Scale shape: the hash is ONE map-side expression chain over the
+    payload (hex slice + integer fold — no explode, no shuffle; payload
+    bytes never leave the scan); candidates come from the 4-way chunk
+    equi-join exactly like q_dedup_simhash (never all-pairs); verify is
+    O(candidates). The mean is sum/64 — a power-of-two division, so the
+    threshold compares bit-exact doubles on both engines. Payloads
+    shorter than 64 bytes are excluded (stride 0 would resample byte 0;
+    a production caller pads or whole-hashes the sub-64 tail)."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.hex(F.encode("text", "utf-8")).alias("hx"))
+        .withColumn("n", (F.length("hx") / 2).cast("int"))
+        .filter(F.col("n") >= 64)
+    )
+    by = d.withColumn(
+        "bytes",
+        F.expr(
+            "transform(sequence(0, 63), i -> "
+            "CAST(conv(substring(hx, 1 + 2 * i * CAST(n / 64 AS INT), 2), "
+            "16, 10) AS BIGINT))"
+        ),
+    ).withColumn("mean", F.expr("aggregate(bytes, 0L, (s, x) -> s + x)") / 64.0)
+    ph = by.select(
+        "doc_id",
+        F.expr(
+            "aggregate(sequence(0, 31), 0L, (acc, i) -> acc + "
+            "CASE WHEN element_at(bytes, i + 1) > mean "
+            "THEN shiftleft(1L, i) ELSE 0L END)"
+        ).alias("pa"),
+        F.expr(
+            "aggregate(sequence(32, 63), 0L, (acc, i) -> acc + "
+            "CASE WHEN element_at(bytes, i + 1) > mean "
+            "THEN shiftleft(1L, i - 32) ELSE 0L END)"
+        ).alias("pb"),
+    )
+    chunks = None
+    for cix, expr in enumerate(
+        [
+            F.col("pa").bitwiseAND(65535),
+            F.shiftright("pa", 16).bitwiseAND(65535),
+            F.col("pb").bitwiseAND(65535),
+            F.shiftright("pb", 16).bitwiseAND(65535),
+        ]
+    ):
+        part = ph.select(
+            "doc_id", F.lit(cix).alias("chunk"), expr.alias("ch"), "pa", "pb"
+        )
+        chunks = part if chunks is None else chunks.unionAll(part)
+    hamming = F.bit_count(
+        F.col("a.pa").bitwiseXOR(F.col("b.pa"))
+    ) + F.bit_count(F.col("a.pb").bitwiseXOR(F.col("b.pb")))
+    return (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["chunk", "ch"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )

@@ -736,3 +736,61 @@ def q_text_vocab_growth(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "q_text_lang_mixture",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang
+    ), s AS (
+      SELECT source, lang, n,
+             round(n * 1.0 / sum(n) OVER (PARTITION BY source), 4) AS share,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n DESC, lang) AS rk,
+             sum(n) OVER (PARTITION BY source) AS tot
+      FROM c
+    )
+    SELECT source, lang, n, share,
+           CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INT) AS is_dominant,
+           round(sum(-1.0 * (n * 1.0 / tot) * ln(n * 1.0 / tot) / ln(2))
+                 OVER (PARTITION BY source), 4) AS src_entropy
+    FROM s ORDER BY source, lang
+    """,
+)
+def q_text_lang_mixture(spark, sf_dir):
+    """Language-mixture matrix per source: doc count and share per
+    (source, lang), the dominant language flag, and the source's language
+    ENTROPY (bits) — the mixture drift alarm per crawl source (entropy
+    jump = a domain started serving mixed/mistagged content; the input
+    that q_data_mixture's sampling weights assume is stable).
+
+    Scale shape: ONE map-combined (source, lang) count collapses the
+    corpus; every window after runs on that |sources| x |langs| frame.
+    Entropy terms use exact n/tot ratios with one 4-dp rounding site per
+    source; dominance ties break on lang name."""
+    from pyspark.sql import Window
+
+    c = t(spark, sf_dir, "documents").groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    ws = Window.partitionBy("source")
+    wr = Window.partitionBy("source").orderBy(F.desc("n"), "lang")
+    p = F.col("n") * 1.0 / F.sum("n").over(ws)
+    return (
+        c.select(
+            "source",
+            "lang",
+            "n",
+            F.round(p, 4).alias("share"),
+            F.when(F.row_number().over(wr) == 1, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_dominant"),
+            F.round(
+                F.sum(-p * F.log2(p)).over(ws), 4
+            ).alias("src_entropy"),
+        )
+        .orderBy("source", "lang")
+    )

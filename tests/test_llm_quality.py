@@ -790,3 +790,93 @@ def test_recall_eval_scaled_stride_shrinks_batch(spark, qs):
     wide = _recall_eval(spark, SF, KNN_QSTEP * 2).collect()
     assert all(r.q_vec_id % (KNN_QSTEP * 2) == 0 for r in wide)
     assert 0 < len(wide) < len(pinned)
+
+
+def test_phash_dedup_matches_bruteforce_python(spark, qs):
+    """The chunk-blocked pair set equals the BRUTE-FORCE hamming<=3 pair
+    set recomputed in python over raw payload bytes (pigeonhole: <=3
+    differing bits must leave one 16-bit chunk intact), and the fixture's
+    planted near-dups actually surface."""
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    docs = (
+        t(spark, SF, "documents")
+        .filter("text IS NOT NULL")
+        .select("doc_id", "text")
+        .collect()
+    )
+    ph = {}
+    for r in docs:
+        b = r.text.encode("utf-8")
+        if len(b) < 64:
+            continue
+        stride = len(b) // 64
+        sample = [b[i * stride] for i in range(64)]
+        mean = sum(sample) / 64.0
+        ph[r.doc_id] = sum(1 << i for i, v in enumerate(sample) if v > mean)
+    expect = set()
+    ids = sorted(ph)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1:]:
+            if bin(ph[a] ^ ph[b]).count("1") <= 3:
+                expect.add((a, b))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in qs["q_multimodal_phash_dedup"](spark, SF).collect()
+    }
+    assert got == expect
+    assert got  # planted near-dups surface
+
+
+def test_random_projection_matches_numpy_and_concentrates(spark, qs):
+    """Every row matches the hashlib/numpy recompute and the JL norm
+    ratio concentrates around 1 (a 16-dim +-1 projection preserves norms
+    in expectation)."""
+    import numpy as np
+
+    from iceberg_rest_catalog_spark.llm.embedding import RP_K, _rp_signs
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    S = np.array(_rp_signs(), dtype=np.float64)
+    assert S.shape == (RP_K, 64) and set(np.unique(S)) == {-1.0, 1.0}
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in t(spark, SF, "embeddings")
+        .filter("embedding IS NOT NULL")
+        .collect()
+    }
+    rows = qs["q_embed_random_projection"](spark, SF).collect()
+    assert {r.vec_id for r in rows} == set(vecs)
+    ratios = []
+    for r in rows[:50]:
+        x = vecs[r.vec_id]
+        y = (S @ x) / 4.0
+        exp_ratio = round(
+            float(np.sqrt(y @ y) / np.sqrt(x @ x)), 4
+        )
+        assert abs(r.norm_ratio - exp_ratio) < 1e-9
+        assert abs(r.y0 - round(float(y[0]), 4)) < 1e-9
+        assert abs(r.y1 - round(float(y[1]), 4)) < 1e-9
+    ratios = [r.norm_ratio for r in rows]
+    assert 0.8 < sum(ratios) / len(ratios) < 1.2
+
+
+def test_lang_mixture_shares_and_entropy(spark, qs):
+    """Per-source shares sum to 1, exactly one dominant language per
+    source, and the entropy recomputes from the counts."""
+    import math
+    from collections import defaultdict
+
+    rows = qs["q_text_lang_mixture"](spark, SF).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(r)
+    for src, rs in by_src.items():
+        tot = sum(r.n for r in rs)
+        assert abs(sum(r.share for r in rs) - 1.0) < 5e-4
+        assert sum(r.is_dominant for r in rs) == 1
+        dom = max(rs, key=lambda r: (r.n, "".join(chr(255 - ord(c)) for c in r.lang)))
+        assert next(r for r in rs if r.is_dominant).n == max(r.n for r in rs)
+        ent = -sum((r.n / tot) * math.log2(r.n / tot) for r in rs)
+        for r in rs:
+            assert abs(r.src_entropy - round(ent, 4)) < 1e-9
