@@ -751,9 +751,14 @@ def q_embed_random_projection(spark, sf_dir):
     no shuffle) and each component is one sequential zip_with fold, the
     same list order DuckDB's list_sum uses, so the doubles are
     bit-identical before the single 4-dp rounding site."""
+    from ..operators.common import widen
+
     signs = _rp_signs()
+    # widen(): the 16 sequential 64-term folds are compute-heavy map work;
+    # a few-split parquet input would serialize them onto 1-2 tasks
+    # (operators/common.py widen — no-op on any real many-split scan)
     e = (
-        t(spark, sf_dir, "embeddings")
+        widen(t(spark, sf_dir, "embeddings"), "vec_id")
         .filter(F.col("embedding").isNotNull())
         .select("vec_id", F.expr(
             "transform(embedding, x -> CAST(x AS DOUBLE))"

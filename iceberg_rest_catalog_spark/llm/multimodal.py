@@ -387,9 +387,14 @@ def _phash_oracle() -> str:
       UNION ALL SELECT doc_id, 1, (pa >> 16) & 65535 FROM ph
       UNION ALL SELECT doc_id, 2, pb & 65535 FROM ph
       UNION ALL SELECT doc_id, 3, (pb >> 16) & 65535 FROM ph
+    ), cold AS (
+      SELECT chunk, ch FROM chunks GROUP BY chunk, ch
+      HAVING count(*) <= 100
+    ), kept AS (
+      SELECT c.* FROM chunks c JOIN cold USING (chunk, ch)
     ), cand AS (
       SELECT DISTINCT ca.doc_id AS doc_a, cb.doc_id AS doc_b
-      FROM chunks ca JOIN chunks cb USING (chunk, ch)
+      FROM kept ca JOIN kept cb USING (chunk, ch)
       WHERE ca.doc_id < cb.doc_id
     )
     SELECT doc_a, doc_b,
@@ -429,25 +434,37 @@ def q_multimodal_phash_dedup(spark, sf_dir):
         .withColumn("n", (F.length("hx") / 2).cast("int"))
         .filter(F.col("n") >= 64)
     )
-    by = d.withColumn(
-        "bytes",
-        F.expr(
-            "transform(sequence(0, 63), i -> "
-            "CAST(conv(substring(hx, 1 + 2 * i * CAST(n / 64 AS INT), 2), "
-            "16, 10) AS BIGINT))"
-        ),
-    ).withColumn("mean", F.expr("aggregate(bytes, 0L, (s, x) -> s + x)") / 64.0)
-    ph = by.select(
+    # Explode the 64 sampled bytes to ROWS and aggregate the words back —
+    # NOT nested HOF lambdas: referencing a transform()-built array (and
+    # its mean) inside an aggregate() lambda re-inlines the whole
+    # subexpression per iteration (no CSE through lambda bindings), which
+    # measured as minutes-per-pass at sf0.1; this explode+window+agg shape
+    # is the documented ~15x-faster simhash vote plan and costs one
+    # doc-keyed shuffle of 64x|docs| pre-combined rows.
+    from pyspark.sql import Window as W
+
+    by = d.select(
         "doc_id",
-        F.expr(
-            "aggregate(sequence(0, 31), 0L, (acc, i) -> acc + "
-            "CASE WHEN element_at(bytes, i + 1) > mean "
-            "THEN shiftleft(1L, i) ELSE 0L END)"
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 63), i -> "
+                "CAST(conv(substring(hx, 1 + 2 * i * CAST(n / 64 AS INT), 2), "
+                "16, 10) AS BIGINT))"
+            )
+        ).alias("i", "byte"),
+    ).withColumn("mean", F.avg("byte").over(W.partitionBy("doc_id")))
+    ph = by.groupBy("doc_id").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN i < 32 AND byte > mean "
+                "THEN shiftleft(1L, i) ELSE 0L END"
+            )
         ).alias("pa"),
-        F.expr(
-            "aggregate(sequence(32, 63), 0L, (acc, i) -> acc + "
-            "CASE WHEN element_at(bytes, i + 1) > mean "
-            "THEN shiftleft(1L, i - 32) ELSE 0L END)"
+        F.sum(
+            F.expr(
+                "CASE WHEN i >= 32 AND byte > mean "
+                "THEN shiftleft(1L, i - 32) ELSE 0L END"
+            )
         ).alias("pb"),
     )
     chunks = None
@@ -463,12 +480,28 @@ def q_multimodal_phash_dedup(spark, sf_dir):
             "doc_id", F.lit(cix).alias("chunk"), expr.alias("ch"), "pa", "pb"
         )
         chunks = part if chunks is None else chunks.unionAll(part)
+    # FREQUENT-BUCKET SUPPRESSION (cap 100, the standard LSH hot-bucket
+    # gate): average-hash bits over a stylistically uniform corpus are
+    # highly correlated, so a few chunk values collect a corpus-fraction
+    # of docs and the blocking join degenerates quadratically (measured:
+    # candidate pairs 833 -> 64.7k -> 4.5M for 500 -> 5k -> 50k docs,
+    # max bucket 14 -> 85 -> 677 — SCALE.md round 8). A bucket past the
+    # cap signals degenerate hash bits, not near-duplicates; suppressing
+    # it bounds candidates at O(|buckets| x cap^2) with a measured,
+    # report-able recall trade. The cap does not bind at the oracle
+    # gate's sf0.01 (max bucket 14) — the value-hash covers the capped
+    # plan on both engines either way, since the oracle applies the
+    # identical HAVING.
+    cold = chunks.groupBy("chunk", "ch").agg(F.count("*").alias("bn")).filter(
+        F.col("bn") <= 100
+    ).select("chunk", "ch")
+    kept = chunks.join(cold, ["chunk", "ch"])
     hamming = F.bit_count(
         F.col("a.pa").bitwiseXOR(F.col("b.pa"))
     ) + F.bit_count(F.col("a.pb").bitwiseXOR(F.col("b.pb")))
     return (
-        chunks.alias("a")
-        .join(chunks.alias("b"), ["chunk", "ch"])
+        kept.alias("a")
+        .join(kept.alias("b"), ["chunk", "ch"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),

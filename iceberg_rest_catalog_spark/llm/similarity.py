@@ -1113,3 +1113,106 @@ def q_sim_recall_eval(spark, sf_dir):
     """
     return _recall_eval(spark, sf_dir, KNN_QSTEP)
 
+
+
+ELBOW_KS = (4, 8, 16)  # the candidate centroid counts the elbow sweeps
+
+
+def _elbow_oracle() -> str:
+    """Three unrolled Lloyd chains (one per candidate k, sharing the `e`
+    scan CTE) + a final-assignment inertia readout per k.  d2 is the
+    explicit index-fold (generate_series 1..64), the same sequential
+    order as the Spark zip_with fold, so the summands are bit-identical
+    before the one rounding site per k."""
+    d2 = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> (a.emb[i] - c.c[i]) * (a.emb[i] - c.c[i])))"
+    )
+    chains, selects = [], []
+    for k in ELBOW_KS:
+        chains.append(
+            f"""c0_{k} AS (SELECT vec_id AS cell, emb AS c FROM e
+               WHERE vec_id < {k}),
+    a1_{k} AS ({_KMEANS_ASSIGN.format(src='e', cent=f'c0_{k}')}),
+    c1_{k} AS ({_KMEANS_RECENTER.format(assigned=f'a1_{k}')}),
+    a2_{k} AS ({_KMEANS_ASSIGN.format(src='e', cent=f'c1_{k}')}),
+    c2_{k} AS ({_KMEANS_RECENTER.format(assigned=f'a2_{k}')}),
+    a3_{k} AS ({_KMEANS_ASSIGN.format(src='e', cent=f'c2_{k}')}),
+    i_{k} AS (
+      SELECT {k} AS k, CAST(count(*) AS BIGINT) AS n,
+             round(sum({d2}), 4) AS inertia,
+             round(sum({d2}) / count(*), 4) AS mean_d2
+      FROM a3_{k} a JOIN c2_{k} c USING (cell))"""
+        )
+        selects.append(f"SELECT * FROM i_{k}")
+    e_cte = """e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)
+    )"""
+    return (
+        "WITH "
+        + ",\n    ".join([e_cte] + chains)
+        + "\n    "
+        + " UNION ALL ".join(selects)
+        + " ORDER BY k"
+    )
+
+
+@query("q_embed_kmeans_elbow", oracle=_elbow_oracle())
+def q_embed_kmeans_elbow(spark, sf_dir):
+    """K-selection elbow curve: the SAME deterministic 3-iteration Lloyd
+    recurrence as q_cluster_kmeans, swept over k in {ELBOW_KS}, reporting
+    per k the total inertia (sum of squared distance to the final
+    centroid) and its per-vector mean — the curve that picks K before
+    anyone commits to a clustering, and the fixture-scale companion of
+    the `semantic_k_for` / `ivf_cells_for` knobs (those scale K with the
+    corpus; this measures what a given K buys on THIS corpus).
+
+    Scale shape: identical to q_cluster_kmeans per k — centroids are a
+    k x 64 broadcast to a per-vector argmin, the corpus never shuffles
+    for assignment, recentering is one posexplode partial agg; the sweep
+    multiplies that by |ELBOW_KS| and each sweep member collapses to ONE
+    output row.  d2 folds dimensions sequentially on both engines, so
+    the inertia summands are bit-identical before the one rounding site
+    per k."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).select("vec_id", _dbl("embedding").alias("emb"))
+    out = None
+    for k in ELBOW_KS:
+        cent = e.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cell"), F.col("emb").alias("c")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+        assigned = None
+        for it in range(3):
+            assigned = (
+                e.join(F.broadcast(cent))
+                .withColumn("d2", _l2sq(F.col("emb"), F.col("c")))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+            )
+            if it < 2:
+                cent = (
+                    assigned.select(
+                        "cell", F.posexplode("emb").alias("d", "val")
+                    )
+                    .groupBy("cell", "d")
+                    .agg(F.avg("val").alias("v"))
+                    .groupBy("cell")
+                    .agg(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("d", "v"))),
+                            lambda s: s.v,
+                        ).alias("c")
+                    )
+                )
+        row = assigned.agg(
+            F.lit(k).cast("int").alias("k"),
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("d2"), 4).alias("inertia"),
+            F.round(F.sum("d2") / F.count("*"), 4).alias("mean_d2"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("k")

@@ -1426,3 +1426,75 @@ def q_evt_streaks(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_evt_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT d FROM du
+    ), contrib AS (
+      SELECT y.d AS target, du.user_id
+      FROM du, LATERAL (
+        SELECT unnest(generate_series(du.d, du.d + INTERVAL 27 DAY,
+                                      INTERVAL 1 DAY))::DATE AS d) y
+    ), mau AS (
+      SELECT c.target AS d, count(DISTINCT c.user_id) AS mau_28d
+      FROM contrib c JOIN days ON days.d = c.target
+      GROUP BY c.target
+    ), dau AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY d
+    )
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau,
+           CAST(mau.mau_28d AS BIGINT) AS mau_28d,
+           round(dau.dau * 1.0 / mau.mau_28d, 4) AS stickiness
+    FROM dau JOIN mau ON dau.d = mau.d
+    ORDER BY day
+    """,
+)
+def q_evt_stickiness(spark, sf_dir):
+    """DAU / trailing-28-day-MAU stickiness per day — the engagement
+    ratio every growth dashboard tracks (stickiness ~1 = the same users
+    daily; low = broad-but-shallow reach), and a second instance of the
+    canonical rolling-DISTINCT problem: COUNT(DISTINCT) over a sliding
+    frame is not window-decomposable.
+
+    Scale shape: the q_evt_rolling_dau WINDOW-WIDTH EXPLODE — corpus
+    collapses to distinct (day, user) FIRST, each pair fans out to the
+    <=28 target days it can serve, one countDistinct per target day;
+    work bounded at 28x|user-days| rows, never the |days| x |user-days|
+    range self-join. The early-calendar head is an honest PARTIAL-window
+    MAU (days with <28 days of history count what exists — the dashboard
+    convention), so the ratio is defined from day one."""
+    du = (
+        t(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+    )
+    days = du.select("d").distinct()
+    contrib = du.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 27))).alias(
+            "target"
+        ),
+        "user_id",
+    )
+    mau = (
+        contrib.join(F.broadcast(days), contrib.target == days.d)
+        .groupBy("target")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("mau_28d"))
+    )
+    dau = du.groupBy("d").agg(F.count("*").cast("bigint").alias("dau"))
+    return (
+        dau.join(mau, dau.d == mau.target)
+        .select(
+            F.date_format(dau.d, "yyyy-MM-dd").alias("day"),
+            "dau",
+            "mau_28d",
+            F.round(F.col("dau") * 1.0 / F.col("mau_28d"), 4).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )

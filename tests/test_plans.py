@@ -123,6 +123,9 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 # kmeans-assignment broadcast (K-row centroid table) inside
                 # the semantic-dedup block derivation
                 "q_dedup_semantic",
+                # the same k-row centroid broadcast, swept over k in
+                # {4,8,16} for the elbow curve
+                "q_embed_kmeans_elbow",
                 # 1-row broadcast scalars (corpus doc count for the split
                 # shares; max doc_id for the decile label): BNLJ with a
                 # single build row, map-only at any corpus size
