@@ -914,3 +914,113 @@ def test_random_asof_join_matches_duckdb(f8_events, f8_ddb, spec):
     got = _canon([tuple(r) for r in out.collect()])
 
     assert got == want, (spec, len(got), len(want), got[:3], want[:3])
+
+
+# -- family 9 (round 8): outer joins feeding grouped aggregates --------------
+#
+# Families 2 and 1 cover joins and filter/group/agg separately; their
+# COMPOSITION is where three NULL regimes interact: injected NULL join
+# keys (never match), outer-join padding (whole right/left rows become
+# NULL), and aggregate NULL discipline (count(*) counts padded rows,
+# count(col) skips them, sum/min ignore them, count(DISTINCT) collapses
+# them). Grouping on the padded side puts every unmatched row in the
+# NULL group — the exact surface where an oracle translation silently
+# drifts (Spark groups NULL keys together, as does SQL GROUP BY, but a
+# writer who filters "key IS NOT NULL" on one side only diverges).
+
+_F9_JOINS = ["inner", "left", "right", "full"]
+_F9_GROUPS = [
+    ("c_mktsegment",),            # right-table key: padded rows -> NULL group
+    ("o_orderpriority",),         # left-table key
+    ("o_orderpriority", "c_mktsegment"),
+]
+_F9_AGGS = [
+    ("n_rows", "CAST(count(*) AS BIGINT)"),
+    ("n_bal", "CAST(count(c_acctbal) AS BIGINT)"),       # skips padded rows
+    ("sum_price", "round(sum(o_totalprice), 4)"),
+    ("min_name", "min(c_name)"),
+    ("n_cust", "CAST(count(DISTINCT c_custkey) AS BIGINT)"),
+]
+
+f9_spec = st.tuples(
+    st.sampled_from(range(len(_F9_JOINS))),
+    st.sampled_from(range(len(_F9_GROUPS))),
+    st.lists(
+        st.sampled_from(range(len(_F9_AGGS))), unique=True, min_size=1,
+        max_size=3,
+    ),
+    st.sampled_from([None, 7, 13]),   # NULL-inject left key mod
+    st.sampled_from([None, 11]),      # NULL-inject right key mod
+)
+
+
+@settings(
+    max_examples=28,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(f9_spec)
+def test_random_join_agg_composition_matches_duckdb(join_tables, ddb_join, spec):
+    from pyspark.sql import functions as F
+
+    j_ix, g_ix, agg_ix, lmod, rmod = spec
+    how = _F9_JOINS[j_ix]
+    groups = list(_F9_GROUPS[g_ix])
+    aggs = [_F9_AGGS[i] for i in agg_ix]
+
+    orders, customer = join_tables
+    lkey_sql = (
+        f"CASE WHEN o_orderkey % {lmod} = 0 THEN NULL ELSE o_custkey END"
+        if lmod
+        else "o_custkey"
+    )
+    rkey_sql = (
+        f"CASE WHEN c_custkey % {rmod} = 0 THEN NULL ELSE c_custkey END"
+        if rmod
+        else "c_custkey"
+    )
+    sel = ", ".join([*groups, *[f"{s} AS {n}" for n, s in aggs]])
+    sql = f"""
+    SELECT {sel} FROM
+      (SELECT *, {lkey_sql} AS lk FROM orders) o
+      {how.upper()} JOIN
+      (SELECT *, {rkey_sql} AS rk FROM customer) c
+      ON o.lk = c.rk
+    GROUP BY {', '.join(groups)}
+    """
+    pdf = ddb_join.execute(sql).fetchdf()
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    want = _canon([tuple(r) for r in pdf.itertuples(index=False, name=None)])
+
+    o = orders.withColumn(
+        "lk",
+        F.when(F.col("o_orderkey") % lmod == 0, None).otherwise(
+            F.col("o_custkey")
+        )
+        if lmod
+        else F.col("o_custkey"),
+    )
+    c = customer.withColumn(
+        "rk",
+        F.when(F.col("c_custkey") % rmod == 0, None).otherwise(
+            F.col("c_custkey")
+        )
+        if rmod
+        else F.col("c_custkey"),
+    )
+    joined = o.join(c, o.lk == c.rk, how)
+    sp_aggs = {
+        "n_rows": F.count("*").cast("bigint"),
+        "n_bal": F.count("c_acctbal").cast("bigint"),
+        "sum_price": F.round(F.sum("o_totalprice"), 4),
+        "min_name": F.min("c_name"),
+        "n_cust": F.countDistinct("c_custkey").cast("bigint"),
+    }
+    df = joined.groupBy(*groups).agg(
+        *[sp_aggs[n].alias(n) for n, _ in aggs]
+    )
+    df = df.select(*sorted(df.columns))
+    got = _canon([tuple(r) for r in df.collect()])
+
+    assert got == want, (spec, sql, got[:3], want[:3])
