@@ -98,6 +98,11 @@ HEADLINE = [
     # overhead-bound at sf0.1 — see SCALE.md round-8 decade table.
     "q_text_vocab_growth",
     "q_split_assign",
+    # round-8 waves 5-6: the two heavy additions (chunk-blocked payload
+    # phash with the hot-bucket cap; the 3-way Lloyd sweep), tracked
+    # from birth.
+    "q_multimodal_phash_dedup",
+    "q_embed_kmeans_elbow",
 ]
 
 

@@ -899,3 +899,25 @@ def test_kmeans_elbow_monotone_and_consistent(spark, qs):
     assert inertias == sorted(inertias, reverse=True)
     for r in rows:
         assert abs(r.mean_d2 - round(r.inertia / r.n, 4)) < 2e-4
+
+
+def test_phash_hot_bucket_cap_binds(spark, qs, tmp_path):
+    """On a degenerate corpus (hundreds of docs with identical payload
+    statistics) every chunk bucket blows past the cap and the blocking
+    join suppresses them ALL — output empty instead of ~n^2/2 pairs.  A
+    handful of genuinely distinct docs still pair among themselves."""
+    import pyspark.sql.functions as F
+
+    base = "word " * 40
+    rows = [(i, base + "tail") for i in range(300)]  # one hot bucket family
+    # two near-dup distinct docs (cold buckets, hamming 0 pair)
+    rows += [(1000, "zebra quokka " * 12), (1001, "zebra quokka " * 12)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = qs["q_multimodal_phash_dedup"](spark, str(tmp_path)).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in out}
+    # the 300-doc identical family would contribute 300*299/2 = 44850
+    # pairs; the cap suppresses the family entirely
+    assert (1000, 1001) in pairs
+    assert len(pairs) == 1
