@@ -1703,3 +1703,77 @@ def q_dedup_prefix(spark, sf_dir):
             .alias("kept"),
         )
     )
+
+
+@query(
+    "q_dedup_report",
+    oracle="""
+    WITH cl AS (
+      SELECT doc_id, n_chars,
+             md5(substr(lower(coalesce(text, '')), 1, 64)) AS h
+      FROM documents
+    ), runs AS (
+      SELECT h, CAST(count(*) AS BIGINT) AS sz,
+             CAST(sum(n_chars) AS BIGINT) AS chars,
+             CAST(arg_min(n_chars, doc_id) AS BIGINT) AS kept_chars
+      FROM cl GROUP BY h
+    ), tot AS (SELECT sum(chars) AS total_chars FROM runs)
+    SELECT sz,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS docs,
+           CAST(sum(sz - 1) AS BIGINT) AS removable_docs,
+           CAST(sum(chars) AS BIGINT) AS chars_total,
+           CAST(sum(chars - kept_chars) AS BIGINT) AS chars_removable,
+           round(sum(chars - kept_chars) * 1.0
+                 / (SELECT total_chars FROM tot), 4) AS corpus_share_saved
+    FROM runs GROUP BY sz ORDER BY sz
+    """,
+)
+def q_dedup_report(spark, sf_dir):
+    """Dedup savings report: the duplication-multiplicity distribution
+    (how many clusters of size 1, 2, 3, ... — here on the boilerplate-
+    prefix key, q_dedup_prefix's family) with, per size, the docs and
+    characters a keep-min-doc_id dedup pass would remove and the corpus
+    share that saves — the number that decides WHETHER to pay for a
+    dedup run before anyone schedules one over 100 TB (and, after it,
+    the before/after evidence).
+
+    Scale shape: one prefix-hash shuffle collapses the corpus to
+    |clusters| rows (the q_dedup_exact plan; the 64-byte key travels,
+    never the text), the size histogram is a second tiny aggregate over
+    that frame, and the total-chars normalizer is a 1-row broadcast.
+    Keeper election is arg-min-by-doc_id inside the same aggregate — no
+    per-cluster window pass."""
+    cl = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.substring(F.lower(F.coalesce("text", F.lit(""))), 1, 64)).alias(
+            "h"
+        ),
+    )
+    runs = cl.groupBy("h").agg(
+        F.count("*").cast("bigint").alias("sz"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+        F.min_by("n_chars", "doc_id").cast("bigint").alias("kept_chars"),
+    )
+    tot = runs.agg(F.sum("chars").alias("total_chars"))
+    return (
+        runs.join(F.broadcast(tot))
+        .groupBy("sz")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("docs"),
+            F.sum(F.col("sz") - 1).cast("bigint").alias("removable_docs"),
+            F.sum("chars").cast("bigint").alias("chars_total"),
+            F.sum(F.col("chars") - F.col("kept_chars"))
+            .cast("bigint")
+            .alias("chars_removable"),
+            F.round(
+                F.sum(F.col("chars") - F.col("kept_chars"))
+                * 1.0
+                / F.first("total_chars"),
+                4,
+            ).alias("corpus_share_saved"),
+        )
+        .orderBy("sz")
+    )

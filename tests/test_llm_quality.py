@@ -921,3 +921,38 @@ def test_phash_hot_bucket_cap_binds(spark, qs, tmp_path):
     # pairs; the cap suppresses the family entirely
     assert (1000, 1001) in pairs
     assert len(pairs) == 1
+
+
+def test_dedup_report_conserves_corpus(spark, qs):
+    """The multiplicity rows partition the corpus exactly: docs sum to
+    |corpus|, chars to total chars, removable = docs - clusters per row,
+    the size-1 row removes nothing, and every removable count recomputes
+    from the raw prefix clusters."""
+    import hashlib
+    from collections import defaultdict
+
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    docs = t(spark, SF, "documents").select("doc_id", "n_chars", "text").collect()
+    members = defaultdict(list)
+    for r in docs:
+        h = hashlib.md5((r.text or "").lower()[:64].encode()).hexdigest()
+        members[h].append((r.doc_id, r.n_chars))
+    by_sz = defaultdict(lambda: [0, 0, 0, 0])  # clusters, docs, chars, removable_chars
+    for ids in members.values():
+        kept = min(ids)[1]
+        b = by_sz[len(ids)]
+        b[0] += 1
+        b[1] += len(ids)
+        b[2] += sum(c for _, c in ids)
+        b[3] += sum(c for _, c in ids) - kept
+    rows = qs["q_dedup_report"](spark, SF).collect()
+    assert sum(r.docs for r in rows) == len(docs)
+    assert sum(r.chars_total for r in rows) == sum(r.n_chars for r in docs)
+    for r in rows:
+        e = by_sz[r.sz]
+        assert (r.n_clusters, r.docs, r.chars_total, r.chars_removable) == tuple(e)
+        assert r.removable_docs == r.docs - r.n_clusters
+        if r.sz == 1:
+            assert r.removable_docs == 0 and r.chars_removable == 0
+    assert any(r.sz > 1 for r in rows)  # the fixture has prefix dups

@@ -127,9 +127,10 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 # {4,8,16} for the elbow curve
                 "q_embed_kmeans_elbow",
                 # 1-row broadcast scalars (corpus doc count for the split
-                # shares; max doc_id for the decile label): BNLJ with a
+                # shares; max doc_id for the decile label; total-chars
+                # normalizer for the dedup savings report): BNLJ with a
                 # single build row, map-only at any corpus size
-                "q_split_assign", "q_text_vocab_growth",
+                "q_split_assign", "q_text_vocab_growth", "q_dedup_report",
                 # k-row hash-index fan-out (3 rows) + m/32-word filter
                 # broadcast: both build sides are sketch-sized constants
                 "q_agg_bloom",
