@@ -659,3 +659,78 @@ def q_sample_balanced(spark, sf_dir):
         .filter(F.col("rk") <= F.col("n"))
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "q_text_ngram_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bkt,
+             string_split(text, ' ') AS s
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, bkt,
+             array_to_string(list_slice(s, i.i, i.i + 7), ' ') AS sh
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(s) - 7, 1)))
+                          AS i) i),
+    ev AS (SELECT doc_id, sh FROM grams WHERE bkt IN ('0','1')),
+    tr AS (SELECT DISTINCT sh FROM grams WHERE bkt NOT IN ('0','1')),
+    hit AS (
+      SELECT ev.doc_id, CAST(count(*) AS BIGINT) AS covered
+      FROM ev JOIN tr USING (sh) GROUP BY ev.doc_id),
+    tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+      FROM ev GROUP BY doc_id)
+    SELECT tot.doc_id, tot.n_grams,
+           CAST(coalesce(hit.covered, 0) AS BIGINT) AS covered,
+           round(coalesce(hit.covered, 0) * 1.0 / tot.n_grams, 4) AS coverage
+    FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+    ORDER BY tot.doc_id
+    """,
+)
+def q_text_ngram_coverage(spark, sf_dir):
+    """Eval-set n-gram SUPPORT: for every held-out document, the fraction
+    of its verbatim 8-grams that appear anywhere in the training split —
+    q_decontaminate's measurement INVERTED (that op flags train docs to
+    drop; this one scores how much of each eval doc the training corpus
+    already spells out, the memorization-risk / benchmark-difficulty
+    number reported next to every eval score).  Same gram unit, same
+    deterministic md5 split as q_sample_hash/q_decontaminate.
+
+    Scale shape: the held-out per-doc gram table is |eval|-sized and
+    BROADCASTS; train grams stream past it in one map-side join — the
+    corpus never shuffles (the q_decontaminate plan with the join
+    direction inverted). Matched (doc, gram) pairs collapse via a
+    map-side-combined aggregate (bounded by eval grams × their train
+    presence, i.e. by the contamination level itself), and the final
+    per-doc frame is |eval| rows."""
+    from .dedup import _shingles
+
+    d = t(spark, sf_dir, "documents")
+    g = _shingles(d, n=8, dedup="doc").withColumn(
+        "bkt", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    )
+    ev = g.filter(F.col("bkt").isin("0", "1")).select("doc_id", "sh")
+    tr = g.filter(~F.col("bkt").isin("0", "1")).select("sh")
+    hit = (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("doc_id", "sh")
+        .agg(F.lit(1).alias("one"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("covered"))
+    )
+    tot = ev.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_grams")
+    )
+    return (
+        tot.join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("covered", F.lit(0)).cast("bigint").alias("covered"),
+            F.round(
+                F.coalesce("covered", F.lit(0)) * 1.0 / F.col("n_grams"), 4
+            ).alias("coverage"),
+        )
+        .orderBy("doc_id")
+    )

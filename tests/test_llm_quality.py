@@ -956,3 +956,38 @@ def test_dedup_report_conserves_corpus(spark, qs):
         if r.sz == 1:
             assert r.removable_docs == 0 and r.chars_removable == 0
     assert any(r.sz > 1 for r in rows)  # the fixture has prefix dups
+
+
+def test_ngram_coverage_recomputes_and_inverts_decontaminate(spark, qs):
+    """Coverage recomputes from raw python gram sets, is a proper rate,
+    and inverts q_decontaminate's direction: a train doc flagged there
+    shares >=1 gram with SOME eval doc, so total coverage hits are
+    positive iff decontaminate flags anything."""
+    import hashlib
+    from collections import defaultdict
+
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    docs = t(spark, SF, "documents").select("doc_id", "text").collect()
+    grams = {}
+    for r in docs:
+        s = (r.text or "").split(" ")
+        n = max(len(s) - 7, 1)
+        grams[r.doc_id] = {" ".join(s[i:i + 8]) for i in range(n)}
+    is_eval = {
+        r.doc_id: hashlib.md5(str(r.doc_id).encode()).hexdigest()[0] in "01"
+        for r in docs
+    }
+    train = set()
+    for d, gs in grams.items():
+        if not is_eval[d]:
+            train |= gs
+    rows = qs["q_text_ngram_coverage"](spark, SF).collect()
+    assert {r.doc_id for r in rows} == {d for d in grams if is_eval[d]}
+    for r in rows:
+        gs = grams[r.doc_id]
+        cov = len(gs & train)
+        assert (r.n_grams, r.covered) == (len(gs), cov)
+        assert abs(r.coverage - round(cov / len(gs), 4)) < 1e-9
+    decon = qs["q_decontaminate"](spark, SF).collect()
+    assert (sum(r.covered for r in rows) > 0) == (len(decon) > 0)
