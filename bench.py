@@ -105,6 +105,15 @@ HEADLINE = [
     "q_embed_kmeans_elbow",
 ]
 
+# FROZEN as of round 9 (VERDICT r8 item 8): HEADLINE is the 53-query set
+# BENCH_r08 recorded, and `value` (headline_suite_wall) stays the sum over
+# exactly this set so the suite-wall number is comparable round-over-round
+# forever.  Operators added in round 9+ go in TRACKED below: same warm +
+# 3-pass median protocol, reported separately as `tracked` / `tracked_wall`
+# in the JSON (and they still get birth baselines via
+# tools/birth_baselines.py — the 2x ratio gate covers both sets).
+TRACKED: list[str] = []
+
 
 def _sf_from_dir(d: str) -> float:
     m = re.search(r"sf([0-9.]+)", d)
@@ -136,7 +145,9 @@ def main() -> None:
     # driver box (session default derives it from $SPARK_GRAFT_CPUS).
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     qs = registry.queries()
-    names = [n for n in HEADLINE if n in qs]
+    head_names = [n for n in HEADLINE if n in qs]
+    tracked_names = [n for n in TRACKED if n in qs]
+    names = head_names + tracked_names
 
     # Full untimed warm pass BEFORE the timed passes (VERDICT r6 item 7):
     # checkpoint-heavy queries (q_graph_triangles) previously folded their
@@ -216,15 +227,20 @@ def main() -> None:
     worst = max(ratios, key=ratios.get) if ratios else None
     out = {
         "metric": "headline_suite_wall",
-        "value": round(sum(times.values()), 3),
+        # `value` sums the FROZEN headline set only — comparable to
+        # BENCH_r08 and every later round regardless of TRACKED growth.
+        "value": round(sum(times[n] for n in head_names), 3),
         "unit": "sec",
-        "queries": times,
+        "queries": {n: times[n] for n in head_names},
         "sf": _sf_from_dir(SF_DIR),
         "passes": N_PASSES,
         "stat": "median",
         "worst_ratio": ratios.get(worst) if worst else None,
         "worst_ratio_query": worst,
     }
+    if tracked_names:
+        out["tracked"] = {n: times[n] for n in tracked_names}
+        out["tracked_wall"] = round(sum(times[n] for n in tracked_names), 3)
     full = dict(out, spread=spread, birth_ratios=ratios)
     try:
         os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_runs"), exist_ok=True)

@@ -284,11 +284,16 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(200, {})
 
     def _table_response(self, tbl) -> dict:
-        # LoadTableResponse shape (reference models.go:72-76)
+        # LoadTableResponse shape (reference models.go:72-76).  `config`
+        # echoes the TABLE's properties — the reference sets
+        # Config: table.Properties() on both create (tables.go:144) and
+        # load (tables.go:269), NOT the catalog-level overrides (those are
+        # only served by /v1/config, tables.go:38-46).  Pinned by
+        # tests/test_rest.py::test_table_response_config_echoes_properties.
         return {
             "metadata-location": tbl.metadata_location,
             "metadata": tbl.metadata,
-            "config": self.catalog.config()["overrides"],
+            "config": tbl.properties(),
         }
 
 

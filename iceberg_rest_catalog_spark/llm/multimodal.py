@@ -390,6 +390,14 @@ def _phash_oracle() -> str:
     ), cold AS (
       SELECT chunk, ch FROM chunks GROUP BY chunk, ch
       HAVING count(*) <= 100
+    ), hot AS (
+      SELECT chunk, ch FROM chunks GROUP BY chunk, ch
+      HAVING count(*) > 100
+    ), acct AS (
+      SELECT CAST((SELECT count(*) FROM hot) AS BIGINT) AS n_hot_buckets,
+             CAST((SELECT count(DISTINCT c.doc_id)
+                   FROM chunks c JOIN hot USING (chunk, ch)) AS BIGINT)
+               AS n_hot_docs
     ), kept AS (
       SELECT c.* FROM chunks c JOIN cold USING (chunk, ch)
     ), cand AS (
@@ -399,10 +407,12 @@ def _phash_oracle() -> str:
     )
     SELECT doc_a, doc_b,
            bit_count(xor(pa.pa, pb.pa)) + bit_count(xor(pa.pb, pb.pb))
-             AS hamming
+             AS hamming,
+           acct.n_hot_buckets, acct.n_hot_docs
     FROM cand
     JOIN ph pa ON pa.doc_id = doc_a
     JOIN ph pb ON pb.doc_id = doc_b
+    CROSS JOIN acct
     WHERE bit_count(xor(pa.pa, pb.pa)) + bit_count(xor(pa.pb, pb.pb)) <= 3
     """
 
@@ -492,9 +502,25 @@ def q_multimodal_phash_dedup(spark, sf_dir):
     # gate's sf0.01 (max bucket 14) — the value-hash covers the capped
     # plan on both engines either way, since the oracle applies the
     # identical HAVING.
-    cold = chunks.groupBy("chunk", "ch").agg(F.count("*").alias("bn")).filter(
-        F.col("bn") <= 100
-    ).select("chunk", "ch")
+    bn = chunks.groupBy("chunk", "ch").agg(F.count("*").alias("bn"))
+    cold = bn.filter(F.col("bn") <= 100).select("chunk", "ch")
+    # NO SILENT CAPS: surface the suppression in the output itself —
+    # n_hot_buckets (chunk values past the cap) and n_hot_docs (distinct
+    # docs that lost at least one chunk membership; they remain candidates
+    # via their other, colder chunks).  Both are 1-row aggregates that
+    # broadcast onto every emitted pair, so a consumer sees the recall
+    # trade without reading SCALE.md.  0 at the oracle gate's sf0.01
+    # (max bucket 14); 677-doc-scale at x10 (SCALE.md round 8).
+    hot = bn.filter(F.col("bn") > 100).select("chunk", "ch")
+    acct = (
+        hot.agg(F.count("*").cast("bigint").alias("n_hot_buckets"))
+        .crossJoin(
+            chunks.join(hot, ["chunk", "ch"])
+            .select("doc_id")
+            .distinct()
+            .agg(F.count("*").cast("bigint").alias("n_hot_docs"))
+        )
+    )
     kept = chunks.join(cold, ["chunk", "ch"])
     hamming = F.bit_count(
         F.col("a.pa").bitwiseXOR(F.col("b.pa"))
@@ -510,4 +536,5 @@ def q_multimodal_phash_dedup(spark, sf_dir):
         )
         .distinct()
         .filter(F.col("hamming") <= 3)
+        .crossJoin(F.broadcast(acct))
     )

@@ -666,7 +666,7 @@ def q_sample_balanced(spark, sf_dir):
     oracle="""
     WITH toks AS (
       SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bkt,
-             string_split(text, ' ') AS s
+             string_split(coalesce(text, ''), ' ') AS s
       FROM documents),
     grams AS (
       SELECT DISTINCT doc_id, bkt,
@@ -706,7 +706,13 @@ def q_text_ngram_coverage(spark, sf_dir):
     per-doc frame is |eval| rows."""
     from .dedup import _shingles
 
-    d = t(spark, sf_dir, "documents")
+    # coalesce(text,'') so a NULL-text doc still contributes its one empty
+    # gram on BOTH engines (explode of a NULL shingle array would silently
+    # drop the doc Spark-side while the oracle's greatest(len-7,1) path
+    # keeps it) — same defensive convention as q_split_assign.
+    d = t(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
     g = _shingles(d, n=8, dedup="doc").withColumn(
         "bkt", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     )

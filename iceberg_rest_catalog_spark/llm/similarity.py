@@ -333,12 +333,37 @@ def q_sim_ann_ivf(spark, sf_dir):
 KNN_K = 3
 KNN_QSTEP = 25  # query set = vec_id % 25 == 0 (deterministic, ~4%)
 
-_KNN_BATCH_ORACLE = f"""
+RECALL_TARGET_PROBES = 400  # probe-batch size the recall audit converges at
+IVF_TARGET_CELL = 512  # target per-cell population for the cell-count knob
+
+# SQL twins of ivf_cells_for / recall_qstep_for, computed from count(*)
+# over the same `e` CTE the Python computes .count() over — so the
+# REGISTERED queries can run the scale knob and the DuckDB oracle stays
+# an exact value-hash twin at any corpus size (VERDICT r8 item 2).  At
+# every fixture SF (500 / 2,000 vectors) both formulas floor at the
+# original constants, so the sf0.01 gate is bit-identical to the
+# pre-knob plans; they depart exactly where the x10 decade measurements
+# said the fixed constants go super-linear (SCALE.md round 8).
+SCALED_CELLS_SQL = (
+    f"(SELECT GREATEST({N_CELLS}, LEAST(65536, count(*) // {IVF_TARGET_CELL}))"
+    " FROM e)"
+)
+SCALED_QSTEP_SQL = (
+    f"(SELECT GREATEST({KNN_QSTEP}, (count(*) + {RECALL_TARGET_PROBES - 1})"
+    f" // {RECALL_TARGET_PROBES}) FROM e)"
+)
+
+
+def _knn_batch_oracle(cells_sql: str, qstep_sql) -> str:
+    """The IVF kNN-join oracle with the cell count and probe stride as SQL
+    expressions — constants for the pinned shape, count(*) subqueries for
+    the registered scale-knob shape."""
+    return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb
   FROM embeddings WHERE embedding IS NOT NULL
 ),
-cent AS (SELECT vec_id AS cell, emb AS c FROM e WHERE vec_id < {N_CELLS}),
+cent AS (SELECT vec_id AS cell, emb AS c FROM e WHERE vec_id < {cells_sql}),
 assigned AS (
   SELECT vec_id, emb, cell FROM (
     SELECT e.vec_id, e.emb, cent.cell,
@@ -350,7 +375,7 @@ assigned AS (
   ) WHERE rn = 1
 ),
 q AS (SELECT vec_id AS q_vec_id, emb AS qe FROM e
-      WHERE vec_id % {KNN_QSTEP} = 0),
+      WHERE vec_id % {qstep_sql} = 0),
 probed AS (
   SELECT q_vec_id, qe, cell FROM (
     SELECT q.q_vec_id, q.qe, cent.cell,
@@ -374,8 +399,7 @@ SELECT q_vec_id, nn_vec_id, CAST(rank AS BIGINT) AS rank, cos FROM (
 """
 
 
-RECALL_TARGET_PROBES = 400  # probe-batch size the recall audit converges at
-IVF_TARGET_CELL = 512  # target per-cell population for the cell-count knob
+_KNN_BATCH_ORACLE = _knn_batch_oracle(SCALED_CELLS_SQL, KNN_QSTEP)
 
 
 def ivf_cells_for(n_vectors: int) -> int:
@@ -386,8 +410,12 @@ def ivf_cells_for(n_vectors: int) -> int:
     the x10 step, SCALE.md round 8). Scaling cells ~ n/IVF_TARGET_CELL
     pins per-cell population, so probing a fixed N_PROBE cells costs the
     same per query at any corpus size. Floored at the oracle's N_CELLS,
-    capped so the broadcast centroid table stays a few MB — the
-    semantic_k_for discipline applied to the index geometry. NOTE: unlike
+    capped at 65,536 cells — at 64 float64 dims that is a ~34 MB centroid
+    table, past Spark's 10 MB auto-broadcast default but still an explicit
+    F.broadcast() comfortably inside executor memory (the cap bounds the
+    table; raise spark.sql.autoBroadcastJoinThreshold accordingly or accept
+    the hint-forced build side) — the semantic_k_for discipline applied to
+    the index geometry. NOTE: unlike
     the probe-stride knob this one moves the recall operating point
     (fixed N_PROBE over smaller cells sees a smaller corpus fraction);
     tools/ivf_cells_knob.py measures both the cost and that trade."""
@@ -408,14 +436,22 @@ def recall_qstep_for(n_vectors: int) -> int:
     return max(KNN_QSTEP, -(-n_vectors // RECALL_TARGET_PROBES))
 
 
-def _knn_batch(spark, sf_dir, qstep: int):
-    """Core of q_sim_knn_batch with the probe stride as a parameter — the
-    registered query pins qstep=KNN_QSTEP (what the oracle computes); the
-    scale path passes recall_qstep_for(n)."""
+def _knn_batch(spark, sf_dir, qstep: int, n_cells: int | None = None):
+    """Core of q_sim_knn_batch with the probe stride and IVF cell count as
+    parameters.  Since round 9 the REGISTERED query passes
+    ivf_cells_for(count) — the scale knob is the default, with the oracle
+    computing the identical formula from count(*) (SCALED_CELLS_SQL) so
+    the value-hash twin holds at any corpus size.  ``n_cells=None``
+    self-computes the knob; explicit values serve the measurement tools
+    (tools/ivf_cells_knob.py) and tests."""
     from pyspark.sql import Window
 
     e = _emb(spark, sf_dir).select("vec_id", _dbl("embedding").alias("emb"))
-    cent = e.filter(F.col("vec_id") < N_CELLS).select(
+    if n_cells is None:
+        # one count job; at cluster scale this is parquet row-group
+        # metadata, not a data scan
+        n_cells = ivf_cells_for(e.count())
+    cent = e.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("emb").alias("c")
     )
 
@@ -481,7 +517,14 @@ def q_sim_knn_batch(spark, sf_dir):
 
     Scoring stays JVM-side (zip_with/aggregate); candidate volume here is
     |queries| x corpus/4, well under the pair-scorer threshold where the
-    Arrow numpy path (_dot_pd) wins."""
+    Arrow numpy path (_dot_pd) wins.
+
+    Since round 9 the IVF cell count is the SCALE KNOB by default:
+    cells = ivf_cells_for(count) pins per-cell population at
+    ~IVF_TARGET_CELL so the cell-join candidate volume stays linear in
+    the corpus (x10 measured 8.84x fixed -> 2.64x scaled, SCALE.md r8);
+    the oracle computes the identical formula from count(*)
+    (SCALED_CELLS_SQL), keeping the value-hash twin exact at any size."""
     return _knn_batch(spark, sf_dir, KNN_QSTEP)
 
 
@@ -1023,12 +1066,13 @@ def q_sim_mmr(spark, sf_dir):
 
 
 _RECALL_ORACLE = f"""
-WITH ivf AS ({_KNN_BATCH_ORACLE}),
+WITH ivf AS ({_knn_batch_oracle(SCALED_CELLS_SQL, SCALED_QSTEP_SQL)}),
 e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb
   FROM embeddings WHERE embedding IS NOT NULL
 ),
-q AS (SELECT vec_id AS q_vec_id, emb AS qe FROM e WHERE vec_id % {KNN_QSTEP} = 0),
+q AS (SELECT vec_id AS q_vec_id, emb AS qe FROM e
+      WHERE vec_id % {SCALED_QSTEP_SQL} = 0),
 exact AS (
   SELECT q_vec_id, nn_vec_id FROM (
     SELECT q.q_vec_id, e.vec_id AS nn_vec_id,
@@ -1049,14 +1093,18 @@ FROM q LEFT JOIN hits h USING (q_vec_id) ORDER BY q_vec_id
 """
 
 
-def _recall_eval(spark, sf_dir, qstep: int):
-    """Core of q_sim_recall_eval with the probe stride as a parameter —
-    the registered query pins qstep=KNN_QSTEP (what the oracle computes);
-    the scale path passes recall_qstep_for(n) so the probe batch (and
-    with it the |batch| x corpus exact baseline) stays FIXED-SIZE as the
-    corpus grows."""
+def _recall_eval(spark, sf_dir, qstep: int | None = None):
+    """Core of q_sim_recall_eval with the probe stride as a parameter.
+    Since round 9 the REGISTERED query passes qstep=None, which
+    self-computes recall_qstep_for(count) — the probe batch (and with it
+    the |batch| x corpus exact baseline) stays FIXED-SIZE as the corpus
+    grows, and the oracle computes the identical stride from count(*)
+    (SCALED_QSTEP_SQL).  Explicit strides serve the measurement tools
+    (tools/recall_qstep_knob.py) and tests."""
     from pyspark.sql import Window
 
+    if qstep is None:
+        qstep = recall_qstep_for(_emb(spark, sf_dir).count())
     ivf = _knn_batch(spark, sf_dir, qstep).select("q_vec_id", "nn_vec_id")
 
     e = _emb(spark, sf_dir).select("vec_id", _dbl("embedding").alias("emb"))
@@ -1110,8 +1158,16 @@ def q_sim_recall_eval(spark, sf_dir):
     corpus x corpus product).  The IVF side inherits q_sim_knn_batch's
     equi-join-on-cell plan.  Both sides rank on the 4dp-ROUNDED cosine
     with vec_id tiebreak, so hit membership is bit-stable across engines.
+
+    Since round 9 the probe stride is the SCALE KNOB by default:
+    qstep = recall_qstep_for(count) pins the batch at
+    ~RECALL_TARGET_PROBES probes (a recall CI depends on batch SIZE, not
+    fraction), so the exact baseline stays one linear corpus scan as the
+    corpus grows (x10 measured 8.25x fixed -> 4.94x scaled, SCALE.md r8);
+    the oracle computes the identical stride from count(*)
+    (SCALED_QSTEP_SQL), keeping the value-hash twin exact at any size.
     """
-    return _recall_eval(spark, sf_dir, KNN_QSTEP)
+    return _recall_eval(spark, sf_dir)
 
 
 

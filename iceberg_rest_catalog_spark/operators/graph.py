@@ -565,14 +565,18 @@ _UNREACHED = 9999  # sentinel > any reachable fixed-round distance
 
 def _knn_bfs_oracle(iters: int) -> str:
     """kNN-graph edges (the q_sim_knn_batch IVF shape, run for EVERY
-    vector) + unrolled min-plus BFS relaxation d0..d{iters}."""
-    from ..llm.similarity import N_CELLS, N_PROBE
+    vector) + unrolled min-plus BFS relaxation d0..d{iters}.  The cell
+    count is the scale-knob formula computed from count(*)
+    (similarity.SCALED_CELLS_SQL) — the exact twin of the
+    ivf_cells_for(count) the registered Spark query passes."""
+    from ..llm.similarity import N_PROBE, SCALED_CELLS_SQL
 
     ctes = [
         f"""e AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb
       FROM embeddings WHERE embedding IS NOT NULL),
-    cent AS (SELECT vec_id AS cell, emb AS c FROM e WHERE vec_id < {N_CELLS}),
+    cent AS (SELECT vec_id AS cell, emb AS c FROM e
+             WHERE vec_id < {SCALED_CELLS_SQL}),
     ranked_cells AS (
       SELECT e.vec_id, e.emb, cent.cell,
              row_number() OVER (
@@ -620,15 +624,28 @@ def _knn_bfs_oracle(iters: int) -> str:
     )
 
 
-def _knn_bfs(spark, sf_dir, n_cells: int):
-    """Core of q_graph_knn_bfs with the IVF cell count as a parameter —
-    the registered query pins n_cells=N_CELLS (what the oracle computes);
-    the scale path passes ivf_cells_for(n) so per-cell population (and
-    with it the cell-join candidate volume per vector) stays flat as the
-    corpus grows."""
+def _knn_bfs(spark, sf_dir, n_cells: int | None = None):
+    """Core of q_graph_knn_bfs with the IVF cell count as a parameter.
+    Since round 9 the REGISTERED query passes n_cells=None, which
+    self-computes ivf_cells_for(count) so per-cell population (and with
+    it the cell-join candidate volume per vector) stays flat as the
+    corpus grows; the oracle computes the identical formula from
+    count(*) (similarity.SCALED_CELLS_SQL).  Explicit cell counts serve
+    the measurement tools (tools/ivf_cells_knob.py)."""
     from pyspark.sql import Window as W
 
-    from ..llm.similarity import N_PROBE, _cos, _dbl, _dot_pd, _emb, _norm
+    from ..llm.similarity import (
+        N_PROBE,
+        _cos,
+        _dbl,
+        _dot_pd,
+        _emb,
+        _norm,
+        ivf_cells_for,
+    )
+
+    if n_cells is None:
+        n_cells = ivf_cells_for(_emb(spark, sf_dir).count())
 
     # Per-vector L2 norm computed ONCE here (JVM-side, |corpus| rows) so the
     # candidate-pair hot path below can use the Arrow-batched numpy dot
@@ -762,6 +779,4 @@ def q_graph_knn_bfs(spark, sf_dir):
     cost is one shuffle keyed on node id at any graph size).  Ranking
     everywhere uses the 4dp-ROUNDED cosine with id tiebreaks, so the edge
     set — and therefore every distance — is bit-stable across engines."""
-    from ..llm.similarity import N_CELLS
-
-    return _knn_bfs(spark, sf_dir, N_CELLS)
+    return _knn_bfs(spark, sf_dir)

@@ -1024,3 +1024,137 @@ def test_random_join_agg_composition_matches_duckdb(join_tables, ddb_join, spec)
     got = _canon([tuple(r) for r in df.collect()])
 
     assert got == want, (spec, sql, got[:3], want[:3])
+
+
+# -- family 10 (round 9): window-width explode rolling recurrences -----------
+#
+# q_evt_rolling_dau / q_evt_stickiness / q_ts_ewma share a house pattern
+# no prior family touches: pre-aggregate to per-day rows, EXPLODE each day
+# onto the <= W trailing target days it serves (sequence + explode), weight
+# by the day gap, and finish with one grouped aggregate per target day —
+# the only distributed shape for rolling COUNT(DISTINCT) / distance-
+# weighted smoothing, which window frames cannot express.  Their fixed
+# oracles pin W=7/28/14 with one weight function each; this family fuzzes
+# the width, the weight curve, the pre-aggregate metric, and a row
+# predicate, and checks the EXPLODED formulation against DuckDB's
+# DEFINITIONAL range self-join (s.d BETWEEN t.d - (W-1) AND t.d) — two
+# genuinely different formulations that must agree pair-for-pair.
+#
+# Conventions the family enforces (family-6 exact-integer discipline):
+# weights are INTEGERS (flat 1 / linear W-gap / geometric 1<<gap), so
+# sums compare bit-exactly with no rounding convention in play; the
+# partial-window head is honest (only observed days contribute, targets
+# are semi-joined back to observed days).
+
+_F10_PREDS = [
+    ("all", None, "TRUE"),
+    ("click", "event_type = 'click'", "event_type = 'click'"),
+    ("uid_mod", "user_id % 3 = 0", "user_id % 3 = 0"),
+    ("val_hi", "value > 50.0", "value > 50.0"),
+]
+_F10_WEIGHTS = ["flat", "linear", "geom"]
+_F10_METRICS = ["events", "users"]  # per-day n = count(*) vs count(DISTINCT user)
+
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    return t(spark, SF, "events")
+
+
+@pytest.fixture(scope="module")
+def ddb_events(events_df):
+    # Route the SQL side through the SPARK-read frame (ts already
+    # nanos-decoded) so both engines see identical timestamps; the frame
+    # is |events|-small at sf0.001.
+    con = duckdb.connect()
+    pdf = events_df.select("event_id", "ts", "user_id", "event_type", "value").toPandas()
+    con.register("events", pdf)
+    return con
+
+
+f10_spec = st.tuples(
+    st.integers(min_value=1, max_value=35),               # window width W
+    st.sampled_from(range(len(_F10_WEIGHTS))),
+    st.sampled_from(range(len(_F10_METRICS))),
+    st.sampled_from(range(len(_F10_PREDS))),
+)
+
+
+@settings(
+    max_examples=24,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(f10_spec)
+def test_window_width_explode_matches_range_self_join(events_df, ddb_events, spec):
+    from pyspark.sql import functions as F
+
+    W, w_ix, m_ix, p_ix = spec
+    weight = _F10_WEIGHTS[w_ix]
+    metric = _F10_METRICS[m_ix]
+    _, sp_pred, sql_pred = _F10_PREDS[p_ix]
+
+    # --- per-day pre-aggregate (the big shrink) ---
+    base = events_df.filter(sp_pred) if sp_pred else events_df
+    if metric == "events":
+        dc = base.groupBy(F.to_date("ts").alias("d")).agg(
+            F.count("*").cast("long").alias("n")
+        )
+        n_sql = "CAST(count(*) AS BIGINT)"
+    else:
+        dc = base.groupBy(F.to_date("ts").alias("d")).agg(
+            F.countDistinct("user_id").cast("long").alias("n")
+        )
+        n_sql = "CAST(count(DISTINCT user_id) AS BIGINT)"
+
+    # --- Spark: the house explode pattern ---
+    days = dc.select("d").distinct()
+    gap = F.datediff("target", "d")
+    w_expr = {
+        "flat": F.lit(1).cast("long"),
+        "linear": (F.lit(W) - gap).cast("long"),
+        # F.shiftleft needs a literal bit count; the SQL form takes a column
+        "geom": F.expr("shiftleft(CAST(1 AS BIGINT), datediff(target, d))"),
+    }[weight]
+    contrib = dc.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), W - 1))).alias(
+            "target"
+        ),
+        "d",
+        "n",
+    ).withColumn("w", w_expr).drop("d")
+    roll = (
+        contrib.join(F.broadcast(days), contrib.target == days.d)
+        .groupBy("target")
+        .agg(F.sum(F.col("w") * F.col("n")).cast("long").alias("wsum"))
+        .select(
+            F.date_format("target", "yyyy-MM-dd").alias("day"), "wsum"
+        )
+    )
+    got = _canon([tuple(r) for r in roll.collect()])
+
+    # --- DuckDB: the definitional range self-join ---
+    w_sql = {
+        "flat": "1::BIGINT",
+        "linear": f"({W} - datediff('day', s.d, t.d))::BIGINT",
+        "geom": "(1::BIGINT << datediff('day', s.d, t.d))",
+    }[weight]
+    sql = f"""
+    WITH dc AS (
+      SELECT CAST(ts AS DATE) AS d, {n_sql} AS n
+      FROM events WHERE {sql_pred} GROUP BY 1
+    ), days AS (SELECT DISTINCT d FROM dc)
+    SELECT strftime(t.d, '%Y-%m-%d') AS day,
+           CAST(sum({w_sql} * s.n) AS BIGINT) AS wsum
+    FROM days t
+    JOIN dc s ON s.d BETWEEN t.d - INTERVAL {W - 1} DAY AND t.d
+    GROUP BY t.d
+    """
+    pdf = ddb_events.execute(sql).fetchdf()
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    want = _canon([tuple(r) for r in pdf.itertuples(index=False, name=None)])
+
+    assert got == want, (spec, sql, got[:3], want[:3])

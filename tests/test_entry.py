@@ -95,11 +95,13 @@ def test_driver_window_is_mechanical_staleness_order():
     assert set(reg_failed) == failed
 
 
-def test_round8_window_head_is_r2_catalog_then_r3_block():
-    """Concrete pin of the round-8 rotation (only while r7 is the newest
-    committed artifact): head = the 7 catalog ids the r7 50-cap cut (last
-    evidence r2), then the 45 r3-stale ids.  When CORRECTNESS_r08.json
-    lands, the mechanical ordering moves on and this pin retires."""
+def test_round9_window_head_is_r3_block_then_r4():
+    """Concrete pin of the round-9 rotation (only while r8 is the newest
+    committed artifact): with every id green and none never-checked, the
+    ordering is purely oldest-evidence-first — the 27 r3-stale ids (the
+    5-text tail + all 22 TPC-H) lead, then the ~50-cap fills from the
+    r4-stale block.  When CORRECTNESS_r09.json lands, the mechanical
+    ordering moves on and this pin retires (regenerate it per round)."""
     import glob as _glob
     import re as _re
 
@@ -108,38 +110,28 @@ def test_round8_window_head_is_r2_catalog_then_r3_block():
         int(_re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
         for p in _glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
     )
-    if newest != 7:
+    if newest != 8:
         import pytest
 
-        pytest.skip(f"rotation pin written against r7 artifacts (newest: r{newest})")
-
-    import json
+        pytest.skip(f"rotation pin written against r8 artifacts (newest: r{newest})")
 
     import __spark_entry__ as e
+    from iceberg_rest_catalog_spark import registry
 
     ids = list(e.queries())
-    # round-8 additions have no driver row yet, so they lead the ordering;
-    # the staleness blocks follow them.
-    seen: set = set()
-    for p in _glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
-        seen |= set(json.load(open(p)))
-    n_new = len([q for q in ids if q not in seen])
-    r2_catalog = [
-        "c_load_namespace",
-        "c_load_table",
-        "c_namespace_exists",
-        "c_rename_table",
-        "c_table_exists",
-        "c_update_ns_props",
-        "c_update_table",
-    ]
-    assert set(ids[:n_new]) == {q for q in ids if q not in seen}
-    assert ids[n_new : n_new + 7] == r2_catalog
-    r3_block = set(ids[n_new + 7 : n_new + 52])
-    assert len(r3_block) == 45
-    assert {q for q in r3_block if q.startswith("q_tpch_")} == {
-        f"q_tpch_q{i}" for i in range(1, 23)
-    }
+    last_seen, failed = registry.driver_evidence()
+    assert not failed and all(q in last_seen for q in ids)
+    r3_block = [
+        "q_text_repetition",
+        "q_text_stats",
+        "q_text_tfidf",
+        "q_text_token_count",
+        "q_text_tokens",
+    ] + sorted(f"q_tpch_q{i}" for i in range(1, 23))
+    assert ids[:27] == r3_block
+    # the remainder of a 50-window comes from the r4-stale family, id-sorted
+    assert all(last_seen[q] == 4 for q in ids[27:50])
+    assert ids[27:50] == sorted(ids[27:50])
 
 
 def test_survey_section2_matches_registry_exactly():

@@ -820,12 +820,29 @@ def test_phash_dedup_matches_bruteforce_python(spark, qs):
         for b in ids[ai + 1:]:
             if bin(ph[a] ^ ph[b]).count("1") <= 3:
                 expect.add((a, b))
-    got = {
-        (r.doc_a, r.doc_b)
-        for r in qs["q_multimodal_phash_dedup"](spark, SF).collect()
-    }
+    # Brute-force equality is only meaningful while no chunk bucket
+    # exceeds the query's 100-row hot-bucket cap; assert that fixture
+    # property explicitly so a future fixture change fails HERE with a
+    # clear message instead of as a confusing set difference below.
+    from collections import Counter
+
+    buckets = Counter()
+    for h in ph.values():
+        for cix, ch in enumerate(
+            [h & 0xFFFF, (h >> 16) & 0xFFFF,
+             (h >> 32) & 0xFFFF, (h >> 48) & 0xFFFF]
+        ):
+            buckets[(cix, ch)] += 1
+    assert max(buckets.values()) <= 100, (
+        "fixture now has a chunk bucket past the 100-row cap; the "
+        "brute-force recompute must apply the same suppression"
+    )
+    rows = qs["q_multimodal_phash_dedup"](spark, SF).collect()
+    got = {(r.doc_a, r.doc_b) for r in rows}
     assert got == expect
     assert got  # planted near-dups surface
+    # cap doesn't bind on the fixture -> accounting columns report zero
+    assert all(r.n_hot_buckets == 0 and r.n_hot_docs == 0 for r in rows)
 
 
 def test_random_projection_matches_numpy_and_concentrates(spark, qs):
@@ -876,7 +893,10 @@ def test_lang_mixture_shares_and_entropy(spark, qs):
         assert abs(sum(r.share for r in rs) - 1.0) < 5e-4
         assert sum(r.is_dominant for r in rs) == 1
         dom = max(rs, key=lambda r: (r.n, "".join(chr(255 - ord(c)) for c in r.lang)))
-        assert next(r for r in rs if r.is_dominant).n == max(r.n for r in rs)
+        # the dominant row must match the documented (n desc, lang asc)
+        # tiebreak exactly, not just carry the max count
+        marked = next(r for r in rs if r.is_dominant)
+        assert (marked.lang, marked.n) == (dom.lang, dom.n)
         ent = -sum((r.n / tot) * math.log2(r.n / tot) for r in rs)
         for r in rs:
             assert abs(r.src_entropy - round(ent, 4)) < 1e-9

@@ -115,6 +115,53 @@ def test_table_lifecycle_over_http(server):
     assert out == {"namespaces": []}
 
 
+def test_table_response_config_echoes_properties(server):
+    """Reference tables.go:144 (create) and :269 (load) both build
+    LoadTableResponse with Config = table.Properties() — the response
+    `config` echoes the TABLE's own properties, not the catalog-level
+    overrides (those are only served by /v1/config, tables.go:38-46).
+    Raw-HTTP pin of that contract on create, load, AND the update-table
+    commit path, including property mutation via set-properties."""
+    call("POST", f"{server}/v1/namespaces", {"namespace": ["db"]})
+    s, out = call(
+        "POST",
+        f"{server}/v1/namespaces/db/tables",
+        {
+            "name": "t",
+            "schema": SCHEMA_JSON,
+            "properties": {"description": "Test table", "owner": "ci"},
+        },
+    )
+    assert s == 200
+    assert out["config"] == {"description": "Test table", "owner": "ci"}
+
+    s, out = call("GET", f"{server}/v1/namespaces/db/tables/t")
+    assert s == 200
+    assert out["config"] == {"description": "Test table", "owner": "ci"}
+
+    # a set-properties commit is reflected in the next response's config
+    s, out = call(
+        "POST",
+        f"{server}/v1/namespaces/db/tables/t",
+        {
+            "requirements": [],
+            "updates": [
+                {"action": "set-properties", "updates": {"owner": "etl"}}
+            ],
+        },
+    )
+    assert s == 200
+    assert out["config"]["owner"] == "etl"
+    assert out["config"]["description"] == "Test table"
+
+    # table config is independent of the catalog-level /v1/config payload
+    s, cfg = call("GET", f"{server}/v1/config")
+    assert s == 200 and set(cfg) == {"defaults", "overrides"}
+
+    call("DELETE", f"{server}/v1/namespaces/db/tables/t")
+    call("DELETE", f"{server}/v1/namespaces/db")
+
+
 def test_error_envelope_over_http(server):
     s, err = call("GET", f"{server}/v1/namespaces/missing")
     assert s == 404
