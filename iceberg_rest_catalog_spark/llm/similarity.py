@@ -72,6 +72,21 @@ def _emb(spark, sf_dir):
     )
 
 
+def _emb_count(spark, sf_dir) -> int:
+    """Non-null embedding count for the scale-knob formulas — the same
+    quantity the oracles' count(*) FROM e computes.  Deliberately skips
+    _emb's widen(): a count needs no fan-out parallelism, and paying the
+    32-way repartition shuffle for a 1-row aggregate measurably taxed
+    every knob-default query (~0.3-0.7 s per invocation at bench scale).
+    One map-combined scan-and-count job, row-group-metadata cheap on any
+    real parquet layout."""
+    return (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .count()
+    )
+
+
 def _dbl(col):
     return F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))")
 
@@ -450,7 +465,7 @@ def _knn_batch(spark, sf_dir, qstep: int, n_cells: int | None = None):
     if n_cells is None:
         # one count job; at cluster scale this is parquet row-group
         # metadata, not a data scan
-        n_cells = ivf_cells_for(e.count())
+        n_cells = ivf_cells_for(_emb_count(spark, sf_dir))
     cent = e.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("emb").alias("c")
     )
@@ -1104,8 +1119,14 @@ def _recall_eval(spark, sf_dir, qstep: int | None = None):
     from pyspark.sql import Window
 
     if qstep is None:
-        qstep = recall_qstep_for(_emb(spark, sf_dir).count())
-    ivf = _knn_batch(spark, sf_dir, qstep).select("q_vec_id", "nn_vec_id")
+        # one count serves both knobs (qstep here, cells in _knn_batch)
+        n = _emb_count(spark, sf_dir)
+        qstep = recall_qstep_for(n)
+        ivf = _knn_batch(
+            spark, sf_dir, qstep, n_cells=ivf_cells_for(n)
+        ).select("q_vec_id", "nn_vec_id")
+    else:
+        ivf = _knn_batch(spark, sf_dir, qstep).select("q_vec_id", "nn_vec_id")
 
     e = _emb(spark, sf_dir).select("vec_id", _dbl("embedding").alias("emb"))
     q = e.filter(F.col("vec_id") % qstep == 0).select(

@@ -643,9 +643,10 @@ def _knn_bfs(spark, sf_dir, n_cells: int | None = None):
         _norm,
         ivf_cells_for,
     )
+    from ..llm.similarity import _emb_count
 
     if n_cells is None:
-        n_cells = ivf_cells_for(_emb(spark, sf_dir).count())
+        n_cells = ivf_cells_for(_emb_count(spark, sf_dir))
 
     # Per-vector L2 norm computed ONCE here (JVM-side, |corpus| rows) so the
     # candidate-pair hot path below can use the Arrow-batched numpy dot
