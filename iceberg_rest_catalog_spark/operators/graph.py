@@ -358,19 +358,23 @@ def q_graph_triangles(spark, sf_dir):
         .select(F.col("u1").alias("u"), F.col("u2").alias("v"))
         .persist(StorageLevel.DISK_ONLY)
     )
-    # Density gate via ONE shuffle-free pass: approx_count_distinct (HLL
-    # partial agg to a single row) estimates |nodes|; the sparse branch
-    # (potentially billions of nodes) must NOT pay a driver-side node
-    # materialization or an n-row broadcast, and since round 8 it no
-    # longer pays the exact-distinct COUNT shuffle either (the gate is a
-    # memory heuristic — a 2% HLL estimate with a 5% safety margin picks
-    # the same branch, and the dense arm gets its EXACT n from the node
-    # collect it performs anyway).  Borderline graphs within the margin
-    # go sparse, which is always correct, just not bitmap-accelerated.
+    # Density gate via ONE shuffle-free pass over the EVENTS COLUMN, not
+    # the edge list: distinct user_id is an UPPER BOUND on the graph's
+    # node count (every co-presence endpoint is a sessioned user), and an
+    # upper bound is all a memory gate needs — overshooting only sends
+    # borderline graphs to the always-correct sparse path.  Round 9: the
+    # previous gate ran approx_count_distinct over the edge-list union,
+    # which forced a full interval-overlap build + DISK_ONLY persist
+    # write as the gate's OWN action (~1 s of the ~3.7 s edge-build share
+    # at sf0.1, 16% of suite wall); the events-side HLL is one column
+    # scan with a 1-row partial agg, and the edge build now materializes
+    # exactly once, under the arm that consumes it.  The sparse branch
+    # (potentially billions of nodes) still never pays a driver-side node
+    # materialization; the dense arm gets its EXACT n from the node
+    # collect it performs anyway.
     n_est = (
-        edges.select(F.col("u").alias("x"))
-        .unionAll(edges.select(F.col("v").alias("x")))
-        .agg(F.approx_count_distinct("x", 0.02).alias("n"))
+        t(spark, sf_dir, "events")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("n"))
         .collect()[0]
         .n
     )
