@@ -374,7 +374,13 @@ def q_join_bucketed(spark, sf_dir):
     import os
     import shutil
 
-    tag = sf_dir.replace("/", "_").replace(".", "_").strip("_")
+    import re
+
+    # Sanitize EVERY non-identifier character, not just '/' and '.': the
+    # round-9 fixture-regeneration dry run pointed this query at a dir
+    # with a '-' in its name and the unquoted CREATE DATABASE identifier
+    # failed to parse (tools/regen_fixture.py finding).
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir).strip("_")
     # One database PER sf_dir: a shared db would pin its LOCATION to the
     # first sf_dir seen (CREATE DATABASE IF NOT EXISTS is a no-op after
     # that), so a later sf's tables would land — and leak across sessions —
