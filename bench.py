@@ -21,7 +21,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from iceberg_rest_catalog_spark import registry
-from iceberg_rest_catalog_spark.operators.common import release_persistent_state
+from iceberg_rest_catalog_spark.operators.common import (
+    release_persistent_state_deep,
+)
 from iceberg_rest_catalog_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -112,7 +114,21 @@ HEADLINE = [
 # 3-pass median protocol, reported separately as `tracked` / `tracked_wall`
 # in the JSON (and they still get birth baselines via
 # tools/birth_baselines.py — the 2x ratio gate covers both sets).
-TRACKED: list[str] = []
+TRACKED: list[str] = [
+    # round-9 wave 7: survival pays the full sessionize window over the
+    # event stream, jaccard pays the kNN edge build + wedge join, purity
+    # the x|cells| assignment fan-out — all data-proportional at sf0.1.
+    # q_ts_holt collapses to a |days| frame after one scan and is
+    # overhead-bound (the q_ts_ewma precedent) — not tracked.
+    "q_evt_survival",
+    "q_graph_jaccard_neighbors",
+    "q_embed_cell_purity",
+    # round-9 wave 8: hard negatives pays the IVF candidate join (the
+    # q_sim_knn_batch shape), session features the full sessionize window
+    # + |sessions|-row output.
+    "q_sim_hard_negatives",
+    "q_evt_session_features",
+]
 
 
 def _sf_from_dir(d: str) -> float:
@@ -130,8 +146,14 @@ def run_one(spark, fn) -> float:
     # leaked checkpoint RDDs across 49 queries x 4 passes, and the eviction
     # pressure made q_graph_triangles read 16.5 s in-suite vs 6.5 s
     # standalone — the bench was measuring the leak, not the plans.  See
-    # operators/common.py release_persistent_state.
-    release_persistent_state(spark)
+    # operators/common.py release_persistent_state.  The DEEP variant
+    # (one driver GC per query) additionally drains the ContextCleaner
+    # weak-ref backlog: without it, shuffle/broadcast registrations from
+    # 56 queries x 4 passes accumulate and the memory-heaviest queries
+    # grow monotonically pass-over-pass (triangles 10.6 -> 12.6 -> 16.9 s
+    # in the round-9 pre-fix run) — the bench measured the backlog, not
+    # the plan.
+    release_persistent_state_deep(spark)
     return elapsed
 
 

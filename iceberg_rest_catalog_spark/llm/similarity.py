@@ -1293,3 +1293,242 @@ def q_embed_kmeans_elbow(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("k")
+
+
+# -- IVF index quality: per-cell label purity ---------------------------------
+
+
+@query(
+    "q_embed_cell_purity",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb
+      FROM embeddings WHERE embedding IS NOT NULL),
+    cent AS (SELECT vec_id AS cell, emb AS c FROM e
+             WHERE vec_id < {SCALED_CELLS_SQL}),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, cent.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.emb, cent.c), 4) DESC,
+                          cent.cell) AS rn
+        FROM e CROSS JOIN cent) WHERE rn = 1),
+    lab AS (
+      SELECT a.cell, emb2.label FROM assigned a
+      JOIN embeddings emb2 USING (vec_id)),
+    cl AS (SELECT cell, label, count(*) AS cnt FROM lab GROUP BY cell, label),
+    tot AS (SELECT cell, sum(cnt) AS n FROM cl GROUP BY cell),
+    top AS (
+      SELECT cell, label, cnt,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY cnt DESC, label) AS rn
+      FROM cl),
+    ent AS (
+      SELECT cl.cell,
+             round(-sum((cnt * 1.0 / tot.n) * ln(cnt * 1.0 / tot.n)), 4)
+               AS entropy
+      FROM cl JOIN tot ON cl.cell = tot.cell GROUP BY cl.cell)
+    SELECT CAST(top.cell AS BIGINT) AS cell, CAST(tot.n AS BIGINT) AS n_vecs,
+           CAST(top.label AS INT) AS top_label,
+           round(top.cnt * 1.0 / tot.n, 4) AS top_share,
+           ent.entropy
+    FROM top JOIN tot ON top.cell = tot.cell
+    JOIN ent ON ent.cell = top.cell
+    WHERE top.rn = 1 ORDER BY cell
+    """,
+)
+def q_embed_cell_purity(spark, sf_dir):
+    """Per-IVF-cell label purity audit: for every cell of the ANN index's
+    coarse quantizer (the q_sim_ann_ivf assignment, cell count =
+    ivf_cells_for(corpus)), the population, the majority label and its
+    share, and the Shannon entropy of the cell's label mix.  This is the
+    index-quality diagnostic BETWEEN clustering and retrieval: cells that
+    mix many labels at high entropy mark regions where the coarse
+    quantizer cuts across semantic boundaries — exactly where IVF probes
+    miss neighbors and q_sim_recall_eval loses recall — while
+    single-label cells certify that label-stratified negative sampling
+    can trust the cell structure.
+
+    Scale shape: assignment is the family's broadcast-centroid plan (a
+    bounded x|cells| fan-out, rn=1 window per vector — never corpus x
+    corpus); labels join back on vec_id (same key, co-partitioned); the
+    rest is two partial-agg collapses to <=|cells| x |labels| rows and
+    windows over that tiny frame.  Output is |cells| rows whatever the
+    corpus size.  Entropy follows the q_agg_entropy convention (natural
+    log, exact integer ratios inside, one 4-dp rounding site); the
+    majority label breaks count ties on label id ascending in both
+    engines.
+
+    Reference scope: no vector surface in the reference facade; sibling
+    of q_sim_ann_ivf (shared assignment) and q_cluster_kmeans /
+    q_embed_kmeans_elbow (learned-centroid cousins)."""
+    from pyspark.sql import Window as W
+
+    n_cells = ivf_cells_for(_emb_count(spark, sf_dir))
+    e = _emb(spark, sf_dir).select("vec_id", _dbl("embedding").alias("emb"))
+    cent = e.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("c")
+    )
+    cw = W.partitionBy("vec_id").orderBy(F.desc("cc"), "cell")
+    assigned = (
+        e.join(F.broadcast(cent))
+        .withColumn("cc", F.round(_cos(F.col("emb"), F.col("c")), 4))
+        .withColumn("rn", F.row_number().over(cw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    labels = t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cl = (
+        assigned.join(labels, "vec_id")
+        .groupBy("cell", "label")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = cl.groupBy("cell").agg(F.sum("cnt").alias("n"))
+    tw = W.partitionBy("cell").orderBy(F.desc("cnt"), "label")
+    top = cl.withColumn("rn", F.row_number().over(tw)).filter(F.col("rn") == 1)
+    p = F.col("cnt") * 1.0 / F.col("n")
+    ent = (
+        cl.join(tot, "cell")
+        .groupBy("cell")
+        .agg(F.round(-F.sum(p * F.log(p)), 4).alias("entropy"))
+    )
+    return (
+        top.join(tot, "cell")
+        .join(ent, "cell")
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("n").cast("bigint").alias("n_vecs"),
+            F.col("label").cast("int").alias("top_label"),
+            F.round(F.col("cnt") * 1.0 / F.col("n"), 4).alias("top_share"),
+            "entropy",
+        )
+        .orderBy("cell")
+    )
+
+
+# -- hard-negative mining -----------------------------------------------------
+
+HN_K = 5  # hard negatives mined per anchor
+
+
+def _hard_negatives_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+cent AS (SELECT vec_id AS cell, emb AS c FROM e WHERE vec_id < {SCALED_CELLS_SQL}),
+assigned AS (
+  SELECT vec_id, label, emb, cell FROM (
+    SELECT e.vec_id, e.label, e.emb, cent.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.emb, cent.c), 4) DESC,
+                      cent.cell) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_vec_id, label AS q_label, emb AS qe FROM e
+      WHERE vec_id % {KNN_QSTEP} = 0),
+probed AS (
+  SELECT q_vec_id, q_label, qe, cell FROM (
+    SELECT q.q_vec_id, q.q_label, q.qe, cent.cell,
+           row_number() OVER (
+             PARTITION BY q.q_vec_id
+             ORDER BY round(list_cosine_similarity(q.qe, cent.c), 4) DESC,
+                      cent.cell) AS rn
+    FROM q CROSS JOIN cent
+  ) WHERE rn <= {N_PROBE}
+)
+SELECT q_vec_id, CAST(q_label AS INT) AS q_label, neg_vec_id,
+       CAST(neg_label AS INT) AS neg_label,
+       CAST(rank AS BIGINT) AS rank, cos FROM (
+  SELECT p.q_vec_id, p.q_label, a.vec_id AS neg_vec_id, a.label AS neg_label,
+         round(list_cosine_similarity(a.emb, p.qe), 4) AS cos,
+         row_number() OVER (
+           PARTITION BY p.q_vec_id
+           ORDER BY round(list_cosine_similarity(a.emb, p.qe), 4) DESC,
+                    a.vec_id) AS rank
+  FROM probed p JOIN assigned a USING (cell)
+  WHERE a.vec_id <> p.q_vec_id AND a.label <> p.q_label
+) WHERE rank <= {HN_K}
+"""
+
+
+@query("q_sim_hard_negatives", oracle=_hard_negatives_oracle())
+def q_sim_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for every anchor in
+    the deterministic query set (vec_id % {KNN_QSTEP} == 0), the top-{HN_K}
+    most-similar corpus vectors carrying a DIFFERENT label — the negatives
+    that sit just across the decision boundary, which is what makes
+    embedding/reranker fine-tuning converge (random negatives are too easy
+    to produce gradient; in-batch negatives rarely land this close).  The
+    standard pipeline step between embedding generation and contrastive
+    batch assembly.
+
+    Plan shape is q_sim_knn_batch's IVF join with the label threaded
+    through: broadcast centroids assign the corpus and give each anchor
+    its {N_PROBE} probe cells; candidates come from an EQUI join on cell
+    (each anchor meets ~N_PROBE/cells of the corpus, never all of it, and
+    the cell count is the ivf_cells_for scale knob — per-cell population
+    pinned as the corpus grows, oracle computing the identical count(*)
+    formula); the label-mismatch filter runs on the bounded candidate set
+    BEFORE the per-anchor top-{HN_K} window.  Ranking uses the 4dp-ROUNDED
+    cosine with vec_id tiebreaks — both engines rank identically.  Caveat
+    documented for consumers: cell-local mining can under-sample negatives
+    whose nearest cells weren't probed — the recall trade q_sim_recall_eval
+    quantifies for this exact index geometry.
+
+    Reference scope: no vector surface in the reference facade; sibling of
+    q_sim_knn_batch (shared IVF join) and q_embed_cell_purity (whose
+    high-entropy cells are where this op finds its richest negatives)."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", _dbl("embedding").alias("emb")
+    )
+    n_cells = ivf_cells_for(_emb_count(spark, sf_dir))
+    cent = e.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("c")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cell")
+    assigned = (
+        e.join(F.broadcast(cent))
+        .withColumn("cc", r4(_cos(F.col("emb"), F.col("c"))))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "emb", "cell")
+    )
+    q = e.filter(F.col("vec_id") % KNN_QSTEP == 0).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("label").alias("q_label"),
+        F.col("emb").alias("qe"),
+    )
+    pw = Window.partitionBy("q_vec_id").orderBy(F.desc("qc"), "cell")
+    probed = (
+        q.join(F.broadcast(cent))
+        .withColumn("qc", r4(_cos(F.col("qe"), F.col("c"))))
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("q_vec_id", "q_label", "qe", "cell")
+    )
+    kw = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), "neg_vec_id")
+    return (
+        F.broadcast(probed)
+        .join(assigned, "cell")
+        .filter(
+            (F.col("vec_id") != F.col("q_vec_id"))
+            & (F.col("label") != F.col("q_label"))
+        )
+        .select(
+            "q_vec_id",
+            F.col("q_label").cast("int").alias("q_label"),
+            F.col("vec_id").alias("neg_vec_id"),
+            F.col("label").cast("int").alias("neg_label"),
+            r4(_cos(F.col("emb"), F.col("qe"))).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(kw).cast("long"))
+        .filter(F.col("rank") <= HN_K)
+        .select("q_vec_id", "q_label", "neg_vec_id", "neg_label", "rank", "cos")
+    )

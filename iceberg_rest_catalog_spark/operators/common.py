@@ -71,13 +71,35 @@ def release_persistent_state(spark: SparkSession) -> int:
     bench suite than standalone.  Callers that run MANY INDEPENDENT
     queries on one session (the bench harness, a query service draining
     a queue) should call this between queries; within one query the
-    operators' own unpersist discipline bounds the working set."""
+    operators' own unpersist discipline bounds the working set.
+
+    :func:`release_persistent_state_deep` additionally triggers one
+    driver-JVM GC.  Shuffle files, broadcast blocks and RDD registrations
+    are reclaimed by ContextCleaner only when their JVM objects are
+    weak-reference collected — unpersist() alone just marks them.  Across
+    a long suite the backlog grows monotonically and taxes exactly the
+    memory-heaviest queries (round-9 bench: q_graph_triangles sampled
+    10.6 → 12.6 → 16.9 s across three otherwise-identical suite passes;
+    q_dedup_semantic grew the same way, every light query stayed flat —
+    the growth, not the plans, was being measured).  A driver System.gc()
+    between queries drains the weak-ref queue so each query starts from
+    the same cleaned state.  Costs one GC pause on an idle heap
+    (~100 ms) — harness hygiene, not something a production query should
+    pay per call, hence the separate deep variant."""
     spark.catalog.clearCache()
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     n = 0
     for jrdd in list(jmap.values()):
         jrdd.unpersist()
         n += 1
+    return n
+
+
+def release_persistent_state_deep(spark: SparkSession) -> int:
+    """release_persistent_state + one driver-JVM GC (see its docstring's
+    driver_gc paragraph) — the between-queries call for suite harnesses."""
+    n = release_persistent_state(spark)
+    spark.sparkContext._jvm.System.gc()
     return n
 
 

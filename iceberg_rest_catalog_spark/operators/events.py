@@ -1498,3 +1498,340 @@ def q_evt_stickiness(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# -- survival / forecasting recurrences ---------------------------------------
+
+SURV_GAP_US = 30 * 60 * 1_000_000  # session gap / censoring horizon (30 min)
+HOLT_ALPHA = 0.5  # level smoothing (exact binary fraction)
+HOLT_BETA = 0.3  # trend smoothing
+
+
+@query(
+    "q_evt_survival",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked),
+    s AS (
+      SELECT user_id, sid, min(ts) AS smin, max(ts) AS smax
+      FROM sess GROUP BY user_id, sid),
+    mx AS (SELECT max(ts) AS tmax FROM events),
+    u AS (
+      SELECT (epoch_us(smax) - epoch_us(smin)) // 60000000 AS t,
+             CASE WHEN epoch_us(tmax) - epoch_us(smax) >= {SURV_GAP_US}
+                  THEN 1 ELSE 0 END AS ended
+      FROM s, mx),
+    lc AS (
+      SELECT t, count(*) AS c, sum(ended) AS d FROM u GROUP BY t),
+    risk AS (
+      SELECT t, d,
+             sum(c) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n_risk
+      FROM lc),
+    dt AS (SELECT t, n_risk, d FROM risk WHERE d > 0)
+    SELECT CAST(t AS INT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS d,
+           round(product(CAST(n_risk - d AS DOUBLE) / n_risk)
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 4) AS surv
+    FROM dt ORDER BY t
+    """,
+)
+def q_evt_survival(spark, sf_dir):
+    """Kaplan-Meier survival curve over SESSION durations — the
+    estimator that handles CENSORING correctly: a session still running
+    at the corpus's observation edge hasn't ended, it's right-censored,
+    and either dropping it or counting it as ended biases every naive
+    mean-session-length number.  Sessions are the canonical 30-minute-gap
+    islands (the q_evt_sessionize relation); duration t = whole minutes
+    between a session's first and last event; the end is OBSERVED iff the
+    last event is >= 30 minutes before the corpus's final timestamp
+    (otherwise the gap that would close the session hasn't had time to
+    elapse).  One row per death time t: at-risk count n_t (sessions with
+    duration >= t), ended count d_t, and the KM estimate
+    S(t) = prod_{{t' <= t}} (n_t' - d_t')/n_t'.
+
+    Scale shape: sessionization is one user_id-keyed shuffle (the family
+    pattern), sessions collapse to <=|distinct minute durations| rows
+    (calendar-bounded) before any sequential work; the at-risk counts
+    are a DESCENDING cumulative sum over that tiny frame, never a rescan
+    of sessions.  The KM cumulative product is inherently sequential, so
+    it runs as a single-group applyInPandas over the bounded death table
+    — the q_sim_mmr bounded-frame pattern.  Cross-engine determinism:
+    durations are exact integer microsecond arithmetic (unix_micros /
+    epoch_us — no truncated-seconds drift), each KM factor is one exact
+    IEEE division of integer counts, and both engines multiply
+    LEFT-TO-RIGHT in t order (DuckDB windowed product(), a Python loop
+    here — not exp(sum(log)), whose summation order is
+    partition-dependent), so the rounded S(t) is bit-stable.
+
+    Reference scope: no analytics surface in the reference (Go facade
+    handlers only, api/router/router.go:9-55); sibling of
+    q_evt_sessionize / q_evt_lifecycle — this one estimates the duration
+    curve those report points on."""
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    marked = ev.withColumn(
+        "new_s",
+        F.when(
+            prev.isNull() | (prev < F.col("ts") - F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    s = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("smin"), F.max("ts").alias("smax")
+    )
+    mx = ev.agg(F.max("ts").alias("tmax"))
+    u = s.join(F.broadcast(mx)).select(
+        # DIV, not "/ then cast": double division can round up across an
+        # integer boundary just below a multiple of the divisor.  The NTZ
+        # -> LTZ cast is shift-free under the UTC session and only
+        # differences matter anyway (q_evt_conversion_lag precedent).
+        F.expr(
+            "(unix_micros(CAST(smax AS TIMESTAMP))"
+            " - unix_micros(CAST(smin AS TIMESTAMP))) DIV 60000000"
+        ).alias("t"),
+        F.when(
+            F.unix_micros(F.col("tmax").cast("timestamp"))
+            - F.unix_micros(F.col("smax").cast("timestamp"))
+            >= SURV_GAP_US,
+            1,
+        )
+        .otherwise(0)
+        .alias("ended"),
+    )
+    lc = u.groupBy("t").agg(F.count("*").alias("c"), F.sum("ended").alias("d"))
+    wdesc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dt = (
+        lc.withColumn("n_risk", F.sum("c").over(wdesc))
+        .filter(F.col("d") > 0)
+        .select("t", "n_risk", "d")
+    )
+
+    def km(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        srv, out = 1.0, []
+        for n_risk, d in zip(pdf["n_risk"], pdf["d"]):
+            srv = srv * ((n_risk - d) / n_risk)  # left-to-right IEEE product
+            out.append(srv)
+        pdf["surv"] = out
+        return pdf[["g", "t", "n_risk", "d", "surv"]]
+
+    return (
+        dt.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(km, "g int, t int, n_risk long, d long, surv double")
+        .select(
+            F.col("t").cast("int").alias("t"),
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("d").cast("bigint").alias("d"),
+            r4("surv").alias("surv"),
+        )
+        .orderBy("t")
+    )
+
+
+@query(
+    "q_ts_holt",
+    oracle=f"""
+    WITH RECURSIVE dc AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1
+    ), idx AS (
+      SELECT d, n, row_number() OVER (ORDER BY d) AS i FROM dc
+    ), h(i, lvl, tr) AS (
+      SELECT 1, CAST(n AS DOUBLE),
+             CAST(coalesce((SELECT n FROM idx WHERE i = 2) - n, 0) AS DOUBLE)
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT idx.i,
+             CAST({HOLT_ALPHA} AS DOUBLE) * idx.n
+               + CAST({1 - HOLT_ALPHA} AS DOUBLE) * (h.lvl + h.tr),
+             CAST({HOLT_BETA} AS DOUBLE)
+               * ((CAST({HOLT_ALPHA} AS DOUBLE) * idx.n
+                   + CAST({1 - HOLT_ALPHA} AS DOUBLE) * (h.lvl + h.tr))
+                  - h.lvl)
+               + CAST({1 - HOLT_BETA} AS DOUBLE) * h.tr
+      FROM h JOIN idx ON idx.i = h.i + 1
+    )
+    SELECT strftime(idx.d, '%Y-%m-%d') AS day, CAST(idx.n AS BIGINT) AS n,
+           round(h.lvl, 4) AS level, round(h.tr, 4) AS trend,
+           CASE WHEN idx.i > 1
+                THEN round(lag(h.lvl + h.tr) OVER (ORDER BY idx.i), 4)
+           END AS forecast
+    FROM idx JOIN h ON h.i = idx.i ORDER BY day
+    """,
+)
+def q_ts_holt(spark, sf_dir):
+    """Holt's linear-trend (double exponential) smoothing of the daily
+    event count, with the one-step-ahead forecast each day's actual is
+    judged against — the trend-aware upgrade of q_ts_ewma (a plain EWMA
+    lags a trending series by design; Holt's trend term removes that
+    systematic lag, which is why capacity planning and ingest forecasting
+    default to it).  level_i = alpha*y_i + (1-alpha)*(level+trend)_{{i-1}},
+    trend_i = beta*(level_i - level_{{i-1}}) + (1-beta)*trend_{{i-1}},
+    initialized level_1 = y_1, trend_1 = y_2 - y_1.
+
+    Unlike the EWMA, Holt's recurrence has INFINITE memory through two
+    coupled states, so the window-width-explode trick does not apply; the
+    corpus first collapses to |days| count rows (the big shrink — one
+    date-keyed partial agg whatever the event volume), and the sequential
+    recurrence then runs over that calendar-bounded frame in a
+    single-group applyInPandas (the q_sim_mmr pattern).  The DuckDB
+    oracle unrolls the SAME recurrence as a recursive CTE joining the
+    indexed day series — the q_graph_cc fixed-iteration twin technique —
+    with every operand cast to DOUBLE (DuckDB parses bare numeric
+    literals as DECIMAL, whose arithmetic diverges from Spark's doubles)
+    and the operation order textually identical, so the raw state stays
+    bit-equal and the 4-dp rounding is cosmetic.
+
+    Reference scope: none (analytics beyond the Go facade); sibling of
+    q_ts_ewma / q_evt_forecast_eval."""
+    import pandas as pd
+
+    dc = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        ys = pdf["n"].tolist()
+        lvl = float(ys[0])
+        tr = float(ys[1] - ys[0]) if len(ys) > 1 else 0.0
+        levels, trends, fcs = [lvl], [tr], [None]
+        for y in ys[1:]:
+            fc = lvl + tr
+            new_l = HOLT_ALPHA * y + (1 - HOLT_ALPHA) * (lvl + tr)
+            new_t = HOLT_BETA * (new_l - lvl) + (1 - HOLT_BETA) * tr
+            lvl, tr = new_l, new_t
+            levels.append(lvl)
+            trends.append(tr)
+            fcs.append(fc)
+        pdf["level"] = pd.Series(levels, dtype="float64")
+        pdf["trend"] = pd.Series(trends, dtype="float64")
+        pdf["forecast"] = pd.Series(fcs, dtype="float64")  # None -> null
+        return pdf[["g", "d", "n", "level", "trend", "forecast"]]
+
+    return (
+        dc.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            holt, "g int, d date, n long, level double, trend double, forecast double"
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("bigint").alias("n"),
+            r4("level").alias("level"),
+            r4("trend").alias("trend"),
+            r4("forecast").alias("forecast"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "q_evt_session_features",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id, CAST(sid AS BIGINT) AS sid,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+           CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 60000000
+                AS BIGINT) AS dur_min,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0), 4)
+             AS revenue,
+           CAST(max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS INTEGER) AS had_error
+    FROM sess GROUP BY user_id, sid ORDER BY user_id, sid
+    """,
+)
+def q_evt_session_features(spark, sf_dir):
+    """Per-session feature vector: start, whole-minute duration, event
+    count, distinct-type count, purchase revenue, error flag — the
+    featurization step that turns a raw event log into the training table
+    for session-level models (conversion propensity, abandonment, fraud).
+    One row PER SESSION (the 30-min-gap islands of q_evt_sessionize);
+    where q_evt_sessionize reports per-user counts and q_evt_survival the
+    duration distribution, this materializes the sessions themselves as
+    model-ready rows.
+
+    Scale shape: the sessionization windows and the final aggregate all
+    partition by user_id — one shuffle end to end, per-user work
+    partition-local, output |sessions| rows (bounded by the event count /
+    minimum session spacing, and naturally partitioned for a downstream
+    training-shard write).  Every feature folds in the same aggregate
+    pass: no second scan, no join back to events.  Determinism: duration
+    is exact integer microsecond arithmetic (DIV, never float division);
+    revenue is the only rounding site; the error flag is an exact integer
+    max.  At 100 TB a hot bot user still serializes only its own
+    partition — the family caveat — and salting the session id into the
+    aggregate key would split even that.
+
+    Reference scope: no event analytics in the reference facade; sibling
+    of q_evt_sessionize (counts) / q_evt_survival (duration curve)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    marked = ev.withColumn(
+        "new_s",
+        F.when(
+            prev.isNull() | (prev < F.col("ts") - F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", F.col("sid").cast("bigint").alias("sid"))
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
+            F.expr(
+                "CAST((unix_micros(CAST(max(ts) AS TIMESTAMP))"
+                " - unix_micros(CAST(min(ts) AS TIMESTAMP))) DIV 60000000"
+                " AS BIGINT)"
+            ).alias("dur_min"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("event_type").cast("bigint").alias("n_types"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("revenue"),
+            F.max(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("int")
+            .alias("had_error"),
+        )
+        .orderBy("user_id", "sid")
+    )

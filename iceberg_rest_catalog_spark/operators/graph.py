@@ -385,25 +385,48 @@ def q_graph_triangles(spark, sf_dir):
         # original). Rank-in-sorted-order is monotone, so ui < vi still
         # holds for every stored edge.  |nodes| <= ~_DENSE_MAX_NODES here,
         # so the collect and the broadcast map are both gate-bounded.
-        nodes = [
-            r.x
-            for r in edges.select(F.col("u").alias("x"))
-            .unionAll(edges.select(F.col("v").alias("x")))
-            .distinct()
-            .collect()
-        ]
-        n = len(nodes)  # exact, from the collect the dense arm needs anyway
-        order = {node: i for i, node in enumerate(sorted(nodes))}
-        idx_df = spark.createDataFrame(
-            [(node, i) for node, i in order.items()], "node long, idx int"
-        )
-        ei = (
-            edges.join(F.broadcast(idx_df.withColumnRenamed("node", "u")), "u")
-            .withColumnRenamed("idx", "ui")
-            .join(F.broadcast(idx_df.withColumnRenamed("node", "v")), "v")
-            .withColumnRenamed("idx", "vi")
-            .select("ui", "vi")
-        ).localCheckpoint()  # the single materialization every arm reads
+        #
+        # IDENTITY SHORTCUT (round 9): when the raw ids already fit the
+        # bitmap index space ([0, _DENSE_MAX_NODES) — one exact 1-row
+        # min/max agg to check), skip the node collect, the driver-built
+        # map and BOTH broadcast joins and just cast: the bitmap tolerates
+        # sparse ids (never-set rows popcount to 0), id order is the
+        # identity so ui < vi and the wedge orientation hold trivially,
+        # and n = max_id + 1 keeps n²/8 inside the same gate.  Saves a
+        # distinct shuffle + two joins per invocation (~1 s at sf0.1); the
+        # rank re-index below remains the general path for arbitrary ids.
+        lohi = edges.agg(
+            F.min(F.least("u", "v")).alias("lo"),
+            F.max(F.greatest("u", "v")).alias("hi"),
+        ).collect()[0]
+        if lohi.lo is not None and lohi.lo >= 0 and lohi.hi < _DENSE_MAX_NODES:
+            n = int(lohi.hi) + 1
+            ei = edges.select(
+                F.col("u").cast("int").alias("ui"),
+                F.col("v").cast("int").alias("vi"),
+            ).localCheckpoint()  # the single materialization every arm reads
+        else:
+            nodes = [
+                r.x
+                for r in edges.select(F.col("u").alias("x"))
+                .unionAll(edges.select(F.col("v").alias("x")))
+                .distinct()
+                .collect()
+            ]
+            n = len(nodes)  # exact, from the collect the dense arm needs
+            order = {node: i for i, node in enumerate(sorted(nodes))}
+            idx_df = spark.createDataFrame(
+                [(node, i) for node, i in order.items()], "node long, idx int"
+            )
+            ei = (
+                edges.join(
+                    F.broadcast(idx_df.withColumnRenamed("node", "u")), "u"
+                )
+                .withColumnRenamed("idx", "ui")
+                .join(F.broadcast(idx_df.withColumnRenamed("node", "v")), "v")
+                .withColumnRenamed("idx", "vi")
+                .select("ui", "vi")
+            ).localCheckpoint()
         edges.unpersist()
         tri_cnt = _triangles_dense(spark, ei, n)
     else:
@@ -567,16 +590,16 @@ BFS_K = 3  # out-degree of the kNN graph (matches q_sim_knn_batch's KNN_K)
 _UNREACHED = 9999  # sentinel > any reachable fixed-round distance
 
 
-def _knn_bfs_oracle(iters: int) -> str:
-    """kNN-graph edges (the q_sim_knn_batch IVF shape, run for EVERY
-    vector) + unrolled min-plus BFS relaxation d0..d{iters}.  The cell
-    count is the scale-knob formula computed from count(*)
+def _knn_edges_ctes() -> str:
+    """Shared oracle CTE prefix ``e .. edges``: the symmetrized
+    {BFS_K}-NN graph of the embedding corpus under the IVF cell-join
+    shape, with the scale-knob cell count computed from count(*)
     (similarity.SCALED_CELLS_SQL) — the exact twin of the
-    ivf_cells_for(count) the registered Spark query passes."""
+    ivf_cells_for(count) the registered Spark queries pass.  Used by
+    q_graph_knn_bfs and q_graph_jaccard_neighbors."""
     from ..llm.similarity import N_PROBE, SCALED_CELLS_SQL
 
-    ctes = [
-        f"""e AS (
+    return f"""e AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb
       FROM embeddings WHERE embedding IS NOT NULL),
     cent AS (SELECT vec_id AS cell, emb AS c FROM e
@@ -603,7 +626,15 @@ def _knn_bfs_oracle(iters: int) -> str:
         FROM probed p JOIN assigned a USING (cell)
         WHERE a.vec_id <> p.q_vec_id
       ) WHERE rk <= {BFS_K}),
-    edges AS (SELECT u, v FROM knn UNION SELECT v AS u, u AS v FROM knn),
+    edges AS (SELECT u, v FROM knn UNION SELECT v AS u, u AS v FROM knn)"""
+
+
+def _knn_bfs_oracle(iters: int) -> str:
+    """kNN-graph edges (_knn_edges_ctes) + unrolled min-plus BFS
+    relaxation d0..d{iters}."""
+    ctes = [
+        _knn_edges_ctes()
+        + f""",
     d0 AS (
       SELECT vec_id AS node,
              CASE WHEN vec_id = {BFS_SRC} THEN 0 ELSE {_UNREACHED} END AS dist
@@ -628,21 +659,22 @@ def _knn_bfs_oracle(iters: int) -> str:
     )
 
 
-def _knn_bfs(spark, sf_dir, n_cells: int | None = None):
-    """Core of q_graph_knn_bfs with the IVF cell count as a parameter.
-    Since round 9 the REGISTERED query passes n_cells=None, which
-    self-computes ivf_cells_for(count) so per-cell population (and with
-    it the cell-join candidate volume per vector) stays flat as the
-    corpus grows; the oracle computes the identical formula from
-    count(*) (similarity.SCALED_CELLS_SQL).  Explicit cell counts serve
-    the measurement tools (tools/ivf_cells_knob.py)."""
+def _knn_edges(spark, sf_dir, n_cells: int | None = None):
+    """(corpus frame, symmetrized kNN edge frame) of the embedding
+    corpus's mutualized {BFS_K}-NN graph — the shared edge build behind
+    q_graph_knn_bfs and q_graph_jaccard_neighbors (oracle twin:
+    _knn_edges_ctes).  n_cells=None self-computes ivf_cells_for(count)
+    so per-cell population (and with it the cell-join candidate volume
+    per vector) stays flat as the corpus grows; explicit cell counts
+    serve the measurement tools (tools/ivf_cells_knob.py).  The edge
+    frame is localCheckpoint'ed — it is consumed iteratively (BFS) or
+    from multiple arms (wedge join + degree + anti join)."""
     from pyspark.sql import Window as W
 
     from ..llm.similarity import (
         N_PROBE,
         _cos,
         _dbl,
-        _dot_pd,
         _emb,
         _norm,
         ivf_cells_for,
@@ -733,8 +765,15 @@ def _knn_bfs(spark, sf_dir, n_cells: int | None = None):
     edges = (
         knn.unionAll(knn.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint()  # edge build runs ONCE, not once per round
+        .localCheckpoint()  # edge build runs ONCE, not once per consumer
     )
+    return e, edges
+
+
+def _knn_bfs(spark, sf_dir, n_cells: int | None = None):
+    """Core of q_graph_knn_bfs: _knn_edges + the fixed-round min-plus
+    relaxation loop."""
+    e, edges = _knn_edges(spark, sf_dir, n_cells)
     dist = e.select(
         F.col("vec_id").alias("node"),
         F.when(F.col("vec_id") == BFS_SRC, 0)
@@ -785,3 +824,104 @@ def q_graph_knn_bfs(spark, sf_dir):
     everywhere uses the 4dp-ROUNDED cosine with id tiebreaks, so the edge
     set — and therefore every distance — is bit-stable across engines."""
     return _knn_bfs(spark, sf_dir)
+
+
+# -- link prediction on the kNN graph -----------------------------------------
+
+JACC_TOP = 50  # predicted links reported
+
+
+def _jaccard_oracle() -> str:
+    return (
+        "WITH "
+        + _knn_edges_ctes()
+        + f""",
+    deg AS (SELECT u AS node, count(*) AS deg FROM edges GROUP BY u),
+    wed AS (
+      SELECT e1.u AS a, e2.v AS c, count(*) AS common
+      FROM edges e1 JOIN edges e2 ON e2.u = e1.v AND e1.u < e2.v
+      GROUP BY e1.u, e2.v),
+    nonedge AS (
+      SELECT w.a, w.c, w.common
+      FROM wed w LEFT JOIN edges ed ON ed.u = w.a AND ed.v = w.c
+      WHERE ed.u IS NULL)
+    SELECT a AS u, c AS v,
+           CAST(common AS BIGINT) AS common_neighbors,
+           CAST(da.deg AS BIGINT) AS deg_u,
+           CAST(dc.deg AS BIGINT) AS deg_v,
+           round(CAST(common AS DOUBLE) / (da.deg + dc.deg - common), 4)
+             AS jaccard
+    FROM nonedge
+    JOIN deg da ON da.node = a
+    JOIN deg dc ON dc.node = c
+    ORDER BY jaccard DESC, u, v LIMIT {JACC_TOP}"""
+    )
+
+
+@query("q_graph_jaccard_neighbors", oracle=_jaccard_oracle())
+def q_graph_jaccard_neighbors(spark, sf_dir):
+    """Link prediction on the embedding corpus's kNN graph: the top-{JACC_TOP}
+    NON-edge pairs by neighborhood Jaccard |N(u) n N(v)| / |N(u) u N(v)| —
+    the classic common-neighbors predictor.  On a kNN graph this surfaces
+    vector pairs whose neighborhoods coincide although neither ranked in
+    the other's top-k — near-duplicate cluster seams, and the candidate
+    edges an HNSW-style graph refinement pass would add (two nodes with
+    identical neighborhoods but no direct edge are exactly where greedy
+    graph search gets stuck).
+
+    Scale shape: the edge build is the shared _knn_edges IVF plan (cell
+    equi-join, never corpus x corpus); everything downstream is bounded by
+    the graph's DEGREE, not the corpus — with out-degree <= {BFS_K} and
+    symmetrization, |N(x)| <= ~2x{BFS_K}, so the wedge join (edges ⋈ edges
+    on the shared middle node, a < c to count each unordered pair once)
+    materializes at most |nodes| x (2{BFS_K})^2 candidate rows.  Common
+    counts are one grouped agg over the wedges; degrees are a |nodes|-row
+    agg joined twice on the pair endpoints; known edges leave via
+    LEFT-ANTI (symmetrized edges mean the (a<c) orientation is present
+    whenever any edge is).  The union denominator is inclusion-exclusion
+    (deg_u + deg_v - common) — no set materialization.  The final top-k
+    orders by the ROUNDED score with (u, v) tiebreaks and compiles to
+    TakeOrderedAndProject — k rows per partition to the driver, no global
+    sort.  At 100 TB the same plan holds: every stage is keyed on node or
+    pair ids and degree-bounded; nothing is quadratic in |nodes|.
+
+    Reference scope: no graph surface in the reference facade
+    (api/router/router.go:9-55); sibling of q_graph_knn_bfs (shared edge
+    relation) and q_graph_triangles (shared wedge-join technique, opposite
+    density regime: the kNN graph is degree-bounded by construction so the
+    dense-bitmap arm is never needed)."""
+    _, edges = _knn_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    wed = (
+        e1.join(e2, "b")
+        .filter(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count("*").alias("common"))
+    )
+    nonedge = wed.join(
+        edges, (wed.a == edges.u) & (wed.c == edges.v), "left_anti"
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    dc = deg.select(F.col("node").alias("c"), F.col("deg").alias("degc"))
+    return (
+        nonedge.join(da, "a")
+        .join(dc, "c")
+        .select(
+            F.col("a").alias("u"),
+            F.col("c").alias("v"),
+            F.col("common").cast("bigint").alias("common_neighbors"),
+            F.col("dega").cast("bigint").alias("deg_u"),
+            F.col("degc").cast("bigint").alias("deg_v"),
+            F.round(
+                F.col("common")
+                / (F.col("dega") + F.col("degc") - F.col("common")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "u", "v")
+        .limit(JACC_TOP)
+    )

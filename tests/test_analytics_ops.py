@@ -1270,3 +1270,241 @@ def test_stickiness_recomputes_and_bounds(spark, qs):
         assert (r.dau, r.mau_28d) == (len(du[d]), len(mau))
         assert abs(r.stickiness - round(len(du[d]) / len(mau), 4)) < 1e-9
         assert 0 < r.stickiness <= 1
+
+
+# -- round-9 wave-7 operators -------------------------------------------------
+
+
+def test_survival_matches_bruteforce_km(spark, qs):
+    """Recompute the Kaplan-Meier curve driver-side from raw events
+    (python sessionization, exact integer-minute durations, left-to-right
+    product) and compare row-for-row — plus the curve properties: S
+    strictly in (0, 1], nonincreasing in t; at-risk nonincreasing;
+    d <= n_risk everywhere."""
+    from collections import defaultdict
+
+    from iceberg_rest_catalog_spark.io import load_table
+    from iceberg_rest_catalog_spark.operators.events import SURV_GAP_US
+
+    rows = qs["q_evt_survival"](spark, SF).collect()
+    assert rows, "fixture must produce a nonempty curve"
+    # properties
+    ts = [r.t for r in rows]
+    assert ts == sorted(ts)
+    survs = [r.surv for r in rows]
+    # 0 is legal: if the longest duration is an observed death the final
+    # factor is (n-d)/n = 0; 4-dp rounding can also floor a tiny tail.
+    assert all(0 <= s <= 1 for s in survs)
+    assert all(a >= b for a, b in zip(survs, survs[1:]))
+    risks = [r.n_risk for r in rows]
+    assert all(a >= b for a, b in zip(risks, risks[1:]))
+    assert all(r.d <= r.n_risk for r in rows)
+
+    # brute force
+    ev = sorted(
+        load_table(spark, SF, "events")
+        .select("user_id", "event_id", "ts")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    us = lambda x: int(x.timestamp() * 1_000_000)
+    tmax = max(us(r.ts) for r in ev)
+    sessions = []  # (smin_us, smax_us)
+    cur_user = cur_start = cur_end = None
+    for r in ev:
+        tus = us(r.ts)
+        if r.user_id != cur_user or tus - cur_end > SURV_GAP_US:
+            if cur_user is not None:
+                sessions.append((cur_start, cur_end))
+            cur_user, cur_start, cur_end = r.user_id, tus, tus
+        else:
+            cur_end = tus
+    sessions.append((cur_start, cur_end))
+    lc = defaultdict(lambda: [0, 0])  # t -> [count, ended]
+    for smin, smax in sessions:
+        dur = (smax - smin) // 60_000_000
+        lc[dur][0] += 1
+        lc[dur][1] += int(tmax - smax >= SURV_GAP_US)
+    expect, at_risk, s = [], sum(c for c, _ in lc.values()), 1.0
+    for dur in sorted(lc):
+        c, d = lc[dur]
+        if d > 0:
+            s = s * ((at_risk - d) / at_risk)
+            expect.append((dur, at_risk, d, round(s, 4)))
+        at_risk -= c
+    got = [(r.t, r.n_risk, r.d, r.surv) for r in rows]
+    assert got == expect
+
+
+def test_holt_matches_recurrence_and_beats_naive_lag(spark, qs):
+    """Replay the Holt recurrence from the returned daily counts and check
+    the reported states bit-for-bit (at the 4-dp output rounding); on the
+    fixture's trending series the one-step forecast must also beat the
+    naive y_{t-1} persistence forecast in mean absolute error — the
+    property that justifies the trend term."""
+    from iceberg_rest_catalog_spark.operators.events import HOLT_ALPHA, HOLT_BETA
+
+    rows = qs["q_ts_holt"](spark, SF).collect()
+    assert len(rows) >= 10 and rows[0].forecast is None
+    ys = [r.n for r in rows]
+    lvl, tr = float(ys[0]), float(ys[1] - ys[0])
+    assert (rows[0].level, rows[0].trend) == (round(lvl, 4), round(tr, 4))
+    mae_holt = mae_naive = 0.0
+    for i, y in enumerate(ys[1:], start=1):
+        fc = lvl + tr
+        new_l = HOLT_ALPHA * y + (1 - HOLT_ALPHA) * (lvl + tr)
+        new_t = HOLT_BETA * (new_l - lvl) + (1 - HOLT_BETA) * tr
+        lvl, tr = new_l, new_t
+        assert rows[i].level == round(lvl, 4)
+        assert rows[i].trend == round(tr, 4)
+        assert rows[i].forecast == round(fc, 4)
+        mae_holt += abs(y - fc)
+        mae_naive += abs(y - ys[i - 1])
+    assert mae_holt < mae_naive
+
+
+def test_jaccard_neighbors_matches_bruteforce(spark, qs):
+    """Recompute neighborhood Jaccard for ALL non-edge 2-hop pairs from
+    the same kNN edge relation and check the query returns exactly the
+    top-JACC_TOP under (rounded score desc, u, v) — and that no returned
+    pair is an existing edge."""
+    from iceberg_rest_catalog_spark.operators.graph import JACC_TOP, _knn_edges
+
+    _, edges_df = _knn_edges(spark, SF)
+    edges = {(r.u, r.v) for r in edges_df.collect()}
+    nbrs = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+    cand = {}
+    for u, v in edges:  # wedge midpoints: u's neighbors pair through u
+        for a in nbrs[u]:
+            if a < v and (a, v) not in edges:
+                common = len(nbrs[a] & nbrs[v])
+                if common:
+                    cand[(a, v)] = (
+                        common,
+                        len(nbrs[a]),
+                        len(nbrs[v]),
+                        round(common / (len(nbrs[a]) + len(nbrs[v]) - common), 4),
+                    )
+    expect = sorted(
+        ((j, a, c, cm, da, dc) for (a, c), (cm, da, dc, j) in cand.items()),
+        key=lambda x: (-x[0], x[1], x[2]),
+    )[:JACC_TOP]
+    rows = qs["q_graph_jaccard_neighbors"](spark, SF).collect()
+    assert len(rows) == min(JACC_TOP, len(cand))
+    got = [
+        (r.jaccard, r.u, r.v, r.common_neighbors, r.deg_u, r.deg_v)
+        for r in rows
+    ]
+    assert got == expect
+    assert all((r.u, r.v) not in edges for r in rows)
+
+
+def test_cell_purity_accounts_every_vector(spark, qs):
+    """Cell populations sum to the corpus; every share/entropy is in its
+    legal range; a pure cell (top_share == 1) must report zero entropy."""
+    import math
+
+    from iceberg_rest_catalog_spark.io import load_table
+
+    rows = qs["q_embed_cell_purity"](spark, SF).collect()
+    n_corpus = (
+        load_table(spark, SF, "embeddings")
+        .filter("embedding IS NOT NULL")
+        .count()
+    )
+    assert sum(r.n_vecs for r in rows) == n_corpus
+    n_labels = 10
+    for r in rows:
+        assert 0 < r.top_share <= 1
+        assert 0 <= r.entropy <= round(math.log(n_labels), 4) + 1e-9
+        if r.top_share == 1.0:
+            assert r.entropy == 0.0
+        # the majority share can't be smaller than an even split
+        assert r.top_share >= round(1 / n_labels, 4)
+
+
+def test_hard_negatives_labels_differ_and_match_bruteforce(spark, qs):
+    """Every mined negative carries a label different from its anchor's;
+    ranks are contiguous from 1 with nonincreasing cosine per anchor; and
+    the result matches a driver-side numpy recompute of the same IVF
+    plan (rounded-cosine assignment, probe, label filter, top-k)."""
+    import numpy as np
+
+    from iceberg_rest_catalog_spark.io import load_table
+    from iceberg_rest_catalog_spark.llm.similarity import (
+        HN_K,
+        KNN_QSTEP,
+        N_PROBE,
+        ivf_cells_for,
+    )
+
+    rows = qs["q_sim_hard_negatives"](spark, SF).collect()
+    assert rows
+    assert all(r.neg_label != r.q_label for r in rows)
+    by_anchor = {}
+    for r in rows:
+        by_anchor.setdefault(r.q_vec_id, []).append(r)
+    for rs in by_anchor.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        cs = [r.cos for r in rs]
+        assert all(a >= b for a, b in zip(cs, cs[1:]))
+
+    pdf = (
+        load_table(spark, SF, "embeddings")
+        .filter("embedding IS NOT NULL")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.linalg.norm(E, axis=1)
+    ids = pdf["vec_id"].to_numpy()
+    labels = pdf["label"].to_numpy()
+    r4_ = lambda x: np.sign(x) * np.floor(np.abs(x) * 1e4 + 0.5) / 1e4
+    n_cells = ivf_cells_for(len(ids))
+    cent_idx = np.where(ids < n_cells)[0]
+    # rounded cosine to every centroid; ties break on smaller cell id
+    cc = r4_((E @ E[cent_idx].T) / np.outer(nrm, nrm[cent_idx]))
+    order = np.lexsort((ids[cent_idx][None, :].repeat(len(ids), 0), -cc))
+    assign = ids[cent_idx][order[:, 0]]
+    expect = {}
+    for qi in np.where(ids % KNN_QSTEP == 0)[0]:
+        probe_cells = set(ids[cent_idx][order[qi, :N_PROBE]])
+        cand = [
+            i
+            for i in range(len(ids))
+            if assign[i] in probe_cells
+            and ids[i] != ids[qi]
+            and labels[i] != labels[qi]
+        ]
+        cos = r4_((E[cand] @ E[qi]) / (nrm[cand] * nrm[qi]))
+        ranked = sorted(zip(-cos, ids[cand], labels[cand]))[:HN_K]
+        expect[ids[qi]] = [
+            (int(v), int(l), -c) for c, v, l in ranked
+        ]
+    got = {
+        q: [(r.neg_vec_id, r.neg_label, r.cos) for r in rs]
+        for q, rs in by_anchor.items()
+    }
+    assert got == expect
+
+
+def test_session_features_conserve_events(spark, qs):
+    """Session rows account for every event exactly once; sids are
+    contiguous per user from 1; durations and flags are in range."""
+    from iceberg_rest_catalog_spark.io import load_table
+
+    rows = qs["q_evt_session_features"](spark, SF).collect()
+    n_events = load_table(spark, SF, "events").count()
+    assert sum(r.n_events for r in rows) == n_events
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.sid)
+        assert r.n_events >= 1 and 1 <= r.n_types <= 5
+        assert r.dur_min >= 0 and r.had_error in (0, 1)
+        assert r.revenue >= 0
+    for sids in by_user.values():
+        assert sorted(sids) == list(range(1, len(sids) + 1))

@@ -95,11 +95,12 @@ def test_driver_window_is_mechanical_staleness_order():
     assert set(reg_failed) == failed
 
 
-def test_round9_window_head_is_r3_block_then_r4():
+def test_round9_window_head_is_new_ops_then_r3_block():
     """Concrete pin of the round-9 rotation (only while r8 is the newest
-    committed artifact): with every id green and none never-checked, the
-    ordering is purely oldest-evidence-first — the 27 r3-stale ids (the
-    5-text tail + all 22 TPC-H) lead, then the ~50-cap fills from the
+    committed artifact): the four round-9 operators have no driver row
+    yet, so they LEAD in registration order (never-checked beats stale);
+    then ordering is purely oldest-evidence-first — the 27 r3-stale ids
+    (the 5-text tail + all 22 TPC-H), then the ~50-cap fills from the
     r4-stale block.  When CORRECTNESS_r09.json lands, the mechanical
     ordering moves on and this pin retires (regenerate it per round)."""
     import glob as _glob
@@ -120,7 +121,20 @@ def test_round9_window_head_is_r3_block_then_r4():
 
     ids = list(e.queries())
     last_seen, failed = registry.driver_evidence()
-    assert not failed and all(q in last_seen for q in ids)
+    assert not failed
+    # Registration order: llm.similarity registers first (imported as a
+    # dependency of the earlier _QUERY_MODULES entries), then graph, then
+    # events — each in definition order.
+    new_ops = [
+        "q_embed_cell_purity",
+        "q_sim_hard_negatives",
+        "q_graph_jaccard_neighbors",
+        "q_evt_survival",
+        "q_ts_holt",
+        "q_evt_session_features",
+    ]
+    assert ids[:6] == new_ops and all(q not in last_seen for q in new_ops)
+    assert all(q in last_seen for q in ids[6:])
     r3_block = [
         "q_text_repetition",
         "q_text_stats",
@@ -128,10 +142,10 @@ def test_round9_window_head_is_r3_block_then_r4():
         "q_text_token_count",
         "q_text_tokens",
     ] + sorted(f"q_tpch_q{i}" for i in range(1, 23))
-    assert ids[:27] == r3_block
+    assert ids[6:33] == r3_block
     # the remainder of a 50-window comes from the r4-stale family, id-sorted
-    assert all(last_seen[q] == 4 for q in ids[27:50])
-    assert ids[27:50] == sorted(ids[27:50])
+    assert all(last_seen[q] == 4 for q in ids[33:50])
+    assert ids[33:50] == sorted(ids[33:50])
 
 
 def test_survey_section2_matches_registry_exactly():
