@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from iceberg_rest_catalog_spark import registry
 from iceberg_rest_catalog_spark.operators.common import (
+    release_persistent_state,
     release_persistent_state_deep,
 )
 from iceberg_rest_catalog_spark.session import get_spark
@@ -146,14 +147,8 @@ def run_one(spark, fn) -> float:
     # leaked checkpoint RDDs across 49 queries x 4 passes, and the eviction
     # pressure made q_graph_triangles read 16.5 s in-suite vs 6.5 s
     # standalone — the bench was measuring the leak, not the plans.  See
-    # operators/common.py release_persistent_state.  The DEEP variant
-    # (one driver GC per query) additionally drains the ContextCleaner
-    # weak-ref backlog: without it, shuffle/broadcast registrations from
-    # 56 queries x 4 passes accumulate and the memory-heaviest queries
-    # grow monotonically pass-over-pass (triangles 10.6 -> 12.6 -> 16.9 s
-    # in the round-9 pre-fix run) — the bench measured the backlog, not
-    # the plan.
-    release_persistent_state_deep(spark)
+    # operators/common.py release_persistent_state.
+    release_persistent_state(spark)
     return elapsed
 
 
@@ -178,6 +173,7 @@ def main() -> None:
     # run per query leaves all three timed samples measuring the plan.
     for name in names:
         run_one(spark, qs[name])
+    release_persistent_state_deep(spark)
 
     # Three interleaved passes, per-query MEDIAN, spread recorded.
     # A single sample folds in whole-stage-codegen JIT warmup and host
@@ -190,9 +186,19 @@ def main() -> None:
     # NOTE vs rounds 3-4: those reported min-of-2, so medians here read
     # systematically a few % higher for equal plans; compare within-statistic.
     samples: dict[str, list[float]] = {n: [] for n in names}
+    # Deep release (one driver System.gc()) at PASS boundaries: shuffle /
+    # broadcast registrations are reclaimed by ContextCleaner only on
+    # driver GC, so without it the backlog grows monotonically across the
+    # whole suite and the memory-heaviest queries drift pass-over-pass
+    # (triangles sampled 10.6 -> 12.6 -> 16.9 s in the round-9 pre-fix
+    # run — the bench measured the backlog, not the plan).  Pass-boundary
+    # (not per-query) placement keeps the cleaner's async file deletions
+    # out of the next timed window; each pass then runs under the same
+    # bounded one-pass backlog, so medians are comparable.
     for _ in range(N_PASSES):
         for name in names:
             samples[name].append(run_one(spark, qs[name]))
+        release_persistent_state_deep(spark)
     times = {n: round(sorted(v)[len(v) // 2], 3) for n, v in samples.items()}
     spread = {n: round(max(v) - min(v), 3) for n, v in samples.items()}
 

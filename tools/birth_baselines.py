@@ -57,7 +57,11 @@ def main() -> None:
     for p in sorted(glob.glob(os.path.join(REPO, "bench_runs", "r*_local_idle_*.json"))):
         rnd = int(re.search(r"r(\d+)_local_idle", p).group(1))
         d = json.load(open(p))
-        rounds.append((rnd, {k: float(v) for k, v in d.get("queries", {}).items()},
+        # round 9+ artifacts split the frozen HEADLINE set from TRACKED
+        # later additions (bench.py, VERDICT r8 item 8) — births come
+        # from both.
+        vals = dict(d.get("queries", {}), **d.get("tracked", {}))
+        rounds.append((rnd, {k: float(v) for k, v in vals.items()},
                        os.path.basename(p)))
 
     # stat convention per round (see module docstring)
