@@ -1158,3 +1158,124 @@ def test_window_width_explode_matches_range_self_join(events_df, ddb_events, spe
     want = _canon([tuple(r) for r in pdf.itertuples(index=False, name=None)])
 
     assert got == want, (spec, sql, got[:3], want[:3])
+
+
+# -- family 11 (round 9): sequential coupled recurrences ----------------------
+#
+# q_ts_holt introduces a pattern no prior family touches: a recurrence with
+# INFINITE memory through two coupled states (level, trend), which the
+# window-width explode (family 10) cannot express.  The repo computes it as
+# a single-group applyInPandas Python loop; the oracle technique unrolls
+# the SAME recurrence as a DuckDB RECURSIVE CTE.  The fixed oracle pins one
+# (alpha, beta) pair over one metric; this family fuzzes the smoothing
+# constants, the per-day metric and a row predicate, and checks loop vs
+# recursive-CTE agreement at the house 4-dp canonicalization.
+#
+# Conventions the family enforces:
+# - alpha/beta are DYADIC rationals (k/8) so the decimal literal the SQL
+#   side parses is the exact double the Python side computes with;
+# - every SQL operand is CAST to DOUBLE (DuckDB parses bare numeric
+#   literals as DECIMAL, whose arithmetic is not IEEE double — the
+#   q_ts_holt oracle's documented gotcha, here fuzz-guarded);
+# - operation ORDER is textually identical on both sides, so the raw
+#   trajectories are bit-equal and the 4-dp rounding is cosmetic;
+# - beta=0 is generated (trend frozen at its init y2-y1) — the edge where
+#   a wrong init propagates forever.
+
+_F11_METRICS = ["events", "users"]
+
+
+f11_spec = st.tuples(
+    st.integers(min_value=1, max_value=7),   # alpha = a8/8
+    st.integers(min_value=0, max_value=7),   # beta  = b8/8
+    st.sampled_from(range(len(_F11_METRICS))),
+    st.sampled_from(range(len(_F10_PREDS))),
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(f11_spec)
+def test_sequential_recurrence_loop_matches_recursive_cte(
+    events_df, ddb_events, spec
+):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    a8, b8, m_ix, p_ix = spec
+    alpha, beta = a8 / 8, b8 / 8
+    metric = _F11_METRICS[m_ix]
+    _, sp_pred, sql_pred = _F10_PREDS[p_ix]
+
+    base = events_df.filter(sp_pred) if sp_pred else events_df
+    if metric == "events":
+        dc = base.groupBy(F.to_date("ts").alias("d")).agg(
+            F.count("*").cast("long").alias("n")
+        )
+        n_sql = "CAST(count(*) AS BIGINT)"
+    else:
+        dc = base.groupBy(F.to_date("ts").alias("d")).agg(
+            F.countDistinct("user_id").cast("long").alias("n")
+        )
+        n_sql = "CAST(count(DISTINCT user_id) AS BIGINT)"
+
+    # --- Spark: the registered query's single-group loop shape ---
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        ys = pdf["n"].tolist()
+        lvl = float(ys[0])
+        tr = float(ys[1] - ys[0]) if len(ys) > 1 else 0.0
+        levels, trends = [lvl], [tr]
+        for y in ys[1:]:
+            new_l = alpha * y + (1 - alpha) * (lvl + tr)
+            new_t = beta * (new_l - lvl) + (1 - beta) * tr
+            lvl, tr = new_l, new_t
+            levels.append(lvl)
+            trends.append(tr)
+        pdf["lvl"] = pd.Series(levels, dtype="float64")
+        pdf["tr"] = pd.Series(trends, dtype="float64")
+        return pdf[["g", "d", "n", "lvl", "tr"]]
+
+    out = (
+        dc.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(holt, "g int, d date, n long, lvl double, tr double")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.round("lvl", 4).alias("lvl"),
+            F.round("tr", 4).alias("tr"),
+        )
+    )
+    got = _canon([tuple(r) for r in out.collect()])
+
+    # --- DuckDB: the recursive-CTE unroll of the same recurrence ---
+    A, B = f"CAST({alpha} AS DOUBLE)", f"CAST({beta} AS DOUBLE)"
+    A1, B1 = f"CAST({1 - alpha} AS DOUBLE)", f"CAST({1 - beta} AS DOUBLE)"
+    sql = f"""
+    WITH RECURSIVE dc AS (
+      SELECT CAST(ts AS DATE) AS d, {n_sql} AS n FROM events
+      WHERE {sql_pred} GROUP BY 1
+    ), idx AS (
+      SELECT d, n, row_number() OVER (ORDER BY d) AS i FROM dc
+    ), h(i, lvl, tr) AS (
+      SELECT 1, CAST(n AS DOUBLE),
+             CAST(coalesce((SELECT n FROM idx WHERE i = 2) - n, 0) AS DOUBLE)
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT idx.i,
+             {A} * idx.n + {A1} * (h.lvl + h.tr),
+             {B} * (({A} * idx.n + {A1} * (h.lvl + h.tr)) - h.lvl)
+               + {B1} * h.tr
+      FROM h JOIN idx ON idx.i = h.i + 1
+    )
+    SELECT strftime(idx.d, '%Y-%m-%d') AS day, idx.n,
+           round(h.lvl, 4) AS lvl, round(h.tr, 4) AS tr
+    FROM idx JOIN h ON h.i = idx.i
+    """
+    want = _canon([tuple(r) for r in ddb_events.execute(sql).fetchall()])
+    assert got == want

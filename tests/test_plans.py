@@ -139,6 +139,12 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 # condition: the matryoshka shape — build side is the
                 # probe set, never the corpus
                 "q_sim_mmr",
+                # broadcast ivf_cells_for-row centroid table (cell
+                # assignment, the q_cluster_kmeans/q_sim_knn_batch shape)
+                "q_embed_cell_purity", "q_sim_hard_negatives",
+                # 1-row broadcast corpus-max timestamp (the censoring
+                # horizon): map-only scalar distribution
+                "q_evt_survival",
                 # 3-number quartile-threshold broadcast into the bucketing
                 # pass (scalar-distribution shape, like q_tpch_q22)
                 "q_curriculum_order",
@@ -237,3 +243,36 @@ def test_release_persistent_state_clears_checkpoint_leak(spark):
     released = release_persistent_state(spark)
     assert released == jmap.size() or released > 0
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_jaccard_neighbors_takeordered_no_cartesian(spark):
+    """The round-9 link-prediction top-k must compile to
+    TakeOrderedAndProject (never a global sort) with no cartesian
+    anywhere.  (The IVF edge build's centroid broadcast is behind the
+    shared _knn_edges localCheckpoint, so the final plan starts from the
+    checkpointed edge RDD; the degree joins are key-equi — SMJ statically,
+    AQE demotes to broadcast at fixture scale.)"""
+    p = plan(spark, "q_graph_jaccard_neighbors")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_hard_negatives_broadcasts_probes_not_corpus(spark):
+    """Hard-negative mining joins assigned corpus vectors on CELL with the
+    probe side broadcast — a SortMergeJoin of corpus x probes on cell
+    would shuffle the whole corpus for a bounded probe set."""
+    p = plan(spark, "q_sim_hard_negatives")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_session_features_single_user_shuffle(spark):
+    """The session feature table's windows and aggregate all key on
+    user_id: exactly ONE exchange on the events lineage (AQE may add
+    coalesces, never a second key)."""
+    p = plan(spark, "q_evt_session_features")
+    import re
+
+    keys = set(re.findall(r"hashpartitioning\((\w+)", p))
+    assert keys <= {"user_id"}, keys
