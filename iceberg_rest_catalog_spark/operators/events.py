@@ -1624,11 +1624,17 @@ def q_evt_survival(spark, sf_dir):
     )
 
     def km(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        # multiply-floor rounding = DuckDB round() bit-for-bit (q_ts_holt's
+        # perturbed-fixture finding: F.round is exact-value HALF_UP and can
+        # disagree one ulp below a decimal midpoint)
+        r = lambda x: math.copysign(math.floor(abs(x) * 1e4 + 0.5) / 1e4, x)
         pdf = pdf.sort_values("t").reset_index(drop=True)
         srv, out = 1.0, []
         for n_risk, d in zip(pdf["n_risk"], pdf["d"]):
             srv = srv * ((n_risk - d) / n_risk)  # left-to-right IEEE product
-            out.append(srv)
+            out.append(r(srv))
         pdf["surv"] = out
         return pdf[["g", "t", "n_risk", "d", "surv"]]
 
@@ -1640,7 +1646,7 @@ def q_evt_survival(spark, sf_dir):
             F.col("t").cast("int").alias("t"),
             F.col("n_risk").cast("bigint").alias("n_risk"),
             F.col("d").cast("bigint").alias("d"),
-            r4("surv").alias("surv"),
+            F.col("surv"),
         )
         .orderBy("t")
     )
@@ -1697,7 +1703,19 @@ def q_ts_holt(spark, sf_dir):
     with every operand cast to DOUBLE (DuckDB parses bare numeric
     literals as DECIMAL, whose arithmetic diverges from Spark's doubles)
     and the operation order textually identical, so the raw state stays
-    bit-equal and the 4-dp rounding is cosmetic.
+    bit-equal — verified bit-for-bit on the perturbed fixture.
+
+    The FINAL rounding is the subtle site (perturbed-fixture catch,
+    round 9): the raw states are bit-equal, but Spark's F.round is
+    BigDecimal HALF_UP on the EXACT binary value while DuckDB's round()
+    rounds the x*1e4 product — and the product multiply can land exactly
+    ON .5 when the true value is just below the decimal midpoint
+    (30.840249999999997 * 1e4 == 308402.5 in IEEE: F.round says .8402,
+    DuckDB says .8403).  The loop therefore rounds its own outputs with
+    the multiply-floor convention (sign * floor(|x|*1e4 + 0.5) / 1e4 —
+    the same one every numpy hot path in this repo uses to match
+    engine-side round()), which IS DuckDB's convention: same multiply,
+    same floor, bit-identical.
 
     Reference scope: none (analytics beyond the Go facade); sibling of
     q_ts_ewma / q_evt_forecast_eval."""
@@ -1710,19 +1728,24 @@ def q_ts_holt(spark, sf_dir):
     )
 
     def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        r = lambda x: math.copysign(
+            math.floor(abs(x) * 1e4 + 0.5) / 1e4, x
+        )  # DuckDB round(): round the x*1e4 product, half away from zero
         pdf = pdf.sort_values("d").reset_index(drop=True)
         ys = pdf["n"].tolist()
         lvl = float(ys[0])
         tr = float(ys[1] - ys[0]) if len(ys) > 1 else 0.0
-        levels, trends, fcs = [lvl], [tr], [None]
+        levels, trends, fcs = [r(lvl)], [r(tr)], [None]
         for y in ys[1:]:
             fc = lvl + tr
             new_l = HOLT_ALPHA * y + (1 - HOLT_ALPHA) * (lvl + tr)
             new_t = HOLT_BETA * (new_l - lvl) + (1 - HOLT_BETA) * tr
             lvl, tr = new_l, new_t
-            levels.append(lvl)
-            trends.append(tr)
-            fcs.append(fc)
+            levels.append(r(lvl))
+            trends.append(r(tr))
+            fcs.append(r(fc))
         pdf["level"] = pd.Series(levels, dtype="float64")
         pdf["trend"] = pd.Series(trends, dtype="float64")
         pdf["forecast"] = pd.Series(fcs, dtype="float64")  # None -> null
@@ -1737,9 +1760,9 @@ def q_ts_holt(spark, sf_dir):
         .select(
             F.date_format("d", "yyyy-MM-dd").alias("day"),
             F.col("n").cast("bigint").alias("n"),
-            r4("level").alias("level"),
-            r4("trend").alias("trend"),
-            r4("forecast").alias("forecast"),
+            F.col("level"),
+            F.col("trend"),
+            F.col("forecast"),
         )
         .orderBy("day")
     )

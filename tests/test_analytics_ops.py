@@ -1325,12 +1325,15 @@ def test_survival_matches_bruteforce_km(spark, qs):
         dur = (smax - smin) // 60_000_000
         lc[dur][0] += 1
         lc[dur][1] += int(tmax - smax >= SURV_GAP_US)
+    import math
+
+    r = lambda x: math.copysign(math.floor(abs(x) * 1e4 + 0.5) / 1e4, x)
     expect, at_risk, s = [], sum(c for c, _ in lc.values()), 1.0
     for dur in sorted(lc):
         c, d = lc[dur]
         if d > 0:
             s = s * ((at_risk - d) / at_risk)
-            expect.append((dur, at_risk, d, round(s, 4)))
+            expect.append((dur, at_risk, d, r(s)))
         at_risk -= c
     got = [(r.t, r.n_risk, r.d, r.surv) for r in rows]
     assert got == expect
@@ -1344,20 +1347,23 @@ def test_holt_matches_recurrence_and_beats_naive_lag(spark, qs):
     property that justifies the trend term."""
     from iceberg_rest_catalog_spark.operators.events import HOLT_ALPHA, HOLT_BETA
 
+    import math
+
+    r4_ = lambda x: math.copysign(math.floor(abs(x) * 1e4 + 0.5) / 1e4, x)
     rows = qs["q_ts_holt"](spark, SF).collect()
     assert len(rows) >= 10 and rows[0].forecast is None
     ys = [r.n for r in rows]
     lvl, tr = float(ys[0]), float(ys[1] - ys[0])
-    assert (rows[0].level, rows[0].trend) == (round(lvl, 4), round(tr, 4))
+    assert (rows[0].level, rows[0].trend) == (r4_(lvl), r4_(tr))
     mae_holt = mae_naive = 0.0
     for i, y in enumerate(ys[1:], start=1):
         fc = lvl + tr
         new_l = HOLT_ALPHA * y + (1 - HOLT_ALPHA) * (lvl + tr)
         new_t = HOLT_BETA * (new_l - lvl) + (1 - HOLT_BETA) * tr
         lvl, tr = new_l, new_t
-        assert rows[i].level == round(lvl, 4)
-        assert rows[i].trend == round(tr, 4)
-        assert rows[i].forecast == round(fc, 4)
+        assert rows[i].level == r4_(lvl)
+        assert rows[i].trend == r4_(tr)
+        assert rows[i].forecast == r4_(fc)
         mae_holt += abs(y - fc)
         mae_naive += abs(y - ys[i - 1])
     assert mae_holt < mae_naive

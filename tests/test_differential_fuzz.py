@@ -1223,19 +1223,25 @@ def test_sequential_recurrence_loop_matches_recursive_cte(
         )
         n_sql = "CAST(count(DISTINCT user_id) AS BIGINT)"
 
-    # --- Spark: the registered query's single-group loop shape ---
+    # --- Spark: the registered query's single-group loop shape.  Rounding
+    # uses the multiply-floor convention (= DuckDB round() bit-for-bit) —
+    # the q_ts_holt perturbed-fixture finding: F.round is exact-value
+    # HALF_UP and disagrees one ulp below a decimal midpoint. ---
     def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        r = lambda x: math.copysign(math.floor(abs(x) * 1e4 + 0.5) / 1e4, x)
         pdf = pdf.sort_values("d").reset_index(drop=True)
         ys = pdf["n"].tolist()
         lvl = float(ys[0])
         tr = float(ys[1] - ys[0]) if len(ys) > 1 else 0.0
-        levels, trends = [lvl], [tr]
+        levels, trends = [r(lvl)], [r(tr)]
         for y in ys[1:]:
             new_l = alpha * y + (1 - alpha) * (lvl + tr)
             new_t = beta * (new_l - lvl) + (1 - beta) * tr
             lvl, tr = new_l, new_t
-            levels.append(lvl)
-            trends.append(tr)
+            levels.append(r(lvl))
+            trends.append(r(tr))
         pdf["lvl"] = pd.Series(levels, dtype="float64")
         pdf["tr"] = pd.Series(trends, dtype="float64")
         return pdf[["g", "d", "n", "lvl", "tr"]]
@@ -1247,8 +1253,8 @@ def test_sequential_recurrence_loop_matches_recursive_cte(
         .select(
             F.date_format("d", "yyyy-MM-dd").alias("day"),
             "n",
-            F.round("lvl", 4).alias("lvl"),
-            F.round("tr", 4).alias("tr"),
+            "lvl",
+            "tr",
         )
     )
     got = _canon([tuple(r) for r in out.collect()])
