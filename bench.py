@@ -129,6 +129,9 @@ TRACKED: list[str] = [
     # + |sessions|-row output.
     "q_sim_hard_negatives",
     "q_evt_session_features",
+    # round-9 wave 9: the hierarchical-assignment kNN join (the x100
+    # assignment knob), same candidate stage as q_sim_knn_batch.
+    "q_sim_knn_batch_2level",
 ]
 
 

@@ -1532,3 +1532,175 @@ def q_sim_hard_negatives(spark, sf_dir):
         .filter(F.col("rank") <= HN_K)
         .select("q_vec_id", "q_label", "neg_vec_id", "neg_label", "rank", "cos")
     )
+
+
+# -- hierarchical (two-level) IVF: the next-decade assignment knob ------------
+
+N_COARSE_MIN = 4
+
+
+def _coarse_sql() -> str:
+    """SQL twin of ``max(N_COARSE_MIN, isqrt(cells))`` — for cells <=
+    65,536 the correctly-rounded double sqrt agrees with integer isqrt."""
+    return (
+        f"GREATEST({N_COARSE_MIN}, CAST(floor(sqrt(CAST({SCALED_CELLS_SQL}"
+        " AS DOUBLE))) AS BIGINT))"
+    )
+
+
+_KNN_2LEVEL_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+coarse AS (SELECT vec_id AS g, emb AS cg FROM e WHERE vec_id < {_coarse_sql()}),
+fine AS (SELECT vec_id AS cell, emb AS c FROM e WHERE vec_id < {SCALED_CELLS_SQL}),
+f2c AS (
+  SELECT cell, c, g FROM (
+    SELECT f.cell, f.c, coarse.g,
+           row_number() OVER (
+             PARTITION BY f.cell
+             ORDER BY round(list_cosine_similarity(f.c, coarse.cg), 4) DESC,
+                      coarse.g) AS rn
+    FROM fine f CROSS JOIN coarse
+  ) WHERE rn = 1
+),
+v2c AS (
+  SELECT vec_id, emb, g FROM (
+    SELECT e.vec_id, e.emb, coarse.g,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.emb, coarse.cg), 4) DESC,
+                      coarse.g) AS rn
+    FROM e CROSS JOIN coarse
+  ) WHERE rn = 1
+),
+assigned AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT v.vec_id, v.emb, f.cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(list_cosine_similarity(v.emb, f.c), 4) DESC,
+                      f.cell) AS rn
+    FROM v2c v JOIN f2c f USING (g)
+  ) WHERE rn = 1
+),
+probed AS (
+  SELECT q_vec_id, qe, cell FROM (
+    SELECT v.vec_id AS q_vec_id, v.emb AS qe, f.cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(list_cosine_similarity(v.emb, f.c), 4) DESC,
+                      f.cell) AS rn
+    FROM v2c v JOIN f2c f USING (g)
+    WHERE v.vec_id % {KNN_QSTEP} = 0
+  ) WHERE rn <= {N_PROBE}
+)
+SELECT q_vec_id, nn_vec_id, CAST(rank AS BIGINT) AS rank, cos FROM (
+  SELECT p.q_vec_id, a.vec_id AS nn_vec_id,
+         round(list_cosine_similarity(a.emb, p.qe), 4) AS cos,
+         row_number() OVER (
+           PARTITION BY p.q_vec_id
+           ORDER BY round(list_cosine_similarity(a.emb, p.qe), 4) DESC,
+                    a.vec_id) AS rank
+  FROM probed p JOIN assigned a USING (cell)
+  WHERE a.vec_id <> p.q_vec_id
+) WHERE rank <= {KNN_K}
+"""
+
+
+@query("q_sim_knn_batch_2level", oracle=_KNN_2LEVEL_ORACLE)
+def q_sim_knn_batch_2level(spark, sf_dir):
+    """Batched IVF k-NN join under HIERARCHICAL (two-level) coarse
+    quantization — the next-decade version of q_sim_knn_batch's
+    assignment stage.  The ×100 measurement (SCALE.md round 9) showed the
+    flat design's one remaining super-linear term: with cells =
+    ivf_cells_for(n) ≈ n/512, assigning every vector by scoring EVERY
+    centroid costs n²/512 cosines (78M at 200k vectors, ~2e9 at 1M).
+    Two-level assignment routes each vector through ~sqrt(cells) coarse
+    groups first, then ranks only its group's fine centroids:
+    n·(sqrt(cells) + cells/sqrt(cells)) = 2n·sqrt(cells) ≈ n^1.5/11 —
+    the standard IMI/IVF-HNSW coarse-stage shape, here as a pure
+    DataFrame plan.
+
+    Determinism and the oracle twin: coarse centroids are vec_id <
+    max({N_COARSE_MIN}, isqrt(cells)) (a SUBSET of the fine centroids, so
+    every coarse group owns at least itself); every argmin ranks the
+    4dp-ROUNDED cosine with id tiebreaks; the DuckDB oracle unrolls the
+    same two chained argmins (f2c, v2c → group-scoped fine assignment)
+    from the same count(*) formulas, so the value-hash twin is exact at
+    any corpus size.  Results differ from the flat operator by
+    construction (different cell geometry near group boundaries — the
+    recall trade q_sim_recall_eval quantifies); both stay registered
+    because at fixture scale flat assignment IS optimal and the flat
+    operator is the production shape until the n²/512 term binds.
+
+    Plan shape: coarse table broadcasts (≤ sqrt(65536) = 256 rows); f2c
+    is a cells×coarse fan-out (bounded by 65,536×256); the corpus meets
+    ONLY broadcast tables and its own group's fine centroids (equi join
+    on g) — never all centroids, never other vectors except through the
+    final cell equi-join, which is q_sim_knn_batch's candidate stage
+    unchanged.
+
+    Reference scope: no vector surface in the reference facade; sibling
+    of q_sim_knn_batch (flat assignment) and q_sim_ann_ivf."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).select("vec_id", _dbl("embedding").alias("emb"))
+    n_cells = ivf_cells_for(_emb_count(spark, sf_dir))
+    import math
+
+    n_coarse = max(N_COARSE_MIN, math.isqrt(n_cells))
+    coarse = e.filter(F.col("vec_id") < n_coarse).select(
+        F.col("vec_id").alias("g"), F.col("emb").alias("cg")
+    )
+    fine = e.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("c")
+    )
+    fw = Window.partitionBy("cell").orderBy(F.desc("gc"), "g")
+    f2c = (
+        fine.join(F.broadcast(coarse))
+        .withColumn("gc", r4(_cos(F.col("c"), F.col("cg"))))
+        .withColumn("rn", F.row_number().over(fw))
+        .filter(F.col("rn") == 1)
+        .select("cell", "c", "g")
+    )
+    vw = Window.partitionBy("vec_id").orderBy(F.desc("gc"), "g")
+    v2c = (
+        e.join(F.broadcast(coarse))
+        .withColumn("gc", r4(_cos(F.col("emb"), F.col("cg"))))
+        .withColumn("rn", F.row_number().over(vw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "g")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("fc"), "cell")
+    within = (
+        v2c.join(F.broadcast(f2c), "g")
+        .withColumn("fc", r4(_cos(F.col("emb"), F.col("c"))))
+        .withColumn("rn", F.row_number().over(aw))
+    )
+    assigned = within.filter(F.col("rn") == 1).select("vec_id", "emb", "cell")
+    probed = (
+        within.filter(
+            (F.col("vec_id") % KNN_QSTEP == 0) & (F.col("rn") <= N_PROBE)
+        )
+        .select(
+            F.col("vec_id").alias("q_vec_id"),
+            F.col("emb").alias("qe"),
+            "cell",
+        )
+    )
+    kw = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), "nn_vec_id")
+    return (
+        F.broadcast(probed)
+        .join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select(
+            "q_vec_id",
+            F.col("vec_id").alias("nn_vec_id"),
+            r4(_cos(F.col("emb"), F.col("qe"))).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(kw).cast("long"))
+        .filter(F.col("rank") <= KNN_K)
+        .select("q_vec_id", "nn_vec_id", "rank", "cos")
+    )

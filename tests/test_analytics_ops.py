@@ -1514,3 +1514,53 @@ def test_session_features_conserve_events(spark, qs):
         assert r.revenue >= 0
     for sids in by_user.values():
         assert sorted(sids) == list(range(1, len(sids) + 1))
+
+
+def test_knn_2level_structure_and_recall_near_flat(spark, qs):
+    """The hierarchical-assignment kNN join keeps the flat operator's
+    output contract (contiguous ranks, nonincreasing rounded cosine, no
+    self-matches) and its recall@3 against the exact brute force stays
+    within 0.25 absolute of flat assignment on both fixture SFs — the
+    group-boundary trade SCALE.md documents, bounded."""
+    import numpy as np
+
+    from iceberg_rest_catalog_spark.io import load_table
+
+    for sf in (SF, SF01):
+        pdf = (
+            load_table(spark, sf, "embeddings")
+            .filter("embedding IS NOT NULL")
+            .toPandas()
+            .sort_values("vec_id")
+        )
+        E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        E /= np.linalg.norm(E, axis=1, keepdims=True)
+        ids = pdf["vec_id"].to_numpy()
+        ix = {v: i for i, v in enumerate(ids)}
+        anchors = [v for v in ids if v % 25 == 0]
+        exact = {}
+        for q in anchors:
+            cos = E @ E[ix[q]]
+            cos[ix[q]] = -2
+            exact[q] = set(ids[np.argsort(-cos, kind="stable")[:3]])
+
+        def recall(name):
+            got = {}
+            for r in qs[name](spark, sf).collect():
+                got.setdefault(r.q_vec_id, set()).add(r.nn_vec_id)
+            return float(
+                np.mean([len(got.get(q, set()) & exact[q]) / 3 for q in anchors])
+            )
+
+        rows = qs["q_sim_knn_batch_2level"](spark, sf).collect()
+        by_q = {}
+        for r in rows:
+            assert r.q_vec_id != r.nn_vec_id
+            by_q.setdefault(r.q_vec_id, []).append(r)
+        for rs in by_q.values():
+            rs.sort(key=lambda r: r.rank)
+            assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+            cs = [r.cos for r in rs]
+            assert all(a >= b for a, b in zip(cs, cs[1:]))
+        r_flat, r_2l = recall("q_sim_knn_batch"), recall("q_sim_knn_batch_2level")
+        assert r_2l >= r_flat - 0.25, (sf, r_flat, r_2l)

@@ -128,13 +128,14 @@ def test_round9_window_head_is_new_ops_then_r3_block():
     new_ops = [
         "q_embed_cell_purity",
         "q_sim_hard_negatives",
+        "q_sim_knn_batch_2level",
         "q_graph_jaccard_neighbors",
         "q_evt_survival",
         "q_ts_holt",
         "q_evt_session_features",
     ]
-    assert ids[:6] == new_ops and all(q not in last_seen for q in new_ops)
-    assert all(q in last_seen for q in ids[6:])
+    assert ids[:7] == new_ops and all(q not in last_seen for q in new_ops)
+    assert all(q in last_seen for q in ids[7:])
     r3_block = [
         "q_text_repetition",
         "q_text_stats",
@@ -142,10 +143,10 @@ def test_round9_window_head_is_new_ops_then_r3_block():
         "q_text_token_count",
         "q_text_tokens",
     ] + sorted(f"q_tpch_q{i}" for i in range(1, 23))
-    assert ids[6:33] == r3_block
+    assert ids[7:34] == r3_block
     # the remainder of a 50-window comes from the r4-stale family, id-sorted
-    assert all(last_seen[q] == 4 for q in ids[33:50])
-    assert ids[33:50] == sorted(ids[33:50])
+    assert all(last_seen[q] == 4 for q in ids[34:50])
+    assert ids[34:50] == sorted(ids[34:50])
 
 
 def test_survey_section2_matches_registry_exactly():
