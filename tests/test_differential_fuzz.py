@@ -1285,3 +1285,147 @@ def test_sequential_recurrence_loop_matches_recursive_cte(
     """
     want = _canon([tuple(r) for r in ddb_events.execute(sql).fetchall()])
     assert got == want
+
+
+# -- family 12 (round 9): Kaplan-Meier composition vs definitional SQL --------
+#
+# q_evt_survival composes the KM estimator distributively: sessions
+# collapse to per-duration (count, ended) rows, the at-risk counts come
+# from ONE descending cumulative-sum window over that tiny frame, and the
+# survival product is a windowed product over death rows.  The
+# DEFINITIONAL formulation computes each at-risk count as a correlated
+# count over the raw duration table (n_t = COUNT(*) WHERE dur >= t) — a
+# per-row rescan that is exactly what the composition exists to avoid at
+# scale.  This family fuzzes the session gap, the censoring horizon, the
+# duration unit and a row predicate, and requires the two formulations to
+# agree row-for-row.
+#
+# Conventions the family enforces:
+# - durations and censor flags are exact integer microsecond arithmetic
+#   (DIV / //), never float division of timestamps;
+# - at-risk/death counts are exact integers — the descending cumsum must
+#   equal the correlated count at EVERY death time;
+# - the survival product uses DuckDB's windowed product() on both sides
+#   (same left-to-right multiply), rounded by the multiply-floor
+#   convention the recurrence family standardized.
+
+_F12_PREDS = [
+    ("all", None, "TRUE"),
+    ("click", "event_type = 'click'", "event_type = 'click'"),
+    ("uid_mod", "user_id % 2 = 0", "user_id % 2 = 0"),
+]
+
+
+f12_spec = st.tuples(
+    st.sampled_from([5, 10, 30, 60, 120]),   # session gap, minutes
+    st.sampled_from([0, 5, 30, 240]),        # censor horizon, minutes
+    st.sampled_from([60_000_000, 1_000_000]),  # duration unit (min / sec)
+    st.sampled_from(range(len(_F12_PREDS))),
+)
+
+
+@settings(
+    max_examples=16,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(f12_spec)
+def test_km_composition_matches_definitional_sql(events_df, ddb_events, spec):
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    gap_min, horizon_min, unit_us, p_ix = spec
+    gap_us = gap_min * 60_000_000
+    horizon_us = horizon_min * 60_000_000
+    _, sp_pred, sql_pred = _F12_PREDS[p_ix]
+
+    # --- Spark: the q_evt_survival composition ---
+    ev = events_df.filter(sp_pred) if sp_pred else events_df
+    ev = ev.select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    marked = ev.withColumn(
+        "new_s",
+        F.when(
+            prev.isNull()
+            | (prev < F.col("ts") - F.expr(f"INTERVAL {gap_min} MINUTES")),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    s = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("smin"), F.max("ts").alias("smax")
+    )
+    mx = ev.agg(F.max("ts").alias("tmax"))
+    u = s.join(F.broadcast(mx)).select(
+        F.expr(
+            "(unix_micros(CAST(smax AS TIMESTAMP))"
+            f" - unix_micros(CAST(smin AS TIMESTAMP))) DIV {unit_us}"
+        ).alias("t"),
+        F.when(
+            F.unix_micros(F.col("tmax").cast("timestamp"))
+            - F.unix_micros(F.col("smax").cast("timestamp"))
+            >= horizon_us,
+            1,
+        )
+        .otherwise(0)
+        .alias("ended"),
+    )
+    lc = u.groupBy("t").agg(F.count("*").alias("c"), F.sum("ended").alias("d"))
+    wdesc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dt = (
+        lc.withColumn("n_risk", F.sum("c").over(wdesc))
+        .filter(F.col("d") > 0)
+        .select("t", "n_risk", "d")
+        .collect()
+    )
+    r4_ = lambda x: math.copysign(math.floor(abs(x) * 1e4 + 0.5) / 1e4, x)
+    got, srv = [], 1.0
+    for r in sorted(dt, key=lambda r: r.t):
+        srv = srv * ((r.n_risk - r.d) / r.n_risk)
+        got.append((int(r.t), int(r.n_risk), int(r.d), r4_(srv)))
+
+    # --- DuckDB: the definitional correlated-count formulation ---
+    sql = f"""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL {gap_min} MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WHERE {sql_pred}
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked),
+    s AS (SELECT user_id, sid, min(ts) AS smin, max(ts) AS smax
+          FROM sess GROUP BY user_id, sid),
+    mx AS (SELECT max(ts) AS tmax FROM events WHERE {sql_pred}),
+    u AS (
+      SELECT (epoch_us(smax) - epoch_us(smin)) // {unit_us} AS t,
+             CASE WHEN epoch_us(tmax) - epoch_us(smax) >= {horizon_us}
+                  THEN 1 ELSE 0 END AS ended
+      FROM s, mx),
+    dt AS (
+      SELECT t,
+             (SELECT count(*) FROM u u2 WHERE u2.t >= u1.t) AS n_risk,
+             sum(ended) AS d
+      FROM u u1 GROUP BY t HAVING sum(ended) > 0)
+    SELECT CAST(t AS BIGINT), CAST(n_risk AS BIGINT), CAST(d AS BIGINT),
+           round(product(CAST(n_risk - d AS DOUBLE) / n_risk)
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 4)
+    FROM dt ORDER BY t
+    """
+    want = [
+        (int(a), int(b), int(c), float(d))
+        for a, b, c, d in ddb_events.execute(sql).fetchall()
+    ]
+    assert got == want

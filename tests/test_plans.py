@@ -140,8 +140,10 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 # probe set, never the corpus
                 "q_sim_mmr",
                 # broadcast ivf_cells_for-row centroid table (cell
-                # assignment, the q_cluster_kmeans/q_sim_knn_batch shape)
+                # assignment, the q_cluster_kmeans/q_sim_knn_batch shape;
+                # 2level additionally broadcasts the <=256-row coarse table)
                 "q_embed_cell_purity", "q_sim_hard_negatives",
+                "q_sim_knn_batch_2level",
                 # 1-row broadcast corpus-max timestamp (the censoring
                 # horizon): map-only scalar distribution
                 "q_evt_survival",
