@@ -254,7 +254,16 @@ class _Handler(BaseHTTPRequestHandler):
             body.get("requirements") or [],
             body.get("updates") or [],
         )
-        self._send(200, self._table_response(tbl))
+        # The commit path returns the two-field UpdateTableResponse
+        # (reference tables.go:221-225: MetadataLocation + Metadata only) —
+        # NO `config`, unlike create/load's LoadTableResponse.
+        self._send(
+            200,
+            {
+                "metadata-location": tbl.metadata_location,
+                "metadata": tbl.metadata,
+            },
+        )
 
     def drop_table(self, ns: str, table: str):
         # Exact-match the query value like the reference (tables.go:288-295:

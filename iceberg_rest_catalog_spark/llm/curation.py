@@ -167,6 +167,199 @@ def q_text_bpe_pairs(spark, sf_dir):
     )
 
 
+N_MERGES = 8  # fixed merge-round budget (the kmeans/pagerank loop contract)
+
+
+def _bpe_round_ctes(k: int) -> str:
+    """One unrolled BPE merge round: pair counts from s{k-1}, the argmax
+    pair t{k}, run-parity merge starts, and the re-numbered symbol table
+    s{k}.  Left-to-right non-overlapping merge semantics, relationally:
+    two (lhs,rhs) occurrences can only overlap when lhs = rhs (a run of
+    the same symbol), where the greedy scan merges at even offsets within
+    each maximal run — so `merge every occurrence` + the run-parity guard
+    IS the classic sequential rule, with no sequential scan."""
+    p = k - 1
+    return f"""p{k} AS MATERIALIZED (
+      SELECT sym AS lhs, nxt AS rhs, sum(freq) AS f FROM (
+        SELECT freq, sym,
+               lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        FROM s{p})
+      WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+    t{k} AS MATERIALIZED (SELECT lhs, rhs, f FROM p{k} ORDER BY f DESC, lhs, rhs LIMIT 1),
+    m{k} AS MATERIALIZED (
+      SELECT s.word, s.freq, s.pos, s.sym,
+             lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) AS nxt,
+             t.lhs, t.rhs
+      FROM s{p} s CROSS JOIN t{k} t),
+    o{k} AS (
+      SELECT word, pos,
+             row_number() OVER (PARTITION BY word, rid ORDER BY pos) - 1 AS off
+      FROM (SELECT word, pos,
+                   pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS rid
+            FROM m{k} WHERE sym = lhs)),
+    x{k} AS (
+      SELECT m.word, m.freq, m.pos, m.sym, m.lhs, m.rhs,
+             CASE WHEN m.sym = m.lhs AND m.nxt = m.rhs
+                       AND (m.lhs <> m.rhs OR o.off % 2 = 0)
+                  THEN 1 ELSE 0 END AS start
+      FROM m{k} m LEFT JOIN o{k} o ON o.word = m.word AND o.pos = m.pos),
+    s{k} AS MATERIALIZED (
+      SELECT word, freq,
+             row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+             CASE WHEN start = 1 THEN lhs || rhs ELSE sym END AS sym
+      FROM (SELECT *, lag(start) OVER (PARTITION BY word ORDER BY pos) AS pstart
+            FROM x{k})
+      WHERE coalesce(pstart, 0) = 0)"""
+
+
+def _bpe_train_oracle() -> str:
+    ctes = [
+        """w AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE text IS NOT NULL)
+      WHERE word <> '' GROUP BY word),
+    s0 AS MATERIALIZED (
+      SELECT word, freq, i AS pos, substr(word, i, 1) AS sym
+      FROM w, LATERAL (SELECT unnest(generate_series(1, len(word))) AS i) g)"""
+    ]
+    selects = []
+    for k in range(1, N_MERGES + 1):
+        ctes.append(_bpe_round_ctes(k))
+        selects.append(
+            f"""SELECT CAST({k} AS INTEGER) AS step, lhs, rhs,
+             lhs || rhs AS merged, CAST(f AS BIGINT) AS pair_freq,
+             (SELECT CAST(sum(freq) AS BIGINT) FROM s{k}) AS tokens_after
+      FROM t{k}"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + " UNION ALL ".join(selects)
+        + " ORDER BY step"
+    )
+
+
+@query("q_text_bpe_train", oracle=_bpe_train_oracle())
+def q_text_bpe_train(spark, sf_dir):
+    """BPE merge TRAINING: the iterative loop between q_text_bpe_pairs
+    (one round of pair counting) and q_tokenizer_apply (executing a
+    finished vocabulary).  {N_MERGES} fixed rounds of the classic
+    algorithm — count adjacent symbol pairs over the corpus, merge the
+    most frequent pair everywhere, repeat — emitting the merge table a
+    tokenizer trainer produces: per round the chosen pair, its adjacency
+    frequency at selection time, and the corpus token count after the
+    merge (the compression curve).  Ties break (freq DESC, lhs, rhs) —
+    both engines compare strings binary, so the merge sequence is
+    bit-stable.
+
+    Scale shape: the corpus collapses ONCE to the distinct-word frequency
+    table (one shuffle; Heaps'-law-bounded — vocabulary, not corpus), and
+    every round runs over that word-keyed symbol table: one lead() window
+    + a map-combined pair count, argmax as a TakeOrdered 1-row pull (the
+    Lloyd's-iteration driver scalar, bounded at {N_MERGES} rows total),
+    then the merge applied with literal lhs/rhs — window functions only,
+    no Python in the loop, localCheckpoint per round (the PageRank/CC
+    lineage discipline).  Merge application is RELATIONAL, not a
+    sequential scan: for lhs <> rhs adjacent occurrences can never
+    overlap, so all merge; for lhs = rhs the greedy left-to-right rule is
+    exactly `offset within the run is even` (gaps-and-islands parity) —
+    the oracle unrolls the identical rounds as chained CTEs.
+
+    Reference scope: no tokenizer surface in the reference (Go metadata
+    facade, api/router/router.go:9-55); north-star LLM-pipeline operator
+    completing the q_text_bpe_pairs -> q_text_bpe_train ->
+    q_tokenizer_apply chain."""
+    wlead = Window.partitionBy("word").orderBy("pos")
+
+    words = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    syms = words.select(
+        "word",
+        "freq",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, char_length(word)),"
+                " i -> substring(word, i, 1))"
+            )
+        ).alias("p0", "sym"),
+    ).select("word", "freq", (F.col("p0") + 1).alias("pos"), "sym")
+    syms = syms.localCheckpoint()
+
+    rows = []
+    for step in range(1, N_MERGES + 1):
+        # 1-row argmax pull per round — the bounded driver scalar of every
+        # iterative-refinement operator (kmeans centroids, Holt states)
+        top = (
+            syms.withColumn("nxt", F.lead("sym").over(wlead))
+            .filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("freq").alias("f"))
+            .orderBy(F.desc("f"), "sym", "nxt")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        lhs, rhs, fcnt = top[0].sym, top[0].nxt, int(top[0].f)
+
+        m = syms.withColumn("nxt", F.lead("sym").over(wlead))
+        if lhs == rhs:
+            runs = m.filter(F.col("sym") == lhs).select(
+                "word",
+                "pos",
+                (F.col("pos") - F.row_number().over(wlead)).alias("rid"),
+            )
+            off = runs.select(
+                "word",
+                "pos",
+                (
+                    F.row_number().over(
+                        Window.partitionBy("word", "rid").orderBy("pos")
+                    )
+                    - 1
+                ).alias("off"),
+            )
+            m = m.join(off, ["word", "pos"], "left")
+            start = (
+                (F.col("sym") == lhs)
+                & (F.col("nxt") == rhs)
+                & (F.col("off") % 2 == 0)
+            )
+        else:
+            start = (F.col("sym") == lhs) & (F.col("nxt") == rhs)
+        m = m.withColumn("start", F.when(start, 1).otherwise(0)).withColumn(
+            "pstart", F.lag("start").over(wlead)
+        )
+        syms = (
+            m.filter(F.coalesce("pstart", F.lit(0)) == 0)
+            .select(
+                "word",
+                "freq",
+                F.row_number().over(wlead).alias("pos"),
+                F.when(F.col("start") == 1, F.lit(lhs + rhs))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .localCheckpoint()
+        )
+        tokens_after = int(syms.agg(F.sum("freq")).collect()[0][0])
+        rows.append((step, lhs, rhs, lhs + rhs, fcnt, tokens_after))
+
+    return spark.createDataFrame(
+        rows,
+        "step int, lhs string, rhs string, merged string,"
+        " pair_freq long, tokens_after long",
+    ).orderBy("step")
+
+
 VOCAB_K = 64
 
 

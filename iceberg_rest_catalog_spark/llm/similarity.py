@@ -368,11 +368,122 @@ SCALED_QSTEP_SQL = (
     f" // {RECALL_TARGET_PROBES}) FROM e)"
 )
 
+# -- assignment-strategy knob (flat vs hierarchical two-level) ----------------
+
+N_COARSE_MIN = 4
+ASSIGN_FLAT_MAX = 50_000  # vectors; the flat/two-level switch point
+
+
+def assignment_two_level(n_vectors: int) -> bool:
+    """Assignment-strategy knob (VERDICT r9 item 2): with cells =
+    ivf_cells_for(n) ~ n/IVF_TARGET_CELL, FLAT assignment scores every
+    centroid for every vector — n*cells ~ n^2/512 cosines, the one
+    super-linear term the x100 program measured (104.3 s at 200k vectors,
+    SCALE.md round 9).  Above ASSIGN_FLAT_MAX the registered IVF-family
+    operators (q_sim_knn_batch, q_sim_recall_eval, q_graph_knn_bfs,
+    q_graph_jaccard_neighbors) switch to hierarchical two-level coarse
+    quantization (2n*sqrt(cells) cosines — the q_sim_knn_batch_2level
+    geometry); below it flat assignment is both optimal and the exact
+    historical fixture shape.  At the switch point n=50k, cells~97, flat
+    = ~4.9M cosines — comfortably sub-second — while the n^2 term is
+    about to bind (200k -> 78M).  The SQL twin is the same count(*)
+    compared to the same constant (ivf_ranked_ctes), so both engines take
+    the same branch at any corpus size."""
+    return n_vectors > ASSIGN_FLAT_MAX
+
+
+def _coarse_sql() -> str:
+    """SQL twin of ``max(N_COARSE_MIN, isqrt(cells))`` — for cells <=
+    65,536 the correctly-rounded double sqrt agrees with integer isqrt."""
+    return (
+        f"GREATEST({N_COARSE_MIN}, CAST(floor(sqrt(CAST({SCALED_CELLS_SQL}"
+        " AS DOUBLE))) AS BIGINT))"
+    )
+
+
+def ivf_ranked_ctes(qstep_sql=None) -> str:
+    """Shared oracle CTE block ``e .. cent .. ranked .. assigned, probed``
+    for the IVF family, with the ASSIGNMENT BRANCH as SQL: the flat
+    all-cells ranking feeds `ranked` when count(*) <= ASSIGN_FLAT_MAX,
+    the group-scoped two-level ranking when count(*) > ASSIGN_FLAT_MAX —
+    the exact value-hash twin of assignment_two_level(count) at any
+    corpus size (both arms are computed, the constant guard keeps exactly
+    one; at oracle scale both are trivially cheap).  `probed` keeps each
+    vector's top-N_PROBE candidate cells, optionally restricted to the
+    ``vec_id % qstep`` query batch (qstep_sql=None = every vector probes,
+    the kNN-graph edge-build shape)."""
+    qfilter = f"vec_id % {qstep_sql} = 0 AND " if qstep_sql is not None else ""
+    return f"""e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb
+  FROM embeddings WHERE embedding IS NOT NULL),
+cent AS (SELECT vec_id AS cell, emb AS c FROM e WHERE vec_id < {SCALED_CELLS_SQL}),
+coarse AS (SELECT vec_id AS g, emb AS cg FROM e WHERE vec_id < {_coarse_sql()}),
+f2c AS (
+  SELECT cell, c, g FROM (
+    SELECT f.cell, f.c, coarse.g,
+           row_number() OVER (
+             PARTITION BY f.cell
+             ORDER BY round(list_cosine_similarity(f.c, coarse.cg), 4) DESC,
+                      coarse.g) AS rn
+    FROM cent f CROSS JOIN coarse
+  ) WHERE rn = 1),
+v2c AS (
+  SELECT vec_id, emb, g FROM (
+    SELECT e.vec_id, e.emb, coarse.g,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.emb, coarse.cg), 4) DESC,
+                      coarse.g) AS rn
+    FROM e CROSS JOIN coarse
+  ) WHERE rn = 1),
+ranked AS (
+  SELECT vec_id, emb, cell, rn FROM (
+    SELECT e.vec_id, e.emb, cent.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.emb, cent.c), 4) DESC,
+                      cent.cell) AS rn
+    FROM e CROSS JOIN cent)
+  WHERE (SELECT count(*) FROM e) <= {ASSIGN_FLAT_MAX}
+  UNION ALL
+  SELECT vec_id, emb, cell, rn FROM (
+    SELECT v.vec_id, v.emb, f.cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(list_cosine_similarity(v.emb, f.c), 4) DESC,
+                      f.cell) AS rn
+    FROM v2c v JOIN f2c f USING (g))
+  WHERE (SELECT count(*) FROM e) > {ASSIGN_FLAT_MAX}),
+assigned AS (SELECT vec_id, emb, cell FROM ranked WHERE rn = 1),
+probed AS (
+  SELECT vec_id AS q_vec_id, emb AS qe, cell FROM ranked
+  WHERE {qfilter}rn <= {N_PROBE})"""
+
+
+def _knn_batch_oracle_scaled(qstep_sql) -> str:
+    """The IVF kNN-join oracle over the BRANCHED assignment (flat below
+    ASSIGN_FLAT_MAX vectors, two-level above — ivf_ranked_ctes); qstep may
+    be a constant or a count(*) SQL expression."""
+    return f"""
+WITH {ivf_ranked_ctes(qstep_sql)}
+SELECT q_vec_id, nn_vec_id, CAST(rank AS BIGINT) AS rank, cos FROM (
+  SELECT p.q_vec_id, a.vec_id AS nn_vec_id,
+         round(list_cosine_similarity(a.emb, p.qe), 4) AS cos,
+         row_number() OVER (
+           PARTITION BY p.q_vec_id
+           ORDER BY round(list_cosine_similarity(a.emb, p.qe), 4) DESC,
+                    a.vec_id) AS rank
+  FROM probed p JOIN assigned a USING (cell)
+  WHERE a.vec_id <> p.q_vec_id
+) WHERE rank <= {KNN_K}
+"""
+
 
 def _knn_batch_oracle(cells_sql: str, qstep_sql) -> str:
-    """The IVF kNN-join oracle with the cell count and probe stride as SQL
-    expressions — constants for the pinned shape, count(*) subqueries for
-    the registered scale-knob shape."""
+    """The FLAT-assignment IVF kNN-join oracle with the cell count and
+    probe stride as SQL expressions — kept for the measurement tools'
+    pinned shapes; the REGISTERED queries use _knn_batch_oracle_scaled
+    (assignment branch included) since round 10."""
     return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb
@@ -414,7 +525,7 @@ SELECT q_vec_id, nn_vec_id, CAST(rank AS BIGINT) AS rank, cos FROM (
 """
 
 
-_KNN_BATCH_ORACLE = _knn_batch_oracle(SCALED_CELLS_SQL, KNN_QSTEP)
+_KNN_BATCH_ORACLE = _knn_batch_oracle_scaled(KNN_QSTEP)
 
 
 def ivf_cells_for(n_vectors: int) -> int:
@@ -451,21 +562,37 @@ def recall_qstep_for(n_vectors: int) -> int:
     return max(KNN_QSTEP, -(-n_vectors // RECALL_TARGET_PROBES))
 
 
-def _knn_batch(spark, sf_dir, qstep: int, n_cells: int | None = None):
-    """Core of q_sim_knn_batch with the probe stride and IVF cell count as
-    parameters.  Since round 9 the REGISTERED query passes
-    ivf_cells_for(count) — the scale knob is the default, with the oracle
-    computing the identical formula from count(*) (SCALED_CELLS_SQL) so
-    the value-hash twin holds at any corpus size.  ``n_cells=None``
-    self-computes the knob; explicit values serve the measurement tools
-    (tools/ivf_cells_knob.py) and tests."""
+def _knn_batch(
+    spark,
+    sf_dir,
+    qstep: int,
+    n_cells: int | None = None,
+    two_level: bool | None = None,
+):
+    """Core of q_sim_knn_batch with the probe stride, IVF cell count and
+    assignment strategy as parameters.  Since round 9 the REGISTERED query
+    passes ivf_cells_for(count); since round 10 it ALSO auto-selects the
+    assignment strategy via assignment_two_level(count) — flat below
+    ASSIGN_FLAT_MAX vectors (the fixture shape, bit-identical to the
+    pre-knob plans), hierarchical two-level above (killing the n^2/512
+    flat-assignment term, SCALE.md round 9/10).  The oracle computes both
+    formulas from count(*) (SCALED_CELLS_SQL + the ivf_ranked_ctes branch
+    guard) so the value-hash twin holds at any corpus size.
+    ``n_cells``/``two_level`` explicit values serve the measurement tools
+    (tools/ivf_cells_knob.py) and tests; an explicit n_cells with
+    two_level=None pins the historical FLAT shape."""
     from pyspark.sql import Window
 
     e = _emb(spark, sf_dir).select("vec_id", _dbl("embedding").alias("emb"))
     if n_cells is None:
         # one count job; at cluster scale this is parquet row-group
         # metadata, not a data scan
-        n_cells = ivf_cells_for(_emb_count(spark, sf_dir))
+        n = _emb_count(spark, sf_dir)
+        n_cells = ivf_cells_for(n)
+        if two_level is None:
+            two_level = assignment_two_level(n)
+    if two_level:
+        return _knn_batch_2level(spark, sf_dir, qstep, n_cells)
     cent = e.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("emb").alias("c")
     )
@@ -539,7 +666,14 @@ def q_sim_knn_batch(spark, sf_dir):
     ~IVF_TARGET_CELL so the cell-join candidate volume stays linear in
     the corpus (x10 measured 8.84x fixed -> 2.64x scaled, SCALE.md r8);
     the oracle computes the identical formula from count(*)
-    (SCALED_CELLS_SQL), keeping the value-hash twin exact at any size."""
+    (SCALED_CELLS_SQL), keeping the value-hash twin exact at any size.
+
+    Since round 10 the ASSIGNMENT STRATEGY is a knob too: above
+    ASSIGN_FLAT_MAX vectors the registered query switches to hierarchical
+    two-level coarse quantization (the q_sim_knn_batch_2level geometry —
+    2n*sqrt(cells) vs n^2/512 cosines; measured 31.5 s vs 104.3 s at 200k
+    vectors, SCALE.md round 9), with the oracle's ivf_ranked_ctes branch
+    guard choosing the same arm from count(*)."""
     return _knn_batch(spark, sf_dir, KNN_QSTEP)
 
 
@@ -1081,7 +1215,7 @@ def q_sim_mmr(spark, sf_dir):
 
 
 _RECALL_ORACLE = f"""
-WITH ivf AS ({_knn_batch_oracle(SCALED_CELLS_SQL, SCALED_QSTEP_SQL)}),
+WITH ivf AS ({_knn_batch_oracle_scaled(SCALED_QSTEP_SQL)}),
 e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb
   FROM embeddings WHERE embedding IS NOT NULL
@@ -1119,11 +1253,16 @@ def _recall_eval(spark, sf_dir, qstep: int | None = None):
     from pyspark.sql import Window
 
     if qstep is None:
-        # one count serves both knobs (qstep here, cells in _knn_batch)
+        # one count serves all three knobs (qstep here, cells and the
+        # flat/two-level assignment branch in _knn_batch)
         n = _emb_count(spark, sf_dir)
         qstep = recall_qstep_for(n)
         ivf = _knn_batch(
-            spark, sf_dir, qstep, n_cells=ivf_cells_for(n)
+            spark,
+            sf_dir,
+            qstep,
+            n_cells=ivf_cells_for(n),
+            two_level=assignment_two_level(n),
         ).select("q_vec_id", "nn_vec_id")
     else:
         ivf = _knn_batch(spark, sf_dir, qstep).select("q_vec_id", "nn_vec_id")
@@ -1340,8 +1479,11 @@ def q_embed_kmeans_elbow(spark, sf_dir):
 )
 def q_embed_cell_purity(spark, sf_dir):
     """Per-IVF-cell label purity audit: for every cell of the ANN index's
-    coarse quantizer (the q_sim_ann_ivf assignment, cell count =
-    ivf_cells_for(corpus)), the population, the majority label and its
+    coarse quantizer (the SCALED assignment geometry used by
+    q_sim_knn_batch and its siblings, cell count = ivf_cells_for(corpus);
+    q_sim_ann_ivf itself pins the fixed N_CELLS and so shares this
+    geometry only up to ~N_CELLS*IVF_TARGET_CELL vectors), the
+    population, the majority label and its
     share, and the Shannon entropy of the cell's label mix.  This is the
     index-quality diagnostic BETWEEN clustering and retrieval: cells that
     mix many labels at high entropy mark regions where the coarse
@@ -1535,16 +1677,75 @@ def q_sim_hard_negatives(spark, sf_dir):
 
 
 # -- hierarchical (two-level) IVF: the next-decade assignment knob ------------
+# (N_COARSE_MIN and _coarse_sql live next to the assignment_two_level knob
+# above, shared with the branch-guarded ivf_ranked_ctes oracles)
 
-N_COARSE_MIN = 4
 
+def _knn_batch_2level(spark, sf_dir, qstep: int, n_cells: int | None = None):
+    """Core of q_sim_knn_batch_2level with the probe stride and fine-cell
+    count as parameters — also the two-level arm the REGISTERED
+    q_sim_knn_batch/_recall_eval take above ASSIGN_FLAT_MAX vectors
+    (assignment_two_level)."""
+    import math
 
-def _coarse_sql() -> str:
-    """SQL twin of ``max(N_COARSE_MIN, isqrt(cells))`` — for cells <=
-    65,536 the correctly-rounded double sqrt agrees with integer isqrt."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).select("vec_id", _dbl("embedding").alias("emb"))
+    if n_cells is None:
+        n_cells = ivf_cells_for(_emb_count(spark, sf_dir))
+    n_coarse = max(N_COARSE_MIN, math.isqrt(n_cells))
+    coarse = e.filter(F.col("vec_id") < n_coarse).select(
+        F.col("vec_id").alias("g"), F.col("emb").alias("cg")
+    )
+    fine = e.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("c")
+    )
+    fw = Window.partitionBy("cell").orderBy(F.desc("gc"), "g")
+    f2c = (
+        fine.join(F.broadcast(coarse))
+        .withColumn("gc", r4(_cos(F.col("c"), F.col("cg"))))
+        .withColumn("rn", F.row_number().over(fw))
+        .filter(F.col("rn") == 1)
+        .select("cell", "c", "g")
+    )
+    vw = Window.partitionBy("vec_id").orderBy(F.desc("gc"), "g")
+    v2c = (
+        e.join(F.broadcast(coarse))
+        .withColumn("gc", r4(_cos(F.col("emb"), F.col("cg"))))
+        .withColumn("rn", F.row_number().over(vw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "g")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("fc"), "cell")
+    within = (
+        v2c.join(F.broadcast(f2c), "g")
+        .withColumn("fc", r4(_cos(F.col("emb"), F.col("c"))))
+        .withColumn("rn", F.row_number().over(aw))
+    )
+    assigned = within.filter(F.col("rn") == 1).select("vec_id", "emb", "cell")
+    probed = (
+        within.filter(
+            (F.col("vec_id") % qstep == 0) & (F.col("rn") <= N_PROBE)
+        )
+        .select(
+            F.col("vec_id").alias("q_vec_id"),
+            F.col("emb").alias("qe"),
+            "cell",
+        )
+    )
+    kw = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), "nn_vec_id")
     return (
-        f"GREATEST({N_COARSE_MIN}, CAST(floor(sqrt(CAST({SCALED_CELLS_SQL}"
-        " AS DOUBLE))) AS BIGINT))"
+        F.broadcast(probed)
+        .join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select(
+            "q_vec_id",
+            F.col("vec_id").alias("nn_vec_id"),
+            r4(_cos(F.col("emb"), F.col("qe"))).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(kw).cast("long"))
+        .filter(F.col("rank") <= KNN_K)
+        .select("q_vec_id", "nn_vec_id", "rank", "cos")
     )
 
 
@@ -1643,64 +1844,10 @@ def q_sim_knn_batch_2level(spark, sf_dir):
     unchanged.
 
     Reference scope: no vector surface in the reference facade; sibling
-    of q_sim_knn_batch (flat assignment) and q_sim_ann_ivf."""
-    from pyspark.sql import Window
-
-    e = _emb(spark, sf_dir).select("vec_id", _dbl("embedding").alias("emb"))
-    n_cells = ivf_cells_for(_emb_count(spark, sf_dir))
-    import math
-
-    n_coarse = max(N_COARSE_MIN, math.isqrt(n_cells))
-    coarse = e.filter(F.col("vec_id") < n_coarse).select(
-        F.col("vec_id").alias("g"), F.col("emb").alias("cg")
-    )
-    fine = e.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"), F.col("emb").alias("c")
-    )
-    fw = Window.partitionBy("cell").orderBy(F.desc("gc"), "g")
-    f2c = (
-        fine.join(F.broadcast(coarse))
-        .withColumn("gc", r4(_cos(F.col("c"), F.col("cg"))))
-        .withColumn("rn", F.row_number().over(fw))
-        .filter(F.col("rn") == 1)
-        .select("cell", "c", "g")
-    )
-    vw = Window.partitionBy("vec_id").orderBy(F.desc("gc"), "g")
-    v2c = (
-        e.join(F.broadcast(coarse))
-        .withColumn("gc", r4(_cos(F.col("emb"), F.col("cg"))))
-        .withColumn("rn", F.row_number().over(vw))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "emb", "g")
-    )
-    aw = Window.partitionBy("vec_id").orderBy(F.desc("fc"), "cell")
-    within = (
-        v2c.join(F.broadcast(f2c), "g")
-        .withColumn("fc", r4(_cos(F.col("emb"), F.col("c"))))
-        .withColumn("rn", F.row_number().over(aw))
-    )
-    assigned = within.filter(F.col("rn") == 1).select("vec_id", "emb", "cell")
-    probed = (
-        within.filter(
-            (F.col("vec_id") % KNN_QSTEP == 0) & (F.col("rn") <= N_PROBE)
-        )
-        .select(
-            F.col("vec_id").alias("q_vec_id"),
-            F.col("emb").alias("qe"),
-            "cell",
-        )
-    )
-    kw = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), "nn_vec_id")
-    return (
-        F.broadcast(probed)
-        .join(assigned, "cell")
-        .filter(F.col("vec_id") != F.col("q_vec_id"))
-        .select(
-            "q_vec_id",
-            F.col("vec_id").alias("nn_vec_id"),
-            r4(_cos(F.col("emb"), F.col("qe"))).alias("cos"),
-        )
-        .withColumn("rank", F.row_number().over(kw).cast("long"))
-        .filter(F.col("rank") <= KNN_K)
-        .select("q_vec_id", "nn_vec_id", "rank", "cos")
-    )
+    of q_sim_knn_batch (flat assignment) and q_sim_ann_ivf.  Since round
+    10 this geometry is also the REGISTERED default of the whole IVF
+    family above ASSIGN_FLAT_MAX vectors (assignment_two_level); this
+    unconditional registration stays so the two-level shape remains
+    driver-verified at fixture scale, where the siblings take the flat
+    branch."""
+    return _knn_batch_2level(spark, sf_dir, KNN_QSTEP)

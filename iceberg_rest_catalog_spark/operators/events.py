@@ -1511,14 +1511,14 @@ HOLT_BETA = 0.3  # trend smoothing
     "q_evt_survival",
     oracle=f"""
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, event_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sess AS (
       SELECT user_id, ts,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM marked),
     s AS (
@@ -1527,7 +1527,7 @@ HOLT_BETA = 0.3  # trend smoothing
     mx AS (SELECT max(ts) AS tmax FROM events),
     u AS (
       SELECT (epoch_us(smax) - epoch_us(smin)) // 60000000 AS t,
-             CASE WHEN epoch_us(tmax) - epoch_us(smax) >= {SURV_GAP_US}
+             CASE WHEN epoch_us(tmax) - epoch_us(smax) > {SURV_GAP_US}
                   THEN 1 ELSE 0 END AS ended
       FROM s, mx),
     lc AS (
@@ -1552,9 +1552,11 @@ def q_evt_survival(spark, sf_dir):
     mean-session-length number.  Sessions are the canonical 30-minute-gap
     islands (the q_evt_sessionize relation); duration t = whole minutes
     between a session's first and last event; the end is OBSERVED iff the
-    last event is >= 30 minutes before the corpus's final timestamp
-    (otherwise the gap that would close the session hasn't had time to
-    elapse).  One row per death time t: at-risk count n_t (sessions with
+    last event is STRICTLY more than 30 minutes before the corpus's final
+    timestamp — the same strict-> predicate that breaks sessions, so
+    "ended" means the closing gap has strictly elapsed (a session whose
+    gap is exactly 30 min would still be in-session by the break rule and
+    is censored, not dead).  One row per death time t: at-risk count n_t (sessions with
     duration >= t), ended count d_t, and the KM estimate
     S(t) = prod_{{t' <= t}} (n_t' - d_t')/n_t'.
 
@@ -1607,7 +1609,7 @@ def q_evt_survival(spark, sf_dir):
         F.when(
             F.unix_micros(F.col("tmax").cast("timestamp"))
             - F.unix_micros(F.col("smax").cast("timestamp"))
-            >= SURV_GAP_US,
+            > SURV_GAP_US,
             1,
         )
         .otherwise(0)

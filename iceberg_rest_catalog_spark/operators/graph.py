@@ -596,26 +596,13 @@ def _knn_edges_ctes() -> str:
     shape, with the scale-knob cell count computed from count(*)
     (similarity.SCALED_CELLS_SQL) — the exact twin of the
     ivf_cells_for(count) the registered Spark queries pass.  Used by
-    q_graph_knn_bfs and q_graph_jaccard_neighbors."""
-    from ..llm.similarity import N_PROBE, SCALED_CELLS_SQL
+    q_graph_knn_bfs and q_graph_jaccard_neighbors.  Since round 10 the
+    assignment block is the BRANCH-GUARDED ivf_ranked_ctes (flat below
+    ASSIGN_FLAT_MAX vectors, two-level above) — the exact twin of the
+    assignment_two_level knob the Spark _knn_edges takes."""
+    from ..llm.similarity import N_PROBE, ivf_ranked_ctes
 
-    return f"""e AS (
-      SELECT vec_id, embedding::DOUBLE[] AS emb
-      FROM embeddings WHERE embedding IS NOT NULL),
-    cent AS (SELECT vec_id AS cell, emb AS c FROM e
-             WHERE vec_id < {SCALED_CELLS_SQL}),
-    ranked_cells AS (
-      SELECT e.vec_id, e.emb, cent.cell,
-             row_number() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY round(list_cosine_similarity(e.emb, cent.c), 4) DESC,
-                        cent.cell) AS rn
-      FROM e CROSS JOIN cent),
-    assigned AS (
-      SELECT vec_id, emb, cell FROM ranked_cells WHERE rn = 1),
-    probed AS (
-      SELECT vec_id AS q_vec_id, emb AS qe, cell
-      FROM ranked_cells WHERE rn <= {N_PROBE}),
+    return ivf_ranked_ctes(None) + f""",
     knn AS (
       SELECT q_vec_id AS u, nn_vec_id AS v FROM (
         SELECT p.q_vec_id, a.vec_id AS nn_vec_id,
@@ -659,30 +646,44 @@ def _knn_bfs_oracle(iters: int) -> str:
     )
 
 
-def _knn_edges(spark, sf_dir, n_cells: int | None = None):
+def _knn_edges(
+    spark, sf_dir, n_cells: int | None = None, two_level: bool | None = None
+):
     """(corpus frame, symmetrized kNN edge frame) of the embedding
     corpus's mutualized {BFS_K}-NN graph — the shared edge build behind
     q_graph_knn_bfs and q_graph_jaccard_neighbors (oracle twin:
     _knn_edges_ctes).  n_cells=None self-computes ivf_cells_for(count)
     so per-cell population (and with it the cell-join candidate volume
-    per vector) stays flat as the corpus grows; explicit cell counts
-    serve the measurement tools (tools/ivf_cells_knob.py).  The edge
-    frame is localCheckpoint'ed — it is consumed iteratively (BFS) or
-    from multiple arms (wedge join + degree + anti join)."""
+    per vector) stays flat as the corpus grows, and (round 10)
+    two_level=None self-selects the assignment strategy via
+    assignment_two_level(count) — flat centroid ranking below
+    ASSIGN_FLAT_MAX vectors, hierarchical two-level above (the flat
+    n*cells ~ n^2/512 assignment term is the family's one super-linear
+    cost, SCALE.md round 9).  Explicit values serve the measurement
+    tools (tools/ivf_cells_knob.py).  The edge frame is
+    localCheckpoint'ed — it is consumed iteratively (BFS) or from
+    multiple arms (wedge join + degree + anti join)."""
+    import math
+
     from pyspark.sql import Window as W
 
     from ..llm.similarity import (
+        N_COARSE_MIN,
         N_PROBE,
         _cos,
         _dbl,
         _emb,
         _norm,
+        assignment_two_level,
         ivf_cells_for,
     )
     from ..llm.similarity import _emb_count
 
     if n_cells is None:
-        n_cells = ivf_cells_for(_emb_count(spark, sf_dir))
+        n = _emb_count(spark, sf_dir)
+        n_cells = ivf_cells_for(n)
+        if two_level is None:
+            two_level = assignment_two_level(n)
 
     # Per-vector L2 norm computed ONCE here (JVM-side, |corpus| rows) so the
     # candidate-pair hot path below can use the Arrow-batched numpy dot
@@ -691,19 +692,51 @@ def _knn_edges(spark, sf_dir, n_cells: int | None = None):
     # is the module-documented case where _dot_pd wins ~5-10x (measured
     # here: 10.5s -> ~3s at sf0.1).  Centroid ASSIGNMENT stays JVM-side
     # (x16 bounded fan-out, not the hot path).
+    cw = W.partitionBy("vec_id").orderBy(F.desc("cc"), "cell")
+
+    def _ranked(src):
+        """(vec_id, emb, nrm, cell, rn) candidate-cell ranking of one
+        corpus scan — flat (all cells) or group-scoped two-level,
+        mirroring ivf_ranked_ctes' branch."""
+        cent = src.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell"), F.col("emb").alias("c")
+        )
+        if not two_level:
+            return (
+                src.join(F.broadcast(cent))
+                .withColumn("cc", F.round(_cos(F.col("emb"), F.col("c")), 4))
+                .withColumn("rn", F.row_number().over(cw))
+            )
+        n_coarse = max(N_COARSE_MIN, math.isqrt(n_cells))
+        coarse = src.filter(F.col("vec_id") < n_coarse).select(
+            F.col("vec_id").alias("g"), F.col("emb").alias("cg")
+        )
+        fw = W.partitionBy("cell").orderBy(F.desc("gc"), "g")
+        f2c = (
+            cent.join(F.broadcast(coarse))
+            .withColumn("gc", F.round(_cos(F.col("c"), F.col("cg")), 4))
+            .withColumn("rn", F.row_number().over(fw))
+            .filter(F.col("rn") == 1)
+            .select("cell", "c", "g")
+        )
+        vw = W.partitionBy("vec_id").orderBy(F.desc("gc"), "g")
+        v2c = (
+            src.join(F.broadcast(coarse))
+            .withColumn("gc", F.round(_cos(F.col("emb"), F.col("cg")), 4))
+            .withColumn("rn", F.row_number().over(vw))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "emb", "nrm", "g")
+        )
+        return (
+            v2c.join(F.broadcast(f2c), "g")
+            .withColumn("cc", F.round(_cos(F.col("emb"), F.col("c")), 4))
+            .withColumn("rn", F.row_number().over(cw))
+        )
+
     e = _emb(spark, sf_dir).select(
         "vec_id", _dbl("embedding").alias("emb")
     ).withColumn("nrm", _norm("emb"))
-    cent = e.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"), F.col("emb").alias("c")
-    )
-    cw = W.partitionBy("vec_id").orderBy(F.desc("cc"), "cell")
-    ranked_cells = (
-        e.join(F.broadcast(cent))
-        .withColumn("cc", F.round(_cos(F.col("emb"), F.col("c")), 4))
-        .withColumn("rn", F.row_number().over(cw))
-    )
-    assigned = ranked_cells.filter(F.col("rn") == 1).select(
+    assigned = _ranked(e).filter(F.col("rn") == 1).select(
         "vec_id", "emb", "nrm", "cell"
     )
     # The probe side rebuilds the ranked-cells pipeline from a FRESH scan:
@@ -713,13 +746,8 @@ def _knn_edges(spark, sf_dir, n_cells: int | None = None):
     e2 = _emb(spark, sf_dir).select(
         "vec_id", _dbl("embedding").alias("emb")
     ).withColumn("nrm", _norm("emb"))
-    cent2 = e2.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"), F.col("emb").alias("c")
-    )
     probed = (
-        e2.join(F.broadcast(cent2))
-        .withColumn("cc", F.round(_cos(F.col("emb"), F.col("c")), 4))
-        .withColumn("rn", F.row_number().over(cw))
+        _ranked(e2)
         .filter(F.col("rn") <= N_PROBE)
         .select(
             F.col("vec_id").alias("q_vec_id"),

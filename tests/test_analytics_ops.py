@@ -1324,7 +1324,7 @@ def test_survival_matches_bruteforce_km(spark, qs):
     for smin, smax in sessions:
         dur = (smax - smin) // 60_000_000
         lc[dur][0] += 1
-        lc[dur][1] += int(tmax - smax >= SURV_GAP_US)
+        lc[dur][1] += int(tmax - smax > SURV_GAP_US)
     import math
 
     r = lambda x: math.copysign(math.floor(abs(x) * 1e4 + 0.5) / 1e4, x)

@@ -1370,7 +1370,7 @@ def test_km_composition_matches_definitional_sql(events_df, ddb_events, spec):
         F.when(
             F.unix_micros(F.col("tmax").cast("timestamp"))
             - F.unix_micros(F.col("smax").cast("timestamp"))
-            >= horizon_us,
+            > horizon_us,
             1,
         )
         .otherwise(0)
@@ -1395,7 +1395,7 @@ def test_km_composition_matches_definitional_sql(events_df, ddb_events, spec):
     # --- DuckDB: the definitional correlated-count formulation ---
     sql = f"""
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, event_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w > INTERVAL {gap_min} MINUTE
                   THEN 1 ELSE 0 END AS new_s
@@ -1403,7 +1403,7 @@ def test_km_composition_matches_definitional_sql(events_df, ddb_events, spec):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sess AS (
       SELECT user_id, ts,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM marked),
     s AS (SELECT user_id, sid, min(ts) AS smin, max(ts) AS smax
@@ -1411,7 +1411,7 @@ def test_km_composition_matches_definitional_sql(events_df, ddb_events, spec):
     mx AS (SELECT max(ts) AS tmax FROM events WHERE {sql_pred}),
     u AS (
       SELECT (epoch_us(smax) - epoch_us(smin)) // {unit_us} AS t,
-             CASE WHEN epoch_us(tmax) - epoch_us(smax) >= {horizon_us}
+             CASE WHEN epoch_us(tmax) - epoch_us(smax) > {horizon_us}
                   THEN 1 ELSE 0 END AS ended
       FROM s, mx),
     dt AS (

@@ -1011,3 +1011,150 @@ def test_ngram_coverage_recomputes_and_inverts_decontaminate(spark, qs):
         assert abs(r.coverage - round(cov / len(gs), 4)) < 1e-9
     decon = qs["q_decontaminate"](spark, SF).collect()
     assert (sum(r.covered for r in rows) > 0) == (len(decon) > 0)
+
+
+# -- round-10: the flat/two-level assignment knob -----------------------------
+
+
+def test_assignment_knob_branch_equivalence(spark, qs):
+    """The round-10 assignment knob (VERDICT r9 item 2).  (a) The switch
+    point: flat at ASSIGN_FLAT_MAX vectors, two-level strictly above.
+    (b) Forcing the TWO-LEVEL arm on BOTH engines at fixture scale
+    (Spark: two_level=True; DuckDB: the ivf_ranked_ctes branch-guard
+    constant rewritten to 0) yields row-identical kNN joins and
+    kNN-graph edges — so past ASSIGN_FLAT_MAX, where the registered
+    operators actually flip, the value-hash twin holds on the arm they
+    take.  (c) The registered q_sim_knn_batch at fixture scale (flat
+    arm) is unchanged vs the explicit flat call — the historical shape
+    survives the knob."""
+    import duckdb
+
+    from iceberg_rest_catalog_spark.llm.similarity import (
+        ASSIGN_FLAT_MAX,
+        KNN_QSTEP,
+        _emb_count,
+        _knn_batch,
+        _knn_batch_oracle_scaled,
+        assignment_two_level,
+        ivf_cells_for,
+    )
+    from iceberg_rest_catalog_spark.operators.graph import (
+        _knn_edges,
+        _knn_edges_ctes,
+    )
+
+    assert not assignment_two_level(ASSIGN_FLAT_MAX)
+    assert assignment_two_level(ASSIGN_FLAT_MAX + 1)
+
+    n = _emb_count(spark, SF)
+    assert not assignment_two_level(n)  # fixture sits on the flat arm
+    cells = ivf_cells_for(n)
+
+    # (c) registered == explicit flat at fixture scale
+    reg = sorted(tuple(r) for r in qs["q_sim_knn_batch"](spark, SF).collect())
+    flat = sorted(
+        tuple(r)
+        for r in _knn_batch(
+            spark, SF, KNN_QSTEP, n_cells=cells, two_level=False
+        ).collect()
+    )
+    assert reg == flat
+
+    # (b) forced two-level, both engines
+    def force_two_level(sql: str) -> str:
+        return sql.replace(f"<= {ASSIGN_FLAT_MAX}", "<= 0").replace(
+            f"> {ASSIGN_FLAT_MAX}", "> 0"
+        )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    got = sorted(
+        (r.q_vec_id, r.nn_vec_id, r.rank, r.cos)
+        for r in _knn_batch(
+            spark, SF, KNN_QSTEP, n_cells=cells, two_level=True
+        ).collect()
+    )
+    want = sorted(
+        (int(a), int(b), int(c), float(d))
+        for a, b, c, d in con.execute(
+            force_two_level(_knn_batch_oracle_scaled(KNN_QSTEP))
+        ).fetchall()
+    )
+    assert got == want and got  # nonempty
+
+    _, edges = _knn_edges(spark, SF, two_level=True)
+    got_e = sorted((r.u, r.v) for r in edges.collect())
+    want_e = sorted(
+        (int(u), int(v))
+        for u, v in con.execute(
+            force_two_level(
+                "WITH " + _knn_edges_ctes() + " SELECT u, v FROM edges"
+            )
+        ).fetchall()
+    )
+    assert got_e == want_e and got_e
+
+
+def test_bpe_train_matches_sequential_reference(spark, qs):
+    """Replay CLASSIC sequential BPE driver-side (dict word-freqs, tuple
+    symbol lists, the textbook left-to-right scan-and-skip merge) and
+    compare the whole merge table — proving the relational formulation
+    (merge-every-occurrence + run-parity for lhs==rhs) IS the sequential
+    algorithm, plus the compression-curve property (tokens_after strictly
+    decreasing, each drop = the number of merged occurrences)."""
+    from collections import Counter
+
+    from iceberg_rest_catalog_spark.llm.curation import N_MERGES
+    from iceberg_rest_catalog_spark.io import load_table
+
+    rows = qs["q_text_bpe_train"](spark, SF).collect()
+    assert len(rows) == N_MERGES
+
+    docs = load_table(spark, SF, "documents").select("text").collect()
+    freqs = Counter(
+        w for r in docs if r.text for w in r.text.split(" ") if w
+    )
+    words = {w: tuple(w) for w in freqs}
+
+    expect = []
+    for step in range(1, N_MERGES + 1):
+        pc = Counter()
+        for w, syms in words.items():
+            f = freqs[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        # argmax with (freq DESC, lhs, rhs) tiebreak
+        (lhs, rhs), fcnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = lhs + rhs
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == lhs
+                    and syms[i + 1] == rhs
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = tuple(out)
+        tokens_after = sum(len(s) * freqs[w] for w, s in words.items())
+        expect.append((step, lhs, rhs, merged, fcnt, tokens_after))
+
+    got = [
+        (r.step, r.lhs, r.rhs, r.merged, r.pair_freq, r.tokens_after)
+        for r in rows
+    ]
+    assert got == expect
+
+    curve = [r.tokens_after for r in rows]
+    assert all(a > b for a, b in zip(curve, curve[1:]))

@@ -120,8 +120,10 @@ def test_table_response_config_echoes_properties(server):
     LoadTableResponse with Config = table.Properties() — the response
     `config` echoes the TABLE's own properties, not the catalog-level
     overrides (those are only served by /v1/config, tables.go:38-46).
-    Raw-HTTP pin of that contract on create, load, AND the update-table
-    commit path, including property mutation via set-properties."""
+    The update-table COMMIT path is different: it returns the two-field
+    UpdateTableResponse (tables.go:221-225 — metadata-location + metadata,
+    no Config). Raw-HTTP pin of both shapes, including property mutation
+    via set-properties showing up on the next load."""
     call("POST", f"{server}/v1/namespaces", {"namespace": ["db"]})
     s, out = call(
         "POST",
@@ -139,7 +141,8 @@ def test_table_response_config_echoes_properties(server):
     assert s == 200
     assert out["config"] == {"description": "Test table", "owner": "ci"}
 
-    # a set-properties commit is reflected in the next response's config
+    # the commit response is the two-field UpdateTableResponse — no config
+    # (reference tables.go:221-225)
     s, out = call(
         "POST",
         f"{server}/v1/namespaces/db/tables/t",
@@ -150,6 +153,11 @@ def test_table_response_config_echoes_properties(server):
             ],
         },
     )
+    assert s == 200
+    assert set(out) == {"metadata-location", "metadata"}
+
+    # ...but the mutation is reflected in the next LOAD's config
+    s, out = call("GET", f"{server}/v1/namespaces/db/tables/t")
     assert s == 200
     assert out["config"]["owner"] == "etl"
     assert out["config"]["description"] == "Test table"
