@@ -1860,3 +1860,121 @@ def q_evt_session_features(spark, sf_dir):
         )
         .orderBy("user_id", "sid")
     )
+
+
+@query(
+    "q_evt_concurrency",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked),
+    s AS (
+      SELECT user_id, sid, min(ts) AS s_start,
+             max(ts) + INTERVAL 30 MINUTE AS s_end
+      FROM sess GROUP BY user_id, sid),
+    d AS (
+      SELECT s_start AS ts, 1 AS delta FROM s
+      UNION ALL SELECT s_end AS ts, -1 AS delta FROM s),
+    rw AS (
+      SELECT date_trunc('hour', ts) AS h, ts, delta,
+             sum(delta) OVER (PARTITION BY date_trunc('hour', ts)
+                              ORDER BY ts, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS runw
+      FROM d),
+    b AS (
+      SELECT h, count(*) FILTER (delta = 1) AS n_starts,
+             sum(delta) AS net, max(runw) AS peak_rel
+      FROM rw GROUP BY h),
+    c AS (
+      SELECT h, n_starts, net, peak_rel,
+             coalesce(sum(net) OVER (ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS carry
+      FROM b)
+    SELECT strftime(h, '%Y-%m-%d %H:00:00') AS hour,
+           CAST(n_starts AS BIGINT) AS n_starts,
+           CAST(carry + peak_rel AS BIGINT) AS peak_active,
+           CAST(carry + net AS BIGINT) AS end_active
+    FROM c ORDER BY hour
+    """,
+)
+def q_evt_concurrency(spark, sf_dir):
+    """Platform concurrency curve: per hour, session starts, PEAK
+    concurrently-active sessions (at delta points), and active count at
+    the hour's last transition — the linear-output answer to the
+    question q_join_interval_overlap materializes pairwise.  The round-10
+    x100 measurement showed WHY this operator exists: at 100x users in
+    the same wall-clock window the co-presence graph is ~99.6% complete,
+    so ANY pair-materializing operator is Omega(n^2) IN ITS OUTPUT
+    (~1.1e10 pairs at 150k users) — at that density the product question
+    becomes concurrency statistics, which one sweep computes exactly
+    with |hours| output rows whatever the user count.
+
+    Scale shape — the DISTRIBUTED PREFIX SUM (two-level scan): sessions
+    (one user_id shuffle) emit (+1 at start, -1 at end+gap) deltas; each
+    hour bucket computes its within-bucket running sum independently
+    (window partitioned BY BUCKET — parallel, no global order); bucket
+    NET sums collapse to a <=|hours| frame whose cumulative sum supplies
+    each bucket's carry-in; peak = carry + within-bucket prefix max.
+    The only sequential scan is over the tiny bucket frame (<=720 rows
+    for the 30-day fixture, |hours| at any scale) — the textbook
+    carry-select pattern that turns an inherently sequential running sum
+    into two parallel passes.  Determinism at tied timestamps: deltas
+    order (ts, delta DESC) — all starts before any end at the same
+    instant (the inclusive-overlap convention of the pair operator), and
+    ties among equal deltas cannot change any prefix max.  All-integer
+    arithmetic; both engines run the identical two-level formulation.
+
+    Reference scope: no analytics in the reference facade
+    (api/router/router.go:9-55); linear-output sibling of
+    q_join_interval_overlap (pairs) and q_evt_rolling_dau (daily
+    actives)."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    marked = ev.withColumn(
+        "new_s",
+        F.when(
+            prev.isNull() | (prev < F.col("ts") - F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    s = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s_start"),
+        (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("s_end"),
+    )
+    d = s.select(F.col("s_start").alias("ts"), F.lit(1).alias("delta")).unionAll(
+        s.select(F.col("s_end").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    bw = Window.partitionBy("h").orderBy(
+        F.col("ts").asc(), F.col("delta").desc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    rw = d.withColumn("h", F.date_trunc("hour", "ts")).withColumn(
+        "runw", F.sum("delta").over(bw)
+    )
+    b = rw.groupBy("h").agg(
+        F.count(F.when(F.col("delta") == 1, 1)).alias("n_starts"),
+        F.sum("delta").alias("net"),
+        F.max("runw").alias("peak_rel"),
+    )
+    # carry: cumulative bucket nets over the <=|hours| frame (tiny, the
+    # one deliberately-sequential level of the two-level scan)
+    cw = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, -1)
+    c = b.withColumn("carry", F.coalesce(F.sum("net").over(cw), F.lit(0)))
+    return c.select(
+        F.date_format("h", "yyyy-MM-dd HH:00:00").alias("hour"),
+        F.col("n_starts").cast("bigint").alias("n_starts"),
+        (F.col("carry") + F.col("peak_rel")).cast("bigint").alias("peak_active"),
+        (F.col("carry") + F.col("net")).cast("bigint").alias("end_active"),
+    ).orderBy("hour")

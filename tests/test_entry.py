@@ -23,7 +23,7 @@ def test_queries_collect_without_spark_session():
         # exact-count pin (VERDICT r9 item 7): a module import that silently
         # fails to register its queries trips this loudly; bump on every
         # operator addition.
-        "assert len(qs) == 285, len(qs)\n"
+        "assert len(qs) == 286, len(qs)\n"
         "assert set(osql) <= set(qs), sorted(set(osql) - set(qs))\n"
         "print('OK', len(qs), len(osql))\n" % REPO
     )
@@ -168,3 +168,45 @@ def test_survey_section2_matches_registry_exactly():
         sorted(survey_ids - reg_ids),
         sorted(reg_ids - survey_ids),
     )
+
+
+def test_round10_window_head_is_new_ops_then_r4_block():
+    """Concrete pin of the round-10 rotation (only while r9 is the newest
+    committed artifact): the two round-10 operators have no driver row
+    yet so they LEAD in registration order (streaming.queries registers
+    before llm.curation), and the window then fills oldest-evidence-first
+    from the r4-stale block, id-sorted.  Regenerate per round (the r9
+    twin above retired when CORRECTNESS_r09.json landed)."""
+    import glob as _glob
+    import re as _re
+
+    sys.path.insert(0, REPO)
+    newest = max(
+        int(_re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
+        for p in _glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    )
+    if newest != 9:
+        import pytest
+
+        pytest.skip(f"rotation pin written against r9 artifacts (newest: r{newest})")
+
+    import __spark_entry__ as e
+    from iceberg_rest_catalog_spark import registry
+
+    ids = list(e.queries())
+    last_seen, failed = registry.driver_evidence()
+    assert not failed
+    new_ops = [
+        "q_stream_session_features",
+        "q_text_bpe_train",
+        "q_evt_concurrency",
+    ]
+    assert ids[: len(new_ops)] == new_ops
+    assert all(q not in last_seen for q in new_ops)
+    assert all(q in last_seen for q in ids[len(new_ops):])
+    # the 50-window remainder: the WHOLE 34-id r4-stale family, id-sorted,
+    # then the head of the r5 block, id-sorted
+    r4 = ids[3:37]
+    assert all(last_seen[q] == 4 for q in r4) and r4 == sorted(r4)
+    r5 = ids[37:50]
+    assert all(last_seen[q] == 5 for q in r5) and r5 == sorted(r5)
