@@ -132,6 +132,13 @@ TRACKED: list[str] = [
     # round-9 wave 9: the hierarchical-assignment kNN join (the x100
     # assignment knob), same candidate stage as q_sim_knn_batch.
     "q_sim_knn_batch_2level",
+    # round-10 newborns (VERDICT r10 item 3): concurrency pays the full
+    # sessionize window + two-level prefix sum, bpe_train N_MERGES
+    # counting shuffles over the vocab-bounded symbol table,
+    # stream_session_features the microbatch replay + MERGE sink.
+    "q_evt_concurrency",
+    "q_text_bpe_train",
+    "q_stream_session_features",
 ]
 
 

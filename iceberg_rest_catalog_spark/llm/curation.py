@@ -241,36 +241,78 @@ def _bpe_train_oracle() -> str:
     )
 
 
-@query("q_text_bpe_train", oracle=_bpe_train_oracle())
-def q_text_bpe_train(spark, sf_dir):
-    """BPE merge TRAINING: the iterative loop between q_text_bpe_pairs
-    (one round of pair counting) and q_tokenizer_apply (executing a
-    finished vocabulary).  {N_MERGES} fixed rounds of the classic
-    algorithm — count adjacent symbol pairs over the corpus, merge the
-    most frequent pair everywhere, repeat — emitting the merge table a
-    tokenizer trainer produces: per round the chosen pair, its adjacency
-    frequency at selection time, and the corpus token count after the
-    merge (the compression curve).  Ties break (freq DESC, lhs, rhs) —
-    both engines compare strings binary, so the merge sequence is
-    bit-stable.
+BPE_BATCH_M = 1  # registered contract: m=1 (exact sequential selection)
 
-    Scale shape: the corpus collapses ONCE to the distinct-word frequency
-    table (one shuffle; Heaps'-law-bounded — vocabulary, not corpus), and
-    every round runs over that word-keyed symbol table: one lead() window
-    + a map-combined pair count, argmax as a TakeOrdered 1-row pull (the
-    Lloyd's-iteration driver scalar, bounded at {N_MERGES} rows total),
-    then the merge applied with literal lhs/rhs — window functions only,
-    no Python in the loop, localCheckpoint per round (the PageRank/CC
-    lineage discipline).  Merge application is RELATIONAL, not a
-    sequential scan: for lhs <> rhs adjacent occurrences can never
-    overlap, so all merge; for lhs = rhs the greedy left-to-right rule is
-    exactly `offset within the run is even` (gaps-and-islands parity) —
-    the oracle unrolls the identical rounds as chained CTEs.
 
-    Reference scope: no tokenizer surface in the reference (Go metadata
-    facade, api/router/router.go:9-55); north-star LLM-pipeline operator
-    completing the q_text_bpe_pairs -> q_text_bpe_train ->
-    q_tokenizer_apply chain."""
+def _apply_merge(syms, wlead, lhs: str, rhs: str):
+    """One relational merge application over the (word, freq, pos, sym)
+    symbol table: every adjacent (lhs, rhs) occurrence fuses (for
+    lhs == rhs the greedy left-to-right rule = run-offset parity),
+    positions renumber.  Lazy — callers checkpoint."""
+    m = syms.withColumn("nxt", F.lead("sym").over(wlead))
+    if lhs == rhs:
+        runs = m.filter(F.col("sym") == lhs).select(
+            "word",
+            "pos",
+            (F.col("pos") - F.row_number().over(wlead)).alias("rid"),
+        )
+        off = runs.select(
+            "word",
+            "pos",
+            (
+                F.row_number().over(
+                    Window.partitionBy("word", "rid").orderBy("pos")
+                )
+                - 1
+            ).alias("off"),
+        )
+        m = m.join(off, ["word", "pos"], "left")
+        start = (
+            (F.col("sym") == lhs)
+            & (F.col("nxt") == rhs)
+            & (F.col("off") % 2 == 0)
+        )
+    else:
+        start = (F.col("sym") == lhs) & (F.col("nxt") == rhs)
+    m = m.withColumn("start", F.when(start, 1).otherwise(0)).withColumn(
+        "pstart", F.lag("start").over(wlead)
+    )
+    return m.filter(F.coalesce("pstart", F.lit(0)) == 0).select(
+        "word",
+        "freq",
+        F.row_number().over(wlead).alias("pos"),
+        F.when(F.col("start") == 1, F.lit(lhs + rhs))
+        .otherwise(F.col("sym"))
+        .alias("sym"),
+    )
+
+
+def _bpe_train(spark, sf_dir, n_merges: int = N_MERGES, batch_m: int = 1):
+    """Core of q_text_bpe_train with the merge-round budget and the
+    SELECTION BATCH SIZE as parameters (VERDICT r10 item 5).
+
+    batch_m = 1 is the registered contract: classic sequential BPE, one
+    pair-counting shuffle per merge.  batch_m = m > 1 is the scale path
+    for real vocab sizes (30k+ merges): ONE counting shuffle selects the
+    top-m MUTUALLY NON-INTERFERING pairs (no shared symbol, and no
+    symbol equal to an earlier pick's concatenation), which are then all
+    applied before the next count — so the counting rounds drop from
+    n_merges to n_merges/m.  Non-interference makes the batch exact in
+    the values it records: a pair that shares no symbol with (and is not
+    produced by) an earlier in-batch merge has provably identical
+    adjacency counts, run structure and merge events before and after
+    that merge, so each recorded pair_freq / tokens_after equals its
+    sequential value.  The one semantic trade (documented, knob-gated):
+    a pair CONTAINING a just-merged symbol cannot be selected until the
+    next batch, so the merge ORDER can differ from strict
+    highest-frequency-first across batch boundaries — the standard
+    batched-trainer relaxation.
+
+    tokens_after is maintained arithmetically (tokens -= merge events;
+    events = pair_freq for lhs != rhs since occurrences can never
+    overlap, and sum over runs of floor(len/2) * freq for lhs == rhs),
+    removing the per-merge recount job — per batch the driver runs one
+    counting TakeOrdered pull plus at most one run-length aggregate."""
     wlead = Window.partitionBy("word").orderBy("pos")
 
     words = (
@@ -292,72 +334,112 @@ def q_text_bpe_train(spark, sf_dir):
         ).alias("p0", "sym"),
     ).select("word", "freq", (F.col("p0") + 1).alias("pos"), "sym")
     syms = syms.localCheckpoint()
+    tokens = int(syms.agg(F.sum("freq")).collect()[0][0])
 
     rows = []
-    for step in range(1, N_MERGES + 1):
-        # 1-row argmax pull per round — the bounded driver scalar of every
-        # iterative-refinement operator (kmeans centroids, Holt states)
-        top = (
+    step = 0
+    while step < n_merges:
+        want = min(batch_m, n_merges - step)
+        # one counting shuffle per BATCH; over-fetch 4x so the
+        # driver-side non-interference filter can still fill the batch
+        # (bounded pull: 4*want rows of (sym, nxt, f))
+        cand = (
             syms.withColumn("nxt", F.lead("sym").over(wlead))
             .filter(F.col("nxt").isNotNull())
             .groupBy("sym", "nxt")
             .agg(F.sum("freq").alias("f"))
             .orderBy(F.desc("f"), "sym", "nxt")
-            .limit(1)
+            .limit(4 * want)
             .collect()
         )
-        if not top:
+        if not cand:
             break
-        lhs, rhs, fcnt = top[0].sym, top[0].nxt, int(top[0].f)
+        used: set = set()
+        picked = []
+        for r in cand:
+            if len(picked) == want:
+                break
+            if r.sym in used or r.nxt in used or (r.sym + r.nxt) in used:
+                continue
+            picked.append((r.sym, r.nxt, int(r.f)))
+            used.update((r.sym, r.nxt, r.sym + r.nxt))
 
-        m = syms.withColumn("nxt", F.lead("sym").over(wlead))
-        if lhs == rhs:
-            runs = m.filter(F.col("sym") == lhs).select(
-                "word",
-                "pos",
-                (F.col("pos") - F.row_number().over(wlead)).alias("rid"),
+        # merge events per picked pair (exact, computed at batch start —
+        # valid under non-interference): lhs != rhs -> pair_freq;
+        # lhs == rhs -> run parity, one bounded aggregate for all such picks
+        events = {(l, r): f for l, r, f in picked if l != r}
+        eq_syms = [l for l, r, _ in picked if l == r]
+        if eq_syms:
+            ev = (
+                syms.filter(F.col("sym").isin(eq_syms))
+                .withColumn(
+                    "rid",
+                    F.col("pos")
+                    - F.row_number().over(
+                        Window.partitionBy("word", "sym").orderBy("pos")
+                    ),
+                )
+                .groupBy("word", "sym", "rid")
+                .agg(F.count("*").alias("len"), F.first("freq").alias("freq"))
+                .groupBy("sym")
+                .agg(
+                    F.sum(F.floor(F.col("len") / 2) * F.col("freq")).alias("ev")
+                )
+                .collect()
             )
-            off = runs.select(
-                "word",
-                "pos",
-                (
-                    F.row_number().over(
-                        Window.partitionBy("word", "rid").orderBy("pos")
-                    )
-                    - 1
-                ).alias("off"),
-            )
-            m = m.join(off, ["word", "pos"], "left")
-            start = (
-                (F.col("sym") == lhs)
-                & (F.col("nxt") == rhs)
-                & (F.col("off") % 2 == 0)
-            )
-        else:
-            start = (F.col("sym") == lhs) & (F.col("nxt") == rhs)
-        m = m.withColumn("start", F.when(start, 1).otherwise(0)).withColumn(
-            "pstart", F.lag("start").over(wlead)
-        )
-        syms = (
-            m.filter(F.coalesce("pstart", F.lit(0)) == 0)
-            .select(
-                "word",
-                "freq",
-                F.row_number().over(wlead).alias("pos"),
-                F.when(F.col("start") == 1, F.lit(lhs + rhs))
-                .otherwise(F.col("sym"))
-                .alias("sym"),
-            )
-            .localCheckpoint()
-        )
-        tokens_after = int(syms.agg(F.sum("freq")).collect()[0][0])
-        rows.append((step, lhs, rhs, lhs + rhs, fcnt, tokens_after))
+            for r in ev:
+                events[(r.sym, r.sym)] = int(r.ev)
+
+        for lhs, rhs, fcnt in picked:
+            syms = _apply_merge(syms, wlead, lhs, rhs)
+            step += 1
+            tokens -= events[(lhs, rhs)]
+            rows.append((step, lhs, rhs, lhs + rhs, fcnt, tokens))
+        syms = syms.localCheckpoint()
 
     return spark.createDataFrame(
         rows,
         "step int, lhs string, rhs string, merged string,"
         " pair_freq long, tokens_after long",
     ).orderBy("step")
+
+
+@query("q_text_bpe_train", oracle=_bpe_train_oracle())
+def q_text_bpe_train(spark, sf_dir):
+    """BPE merge TRAINING: the iterative loop between q_text_bpe_pairs
+    (one round of pair counting) and q_tokenizer_apply (executing a
+    finished vocabulary).  {N_MERGES} fixed rounds of the classic
+    algorithm — count adjacent symbol pairs over the corpus, merge the
+    most frequent pair everywhere, repeat — emitting the merge table a
+    tokenizer trainer produces: per round the chosen pair, its adjacency
+    frequency at selection time, and the corpus token count after the
+    merge (the compression curve).  Ties break (freq DESC, lhs, rhs) —
+    both engines compare strings binary, so the merge sequence is
+    bit-stable.
+
+    Scale shape: the corpus collapses ONCE to the distinct-word frequency
+    table (one shuffle; Heaps'-law-bounded — vocabulary, not corpus), and
+    every round runs over that word-keyed symbol table: one lead() window
+    + a map-combined pair count, argmax as a TakeOrdered pull (the
+    Lloyd's-iteration driver scalar), then the merge applied with literal
+    lhs/rhs — window functions only, no Python in the loop,
+    localCheckpoint per round (the PageRank/CC lineage discipline).
+    Merge application is RELATIONAL, not a sequential scan: for
+    lhs <> rhs adjacent occurrences can never overlap, so all merge; for
+    lhs = rhs the greedy left-to-right rule is exactly `offset within the
+    run is even` (gaps-and-islands parity) — the oracle unrolls the
+    identical rounds as chained CTEs.  At real vocab sizes (30k+ merges)
+    the sequencing cost is the round count, not the corpus: the
+    _bpe_train batch_m knob selects the top-m non-interfering pairs per
+    counting round (see its docstring for the exactness argument and the
+    ordering trade); the registered query pins batch_m = {BPE_BATCH_M}
+    so the oracle contract stays strictly sequential.
+
+    Reference scope: no tokenizer surface in the reference (Go metadata
+    facade, api/router/router.go:9-55); north-star LLM-pipeline operator
+    completing the q_text_bpe_pairs -> q_text_bpe_train ->
+    q_tokenizer_apply chain."""
+    return _bpe_train(spark, sf_dir, N_MERGES, BPE_BATCH_M)
 
 
 VOCAB_K = 64

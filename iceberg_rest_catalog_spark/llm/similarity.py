@@ -11,12 +11,13 @@ Cosine math is pure higher-order-function arithmetic (zip_with + aggregate)
                 bounds the quadratic term; the 100 TB shape is the same
                 join keyed by an LSH bucket instead of a label).
 - q_sim_ann_ivf: IVF-style ANN — assign every vector to its nearest
-                coarse centroid (here: the first N_CELLS vectors as fixed,
-                deterministic centroids), probe the N_PROBE cells nearest
-                to the query, brute-force only inside probed cells. At
-                scale the assignment is a broadcast join against the
-                centroid table and cell id becomes the partition key, so
-                the probe reads N_PROBE/N_CELLS of the data.
+                coarse centroid (the first ivf_cells_for(corpus) vectors
+                as deterministic centroids; two-level assignment above
+                ASSIGN_FLAT_MAX), probe the N_PROBE cells nearest to the
+                query, brute-force only inside probed cells. At scale the
+                assignment is a broadcast join against the centroid table
+                and cell id becomes the partition key, so the probe reads
+                N_PROBE/cells of the data.
 """
 
 from __future__ import annotations
@@ -277,74 +278,6 @@ def q_sim_lsh(spark, sf_dir):
     )
 
 
-_IVF_ORACLE = f"""
-WITH cent AS (
-  SELECT vec_id AS cell, embedding::DOUBLE[] AS c FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)
-  WHERE vec_id < {N_CELLS}
-),
-q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE embedding IS NOT NULL AND vec_id = {QUERY_VEC_ID}),
-assigned AS (
-  SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS emb, cent.cell,
-         row_number() OVER (
-           PARTITION BY e.vec_id
-           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cent.c) DESC,
-                    cent.cell) AS rn
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e CROSS JOIN cent
-),
-probed AS (
-  SELECT cell FROM cent CROSS JOIN q
-  ORDER BY list_cosine_similarity(c, qe) DESC, cell
-  LIMIT {N_PROBE}
-)
-SELECT a.vec_id, a.label, a.cell,
-       round(list_cosine_similarity(a.emb, q.qe), 4) AS cos
-FROM assigned a CROSS JOIN q
-WHERE a.rn = 1 AND a.cell IN (SELECT cell FROM probed)
-  AND a.vec_id <> {QUERY_VEC_ID}
-ORDER BY cos DESC, a.vec_id
-LIMIT {TOP_K}
-"""
-
-
-@query("q_sim_ann_ivf", oracle=_IVF_ORACLE)
-def q_sim_ann_ivf(spark, sf_dir):
-    """IVF-style approximate nearest neighbour: coarse-quantize every vector
-    to its nearest centroid, probe only the N_PROBE cells closest to the
-    query, brute-force inside them. Deterministic centroids = the first
-    N_CELLS vectors (a real system would k-means them offline)."""
-    from pyspark.sql import Window
-
-    e = _emb(spark, sf_dir).withColumn("emb", _dbl("embedding"))
-    cent = e.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cell"), F.col("emb").alias("c")
-    )
-    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("emb").alias("qe"))
-
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cell")
-    assigned = (
-        e.join(F.broadcast(cent))
-        .withColumn("cc", _cos(F.col("emb"), F.col("c")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "emb", "cell")
-    )
-    probed = (
-        cent.join(F.broadcast(q))
-        .select("cell", _cos(F.col("c"), F.col("qe")).alias("qc"))
-        .orderBy(F.desc("qc"), "cell")
-        .limit(N_PROBE)
-        .select("cell")
-    )
-    return (
-        assigned.join(F.broadcast(probed), "cell")
-        .filter(F.col("vec_id") != QUERY_VEC_ID)
-        .join(F.broadcast(q))
-        .select("vec_id", "label", "cell", r4(_cos(F.col("emb"), F.col("qe"))).alias("cos"))
-        .orderBy(F.desc("cos"), "vec_id")
-        .limit(TOP_K)
-    )
-
-
 KNN_K = 3
 KNN_QSTEP = 25  # query set = vec_id % 25 == 0 (deterministic, ~4%)
 
@@ -560,6 +493,97 @@ def recall_qstep_for(n_vectors: int) -> int:
     returns the audit to one linear corpus scan — the q_dedup_semantic
     ``semantic_k_for`` discipline applied to the probe side."""
     return max(KNN_QSTEP, -(-n_vectors // RECALL_TARGET_PROBES))
+
+
+_IVF_ORACLE = f"""
+WITH {ivf_ranked_ctes()}
+SELECT a.vec_id, lbl.label, a.cell,
+       round(list_cosine_similarity(a.emb, p.qe), 4) AS cos
+FROM probed p
+JOIN assigned a USING (cell)
+JOIN embeddings lbl ON lbl.vec_id = a.vec_id
+WHERE p.q_vec_id = {QUERY_VEC_ID} AND a.vec_id <> {QUERY_VEC_ID}
+ORDER BY cos DESC, a.vec_id
+LIMIT {TOP_K}
+"""
+
+
+@query("q_sim_ann_ivf", oracle=_IVF_ORACLE)
+def q_sim_ann_ivf(spark, sf_dir):
+    """IVF-style approximate nearest neighbour: coarse-quantize every vector
+    to its nearest centroid, probe only the N_PROBE cells closest to the
+    query, brute-force inside them.  Deterministic centroids = the first
+    ivf_cells_for(corpus) vectors (a real system would k-means them
+    offline).
+
+    Since round 11 the single-query lookup runs the SAME scaled geometry
+    as its batched siblings (VERDICT r10 item 2): cell count =
+    ivf_cells_for(count) pins per-cell population at ~IVF_TARGET_CELL so
+    probe cost stays flat as the corpus grows, and above ASSIGN_FLAT_MAX
+    vectors the assignment switches to hierarchical two-level coarse
+    quantization (assignment_two_level — killing the n*cells flat-scoring
+    term).  The oracle computes both knobs from count(*) over the same
+    CTE (ivf_ranked_ctes' branch guard), so the DuckDB value-hash twin
+    holds on whichever arm either engine takes.  At every fixture SF both
+    formulas floor at the historical constants (16 cells, flat), so the
+    sf0.01 gate keeps the original plan shape."""
+    return _ann_ivf(spark, sf_dir)
+
+
+def _ann_ivf(
+    spark,
+    sf_dir,
+    n_cells: int | None = None,
+    two_level: bool | None = None,
+):
+    """Core of q_sim_ann_ivf with the cell count and assignment strategy
+    as parameters (tests / measurement tools force the arms; the
+    registered query derives both from count(*))."""
+    from pyspark.sql import Window
+
+    if n_cells is None or two_level is None:
+        n = _emb_count(spark, sf_dir)
+        if n_cells is None:
+            n_cells = ivf_cells_for(n)
+        if two_level is None:
+            two_level = assignment_two_level(n)
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", _dbl("embedding").alias("emb")
+    )
+    if two_level:
+        within = _two_level_within(spark, sf_dir, n_cells)
+    else:
+        cent = e.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell"), F.col("emb").alias("c")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cell")
+        within = (
+            e.join(F.broadcast(cent))
+            .withColumn("cc", r4(_cos(F.col("emb"), F.col("c"))))
+            .withColumn("rn", F.row_number().over(w))
+            .select("vec_id", "emb", "cell", "rn")
+        )
+    assigned = within.filter(F.col("rn") == 1).select("vec_id", "emb", "cell")
+    # the ONE query vector's top-N_PROBE cells — a <=N_PROBE-row frame
+    probed = within.filter(
+        (F.col("vec_id") == QUERY_VEC_ID) & (F.col("rn") <= N_PROBE)
+    ).select(F.col("emb").alias("qe"), "cell")
+    topk = (
+        assigned.join(F.broadcast(probed), "cell")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id", "cell", r4(_cos(F.col("emb"), F.col("qe"))).alias("cos")
+        )
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(TOP_K)
+    )
+    # label joins back on the <=TOP_K-row result, never the scored set
+    return (
+        e.select("vec_id", "label")
+        .join(F.broadcast(topk), "vec_id")
+        .select("vec_id", "label", "cell", "cos")
+        .orderBy(F.desc("cos"), "vec_id")
+    )
 
 
 def _knn_batch(
@@ -1480,9 +1504,8 @@ def q_embed_kmeans_elbow(spark, sf_dir):
 def q_embed_cell_purity(spark, sf_dir):
     """Per-IVF-cell label purity audit: for every cell of the ANN index's
     coarse quantizer (the SCALED assignment geometry used by
-    q_sim_knn_batch and its siblings, cell count = ivf_cells_for(corpus);
-    q_sim_ann_ivf itself pins the fixed N_CELLS and so shares this
-    geometry only up to ~N_CELLS*IVF_TARGET_CELL vectors), the
+    q_sim_knn_batch and its siblings — since round 11 q_sim_ann_ivf too —
+    cell count = ivf_cells_for(corpus)), the
     population, the majority label and its
     share, and the Shannon entropy of the cell's label mix.  This is the
     index-quality diagnostic BETWEEN clustering and retrieval: cells that
@@ -1681,18 +1704,19 @@ def q_sim_hard_negatives(spark, sf_dir):
 # above, shared with the branch-guarded ivf_ranked_ctes oracles)
 
 
-def _knn_batch_2level(spark, sf_dir, qstep: int, n_cells: int | None = None):
-    """Core of q_sim_knn_batch_2level with the probe stride and fine-cell
-    count as parameters — also the two-level arm the REGISTERED
-    q_sim_knn_batch/_recall_eval take above ASSIGN_FLAT_MAX vectors
-    (assignment_two_level)."""
+def _two_level_within(spark, sf_dir, n_cells: int):
+    """Hierarchical two-level ranking frame ``(vec_id, emb, cell, rn)``:
+    each vector's fine cells ranked WITHIN its coarse group — rn==1 is
+    the cell assignment, rn<=N_PROBE the probe set.  Shared by the
+    two-level arm of every IVF-family operator (q_sim_knn_batch_2level,
+    and q_sim_ann_ivf / q_sim_knn_batch / q_sim_recall_eval above
+    ASSIGN_FLAT_MAX vectors).  2n*sqrt(cells) cosines vs flat's n*cells;
+    the corpus only ever meets broadcast centroid tables."""
     import math
 
     from pyspark.sql import Window
 
     e = _emb(spark, sf_dir).select("vec_id", _dbl("embedding").alias("emb"))
-    if n_cells is None:
-        n_cells = ivf_cells_for(_emb_count(spark, sf_dir))
     n_coarse = max(N_COARSE_MIN, math.isqrt(n_cells))
     coarse = e.filter(F.col("vec_id") < n_coarse).select(
         F.col("vec_id").alias("g"), F.col("emb").alias("cg")
@@ -1717,11 +1741,24 @@ def _knn_batch_2level(spark, sf_dir, qstep: int, n_cells: int | None = None):
         .select("vec_id", "emb", "g")
     )
     aw = Window.partitionBy("vec_id").orderBy(F.desc("fc"), "cell")
-    within = (
+    return (
         v2c.join(F.broadcast(f2c), "g")
         .withColumn("fc", r4(_cos(F.col("emb"), F.col("c"))))
         .withColumn("rn", F.row_number().over(aw))
+        .select("vec_id", "emb", "cell", "rn")
     )
+
+
+def _knn_batch_2level(spark, sf_dir, qstep: int, n_cells: int | None = None):
+    """Core of q_sim_knn_batch_2level with the probe stride and fine-cell
+    count as parameters — also the two-level arm the REGISTERED
+    q_sim_knn_batch/_recall_eval take above ASSIGN_FLAT_MAX vectors
+    (assignment_two_level)."""
+    from pyspark.sql import Window
+
+    if n_cells is None:
+        n_cells = ivf_cells_for(_emb_count(spark, sf_dir))
+    within = _two_level_within(spark, sf_dir, n_cells)
     assigned = within.filter(F.col("rn") == 1).select("vec_id", "emb", "cell")
     probed = (
         within.filter(

@@ -1893,24 +1893,36 @@ def q_evt_session_features(spark, sf_dir):
       SELECT h, count(*) FILTER (delta = 1) AS n_starts,
              sum(delta) AS net, max(runw) AS peak_rel
       FROM rw GROUP BY h),
+    hours AS (
+      SELECT unnest(generate_series((SELECT min(h) FROM b),
+                                    (SELECT max(h) FROM b),
+                                    INTERVAL 1 HOUR)) AS h),
+    filled AS (
+      SELECT hours.h, coalesce(n_starts, 0) AS n_starts,
+             coalesce(net, 0) AS net, coalesce(peak_rel, 0) AS peak_rel
+      FROM hours LEFT JOIN b USING (h)),
     c AS (
       SELECT h, n_starts, net, peak_rel,
              coalesce(sum(net) OVER (ORDER BY h
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                       0) AS carry
-      FROM b)
+      FROM filled)
     SELECT strftime(h, '%Y-%m-%d %H:00:00') AS hour,
            CAST(n_starts AS BIGINT) AS n_starts,
-           CAST(carry + peak_rel AS BIGINT) AS peak_active,
+           CAST(GREATEST(carry, carry + peak_rel) AS BIGINT) AS peak_active,
            CAST(carry + net AS BIGINT) AS end_active
     FROM c ORDER BY hour
     """,
 )
 def q_evt_concurrency(spark, sf_dir):
-    """Platform concurrency curve: per hour, session starts, PEAK
-    concurrently-active sessions (at delta points), and active count at
-    the hour's last transition — the linear-output answer to the
-    question q_join_interval_overlap materializes pairwise.  The round-10
+    """Platform concurrency curve: ONE ROW PER HOUR of the observed span
+    (transition-free hours densified from the spine), with session
+    starts, the TRUE in-hour peak of concurrently-active sessions
+    (max(carry-in level, carry + best within-hour prefix) — a wind-down
+    hour whose transitions only decrease still reports the level it
+    started at; round-11 ADVICE fix), and the active count at hour end —
+    the linear-output answer to the question q_join_interval_overlap
+    materializes pairwise.  The round-10
     x100 measurement showed WHY this operator exists: at 100x users in
     the same wall-clock window the co-presence graph is ~99.6% complete,
     so ANY pair-materializing operator is Omega(n^2) IN ITS OUTPUT
@@ -1968,13 +1980,26 @@ def q_evt_concurrency(spark, sf_dir):
         F.sum("delta").alias("net"),
         F.max("runw").alias("peak_rel"),
     )
+    # densify transition-free hours (their peak/end = the carry level) —
+    # the spine join is |hours| x |hours|, both tiny frames
+    hours = b.agg(F.min("h").alias("h0"), F.max("h").alias("h1")).select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    filled = hours.join(b, "h", "left").select(
+        "h",
+        F.coalesce("n_starts", F.lit(0)).alias("n_starts"),
+        F.coalesce("net", F.lit(0)).alias("net"),
+        F.coalesce("peak_rel", F.lit(0)).alias("peak_rel"),
+    )
     # carry: cumulative bucket nets over the <=|hours| frame (tiny, the
     # one deliberately-sequential level of the two-level scan)
     cw = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, -1)
-    c = b.withColumn("carry", F.coalesce(F.sum("net").over(cw), F.lit(0)))
+    c = filled.withColumn("carry", F.coalesce(F.sum("net").over(cw), F.lit(0)))
     return c.select(
         F.date_format("h", "yyyy-MM-dd HH:00:00").alias("hour"),
         F.col("n_starts").cast("bigint").alias("n_starts"),
-        (F.col("carry") + F.col("peak_rel")).cast("bigint").alias("peak_active"),
+        F.greatest(F.col("carry"), F.col("carry") + F.col("peak_rel"))
+        .cast("bigint")
+        .alias("peak_active"),
         (F.col("carry") + F.col("net")).cast("bigint").alias("end_active"),
     ).orderBy("hour")

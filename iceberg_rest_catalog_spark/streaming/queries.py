@@ -315,6 +315,121 @@ def q_stream_join(spark, sf_dir):
 
 
 @query(
+    "q_stream_join_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+           CAST(p.ts AS VARCHAR) AS purchase_ts, CAST(c.ts AS VARCHAR) AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
+def q_stream_join_outer(spark, sf_dir):
+    """Watermarked stream-stream LEFT OUTER join (VERDICT r10 item 6):
+    purchases joined to the same user's clicks in the preceding hour,
+    with purchases that saw NO click emitted as NULL-padded rows — the
+    first streaming surface whose ANSWER depends on watermark semantics:
+    an unmatched left row may only be emitted once the watermark proves
+    no matching click can still arrive, at which point its state is
+    evicted (state stays O(window), and the NULL side is exactly the
+    batch anti-join remainder).
+
+    Emission mechanics the op must drive explicitly: Spark updates the
+    watermark at micro-batch BOUNDARIES from the previous batch's max
+    event time, and evicted unmatched rows are emitted by a LATER batch
+    execution (here the trailing no-data micro-batch availableNow runs
+    for exactly this purpose).  A backfill whose watermark ends below
+    max event time would withhold the tail's NULL rows forever, so the
+    source is augmented with one far-future sentinel row per stream
+    (max ts + 4h / + 8h, past the 2h delay) that pushes the final
+    watermark beyond every real purchase.  Sentinels ride negative
+    user_ids (they can never equi-match a real row) and are filtered
+    from the DRAINED BATCH RESULT — NOT inside the streaming plan:
+    Catalyst pushes a post-join `user_id >= 0` down through the
+    watermark node into the left scan, which silently drops the sentinel
+    before it can advance the watermark and reopens the withheld-tail
+    bug (measured: 6 NULL rows short at sf0.01).  With the sentinels
+    flowing, the drained result equals the batch LEFT JOIN oracle
+    exactly.
+
+    Reference scope: no streaming in the reference facade
+    (api/router/router.go:9-55); watermark-eviction sibling of
+    q_stream_join (inner) and q_stream_watermark (late-row drop)."""
+    wh = scratch_dir(sf_dir, "stream_join_outer")
+    shutil.rmtree(wh, ignore_errors=True)
+    src = os.path.join(wh, "src")
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+    )
+    mx = ev.agg(F.max("ts")).collect()[0][0]  # bounded 1-row pull
+
+    def _sentinel(hours: int, base: int):
+        return spark.createDataFrame(
+            [
+                (base, -1, "purchase"),
+                (base + 1, -2, "click"),
+            ],
+            "event_id long, user_id long, event_type string",
+        ).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            (F.lit(mx) + F.expr(f"INTERVAL {hours} HOURS")).alias("ts"),
+        )
+
+    ev.unionByName(_sentinel(4, -10)).unionByName(_sentinel(8, -20)).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    sdf = spark.readStream.schema(ev.schema).parquet(src)
+    purchases = (
+        sdf.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    clicks = (
+        sdf.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """user_id = c_user_id
+               AND click_ts >= purchase_ts - INTERVAL 1 HOUR
+               AND click_ts <= purchase_ts"""
+        ),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.col("purchase_ts").cast("string").alias("purchase_ts"),
+        F.col("click_ts").cast("string").alias("click_ts"),
+    )
+    # sentinel filter on the DRAINED batch result (see docstring: inside
+    # the streaming plan it would push below the watermark node)
+    return _run_memory(spark, joined, "append").filter(F.col("user_id") >= 0)
+
+
+@query(
     "q_stream_catalog_sink",
     oracle="""
     SELECT event_id, user_id, event_type, round(value, 4) AS value

@@ -1569,6 +1569,30 @@ def test_knn_2level_structure_and_recall_near_flat(spark, qs):
 # -- round-10: streaming session featurizer ----------------------------------
 
 
+def test_no_exactly_30min_session_gap_in_fixture(spark):
+    """q_stream_session_features' batch/stream equivalence precondition
+    (round-11 ADVICE): session_window splits at gap == 30 min, the batch
+    gaps-and-islands rule merges — so the fixture must contain no
+    per-user adjacent-event gap of EXACTLY 30 minutes at either the
+    driver SF or the test SF.  tools/regen_fixture.py carries the same
+    check as a regeneration guard; this test makes the invariant fail
+    loudly against the COMMITTED fixtures."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from iceberg_rest_catalog_spark.io import load_table
+
+    for sf_dir in (SF, SF01):
+        ev = load_table(spark, sf_dir, "events")
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        n_exact = (
+            ev.withColumn("gap", F.col("ts") - F.lag("ts").over(w))
+            .filter(F.col("gap") == F.expr("INTERVAL 30 MINUTES"))
+            .count()
+        )
+        assert n_exact == 0, (sf_dir, n_exact)
+
+
 def test_stream_session_features_matches_batch_featurizer(spark, qs):
     """The streaming featurizer's cataloged sink must equal the BATCH
     q_evt_session_features rows (minus the sid column, whose numbering is

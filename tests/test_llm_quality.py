@@ -1098,6 +1098,53 @@ def test_assignment_knob_branch_equivalence(spark, qs):
     assert got_e == want_e and got_e
 
 
+def test_ann_ivf_knob_branch_equivalence(spark, qs):
+    """q_sim_ann_ivf's round-11 knob migration (VERDICT r10 item 2):
+    (a) registered == explicit-flat at fixture scale (historical shape
+    survives); (b) the forced TWO-LEVEL arm matches the oracle with its
+    branch guard forced to the two-level side — so past ASSIGN_FLAT_MAX
+    the value-hash twin holds on the arm both engines actually take."""
+    import duckdb
+
+    from iceberg_rest_catalog_spark.llm.similarity import (
+        _IVF_ORACLE,
+        ASSIGN_FLAT_MAX,
+        _ann_ivf,
+        _emb_count,
+        assignment_two_level,
+        ivf_cells_for,
+    )
+
+    n = _emb_count(spark, SF)
+    assert not assignment_two_level(n)  # fixture sits on the flat arm
+    cells = ivf_cells_for(n)
+
+    reg = sorted(tuple(r) for r in qs["q_sim_ann_ivf"](spark, SF).collect())
+    flat = sorted(
+        tuple(r)
+        for r in _ann_ivf(spark, SF, n_cells=cells, two_level=False).collect()
+    )
+    assert reg == flat and reg
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    forced = _IVF_ORACLE.replace(f"<= {ASSIGN_FLAT_MAX}", "<= 0").replace(
+        f"> {ASSIGN_FLAT_MAX}", "> 0"
+    )
+    got = sorted(
+        (r.vec_id, r.label, r.cell, r.cos)
+        for r in _ann_ivf(spark, SF, n_cells=cells, two_level=True).collect()
+    )
+    want = sorted(
+        (int(a), b, int(c), float(d))
+        for a, b, c, d in con.execute(forced).fetchall()
+    )
+    assert got == want and got
+
+
 def test_bpe_train_matches_sequential_reference(spark, qs):
     """Replay CLASSIC sequential BPE driver-side (dict word-freqs, tuple
     symbol lists, the textbook left-to-right scan-and-skip merge) and
@@ -1156,5 +1203,77 @@ def test_bpe_train_matches_sequential_reference(spark, qs):
     ]
     assert got == expect
 
+    curve = [r.tokens_after for r in rows]
+    assert all(a > b for a, b in zip(curve, curve[1:]))
+
+
+def test_bpe_train_batched_matches_batched_reference(spark, qs):
+    """The round-11 batch_m knob (VERDICT r10 item 5): replay the SAME
+    batched selection rule driver-side (one pair count per batch, greedy
+    top-m skipping pairs that share a symbol with — or equal the
+    concatenation of — an earlier pick, textbook scan-and-skip
+    application) and compare the whole merge table.  Also pins the
+    registered query to batch_m=1 (sequential contract unchanged)."""
+    from collections import Counter
+
+    from iceberg_rest_catalog_spark.llm.curation import (
+        BPE_BATCH_M,
+        _bpe_train,
+    )
+    from iceberg_rest_catalog_spark.io import load_table
+
+    assert BPE_BATCH_M == 1  # registered contract stays sequential
+
+    M, TOTAL = 4, 12
+    rows = _bpe_train(spark, SF, n_merges=TOTAL, batch_m=M).collect()
+    assert len(rows) == TOTAL
+
+    docs = load_table(spark, SF, "documents").select("text").collect()
+    freqs = Counter(w for r in docs if r.text for w in r.text.split(" ") if w)
+    words = {w: tuple(w) for w in freqs}
+
+    def apply_merge(lhs, rhs):
+        merged = lhs + rhs
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = tuple(out)
+
+    expect, step = [], 0
+    while step < TOTAL:
+        want = min(M, TOTAL - step)
+        pc = Counter()
+        for w, syms in words.items():
+            f = freqs[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        cand = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        used, picked = set(), []
+        for (lhs, rhs), f in cand[: 4 * want]:
+            if len(picked) == want:
+                break
+            if lhs in used or rhs in used or (lhs + rhs) in used:
+                continue
+            picked.append((lhs, rhs, f))
+            used.update((lhs, rhs, lhs + rhs))
+        for lhs, rhs, fcnt in picked:
+            apply_merge(lhs, rhs)
+            step += 1
+            tokens = sum(len(s) * freqs[w] for w, s in words.items())
+            expect.append((step, lhs, rhs, lhs + rhs, fcnt, tokens))
+
+    got = [
+        (r.step, r.lhs, r.rhs, r.merged, r.pair_freq, r.tokens_after)
+        for r in rows
+    ]
+    assert got == expect
     curve = [r.tokens_after for r in rows]
     assert all(a > b for a, b in zip(curve, curve[1:]))

@@ -222,6 +222,33 @@ def guard_cc(spark, out: str) -> dict:
     }
 
 
+def guard_session_gap(spark, out: str) -> dict:
+    """Checklist guard 3 (round-11 ADVICE): q_stream_session_features'
+    batch/stream equivalence requires NO per-user adjacent-event gap of
+    EXACTLY 30 minutes — session_window splits at gap == 30 min while the
+    batch gaps-and-islands rule merges.  A regenerated fixture that lands
+    an event pair on the boundary would silently break the driver's
+    equivalence check; this guard makes the documented precondition fail
+    loudly instead."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from iceberg_rest_catalog_spark.io import load_table
+
+    ev = load_table(spark, out, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    n_exact = (
+        ev.withColumn("gap", F.col("ts") - F.lag("ts").over(w))
+        .filter(F.col("gap") == F.expr("INTERVAL 30 MINUTES"))
+        .count()
+    )
+    return {
+        "guard": "session gap != exactly 30 min",
+        "exact_30min_gaps": n_exact,
+        "trips": n_exact > 0,
+    }
+
+
 def guard_mmr(spark, out: str) -> dict:
     """Checklist guard 2: 4-dp rounded first-pick argmax tie audit.
 
@@ -283,7 +310,11 @@ def main() -> None:
     from iceberg_rest_catalog_spark.session import get_spark
 
     spark = get_spark()
-    results = [guard_cc(spark, out), guard_mmr(spark, out)]
+    results = [
+        guard_cc(spark, out),
+        guard_mmr(spark, out),
+        guard_session_gap(spark, out),
+    ]
     for r in results:
         print(json.dumps(r))
     if args.check:
