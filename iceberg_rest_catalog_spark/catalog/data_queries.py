@@ -1070,3 +1070,141 @@ def q_meta_column_stats(spark, sf_dir):
     return spark.createDataFrame(
         rows, "col string, min_v string, max_v string, nulls long, ndv_within_10pct boolean"
     )
+
+
+@query(
+    "q_meta_orphan_files",
+    oracle="""
+    SELECT 'live' AS kind, CAST(1 AS BIGINT) AS n_dirs,
+           CAST(1 AS BIGINT) AS n_files, CAST(150 AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'orphan', 3, 3, 157
+    ORDER BY kind
+    """,
+)
+def q_meta_orphan_files(spark, sf_dir):
+    """Orphan-file detection (Iceberg's remove_orphan_files maintenance
+    action, the companion of expire_snapshots): physical files under the
+    table location that NO retained snapshot or ref references — left
+    behind by compaction + history expiry (the replaced pre-compaction
+    files) or by failed/aborted writes (a stray directory a crashed
+    writer never committed).  At 100 TB these accumulate forever unless
+    audited, and deleting a LIVE file corrupts the table — so the audit
+    is the safety-critical half of the action.
+
+    Scripted scenario (deterministic): append A (100 rows, 1 file) +
+    append B (50 rows, 1 file) -> compact into C (150 rows, 1 file) ->
+    expire_snapshots(retain_last=1) folds history onto the compacted
+    snapshot, stranding A and B on disk -> plant a stray uncommitted
+    write (7 rows).  Expected: 1 live dir/file with 150 rows; 3 orphan
+    dirs/files with 157 recoverable rows.
+
+    Scale shape: the physical inventory is Spark's DISTRIBUTED file
+    listing (binaryFile source, recursive — never a driver-side walk);
+    the live set is pure metadata (union of manifest entries over every
+    retained snapshot and ref head — O(history), a broadcastable frame);
+    orphans fall out of a broadcast anti-join on the write-unit dir
+    token.  The row-recovery read touches ONLY the orphan files
+    (diagnostics; a real remove_orphan_files would stop at the listing).
+    Mirrors the reference's commit lineage (api/handlers/tables.go:
+    150-227) composed with this repo's expire/fold semantics
+    (catalog.py expire_snapshots)."""
+    wh = scratch_dir(sf_dir, "catalog_data", "orphan_files")
+    cat = Catalog(wh)
+    marker = os.path.join(wh, ".ready")
+    if not os.path.exists(marker):
+        shutil.rmtree(wh, ignore_errors=True)
+        os.makedirs(wh, exist_ok=True)
+        cat = Catalog(wh)
+        cat.create_namespace(("db",))
+        tbl = cat.create_table(("db", "orders_o"), _ORDERS_SCHEMA)
+        from pyspark.sql import Window as W
+
+        ranked = (
+            t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .withColumn(
+                "rn", F.row_number().over(W.orderBy("o_orderkey"))
+            )
+        )
+        orders = ranked.drop("rn")
+        tbl = tbl.append(
+            ranked.filter(F.col("rn") <= 100).drop("rn").coalesce(1)
+        )
+        tbl = tbl.append(
+            ranked.filter((F.col("rn") > 100) & (F.col("rn") <= 150))
+            .drop("rn")
+            .coalesce(1)
+        )
+        assert tbl.row_count() == 150
+        tbl = tbl.compact(spark)
+        tbl = tbl.expire_snapshots(retain_last=1)
+        # stray uncommitted write: a crashed writer's directory, never
+        # referenced by any snapshot
+        stray = os.path.join(tbl.location, "data", "stray_uncommitted")
+        ranked.filter(F.col("rn") <= 7).drop("rn").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stray)
+        open(marker, "w").close()
+    tbl = cat.load_table(("db", "orders_o"))
+
+    # live set: every data dir any retained snapshot or ref head references
+    live_dirs = set()
+    heads = [tbl.metadata.get("current-snapshot-id")] + [
+        r["snapshot-id"] for r in tbl.metadata.get("refs", {}).values()
+    ]
+    for s in tbl.metadata.get("snapshots", []):
+        for e in tbl._entries_at(s["snapshot-id"]):
+            live_dirs.add(e["path"].split(os.sep)[1])
+    del heads  # retained metadata IS the reachable set post-expire
+    live = spark.createDataFrame(
+        [(d, True) for d in sorted(live_dirs)], "dir string, is_live boolean"
+    )
+
+    # physical inventory: distributed recursive listing of the data root
+    physical = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .load(os.path.join(tbl.location, "data"))
+        .select(F.col("path"))
+        .withColumn(
+            "dir",
+            F.element_at(F.split(F.col("path"), "/data/"), -1),
+        )
+        .withColumn("dir", F.split(F.col("dir"), "/").getItem(0))
+    )
+    tagged = physical.join(F.broadcast(live), "dir", "left").select(
+        "dir",
+        "path",
+        F.when(F.col("is_live"), F.lit("live"))
+        .otherwise(F.lit("orphan"))
+        .alias("kind"),
+    )
+    counts = tagged.groupBy("kind").agg(
+        F.countDistinct("dir").alias("n_dirs"), F.count("*").alias("n_files")
+    )
+
+    # diagnostics: recoverable rows per kind (reads only the listed files)
+    orphan_paths = [
+        r.path for r in tagged.filter(F.col("kind") == "orphan").collect()
+    ]  # bounded: |orphan files| in the scripted scenario = 3
+    orphan_rows = (
+        spark.read.parquet(*[p.replace("file:", "") for p in orphan_paths]).count()
+        if orphan_paths
+        else 0
+    )
+    live_rows = tbl.df(spark).count()
+    rows_df = spark.createDataFrame(
+        [("live", live_rows), ("orphan", orphan_rows)], "kind string, n_rows long"
+    )
+    return (
+        counts.join(rows_df, "kind")
+        .select(
+            "kind",
+            F.col("n_dirs").cast("long").alias("n_dirs"),
+            F.col("n_files").cast("long").alias("n_files"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+        .orderBy("kind")
+    )

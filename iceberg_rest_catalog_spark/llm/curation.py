@@ -127,6 +127,137 @@ def q_data_mixture_temperature(spark, sf_dir):
     )
 
 
+E_MAX = 3  # per-source epoch cap (UniMax's single hyperparameter)
+# token budget = 14/5 (2.8x) corpus tokens — a FRACTIONAL multiplier so
+# the water level lands strictly inside the capacity range and BOTH arms
+# (capped small sources, level-shared large ones) are exercised at every
+# fixture SF (7/13 at sf0.001, 4/16 at sf0.01, 1/19 at sf0.1); an integer
+# multiple of E_MAX degenerates to everyone-capped
+BUDGET_NUM, BUDGET_DEN = 14, 5
+
+
+@query(
+    "q_data_epochs",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, sum(len(string_split(text, ' '))) AS toks
+      FROM documents GROUP BY source
+    ), ranked AS (
+      SELECT source, toks, {E_MAX} * toks AS cap,
+             row_number() OVER (ORDER BY {E_MAX} * toks, source) AS i,
+             sum({E_MAX} * toks) OVER (ORDER BY {E_MAX} * toks, source
+                 ROWS UNBOUNDED PRECEDING) AS p,
+             count(*) OVER () AS n,
+             {BUDGET_NUM} * sum(toks) OVER () * 1.0 / {BUDGET_DEN} AS b
+      FROM s
+    ), flagged AS (
+      SELECT *,
+             CAST(min(CASE WHEN cap * (n - i + 1) + (p - cap) < b
+                           THEN 1 ELSE 0 END)
+                  OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS BOOLEAN)
+               AS capped
+      FROM ranked
+    ), lvl AS (
+      SELECT coalesce(sum(CASE WHEN capped THEN cap END), 0) AS p_k,
+             count(*) FILTER (capped) AS k
+      FROM flagged
+    )
+    SELECT source, CAST(toks AS BIGINT) AS toks,
+           round(CASE WHEN capped THEN cap
+                      ELSE (b - p_k) * 1.0 / (n - k) END, 4) AS alloc_tokens,
+           round(CASE WHEN capped THEN cap
+                      ELSE (b - p_k) * 1.0 / (n - k) END / toks, 4) AS epochs,
+           capped
+    FROM flagged, lvl
+    ORDER BY source
+    """,
+)
+def q_data_epochs(spark, sf_dir):
+    """UniMax-style epoch allocation (Chung et al. 2023): spread a total
+    token budget ({BUDGET_NUM}/{BUDGET_DEN}x the corpus) as UNIFORMLY as
+    possible across sources, but never repeat any source more than
+    E_MAX={E_MAX}
+    epochs — the standard fix for temperature mixing's failure mode of
+    over-repeating tiny domains.  Classic water-filling, computed
+    RELATIONALLY: sources sorted by capacity ascending, a prefix-AND of
+    `cap_i*(N-i+1) + P_(i-1) < B` marks the capped prefix (the
+    water-filling invariant: once a source can absorb its fair share of
+    the remaining budget, so can every larger one), and every uncapped
+    source gets the common level (B - P_k)/(N - k).  Small sources bind
+    at exactly E_MAX epochs; large ones share the remainder equally in
+    TOKENS (so their epoch counts fall below E_MAX).
+
+    Scale shape: the corpus collapses to the |sources|-row token table in
+    one map-combined aggregate (the only data-sized pass); the ordering,
+    prefix sums, prefix-AND and level computation are windows over that
+    broadcast-sized frame.  All comparisons and prefix sums are INTEGER
+    (tokens) except the budget itself — the one shared double, computed
+    from the same integers by both engines (14*T/5 is exact in binary64
+    up to 2^53 before the division, and a fractional level can never TIE
+    an integer capacity, so the strict < is unambiguous); divisions
+    happen once at output, rounded to 4dp.
+
+    Reference scope: no mixture surface in the reference (Go metadata
+    facade, api/router/router.go:9-55); north-star curation sibling of
+    q_data_mixture_temperature (soft weights) and q_data_mixture (hard
+    allocation)."""
+    from pyspark.sql import Window as W
+
+    s = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("toks"))
+        .withColumn("cap", F.lit(E_MAX) * F.col("toks"))
+    )
+    # windows over the |sources|-row aggregate, never the corpus
+    ow = W.orderBy("cap", "source")
+    ranked = (
+        s.withColumn("i", F.row_number().over(ow))
+        .withColumn(
+            "p", F.sum("cap").over(ow.rowsBetween(W.unboundedPreceding, 0))
+        )
+        .withColumn("n", F.count("*").over(W.partitionBy()))
+        .withColumn(
+            "b",
+            F.lit(BUDGET_NUM)
+            * F.sum("toks").over(W.partitionBy())
+            * 1.0
+            / F.lit(BUDGET_DEN),
+        )
+    )
+    cond = (
+        F.col("cap") * (F.col("n") - F.col("i") + 1)
+        + (F.col("p") - F.col("cap"))
+        < F.col("b")
+    )
+    flagged = ranked.withColumn(
+        "capped",
+        F.min(F.when(cond, 1).otherwise(0))
+        .over(W.orderBy("i").rowsBetween(W.unboundedPreceding, 0))
+        .cast("boolean"),
+    )
+    lvl = flagged.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("cap"))), F.lit(0)
+        ).alias("p_k"),
+        F.count(F.when(F.col("capped"), 1)).alias("k"),
+    )
+    alloc = F.when(F.col("capped"), F.col("cap")).otherwise(
+        (F.col("b") - F.col("p_k")) * 1.0 / (F.col("n") - F.col("k"))
+    )
+    return (
+        flagged.join(F.broadcast(lvl))
+        .select(
+            "source",
+            F.col("toks").cast("long").alias("toks"),
+            r4(alloc).alias("alloc_tokens"),
+            r4(alloc / F.col("toks")).alias("epochs"),
+            "capped",
+        )
+        .orderBy("source")
+    )
+
+
 @query(
     "q_text_bpe_pairs",
     oracle=f"""

@@ -539,8 +539,6 @@ def _ann_ivf(
     """Core of q_sim_ann_ivf with the cell count and assignment strategy
     as parameters (tests / measurement tools force the arms; the
     registered query derives both from count(*))."""
-    from pyspark.sql import Window
-
     if n_cells is None or two_level is None:
         n = _emb_count(spark, sf_dir)
         if n_cells is None:
@@ -553,16 +551,7 @@ def _ann_ivf(
     if two_level:
         within = _two_level_within(spark, sf_dir, n_cells)
     else:
-        cent = e.filter(F.col("vec_id") < n_cells).select(
-            F.col("vec_id").alias("cell"), F.col("emb").alias("c")
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cell")
-        within = (
-            e.join(F.broadcast(cent))
-            .withColumn("cc", r4(_cos(F.col("emb"), F.col("c"))))
-            .withColumn("rn", F.row_number().over(w))
-            .select("vec_id", "emb", "cell", "rn")
-        )
+        within = _flat_within(spark, sf_dir, n_cells)
     assigned = within.filter(F.col("rn") == 1).select("vec_id", "emb", "cell")
     # the ONE query vector's top-N_PROBE cells — a <=N_PROBE-row frame
     probed = within.filter(
@@ -583,6 +572,68 @@ def _ann_ivf(
         .join(F.broadcast(topk), "vec_id")
         .select("vec_id", "label", "cell", "cos")
         .orderBy(F.desc("cos"), "vec_id")
+    )
+
+
+RANGE_TAU = 0.35  # range-search radius (cosine), = PAIR_THRESHOLD
+
+_RANGE_ORACLE = f"""
+WITH {ivf_ranked_ctes(SCALED_QSTEP_SQL)}
+SELECT p.q_vec_id, a.vec_id AS nn_vec_id,
+       round(list_cosine_similarity(a.emb, p.qe), 4) AS cos
+FROM probed p JOIN assigned a USING (cell)
+WHERE a.vec_id <> p.q_vec_id
+  AND round(list_cosine_similarity(a.emb, p.qe), 4) >= {RANGE_TAU}
+"""
+
+
+@query("q_sim_range_ivf", oracle=_RANGE_ORACLE)
+def q_sim_range_ivf(spark, sf_dir):
+    """IVF RANGE search: for every query in the deterministic probe batch,
+    ALL corpus neighbours with cosine >= {RANGE_TAU} inside the probed
+    cells — the threshold dual of q_sim_knn_batch's top-k.  Retrieval
+    pipelines need both: top-k for fixed-budget context packing, range
+    for "everything semantically close" jobs (near-dup candidate pull,
+    hard-positive mining, graph edge building at a similarity floor)
+    where the right answer size is data-dependent and a k cutoff silently
+    truncates dense neighbourhoods.
+
+    Scale shape: identical candidate machinery to q_sim_knn_batch — the
+    scaled cell count (ivf_cells_for), the probe-batch stride
+    (recall_qstep_for: a few hundred probes whatever the corpus size) and
+    the flat/two-level assignment switch (assignment_two_level) are all
+    derived from count(*), with the oracle branching on the same guards —
+    but the per-query finisher is a stateless FILTER on the rounded
+    cosine instead of a rank window: no per-query sort, output streams
+    straight out of the candidate join, so a dense query can return 100
+    rows while a lonely one returns none.
+
+    Reference scope: no vector surface in the reference facade
+    (api/router/router.go:9-55); threshold sibling of q_sim_knn_batch
+    (top-k) and q_sim_pairs/q_sim_lsh (symmetric pair generation)."""
+    n = _emb_count(spark, sf_dir)
+    n_cells = ivf_cells_for(n)
+    qstep = recall_qstep_for(n)
+    if assignment_two_level(n):
+        within = _two_level_within(spark, sf_dir, n_cells)
+    else:
+        within = _flat_within(spark, sf_dir, n_cells)
+    assigned = within.filter(F.col("rn") == 1).select("vec_id", "emb", "cell")
+    probed = within.filter(
+        (F.col("vec_id") % qstep == 0) & (F.col("rn") <= N_PROBE)
+    ).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("emb").alias("qe"), "cell"
+    )
+    return (
+        F.broadcast(probed)
+        .join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select(
+            "q_vec_id",
+            F.col("vec_id").alias("nn_vec_id"),
+            r4(_cos(F.col("emb"), F.col("qe"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= RANGE_TAU)
     )
 
 
@@ -1702,6 +1753,28 @@ def q_sim_hard_negatives(spark, sf_dir):
 # -- hierarchical (two-level) IVF: the next-decade assignment knob ------------
 # (N_COARSE_MIN and _coarse_sql live next to the assignment_two_level knob
 # above, shared with the branch-guarded ivf_ranked_ctes oracles)
+
+
+def _flat_within(spark, sf_dir, n_cells: int):
+    """FLAT ranking frame ``(vec_id, emb, cell, rn)``: every vector's
+    cells ranked by rounded cosine against the broadcast centroid table —
+    rn==1 is the assignment, rn<=N_PROBE the probe set.  The
+    below-ASSIGN_FLAT_MAX arm shared by q_sim_ann_ivf / q_sim_range_ivf
+    (the batched operators build assigned/probed separately but
+    identically)."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).select("vec_id", _dbl("embedding").alias("emb"))
+    cent = e.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("c")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cell")
+    return (
+        e.join(F.broadcast(cent))
+        .withColumn("cc", r4(_cos(F.col("emb"), F.col("c"))))
+        .withColumn("rn", F.row_number().over(w))
+        .select("vec_id", "emb", "cell", "rn")
+    )
 
 
 def _two_level_within(spark, sf_dir, n_cells: int):

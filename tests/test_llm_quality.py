@@ -1277,3 +1277,54 @@ def test_bpe_train_batched_matches_batched_reference(spark, qs):
     assert got == expect
     curve = [r.tokens_after for r in rows]
     assert all(a > b for a, b in zip(curve, curve[1:]))
+
+
+def test_range_ivf_contains_knn_hits_above_tau(spark, qs):
+    """q_sim_range_ivf (round 11) is the threshold dual of
+    q_sim_knn_batch over the SAME probe geometry (at fixture scale both
+    strides floor at KNN_QSTEP): every top-k hit with cos >= RANGE_TAU
+    must appear in the range result with the identical rounded cosine,
+    and every range row must clear the threshold."""
+    from iceberg_rest_catalog_spark.llm.similarity import RANGE_TAU
+
+    rng = {
+        (r.q_vec_id, r.nn_vec_id): r.cos
+        for r in qs["q_sim_range_ivf"](spark, SF).collect()
+    }
+    assert rng and all(c >= RANGE_TAU for c in rng.values())
+    knn = [
+        r
+        for r in qs["q_sim_knn_batch"](spark, SF).collect()
+        if r.cos >= RANGE_TAU
+    ]
+    assert knn  # the fixture has in-threshold top-k hits
+    for r in knn:
+        assert rng.get((r.q_vec_id, r.nn_vec_id)) == r.cos
+
+
+def test_data_epochs_water_filling_invariants(spark, qs):
+    """UniMax allocation properties: allocations sum to the budget
+    (14/5 x corpus tokens), capped sources sit at exactly E_MAX epochs,
+    uncapped sources share one common level below E_MAX and above every
+    capped source's capacity, and both arms are non-empty at fixture
+    scale (the knob-tuning precondition)."""
+    from iceberg_rest_catalog_spark.llm.curation import (
+        BUDGET_DEN,
+        BUDGET_NUM,
+        E_MAX,
+    )
+
+    rows = qs["q_data_epochs"](spark, SF).collect()
+    total = sum(r.toks for r in rows)
+    budget = BUDGET_NUM * total / BUDGET_DEN
+    assert abs(sum(r.alloc_tokens for r in rows) - budget) < 1e-4 * budget
+    capped = [r for r in rows if r.capped]
+    uncapped = [r for r in rows if not r.capped]
+    assert capped and uncapped
+    for r in capped:
+        assert r.epochs == E_MAX and r.alloc_tokens == E_MAX * r.toks
+    levels = {r.alloc_tokens for r in uncapped}
+    assert len(levels) == 1
+    level = levels.pop()
+    assert all(r.epochs < E_MAX for r in uncapped)
+    assert all(r.alloc_tokens <= level for r in capped)

@@ -161,7 +161,13 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 # broadcast probe BATCH scored against one corpus scan —
                 # the exact-baseline side of the recall audit (the
                 # q_embed_matryoshka shape; the IVF side is equi-join)
-                "q_sim_recall_eval"}
+                "q_sim_recall_eval",
+                # broadcast ivf_cells_for-row centroid assignment (the
+                # q_sim_knn_batch shape); the candidate stage is equi-join
+                "q_sim_range_ivf",
+                # 1-row water-level scalar broadcast into the |sources|
+                # frame (scalar-distribution shape, like q_tpch_q22)
+                "q_data_epochs"}
 ROW_PYTHON_OK = {"q_udf_python", "q_udtf"}  # ops whose SUBJECT is Python eval
 
 
