@@ -425,8 +425,14 @@ def q_stream_join_outer(spark, sf_dir):
         F.col("click_ts").cast("string").alias("click_ts"),
     )
     # sentinel filter on the DRAINED batch result (see docstring: inside
-    # the streaming plan it would push below the watermark node)
-    return _run_memory(spark, joined, "append").filter(F.col("user_id") >= 0)
+    # the streaming plan it would push below the watermark node).  Keyed
+    # on the sentinel's own negative event_id — NOT user_id, which is
+    # NULL-able on real purchases and NULL never matches a click, so a
+    # NULL-user purchase is a legitimate unmatched row the batch LEFT
+    # JOIN keeps (caught by tools/perturbed_check.py's NULL injection)
+    return _run_memory(spark, joined, "append").filter(
+        F.col("purchase_id") >= 0
+    )
 
 
 @query(
