@@ -436,6 +436,109 @@ def q_stream_join_outer(spark, sf_dir):
 
 
 @query(
+    "q_stream_join_full",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           coalesce(p.user_id, c.user_id) AS user_id,
+           CAST(p.ts AS VARCHAR) AS purchase_ts, CAST(c.ts AS VARCHAR) AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
+def q_stream_join_full(spark, sf_dir):
+    """Watermarked stream-stream FULL OUTER join: q_stream_join_outer's
+    completion — clicks that preceded NO purchase within the next hour
+    ALSO emit NULL-padded rows, so BOTH state stores evict-and-emit on
+    watermark passage (the left side waits for the click watermark to
+    clear purchase_ts, the right side for the purchase watermark to clear
+    click_ts + 1h).  Same sentinel + drained-result-filter mechanics as
+    the left-outer op (see its docstring for the watermark-starvation
+    trap); the result filter keys on BOTH sides' sentinel event_ids,
+    NULL-tolerantly, because every row now has at least one NULL id
+    column.  Equals the batch FULL JOIN oracle exactly.
+
+    Reference scope: no streaming in the reference facade
+    (api/router/router.go:9-55); completes the stream-join family
+    (q_stream_join inner, q_stream_join_outer left)."""
+    wh = scratch_dir(sf_dir, "stream_join_full")
+    shutil.rmtree(wh, ignore_errors=True)
+    src = os.path.join(wh, "src")
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+    )
+    mx = ev.agg(F.max("ts")).collect()[0][0]  # bounded 1-row pull
+
+    def _sentinel(hours: int, base: int):
+        return spark.createDataFrame(
+            [
+                (base, -1, "purchase"),
+                (base + 1, -2, "click"),
+            ],
+            "event_id long, user_id long, event_type string",
+        ).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            (F.lit(mx) + F.expr(f"INTERVAL {hours} HOURS")).alias("ts"),
+        )
+
+    ev.unionByName(_sentinel(4, -10)).unionByName(_sentinel(8, -20)).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    sdf = spark.readStream.schema(ev.schema).parquet(src)
+    purchases = (
+        sdf.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    clicks = (
+        sdf.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """user_id = c_user_id
+               AND click_ts >= purchase_ts - INTERVAL 1 HOUR
+               AND click_ts <= purchase_ts"""
+        ),
+        "fullOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce("user_id", "c_user_id").alias("user_id"),
+        F.col("purchase_ts").cast("string").alias("purchase_ts"),
+        F.col("click_ts").cast("string").alias("click_ts"),
+    )
+    # NULL-tolerant sentinel filter on the drained result (each row has
+    # at least one NULL id; sentinels carry negative event_ids)
+    return _run_memory(spark, joined, "append").filter(
+        F.coalesce(F.col("purchase_id") >= 0, F.lit(True))
+        & F.coalesce(F.col("click_id") >= 0, F.lit(True))
+    )
+
+
+@query(
     "q_stream_catalog_sink",
     oracle="""
     SELECT event_id, user_id, event_type, round(value, 4) AS value
