@@ -539,6 +539,103 @@ def q_stream_join_full(spark, sf_dir):
 
 
 @query(
+    "q_stream_dim_join",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id,
+             CASE WHEN sum(value) >= 100 THEN 'high'
+                  WHEN sum(value) >= 50 THEN 'mid'
+                  ELSE 'low' END AS tier
+      FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, round(e.value, 4) AS value, d.tier
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+    LEFT JOIN dim d ON e.user_id = d.user_id
+    """,
+)
+def q_stream_dim_join(spark, sf_dir):
+    """Stream-STATIC enrichment join — the third member of the streaming
+    join taxonomy (stream-stream inner/left/full are q_stream_join*):
+    each micro-batch of the purchase stream joins a CATALOGED dimension
+    table (per-user spend tier) that is RE-READ from the catalog inside
+    foreachBatch, so a dim update between batches takes effect on the
+    next batch — the canonical slowly-changing-dimension serving pattern
+    (dim refresh needs no stream restart, unlike a plan-captured static
+    DataFrame).  Stateless: no watermark, no state store; the dim is
+    broadcast per batch, so the stream side never shuffles.
+
+    Oracle = the batch LEFT JOIN against the same tier aggregation
+    (NULL user_ids enrich to NULL tier — LEFT JOIN keeps them; the
+    equi-join can never match NULL).
+
+    Reference scope: the dim table lives in THIS repo's catalog
+    (create/append = the reference's commit lineage,
+    api/handlers/tables.go:150-227); no streaming in the reference
+    facade (api/router/router.go:9-55)."""
+    from ..catalog import Catalog, NestedField, Schema
+
+    wh = scratch_dir(sf_dir, "stream_dim_join")
+    shutil.rmtree(wh, ignore_errors=True)
+    os.makedirs(wh, exist_ok=True)
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.round("value", 4).alias("value"))
+    )
+
+    # cataloged dimension: per-user spend tier
+    cat = Catalog(os.path.join(wh, "warehouse"))
+    cat.create_namespace(("db",))
+    sch = Schema(
+        0,
+        [NestedField(1, "user_id", "long"), NestedField(2, "tier", "string")],
+    )
+    dim_tbl = cat.create_table(("db", "user_tier"), sch)
+    dim = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("spend"))
+        .select(
+            "user_id",
+            F.when(F.col("spend") >= 100, "high")
+            .when(F.col("spend") >= 50, "mid")
+            .otherwise("low")
+            .alias("tier"),
+        )
+    )
+    dim_tbl.append(dim)
+
+    # stream the purchases in multiple micro-batches
+    src = os.path.join(wh, "src")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    sink = os.path.join(wh, "sink")
+
+    def enrich(batch_df, _batch_id):
+        # fresh catalog read per batch: dim updates apply next batch
+        d = cat.load_table(("db", "user_tier")).df(spark)
+        batch_df.join(F.broadcast(d), "user_id", "left").select(
+            "event_id", "user_id", "value", "tier"
+        ).write.mode("append").parquet(sink)
+
+    with _state_parallelism(spark):
+        q = (
+            sdf.writeStream.foreachBatch(enrich)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(sink)
+
+
+@query(
     "q_stream_catalog_sink",
     oracle="""
     SELECT event_id, user_id, event_type, round(value, 4) AS value
