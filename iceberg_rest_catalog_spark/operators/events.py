@@ -2003,3 +2003,126 @@ def q_evt_concurrency(spark, sf_dir):
         .alias("peak_active"),
         (F.col("carry") + F.col("net")).cast("bigint").alias("end_active"),
     ).orderBy("hour")
+
+
+SEQ_PREFIX_LEN = 8  # session-opening window the patterns are mined over
+SEQ_PAT_LEN = 3  # pattern length (|types|^3 <= 125 candidate patterns)
+
+
+@query(
+    "q_evt_seq_patterns",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WHERE event_type IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked),
+    strs AS (
+      SELECT user_id, sid,
+             substr(string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id),
+                    1, {SEQ_PREFIX_LEN}) AS s
+      FROM sess GROUP BY user_id, sid),
+    ty AS (SELECT DISTINCT event_type AS t FROM events WHERE event_type IS NOT NULL),
+    pats AS (
+      SELECT a.t AS t1, b.t AS t2, c.t AS t3,
+             a.t || '>' || b.t || '>' || c.t AS pattern,
+             substr(a.t,1,1) || '.*' || substr(b.t,1,1) || '.*' || substr(c.t,1,1) AS rx
+      FROM ty a, ty b, ty c),
+    n AS (SELECT count(*) AS n_sessions FROM strs)
+    SELECT pattern, CAST(count(*) AS BIGINT) AS support,
+           round(count(*) * 1.0 / n_sessions, 4) AS share
+    FROM strs, pats, n
+    WHERE regexp_matches(s, rx)
+    GROUP BY pattern, n_sessions
+    ORDER BY support DESC, pattern
+    """,
+)
+def q_evt_seq_patterns(spark, sf_dir):
+    """Sequential pattern mining over SESSION OPENINGS (PrefixSpan-lite):
+    for every ordered length-{SEQ_PAT_LEN} event-type pattern (gaps
+    allowed), the number and share of sessions whose first
+    {SEQ_PREFIX_LEN} events contain it as a subsequence — how sessions
+    BEGIN, the question funnel analysis asks with a fixed step list and
+    q_evt_bigrams/q_evt_markov answer only for ADJACENT pairs.  The
+    opening window keeps the statistic unsaturated: over a long session
+    almost every pattern eventually occurs, so full-session support
+    degenerates to 1.0 for all patterns.
+
+    Scale shape: sessionization is the standard one user_id shuffle;
+    each session then collapses to ONE <=8-char type-initial string (the
+    alphabet's initials are distinct, and both engines build the same
+    string, so the regex subsequence test `a.*b.*c` is exact); the
+    candidate pattern table is |types|^{SEQ_PAT_LEN} <= 125 rows CROSS
+    JOINed as a broadcast against the |sessions|-row string frame — a
+    deliberately bounded build side (the q_agg_histogram shape), map-only
+    at any corpus size, output bounded by the pattern count whatever the
+    data.  The pattern table derives from the DISTINCT types present, so
+    a fixture missing a type (perturbed sweep) shrinks the candidates on
+    both engines identically.
+
+    Reference scope: no analytics in the reference facade
+    (api/router/router.go:9-55); subsequence sibling of q_evt_bigrams
+    (adjacent pairs) and q_evt_funnel (one fixed pattern)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    sess = ev.withColumn(
+        "new_s",
+        F.when(
+            prev.isNull() | (prev < F.col("ts") - F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    strs = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.expr(
+                "concat_ws('', transform("
+                "  array_sort(collect_list(struct(ts, event_id,"
+                "             substring(event_type, 1, 1) AS c))),"
+                "  x -> x.c))"
+            ).alias("s0")
+        )
+        .select(F.substring("s0", 1, SEQ_PREFIX_LEN).alias("s"))
+    )
+    ty = ev.select(F.col("event_type").alias("t")).distinct()
+    a, b, c = ty.alias("a"), ty.alias("b"), ty.alias("c")
+    pats = (
+        a.crossJoin(b)
+        .crossJoin(c)
+        .select(
+            F.concat_ws(
+                ">", F.col("a.t"), F.col("b.t"), F.col("c.t")
+            ).alias("pattern"),
+            F.concat(
+                F.substring(F.col("a.t"), 1, 1),
+                F.lit(".*"),
+                F.substring(F.col("b.t"), 1, 1),
+                F.lit(".*"),
+                F.substring(F.col("c.t"), 1, 1),
+            ).alias("rx"),
+        )
+    )
+    n = strs.agg(F.count("*").alias("n_sessions"))
+    return (
+        strs.crossJoin(F.broadcast(pats))
+        .filter(F.expr("s rlike rx"))
+        .groupBy("pattern")
+        .agg(F.count("*").alias("support"))
+        .join(F.broadcast(n))
+        .select(
+            "pattern",
+            F.col("support").cast("long").alias("support"),
+            r4(F.col("support") * 1.0 / F.col("n_sessions")).alias("share"),
+        )
+        .orderBy(F.desc("support"), "pattern")
+    )

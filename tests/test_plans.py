@@ -167,7 +167,11 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 "q_sim_range_ivf",
                 # 1-row water-level scalar broadcast into the |sources|
                 # frame (scalar-distribution shape, like q_tpch_q22)
-                "q_data_epochs"}
+                "q_data_epochs",
+                # |types|^3 <= 125-row broadcast pattern table crossed
+                # with the per-session string frame + 1-row session-count
+                # normalizer: bounded build sides, map-only at any scale
+                "q_evt_seq_patterns"}
 ROW_PYTHON_OK = {"q_udf_python", "q_udtf"}  # ops whose SUBJECT is Python eval
 
 
