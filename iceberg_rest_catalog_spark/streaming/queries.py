@@ -261,6 +261,166 @@ def q_stream_stateful(spark, sf_dir):
 
 
 @query(
+    "q_stream_transform_state",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             date_diff('microsecond',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS gap
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(gap) AS BIGINT) AS max_gap_us
+    FROM g GROUP BY user_id
+    """,
+)
+def q_stream_transform_state(spark, sf_dir):
+    """Custom stateful operator with CROSS-BATCH event-time state: per
+    user, the running event count and the MAXIMUM inter-event gap — a
+    feature whose value depends on state crossing micro-batch boundaries
+    (the gap between the last event of batch k and the first of batch
+    k+1 must be seen), so it exercises exactly what the state store
+    exists for.  The source is range-split on ts into 4 mtime-ordered
+    files so availableNow replays time-ordered micro-batches; each batch
+    sorts by (ts, event_id) inside the processor and folds into the
+    (last_ts, n, max_gap) state.  Gap arithmetic is integer microseconds
+    end-to-end, and a per-user max over sorted timestamps is invariant
+    to equal-ts tiebreaks, so the batch oracle (lag window) matches
+    exactly.  Update-mode sink emits one row per (user,
+    batch-with-activity); both emitted features are monotone
+    nondecreasing, so the final state is a plain max — the standard
+    upsert-sink collapse (q_stream_upsert's MERGE shape).
+
+    API: prefers Spark 4's ``transformWithStateInPandas`` (ValueState on
+    a StatefulProcessor — the arbitrary-state successor of
+    applyInPandasWithState), whose Python side needs the ``protobuf``
+    package for its state-server wire format; in environments without it
+    (this container) the operator runs the IDENTICAL state fold on
+    ``applyInPandasWithState``.  Both paths share the same per-batch
+    fold function, and the API knob is an import probe, so the semantics
+    — and the oracle — are one.
+
+    Reference scope: no streaming in the reference facade
+    (api/router/router.go:9-55); state-API sibling of q_stream_stateful
+    (applyInPandasWithState running totals) and q_stream_session_features
+    (session_window)."""
+    import glob as _glob
+
+    import pandas as pd
+
+    wh = scratch_dir(sf_dir, "stream_transform_state")
+    shutil.rmtree(wh, ignore_errors=True)
+    src = os.path.join(wh, "src")
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+    )
+    # time-ordered micro-batches: range-split on ts, mtimes ascending in
+    # range order (part file names follow the range partition order)
+    ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+    for i, p in enumerate(sorted(_glob.glob(os.path.join(src, "part-*.parquet")))):
+        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    def _fold(state_tuple, pdfs):
+        """The shared per-batch state fold (both API paths run this)."""
+        last_ts, n, max_gap = state_tuple
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            # pin the epoch unit: Arrow hands pandas ns-resolution stamps
+            for us in pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000:
+                us = int(us)
+                if last_ts is not None:
+                    gap = us - last_ts
+                    if max_gap is None or gap > max_gap:
+                        max_gap = gap
+                last_ts = us
+                n += 1
+        return last_ts, n, max_gap
+
+    try:
+        import google.protobuf  # noqa: F401  (state-server wire format)
+
+        have_tws = True
+    except ImportError:
+        have_tws = False
+
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    if have_tws:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class MaxGap(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self.state = handle.getValueState(
+                    "gapstate", "last_ts long, n long, max_gap long"
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                cur = (
+                    self.state.get() if self.state.exists() else (None, 0, None)
+                )
+                last_ts, n, max_gap = _fold(cur, rows)
+                self.state.update((last_ts, n, max_gap))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "max_gap_us": [max_gap],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        out = sdf.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=MaxGap(),
+            outputStructType="user_id long, n_events long, max_gap_us long",
+            outputMode="Update",
+            timeMode="None",
+        )
+    else:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def update(key, pdfs, state: GroupState):
+            cur = state.get if state.exists else (None, 0, None)
+            last_ts, n, max_gap = _fold(cur, pdfs)
+            state.update((last_ts, n, max_gap))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "max_gap_us": [max_gap],
+                }
+            )
+
+        out = sdf.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, max_gap_us long",
+            stateStructType="last_ts long, n long, max_gap long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    sink = os.path.join(wh, "sink")
+    result = _run_foreach_batch(spark, out, "update", sink)
+    # upsert-collapse: both features are monotone, the final state is max
+    return result.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("max_gap_us").alias("max_gap_us"),
+    )
+
+
+@query(
     "q_stream_join",
     oracle="""
     SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
