@@ -139,6 +139,18 @@ TRACKED: list[str] = [
     "q_evt_concurrency",
     "q_text_bpe_train",
     "q_stream_session_features",
+    # round-11 newborns (data-proportional ones; q_data_epochs and
+    # q_meta_orphan_files are tiny-frame / scripted-scenario ops — the
+    # q_ts_holt not-tracked precedent): the stream joins pay watermarked
+    # state + eviction flush, transform_state per-key state-store
+    # overhead, seq_patterns the sessionize shuffle + bounded cross
+    # join, range_ivf the IVF candidate join.
+    "q_stream_join_outer",
+    "q_stream_join_full",
+    "q_stream_dim_join",
+    "q_stream_transform_state",
+    "q_evt_seq_patterns",
+    "q_sim_range_ivf",
 ]
 
 
