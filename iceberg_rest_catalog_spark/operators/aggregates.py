@@ -817,3 +817,76 @@ def q_agg_bloom(spark, sf_dir):
             F.when((F.col("flagged") == 1) & F.col("mtext").isNull(), 1).otherwise(0)
         ).alias("n_false_pos"),
     )
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS v, l_quantity AS wt
+      FROM lineitem
+    ), c AS (
+      SELECT flag, v, wt,
+             sum(wt) OVER (PARTITION BY flag ORDER BY v, wt
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(wt) OVER (PARTITION BY flag) AS tw
+      FROM w
+    )
+    SELECT flag, CAST(sum(wt) AS BIGINT) AS total_weight,
+           round(min(CASE WHEN cw * 4 >= tw THEN v END), 4) AS wq25,
+           round(min(CASE WHEN cw * 2 >= tw THEN v END), 4) AS wmedian,
+           round(min(CASE WHEN cw * 4 >= tw * 3 THEN v END), 4) AS wq75
+    FROM c GROUP BY flag ORDER BY flag
+    """,
+)
+def q_agg_weighted_median(spark, sf_dir):
+    """WEIGHTED quantiles (q25/median/q75 of price, weighted by
+    quantity): each row counts with its weight, the statistic every
+    mixture/pricing analysis actually needs and the unweighted
+    percentile family (q_agg_percentile / q_agg_approx_percentile)
+    cannot express.  Lower weighted quantile rule: the smallest value
+    whose cumulative weight reaches the quantile of total weight —
+    computed as one cumulative-sum window per group plus a conditional
+    min, no collect, no iteration.
+
+    Determinism: the window orders (value, weight); rows tied on both
+    are interchangeable (same value either way), and integral-valued
+    double weights sum exactly in binary64, so the >= boundary test is
+    order-independent across engines.  All comparisons are on exact
+    sums; the single rounding site is the output.
+
+    Scale shape: one shuffle on the group key; the cumulative window is
+    the standard sorted scan per group (at cluster scale, range-
+    partitioned quantile summaries replace the exact scan — the
+    q_agg_approx_percentile escape hatch — but the EXACT weighted
+    answer is this plan).  Output is |groups| rows.
+
+    Reference scope: no aggregate surface in the reference (Go metadata
+    facade, api/router/router.go:9-55); weighted sibling of
+    q_agg_percentile (exact unweighted) and q_agg_approx_percentile
+    (sketched)."""
+    from pyspark.sql import Window
+
+    w = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").alias("wt"),
+    )
+    cum = Window.partitionBy("flag").orderBy("v", "wt").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("flag")
+    c = w.withColumn("cw", F.sum("wt").over(cum)).withColumn(
+        "tw", F.sum("wt").over(tot)
+    )
+    pick = lambda cond: F.round(F.min(F.when(cond, F.col("v"))), 4)  # noqa: E731
+    return (
+        c.groupBy("flag")
+        .agg(
+            F.sum("wt").cast("bigint").alias("total_weight"),
+            pick(F.col("cw") * 4 >= F.col("tw")).alias("wq25"),
+            pick(F.col("cw") * 2 >= F.col("tw")).alias("wmedian"),
+            pick(F.col("cw") * 4 >= F.col("tw") * 3).alias("wq75"),
+        )
+        .orderBy("flag")
+    )
