@@ -420,3 +420,40 @@ def q_fn_variant(spark, sf_dir):
         F.try_variant_get("v", "$.meta.status", "string").alias("status"),
         F.try_variant_get("v", "$.missing", "long").alias("missing"),
     )
+
+
+@query(
+    "q_fn_regexp",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract_all(text, '[0-9]+')                  AS nums,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_words,
+           regexp_replace(text, '[aeiou]', '', 'g')            AS no_vowels,
+           regexp_matches(text, '[0-9]')                       AS has_digit,
+           regexp_extract(text, '^([a-z]+)', 1)                AS first_word
+    FROM documents
+    """,
+)
+def q_fn_regexp(spark, sf_dir):
+    """Regex function family over document text: extract-ALL (array
+    result), match counting, GLOBAL replace, boolean match, anchored
+    capture — the surface q_fn_string's single regexp_extract doesn't
+    cover.  Dialect note: patterns stay in the character-class/anchor
+    subset where Java regex (Spark) and RE2 (DuckDB) agree; DuckDB's
+    regexp_replace needs the explicit 'g' flag to match Spark's
+    always-global semantics.  All map-only, whole-stage codegen'd —
+    no Python.
+
+    Reference scope: no expression surface in the reference (Go metadata
+    facade, api/router/router.go:9-55); [CAP] row alongside q_fn_string."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit("[0-9]+"), 0).alias("nums"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0))
+        .cast("int")
+        .alias("n_words"),
+        F.regexp_replace("text", "[aeiou]", "").alias("no_vowels"),
+        F.col("text").rlike("[0-9]").alias("has_digit"),
+        F.regexp_extract("text", "^([a-z]+)", 1).alias("first_word"),
+    )
