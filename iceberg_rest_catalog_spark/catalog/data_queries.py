@@ -1208,3 +1208,69 @@ def q_meta_orphan_files(spark, sf_dir):
         )
         .orderBy("kind")
     )
+
+
+@query(
+    "q_meta_refs",
+    oracle="""
+    SELECT 'audit' AS ref_name, 'branch' AS ref_type,
+           CAST(2 AS BIGINT) AS snapshot_id, false AS is_head
+    UNION ALL SELECT 'main', 'branch', 3, true
+    UNION ALL SELECT 'v1.0', 'tag', 1, false
+    ORDER BY ref_name
+    """,
+)
+def q_meta_refs(spark, sf_dir):
+    """The `refs` metadata table (Iceberg spec section 'refs'): one row
+    per named ref — tags pinning release snapshots, branches staging
+    WAP-style work — plus the implicit main head, each with its pinned
+    snapshot and a head marker.  Refs protect their snapshots from
+    expire_snapshots, so this listing is also the retention-policy
+    input.
+
+    Scripted scenario (snapshot ids are sequential CAS commits, so the
+    expected table is exact VALUES): append (snap 1) -> tag 'v1.0' at 1
+    -> append (snap 2) -> branch 'audit' at 2 -> append (snap 3, main
+    head).  Metadata-only: no data file is opened; O(|refs|) at any
+    table size.
+
+    Reference scope: ref/branch surface is [CAP] — the reference's
+    UpdateTable commit path (api/handlers/tables.go:150-227) carries
+    set-ref updates; this repo's Table.set_ref/refs implements them
+    (catalog.py)."""
+    wh = scratch_dir(sf_dir, "catalog_data", "meta_refs")
+    cat = Catalog(wh)
+    marker = os.path.join(wh, ".ready")
+    if not os.path.exists(marker):
+        shutil.rmtree(wh, ignore_errors=True)
+        os.makedirs(wh, exist_ok=True)
+        cat = Catalog(wh)
+        cat.create_namespace(("db",))
+        tbl = cat.create_table(("db", "orders_r"), _ORDERS_SCHEMA)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tbl = tbl.append(orders.filter(F.col("o_orderkey") <= 50).coalesce(1))
+        tbl = tbl.set_ref("v1.0", 1, type="tag")
+        tbl = tbl.append(
+            orders.filter(
+                (F.col("o_orderkey") > 50) & (F.col("o_orderkey") <= 100)
+            ).coalesce(1)
+        )
+        tbl = tbl.set_ref("audit", 2, type="branch")
+        tbl = tbl.append(
+            orders.filter(
+                (F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 150)
+            ).coalesce(1)
+        )
+        open(marker, "w").close()
+    tbl = cat.load_table(("db", "orders_r"))
+    cur = tbl.metadata.get("current-snapshot-id")
+    rows = [
+        (name, ref["type"], int(ref["snapshot-id"]), ref["snapshot-id"] == cur)
+        for name, ref in tbl.refs().items()
+    ] + [("main", "branch", int(cur), True)]
+    return spark.createDataFrame(
+        sorted(rows),
+        "ref_name string, ref_type string, snapshot_id long, is_head boolean",
+    ).orderBy("ref_name")

@@ -2126,3 +2126,80 @@ def q_evt_seq_patterns(spark, sf_dir):
         )
         .orderBy(F.desc("support"), "pattern")
     )
+
+
+@query(
+    "q_ts_cusum",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, avg(n) AS mu FROM d GROUP BY event_type
+    ), c AS (
+      SELECT d.event_type, day, n, mu,
+             sum(n - mu) OVER (PARTITION BY d.event_type ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS s
+      FROM d JOIN m ON d.event_type = m.event_type
+    ), ranked AS (
+      SELECT event_type, day, s,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(s) DESC, day) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nd
+      FROM c
+    )
+    SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+           round(abs(s), 4) AS cusum_max, CAST(day AS VARCHAR) AS cp_day
+    FROM ranked WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def q_ts_cusum(spark, sf_dir):
+    """CUSUM changepoint detection per event-type series: the cumulative
+    sum of mean-centered daily counts peaks (in absolute value) at the
+    most likely level-shift point — Page's CUSUM statistic in its
+    retrospective single-changepoint form, the standard first-line
+    monitor for "did this metric's level change, and when".  Emits the
+    peak statistic and its day (ties break earliest).
+
+    Determinism: mu is one avg per series; the cumulative sum runs in
+    day order on both engines (identical summation order -> identical
+    doubles), and the argmax ranks on (abs(s) DESC, day), so the picked
+    day is engine-stable even at exact-tie peaks.
+
+    Scale shape: the corpus collapses to (type, day) counts in one
+    map-combined aggregate; everything after is windows over the
+    |types| x |days| frame (tiny at any corpus size).  Output |types|
+    rows.
+
+    Reference scope: no analytics in the reference facade
+    (api/router/router.go:9-55); changepoint sibling of q_evt_anomaly
+    (z-score days) and q_ts_decompose (trend/residual split)."""
+    d = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    m = d.groupBy("event_type").agg(F.avg("n").alias("mu"))
+    cw = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = d.join(m, "event_type").withColumn(
+        "s", F.sum(F.col("n") - F.col("mu")).over(cw)
+    )
+    rw = Window.partitionBy("event_type").orderBy(F.abs("s").desc(), "day")
+    ranked = c.withColumn("rn", F.row_number().over(rw)).withColumn(
+        "nd", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("nd").cast("long").alias("n_days"),
+            r4(F.abs("s")).alias("cusum_max"),
+            F.col("day").cast("string").alias("cp_day"),
+        )
+        .orderBy("event_type")
+    )
