@@ -953,3 +953,97 @@ def q_graph_jaccard_neighbors(spark, sf_dir):
         .orderBy(F.desc("jaccard"), "u", "v")
         .limit(JACC_TOP)
     )
+
+
+LPA_ROUNDS = 3  # synchronous label-propagation rounds (unrolled in oracle)
+
+
+def _lpa_oracle(rounds: int) -> str:
+    ctes = [
+        _knn_edges_ctes(),
+        "l0 AS (SELECT vec_id AS node, vec_id AS lbl FROM e)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""l{k} AS (
+      SELECT n.node, coalesce(p.lbl, n.lbl) AS lbl FROM l{k - 1} n
+      LEFT JOIN (
+        SELECT node, lbl FROM (
+          SELECT ed.u AS node, l.lbl, count(*) AS c,
+                 row_number() OVER (PARTITION BY ed.u
+                                    ORDER BY count(*) DESC, l.lbl) AS rn
+          FROM edges ed JOIN l{k - 1} l ON ed.v = l.node
+          GROUP BY ed.u, l.lbl)
+        WHERE rn = 1) p ON p.node = n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM l{rounds} GROUP BY lbl ORDER BY n_nodes DESC, community"""
+    )
+
+
+@query("q_graph_label_propagation", oracle=_lpa_oracle(LPA_ROUNDS))
+def q_graph_label_propagation(spark, sf_dir):
+    """Community detection by synchronous LABEL PROPAGATION over the
+    embedding corpus's symmetrized kNN graph ({LPA_ROUNDS} rounds): every
+    node starts as its own label; each round it adopts the most frequent
+    label among its NEIGHBOURS (ties -> smallest label; isolated nodes
+    keep their own).  The classic parameter-free community detector —
+    unlike q_cluster_kmeans no k is chosen, unlike q_graph_cc the result
+    is density communities, not mere connectivity.  Output: one row per
+    surviving community with its population.
+
+    Determinism: synchronous updates (round k+1 reads only round k),
+    integer labels, integer vote counts, (count DESC, label ASC)
+    tie-break — both engines propagate identically, so the oracle can
+    unroll the SAME rounds as chained CTEs (the q_text_bpe_train
+    pattern) on top of the shared _knn_edges_ctes graph.
+
+    Scale shape: edge build is the IVF-join kNN graph (scaled cells +
+    flat/two-level assignment knobs — see _knn_edges); each round is one
+    node-keyed shuffle (edges join labels -> map-combined vote counts ->
+    rn=1 window) over |edges| rows, localCheckpoint per round (the
+    PageRank/CC lineage discipline).  Round count is a fixed knob —
+    cost is rounds x one-shuffle, independent of corpus beyond the
+    linear edge volume.
+
+    Reference scope: no graph surface in the reference facade
+    (api/router/router.go:9-55); community sibling of q_graph_cc
+    (connectivity) and q_dedup_cluster (near-dup star closure)."""
+    from pyspark.sql import Window as W
+
+    e, edges = _knn_edges(spark, sf_dir)
+    labels = e.select(
+        F.col("vec_id").alias("node"), F.col("vec_id").alias("lbl")
+    ).localCheckpoint()
+    rw = W.partitionBy("u").orderBy(F.desc("c"), "lbl")
+    for _ in range(LPA_ROUNDS):
+        vote = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u", "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        top = (
+            vote.withColumn("rn", F.row_number().over(rw))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), F.col("lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(top, "node", "left")
+            .select(
+                "node", F.coalesce("new_lbl", "lbl").alias("lbl")
+            )
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy("lbl")
+        .agg(F.count("*").alias("n_nodes"))
+        .select(
+            F.col("lbl").alias("community"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+        )
+        .orderBy(F.desc("n_nodes"), "community")
+    )
