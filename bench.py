@@ -151,6 +151,12 @@ TRACKED: list[str] = [
     "q_stream_transform_state",
     "q_evt_seq_patterns",
     "q_sim_range_ivf",
+    # round-11 wave 2 (the data-proportional pair; fuzzy_match/regexp/
+    # cusum/refs collapse to dictionary/tiny frames — not tracked):
+    # weighted_median pays the per-group sorted scan over lineitem, LPA
+    # the kNN edge build + 3 vote shuffles.
+    "q_agg_weighted_median",
+    "q_graph_label_propagation",
 ]
 
 

@@ -2203,3 +2203,199 @@ def q_ts_cusum(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+MARKOV_ATTR_K = 16  # absorption power-iteration rounds (unrolled in oracle)
+MARKOV_CHANNELS = ("click", "error", "signup", "view")  # non-purchase types
+
+
+def _attr_trans_ctes() -> str:
+    """Shared oracle CTE prefix building the integer transition counts and
+    row-normalized probabilities of the user-journey Markov chain:
+    start -> first state, channel -> next state, last pre-purchase
+    channel -> conv; journeys truncate at the FIRST purchase."""
+    return """ev AS MATERIALIZED (
+      SELECT user_id, event_id, ts, event_type FROM events
+      WHERE user_id IS NOT NULL
+    ), fp AS MATERIALIZED (
+      SELECT user_id, min(row(ts, event_id)) AS cut
+      FROM ev WHERE event_type = 'purchase' GROUP BY user_id
+    ), seq AS MATERIALIZED (
+      SELECT e.user_id, e.ts, e.event_id,
+             CASE WHEN e.event_type = 'purchase' THEN 'conv'
+                  ELSE e.event_type END AS st
+      FROM ev e LEFT JOIN fp ON e.user_id = fp.user_id
+      WHERE fp.cut IS NULL OR row(e.ts, e.event_id) <= fp.cut
+    ), marked AS MATERIALIZED (
+      SELECT user_id, st, lead(st) OVER w AS nxt, row_number() OVER w AS rn
+      FROM seq WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), trans AS MATERIALIZED (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT 'start' AS src, st AS dst FROM marked WHERE rn = 1
+        UNION ALL
+        SELECT st, coalesce(nxt, CASE WHEN st = 'conv' THEN NULL
+                                      ELSE 'null' END)
+        FROM marked WHERE st <> 'conv' OR nxt IS NOT NULL
+      ) WHERE dst IS NOT NULL GROUP BY src, dst
+    ), tp AS MATERIALIZED (
+      SELECT src, dst, n * 1.0 / sum(n) OVER (PARTITION BY src) AS p
+      FROM trans
+    )"""
+
+
+def _attr_markov_oracle() -> str:
+    variants = [("all", None)] + [(c, c) for c in MARKOV_CHANNELS]
+    ctes = [_attr_trans_ctes()]
+    for name, removed in variants:
+        tag = name if removed else "all"
+        guard = (
+            f"AND src <> '{removed}' AND dst <> '{removed}' " if removed else ""
+        )
+        ctes.append(
+            f"v_{tag}_0 AS (SELECT 'start' AS st, 1.0 AS mass)"
+        )
+        for k in range(1, MARKOV_ATTR_K + 1):
+            ctes.append(
+                f"""v_{tag}_{k} AS MATERIALIZED (
+      SELECT dst AS st, sum(mass * p) AS mass
+      FROM v_{tag}_{k - 1} v JOIN tp ON tp.src = v.st
+        AND v.st NOT IN ('conv', 'null') {guard}
+      GROUP BY dst
+      UNION ALL
+      SELECT st, mass FROM v_{tag}_{k - 1} WHERE st IN ('conv', 'null'))"""
+        )
+        ctes.append(
+            f"""p_{tag} AS (
+      SELECT coalesce(sum(mass), 0) AS pc FROM v_{tag}_{MARKOV_ATTR_K}
+      WHERE st = 'conv')"""
+        )
+    removal_rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS channel, 1 - p_{c}.pc / p_all.pc AS removal "
+        f"FROM p_{c}, p_all"
+        for c in MARKOV_CHANNELS
+    )
+    ctes.append(f"rem AS ({removal_rows})")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT channel, round(removal, 4) AS removal_effect,
+           round(removal / sum(removal) OVER (), 4) AS attribution
+    FROM rem ORDER BY channel"""
+    )
+
+
+@query("q_evt_attribution_markov", oracle=_attr_markov_oracle())
+def q_evt_attribution_markov(spark, sf_dir):
+    """MARKOV (removal-effect) attribution — the data-driven successor of
+    q_evt_attribution's last-touch rule: model user journeys as a Markov
+    chain over channel states with absorbing conversion, and credit each
+    channel by how much total conversion probability DISAPPEARS when the
+    channel is removed from the graph (its transitions deleted, stranded
+    mass lost) — removal_effect = 1 - p_conv(without c)/p_conv(all),
+    normalized into attribution shares.  The industry-standard answer to
+    position-rule arbitrariness (first/last touch credit whoever happens
+    to sit at an endpoint; removal effect credits structural
+    necessity).
+
+    Computation: journeys truncate at the FIRST purchase (one window per
+    user — no self-join); transitions collapse to an INTEGER count table
+    of at most (|channels|+2)^2 rows; conversion probability is
+    {MARKOV_ATTR_K} rounds of mass propagation from 'start' with 'conv'
+    absorbing.  On Spark the <=36-row transition table is a BOUNDED
+    DRIVER PULL (the kmeans/Holt scalar precedent) iterated in numpy;
+    the oracle unrolls the identical rounds as chained CTEs per removal
+    variant (the BPE/LPA pattern).  Probabilities are ratios of the same
+    integers and every matvec sums <=6 terms, so 4-dp rounding is stable
+    cross-engine.
+
+    Scale shape: ONE data-sized pass (the per-user window), then
+    constant-size work — the removal sweep costs |channels| iterations
+    over a 6x6 matrix regardless of corpus size.
+
+    Reference scope: no analytics in the reference facade
+    (api/router/router.go:9-55); graph-attribution sibling of
+    q_evt_attribution (last-touch) and q_evt_markov (transition stats)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    st = F.when(F.col("event_type") == "purchase", "conv").otherwise(
+        F.col("event_type")
+    )
+    seq = (
+        ev.select("user_id", "ts", "event_id", st.alias("st"))
+        .withColumn(
+            "n_conv_before",
+            F.count(F.when(F.col("st") == "conv", 1)).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .filter(F.col("n_conv_before") == 0)  # truncate at first purchase
+    )
+    marked = seq.select(
+        "user_id",
+        "st",
+        F.lead("st").over(w).alias("nxt"),
+        F.row_number().over(w).alias("rn"),
+    )
+    starts = marked.filter(F.col("rn") == 1).select(
+        F.lit("start").alias("src"), F.col("st").alias("dst")
+    )
+    steps = (
+        marked.filter((F.col("st") != "conv") | F.col("nxt").isNotNull())
+        .select(
+            F.col("st").alias("src"),
+            F.coalesce(
+                "nxt",
+                F.when(F.col("st") != "conv", F.lit("null")),
+            ).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    trans = (
+        starts.unionByName(steps).groupBy("src", "dst").agg(F.count("*").alias("n"))
+    )
+    # bounded pull: <= (|channels|+2)^2 integer rows (the Lloyd's-scalar
+    # precedent) — the removal sweep is pure 6x6 arithmetic after this;
+    # deterministic iteration order via the (src, dst) sort
+    rows = sorted(trans.collect(), key=lambda r: (r.src, r.dst))
+    out_tot: dict = {}
+    for r in rows:
+        out_tot[r.src] = out_tot.get(r.src, 0) + r.n
+    # every declared channel gets a row — one absent from the data has
+    # zero removal effect (its deletion changes nothing), matching the
+    # oracle's fixed variant list on degraded fixtures
+    channels = sorted(MARKOV_CHANNELS)
+
+    def absorb(removed):
+        mass = {"start": 1.0}
+        pconv = 0.0
+        for _ in range(MARKOV_ATTR_K):
+            nxt: dict = {}
+            for r in rows:
+                if r.src in ("conv", "null") or r.src not in mass:
+                    continue
+                if removed and (r.src == removed or r.dst == removed):
+                    continue
+                m = mass[r.src] * (r.n / out_tot[r.src])
+                if r.dst == "conv":
+                    pconv += m
+                elif r.dst != "null":
+                    nxt[r.dst] = nxt.get(r.dst, 0.0) + m
+            mass = nxt
+        return pconv
+
+    base = absorb(None)
+    removals = [(c, 1.0 - absorb(c) / base) for c in channels]
+    tot = sum(x for _, x in removals)
+
+    def r4d(x: float) -> float:
+        # DuckDB's rounding convention (multiply-floor), the house rule
+        # for driver-side sequential results (SCALE.md round-9 finding)
+        import math
+
+        return math.copysign(math.floor(abs(x) * 1e4 + 0.5) / 1e4, x)
+
+    data = [(c, r4d(x), r4d(x / tot)) for c, x in removals]
+    return spark.createDataFrame(
+        data, "channel string, removal_effect double, attribution double"
+    ).orderBy("channel")
