@@ -457,3 +457,45 @@ def q_fn_regexp(spark, sf_dir):
         F.col("text").rlike("[0-9]").alias("has_digit"),
         F.regexp_extract("text", "^([a-z]+)", 1).alias("first_word"),
     )
+
+
+@query(
+    "q_sql_lateral",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber,
+           round(l.l_extendedprice, 4) AS price
+    FROM orders o, LATERAL (
+      SELECT l_linenumber, l_extendedprice FROM lineitem
+      WHERE l_orderkey = o.o_orderkey
+      ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+    WHERE o.o_orderkey <= 200
+    """,
+)
+def q_sql_lateral(spark, sf_dir):
+    """Correlated LATERAL subquery in FROM — per outer row, a dependent
+    top-2 ("each order's two priciest line items"), the SQL surface
+    behind dependent-join APIs.  Both engines parse the identical ANSI
+    LATERAL syntax; Catalyst DECORRELATES the dependent join into a
+    partitioned rank (DomainJoin -> window rn<=2 over l_orderkey), so
+    the executed plan is the q_win_topk_per_group shuffle — one
+    order-key exchange, no per-row re-execution.  Ties break
+    (price DESC, linenumber) so the kept pair is engine-stable.
+
+    Reference scope: SQL-interface [CAP] row (the reference is a Go
+    metadata facade, api/router/router.go:9-55); syntax sibling of
+    q_sql_cte / q_sql_recursive."""
+    from ..io import load_table
+
+    for name in ("orders", "lineitem"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"icsb_{name}")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, l.l_linenumber,
+               round(l.l_extendedprice, 4) AS price
+        FROM icsb_orders o, LATERAL (
+          SELECT l_linenumber, l_extendedprice FROM icsb_lineitem
+          WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+        WHERE o.o_orderkey <= 200
+        """
+    )
