@@ -1610,3 +1610,78 @@ def test_stream_session_features_matches_batch_featurizer(spark, qs):
         for r in qs["q_evt_session_features"](spark, SF).collect()
     ]
     assert sorted(got) == sorted(want) and got
+
+
+def test_stream_join_family_coherence(spark, qs):
+    """Round-11 stream-join taxonomy invariants at sf0.001: LEFT OUTER =
+    INNER rows plus NULL-padded unmatched purchases covering every
+    purchase exactly once per match (or once with NULL); FULL OUTER =
+    LEFT OUTER plus NULL-padded unmatched clicks, and its matched subset
+    equals the inner join."""
+    inner = {
+        (r.purchase_id, r.click_id)
+        for r in qs["q_stream_join"](spark, SF).collect()
+    }
+    outer = [
+        (r.purchase_id, r.click_id)
+        for r in qs["q_stream_join_outer"](spark, SF).collect()
+    ]
+    full = [
+        (r.purchase_id, r.click_id)
+        for r in qs["q_stream_join_full"](spark, SF).collect()
+    ]
+    matched_outer = {p for p in outer if p[1] is not None}
+    assert matched_outer == inner
+    # unmatched purchases appear exactly once, and never also matched
+    null_p = [p for p, c in outer if c is None]
+    assert len(null_p) == len(set(null_p))
+    assert not (set(null_p) & {p for p, _ in matched_outer})
+    # full = outer + unmatched clicks
+    assert sorted(x for x in full if x[0] is not None) == sorted(outer)
+    null_c = [c for p, c in full if p is None]
+    assert len(null_c) == len(set(null_c))
+    assert not (set(null_c) & {c for _, c in matched_outer})
+
+
+def test_orphan_audit_partitions_physical_files(spark, qs):
+    """q_meta_orphan_files invariants: the audit's live+orphan file
+    counts equal the physical parquet inventory under the table's data
+    root, and the live table remains readable with the expected rows."""
+    import glob
+    import os
+
+    rows = {r.kind: r for r in qs["q_meta_orphan_files"](spark, SF).collect()}
+    assert set(rows) == {"live", "orphan"}
+    wh = "/tmp/icsb_scratch/root_testdata_sf0.001/catalog_data/orphan_files"
+    loc = os.path.join(wh, "db", "orders_o")
+    physical = glob.glob(os.path.join(loc, "data", "**", "*.parquet"), recursive=True)
+    assert rows["live"].n_files + rows["orphan"].n_files == len(physical)
+    assert rows["live"].n_rows == 150 and rows["orphan"].n_rows == 157
+
+
+def test_lpa_communities_partition_nodes(spark, qs):
+    """Label propagation emits a PARTITION of the corpus: community sizes
+    sum to the node count, every community label is a vec_id, and no
+    community is empty."""
+    from iceberg_rest_catalog_spark.io import load_table
+
+    rows = qs["q_graph_label_propagation"](spark, SF).collect()
+    n_nodes = (
+        load_table(spark, SF, "embeddings")
+        .filter("embedding IS NOT NULL")
+        .count()
+    )
+    assert sum(r.n_nodes for r in rows) == n_nodes
+    assert all(r.n_nodes >= 1 for r in rows)
+    assert len({r.community for r in rows}) == len(rows)
+
+
+def test_markov_attribution_shares_normalize(spark, qs):
+    """Removal-effect invariants: attribution shares sum to ~1, every
+    removal effect lies in [0, 1], and removing the most-attributed
+    channel hurts conversion at least as much as any other."""
+    rows = qs["q_evt_attribution_markov"](spark, SF).collect()
+    assert abs(sum(r.attribution for r in rows) - 1.0) < 5e-4
+    assert all(0.0 <= r.removal_effect <= 1.0 for r in rows)
+    top = max(rows, key=lambda r: r.attribution)
+    assert top.removal_effect == max(r.removal_effect for r in rows)
