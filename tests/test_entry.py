@@ -210,3 +210,69 @@ def test_round10_window_head_is_new_ops_then_r4_block():
     assert all(last_seen[q] == 4 for q in r4) and r4 == sorted(r4)
     r5 = ids[37:50]
     assert all(last_seen[q] == 5 for q in r5) and r5 == sorted(r5)
+
+
+def test_bench_suites_resolve_in_registry():
+    """bench.py silently filters HEADLINE/TRACKED to registered names —
+    a typo'd entry would drop a query from the suite without an error.
+    Pin: every name in both lists resolves, and the two lists are
+    disjoint (a query must not be double-counted)."""
+    sys.path.insert(0, REPO)
+    import importlib
+
+    import __spark_entry__ as e
+
+    bench = importlib.import_module("bench")
+    qs = set(e.queries())
+    missing = [n for n in bench.HEADLINE + bench.TRACKED if n not in qs]
+    assert not missing, missing
+    assert not set(bench.HEADLINE) & set(bench.TRACKED)
+
+
+def test_round11_window_head_is_new_ops_then_r5_block():
+    """Concrete pin of the round-11 rotation (only while r10 is the newest
+    committed artifact): the sixteen round-11 operators have no driver
+    row yet so they LEAD in registration order, and the window then fills
+    oldest-evidence-first from the r5-stale block.  Regenerate per round."""
+    import glob as _glob
+    import re as _re
+
+    sys.path.insert(0, REPO)
+    newest = max(
+        int(_re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
+        for p in _glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    )
+    if newest != 10:
+        import pytest
+
+        pytest.skip(f"rotation pin written against r10 artifacts (newest: r{newest})")
+
+    import __spark_entry__ as e
+    from iceberg_rest_catalog_spark import registry
+
+    ids = list(e.queries())
+    last_seen, failed = registry.driver_evidence()
+    assert not failed
+    new_ops = [
+        "q_stream_transform_state",
+        "q_stream_join_outer",
+        "q_stream_join_full",
+        "q_stream_dim_join",
+        "q_sim_range_ivf",
+        "q_graph_label_propagation",
+        "q_data_epochs",
+        "q_evt_seq_patterns",
+        "q_ts_cusum",
+        "q_evt_attribution_markov",
+        "q_agg_weighted_median",
+        "q_fn_regexp",
+        "q_sql_lateral",
+        "q_meta_orphan_files",
+        "q_meta_refs",
+        "q_join_fuzzy_match",
+    ]
+    n = len(new_ops)
+    assert ids[:n] == new_ops and all(q not in last_seen for q in new_ops)
+    # the 50-window tail is the r5-stale block, id-sorted
+    assert all(last_seen[q] == 5 for q in ids[n:50])
+    assert ids[n:50] == sorted(ids[n:50])
