@@ -11,6 +11,7 @@ Usage: python tools/multimodal_scale.py [query ...]
 """
 
 import json
+import os
 import sys
 import time
 
@@ -19,10 +20,14 @@ sys.path.insert(0, "/root/repo")
 from iceberg_rest_catalog_spark import registry
 from iceberg_rest_catalog_spark.session import get_spark
 
+# CAUTION: /tmp/scale_x100 is the DOCUMENTS-only x100 build (other tables
+# symlink to sf0.1 — fine for the multimodal/document family this tool was
+# written for).  For events/embeddings-driven queries point SCALE_X100 at
+# /tmp/scale_x100_all (the --all-tables build: 10M events, 200k vectors).
 SCALES = [
     ("sf0.1", "/root/testdata/sf0.1"),
     ("x10", "/tmp/scale_x10"),
-    ("x100", "/tmp/scale_x100"),
+    ("x100", os.environ.get("SCALE_X100", "/tmp/scale_x100")),
 ]
 QUERIES = [
     "q_multimodal_resize",
