@@ -2399,3 +2399,90 @@ def q_evt_attribution_markov(spark, sf_dir):
     return spark.createDataFrame(
         data, "channel string, removal_effect double, attribution double"
     ).orderBy("channel")
+
+
+@query(
+    "q_evt_pmi",
+    oracle="""
+    WITH st AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             event_type
+      FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+    n AS (SELECT count(DISTINCT (user_id, day)) AS nb FROM st),
+    tc AS (SELECT event_type, count(*) AS c FROM st GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS cab
+      FROM st a JOIN st b ON a.user_id = b.user_id AND a.day = b.day
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, CAST(cab AS BIGINT) AS n_baskets,
+           round(ln(cab * 1.0 * nb / (ca.c * 1.0 * cb.c)), 4) AS pmi
+    FROM pairs JOIN tc ca ON ca.event_type = type_a
+               JOIN tc cb ON cb.event_type = type_b, n
+    ORDER BY type_a, type_b
+    """,
+)
+def q_evt_pmi(spark, sf_dir):
+    """Pointwise mutual information between event types over USER-DAY
+    baskets: PMI(a,b) = ln(P(a,b) / (P(a)P(b))) with probabilities =
+    basket frequencies — the order-free co-occurrence lift that
+    completes the sequence family (q_evt_bigrams counts ADJACENT pairs,
+    q_evt_markov conditions on order; PMI asks only "do these behaviors
+    cluster on the same active day more than chance").  Positive PMI =
+    behaviors that travel together (e.g. error-spike days driving
+    support purchases); negative = substitutes.
+
+    Scale shape: the corpus collapses to the DISTINCT (user, day, type)
+    basket-membership frame in one map-combined aggregate; the pair join
+    is basket-local (per basket at most |types| rows, so fan-out is
+    bounded by |types|^2 per basket — never corpus x corpus); marginals
+    and the basket count are tiny aggregates of the same frame.  Output
+    <= |types|^2 / 2 rows whatever the corpus.  ln of exact integer
+    ratios, one 4-dp rounding site (the q_agg_entropy convention).
+
+    Reference scope: no analytics in the reference facade
+    (api/router/router.go:9-55); co-occurrence sibling of q_evt_bigrams
+    and q_evt_markov."""
+    st = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            "event_type",
+        )
+        .distinct()
+    )
+    nb = st.select("user_id", "day").distinct().agg(
+        F.count("*").alias("nb")
+    )
+    tc = st.groupBy("event_type").agg(F.count("*").alias("c"))
+    a = st.select("user_id", "day", F.col("event_type").alias("type_a"))
+    b = st.select("user_id", "day", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("cab"))
+    )
+    ca = tc.select(F.col("event_type").alias("type_a"), F.col("c").alias("c_a"))
+    cb = tc.select(F.col("event_type").alias("type_b"), F.col("c").alias("c_b"))
+    return (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .join(F.broadcast(nb))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("cab").cast("long").alias("n_baskets"),
+            r4(
+                F.log(
+                    F.col("cab")
+                    * 1.0
+                    * F.col("nb")
+                    / (F.col("c_a") * 1.0 * F.col("c_b"))
+                )
+            ).alias("pmi"),
+        )
+        .orderBy("type_a", "type_b")
+    )
