@@ -794,3 +794,130 @@ def q_text_lang_mixture(spark, sf_dir):
         )
         .orderBy("source", "lang")
     )
+
+
+WINNOW_K = 3  # shingle width (tokens per k-gram)
+WINNOW_W = 4  # winnowing window (k-grams per selection window)
+
+
+@query(
+    "q_text_winnow",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE text IS NOT NULL),
+    g AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(list_slice(ws, i, i + {WINNOW_K - 1}), ' ')) AS h
+      FROM tok, unnest(generate_series(1, len(ws) - {WINNOW_K - 1}))
+           AS t(i)
+      WHERE len(ws) >= {WINNOW_K}),
+    g2 AS (SELECT *, count(*) OVER (PARTITION BY doc_id) AS m FROM g),
+    sel AS (
+      SELECT DISTINCT doc_id, pos, h FROM (
+        SELECT a.doc_id, b.pos, b.h,
+               row_number() OVER (PARTITION BY a.doc_id, a.pos
+                                  ORDER BY b.h, b.pos DESC) AS rn
+        FROM g2 a JOIN g b ON a.doc_id = b.doc_id
+         AND b.pos BETWEEN a.pos AND a.pos + {WINNOW_W - 1}
+        WHERE a.pos <= a.m - {WINNOW_W - 1}
+      ) WHERE rn = 1),
+    hd AS (SELECT DISTINCT doc_id, h FROM sel),
+    sh AS (SELECT h, count(*) AS nd FROM hd GROUP BY h),
+    per AS (
+      SELECT hd.doc_id, count(*) AS n_hashes,
+             count(*) FILTER (nd >= 2) AS n_shared
+      FROM hd JOIN sh USING (h) GROUP BY hd.doc_id),
+    fps AS (SELECT doc_id, count(*) AS n_fps FROM sel GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(n_fps, 0) AS BIGINT)    AS n_fingerprints,
+           CAST(coalesce(n_hashes, 0) AS BIGINT) AS n_hashes,
+           CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared
+    FROM documents d LEFT JOIN fps USING (doc_id) LEFT JOIN per USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q_text_winnow(spark, sf_dir):
+    """WINNOWING fingerprints (Schleimer/Wilkerson/Aiken — the MOSS
+    algorithm): slide a window of {WINNOW_W} consecutive
+    {WINNOW_K}-gram hashes and keep each window's minimum (rightmost on
+    ties — "robust winnowing"), guaranteeing any shared substring of
+    length >= {WINNOW_K}+{WINNOW_W}-1 tokens leaves a shared
+    fingerprint while storing only ~2/({WINNOW_W}+1) of the grams.
+    Emits per doc the selected-position count, distinct hash count, and
+    how many of its hashes appear in OTHER docs — the copy-detection
+    candidate signal; the minhash/simhash family answers set-similarity,
+    winnowing answers SUBSTRING-match.
+
+    Determinism: hashes are md5 HEX STRINGS, compared lexicographically
+    on both engines — the portable-hash convention of the dedup family;
+    selection is an exact per-window argmin with (hash, pos DESC)
+    ordering, realized relationally as a bounded ±{WINNOW_W - 1}
+    position band join per anchor (w-fold fan-out, never doc x doc).
+
+    Scale shape: everything is doc-local until the final shared-hash
+    aggregate, whose shuffle carries only DISTINCT (doc, selected-hash)
+    pairs (~2/(w+1) of gram volume); output is one row per document.
+    Docs shorter than {WINNOW_K}+{WINNOW_W}-1 tokens yield zero
+    fingerprints (no full window) — stated contract.
+
+    Reference scope: no text surface in the reference (Go metadata
+    facade, api/router/router.go:9-55); substring-match sibling of
+    q_text_fingerprint (min-shingle) and q_dedup_fuzzy (MinHash)."""
+    from pyspark.sql import Window as W
+
+    tok = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= WINNOW_K)
+    )
+    g = tok.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(ws) - {WINNOW_K - 1}),"
+                f" i -> md5(array_join(slice(ws, i, {WINNOW_K}), ' ')))"
+            )
+        ).alias("p0", "h"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    g2 = g.withColumn("m", F.count("*").over(W.partitionBy("doc_id")))
+    a = g2.filter(F.col("pos") <= F.col("m") - (WINNOW_W - 1)).select(
+        "doc_id", F.col("pos").alias("apos")
+    )
+    b = g.select("doc_id", "pos", "h")
+    rw = W.partitionBy("doc_id", "apos").orderBy("h", F.desc("pos"))
+    sel = (
+        a.join(b, "doc_id")
+        .filter(
+            (F.col("pos") >= F.col("apos"))
+            & (F.col("pos") <= F.col("apos") + (WINNOW_W - 1))
+        )
+        .withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "pos", "h")
+        .distinct()
+    )
+    hd = sel.select("doc_id", "h").distinct()
+    sh = hd.groupBy("h").agg(F.count("*").alias("nd"))
+    per = (
+        hd.join(sh, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hashes"),
+            F.count(F.when(F.col("nd") >= 2, 1)).alias("n_shared"),
+        )
+    )
+    fps = sel.groupBy("doc_id").agg(F.count("*").alias("n_fps"))
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(fps, "doc_id", "left")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_fps", F.lit(0)).cast("long").alias("n_fingerprints"),
+            F.coalesce("n_hashes", F.lit(0)).cast("long").alias("n_hashes"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+        )
+        .orderBy("doc_id")
+    )

@@ -890,3 +890,72 @@ def q_agg_weighted_median(spark, sf_dir):
         )
         .orderBy("flag")
     )
+
+
+@query(
+    "q_agg_moments",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag AS flag, count(*) AS n,
+             sum(l_quantity) AS s1,
+             sum(l_quantity*l_quantity) AS s2,
+             sum(l_quantity*l_quantity*l_quantity) AS s3,
+             sum(l_quantity*l_quantity*l_quantity*l_quantity) AS s4
+      FROM lineitem GROUP BY 1)
+    SELECT flag, CAST(n AS BIGINT) AS n,
+           round(s1/n, 4) AS mean,
+           round(s2/n - (s1/n)*(s1/n), 4) AS var_pop,
+           round((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+                 / pow(s2/n - (s1/n)*(s1/n), 1.5), 4) AS skewness,
+           round((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                  - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+                 / pow(s2/n - (s1/n)*(s1/n), 2) - 3, 4) AS kurtosis
+    FROM m ORDER BY flag
+    """,
+)
+def q_agg_moments(spark, sf_dir):
+    """Higher distribution moments per group — population mean/variance,
+    skewness, excess kurtosis — computed from RAW POWER SUMS with the
+    moment formulas spelled out on BOTH engines, NOT from the built-in
+    skewness()/kurtosis() aggregates: the built-ins disagree across
+    engines on sample-vs-population convention and excess offset, the
+    classic silent cross-engine trap.  The quantity column is
+    integral-valued, so every x^k and every partial sum is an exact
+    binary64 integer (max ~1.2e11 << 2^53) — summation ORDER cannot
+    change a bit, and the final expressions are the same arithmetic on
+    identical doubles.  One map-combined aggregate (the four power sums
+    combine associatively), |groups| rows out, arithmetic after the
+    shuffle is constant-size.
+
+    Reference scope: no aggregate surface in the reference (Go metadata
+    facade, api/router/router.go:9-55); moment sibling of q_agg_stats
+    (avg/stddev) and q_agg_corr."""
+    q = F.col("l_quantity")
+    m = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(q).alias("s1"),
+            F.sum(q * q).alias("s2"),
+            F.sum(q * q * q).alias("s3"),
+            F.sum(q * q * q * q).alias("s4"),
+        )
+    )
+    mean = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mean * mean
+    m3 = F.col("s3") / F.col("n") - 3 * mean * (F.col("s2") / F.col("n")) + 2 * mean * mean * mean
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mean * (F.col("s3") / F.col("n"))
+        + 6 * mean * mean * (F.col("s2") / F.col("n"))
+        - 3 * mean * mean * mean * mean
+    )
+    return m.select(
+        "flag",
+        F.col("n").cast("long").alias("n"),
+        F.round(mean, 4).alias("mean"),
+        F.round(m2, 4).alias("var_pop"),
+        F.round(m3 / F.pow(m2, F.lit(1.5)), 4).alias("skewness"),
+        F.round(m4 / F.pow(m2, F.lit(2)) - 3, 4).alias("kurtosis"),
+    ).orderBy("flag")
