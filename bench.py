@@ -157,6 +157,13 @@ TRACKED: list[str] = [
     # the kNN edge build + 3 vote shuffles.
     "q_agg_weighted_median",
     "q_graph_label_propagation",
+    # round-11 wave 3: winnow pays the gram explode + band-join
+    # selection + shared-hash shuffle (2.76x at x10); pmi the basket
+    # collapse (2.36x); moments is one map-combined agg (0.96x, kept as
+    # the cheap canary of the 4-power-sum combine).
+    "q_text_winnow",
+    "q_evt_pmi",
+    "q_agg_moments",
 ]
 
 

@@ -171,7 +171,10 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 # |types|^3 <= 125-row broadcast pattern table crossed
                 # with the per-session string frame + 1-row session-count
                 # normalizer: bounded build sides, map-only at any scale
-                "q_evt_seq_patterns"}
+                "q_evt_seq_patterns",
+                # 1-row basket-count normalizer broadcast into the
+                # <=|types|^2/2 pair frame (scalar-distribution shape)
+                "q_evt_pmi"}
 ROW_PYTHON_OK = {"q_udf_python", "q_udtf"}  # ops whose SUBJECT is Python eval
 
 
