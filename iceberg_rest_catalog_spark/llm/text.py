@@ -921,3 +921,116 @@ def q_text_winnow(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+WINNOW_MAX_DF = 10  # frequent-fingerprint cap (hot-hash hygiene)
+WINNOW_MIN_SHARED = 3  # candidate threshold: shared fingerprints
+
+
+@query(
+    "q_dedup_winnow_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE text IS NOT NULL),
+    g AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(list_slice(ws, i, i + {WINNOW_K - 1}), ' ')) AS h
+      FROM tok, unnest(generate_series(1, len(ws) - {WINNOW_K - 1}))
+           AS t(i)
+      WHERE len(ws) >= {WINNOW_K}),
+    g2 AS (SELECT *, count(*) OVER (PARTITION BY doc_id) AS m FROM g),
+    sel AS (
+      SELECT DISTINCT doc_id, pos, h FROM (
+        SELECT a.doc_id, b.pos, b.h,
+               row_number() OVER (PARTITION BY a.doc_id, a.pos
+                                  ORDER BY b.h, b.pos DESC) AS rn
+        FROM g2 a JOIN g b ON a.doc_id = b.doc_id
+         AND b.pos BETWEEN a.pos AND a.pos + {WINNOW_W - 1}
+        WHERE a.pos <= a.m - {WINNOW_W - 1}
+      ) WHERE rn = 1),
+    hd AS (SELECT DISTINCT doc_id, h FROM sel),
+    hc AS (SELECT h, count(*) AS nd FROM hd GROUP BY h),
+    rare AS (SELECT hd.doc_id, hd.h FROM hd JOIN hc USING (h)
+             WHERE nd BETWEEN 2 AND {WINNOW_MAX_DF})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared
+    FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_winnow_pairs(spark, sf_dir):
+    """Winnowing-based COPY-CANDIDATE pairs — q_text_winnow turned into a
+    dedup candidate generator: documents sharing >= {WINNOW_MIN_SHARED}
+    selected fingerprints (each fingerprint witnessing a shared
+    >= {WINNOW_K}+{WINNOW_W}-1-token substring) pair up with their
+    shared count.  Complements the MinHash family: LSH finds
+    SET-similar documents, winnowing finds documents sharing literal
+    PASSAGES even when the rest differs completely — the
+    quote/boilerplate/partial-copy case MinHash dilutes away.
+
+    Scale hygiene (the phash hot-bucket precedent): fingerprints
+    appearing in more than {WINNOW_MAX_DF} documents are excluded from
+    pairing BEFORE the self-join — a ubiquitous boilerplate passage
+    would otherwise pair quadratically; the cap is a df-bounded join on
+    rare hashes, so candidate volume is sum over rare hashes of
+    nd^2 <= {WINNOW_MAX_DF} x selected volume.  Everything upstream is
+    the q_text_winnow doc-local pipeline.
+
+    Reference scope: no text surface in the reference (Go metadata
+    facade, api/router/router.go:9-55); substring-candidate sibling of
+    q_dedup_fuzzy (MinHash-LSH) and q_multimodal_phash_dedup (chunked
+    hamming)."""
+    from pyspark.sql import Window as W
+
+    tok = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= WINNOW_K)
+    )
+    g = tok.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(ws) - {WINNOW_K - 1}),"
+                f" i -> md5(array_join(slice(ws, i, {WINNOW_K}), ' ')))"
+            )
+        ).alias("p0", "h"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    g2 = g.withColumn("m", F.count("*").over(W.partitionBy("doc_id")))
+    a = g2.filter(F.col("pos") <= F.col("m") - (WINNOW_W - 1)).select(
+        "doc_id", F.col("pos").alias("apos")
+    )
+    rw = W.partitionBy("doc_id", "apos").orderBy("h", F.desc("pos"))
+    sel = (
+        a.join(g, "doc_id")
+        .filter(
+            (F.col("pos") >= F.col("apos"))
+            & (F.col("pos") <= F.col("apos") + (WINNOW_W - 1))
+        )
+        .withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "pos", "h")
+        .distinct()
+    )
+    hd = sel.select("doc_id", "h").distinct()
+    hc = hd.groupBy("h").agg(F.count("*").alias("nd"))
+    rare = hd.join(
+        hc.filter(
+            (F.col("nd") >= 2) & (F.col("nd") <= WINNOW_MAX_DF)
+        ),
+        "h",
+    ).select("doc_id", "h")
+    ra = rare.select(F.col("doc_id").alias("doc_a"), "h")
+    rb = rare.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        ra.join(rb, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= WINNOW_MIN_SHARED)
+        .select("doc_a", "doc_b", F.col("shared").cast("long").alias("shared"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -23,7 +23,7 @@ def test_queries_collect_without_spark_session():
         # exact-count pin (VERDICT r9 item 7): a module import that silently
         # fails to register its queries trips this loudly; bump on every
         # operator addition.
-        "assert len(qs) == 305, len(qs)\n"
+        "assert len(qs) == 306, len(qs)\n"
         "assert set(osql) <= set(qs), sorted(set(osql) - set(qs))\n"
         "print('OK', len(qs), len(osql))\n" % REPO
     )
@@ -231,7 +231,7 @@ def test_bench_suites_resolve_in_registry():
 
 def test_round11_window_head_is_new_ops_then_r5_block():
     """Concrete pin of the round-11 rotation (only while r10 is the newest
-    committed artifact): the nineteen round-11 operators have no driver
+    committed artifact): the twenty round-11 operators have no driver
     row yet so they LEAD in registration order, and the window then fills
     oldest-evidence-first from the r5-stale block.  Regenerate per round."""
     import glob as _glob
@@ -273,6 +273,7 @@ def test_round11_window_head_is_new_ops_then_r5_block():
         "q_meta_refs",
         "q_join_fuzzy_match",
         "q_text_winnow",
+        "q_dedup_winnow_pairs",
     ]
     n = len(new_ops)
     assert ids[:n] == new_ops and all(q not in last_seen for q in new_ops)
