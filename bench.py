@@ -157,13 +157,18 @@ TRACKED: list[str] = [
     # the kNN edge build + 3 vote shuffles.
     "q_agg_weighted_median",
     "q_graph_label_propagation",
-    # round-11 wave 3: winnow pays the gram explode + band-join
-    # selection + shared-hash shuffle (2.76x at x10); pmi the basket
+    # round-11 wave 3: winnow pays the gram explode + sliding-window
+    # selection + shared-hash shuffle (2.76x at x10; r12 re-planned the
+    # band join to a join-free ROWS-frame min); pmi the basket
     # collapse (2.36x); moments is one map-combined agg (0.96x, kept as
     # the cheap canary of the 4-power-sum combine).
     "q_text_winnow",
     "q_evt_pmi",
     "q_agg_moments",
+    # round-11 late add, tracked from its first bench round (r12 — the
+    # r3-item-6 birth convention): winnow selection + df-capped
+    # rare-hash self-join pairing.
+    "q_dedup_winnow_pairs",
 ]
 
 

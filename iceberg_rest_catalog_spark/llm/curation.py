@@ -191,11 +191,14 @@ def q_data_epochs(spark, sf_dir):
     one map-combined aggregate (the only data-sized pass); the ordering,
     prefix sums, prefix-AND and level computation are windows over that
     broadcast-sized frame.  All comparisons and prefix sums are INTEGER
-    (tokens) except the budget itself — the one shared double, computed
-    from the same integers by both engines (14*T/5 is exact in binary64
-    up to 2^53 before the division, and a fractional level can never TIE
-    an integer capacity, so the strict < is unambiguous); divisions
-    happen once at output, rounded to 4dp.
+    (tokens) except the budget itself — the one shared double.  The
+    determinism argument is NOT that the budget is fractional (14*T/5 is
+    an exact integer whenever T % 5 == 0): it is that both engines
+    compute the IDENTICAL binary64 value from the same integers (exact
+    up to 2^53 before the one division) and apply the same strict <, so
+    the capped-prefix decision is bit-identical cross-engine even when
+    the budget exactly ties a capacity; divisions happen once at output,
+    rounded to 4dp.
 
     Reference scope: no mixture surface in the reference (Go metadata
     facade, api/router/router.go:9-55); north-star curation sibling of

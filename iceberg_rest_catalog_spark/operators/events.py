@@ -2095,6 +2095,15 @@ def q_evt_seq_patterns(spark, sf_dir):
         .select(F.substring("s0", 1, SEQ_PREFIX_LEN).alias("s"))
     )
     ty = ev.select(F.col("event_type").alias("t")).distinct()
+    # Regen guard (ADVICE r11, the guard_session_gap pattern): sessions are
+    # encoded as type INITIALS, injective only while initials are distinct
+    # and regex-safe — a regenerated fixture violating that would alias
+    # distinct patterns identically on BOTH engines, invisible to the
+    # value-hash gate.  Bounded pull: |event types| rows.
+    initials = [r.t[:1] for r in ty.collect()]
+    assert len(set(initials)) == len(initials) and all(
+        i.isalpha() for i in initials
+    ), f"seq_patterns needs distinct alphabetic event-type initials, got {initials}"
     a, b, c = ty.alias("a"), ty.alias("b"), ty.alias("c")
     pats = (
         a.crossJoin(b)
@@ -2385,17 +2394,28 @@ def q_evt_attribution_markov(spark, sf_dir):
         return pconv
 
     base = absorb(None)
-    removals = [(c, 1.0 - absorb(c) / base) for c in channels]
-    tot = sum(x for _, x in removals)
+    # Degraded-fixture guards (ADVICE r11): DuckDB renders x/0 as NULL,
+    # so a fixture with no converting journeys (base == 0) yields NULL
+    # removal effects, and an all-zero removal total yields NULL
+    # attribution — degrade identically instead of ZeroDivisionError.
+    removals = [
+        (c, 1.0 - absorb(c) / base if base != 0 else None) for c in channels
+    ]
+    tot = sum(x for _, x in removals if x is not None)
 
-    def r4d(x: float) -> float:
+    def r4d(x):
         # DuckDB's rounding convention (multiply-floor), the house rule
         # for driver-side sequential results (SCALE.md round-9 finding)
         import math
 
+        if x is None:
+            return None
         return math.copysign(math.floor(abs(x) * 1e4 + 0.5) / 1e4, x)
 
-    data = [(c, r4d(x), r4d(x / tot)) for c, x in removals]
+    data = [
+        (c, r4d(x), r4d(x / tot) if x is not None and tot != 0 else None)
+        for c, x in removals
+    ]
     return spark.createDataFrame(
         data, "channel string, removal_effect double, attribution double"
     ).orderBy("channel")

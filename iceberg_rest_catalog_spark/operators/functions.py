@@ -426,7 +426,7 @@ def q_fn_variant(spark, sf_dir):
     "q_fn_regexp",
     oracle="""
     SELECT doc_id,
-           regexp_extract_all(text, '[0-9]+')                  AS nums,
+           coalesce(array_to_string(regexp_extract_all(text, '[0-9]+'), ','), '') AS nums,
            CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_words,
            regexp_replace(text, '[aeiou]', '', 'g')            AS no_vowels,
            regexp_matches(text, '[0-9]')                       AS has_digit,
@@ -436,12 +436,15 @@ def q_fn_variant(spark, sf_dir):
 )
 def q_fn_regexp(spark, sf_dir):
     """Regex function family over document text: extract-ALL (array
-    result), match counting, GLOBAL replace, boolean match, anchored
-    capture — the surface q_fn_string's single regexp_extract doesn't
-    cover.  Dialect note: patterns stay in the character-class/anchor
+    result, stringified per the q_fn_array convention for
+    engine-agnostic comparison), match counting, GLOBAL replace,
+    boolean match, anchored capture — the surface q_fn_string's single
+    regexp_extract doesn't cover.  Dialect note: patterns stay in the character-class/anchor
     subset where Java regex (Spark) and RE2 (DuckDB) agree; DuckDB's
     regexp_replace needs the explicit 'g' flag to match Spark's
-    always-global semantics.  All map-only, whole-stage codegen'd —
+    always-global semantics, and its array_to_string yields NULL on an
+    empty array where Spark's array_join yields '' (coalesced in the
+    oracle).  All map-only, whole-stage codegen'd —
     no Python.
 
     Reference scope: no expression surface in the reference (Go metadata
@@ -449,7 +452,9 @@ def q_fn_regexp(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.regexp_extract_all("text", F.lit("[0-9]+"), 0).alias("nums"),
+        F.array_join(
+            F.regexp_extract_all("text", F.lit("[0-9]+"), 0), ","
+        ).alias("nums"),
         F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0))
         .cast("int")
         .alias("n_words"),

@@ -260,6 +260,59 @@ def q_stream_stateful(spark, sf_dir):
     return _run_foreach_batch(spark, stateful, "update", sink)
 
 
+def _max_gap_fold(state_tuple, pdfs):
+    """q_stream_transform_state's per-batch state fold — ONE function run
+    by BOTH state-API arms (transformWithStateInPandas and the
+    applyInPandasWithState fallback), module-level so the unit suite can
+    pin its algebra without a streaming harness.  Vectorized: within a
+    batch the gaps are one np.diff over the sorted stamps; only the
+    boundary gap touches the carried (last_ts, n, max_gap) state."""
+    import numpy as np
+
+    last_ts, n, max_gap = state_tuple
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        # pin the epoch unit: Arrow hands pandas ns-resolution stamps
+        us = np.sort(
+            pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+            // 1000
+        )
+        cand = int(np.diff(us).max()) if len(us) > 1 else None
+        if last_ts is not None:
+            boundary = int(us[0]) - last_ts
+            cand = boundary if cand is None else max(cand, boundary)
+        if cand is not None and (max_gap is None or cand > max_gap):
+            max_gap = cand
+        last_ts = int(us[-1])
+        n += len(us)
+    return last_ts, n, max_gap
+
+
+def _tws_available() -> bool:
+    """Probe for Spark 4's native transformWithStateInPandas arm: its
+    Python state server speaks protobuf, so the arm needs the
+    ``protobuf`` package.  ICSB_STREAM_STATE_API=tws|apply overrides the
+    probe so each arm is testable explicitly (VERDICT r11 item 8):
+    forcing ``tws`` without protobuf raises ImportError loudly rather
+    than silently falling back."""
+    forced = os.environ.get("ICSB_STREAM_STATE_API", "").lower()
+    if forced == "apply":
+        return False
+    try:
+        import google.protobuf  # noqa: F401  (state-server wire format)
+
+        return True
+    except ImportError:
+        if forced == "tws":
+            raise ImportError(
+                "ICSB_STREAM_STATE_API=tws forced the native "
+                "transformWithStateInPandas arm, but the protobuf package "
+                "its state server requires is not installed"
+            )
+        return False
+
+
 @query(
     "q_stream_transform_state",
     oracle="""
@@ -298,8 +351,10 @@ def q_stream_transform_state(spark, sf_dir):
     package for its state-server wire format; in environments without it
     (this container) the operator runs the IDENTICAL state fold on
     ``applyInPandasWithState``.  Both paths share the same per-batch
-    fold function, and the API knob is an import probe, so the semantics
-    — and the oracle — are one.
+    fold function (module-level ``_max_gap_fold``), and the API knob is
+    an import probe overridable via ICSB_STREAM_STATE_API=tws|apply
+    (each arm explicitly testable, VERDICT r11 item 8), so the
+    semantics — and the oracle — are one.
 
     Reference scope: no streaming in the reference facade
     (api/router/router.go:9-55); state-API sibling of q_stream_stateful
@@ -326,37 +381,8 @@ def q_stream_transform_state(spark, sf_dir):
     for i, p in enumerate(sorted(_glob.glob(os.path.join(src, "part-*.parquet")))):
         os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
 
-    def _fold(state_tuple, pdfs):
-        """The shared per-batch state fold (both API paths run this).
-        Vectorized: within a batch the gaps are one np.diff over the
-        sorted stamps; only the boundary gap touches the carried state."""
-        import numpy as np
-
-        last_ts, n, max_gap = state_tuple
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            # pin the epoch unit: Arrow hands pandas ns-resolution stamps
-            us = np.sort(
-                pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
-                // 1000
-            )
-            cand = int(np.diff(us).max()) if len(us) > 1 else None
-            if last_ts is not None:
-                boundary = int(us[0]) - last_ts
-                cand = boundary if cand is None else max(cand, boundary)
-            if cand is not None and (max_gap is None or cand > max_gap):
-                max_gap = cand
-            last_ts = int(us[-1])
-            n += len(us)
-        return last_ts, n, max_gap
-
-    try:
-        import google.protobuf  # noqa: F401  (state-server wire format)
-
-        have_tws = True
-    except ImportError:
-        have_tws = False
+    _fold = _max_gap_fold
+    have_tws = _tws_available()
 
     sdf = (
         spark.readStream.schema(ev.schema)
@@ -712,8 +738,8 @@ def q_stream_join_full(spark, sf_dir):
     oracle="""
     WITH dim AS (
       SELECT user_id,
-             CASE WHEN sum(value) >= 100 THEN 'high'
-                  WHEN sum(value) >= 50 THEN 'mid'
+             CASE WHEN sum(CAST(round(value * 10000) AS BIGINT)) >= 1000000 THEN 'high'
+                  WHEN sum(CAST(round(value * 10000) AS BIGINT)) >= 500000 THEN 'mid'
                   ELSE 'low' END AS tier
       FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
       GROUP BY user_id
@@ -762,14 +788,20 @@ def q_stream_dim_join(spark, sf_dir):
         [NestedField(1, "user_id", "long"), NestedField(2, "tier", "string")],
     )
     dim_tbl = cat.create_table(("db", "user_tier"), sch)
+    # Tier thresholds compare an INTEGER e4-unit sum, not a double sum:
+    # binary64 addition is non-associative, so Spark's partial-agg order
+    # vs DuckDB's could flip `sum(value) >= 100` at a boundary (ADVICE
+    # r11).  round(value*10000) is the identical binary64->integer map on
+    # both engines; the long sum is then order-independent and exact.
     dim = (
-        ev.filter(F.col("user_id").isNotNull())
+        t(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & F.col("user_id").isNotNull())
         .groupBy("user_id")
-        .agg(F.sum("value").alias("spend"))
+        .agg(F.sum(F.round(F.col("value") * 10000).cast("long")).alias("spend_e4"))
         .select(
             "user_id",
-            F.when(F.col("spend") >= 100, "high")
-            .when(F.col("spend") >= 50, "mid")
+            F.when(F.col("spend_e4") >= 100 * 10000, "high")
+            .when(F.col("spend_e4") >= 50 * 10000, "mid")
             .otherwise("low")
             .alias("tier"),
         )

@@ -1652,7 +1652,9 @@ def test_orphan_audit_partitions_physical_files(spark, qs):
 
     rows = {r.kind: r for r in qs["q_meta_orphan_files"](spark, SF).collect()}
     assert set(rows) == {"live", "orphan"}
-    wh = "/tmp/icsb_scratch/root_testdata_sf0.001/catalog_data/orphan_files"
+    from iceberg_rest_catalog_spark.operators.common import scratch_dir
+
+    wh = scratch_dir(SF, "catalog_data", "orphan_files")
     loc = os.path.join(wh, "db", "orders_o")
     physical = glob.glob(os.path.join(loc, "data", "**", "*.parquet"), recursive=True)
     assert rows["live"].n_files + rows["orphan"].n_files == len(physical)
@@ -1685,3 +1687,94 @@ def test_markov_attribution_shares_normalize(spark, qs):
     assert all(0.0 <= r.removal_effect <= 1.0 for r in rows)
     top = max(rows, key=lambda r: r.attribution)
     assert top.removal_effect == max(r.removal_effect for r in rows)
+
+
+def test_max_gap_fold_is_batch_split_invariant():
+    """q_stream_transform_state's shared state fold (both API arms run the
+    SAME _max_gap_fold): folding a stream in any micro-batch split equals
+    folding it whole, and both equal the brute-force max adjacent gap —
+    the algebra that makes the arms interchangeable (VERDICT r11 item 8)."""
+    import numpy as np
+    import pandas as pd
+
+    from iceberg_rest_catalog_spark.streaming.queries import _max_gap_fold
+
+    rng = np.random.RandomState(7)
+    stamps = np.sort(rng.randint(0, 10**9, size=40)) * 1000  # ns, us-aligned
+    ts = pd.Series(pd.to_datetime(stamps, unit="ns"))
+
+    def run(split_points):
+        st = (None, 0, None)
+        prev = 0
+        for cut in list(split_points) + [len(ts)]:
+            st = _max_gap_fold(st, [pd.DataFrame({"ts": ts[prev:cut]})])
+            prev = cut
+        return st
+
+    whole = run([])
+    assert whole == run([10, 25]) == run(range(1, 40))
+    us = stamps // 1000
+    assert whole == (int(us[-1]), 40, int(np.diff(us).max()))
+    # empty batches are identity
+    st = _max_gap_fold(whole, [pd.DataFrame({"ts": ts[:0]})])
+    assert st == whole
+
+
+def _run_transform_state_arm(spark, qs, arm):
+    import os
+
+    old = os.environ.get("ICSB_STREAM_STATE_API")
+    os.environ["ICSB_STREAM_STATE_API"] = arm
+    try:
+        return {
+            r.user_id: (r.n_events, r.max_gap_us)
+            for r in qs["q_stream_transform_state"](spark, SF).collect()
+        }
+    finally:
+        if old is None:
+            del os.environ["ICSB_STREAM_STATE_API"]
+        else:
+            os.environ["ICSB_STREAM_STATE_API"] = old
+
+
+def test_transform_state_apply_arm(spark, qs):
+    """The applyInPandasWithState fallback arm, forced explicitly: per-user
+    event counts must match the batch table; gaps are positive."""
+    from iceberg_rest_catalog_spark.io import load_table
+
+    got = _run_transform_state_arm(spark, qs, "apply")
+    expect = {
+        r.user_id: r.n
+        for r in load_table(spark, SF, "events")
+        .filter("user_id IS NOT NULL")
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert {u: v[0] for u, v in got.items()} == expect
+    assert all(v[1] is None or v[1] >= 0 for v in got.values())
+
+
+def test_transform_state_native_arm_matches_fallback(spark, qs):
+    """The native transformWithStateInPandas arm (needs protobuf for its
+    state server; skip-marked where the container lacks it) must produce
+    EXACTLY the fallback arm's answer — the one-semantics contract."""
+    pytest.importorskip("google.protobuf")
+    native = _run_transform_state_arm(spark, qs, "tws")
+    fallback = _run_transform_state_arm(spark, qs, "apply")
+    assert native == fallback
+
+
+def test_transform_state_forcing_tws_without_protobuf_raises(spark, qs):
+    """ICSB_STREAM_STATE_API=tws on a protobuf-less container must raise
+    loudly, never silently fall back (the override exists so each arm is
+    genuinely exercised when forced)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf present: the forced arm would succeed")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="transformWithStateInPandas"):
+        _run_transform_state_arm(spark, qs, "tws")

@@ -280,3 +280,42 @@ def test_round11_window_head_is_new_ops_then_r5_block():
     # the 50-window tail is the r5-stale block, id-sorted
     assert all(last_seen[q] == 5 for q in ids[n:50])
     assert ids[n:50] == sorted(ids[n:50])
+
+# Round-12 additions, in registration order.  Update alongside every new
+# @query registration this round — the rotation pin below derives from it.
+R12_NEW_OPS: list[str] = []
+
+
+def test_round12_window_head_is_red_then_r5_stale():
+    """Concrete pin of the round-12 rotation (only while r11 is the newest
+    committed artifact): any round-12 newborns lead (never-checked), then
+    q_fn_regexp — the ONLY red r11 row (driver canonicalizer crash on its
+    raw array column, fixed this round by the q_fn_array stringify
+    convention) — then green oldest-evidence-first.  Regenerate per round."""
+    import glob as _glob
+    import re as _re
+
+    sys.path.insert(0, REPO)
+    newest = max(
+        int(_re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
+        for p in _glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    )
+    if newest != 11:
+        import pytest
+
+        pytest.skip(f"rotation pin written against r11 artifacts (newest: r{newest})")
+
+    import __spark_entry__ as e
+    from iceberg_rest_catalog_spark import registry
+
+    ids = list(e.queries())
+    last_seen, failed = registry.driver_evidence()
+    assert set(failed) == {"q_fn_regexp"}
+    n = len(R12_NEW_OPS)
+    assert ids[:n] == R12_NEW_OPS and all(q not in last_seen for q in R12_NEW_OPS)
+    assert ids[n] == "q_fn_regexp"  # the red row is pinned first after newborns
+    # the green remainder drains the 7 remaining r5-stale ids, then r6-stale,
+    # each block id-sorted — i.e. (last_seen, id)-ordered
+    tail = ids[n + 1 : 50]
+    assert tail == sorted(tail, key=lambda q: (last_seen[q], q))
+    assert {last_seen[q] for q in tail} <= {5, 6}

@@ -291,3 +291,22 @@ def test_session_features_single_user_shuffle(spark):
 
     keys = set(re.findall(r"hashpartitioning\((\w+)", p))
     assert keys <= {"user_id"}, keys
+
+
+@pytest.mark.parametrize("name", ["q_text_winnow", "q_dedup_winnow_pairs"])
+def test_winnow_selection_is_joinfree_sliding_window(spark, name):
+    """Winnowing's per-window argmin must execute as a sliding ROWS-frame
+    window aggregate (min(struct(h,-pos)) OVER doc_id ORDER BY pos ROWS
+    CURRENT..w-1), never a doc_id join with the position band as a
+    residual — the r11 shape enumerated |grams| x |anchors| pairs per
+    document (quadratic in doc LENGTH, VERDICT r11).  Pins: no 'apos'
+    anchor column anywhere; the sliding frame is present; every
+    remaining join carries no residual touching a position column
+    (q_dedup_winnow_pairs' doc_a < doc_b pair-ordering residual on the
+    h-equi self-join is the one legitimate non-equi condition)."""
+    p = plan(spark, name)
+    assert "apos" not in p
+    assert "currentrow$(), 3" in p  # RowFrame [CURRENT ROW, w-1 FOLLOWING]
+    for chunk in p.split("Join condition: ")[1:]:
+        cond = chunk.split("\n")[0].strip()
+        assert "pos" not in cond, cond

@@ -104,6 +104,33 @@ def build_events(src: str, dst: str, n_total: int) -> int:
     return len(big)
 
 
+def build_long_documents(src: str, dst: str, n_rep: int) -> int:
+    """Doc-LENGTH axis (VERDICT r11 item 4): same document COUNT, each
+    text n_rep× LONGER.  The count-axis corpora above are structurally
+    blind to per-doc super-linear terms (a |grams|×|anchors| band join
+    looks linear when only doc count grows); this corpus varies exactly
+    the length term.  Construction: n_rep concatenated variants of the
+    doc's own tokens, every 3rd token of variant k replaced by marker
+    ``lg{k}`` — gram vocabulary stays per-variant distinct (no trivial
+    within-doc duplicate-gram collapse), shared-passage structure across
+    near-dup docs survives inside each variant."""
+    d = pq.read_table(f"{src}/documents.parquet").to_pandas()
+
+    def stretch(t):
+        if not isinstance(t, str):
+            return t
+        ws = t.split(" ")
+        return " ".join(
+            w if i % 3 else f"lg{k}"
+            for k in range(n_rep)
+            for i, w in enumerate(ws)
+        )
+
+    d = d.assign(text=d["text"].map(stretch))
+    _write_like(f"{src}/documents.parquet", f"{dst}/documents.parquet", d)
+    return len(d)
+
+
 def build(src: str, dst: str, n_total: int = 4, all_tables: bool = False) -> int:
     os.makedirs(dst, exist_ok=True)
     n = build_documents(src, dst, n_total)
@@ -122,12 +149,24 @@ def build(src: str, dst: str, n_total: int = 4, all_tables: bool = False) -> int
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--all-tables"]
-    all_tables = "--all-tables" in sys.argv[1:]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
     dst = args[1] if len(args) > 1 else "/tmp/scale_x4"
     n_total = int(args[2]) if len(args) > 2 else 4
     if not os.path.isdir(src):
         sys.exit(f"adversarial_corpus: source fixture dir {src!r} does not exist")
-    n = build(src, dst, n_total, all_tables)
-    print(f"wrote {n} documents to {dst} (x{n_total}, all_tables={all_tables})")
+    if "--long-docs" in flags:
+        os.makedirs(dst, exist_ok=True)
+        n = build_long_documents(src, dst, n_total)
+        for t_name in TABLES:
+            link = f"{dst}/{t_name}.parquet"
+            if not os.path.exists(link):
+                os.symlink(f"{src}/{t_name}.parquet", link)
+        print(f"wrote {n} documents to {dst} (length x{n_total})")
+    else:
+        n = build(src, dst, n_total, "--all-tables" in flags)
+        print(
+            f"wrote {n} documents to {dst} "
+            f"(x{n_total}, all_tables={'--all-tables' in flags})"
+        )

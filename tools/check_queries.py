@@ -75,10 +75,16 @@ def dtype_mismatches(spdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
             out.append(f"{col}: spark={a} oracle={b}")
     return out
 
-spark = get_spark("check")
-con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+def nonscalar_columns(df: pd.DataFrame) -> list[str]:
+    """Columns holding arrays/maps/structs — the driver's canonicalizer
+    sorts object columns and CRASHES on unhashable values (q_fn_regexp,
+    red in CORRECTNESS_r11).  This checker used to stringify lists
+    itself (masking exactly that miss), so it must be at least as
+    strict as the driver: any non-scalar output column is a FAIL; the
+    repo convention is to stringify arrays in the query itself
+    (q_fn_array, operators/functions.py)."""
+    return [c for c in df.columns if _kind(df[c]) in ("array", "map")]
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -94,35 +100,50 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df2 = pd.DataFrame({"r": rows})
     return df2
 
-qs = entry.queries()
-os_ = entry.oracle_sql()
-fails = []
-for name in sorted(qs):
-    if only and name not in only: continue
-    try:
-        sdf = qs[name](spark, SF_DIR)
-        spdf = sdf.toPandas()
-        if name not in os_:
-            print(f"{name}: rows-only {len(spdf)}")
-            continue
-        odf = con.execute(os_[name]).fetchdf()
-        a, b = norm(spdf), norm(odf)
-        ok_rows = len(spdf) == len(odf)
-        ha = hashlib.md5("\n".join(a["r"]).encode()).hexdigest()
-        hb = hashlib.md5("\n".join(b["r"]).encode()).hexdigest()
-        dmm = dtype_mismatches(spdf, odf) if STRICT_DTYPES else []
-        status = "PASS" if (ok_rows and ha == hb and not dmm) else "FAIL"
-        if status == "FAIL":
+def main():
+    spark = get_spark("check")
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    qs = entry.queries()
+    os_ = entry.oracle_sql()
+    fails = []
+    for name in sorted(qs):
+        if only and name not in only: continue
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            spdf = sdf.toPandas()
+            bad_cols = nonscalar_columns(spdf)
+            if bad_cols:
+                fails.append(name)
+                print(f"{name}: FAIL non-scalar output columns {bad_cols} "
+                      "(driver canonicalizer rejects arrays/maps — stringify in the query)")
+                continue
+            if name not in os_:
+                print(f"{name}: rows-only {len(spdf)}")
+                continue
+            odf = con.execute(os_[name]).fetchdf()
+            a, b = norm(spdf), norm(odf)
+            ok_rows = len(spdf) == len(odf)
+            ha = hashlib.md5("\n".join(a["r"]).encode()).hexdigest()
+            hb = hashlib.md5("\n".join(b["r"]).encode()).hexdigest()
+            dmm = dtype_mismatches(spdf, odf) if STRICT_DTYPES else []
+            status = "PASS" if (ok_rows and ha == hb and not dmm) else "FAIL"
+            if status == "FAIL":
+                fails.append(name)
+                print(f"{name}: FAIL rows={len(spdf)}/{len(odf)} cols={sorted(spdf.columns)}/{sorted(odf.columns)}")
+                for m in dmm: print("  dtype:", m)
+                amm = set(a["r"]); bmm = set(b["r"])
+                for x in list(amm - bmm)[:3]: print("  spark-only:", x[:200])
+                for x in list(bmm - amm)[:3]: print("  oracle-only:", x[:200])
+            else:
+                print(f"{name}: PASS ({len(spdf)} rows)")
+        except Exception as ex:
             fails.append(name)
-            print(f"{name}: FAIL rows={len(spdf)}/{len(odf)} cols={sorted(spdf.columns)}/{sorted(odf.columns)}")
-            for m in dmm: print("  dtype:", m)
-            amm = set(a["r"]); bmm = set(b["r"])
-            for x in list(amm - bmm)[:3]: print("  spark-only:", x[:200])
-            for x in list(bmm - amm)[:3]: print("  oracle-only:", x[:200])
-        else:
-            print(f"{name}: PASS ({len(spdf)} rows)")
-    except Exception as ex:
-        fails.append(name)
-        print(f"{name}: ERROR {type(ex).__name__}: {ex}")
-print("FAILED:", fails if fails else "none")
-sys.exit(1 if fails else 0)
+            print(f"{name}: ERROR {type(ex).__name__}: {ex}")
+    print("FAILED:", fails if fails else "none")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

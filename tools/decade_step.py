@@ -13,6 +13,7 @@ Usage: python tools/adversarial_corpus.py /root/testdata/sf0.1 \
 """
 
 import json
+import os
 import sys
 import time
 
@@ -21,8 +22,13 @@ sys.path.insert(0, "/root/repo")
 from iceberg_rest_catalog_spark import registry
 from iceberg_rest_catalog_spark.session import get_spark
 
-BASE = "/root/testdata/sf0.1"
-X10 = "/tmp/scale_x10"
+BASE = os.environ.get("DECADE_BASE_DIR", "/root/testdata/sf0.1")
+# Point DECADE_X_DIR at a different step corpus to measure another axis —
+# e.g. /tmp/scale_len10 (--long-docs builder) for the doc-LENGTH axis
+# (VERDICT r11 item 4: count-axis corpora can't see per-doc super-linear
+# terms).  DECADE_X_LABEL names the column in the JSON output.
+X10 = os.environ.get("DECADE_X_DIR", "/tmp/scale_x10")
+X_LABEL = os.environ.get("DECADE_X_LABEL", "x10")
 QUERIES = [
     "q_dedup_fuzzy",
     "q_dedup_fuzzy_verified",
@@ -44,15 +50,15 @@ def main() -> None:
     for name in names:
         fn = qs[name]
         rec = {"query": name}
-        for label, sf in (("sf0.1", BASE), ("x10", X10)):
+        for label, sf in (("sf0.1", BASE), (X_LABEL, X10)):
             fn(spark, sf).write.format("noop").mode("overwrite").save()  # warm
             t0 = time.perf_counter()
             fn(spark, sf).write.format("noop").mode("overwrite").save()
             rec[f"{label}_sec"] = round(time.perf_counter() - t0, 2)
             rec[f"{label}_rows"] = fn(spark, sf).count()
-        rec["ratio"] = round(rec["x10_sec"] / max(rec["sf0.1_sec"], 1e-9), 2)
+        rec["ratio"] = round(rec[f"{X_LABEL}_sec"] / max(rec["sf0.1_sec"], 1e-9), 2)
         rec["out_ratio"] = round(
-            rec["x10_rows"] / max(rec["sf0.1_rows"], 1), 2
+            rec[f"{X_LABEL}_rows"] / max(rec["sf0.1_rows"], 1), 2
         )
         print(json.dumps(rec), flush=True)
 
