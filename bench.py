@@ -169,6 +169,13 @@ TRACKED: list[str] = [
     # r3-item-6 birth convention): winnow selection + df-capped
     # rare-hash self-join pairing.
     "q_dedup_winnow_pairs",
+    # round-12 newborns above the overhead floor (idle-box medians 3.0 s /
+    # 1.1 s at birth): kcore pays the LSH edge build + 4 peel rounds,
+    # paths the sessionize shuffle.  The other four r12 ops are
+    # overhead-bound at sf0.1 (dow_profile 0.45 s, kmv 0.72 s, sub_all
+    # 0.54 s, spatial_grid 0.80 s) — not tracked, the q_ts_ewma precedent.
+    "q_graph_kcore",
+    "q_evt_paths",
 ]
 
 

@@ -959,3 +959,121 @@ def q_agg_moments(spark, sf_dir):
         F.round(m3 / F.pow(m2, F.lit(1.5)), 4).alias("skewness"),
         F.round(m4 / F.pow(m2, F.lit(2)) - 3, 4).alias("kurtosis"),
     ).orderBy("flag")
+
+
+KMV_K = 64  # sketch size: k minimum hash values per group
+
+
+@query(
+    "q_agg_kmv",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 11))::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    rk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h),
+    sk AS (SELECT event_type, h FROM rk WHERE rn <= {KMV_K}),
+    ex AS (
+      SELECT event_type, count(DISTINCT user_id) AS n_exact
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type),
+    per AS (
+      SELECT s.event_type, ex.n_exact, max(s.h) AS hk, count(*) AS m
+      FROM sk s JOIN ex ON ex.event_type = s.event_type
+      GROUP BY s.event_type, ex.n_exact),
+    -- union-merge: the k smallest over the UNION of the per-group
+    -- sketches (never the raw hashes) -- the mergeability being tested
+    u AS (
+      SELECT h FROM (SELECT DISTINCT h FROM sk) ORDER BY h LIMIT {KMV_K}),
+    uper AS (
+      SELECT '(all)' AS event_type,
+             (SELECT count(DISTINCT user_id) FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL) AS n_exact,
+             max(h) AS hk, count(*) AS m
+      FROM u),
+    allrows AS (SELECT * FROM per UNION ALL SELECT * FROM uper)
+    SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
+           round(CASE WHEN m < {KMV_K} THEN m * 1.0
+                      ELSE ({KMV_K} - 1) * 17592186044416.0 / hk END, 4)
+             AS kmv_est
+    FROM allrows ORDER BY event_type
+    """,
+)
+def q_agg_kmv(spark, sf_dir):
+    """KMV (k-minimum-values / bottom-k) DISTINCT sketch per event type,
+    plus the union-merged corpus sketch — the mergeable
+    distinct-counting primitive behind theta sketches: keep the
+    {KMV_K} smallest hash values of the key set; the k-th smallest
+    normalized hash h_k estimates the cardinality as (k-1)/h_k, and two
+    sketches merge by taking the k smallest of their union — the
+    property that lets per-partition / per-day sketches roll up without
+    re-reading data (q_agg_hll_merge's mergeability, but with an
+    EXACTLY value-checkable sketch).
+
+    Determinism: the hash is the portable md5 family (first 11 hex
+    chars -> 44-bit integer, the q_dedup_fuzzy convention), identical
+    on both engines, so sketch CONTENTS — not just estimates — agree;
+    the one division happens on the same (integer-valued) binary64 on
+    both sides, rounded 4dp.  Groups with fewer than {KMV_K} distinct
+    keys are exact by the KMV rule (the sketch holds the whole set).
+    2^44 = 17592186044416 is the hash-space size the normalization
+    divides by.
+
+    Scale shape: one DISTINCT (type, hash) shuffle (map-side combined),
+    then a per-group top-{KMV_K} window over |distinct| rows; the merge
+    runs over |groups| x {KMV_K} rows — driver-free, broadcast-sized.
+    At 100 TB the same sketch frame is what you'd persist per
+    partition/day and fold associatively.
+
+    Reference scope: no aggregate surface in the reference (Go metadata
+    facade, api/router/router.go:9-55); sketch sibling of
+    q_agg_hll_merge (HLL) and q_agg_countmin (frequency)."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    h = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 11), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    sk = (
+        h.withColumn(
+            "rn", F.row_number().over(W.partitionBy("event_type").orderBy("h"))
+        )
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "h")
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    per = (
+        sk.groupBy("event_type")
+        .agg(F.max("h").alias("hk"), F.count("*").alias("m"))
+        .join(ex, "event_type")
+    )
+    # union-merge: k smallest of the union of per-group sketches
+    u = sk.select("h").distinct().orderBy("h").limit(KMV_K)
+    uper = u.agg(F.max("h").alias("hk"), F.count("*").alias("m")).select(
+        F.lit("(all)").alias("event_type"),
+        "hk",
+        "m",
+    )
+    uex = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    uper = uper.crossJoin(uex)
+    allrows = per.select("event_type", "n_exact", "hk", "m").unionByName(
+        uper.select("event_type", "n_exact", "hk", "m")
+    )
+    est = F.when(F.col("m") < KMV_K, F.col("m").cast("double")).otherwise(
+        (KMV_K - 1) * F.lit(17592186044416.0) / F.col("hk")
+    )
+    return allrows.select(
+        "event_type",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round(est, 4).alias("kmv_est"),
+    ).orderBy("event_type")

@@ -2506,3 +2506,340 @@ def q_evt_pmi(spark, sf_dir):
         )
         .orderBy("type_a", "type_b")
     )
+
+
+PATH_MAX = 6  # session-opening cap on the conversion path
+
+
+@query(
+    "q_evt_paths",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WHERE event_type IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked),
+    ev2 AS (
+      SELECT user_id, sid, event_type,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS rn
+      FROM sess),
+    firstp AS (
+      SELECT user_id, sid, min(rn) AS prn FROM ev2
+      WHERE event_type = 'purchase' GROUP BY user_id, sid),
+    paths AS (
+      SELECT e.user_id, e.sid,
+             string_agg(e.event_type, '>' ORDER BY e.rn) AS path
+      FROM ev2 e JOIN firstp f USING (user_id, sid)
+      WHERE e.rn <= least(f.prn, {PATH_MAX})
+      GROUP BY e.user_id, e.sid),
+    n AS (SELECT count(*) AS ns FROM paths)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+           round(count(*) * 1.0 / ns, 4) AS share
+    FROM paths, n GROUP BY path, ns
+    ORDER BY n_sessions DESC, path
+    """,
+)
+def q_evt_paths(spark, sf_dir):
+    """Top CONVERSION PATHS: for every session containing a purchase, the
+    exact event-type sequence from session start to the FIRST purchase
+    (capped at {PATH_MAX} steps), ranked by popularity — the "which
+    roads lead here" question funnel analysis (one fixed path) and
+    attribution (channel credit, order-free) both stop short of.
+    Path strings use FULL type names joined by '>', so no initial-
+    collision guard is needed (contrast q_evt_seq_patterns).
+
+    Scale shape: sessionization is the one user_id shuffle; the
+    first-purchase cut and the path concat are both session-local
+    (groupBy (user, sid) on rows already capped at {PATH_MAX} per
+    session); the final aggregate's shuffle carries one <= ~60-char
+    string per CONVERTING session, output bounded by distinct path
+    strings (<= |types|^{PATH_MAX}, tiny in practice).
+
+    Determinism: paths ordered by (ts, event_id) — the unique-tiebreak
+    convention; the share division happens on identical (integer-valued)
+    doubles.
+
+    Reference scope: no analytics in the reference facade
+    (api/router/router.go:9-55); path sibling of q_evt_funnel (one fixed
+    path) and q_evt_attribution_markov (order-free credit)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    sess = ev.withColumn(
+        "new_s",
+        F.when(
+            prev.isNull() | (prev < F.col("ts") - F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    sw = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    ev2 = sess.withColumn("rn", F.row_number().over(sw))
+    prn = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("rn"))
+    ).over(Window.partitionBy("user_id", "sid"))
+    paths = (
+        ev2.withColumn("prn", prn)
+        .filter(
+            F.col("prn").isNotNull()
+            & (F.col("rn") <= F.least(F.col("prn"), F.lit(PATH_MAX)))
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.expr(
+                "concat_ws('>', transform("
+                "  array_sort(collect_list(struct(rn, event_type AS et))),"
+                "  x -> x.et))"
+            ).alias("path")
+        )
+    )
+    ns = paths.count()  # scalar converting-session count
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .select(
+            "path",
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            F.round(F.col("n_sessions") / F.lit(float(ns)), 4).alias("share"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+    )
+
+
+@query(
+    "q_ts_dow_profile",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY event_type, day),
+    tot AS (
+      SELECT event_type, sum(n) AS s1, count(*) AS nd
+      FROM d GROUP BY event_type),
+    dowg AS (
+      SELECT event_type, dayofweek(day) AS dow,
+             sum(n) AS ds1, count(*) AS dnd
+      FROM d GROUP BY event_type, dayofweek(day))
+    SELECT g.event_type, CAST(g.dow AS INTEGER) AS dow,
+           CAST(g.dnd AS BIGINT) AS n_days,
+           CAST(g.ds1 AS BIGINT) AS n_events,
+           round(g.ds1 * 1.0 / g.dnd, 4) AS dow_mean,
+           round((g.ds1 * 1.0 / g.dnd) / (t.s1 * 1.0 / t.nd), 4) AS rel
+    FROM dowg g JOIN tot t USING (event_type)
+    ORDER BY event_type, dow
+    """,
+)
+def q_ts_dow_profile(spark, sf_dir):
+    """DAY-OF-WEEK seasonality profile per event-type series: mean daily
+    volume per weekday and its ratio to the series' overall daily mean —
+    the weekly-seasonality fingerprint q_ts_decompose (trend/residual)
+    and q_ts_autocorr (lag correlation) both presuppose but don't emit.
+    rel > 1 marks the heavy weekdays; a flat rel row means no weekly
+    cycle.
+
+    Determinism discipline (the q_agg_moments / ADVICE-r11 rule): every
+    aggregate is an INTEGER sum (daily counts, day counts) — the only
+    doubles are two divisions per output row on identical integer-valued
+    binary64, so partial-aggregation order can never flip a bit.
+    Weekday numbering pinned Sunday=0: DuckDB dayofweek() is 0-6
+    Sun-first; Spark dayofweek() is 1-7 Sun-first, shifted by -1.
+
+    Scale shape: the corpus collapses to (type, day) integer counts in
+    one map-combined aggregate; everything downstream is windows/joins
+    over the |types| x |days| frame (tiny at any corpus size).  Output
+    |types| x 7 rows.
+
+    Reference scope: no analytics in the reference facade
+    (api/router/router.go:9-55); seasonality sibling of q_ts_decompose
+    and q_evt_heatmap (hour-of-week occupancy)."""
+    d = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .groupBy("event_type", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = d.groupBy("event_type").agg(
+        F.sum("n").alias("s1"), F.count("*").alias("nd")
+    )
+    dowg = d.groupBy(
+        "event_type", (F.dayofweek("day") - 1).alias("dow")
+    ).agg(F.sum("n").alias("ds1"), F.count("*").alias("dnd"))
+    dmean = F.col("ds1") / F.col("dnd")
+    omean = F.col("s1") / F.col("nd")
+    return (
+        dowg.join(tot, "event_type")
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            F.col("dnd").cast("long").alias("n_days"),
+            F.col("ds1").cast("long").alias("n_events"),
+            F.round(dmean, 4).alias("dow_mean"),
+            F.round(dmean / omean, 4).alias("rel"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+@query(
+    "q_evt_user_overlap",
+    oracle="""
+    WITH m AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+    sz AS (SELECT event_type, count(*) AS n FROM m GROUP BY event_type),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM m a JOIN m b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           round(n_both * 1.0 / (sa.n + sb.n - n_both), 4) AS jaccard,
+           round(n_both * 1.0 / least(sa.n, sb.n), 4) AS containment
+    FROM inter
+    JOIN sz sa ON sa.event_type = type_a
+    JOIN sz sb ON sb.event_type = type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def q_evt_user_overlap(spark, sf_dir):
+    """AUDIENCE OVERLAP matrix between event types: exact Jaccard and
+    containment of the user sets of every type pair — the "how much do
+    these segments share" question behind feature gating and campaign
+    targeting.  Completes the co-occurrence family: q_evt_pmi scores
+    same-DAY clustering vs chance, this scores GLOBAL audience overlap
+    regardless of timing; it is also the exact ground truth the KMV
+    union trick (q_agg_kmv) estimates at scale, kept exact here because
+    the pair frame is |types|²-bounded.
+
+    Scale shape: the corpus collapses to the DISTINCT (type, user)
+    membership frame in one map-combined aggregate; the pair join is
+    user-keyed over that frame (each user contributes its own type-pair
+    fan-out, <= |types|² per user); sizes broadcast back onto the
+    <= |types|²/2-row result.  Integer counts end-to-end; two divisions
+    per output row on identical integer-valued doubles.
+
+    Reference scope: no analytics in the reference facade
+    (api/router/router.go:9-55); set-overlap sibling of q_evt_pmi
+    (lift) and q_graph_jaccard_neighbors (graph neighbourhoods)."""
+    m = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    sz = m.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = m.select(F.col("event_type").alias("type_a"), "user_id")
+    b = m.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sz.select(F.col("event_type").alias("type_a"),
+                                  F.col("n").alias("n_a"))), "type_a")
+        .join(
+            F.broadcast(sz.select(F.col("event_type").alias("type_b"),
+                                  F.col("n").alias("n_b"))), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(
+                F.col("n_both") / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                4,
+            ).alias("jaccard"),
+            F.round(F.col("n_both") / F.least("n_a", "n_b"), 4).alias(
+                "containment"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "q_ts_anomaly_mad",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY event_type, day),
+    st AS (
+      SELECT event_type, median(n) AS med FROM d GROUP BY event_type),
+    md AS (
+      SELECT d.event_type, median(abs(d.n - st.med)) AS mad
+      FROM d JOIN st USING (event_type) GROUP BY d.event_type)
+    SELECT d.event_type, CAST(d.day AS VARCHAR) AS day,
+           CAST(d.n AS BIGINT) AS n,
+           round((d.n - st.med) / md.mad, 4) AS score
+    FROM d JOIN st USING (event_type) JOIN md USING (event_type)
+    WHERE md.mad > 0 AND abs(d.n - st.med) > 3 * md.mad
+    ORDER BY event_type, day
+    """,
+)
+def q_ts_anomaly_mad(spark, sf_dir):
+    """ROBUST anomaly days per event-type series via median / MAD —
+    the resistant twin of q_evt_anomaly's mean/stddev z-score: a burst
+    day inflates the mean AND the stddev, masking itself and flagging
+    normal days; the median and the median-absolute-deviation are
+    unmoved by any minority of outliers (50% breakdown point), so the
+    flag |n - median| > 3*MAD stays calibrated exactly when it matters.
+
+    Determinism: daily counts are integers; the median of integers is an
+    integer or a .5 (avg of the two middles) — exact binary64 on both
+    engines; MAD repeats that on exact absolute deviations; one division
+    per emitted row on identical doubles, 4-dp rounded.  Constant series
+    (MAD = 0) emit nothing by contract — the score is undefined there.
+
+    Scale shape: the corpus collapses to (type, day) counts in one
+    map-combined aggregate; medians run per type over the tiny
+    |types| x |days| frame; output only the anomalous days.
+
+    Reference scope: no analytics in the reference facade
+    (api/router/router.go:9-55); robust sibling of q_evt_anomaly
+    (z-score) and q_ts_cusum (level shifts)."""
+    d = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .groupBy("event_type", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    st = d.groupBy("event_type").agg(F.median("n").alias("med"))
+    md = (
+        d.join(st, "event_type")
+        .groupBy("event_type")
+        .agg(F.median(F.abs(F.col("n") - F.col("med"))).alias("mad"))
+    )
+    return (
+        d.join(F.broadcast(st), "event_type")
+        .join(F.broadcast(md), "event_type")
+        .filter(
+            (F.col("mad") > 0)
+            & (F.abs(F.col("n") - F.col("med")) > 3 * F.col("mad"))
+        )
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            F.col("n").cast("long").alias("n"),
+            F.round((F.col("n") - F.col("med")) / F.col("mad"), 4).alias("score"),
+        )
+        .orderBy("event_type", "day")
+    )

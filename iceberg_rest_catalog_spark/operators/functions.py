@@ -504,3 +504,68 @@ def q_sql_lateral(spark, sf_dir):
         WHERE o.o_orderkey <= 200
         """
     )
+
+
+@query(
+    "q_fn_struct",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey,
+             struct_pack(status := o_orderstatus,
+                         price := round(o_totalprice, 4)) AS st,
+             struct_pack(cust := struct_pack(ck := o_custkey,
+                                             seg := o_orderpriority),
+                         yr := CAST(year(o_orderdate) AS INTEGER)) AS nested
+      FROM orders WHERE o_orderkey <= 300)
+    SELECT o_orderkey,
+           st.status AS status, st.price AS price,
+           nested.cust.ck AS cust_key, nested.cust.seg AS seg,
+           nested.yr AS yr,
+           (st < struct_pack(status := 'O', price := 100000.0)) AS lt_probe
+    FROM s ORDER BY o_orderkey
+    """,
+)
+def q_fn_struct(spark, sf_dir):
+    """STRUCT (record) function family: construction, nested
+    construction, field extraction through two levels, and struct
+    ORDERING (lexicographic field-by-field compare) — the record-type
+    surface q_fn_array / q_fn_map / q_fn_variant leave uncovered.
+    Output is scalar-only per the harness contract: structs are built
+    and compared inside the plan, fields extracted back out (the
+    checker's non-scalar sweep rejects emitting the struct itself).
+
+    Dialect note: Spark `struct(... as name)` == DuckDB
+    `struct_pack(name := ...)`; both engines order structs by field
+    position then value, so the `<` probe against a literal record is
+    engine-stable; the probe's price is a round constant representable
+    exactly in binary64.
+
+    Reference scope: no expression surface in the reference (Go metadata
+    facade, api/router/router.go:9-55); [CAP] row with the function
+    family."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    st = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.round("o_totalprice", 4).alias("price"),
+    )
+    nested = F.struct(
+        F.struct(
+            F.col("o_custkey").alias("ck"),
+            F.col("o_orderpriority").alias("seg"),
+        ).alias("cust"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    )
+    probe = F.struct(F.lit("O").alias("status"), F.lit(100000.0).alias("price"))
+    return (
+        o.select("o_orderkey", st.alias("st"), nested.alias("nested"))
+        .select(
+            "o_orderkey",
+            F.col("st.status").alias("status"),
+            F.col("st.price").alias("price"),
+            F.col("nested.cust.ck").alias("cust_key"),
+            F.col("nested.cust.seg").alias("seg"),
+            F.col("nested.yr").alias("yr"),
+            (F.col("st") < probe).alias("lt_probe"),
+        )
+        .orderBy("o_orderkey")
+    )

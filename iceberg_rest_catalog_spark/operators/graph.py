@@ -1047,3 +1047,126 @@ def q_graph_label_propagation(spark, sf_dir):
         )
         .orderBy(F.desc("n_nodes"), "community")
     )
+
+
+KCORE_K = 2  # core threshold (undirected degree in the near-dup graph)
+KCORE_ROUNDS = 4  # synchronous peel rounds (unrolled in oracle; converges in 2)
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Near-dup pair graph (the q_dedup_fuzzy relation: _lsh_ctes
+    candidates at signature agreement >= 0.5) + unrolled synchronous
+    peeling a0..a{rounds}: each round keeps nodes with >= k neighbours
+    still active.  Fixed-round spec, the q_graph_cc / LPA convention —
+    both engines run the identical recurrence; a property test asserts
+    the fixture converges inside the round budget so the result IS the
+    k-core, not a truncation.  MATERIALIZED per round: DuckDB otherwise
+    inlines each a{r} into the next, re-expanding the scan tree
+    exponentially (the q_evt_attribution_markov catch)."""
+    from ..llm.dedup import N_HASHES, _lsh_ctes
+
+    agree = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(N_HASHES)
+    )
+    ctes = [
+        _lsh_ctes(),
+        f"""pe AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM cand
+      JOIN sig sa ON sa.doc_id = doc_a
+      JOIN sig sb ON sb.doc_id = doc_b
+      WHERE ({agree}) / 16.0 >= 0.5)""",
+        """eds AS MATERIALIZED (
+      SELECT doc_a AS u, doc_b AS v FROM pe
+      UNION SELECT doc_b, doc_a FROM pe)""",
+        "a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM eds)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""a{r} AS MATERIALIZED (
+      SELECT ed.u AS node
+      FROM eds ed
+      JOIN a{r - 1} nu ON nu.node = ed.u
+      JOIN a{r - 1} nv ON nv.node = ed.v
+      GROUP BY ed.u HAVING count(*) >= {k})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT a.node AS doc_id, CAST(count(*) AS BIGINT) AS deg_core
+    FROM a{rounds} a
+    JOIN eds ed ON ed.u = a.node
+    JOIN a{rounds} b ON b.node = ed.v
+    GROUP BY a.node ORDER BY doc_id"""
+    )
+
+
+@query("q_graph_kcore", oracle=_kcore_oracle(KCORE_K, KCORE_ROUNDS))
+def q_graph_kcore(spark, sf_dir):
+    """{KCORE_K}-CORE of the NEAR-DUP candidate graph (q_dedup_fuzzy's
+    MinHash-LSH pairs, symmetrized) by synchronous peeling: every round
+    drops nodes with fewer than {KCORE_K} neighbours still active; the
+    fixpoint is the maximal subgraph of minimum degree {KCORE_K}.  On
+    the duplication graph this isolates CYCLIC duplicate structure —
+    template/boilerplate hubs where copies copy copies — from the
+    pendant one-off pairs that dominate edge count; q_dedup_cluster
+    (connectivity) cannot make that distinction, and degree alone
+    over-counts stars.  Emits each core member with its in-core degree.
+
+    Determinism: integer degrees over the engine-portable md5-minhash
+    LSH pair set (identical on both engines BY CONSTRUCTION — the
+    _lsh_ctes contract), synchronous rounds — so the oracle unrolls the
+    SAME {KCORE_ROUNDS} rounds as chained MATERIALIZED CTEs over the
+    shared pair CTEs.  Convergence inside the round budget is pinned by
+    a property test (every member keeps >= {KCORE_K} in-core
+    neighbours, i.e. one more round is a no-op), making the fixed-round
+    result the true k-core.
+
+    Scale shape: the edge build is the banded-LSH candidate join
+    (never all-pairs — the q_dedup_fuzzy scale story); each peel round
+    is one endpoint-filter join pair + a map-combined degree aggregate
+    over |edges| rows, localCheckpoint per round (the LPA/CC lineage
+    discipline); the active frame strictly shrinks, so later rounds are
+    cheaper.  Peel depth on near-dup graphs is tiny (pendants fall in
+    round 1).
+
+    Reference scope: no graph surface in the reference facade
+    (api/router/router.go:9-55); density sibling of q_graph_triangles
+    (cohesion) and q_dedup_cluster (connectivity)."""
+    from ..llm.dedup import _minhash_pairs
+
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.unionAll(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .localCheckpoint()  # LSH pipeline runs ONCE, not once per round
+    )
+    active = edges.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.join(active.withColumnRenamed("node", "u"), "u")
+            .join(active.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(F.count("*").alias("deg"))
+        )
+        active = (
+            deg.filter(F.col("deg") >= KCORE_K)
+            .select(F.col("u").alias("node"))
+            .localCheckpoint()
+        )
+    return (
+        edges.join(active.withColumnRenamed("node", "u"), "u")
+        .join(active.withColumnRenamed("node", "v"), "v")
+        .groupBy("u")
+        .agg(F.count("*").alias("deg_core"))
+        .select(
+            F.col("u").alias("doc_id"),
+            F.col("deg_core").cast("long").alias("deg_core"),
+        )
+        .orderBy("doc_id")
+    )

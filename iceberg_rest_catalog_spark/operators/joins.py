@@ -766,3 +766,111 @@ def q_join_fuzzy_match(spark, sf_dir):
         .select("name_a", "name_b", "dist", "rows_a", "rows_b")
         .orderBy("name_a", "name_b")
     )
+
+
+SPATIAL_R = 0.02  # match radius in the unit square
+_H44 = 17592186044416.0  # 2^44: md5-prefix hash-space size
+
+
+@query(
+    "q_join_spatial_grid",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey,
+             ('0x' || substr(md5('c:' || CAST(c_custkey AS VARCHAR)), 1, 11))::BIGINT
+               / {_H44} AS x,
+             ('0x' || substr(md5('c:' || CAST(c_custkey AS VARCHAR)), 12, 11))::BIGINT
+               / {_H44} AS y
+      FROM customer),
+    s AS (
+      SELECT s_suppkey,
+             ('0x' || substr(md5('s:' || CAST(s_suppkey AS VARCHAR)), 1, 11))::BIGINT
+               / {_H44} AS x,
+             ('0x' || substr(md5('s:' || CAST(s_suppkey AS VARCHAR)), 12, 11))::BIGINT
+               / {_H44} AS y
+      FROM supplier)
+    SELECT c.c_custkey, s.s_suppkey,
+           round(sqrt((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)), 4)
+             AS dist
+    FROM c, s
+    WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+          <= {SPATIAL_R} * {SPATIAL_R}
+    ORDER BY c_custkey, s_suppkey
+    """,
+)
+def q_join_spatial_grid(spark, sf_dir):
+    """SPATIAL radius join via GRID BUCKETING: all (customer, supplier)
+    pairs within distance {SPATIAL_R} in the unit square — the
+    point-radius join behind geo matching / store-coverage queries.
+    Coordinates are synthesized deterministically from the keys (salted
+    portable-md5 fractions, the q_dedup_fuzzy hash convention), so both
+    engines see identical doubles and the oracle can be the plain
+    distance theta-join.
+
+    Plan shape (the 100 TB point): the naive theta join is |C| x |S| — a
+    BroadcastNestedLoopJoin that cannot scale.  The grid plan quantizes
+    points to cells of side {SPATIAL_R} (one cell = the radius, so any
+    matching pair differs by <= 1 cell per axis), explodes the SMALLER
+    side into its 3x3 neighbour cells, and EQUI-joins on (cx, cy) —
+    shuffle-partitionable on the cell key, 9x fan-out of the small side,
+    exact distance as a post-filter INSIDE each cell bucket.  This is
+    IVF/LSH bucketing (q_sim_ann_ivf) specialized to 2-D metric space;
+    completeness needs no fp care because cell side == radius makes the
+    +-1-cell envelope safe regardless of floor rounding.
+
+    Determinism: both engines compute the identical binary64 coords and
+    compare identical squared distances; the cell arithmetic exists only
+    on the Spark side (a candidate SUPERSET), so its rounding can never
+    change the answer, only the candidate count.
+
+    Reference scope: no join surface in the reference facade
+    (api/router/router.go:9-55); bucketed sibling of q_join_range
+    (1-D band) and q_join_interval_overlap (time intervals)."""
+
+    def coords(df, key, salt):
+        h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
+        return df.select(
+            key,
+            (F.conv(F.substring(h, 1, 11), 16, 10).cast("long") / _H44).alias("x"),
+            (F.conv(F.substring(h, 12, 11), 16, 10).cast("long") / _H44).alias("y"),
+        )
+
+    cust = coords(t(spark, sf_dir, "customer"), "c_custkey", "c:")
+    supp = coords(t(spark, sf_dir, "supplier"), "s_suppkey", "s:")
+    cell = lambda v: F.floor(F.col(v) / SPATIAL_R).cast("int")  # noqa: E731
+    cgrid = cust.select(
+        "c_custkey", "x", "y", cell("x").alias("cx"), cell("y").alias("cy")
+    )
+    off = F.explode(F.sequence(F.lit(-1), F.lit(1)))
+    sgrid = (
+        supp.select(
+            "s_suppkey",
+            F.col("x").alias("sx"),
+            F.col("y").alias("sy"),
+            cell("x").alias("scx"),
+            cell("y").alias("scy"),
+        )
+        .withColumn("dx", off)
+        .withColumn("dy", off)
+        .select(
+            "s_suppkey",
+            "sx",
+            "sy",
+            (F.col("scx") + F.col("dx")).alias("cx"),
+            (F.col("scy") + F.col("dy")).alias("cy"),
+        )
+    )
+    # explicit products, not pow(,2): the oracle multiplies, and libm pow
+    # is not guaranteed bit-equal to x*x
+    dxc, dyc = F.col("x") - F.col("sx"), F.col("y") - F.col("sy")
+    d2 = dxc * dxc + dyc * dyc
+    return (
+        cgrid.join(sgrid, ["cx", "cy"])
+        .filter(d2 <= F.lit(SPATIAL_R * SPATIAL_R))
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.round(F.sqrt(d2), 4).alias("dist"),
+        )
+        .orderBy("c_custkey", "s_suppkey")
+    )

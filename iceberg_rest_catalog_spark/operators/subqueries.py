@@ -121,3 +121,62 @@ def q_sub_not_in_null(spark, sf_dir):
     t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
     t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
     return spark.sql(_NOT_IN_SQL.format(c="v_customer", o="v_orders"))
+
+
+@query(
+    "q_sub_all",
+    oracle="""
+    SELECT 'gt_all' AS branch, p_partkey, p_brand,
+           round(p_retailprice, 4) AS price
+    FROM part
+    WHERE p_retailprice > ALL (
+      SELECT p_retailprice FROM part WHERE p_brand = 'Brand#21')
+    UNION ALL
+    SELECT 'lt_any', p_partkey, p_brand, round(p_retailprice, 4)
+    FROM part
+    WHERE p_brand <> 'Brand#21' AND p_retailprice < ANY (
+      SELECT p_retailprice FROM part WHERE p_brand = 'Brand#21')
+    ORDER BY branch, p_partkey
+    """,
+)
+def q_sub_all(spark, sf_dir):
+    """Quantified comparison subqueries — `> ALL` and `< ANY` — the last
+    uncovered corner of the subquery surface (q_sub_in covers membership,
+    q_sub_exists_corr correlation, q_sub_not_in_null 3-valued logic).
+    Spark has no ALL/ANY syntax, so the registered plan is the standard
+    aggregate rewrite — `x > ALL (S)` == `x > (SELECT max(S))`,
+    `x < ANY (S)` == `x < (SELECT max(S))` — each a 1-row scalar
+    subquery BROADCAST against the scan (no shuffle of the outer table);
+    the oracle runs the literal quantifiers, pinning the rewrite's
+    equivalence.  The inner set is kept NULL-free and non-empty by
+    construction (every part has a price), so the rewrite is exact; the
+    NULL/empty divergences of quantified comparisons live in
+    q_sub_not_in_null's territory.
+
+    Reference scope: no expression surface in the reference (Go metadata
+    facade, api/router/router.go:9-55); [CAP] row with the subquery
+    family."""
+    spark.sql("SET spark.sql.legacy.parquet.nanosAsLong=true")
+    part = t(spark, sf_dir, "part")
+    part.createOrReplaceTempView("v_part")
+    # Regen guard (the seq_patterns pattern): over an EMPTY inner set the
+    # aggregate rewrite (NULL max -> no rows) and literal ALL (vacuously
+    # TRUE -> all rows) diverge — fail loudly on a degraded fixture
+    # instead of letting the value-hash gate catch it cryptically.
+    assert (
+        part.filter(F.col("p_brand") == "Brand#21").limit(1).count() == 1
+    ), "q_sub_all needs a non-empty Brand#21 inner set"
+    return spark.sql(
+        """
+        WITH b AS (SELECT max(p_retailprice) AS mx
+                   FROM v_part WHERE p_brand = 'Brand#21')
+        SELECT 'gt_all' AS branch, p_partkey, p_brand,
+               round(p_retailprice, 4) AS price
+        FROM v_part, b WHERE p_retailprice > b.mx
+        UNION ALL
+        SELECT 'lt_any', p_partkey, p_brand, round(p_retailprice, 4)
+        FROM v_part, b
+        WHERE p_brand <> 'Brand#21' AND p_retailprice < b.mx
+        ORDER BY branch, p_partkey
+        """
+    )

@@ -1499,3 +1499,121 @@ def q_stream_session_features(spark, sf_dir):
         )
         .orderBy("user_id", "start_ts")
     )
+
+
+@query(
+    "q_stream_kmv",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 11))::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    rk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h),
+    sk AS (SELECT event_type, h FROM rk WHERE rn <= 64),
+    ex AS (
+      SELECT event_type, count(DISTINCT user_id) AS n_exact
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type)
+    SELECT s.event_type, CAST(ex.n_exact AS BIGINT) AS n_exact,
+           round(CASE WHEN count(*) < 64 THEN count(*) * 1.0
+                      ELSE 63 * 17592186044416.0 / max(s.h) END, 4) AS kmv_est
+    FROM sk s JOIN ex ON ex.event_type = s.event_type
+    GROUP BY s.event_type, ex.n_exact
+    ORDER BY s.event_type
+    """,
+)
+def q_stream_kmv(spark, sf_dir):
+    """STREAMING KMV sketch maintenance — q_agg_kmv's mergeability run
+    for real: each micro-batch folds its per-type bottom-64 hash sketch
+    into the carried sketch state (k-smallest-of-union), and the final
+    stream-side estimate is checked EXACTLY against the batch oracle.
+    KMV merge is associative and exact (unlike HLL, whose streaming twin
+    q_stream_hll can only assert a 5% envelope), so incremental
+    maintenance over any micro-batch split is bit-identical to the batch
+    recompute — the property that lets 100 TB distinct-count dashboards
+    update per-ingest-batch without ever rescanning history.
+
+    State discipline: the carried state is |types| x 64 integers —
+    SKETCH state, never row data (the q_stream_hll bounded-collect
+    precedent); each batch contributes its own bottom-64 per type, so
+    the per-batch collect is equally bounded.
+
+    Reference scope: streaming ingest = the reference's append-commit
+    lineage (api/handlers/tables.go:150-227); no sketch surface in the
+    facade (api/router/router.go:9-55)."""
+    from pyspark.sql import Window as W
+
+    from ..operators.aggregates import KMV_K
+
+    wh = scratch_dir(sf_dir, "stream_kmv")
+    shutil.rmtree(wh, ignore_errors=True)
+    src = os.path.join(wh, "src")
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_id", "user_id", "event_type")
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    state: dict[str, list[int]] = {}  # type -> sorted bottom-K hashes
+    n_batches = [0]
+
+    def fold(batch_df, _batch_id):
+        rows = (
+            batch_df.select(
+                "event_type",
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 11),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("h"),
+            )
+            .distinct()
+            .withColumn(
+                "rn",
+                F.row_number().over(W.partitionBy("event_type").orderBy("h")),
+            )
+            .filter(F.col("rn") <= KMV_K)
+            .collect()  # bounded: |types| x KMV_K sketch rows per batch
+        )
+        n_batches[0] += 1
+        per: dict[str, set[int]] = {}
+        for r in rows:
+            per.setdefault(r.event_type, set()).add(r.h)
+        for et, hs in per.items():
+            merged = sorted(set(state.get(et, [])) | hs)
+            state[et] = merged[:KMV_K]  # k-smallest-of-union
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert n_batches[0] >= 2, "must merge across micro-batches"
+
+    sk = spark.createDataFrame(
+        [(et, hs[-1], len(hs)) for et, hs in sorted(state.items())],
+        "event_type string, hk long, m int",
+    )
+    ex = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    est = F.when(F.col("m") < KMV_K, F.col("m").cast("double")).otherwise(
+        (KMV_K - 1) * F.lit(17592186044416.0) / F.col("hk")
+    )
+    return (
+        ex.join(F.broadcast(sk), "event_type")
+        .select(
+            "event_type",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.round(est, 4).alias("kmv_est"),
+        )
+        .orderBy("event_type")
+    )

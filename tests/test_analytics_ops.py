@@ -1778,3 +1778,188 @@ def test_transform_state_forcing_tws_without_protobuf_raises(spark, qs):
         pass
     with pytest.raises(ImportError, match="transformWithStateInPandas"):
         _run_transform_state_arm(spark, qs, "tws")
+
+
+def test_kcore_is_a_fixpoint(spark, qs):
+    """The fixed-round peel must have CONVERGED: every surviving node has
+    >= KCORE_K neighbours inside the surviving set (deg_core is exactly
+    that in-core degree), which makes one more peel round a no-op — the
+    fixed-round result IS the k-core, not a truncation."""
+    from iceberg_rest_catalog_spark.operators.graph import KCORE_K
+
+    rows = qs["q_graph_kcore"](spark, SF).collect()
+    assert rows, "fixture near-dup 2-core should be non-empty"
+    assert all(r.deg_core >= KCORE_K for r in rows)
+    # and the core is a strict subset of the pair-graph node set: the
+    # pendant pairs (degree-1 endpoints) must have been peeled
+    from iceberg_rest_catalog_spark import registry
+
+    pairs = registry.queries()["q_dedup_fuzzy"](spark, SF).collect()
+    nodes = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    core = {r.doc_id for r in rows}
+    assert core < nodes
+
+
+def test_kmv_estimates_and_merge(spark, qs):
+    """KMV invariants: exact groups (m < k) report n_exact exactly; big
+    groups estimate within the ~1/sqrt(k) error envelope (generous 5x);
+    the union row's exact count is at least every per-group count."""
+    from iceberg_rest_catalog_spark.operators.aggregates import KMV_K
+
+    rows = {r.event_type: r for r in qs["q_agg_kmv"](spark, SF01).collect()}
+    allrow = rows.pop("(all)")
+    assert allrow.n_exact >= max(r.n_exact for r in rows.values())
+    for r in rows.values():
+        if r.n_exact < KMV_K:
+            assert r.kmv_est == float(r.n_exact)
+        else:
+            assert abs(r.kmv_est - r.n_exact) / r.n_exact < 5 / (KMV_K ** 0.5)
+
+
+def test_spatial_grid_matches_bruteforce(spark, qs):
+    """The grid plan is a candidate SUPERSET + exact filter, so it must
+    equal the brute-force distance join exactly — the completeness the
+    cell-side == radius envelope argues."""
+    from iceberg_rest_catalog_spark.io import load_table
+    from iceberg_rest_catalog_spark.operators.joins import SPATIAL_R
+
+    got = {
+        (r.c_custkey, r.s_suppkey)
+        for r in qs["q_join_spatial_grid"](spark, SF).collect()
+    }
+    import hashlib
+
+    def coords(keys, salt):
+        out = {}
+        for k in keys:
+            h = hashlib.md5(f"{salt}{k}".encode()).hexdigest()
+            out[k] = (int(h[:11], 16) / 2**44, int(h[11:22], 16) / 2**44)
+        return out
+
+    cust = coords(
+        [r.c_custkey for r in load_table(spark, SF, "customer").select("c_custkey").collect()],
+        "c:",
+    )
+    supp = coords(
+        [r.s_suppkey for r in load_table(spark, SF, "supplier").select("s_suppkey").collect()],
+        "s:",
+    )
+    brute = {
+        (c, s)
+        for c, (cx, cy) in cust.items()
+        for s, (sx, sy) in supp.items()
+        if (cx - sx) ** 2 + (cy - sy) ** 2 <= SPATIAL_R * SPATIAL_R
+    }
+    assert got == brute and brute  # equal and non-trivial
+
+
+def test_evt_paths_invariants(spark, qs):
+    """Every emitted path ends at the first purchase (or is a pure
+    pre-purchase prefix when the purchase falls beyond the cap);
+    'purchase' never appears mid-path; shares sum to 1 within rounding."""
+    rows = qs["q_evt_paths"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        steps = r.path.split(">")
+        assert "purchase" not in steps[:-1]
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-2
+
+
+def test_dow_profile_conserves_mass(spark, qs):
+    """Per type: dow event sums equal the series total; dow day counts
+    equal the series day count; the n_days-weighted mean of `rel` is 1
+    (the ratio's denominator is the overall mean)."""
+    import collections
+
+    rows = qs["q_ts_dow_profile"](spark, SF).collect()
+    by_type = collections.defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+    for et, rs in by_type.items():
+        assert len({r.dow for r in rs}) == len(rs)
+        assert all(0 <= r.dow <= 6 for r in rs)
+        total_days = sum(r.n_days for r in rs)
+        w_rel = sum(r.dow_mean * r.n_days for r in rs) / sum(
+            r.n_events for r in rs
+        )
+        assert abs(w_rel * sum(r.n_events for r in rs) / total_days
+                   / (sum(r.n_events for r in rs) / total_days) - 1) < 1e-6
+
+
+def test_sub_all_rewrite_semantics(spark, qs):
+    """gt_all rows all exceed the inner max; lt_any rows are all below it
+    and never Brand#21 (the branch filter)."""
+    from iceberg_rest_catalog_spark.io import load_table
+
+    mx = (
+        load_table(spark, SF, "part")
+        .filter("p_brand = 'Brand#21'")
+        .agg({"p_retailprice": "max"})
+        .collect()[0][0]
+    )
+    rows = qs["q_sub_all"](spark, SF).collect()
+    gt = [r for r in rows if r.branch == "gt_all"]
+    lt = [r for r in rows if r.branch == "lt_any"]
+    assert gt and lt
+    assert all(r.price > round(mx, 4) - 1e-9 for r in gt)
+    assert all(r.price < mx and r.p_brand != "Brand#21" for r in lt)
+
+
+def test_stream_kmv_equals_batch_sketch(spark, qs):
+    """KMV mergeability, exactly: the streaming fold's per-type rows must
+    hash-equal q_agg_kmv's per-type rows (drop the batch-only union row)
+    — incremental maintenance == batch recompute, bit for bit."""
+    stream = {
+        (r.event_type, r.n_exact, r.kmv_est)
+        for r in qs["q_stream_kmv"](spark, SF).collect()
+    }
+    batch = {
+        (r.event_type, r.n_exact, r.kmv_est)
+        for r in qs["q_agg_kmv"](spark, SF).collect()
+        if r.event_type != "(all)"
+    }
+    assert stream == batch and stream
+
+
+def test_user_overlap_bounds(spark, qs):
+    """Set-algebra sanity: n_both <= min(n_a, n_b); jaccard <= containment
+    <= 1; both type columns ordered (a < b, each pair once)."""
+    rows = qs["q_evt_user_overlap"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert r.n_both <= min(r.n_a, r.n_b)
+        assert 0 < r.jaccard <= r.containment <= 1
+
+
+def test_anomaly_mad_resists_burst(spark, qs):
+    """Every flagged day really deviates by > 3 MADs recomputed
+    independently in Python (exact medians over the daily counts)."""
+    import statistics
+
+    from iceberg_rest_catalog_spark.io import load_table
+
+    daily = (
+        load_table(spark, SF, "events")
+        .filter("event_type IS NOT NULL")
+        .groupBy("event_type", F_expr_day())
+        .count()
+        .collect()
+    )
+    import collections
+
+    series = collections.defaultdict(dict)
+    for r in daily:
+        series[r.event_type][str(r.day)] = r["count"]
+    flagged = qs["q_ts_anomaly_mad"](spark, SF).collect()
+    for r in flagged:
+        ns = list(series[r.event_type].values())
+        med = statistics.median(ns)
+        mad = statistics.median([abs(x - med) for x in ns])
+        assert mad > 0 and abs(r.n - med) > 3 * mad
+
+
+def F_expr_day():
+    from pyspark.sql import functions as F
+
+    return F.to_date(F.date_trunc("day", "ts")).alias("day")

@@ -23,7 +23,7 @@ def test_queries_collect_without_spark_session():
         # exact-count pin (VERDICT r9 item 7): a module import that silently
         # fails to register its queries trips this loudly; bump on every
         # operator addition.
-        "assert len(qs) == 306, len(qs)\n"
+        "assert len(qs) == 316, len(qs)\n"
         "assert set(osql) <= set(qs), sorted(set(osql) - set(qs))\n"
         "print('OK', len(qs), len(osql))\n" % REPO
     )
@@ -283,7 +283,18 @@ def test_round11_window_head_is_new_ops_then_r5_block():
 
 # Round-12 additions, in registration order.  Update alongside every new
 # @query registration this round — the rotation pin below derives from it.
-R12_NEW_OPS: list[str] = []
+R12_NEW_OPS: list[str] = [
+    "q_stream_kmv",
+    "q_graph_kcore",
+    "q_evt_paths",
+    "q_ts_dow_profile",
+    "q_evt_user_overlap",
+    "q_ts_anomaly_mad",
+    "q_agg_kmv",
+    "q_sub_all",
+    "q_fn_struct",
+    "q_join_spatial_grid",
+]
 
 
 def test_round12_window_head_is_red_then_r5_stale():

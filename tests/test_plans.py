@@ -112,6 +112,10 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 # corpus) scored against one corpus scan — the brute-force
                 # recall-audit baseline, deliberately exact
                 "q_embed_matryoshka",
+                # 1-row build sides (union-sketch stats / exact-total row;
+                # the scalar max(S) of the ALL/ANY aggregate rewrite):
+                # BNLJ with a single broadcast row, map-only at any scale
+                "q_agg_kmv", "q_sub_all",
                 # three 1-row frames (totals / zipf fit / rank-1 token) meet
                 # via BNLJ with single-row build sides — map-only at any
                 # corpus size (llm/text.py q_text_zipf docstring)
@@ -310,3 +314,13 @@ def test_winnow_selection_is_joinfree_sliding_window(spark, name):
     for chunk in p.split("Join condition: ")[1:]:
         cond = chunk.split("\n")[0].strip()
         assert "pos" not in cond, cond
+
+
+def test_spatial_grid_is_cell_equijoin(spark):
+    """The radius join must execute as an EQUI join on the (cx, cy) cell
+    keys with the exact distance as a post-filter — never the |C| x |S|
+    BroadcastNestedLoopJoin the naive theta formulation compiles to."""
+    p = plan(spark, "q_join_spatial_grid")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "cx" in p and "cy" in p
