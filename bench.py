@@ -176,6 +176,12 @@ TRACKED: list[str] = [
     # 0.54 s, spatial_grid 0.80 s) — not tracked, the q_ts_ewma precedent.
     "q_graph_kcore",
     "q_evt_paths",
+    # round-12 wave 2: theta set-ops pays the DISTINCT (type,hash) sketch
+    # shuffle + the exact-overlap user-universe joins (1.68 s at birth).
+    # intersect_all/join_nearest/dq_gap_hours/scan_runtime_filter are
+    # overhead-bound at sf0.1 (0.58-1.05 s) — not tracked, the q_ts_ewma
+    # precedent.
+    "q_agg_theta_intersect",
 ]
 
 

@@ -1077,3 +1077,203 @@ def q_agg_kmv(spark, sf_dir):
         F.col("n_exact").cast("long").alias("n_exact"),
         F.round(est, 4).alias("kmv_est"),
     ).orderBy("event_type")
+
+
+THETA_PAIRS = (("purchase", "click"), ("purchase", "error"), ("signup", "view"))
+
+_THETA_PAIR_SQL = " UNION ALL ".join(
+    f"SELECT '{a}' AS ta, '{b}' AS tb" for a, b in THETA_PAIRS
+)
+
+
+@query(
+    "q_agg_theta_intersect",
+    oracle=f"""
+    WITH pairs AS ({_THETA_PAIR_SQL}),
+    h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 11))::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    sk AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h) WHERE rn <= {KMV_K}),
+    uni AS (
+      SELECT ta, tb, h FROM (
+        SELECT ta, tb, h,
+               row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+        FROM (SELECT DISTINCT p.ta, p.tb, s.h
+              FROM pairs p JOIN sk s ON s.event_type IN (p.ta, p.tb))
+        ) WHERE rn <= {KMV_K}),
+    uagg AS (
+      SELECT ta, tb, max(h) AS theta, count(*) AS m_u FROM uni GROUP BY ta, tb),
+    common AS (
+      SELECT p.ta, p.tb, a.h
+      FROM pairs p
+      JOIN sk a ON a.event_type = p.ta
+      JOIN sk b ON b.event_type = p.tb AND b.h = a.h),
+    pc AS (
+      SELECT u.ta, u.tb, u.theta, u.m_u,
+             count(CASE WHEN c.h IS NOT NULL
+                         AND (u.m_u < {KMV_K} OR c.h < u.theta)
+                        THEN 1 END) AS p
+      FROM uagg u LEFT JOIN common c ON c.ta = u.ta AND c.tb = u.tb
+      GROUP BY u.ta, u.tb, u.theta, u.m_u),
+    us AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    sizes AS (SELECT event_type, count(*) AS nu FROM us GROUP BY 1),
+    inter AS (
+      SELECT p.ta, p.tb, count(*) AS n
+      FROM pairs p
+      JOIN us a ON a.event_type = p.ta
+      JOIN us b ON b.event_type = p.tb AND b.user_id = a.user_id
+      GROUP BY p.ta, p.tb),
+    ex AS (
+      SELECT p.ta, p.tb,
+             sa.nu + sb.nu - coalesce(i.n, 0) AS exact_union,
+             coalesce(i.n, 0) AS exact_inter
+      FROM pairs p
+      JOIN sizes sa ON sa.event_type = p.ta
+      JOIN sizes sb ON sb.event_type = p.tb
+      LEFT JOIN inter i ON i.ta = p.ta AND i.tb = p.tb)
+    SELECT pc.ta, pc.tb,
+           CAST(ex.exact_union AS BIGINT) AS exact_union,
+           CAST(ex.exact_inter AS BIGINT) AS exact_inter,
+           round(CASE WHEN pc.m_u < {KMV_K} THEN pc.m_u * 1.0
+                      ELSE ({KMV_K} - 1) * 17592186044416.0 / pc.theta END, 4)
+             AS est_union,
+           round(CASE WHEN pc.m_u < {KMV_K} THEN pc.p * 1.0
+                      ELSE pc.p * (({KMV_K} - 1) * 17592186044416.0 / pc.theta)
+                           / {KMV_K} END, 4) AS est_inter,
+           round(pc.p * 1.0 / CASE WHEN pc.m_u < {KMV_K} THEN pc.m_u
+                                   ELSE {KMV_K} END, 4) AS est_jaccard
+    FROM pc JOIN ex ON ex.ta = pc.ta AND ex.tb = pc.tb
+    ORDER BY pc.ta, pc.tb
+    """,
+)
+def q_agg_theta_intersect(spark, sf_dir):
+    """Theta-sketch SET OPERATIONS: audience union / intersection /
+    Jaccard estimates between event-type user sets from their bottom-k
+    (KMV) sketches alone — never rescanning the raw data.  The sketched
+    twin of q_evt_user_overlap (exact Jaccard matrix): at 100 TB you
+    persist one 64-hash sketch per audience per day and answer ANY pair's
+    overlap from |sketch| rows, where the exact answer costs a
+    user-universe shuffle per pair.
+
+    Estimators (both engines compute the identical integers, then the
+    identical binary64 expression, rounded 4dp): theta = max of the
+    k-smallest-of-union sketch; union_est = (k-1) * 2^44 / theta when
+    saturated (m_u = k), exact count otherwise; p = |A_k intersect B_k
+    below theta|; inter_est = p * union_est / k; jaccard_est = p / k.
+    Exact counts are emitted alongside so the error envelope is visible
+    in the result frame itself.
+
+    Determinism: the portable md5 44-bit hash family (q_agg_kmv), sketch
+    CONTENTS agree cross-engine, so estimates are value-hash-checkable —
+    not just rows-only.
+
+    Scale shape: one DISTINCT (type, hash) shuffle over the data (the
+    only data-sized pass, shared with q_agg_kmv's sketch build); all set
+    arithmetic runs on |pairs| x {KMV_K} broadcast-sized frames.
+
+    Reference scope: no sketch surface in the reference (Go metadata
+    facade, api/router/router.go:9-55); composes the q_agg_kmv primitive
+    into the set-operation algebra theta sketches exist for."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    h = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 11), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    sk = (
+        h.withColumn(
+            "rn", F.row_number().over(W.partitionBy("event_type").orderBy("h"))
+        )
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "h")
+    )
+    pairs = spark.createDataFrame(list(THETA_PAIRS), ["ta", "tb"])
+    # union sketch per pair: k smallest of A_k U B_k (distinct h).  The
+    # pair fan-out is a 3-row broadcast against the |types| x k sketch
+    # frame — nested-loop is fine HERE because both sides are sketch-sized.
+    uni = (
+        F.broadcast(pairs)
+        .join(
+            sk,
+            (sk.event_type == F.col("ta")) | (sk.event_type == F.col("tb")),
+        )
+        .select("ta", "tb", "h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(W.partitionBy("ta", "tb").orderBy("h")))
+        .filter(F.col("rn") <= KMV_K)
+    )
+    uagg = uni.groupBy("ta", "tb").agg(
+        F.max("h").alias("theta"), F.count("*").alias("m_u")
+    )
+    ska = sk.select(F.col("event_type").alias("ta"), "h")
+    skb = sk.select(F.col("event_type").alias("tb"), "h")
+    common = (
+        F.broadcast(pairs).join(ska, "ta").join(skb, ["tb", "h"]).select("ta", "tb", "h")
+    )
+    pc = (
+        uagg.join(common, ["ta", "tb"], "left")
+        .groupBy("ta", "tb", "theta", "m_u")
+        .agg(
+            F.count(
+                F.when(
+                    F.col("h").isNotNull()
+                    & ((F.col("m_u") < KMV_K) | (F.col("h") < F.col("theta"))),
+                    F.lit(1),
+                )
+            ).alias("p")
+        )
+    )
+    users = ev.select("event_type", "user_id").distinct()
+    ua = users.select(F.col("event_type").alias("ta"), "user_id")
+    ub = users.select(F.col("event_type").alias("tb"), "user_id")
+    inter = (
+        F.broadcast(pairs)
+        .join(ua, "ta")
+        .join(ub, ["tb", "user_id"])
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    # exact_union = |A| + |B| - |A n B|
+    sizes = users.groupBy("event_type").agg(F.count("*").alias("nu"))
+    ex2 = (
+        F.broadcast(pairs)
+        .join(sizes.select(F.col("event_type").alias("ta"), F.col("nu").alias("na")), "ta")
+        .join(sizes.select(F.col("event_type").alias("tb"), F.col("nu").alias("nb")), "tb")
+        .join(inter, ["ta", "tb"], "left")
+        .withColumn("exact_inter", F.coalesce("exact_inter", F.lit(0)))
+        .withColumn("exact_union", F.col("na") + F.col("nb") - F.col("exact_inter"))
+    )
+    two44 = F.lit(17592186044416.0)
+    sat = F.col("m_u") >= KMV_K
+    u_est = F.when(sat, (KMV_K - 1) * two44 / F.col("theta")).otherwise(
+        F.col("m_u").cast("double")
+    )
+    i_est = F.when(sat, F.col("p") * ((KMV_K - 1) * two44 / F.col("theta")) / KMV_K).otherwise(
+        F.col("p").cast("double")
+    )
+    j_est = F.col("p") / F.when(sat, F.lit(KMV_K)).otherwise(F.col("m_u"))
+    return (
+        pc.join(ex2, ["ta", "tb"])
+        .select(
+            "ta",
+            "tb",
+            F.col("exact_union").cast("long").alias("exact_union"),
+            F.col("exact_inter").cast("long").alias("exact_inter"),
+            F.round(u_est, 4).alias("est_union"),
+            F.round(i_est, 4).alias("est_inter"),
+            F.round(j_est, 4).alias("est_jaccard"),
+        )
+        .orderBy("ta", "tb")
+    )

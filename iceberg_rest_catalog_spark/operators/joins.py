@@ -874,3 +874,128 @@ def q_join_spatial_grid(spark, sf_dir):
         )
         .orderBy("c_custkey", "s_suppkey")
     )
+
+
+@query(
+    "q_join_nearest",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ),
+    u AS (
+        SELECT user_id, ts, 1 AS is_p, event_id FROM p
+        UNION ALL
+        SELECT user_id, ts, 0 AS is_p, NULL AS event_id FROM c
+    ),
+    w AS (
+        SELECT *,
+               max(CASE WHEN is_p = 0 THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, is_p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+               min(CASE WHEN is_p = 0 THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, is_p
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+        FROM u
+    )
+    SELECT event_id, user_id, ts,
+           CASE
+             WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+             WHEN next_ts IS NULL THEN prev_ts
+             WHEN prev_ts IS NULL THEN next_ts
+             WHEN ts - prev_ts <= next_ts - ts THEN prev_ts
+             ELSE next_ts
+           END AS nearest_click_ts,
+           CASE
+             WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+             WHEN next_ts IS NULL THEN 'prev'
+             WHEN prev_ts IS NULL THEN 'next'
+             WHEN ts - prev_ts <= next_ts - ts THEN 'prev'
+             ELSE 'next'
+           END AS direction,
+           CAST(CASE
+             WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+             WHEN next_ts IS NULL THEN epoch_us(ts) - epoch_us(prev_ts)
+             WHEN prev_ts IS NULL THEN epoch_us(next_ts) - epoch_us(ts)
+             WHEN ts - prev_ts <= next_ts - ts THEN epoch_us(ts) - epoch_us(prev_ts)
+             ELSE epoch_us(next_ts) - epoch_us(ts)
+           END AS BIGINT) AS gap_us
+    FROM w WHERE is_p = 1
+    """,
+)
+def q_join_nearest(spark, sf_dir):
+    """Nearest-event join: for each purchase, the click by the same user
+    closest in time in EITHER direction (backward ties win — the
+    deterministic 'prefer the earlier cause' rule).  The bidirectional
+    sibling of q_join_asof (backward-only).
+
+    Plan: the union+window pattern again — tag both streams, ONE shuffle
+    on user_id, then two ROWS-frame extrema per row (last click at-or-
+    before via a running max, first click after via a reverse running
+    min).  Never a range join: at 100 TB the naive |P| x |C| theta join
+    is a BNLJ, while this shape is linear in events per user.  Same-ts
+    clicks sort before purchases (is_p tiebreak) so a simultaneous click
+    resolves as 'prev' with gap 0 on both engines.  Gap is reported in
+    exact integer microseconds (no float time math).
+
+    Reference scope: no join surface in the reference (Go metadata
+    facade, api/router/router.go:9-55); north-star temporal-join sibling
+    of q_join_asof / q_join_asof_tolerance."""
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.lit(1).alias("_one"))
+        .select("user_id", "ts")
+    )
+    tagged = p.select(
+        "user_id", "ts", F.lit(1).alias("is_p"), "event_id"
+    ).unionByName(
+        c.select(
+            "user_id", "ts", F.lit(0).alias("is_p"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    click_ts = F.when(F.col("is_p") == 0, F.col("ts"))
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    w = tagged.withColumn("prev_ts", F.max(click_ts).over(back)).withColumn(
+        "next_ts", F.min(click_ts).over(fwd)
+    )
+    # fixture ts is TIMESTAMP_NTZ; unix_micros needs LTZ — the cast is
+    # session-UTC so differences are exact (the q_evt_conversion_lag cast)
+    us = lambda col: F.unix_micros(F.col(col).cast("timestamp"))  # noqa: E731
+    d_prev, d_next = us("ts") - us("prev_ts"), us("next_ts") - us("ts")
+    pick_prev = F.col("next_ts").isNull() | (
+        F.col("prev_ts").isNotNull() & (d_prev <= d_next)
+    )
+    return (
+        w.filter(F.col("is_p") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(pick_prev, F.col("prev_ts"))
+            .otherwise(F.col("next_ts"))
+            .alias("nearest_click_ts"),
+            F.when(
+                F.col("prev_ts").isNull() & F.col("next_ts").isNull(), F.lit(None)
+            )
+            .when(pick_prev, F.lit("prev"))
+            .otherwise(F.lit("next"))
+            .alias("direction"),
+            F.when(pick_prev, d_prev).otherwise(d_next).alias("gap_us"),
+        )
+    )

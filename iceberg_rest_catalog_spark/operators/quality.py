@@ -261,3 +261,119 @@ def q_meta_skew_audit(spark, sf_dir):
         .orderBy(F.desc("n"), "user_id")
         .limit(SKEW_TOP)
     )
+
+
+@query(
+    "q_dq_gap_hours",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+      FROM events
+    ),
+    types AS (SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL),
+    spine AS (
+      SELECT t.event_type, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+      FROM types t CROSS JOIN bounds b
+    ),
+    present AS (
+      SELECT DISTINCT event_type, date_trunc('hour', ts) AS h FROM events
+      WHERE event_type IS NOT NULL
+    ),
+    miss AS (
+      SELECT s.event_type, s.h FROM spine s
+      WHERE NOT EXISTS (SELECT 1 FROM present p
+                        WHERE p.event_type = s.event_type AND p.h = s.h)
+    ),
+    isl AS (
+      SELECT event_type,
+             epoch_us(h) // 3600000000
+               - row_number() OVER (PARTITION BY event_type ORDER BY h) AS grp
+      FROM miss
+    ),
+    runs AS (
+      SELECT event_type, max(run) AS max_gap_hours
+      FROM (SELECT event_type, grp, count(*) AS run FROM isl GROUP BY 1, 2)
+      GROUP BY event_type
+    ),
+    stats AS (
+      SELECT s.event_type, count(*) AS expected_hours,
+             count(p.h) AS present_hours
+      FROM spine s LEFT JOIN present p
+        ON p.event_type = s.event_type AND p.h = s.h
+      GROUP BY s.event_type
+    )
+    SELECT st.event_type,
+           CAST(st.expected_hours AS BIGINT) AS expected_hours,
+           CAST(st.present_hours AS BIGINT) AS present_hours,
+           CAST(st.expected_hours - st.present_hours AS BIGINT) AS missing_hours,
+           CAST(coalesce(r.max_gap_hours, 0) AS BIGINT) AS max_gap_hours
+    FROM stats st LEFT JOIN runs r ON r.event_type = st.event_type
+    ORDER BY st.event_type
+    """,
+)
+def q_dq_gap_hours(spark, sf_dir):
+    """Ingest-completeness audit: per event type, how many hourly cells of
+    the observed time range are EMPTY, and the longest consecutive empty
+    run — the 'did the producer stall' check a streaming ingest runs
+    before publishing a partition (freshness/completeness sibling of
+    q_dq_rules' content rules).
+
+    Plan: the corpus collapses to the distinct (type, hour) cell set in
+    one map-combined aggregate (the only data-sized pass); the hour spine
+    is generated from the 1-row min/max bounds (sequence + explode, |hours|
+    rows), the anti-join and the gaps-and-islands window (hour-index minus
+    row_number, the q_evt_streaks trick, over integer microsecond hours)
+    all run on |types| x |hours| rows — broadcast-sized whatever the data
+    volume.  At 100 TB: same plan, the spine is still 5 x |hours| rows.
+
+    Reference scope: the reference commits whatever the writer staged
+    (tables.go:150-227, no content/freshness validation); this is the
+    audit a production catalog pairs with that commit path."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    present = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).distinct()
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    miss = spine.join(present, ["event_type", "h"], "left_anti")
+    isl = miss.withColumn(
+        "grp",
+        (F.unix_micros("h") / F.lit(3600000000)).cast("long")
+        - F.row_number().over(W.partitionBy("event_type").orderBy("h")),
+    )
+    runs = (
+        isl.groupBy("event_type", "grp")
+        .agg(F.count("*").alias("run"))
+        .groupBy("event_type")
+        .agg(F.max("run").alias("max_gap_hours"))
+    )
+    stats = (
+        spine.join(present.withColumn("hit", F.lit(1)), ["event_type", "h"], "left")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("expected_hours"),
+            F.count("hit").alias("present_hours"),
+        )
+    )
+    return (
+        stats.join(runs, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("expected_hours").cast("bigint").alias("expected_hours"),
+            F.col("present_hours").cast("bigint").alias("present_hours"),
+            (F.col("expected_hours") - F.col("present_hours"))
+            .cast("bigint")
+            .alias("missing_hours"),
+            F.coalesce("max_gap_hours", F.lit(0)).cast("bigint").alias("max_gap_hours"),
+        )
+        .orderBy("event_type")
+    )

@@ -310,3 +310,75 @@ def q_sink_dynamic_overwrite(spark, sf_dir):
     return spark.read.parquet(out).select(
         "o_orderkey", "o_totalprice", F.col("yr").cast("int").alias("yr"), "batch"
     )
+
+
+@query(
+    "q_scan_runtime_filter",
+    oracle="""
+    WITH yr AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    sel AS (SELECT o_year FROM yr WHERE n >= 0.8 * (SELECT avg(n) FROM yr))
+    SELECT o.o_year, count(*) AS n_orders,
+           round(sum(o.o_totalprice), 4) AS revenue
+    FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_totalprice
+          FROM orders) o
+    JOIN sel USING (o_year)
+    GROUP BY o.o_year ORDER BY o.o_year
+    """,
+)
+def q_scan_runtime_filter(spark, sf_dir):
+    """Dynamic partition pruning: join the year-partitioned orders fact to
+    a dim whose filter ('complete years' — count >= 80% of the per-year
+    average, a predicate on a NON-join column so Catalyst cannot push it
+    statically) is only knowable at RUNTIME; the fact scan must carry a
+    dynamicpruning subquery in its PartitionFilters, skipping the pruned
+    year's directories without ever listing their files.
+
+    Why it matters at 100 TB: the static-pruning twin
+    (q_scan_partition_prune) covers literal predicates; real star-schema
+    filters arrive through dims ("current season", "active tenants") and
+    without DPP the fact scan reads EVERY partition and discards rows
+    after the join.  The plan-shape test (tests/test_plans.py) pins the
+    dynamicpruningexpression, so a regression to a full scan fails CI,
+    not production.
+
+    Reuses q_scan_partition_prune's idempotent year-partitioned scratch
+    sink for the fact; the year dim (with the is_complete flag
+    precomputed at prep time — star-schema shape, the flag is DATA, not
+    a plan-time literal) is its own tiny parquet, so the DPP benefit
+    heuristic sees a cheap build side against the partitioned fact.
+    Reference scope: scan planning is the reference's getTable +
+    client-side parquet read (tables.go:94-148); runtime pruning is the
+    Spark-native upgrade of that path."""
+    import os
+
+    out = scratch_dir("part_orders", sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        orders = t(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate"))
+        orders.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    dim_out = scratch_dir("year_dim", sf_dir)
+    if not os.path.exists(os.path.join(dim_out, "_SUCCESS")):
+        yr = (
+            t(spark, sf_dir, "orders")
+            .groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(F.count("*").alias("n"))
+        )
+        avg = yr.agg(F.avg("n").alias("avg_n"))
+        # the flag is stored as the RELATIVE SHARE (n / avg_n) rather than
+        # a boolean: DPP's isLikelySelective() accepts a literal comparison
+        # (share >= 0.8) but not a bare boolean attribute, and a boolean
+        # equality would be simplified to one before PartitionPruning runs
+        yr.join(F.broadcast(avg)).select(
+            "o_year", "n", F.round(F.col("n") / F.col("avg_n"), 6).alias("share")
+        ).coalesce(1).write.mode("overwrite").parquet(dim_out)
+    back = spark.read.parquet(out)
+    dim = spark.read.parquet(dim_out).filter(F.col("share") >= 0.8).select("o_year")
+    return (
+        back.join(F.broadcast(dim), "o_year")
+        .groupBy("o_year")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+        .select(F.col("o_year").cast("int").alias("o_year"), "n_orders", "revenue")
+        .orderBy("o_year")
+    )

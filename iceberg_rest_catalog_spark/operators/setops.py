@@ -57,3 +57,50 @@ def q_intersect(spark, sf_dir):
 def q_except(spark, sf_dir):
     """EXCEPT ALL — rows in A not matched in B (multiset semantics)."""
     return _seg(spark, sf_dir, _A, 1000.0).exceptAll(_seg(spark, sf_dir, _B, 5000.0))
+
+
+_IA_A = """SELECT l_suppkey, l_returnflag FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'"""
+_IA_B = """SELECT l_suppkey, l_returnflag FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'"""
+
+
+@query(
+    "q_intersect_all",
+    oracle=f"""
+    SELECT l_suppkey, l_returnflag, count(*) AS n
+    FROM (({_IA_A}) INTERSECT ALL ({_IA_B}))
+    GROUP BY l_suppkey, l_returnflag ORDER BY l_suppkey, l_returnflag
+    """,
+)
+def q_intersect_all(spark, sf_dir):
+    """INTERSECT ALL — multiset intersection (each row kept
+    min(multiplicity_A, multiplicity_B) times), the bag-semantics twin of
+    q_intersect.  Inputs are deliberately non-unique ((suppkey, returnflag)
+    projections of two ship-years) so ALL differs from DISTINCT.
+
+    Scale shape: Catalyst plans intersectAll as one hash aggregate per
+    side (counting multiplicities map-combined) + a key-equi join — never
+    a row-by-row match — so the shuffle carries |distinct| rows, not
+    |rows|.  The result is re-aggregated to (key, n) so the comparison
+    frame is deterministic without a full-column sort.
+
+    Reference scope: no set-operation surface in the reference (Go
+    metadata facade, api/router/router.go:9-55); completes the set-ops
+    family (q_union_all/q_union_distinct/q_intersect/q_except)."""
+
+    def year(lo, hi):
+        return (
+            t(spark, sf_dir, "lineitem")
+            .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+            .select("l_suppkey", "l_returnflag")
+        )
+
+    a = year("1995-01-01", "1996-01-01")
+    b = year("1996-01-01", "1997-01-01")
+    return (
+        a.intersectAll(b)
+        .groupBy("l_suppkey", "l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .orderBy("l_suppkey", "l_returnflag")
+    )

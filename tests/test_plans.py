@@ -324,3 +324,16 @@ def test_spatial_grid_is_cell_equijoin(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "cx" in p and "cy" in p
+
+
+def test_runtime_filter_scan_has_dynamic_pruning(spark):
+    """The year-partitioned fact scan must carry a dynamicpruning
+    subquery in its PartitionFilters — the runtime twin of
+    q_scan_partition_prune's static filter.  A regression to a full
+    scan (e.g. the dim filter no longer passing isLikelySelective)
+    fails here, not in production."""
+    import __spark_entry__ as E
+
+    df = E.queries()["q_scan_runtime_filter"](spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in p
