@@ -182,6 +182,11 @@ TRACKED: list[str] = [
     # overhead-bound at sf0.1 (0.58-1.05 s) — not tracked, the q_ts_ewma
     # precedent.
     "q_agg_theta_intersect",
+    # round-12 wave 3: both pay the kNN edge build (the jaccard_neighbors
+    # shape; 2.5 s / 2.2 s at birth).  changepoint/velocity collapse to
+    # |days| / per-user window frames (0.49 s / 0.50 s) — not tracked.
+    "q_graph_clustering_coeff",
+    "q_graph_assortativity",
 ]
 
 

@@ -2843,3 +2843,166 @@ def q_ts_anomaly_mad(spark, sf_dir):
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "q_ts_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) AS s,
+             count(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    pre AS (
+      SELECT day,
+             sum(s) OVER w AS sl, sum(n) OVER w AS nl,
+             sum(s) OVER () AS st, sum(n) OVER () AS nt
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    scored AS (
+      SELECT day, nl, nt - nl AS nr,
+             sl / nl AS mean_l, (st - sl) / (nt - nl) AS mean_r,
+             sl * sl / nl + (st - sl) * (st - sl) / (nt - nl)
+               - st * st / nt AS gain
+      FROM pre WHERE nl < nt
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS split_day,
+           CAST(nl AS BIGINT) AS n_l, CAST(nr AS BIGINT) AS n_r,
+           round(mean_l / 10000, 4) AS mean_l,
+           round(mean_r / 10000, 4) AS mean_r,
+           round(gain / 100000000, 4) AS gain
+    FROM scored ORDER BY gain DESC, split_day LIMIT 1
+    """,
+)
+def q_ts_changepoint(spark, sf_dir):
+    """Retrospective single CHANGEPOINT by binary segmentation: the day
+    boundary that maximizes the between-segment sum-of-squares gain of
+    daily purchase revenue (equivalently, minimizes two-segment SSE) —
+    the offline argmax twin of q_ts_cusum's sequential detector.
+
+    Determinism: daily sums are EXACT integer e4 cents (the
+    q_stream_dim_join convention), so both engines score each split from
+    the identical binary64 expression S_L^2/n_L + S_R^2/n_R - S^2/N;
+    the argmax tiebreak is the earlier day.  Gain is reported in squared
+    currency units (the /1e8 rescale of the e4 squares), 4dp.
+
+    Scale shape: the corpus collapses to the |days| daily frame in one
+    map-combined aggregate; prefix sums, scoring and the argmax are
+    windows over that broadcast-sized frame.  At 100 TB the same plan
+    holds — the only data-sized pass is the first aggregate.
+
+    Reference scope: no time-series surface in the reference (Go metadata
+    facade, api/router/router.go:9-55); offline sibling of q_ts_cusum."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 10000).cast("long"))
+            .cast("double")
+            .alias("s"),
+            F.count("*").alias("n"),
+        )
+    )
+    cum = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    tot = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    pre = daily.select(
+        "day",
+        F.sum("s").over(cum).alias("sl"),
+        F.sum("n").over(cum).alias("nl"),
+        F.sum("s").over(tot).alias("st"),
+        F.sum("n").over(tot).alias("nt"),
+    ).filter(F.col("nl") < F.col("nt"))
+    sl, nl = F.col("sl"), F.col("nl")
+    sr, nr = F.col("st") - F.col("sl"), F.col("nt") - F.col("nl")
+    gain = sl * sl / nl + sr * sr / nr - F.col("st") * F.col("st") / F.col("nt")
+    return (
+        pre.select(
+            F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+            nl.cast("long").alias("n_l"),
+            nr.cast("long").alias("n_r"),
+            F.round(sl / nl / 10000, 4).alias("mean_l"),
+            F.round(sr / nr / 10000, 4).alias("mean_r"),
+            F.round(gain / 100000000, 4).alias("gain"),
+        )
+        .orderBy(F.desc("gain"), "split_day")
+        .limit(1)
+    )
+
+
+VELOCITY_WINDOW_US = 24 * 3600 * 1_000_000  # 24h sliding window
+VELOCITY_MIN = 3  # purchases within the window that trip the rule
+
+
+@query(
+    "q_evt_velocity",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, ts, epoch_us(ts) AS tus FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ),
+    w AS (
+      SELECT user_id, ts,
+             count(*) OVER (PARTITION BY user_id ORDER BY tus
+                            RANGE BETWEEN {VELOCITY_WINDOW_US} PRECEDING
+                                      AND CURRENT ROW) AS burst
+      FROM p
+    )
+    SELECT user_id,
+           CAST(max(burst) AS BIGINT) AS max_burst,
+           CAST(count(CASE WHEN burst >= {VELOCITY_MIN} THEN 1 END) AS BIGINT)
+             AS n_flagged,
+           min(CASE WHEN burst >= {VELOCITY_MIN} THEN ts END) AS first_flag_ts,
+           max(burst) >= {VELOCITY_MIN} AS flagged
+    FROM w GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_evt_velocity(spark, sf_dir):
+    """Sliding-window VELOCITY rule (fraud/abuse rate limiting): flag any
+    purchase that is the {VELOCITY_MIN}rd-or-later by the same user
+    within a trailing 24 h window, reported per user (max burst, flagged
+    count, first trip time) — the rule-engine primitive behind
+    transaction monitoring.
+
+    Plan: ONE shuffle on user_id, then a RANGE-frame count over exact
+    integer microseconds (no float time math, no self-join — the naive
+    formulation is a |P| x |P| per-user theta join).  The per-user
+    report is a map-side-combinable re-aggregation of the same frame.
+    At 100 TB state per task is one user's purchase timeline — the
+    sessionize shape.
+
+    Reference scope: no event surface in the reference (Go metadata
+    facade, api/router/router.go:9-55); rule-engine sibling of
+    q_evt_concurrency (interval counting) and q_ts_cusum (drift)."""
+    from pyspark.sql import Window as W
+
+    p = (
+        t(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(-VELOCITY_WINDOW_US, 0)
+    )
+    burst = p.withColumn("burst", F.count("*").over(w))
+    hit = F.col("burst") >= VELOCITY_MIN
+    return (
+        burst.groupBy("user_id")
+        .agg(
+            F.max("burst").cast("long").alias("max_burst"),
+            F.count(F.when(hit, 1)).cast("long").alias("n_flagged"),
+            F.min(F.when(hit, F.col("ts"))).alias("first_flag_ts"),
+            (F.max("burst") >= VELOCITY_MIN).alias("flagged"),
+        )
+        .orderBy("user_id")
+    )

@@ -1170,3 +1170,148 @@ def q_graph_kcore(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+CLUST_TOP = 25  # nodes reported, ranked by local clustering coefficient
+
+
+def _clustering_oracle() -> str:
+    return (
+        "WITH "
+        + _knn_edges_ctes()
+        + f""",
+    deg AS (SELECT u AS node, count(*) AS deg FROM edges GROUP BY u),
+    tri AS (
+      SELECT e1.u AS node, count(*) AS triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.u AND e1.v < e2.v
+      JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+      GROUP BY e1.u)
+    SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+           CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+           round(coalesce(t.triangles, 0) * 2.0 / (d.deg * (d.deg - 1)), 4)
+             AS coeff
+    FROM deg d LEFT JOIN tri t ON t.node = d.node
+    WHERE d.deg >= 2
+    ORDER BY coeff DESC, d.node LIMIT {CLUST_TOP}"""
+    )
+
+
+@query("q_graph_clustering_coeff", oracle=_clustering_oracle())
+def q_graph_clustering_coeff(spark, sf_dir):
+    """LOCAL clustering coefficient per node of the embedding kNN graph —
+    triangles(v) / C(deg(v), 2), the top-{CLUST_TOP} most locally-dense
+    nodes.  On a kNN graph a coefficient near 1 marks a node sitting
+    inside a tight near-duplicate clique (its neighbors are all mutual
+    neighbors); the per-node VIEW of q_graph_triangles' global count.
+
+    Scale shape: same degree-bounded wedge discipline as
+    q_graph_jaccard_neighbors — the wedge join (two edges off the same
+    node, v1 < v2) is capped at |nodes| x C(2k, 2) rows, the closing
+    edge check is an equi-join against the symmetrized edge list (the
+    v1 < v2 orientation is always present when any edge is), and the
+    top-k compiles to TakeOrderedAndProject.  Nothing is quadratic in
+    |nodes| at any scale.
+
+    Reference scope: no graph surface in the reference facade
+    (api/router/router.go:9-55); per-node sibling of q_graph_triangles
+    (global) on the shared _knn_edges relation."""
+    _, edges = _knn_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))
+    e1 = edges.select(F.col("u").alias("node"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("node"), F.col("v").alias("c"))
+    closing = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tri = (
+        e1.join(e2, "node")
+        .filter(F.col("b") < F.col("c"))
+        .join(closing, ["b", "c"])
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        deg.join(tri, "node", "left")
+        .filter(F.col("deg") >= 2)
+        .select(
+            "node",
+            F.col("deg").cast("bigint").alias("deg"),
+            F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
+            F.round(
+                F.coalesce("triangles", F.lit(0))
+                * 2.0
+                / (F.col("deg") * (F.col("deg") - 1)),
+                4,
+            ).alias("coeff"),
+        )
+        .orderBy(F.desc("coeff"), "node")
+        .limit(CLUST_TOP)
+    )
+
+
+def _assortativity_oracle() -> str:
+    return (
+        "WITH "
+        + _knn_edges_ctes()
+        + """,
+    deg AS (SELECT u AS node, count(*) AS deg FROM edges GROUP BY u),
+    de AS (
+      SELECT du.deg AS x, dv.deg AS y
+      FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+    s AS (
+      SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM de)
+    SELECT CAST(m AS BIGINT) AS n_edges,
+           round(sx * 1.0 / m, 4) AS avg_deg,
+           round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 4) AS assortativity
+    FROM s"""
+    )
+
+
+@query("q_graph_assortativity", oracle=_assortativity_oracle())
+def q_graph_assortativity(spark, sf_dir):
+    """DEGREE ASSORTATIVITY of the embedding kNN graph: the Pearson
+    correlation of (deg(u), deg(v)) over the symmetrized edge list —
+    negative values (hubs link to leaves) are the signature of
+    hub-and-spoke near-dup structure; positive values mark core-periphery
+    layering.  One number that says whether dedup should expect large
+    star clusters (q_dedup_cluster's large-star case) or chains.
+
+    Determinism: every sum is over INTEGER degrees (exact), the final
+    correlation is one shared binary64 expression, 4dp.
+
+    Scale shape: degree table is one groupBy over edges; the edge-degree
+    join is two broadcast-able equi-joins (the degree table is
+    |nodes|-row); the correlation is a single map-combined aggregate.
+
+    Reference scope: no graph surface in the reference facade
+    (api/router/router.go:9-55); structural companion of
+    q_graph_clustering_coeff on the shared _knn_edges relation."""
+    _, edges = _knn_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))
+    de = (
+        edges.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("x")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("y")), "v")
+        .select("x", "y")
+    )
+    s = de.agg(
+        F.count("*").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    m, sx, sy = F.col("m").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = F.col("sxy").cast("double"), F.col("sxx").cast("double"), F.col("syy").cast("double")
+    return s.select(
+        F.col("m").cast("bigint").alias("n_edges"),
+        F.round(sx / m, 4).alias("avg_deg"),
+        F.round(
+            (m * sxy - sx * sy)
+            / F.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)),
+            4,
+        ).alias("assortativity"),
+    )

@@ -2055,3 +2055,110 @@ def test_runtime_filter_drops_partial_year(spark, qs):
     rows = qs["q_scan_runtime_filter"](spark, SF01).collect()
     years = {r.o_year for r in rows}
     assert 2001 not in years and len(years) == 6
+
+
+def test_changepoint_matches_bruteforce(spark, qs):
+    """The reported split maximizes the two-segment between-SS gain,
+    recomputed exhaustively from the daily e4 sums."""
+    from iceberg_rest_catalog_spark.operators.common import t
+    from pyspark.sql import functions as F
+
+    row = qs["q_ts_changepoint"](spark, SF).collect()[0]
+    daily = sorted(
+        (
+            (r.day, r.s, r.n)
+            for r in t(spark, SF, "events")
+            .filter(F.col("event_type") == "purchase")
+            .groupBy(F.col("ts").cast("date").alias("day"))
+            .agg(
+                F.sum(F.round(F.col("value") * 10000).cast("long")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+    )
+    st = float(sum(d[1] for d in daily))
+    nt = sum(d[2] for d in daily)
+    best = None
+    sl = nl = 0
+    for day, s, n in daily[:-1]:
+        sl, nl = sl + s, nl + n
+        sr, nr = st - sl, nt - nl
+        gain = sl * sl / nl + sr * sr / nr - st * st / nt
+        if best is None or gain > best[1] + 1e-9:
+            best = (day, gain, nl, nr)
+    assert str(best[0]) == row.split_day
+    assert row.n_l == best[2] and row.n_r == best[3]
+    assert abs(row.gain - best[1] / 1e8) < 1e-3
+    assert row.gain >= 0
+
+
+def test_velocity_matches_bruteforce(spark, qs):
+    """Per-user max burst equals the brute-force trailing-24h count."""
+    from iceberg_rest_catalog_spark.operators.common import t
+    from pyspark.sql import functions as F
+    import datetime as dt
+
+    got = {r.user_id: r for r in qs["q_evt_velocity"](spark, SF).collect()}
+    p = (
+        t(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .collect()
+    )
+    byu = {}
+    for r in p:
+        byu.setdefault(r.user_id, []).append(r.ts)
+    assert set(got) == set(byu)
+    win = dt.timedelta(hours=24)
+    for u, tss in byu.items():
+        tss.sort()
+        bursts = [sum(1 for s in tss if t - win <= s <= t) for t in tss]
+        assert got[u].max_burst == max(bursts)
+        assert got[u].n_flagged == sum(1 for b in bursts if b >= 3)
+        assert got[u].flagged == (max(bursts) >= 3)
+        if got[u].flagged:
+            first = min(t for t, b in zip(tss, bursts) if b >= 3)
+            assert got[u].first_flag_ts == first
+
+
+def test_clustering_coeff_bruteforce(spark, qs):
+    """Coefficient recomputed from the raw symmetrized edge set."""
+    from iceberg_rest_catalog_spark.operators.graph import _knn_edges
+
+    rows = qs["q_graph_clustering_coeff"](spark, SF).collect()
+    assert rows and all(0.0 <= r.coeff <= 1.0 for r in rows)
+    _, edges = _knn_edges(spark, SF)
+    adj = {}
+    for e in edges.collect():
+        adj.setdefault(e.u, set()).add(e.v)
+    for r in rows:
+        nb = sorted(adj[r.node])
+        assert r.deg == len(nb) >= 2
+        tri = sum(
+            1
+            for i, a in enumerate(nb)
+            for b in nb[i + 1 :]
+            if b in adj.get(a, ())
+        )
+        assert r.triangles == tri
+        assert abs(r.coeff - 2 * tri / (r.deg * (r.deg - 1))) < 1e-3
+
+
+def test_assortativity_is_valid_pearson(spark, qs):
+    """-1 <= r <= 1 and matches the numpy correlation of edge degrees."""
+    import numpy as np
+    from iceberg_rest_catalog_spark.operators.graph import _knn_edges
+
+    row = qs["q_graph_assortativity"](spark, SF).collect()[0]
+    _, edges = _knn_edges(spark, SF)
+    es = [(e.u, e.v) for e in edges.collect()]
+    deg = {}
+    for u, _v in es:
+        deg[u] = deg.get(u, 0) + 1
+    x = np.array([deg[u] for u, v in es], dtype=float)
+    y = np.array([deg[v] for u, v in es], dtype=float)
+    r = float(np.corrcoef(x, y)[0, 1])
+    assert -1.0 <= row.assortativity <= 1.0
+    assert abs(row.assortativity - r) < 1e-3
+    assert row.n_edges == len(es)
