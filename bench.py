@@ -187,6 +187,11 @@ TRACKED: list[str] = [
     # |days| / per-user window frames (0.49 s / 0.50 s) — not tracked.
     "q_graph_clustering_coeff",
     "q_graph_assortativity",
+    # round-12 wave 4: stream_velocity pays the micro-batch replay +
+    # per-user state fold (4.99 s at birth, the stream-harness floor).
+    # collocations/burstiness collapse to vocab-bounded frames after one
+    # explode (1.01 s / 0.58 s) — not tracked.
+    "q_stream_velocity",
 ]
 
 

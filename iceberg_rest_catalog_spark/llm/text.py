@@ -1048,3 +1048,180 @@ def q_dedup_winnow_pairs(spark, sf_dir):
         .select("doc_a", "doc_b", F.col("shared").cast("long").alias("shared"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+COLL_MIN_COUNT = 30  # bigram support floor before a PMI score is trusted
+COLL_TOP = 40  # collocations reported
+
+
+@query(
+    "q_text_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    uni AS (
+      SELECT unnest(ws) AS w FROM toks
+    ),
+    ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    tot AS (SELECT sum(c) AS n FROM ucnt),
+    big AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+    ),
+    bcnt AS (
+      SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2
+      HAVING count(*) >= {COLL_MIN_COUNT}
+    ),
+    btot AS (SELECT sum(c12) AS nb FROM (SELECT w1, w2, count(*) AS c12
+                                         FROM big GROUP BY w1, w2))
+    SELECT b.w1, b.w2, CAST(b.c12 AS BIGINT) AS n_pair,
+           round(ln((CAST(b.c12 AS DOUBLE) / bt.nb)
+                    / ((CAST(u1.c AS DOUBLE) / t.n)
+                       * (CAST(u2.c AS DOUBLE) / t.n))), 4) AS pmi
+    FROM bcnt b
+    JOIN ucnt u1 ON u1.w = b.w1
+    JOIN ucnt u2 ON u2.w = b.w2
+    CROSS JOIN tot t CROSS JOIN btot bt
+    ORDER BY pmi DESC, b.w1, b.w2 LIMIT {COLL_TOP}
+    """,
+)
+def q_text_collocations(spark, sf_dir):
+    """COLLOCATION mining: the top-{COLL_TOP} adjacent word bigrams by
+    pointwise mutual information, support-floored at {COLL_MIN_COUNT}
+    occurrences — PMI = ln(p(w1w2) / (p(w1)p(w2))) surfaces word pairs
+    that co-occur far above chance (multiword expressions, templates),
+    the collocation primitive behind phrase-aware tokenizers and
+    boilerplate detection.  Word-level sibling of q_evt_pmi (event
+    baskets) and q_text_bpe_pairs (character pairs).
+
+    Determinism: all probabilities are ratios of exact integer counts;
+    both engines evaluate the identical ln() on the identical binary64
+    quotient, 4dp; ordering on the rounded score with (w1, w2) tiebreaks.
+
+    Scale shape: one explode + map-combined count for unigrams, one
+    shifted-zip explode + count for bigrams (both shuffle |vocab|- and
+    |vocab|²-bounded frames, Heaps-bounded in practice); the PMI join is
+    vocab-sized and broadcast-able; top-k = TakeOrderedAndProject.
+
+    Reference scope: no text surface in the reference (Go metadata
+    facade, api/router/router.go:9-55); north-star curation sibling of
+    q_text_tfidf / q_text_bpe_pairs."""
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("ws")
+    )
+    uni = toks.select(F.explode("ws").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    tot = ucnt.agg(F.sum("c").alias("n"))
+    big = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))")
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bcnt_all = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    btot = bcnt_all.agg(F.sum("c12").alias("nb"))
+    bcnt = bcnt_all.filter(F.col("c12") >= COLL_MIN_COUNT)
+    u1 = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        (F.col("c12").cast("double") / F.col("nb"))
+        / (
+            (F.col("c1").cast("double") / F.col("n"))
+            * (F.col("c2").cast("double") / F.col("n"))
+        )
+    )
+    return (
+        bcnt.join(u1, "w1")
+        .join(u2, "w2")
+        .join(F.broadcast(tot))
+        .join(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("n_pair"),
+            F.round(pmi, 4).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(COLL_TOP)
+    )
+
+
+BURST_MIN_DOCS = 20  # document-frequency floor for a stable dispersion
+BURST_TOP = 30  # burstiest tokens reported
+
+
+@query(
+    "q_text_burstiness",
+    oracle=f"""
+    WITH percnt AS (
+      SELECT doc_id, w, count(*) AS c FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents)
+      GROUP BY doc_id, w
+    ),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    st AS (
+      SELECT w, count(*) AS df, sum(c) AS tf, sum(c * c) AS tf2
+      FROM percnt GROUP BY w
+      HAVING count(*) >= {BURST_MIN_DOCS}
+    )
+    SELECT w AS token, CAST(df AS BIGINT) AS df, CAST(tf AS BIGINT) AS tf,
+           round((CAST(tf2 AS DOUBLE) - CAST(tf AS DOUBLE) * tf / n.n_docs)
+                 / (n.n_docs - 1)
+                 / (CAST(tf AS DOUBLE) / n.n_docs), 4) AS vmr
+    FROM st CROSS JOIN nd n
+    ORDER BY vmr DESC, token LIMIT {BURST_TOP}
+    """,
+)
+def q_text_burstiness(spark, sf_dir):
+    """Token BURSTINESS: the variance-to-mean ratio (index of dispersion)
+    of per-document counts, zeros included — VMR ≈ 1 is Poisson
+    background vocabulary; VMR >> 1 marks CONTENT/topic words that
+    cluster into few documents (and template boilerplate), the classic
+    corpus-linguistics signal quality filters and keyword extractors key
+    on.  Top-{BURST_TOP} by dispersion, document-frequency floor
+    {BURST_MIN_DOCS}.
+
+    Determinism: zero-count docs enter via the algebraic identity —
+    with S = Σc, Q = Σc² over OCCURRING docs and N total docs,
+    var = (Q - S²/N)/(N-1) and mean = S/N — so no spine join is needed
+    and every input is an exact integer; one shared binary64 expression,
+    4dp, (vmr, token) ordering.
+
+    Scale shape: one (doc, token) count (map-combined explode), one
+    token-keyed moment aggregate, a 1-row N broadcast; top-k =
+    TakeOrderedAndProject.  Nothing is corpus-sized after the first agg.
+
+    Reference scope: no text surface in the reference (Go metadata
+    facade, api/router/router.go:9-55); dispersion sibling of
+    q_text_zipf (frequency law) and q_text_tfidf (per-doc salience)."""
+    d = t(spark, sf_dir, "documents")
+    percnt = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    nd = d.agg(F.count("*").alias("n_docs"))
+    st = (
+        percnt.groupBy("w")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("c").alias("tf"),
+            F.sum(F.col("c") * F.col("c")).alias("tf2"),
+        )
+        .filter(F.col("df") >= BURST_MIN_DOCS)
+    )
+    ndocs = F.col("n_docs")
+    tf, tf2 = F.col("tf").cast("double"), F.col("tf2").cast("double")
+    vmr = ((tf2 - tf * F.col("tf") / ndocs) / (ndocs - 1)) / (tf / ndocs)
+    return (
+        st.join(F.broadcast(nd))
+        .select(
+            F.col("w").alias("token"),
+            F.col("df").cast("bigint").alias("df"),
+            F.col("tf").cast("bigint").alias("tf"),
+            F.round(vmr, 4).alias("vmr"),
+        )
+        .orderBy(F.desc("vmr"), "token")
+        .limit(BURST_TOP)
+    )

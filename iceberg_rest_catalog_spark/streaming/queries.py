@@ -1617,3 +1617,156 @@ def q_stream_kmv(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+def _velocity_fold(state_tuple, pdfs, window_us: int):
+    """q_stream_velocity's per-batch fold (module-level so the unit suite
+    can pin its algebra without a streaming harness).  State carries the
+    purchase stamps still inside the trailing window of the LAST seen
+    stamp — bounded by per-user window activity, never history — plus
+    the three monotone outputs.  Vectorized: bursts for a whole batch
+    are one np.searchsorted over the carried+batch stamp array."""
+    import numpy as np
+
+    recent, max_burst, n_flagged, first_flag = state_tuple
+    recent = list(recent or [])
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        us = np.sort(
+            pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+        )
+        allts = np.concatenate([np.asarray(recent, dtype="int64"), us])
+        # positions of the batch stamps within the combined sorted array
+        k = len(recent)
+        idx = np.arange(k, len(allts))
+        lo = np.searchsorted(allts, allts[idx] - window_us, side="left")
+        bursts = idx + 1 - lo
+        mb = int(bursts.max())
+        if mb > max_burst:
+            max_burst = mb
+        hit = bursts >= 3
+        n_flagged += int(hit.sum())
+        if hit.any():
+            t0 = int(allts[idx[hit][0]])
+            if first_flag is None or t0 < first_flag:
+                first_flag = t0
+        last = int(allts[-1])
+        recent = [int(x) for x in allts[allts > last - window_us]]
+    return recent, max_burst, n_flagged, first_flag
+
+
+@query(
+    "q_stream_velocity",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, ts, epoch_us(ts) AS tus FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ),
+    w AS (
+      SELECT user_id, ts,
+             count(*) OVER (PARTITION BY user_id ORDER BY tus
+                            RANGE BETWEEN 86400000000 PRECEDING
+                                      AND CURRENT ROW) AS burst
+      FROM p
+    )
+    SELECT user_id,
+           CAST(max(burst) AS BIGINT) AS max_burst,
+           CAST(count(CASE WHEN burst >= 3 THEN 1 END) AS BIGINT) AS n_flagged,
+           min(CASE WHEN burst >= 3 THEN ts END) AS first_flag_ts,
+           max(burst) >= 3 AS flagged
+    FROM w GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_stream_velocity(spark, sf_dir):
+    """STREAMING velocity rule — q_evt_velocity's trailing-24h purchase
+    burst maintained INCREMENTALLY with cross-batch state: the carried
+    per-user state is exactly the stamps still inside the trailing
+    window of the newest stamp (plus three monotone outputs), so a
+    burst straddling a micro-batch boundary is still counted — the case
+    a stateless per-batch recompute silently misses, and the reason a
+    100 TB/day fraud pipeline needs a state store at all.
+
+    The source is range-split on ts into 4 mtime-ordered files so
+    availableNow replays time-ordered micro-batches (the
+    q_stream_transform_state harness); the fold is one vectorized
+    np.searchsorted per batch; all time arithmetic is exact integer
+    microseconds, so the stream-side result is value-hash-checked
+    against the BATCH window oracle — not rows-only.  Update-mode
+    emissions are monotone, so the final state is a plain max/min
+    collapse (the q_stream_upsert shape).
+
+    State discipline: stamps inside one 24 h window per user — bounded
+    by window ACTIVITY (rate-limit scale), never by history.
+
+    Reference scope: no streaming surface in the reference facade
+    (api/router/router.go:9-55); stateful sibling of
+    q_stream_transform_state (max-gap state) and the batch rule
+    q_evt_velocity."""
+    import glob as _glob
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.events import VELOCITY_WINDOW_US
+
+    wh = scratch_dir(sf_dir, "stream_velocity")
+    shutil.rmtree(wh, ignore_errors=True)
+    src = os.path.join(wh, "src")
+    p = (
+        t(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & F.col("user_id").isNotNull())
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    p.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+    for i, f_ in enumerate(sorted(_glob.glob(os.path.join(src, "part-*.parquet")))):
+        os.utime(f_, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        cur = state.get if state.exists else ([], 0, 0, None)
+        recent, mb, nf, ff = _velocity_fold(cur, pdfs, VELOCITY_WINDOW_US)
+        state.update((recent, mb, nf, ff))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "max_burst": [mb],
+                "n_flagged": [nf],
+                "first_flag_us": [ff],
+            }
+        )
+
+    sdf = (
+        spark.readStream.schema(p.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _state_parallelism(spark):
+        out = sdf.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType="user_id long, max_burst long, n_flagged long,"
+            " first_flag_us long",
+            stateStructType="recent array<long>, max_burst long,"
+            " n_flagged long, first_flag long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        sink = os.path.join(wh, "sink")
+        res = _run_foreach_batch(spark, out, "update", sink)
+    # monotone emissions: final state per user is the max/min collapse
+    return (
+        res.groupBy("user_id")
+        .agg(
+            F.max("max_burst").alias("max_burst"),
+            F.max("n_flagged").alias("n_flagged"),
+            F.min("first_flag_us").alias("ff"),
+        )
+        .select(
+            "user_id",
+            "max_burst",
+            "n_flagged",
+            F.expr("timestamp_micros(ff)").alias("first_flag_ts"),
+            (F.col("max_burst") >= 3).alias("flagged"),
+        )
+        .orderBy("user_id")
+    )

@@ -2162,3 +2162,77 @@ def test_assortativity_is_valid_pearson(spark, qs):
     assert -1.0 <= row.assortativity <= 1.0
     assert abs(row.assortativity - r) < 1e-3
     assert row.n_edges == len(es)
+
+
+def test_collocations_pmi_bruteforce(spark, qs):
+    """PMI recomputed from raw token streams for every reported pair."""
+    import math
+    from iceberg_rest_catalog_spark.operators.common import t
+    from iceberg_rest_catalog_spark.llm.text import COLL_MIN_COUNT
+
+    rows = qs["q_text_collocations"](spark, SF).collect()
+    assert rows
+    docs = [r.text.lower().split(" ") for r in t(spark, SF, "documents").select("text").collect()]
+    uni, big = {}, {}
+    for ws in docs:
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    n = sum(uni.values())
+    nb = sum(big.values())
+    for r in rows:
+        c12 = big[(r.w1, r.w2)]
+        assert c12 == r.n_pair >= COLL_MIN_COUNT
+        pmi = math.log((c12 / nb) / ((uni[r.w1] / n) * (uni[r.w2] / n)))
+        assert abs(r.pmi - pmi) < 1e-3
+
+
+def test_burstiness_is_dispersion_with_zeros(spark, qs):
+    """VMR recomputed naively INCLUDING zero-count documents."""
+    import numpy as np
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    rows = qs["q_text_burstiness"](spark, SF).collect()
+    assert rows
+    docs = [r.text.lower().split(" ") for r in t(spark, SF, "documents").select("text").collect()]
+    N = len(docs)
+    for r in rows[:10]:
+        counts = np.array([ws.count(r.token) for ws in docs], dtype=float)
+        assert int((counts > 0).sum()) == r.df
+        assert int(counts.sum()) == r.tf
+        vmr = counts.var(ddof=1) / counts.mean()
+        assert abs(r.vmr - vmr) < 1e-3
+
+
+def test_stream_velocity_equals_batch_rule(spark, qs):
+    """The streaming fold (cross-batch trailing-window state) reproduces
+    the batch RANGE-frame rule exactly, including boundary-straddling
+    bursts."""
+    got = {r.user_id: r for r in qs["q_stream_velocity"](spark, SF).collect()}
+    want = {r.user_id: r for r in qs["q_evt_velocity"](spark, SF).collect()}
+    assert set(got) == set(want)
+    for u, w in want.items():
+        g = got[u]
+        assert (g.max_burst, g.n_flagged, g.flagged) == (
+            w.max_burst,
+            w.n_flagged,
+            w.flagged,
+        ), u
+        assert g.first_flag_ts == w.first_flag_ts, u
+
+
+def test_velocity_fold_straddles_batches():
+    """Unit pin of the fold algebra: a burst split 2+1 across two batches
+    must still trip the rule (the stateless-recompute miss)."""
+    import pandas as pd
+    from iceberg_rest_catalog_spark.streaming.queries import _velocity_fold
+
+    h = 3_600_000_000
+    b1 = pd.DataFrame({"ts": pd.to_datetime([0, 2 * h // 1000], unit="ms")})
+    b2 = pd.DataFrame({"ts": pd.to_datetime([20 * h // 1000], unit="ms")})
+    state = ([], 0, 0, None)
+    state = _velocity_fold(state, [b1], 24 * h)
+    assert state[1] == 2 and state[2] == 0
+    state = _velocity_fold(state, [b2], 24 * h)
+    assert state[1] == 3 and state[2] == 1 and state[3] == 20 * h

@@ -23,7 +23,7 @@ def test_queries_collect_without_spark_session():
         # exact-count pin (VERDICT r9 item 7): a module import that silently
         # fails to register its queries trips this loudly; bump on every
         # operator addition.
-        "assert len(qs) == 325, len(qs)\n"
+        "assert len(qs) == 328, len(qs)\n"
         "assert set(osql) <= set(qs), sorted(set(osql) - set(qs))\n"
         "print('OK', len(qs), len(osql))\n" % REPO
     )
@@ -285,6 +285,7 @@ def test_round11_window_head_is_new_ops_then_r5_block():
 # @query registration this round — the rotation pin below derives from it.
 R12_NEW_OPS: list[str] = [
     "q_stream_kmv",
+    "q_stream_velocity",
     "q_graph_kcore",
     "q_graph_clustering_coeff",
     "q_graph_assortativity",
@@ -303,6 +304,8 @@ R12_NEW_OPS: list[str] = [
     "q_join_spatial_grid",
     "q_join_nearest",
     "q_dq_gap_hours",
+    "q_text_collocations",
+    "q_text_burstiness",
 ]
 
 
