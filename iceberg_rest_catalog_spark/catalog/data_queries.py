@@ -1274,3 +1274,92 @@ def q_meta_refs(spark, sf_dir):
         sorted(rows),
         "ref_name string, ref_type string, snapshot_id long, is_head boolean",
     ).orderBy("ref_name")
+
+
+@query(
+    "q_meta_snapshot_lineage",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS snapshot_id, CAST(NULL AS BIGINT) AS parent_id,
+           CAST(1 AS INT) AS depth, true AS on_main, 'append' AS operation
+    UNION ALL SELECT 2, 1, 2, true, 'append'
+    UNION ALL SELECT 3, 2, 3, false, 'append'
+    UNION ALL SELECT 4, 2, 3, true, 'append'
+    UNION ALL SELECT 5, 3, 4, false, 'append'
+    ORDER BY snapshot_id
+    """,
+)
+def q_meta_snapshot_lineage(spark, sf_dir):
+    """The snapshot LINEAGE graph (Iceberg's parent-snapshot-id chain
+    materialized): one row per snapshot across ALL refs with its parent,
+    its DEPTH from the root, and whether main's head can reach it — the
+    provenance query behind time travel ("is snapshot X an ancestor of
+    what I'm reading?"), branch cleanup (everything with on_main=false
+    and no ref is orphanable), and incremental-read validation.
+
+    Scripted scenario (ids are sequential CAS commits, so the expected
+    table is exact VALUES): append (1) -> append (2) -> stage on branch
+    'audit' (3, parent 2) -> append on MAIN (4, parent 2 — the fork!) ->
+    second stage on 'audit' (5, parent 3).  Main lineage is 1->2->4;
+    the audit branch holds 3 and 5.  Snapshot 3 has a LOWER id than
+    main's head yet is NOT on main, and 4 forks from 2 while 3 exists —
+    the two cases naive id-ordering walks get wrong (the q_meta_history
+    lineage discipline, extended to the full graph).
+
+    Metadata-plane only: the walk is a parent-pointer traversal of the
+    |snapshots| metadata list — O(history), never opens a data file,
+    independent of table size at 100 TB.
+
+    Reference scope: the reference's UpdateTable commit path maintains
+    parent-snapshot-id the same way (api/handlers/tables.go:150-227);
+    the lineage table is the [CAP] query surface over it."""
+    wh = scratch_dir(sf_dir, "catalog_data", "snapshot_lineage")
+    cat = Catalog(wh)
+    marker = os.path.join(wh, ".ready")
+    if not os.path.exists(marker):
+        shutil.rmtree(wh, ignore_errors=True)
+        os.makedirs(wh, exist_ok=True)
+        cat = Catalog(wh)
+        cat.create_namespace(("db",))
+        tbl = cat.create_table(("db", "orders_lin"), _ORDERS_SCHEMA)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+
+        def chunk(lo, hi):
+            return orders.filter(
+                (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
+            ).coalesce(1)
+
+        tbl = tbl.append(chunk(0, 50))          # snap 1 (root)
+        tbl = tbl.append(chunk(50, 100))        # snap 2
+        tbl = tbl.append(chunk(100, 150), branch="audit")  # snap 3, parent 2
+        tbl = tbl.append(chunk(150, 200))       # snap 4, parent 2 (fork)
+        tbl = tbl.append(chunk(200, 250), branch="audit")  # snap 5, parent 3
+        open(marker, "w").close()
+    tbl = cat.load_table(("db", "orders_lin"))
+    snaps = {int(s["snapshot-id"]): s for s in tbl.metadata.get("snapshots", [])}
+    cur = int(tbl.metadata["current-snapshot-id"])
+    main_ids = {int(s["snapshot-id"]) for s in tbl._ancestors(cur)}
+
+    def depth(sid: int) -> int:
+        d, s = 1, snaps[sid]
+        while s.get("parent-snapshot-id") is not None:
+            s = snaps[int(s["parent-snapshot-id"])]
+            d += 1
+        return d
+
+    rows = [
+        (
+            sid,
+            int(s["parent-snapshot-id"]) if s.get("parent-snapshot-id") is not None else None,
+            depth(sid),
+            sid in main_ids,
+            s["operation"],
+        )
+        for sid, s in sorted(snaps.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id long, parent_id long, depth int, on_main boolean,"
+        " operation string",
+    ).orderBy("snapshot_id")

@@ -538,3 +538,83 @@ def q_multimodal_phash_dedup(spark, sf_dir):
         .filter(F.col("hamming") <= 3)
         .crossJoin(F.broadcast(acct))
     )
+
+
+@query(
+    "q_multimodal_bytes_audit",
+    oracle="""
+    WITH ingest AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+    ),
+    a AS (
+      SELECT CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                             WHEN 1 THEN 'audio/wav'
+                             ELSE 'video/mp4' END AS mime,
+             md5(text) AS h,
+             octet_length(encode(text)) AS nb
+      FROM ingest
+    ),
+    fam AS (
+      SELECT mime, h, count(*) AS n, max(nb) AS nb
+      FROM a GROUP BY mime, h
+    )
+    SELECT mime,
+           CAST(sum(n) AS BIGINT) AS n_assets,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(n) - count(*) AS BIGINT) AS dup_assets,
+           CAST(sum((n - 1) * nb) AS BIGINT) AS wasted_bytes,
+           CAST(max(n) AS BIGINT) AS max_family
+    FROM fam GROUP BY mime ORDER BY mime
+    """,
+)
+def q_multimodal_bytes_audit(spark, sf_dir):
+    """Byte-level ASSET audit over the opaque binary payload column:
+    per mime type, exact-duplicate families by payload md5 — asset
+    count, distinct count, duplicated assets, WASTED BYTES (payload
+    bytes beyond each family's first copy — the dedup savings a content-
+    addressed store would reclaim), and the largest family.  The
+    storage-ops twin of q_dedup_exact (text) and q_multimodal_phash_dedup
+    (perceptual): byte identity is the cheapest dedup tier and runs
+    BEFORE any decode.
+
+    Scale shape: hash and length are computed MAP-SIDE from the payload
+    (the bytes themselves never shuffle — the multimodal family
+    discipline); one (mime, hash) count shuffle over 16-byte keys, then
+    a |mime|-row rollup.  At 100 TB of video this plan moves kilobytes.
+
+    Payloads are the fixture's deterministic encode(text) bytes with the
+    q_multimodal_cols mime assignment; the ingest stream re-uploads the
+    doc_id %% 7 slice (the same file arriving twice — the duplication
+    byte-identity actually catches in production), so the DuckDB oracle
+    reproduces the exact hash families from the text column and the
+    report is non-degenerate.
+
+    Reference scope: no content-addressing in the reference facade
+    (api/router/router.go:9-55); the audit a catalog's
+    content-addressed FileIO (catalog/fileio.py) would run at ingest."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    ingest = d.unionByName(d.filter(F.col("doc_id") % 7 == 0))
+    a = ingest.select(
+        F.element_at(
+            F.array(*[F.lit(m) for m in _MIMES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("mime"),
+        F.md5(F.encode("text", "UTF-8")).alias("h"),
+        F.length(F.encode("text", "UTF-8")).alias("nb"),
+    )
+    fam = a.groupBy("mime", "h").agg(
+        F.count("*").alias("n"), F.max("nb").alias("nb_max")
+    )
+    return (
+        fam.groupBy("mime")
+        .agg(
+            F.sum("n").cast("long").alias("n_assets"),
+            F.count("*").cast("long").alias("n_distinct"),
+            (F.sum("n") - F.count("*")).cast("long").alias("dup_assets"),
+            F.sum((F.col("n") - 1) * F.col("nb_max")).cast("long").alias("wasted_bytes"),
+            F.max("n").cast("long").alias("max_family"),
+        )
+        .orderBy("mime")
+    )

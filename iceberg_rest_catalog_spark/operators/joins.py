@@ -999,3 +999,83 @@ def q_join_nearest(spark, sf_dir):
             F.when(pick_prev, d_prev).otherwise(d_next).alias("gap_us"),
         )
     )
+
+
+@query(
+    "q_join_pit",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS is_v,
+             event_type
+      FROM events WHERE event_type IN ('signup', 'purchase')
+        AND user_id IS NOT NULL
+    ),
+    w AS (
+      SELECT *,
+             sum(is_v) OVER (PARTITION BY user_id ORDER BY ts, is_v DESC,
+                             event_id ROWS UNBOUNDED PRECEDING) AS version,
+             max(CASE WHEN is_v = 1 THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, is_v DESC, event_id
+               ROWS UNBOUNDED PRECEDING) AS valid_from
+      FROM u
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN version > 0 THEN CAST(version AS BIGINT) END AS tier_version,
+           valid_from AS tier_since,
+           CASE WHEN version > 0
+                THEN CAST(epoch_us(ts) - epoch_us(valid_from) AS BIGINT)
+           END AS tenure_us
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def q_join_pit(spark, sf_dir):
+    """POINT-IN-TIME join against a versioned (SCD2-style) dimension: each
+    purchase picks the dimension VERSION valid at its event time — here
+    the per-user tier that increments at every signup event, with
+    validity [signup_ts, next_signup_ts).  Purchases before the first
+    version get NULLs (no validity interval covers them) — the
+    leakage-safe feature-store lookup: joining tomorrow's tier onto
+    today's purchase is exactly the training-serving skew PIT joins
+    exist to prevent.
+
+    Plan: the dimension's validity intervals are never materialized —
+    version rows and facts union into ONE user_id-shuffled timeline and
+    a running count/max carries (version, valid_from) onto each fact
+    (same-instant version sorts BEFORE the fact, so a signup at the
+    purchase instant is visible — SCD2 inclusive-start).  The naive
+    plan is a fact×versions range join (quadratic per user); this is
+    linear, the q_join_asof discipline extended to carried ATTRIBUTES.
+    Tenure is exact integer microseconds.
+
+    Reference scope: no join surface in the reference (Go metadata
+    facade, api/router/router.go:9-55); SCD2 companion of q_scd2 (which
+    BUILDS type-2 dims) — this is the read side at serving time."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase") & F.col("user_id").isNotNull()
+    )
+    u = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "signup", 1).otherwise(0).alias("is_v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_v"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.withColumn("version", F.sum("is_v").over(w)).withColumn(
+        "valid_from", F.max(F.when(F.col("is_v") == 1, F.col("ts"))).over(w)
+    )
+    has_v = F.col("version") > 0
+    tus = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return carried.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(has_v, F.col("version").cast("long")).alias("tier_version"),
+        F.col("valid_from").alias("tier_since"),
+        F.when(has_v, tus("ts") - tus("valid_from")).alias("tenure_us"),
+    )

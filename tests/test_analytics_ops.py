@@ -2236,3 +2236,67 @@ def test_velocity_fold_straddles_batches():
     assert state[1] == 2 and state[2] == 0
     state = _velocity_fold(state, [b2], 24 * h)
     assert state[1] == 3 and state[2] == 1 and state[3] == 20 * h
+
+
+def test_pit_join_is_leakage_safe(spark, qs):
+    """Every tier_since is <= the purchase ts (never a FUTURE version),
+    versions count signups-at-or-before exactly, and pre-first-signup
+    purchases carry NULLs — checked brute-force."""
+    from iceberg_rest_catalog_spark.operators.common import t
+    from pyspark.sql import functions as F
+
+    rows = qs["q_join_pit"](spark, SF).collect()
+    ev = (
+        t(spark, SF, "events")
+        .filter(F.col("event_type").isin("signup", "purchase"))
+        .select("event_id", "user_id", "ts", "event_type")
+        .collect()
+    )
+    signups = {}
+    for e in ev:
+        if e.event_type == "signup":
+            signups.setdefault(e.user_id, []).append((e.ts, e.event_id))
+    n_purch = sum(1 for e in ev if e.event_type == "purchase")
+    assert len(rows) == n_purch
+    ev_by_id = {e.event_id: e for e in ev}
+    for r in rows:
+        p = ev_by_id[r.event_id]
+        prior = sorted(s for s in signups.get(r.user_id, []) if s[0] <= p.ts)
+        if not prior:
+            assert r.tier_version is None and r.tier_since is None
+            continue
+        assert r.tier_version == len(prior)
+        assert r.tier_since == prior[-1][0] <= p.ts
+        assert r.tenure_us >= 0
+
+
+def test_snapshot_lineage_fork_semantics(spark, qs):
+    """The fork scenario: snapshot 3 (audit) has a lower id than main's
+    head 4 but is NOT on main; depths follow parent chains, not ids."""
+    rows = {r.snapshot_id: r for r in qs["q_meta_snapshot_lineage"](spark, SF).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    assert rows[1].parent_id is None and rows[1].depth == 1
+    assert rows[4].parent_id == 2 and rows[4].depth == 3 and rows[4].on_main
+    assert rows[3].parent_id == 2 and not rows[3].on_main
+    assert rows[5].parent_id == 3 and rows[5].depth == 4 and not rows[5].on_main
+    assert {s for s, r in rows.items() if r.on_main} == {1, 2, 4}
+
+
+def test_bytes_audit_conserves_assets(spark, qs):
+    """n_assets = n_distinct + dup_assets per mime; totals match the
+    corpus; wasted_bytes is zero iff dup_assets is zero."""
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    from pyspark.sql import functions as F
+
+    rows = qs["q_multimodal_bytes_audit"](spark, SF01).collect()
+    assert len(rows) == 3
+    d = t(spark, SF01, "documents")
+    n_ingest = d.count() + d.filter(F.col("doc_id") % 7 == 0).count()
+    assert sum(r.n_assets for r in rows) == n_ingest
+    for r in rows:
+        assert r.n_assets == r.n_distinct + r.dup_assets
+        assert (r.wasted_bytes > 0) == (r.dup_assets > 0)
+        assert r.max_family >= 1
+    # the dedup fixture plants exact duplicates — non-degenerate
+    assert any(r.dup_assets > 0 for r in rows)

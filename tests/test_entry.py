@@ -23,7 +23,7 @@ def test_queries_collect_without_spark_session():
         # exact-count pin (VERDICT r9 item 7): a module import that silently
         # fails to register its queries trips this loudly; bump on every
         # operator addition.
-        "assert len(qs) == 328, len(qs)\n"
+        "assert len(qs) == 331, len(qs)\n"
         "assert set(osql) <= set(qs), sorted(set(osql) - set(qs))\n"
         "print('OK', len(qs), len(osql))\n" % REPO
     )
@@ -284,6 +284,7 @@ def test_round11_window_head_is_new_ops_then_r5_block():
 # Round-12 additions, in registration order.  Update alongside every new
 # @query registration this round — the rotation pin below derives from it.
 R12_NEW_OPS: list[str] = [
+    "q_multimodal_bytes_audit",
     "q_stream_kmv",
     "q_stream_velocity",
     "q_graph_kcore",
@@ -300,9 +301,11 @@ R12_NEW_OPS: list[str] = [
     "q_intersect_all",
     "q_sub_all",
     "q_fn_struct",
+    "q_meta_snapshot_lineage",
     "q_scan_runtime_filter",
     "q_join_spatial_grid",
     "q_join_nearest",
+    "q_join_pit",
     "q_dq_gap_hours",
     "q_text_collocations",
     "q_text_burstiness",
