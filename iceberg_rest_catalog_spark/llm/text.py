@@ -1113,11 +1113,22 @@ def q_text_collocations(spark, sf_dir):
     uni = toks.select(F.explode("ws").alias("w"))
     ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
     tot = ucnt.agg(F.sum("c").alias("n"))
-    big = toks.select(
-        F.explode(
-            F.expr("transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))")
-        ).alias("p")
-    ).select("p.w1", "p.w2")
+    # size guard: Spark's sequence(1, 0) DESCENDS (ws[-1] crash on
+    # single-token docs — perturbed-fixture catch), where DuckDB's
+    # generate_series(1, 0) is empty; the filter makes both contribute
+    # nothing for <2-token docs.
+    big = (
+        toks.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
     bcnt_all = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     btot = bcnt_all.agg(F.sum("c12").alias("nb"))
     bcnt = bcnt_all.filter(F.col("c12") >= COLL_MIN_COUNT)
