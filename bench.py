@@ -192,6 +192,10 @@ TRACKED: list[str] = [
     # collocations/burstiness collapse to vocab-bounded frames after one
     # explode (1.01 s / 0.58 s) — not tracked.
     "q_stream_velocity",
+    # round-12 wave 6: DBSCAN pays the cell-keyed candidate join + 16
+    # min-label rounds (4.54 s at birth).  neyman/bot_score collapse to
+    # |strata| / |users| frames (0.61 s / 0.49 s) — not tracked.
+    "q_cluster_dbscan",
 ]
 
 

@@ -979,3 +979,140 @@ def q_split_assign(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+NEYMAN_BUDGET = 200  # total sample size allocated across strata
+
+
+@query(
+    "q_sample_neyman",
+    oracle=f"""
+    WITH x AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS toks
+      FROM documents
+    ),
+    st AS (
+      SELECT source, count(*) AS n_pop,
+             sum(toks) AS s, sum(toks * toks) AS q
+      FROM x GROUP BY source
+    ),
+    sg AS (
+      SELECT source, n_pop, s, q,
+             sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n_pop) / n_pop)
+               AS sigma
+      FROM st
+    ),
+    w AS (SELECT sum(n_pop * sigma) AS wtot FROM sg),
+    alloc AS (
+      SELECT sg.source, sg.n_pop, sg.sigma, sg.s,
+             least(sg.n_pop,
+                   greatest(1, CAST(floor({NEYMAN_BUDGET} * sg.n_pop * sg.sigma
+                                          / w.wtot) AS BIGINT))) AS n_alloc
+      FROM sg CROSS JOIN w
+    ),
+    ranked AS (
+      SELECT doc_id, source, toks,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM x
+    ),
+    samp AS (
+      SELECT r.source, count(*) AS n_sampled, sum(r.toks) AS s_samp
+      FROM ranked r JOIN alloc a ON a.source = r.source AND r.rk <= a.n_alloc
+      GROUP BY r.source
+    )
+    SELECT a.source, CAST(a.n_pop AS BIGINT) AS n_pop,
+           round(a.sigma, 4) AS sigma,
+           CAST(a.n_alloc AS BIGINT) AS n_alloc,
+           CAST(sp.n_sampled AS BIGINT) AS n_sampled,
+           round(CAST(a.s AS DOUBLE) / a.n_pop, 4) AS pop_avg_toks,
+           round(CAST(sp.s_samp AS DOUBLE) / sp.n_sampled, 4) AS samp_avg_toks
+    FROM alloc a JOIN samp sp ON sp.source = a.source
+    ORDER BY a.source
+    """,
+)
+def q_sample_neyman(spark, sf_dir):
+    """NEYMAN (optimal-allocation) stratified sampling: a fixed budget of
+    {NEYMAN_BUDGET} docs is allocated across source strata proportional
+    to N_h * sigma_h — high-variance strata get proportionally MORE
+    sample than proportional allocation would give, the
+    minimum-estimator-variance design from survey statistics (and the
+    principled upgrade of q_sample_stratified's fixed per-stratum
+    rates).  The sample itself is the deterministic bottom-n_h of the
+    stratum by content hash, so it is reproducible across runs and
+    clusters.
+
+    Determinism: stratum moments are EXACT LONG sums (token counts are
+    small integers, so Q fits long at any realistic stratum size);
+    sigma, the allocation weights and floor() are one shared binary64
+    expression — both engines floor the identical double.  Selection
+    ranks on the portable md5 hash with doc_id tiebreak.
+
+    Scale shape: moments are one map-combined aggregate; the allocation
+    table is |strata| rows (broadcast); selection is a per-stratum
+    top-n_h window — the one per-stratum sort, keyed and partitionable.
+    The report is |strata| rows.
+
+    Reference scope: no sampling surface in the reference (Go metadata
+    facade, api/router/router.go:9-55); allocation sibling of
+    q_sample_stratified (fixed rates) and q_sample_fixed_k (fixed k)."""
+    x = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("toks")
+    )
+    st = x.groupBy("source").agg(
+        F.count("*").alias("n_pop"),
+        F.sum("toks").alias("s"),
+        F.sum(F.col("toks").cast("long") * F.col("toks")).alias("q"),
+    )
+    sigma = F.sqrt(
+        (F.col("q").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n_pop"))
+        / F.col("n_pop")
+    )
+    sg = st.withColumn("sigma", sigma)
+    w = sg.agg(F.sum(F.col("n_pop") * F.col("sigma")).alias("wtot"))
+    alloc = sg.join(F.broadcast(w)).withColumn(
+        "n_alloc",
+        F.least(
+            F.col("n_pop"),
+            F.greatest(
+                F.lit(1),
+                F.floor(
+                    NEYMAN_BUDGET * F.col("n_pop") * F.col("sigma") / F.col("wtot")
+                ),
+            ),
+        ),
+    )
+    ranked = x.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        ),
+    )
+    samp = (
+        ranked.join(
+            F.broadcast(alloc.select("source", "n_alloc")), "source"
+        )
+        .filter(F.col("rk") <= F.col("n_alloc"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"), F.sum("toks").alias("s_samp"))
+    )
+    return (
+        alloc.join(samp, "source")
+        .select(
+            "source",
+            F.col("n_pop").cast("long").alias("n_pop"),
+            F.round("sigma", 4).alias("sigma"),
+            F.col("n_alloc").cast("long").alias("n_alloc"),
+            F.col("n_sampled").cast("long").alias("n_sampled"),
+            F.round(F.col("s").cast("double") / F.col("n_pop"), 4).alias(
+                "pop_avg_toks"
+            ),
+            F.round(
+                F.col("s_samp").cast("double") / F.col("n_sampled"), 4
+            ).alias("samp_avg_toks"),
+        )
+        .orderBy("source")
+    )

@@ -3006,3 +3006,105 @@ def q_evt_velocity(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+BOT_TOP = 20  # highest-scoring users reported
+
+
+@query(
+    "q_evt_bot_score",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, ts, event_type, epoch_us(ts) AS tus
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    burst AS (
+      SELECT user_id, max(b) AS max_burst FROM (
+        SELECT user_id,
+               count(*) OVER (PARTITION BY user_id ORDER BY tus
+                              RANGE BETWEEN 3600000000 PRECEDING
+                                        AND CURRENT ROW) AS b
+        FROM base) GROUP BY user_id
+    ),
+    feats AS (
+      SELECT user_id, count(*) AS n_events,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err,
+             sum(CASE WHEN hour(ts) < 6 THEN 1 ELSE 0 END) AS n_night
+      FROM base GROUP BY user_id
+    )
+    SELECT f.user_id,
+           CAST(f.n_events AS BIGINT) AS n_events,
+           CAST(b.max_burst AS BIGINT) AS max_burst,
+           round(CAST(f.n_err AS DOUBLE) / f.n_events, 4) AS err_ratio,
+           round(CAST(f.n_night AS DOUBLE) / f.n_events, 4) AS night_ratio,
+           round(0.4 * least(CAST(b.max_burst AS DOUBLE) / 20, 1.0)
+                 + 0.3 * (CAST(f.n_err AS DOUBLE) / f.n_events)
+                 + 0.3 * (CAST(f.n_night AS DOUBLE) / f.n_events), 4)
+             AS bot_score
+    FROM feats f JOIN burst b ON b.user_id = f.user_id
+    ORDER BY bot_score DESC, f.user_id LIMIT {BOT_TOP}
+    """,
+)
+def q_evt_bot_score(spark, sf_dir):
+    """Abuse SCORECARD: a weighted composite of three behavioral features
+    per user — trailing-1h event burst (automation), error ratio
+    (scraping/probing), night-hours activity share — reporting the
+    top-{BOT_TOP} suspects.  The feature-fusion pattern every
+    rules-to-ML migration starts from: each feature is itself a
+    registered-operator shape (velocity window, conditional ratios) and
+    the score is a transparent linear blend.
+
+    Determinism: features are exact integer counts / RANGE-frame maxima;
+    ratios and the blend are one shared binary64 expression, 4dp;
+    ordering on the rounded score with user_id tiebreak.
+
+    Scale shape: ONE user_id shuffle serves both the RANGE-frame burst
+    window and the feature aggregate (same key); the blend is map-only
+    on the |users| frame; top-k = TakeOrderedAndProject.
+
+    Reference scope: no event surface in the reference (Go metadata
+    facade, api/router/router.go:9-55); composite sibling of
+    q_evt_velocity (single rule) and q_evt_rfm (behavioral segmentation)."""
+    from pyspark.sql import Window as W
+
+    base = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("tus").rangeBetween(-3_600_000_000, 0)
+    burst = (
+        base.withColumn("b", F.count("*").over(w))
+        .groupBy("user_id")
+        .agg(F.max("b").alias("max_burst"))
+    )
+    feats = base.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_err"),
+        F.sum(F.when(F.hour("ts") < 6, 1).otherwise(0)).alias("n_night"),
+    )
+    err = F.col("n_err").cast("double") / F.col("n_events")
+    night = F.col("n_night").cast("double") / F.col("n_events")
+    score = (
+        0.4 * F.least(F.col("max_burst").cast("double") / 20, F.lit(1.0))
+        + 0.3 * err
+        + 0.3 * night
+    )
+    return (
+        feats.join(burst, "user_id")
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("max_burst").cast("long").alias("max_burst"),
+            F.round(err, 4).alias("err_ratio"),
+            F.round(night, 4).alias("night_ratio"),
+            F.round(score, 4).alias("bot_score"),
+        )
+        .orderBy(F.desc("bot_score"), "user_id")
+        .limit(BOT_TOP)
+    )

@@ -1315,3 +1315,214 @@ def q_graph_assortativity(spark, sf_dir):
             4,
         ).alias("assortativity"),
     )
+
+
+DBSCAN_LAMBDA = 2.0  # expected eps-neighbours (subcritical: small comps)
+DBSCAN_MINPTS = 4  # core = point + >= 3 neighbours within eps
+DBSCAN_ROUNDS = 16  # min-label rounds (max ecc ~10 at fixture densities)
+DBSCAN_TOP = 20  # largest clusters reported
+_H44_DB = 17592186044416.0  # 2^44 md5-prefix hash space
+
+
+def _dbscan_oracle() -> str:
+    head = f"""
+    WITH nn AS (SELECT count(*) AS n FROM customer),
+    p AS (
+      SELECT c_custkey AS id,
+             ('0x' || substr(md5('c:' || CAST(c_custkey AS VARCHAR)), 1, 11))::BIGINT
+               / {_H44_DB} AS x,
+             ('0x' || substr(md5('c:' || CAST(c_custkey AS VARCHAR)), 12, 11))::BIGINT
+               / {_H44_DB} AS y
+      FROM customer),
+    eps AS (SELECT sqrt({DBSCAN_LAMBDA} / (pi() * n)) AS e FROM nn),
+    g AS (
+      SELECT id, x, y,
+             CAST(floor(x / e.e) AS BIGINT) AS cx,
+             CAST(floor(y / e.e) AS BIGINT) AS cy, e.e
+      FROM p CROSS JOIN eps e),
+    cand AS (
+      SELECT a.id AS u, b.id AS v
+      FROM g a
+      JOIN g b ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+              AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+              AND a.id <> b.id
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= a.e * a.e),
+    deg AS (SELECT u, count(*) AS d FROM cand GROUP BY u),
+    core AS (SELECT u AS id FROM deg WHERE d >= {DBSCAN_MINPTS - 1}),
+    ce AS MATERIALIZED (
+      SELECT c.u, c.v FROM cand c
+      JOIN core k1 ON k1.id = c.u JOIN core k2 ON k2.id = c.v),
+    l0 AS MATERIALIZED (SELECT id, id AS lab FROM core)"""
+    rounds = []
+    for k in range(1, DBSCAN_ROUNDS + 1):
+        rounds.append(f"""l{k} AS MATERIALIZED (
+      SELECT p.id, least(p.lab, coalesce(min(q.lab), p.lab)) AS lab
+      FROM l{k - 1} p
+      LEFT JOIN ce ON ce.u = p.id
+      LEFT JOIN l{k - 1} q ON q.id = ce.v
+      GROUP BY p.id, p.lab)""")
+    tail = f"""border AS (
+      SELECT c.u AS id, min(l.lab) AS lab
+      FROM cand c
+      JOIN l{DBSCAN_ROUNDS} l ON l.id = c.v
+      WHERE c.u NOT IN (SELECT id FROM core)
+      GROUP BY c.u),
+    labeled AS (
+      SELECT id, lab, true AS is_core FROM l{DBSCAN_ROUNDS}
+      UNION ALL SELECT id, lab, false FROM border),
+    clusters AS (
+      SELECT lab AS cluster_id,
+             count(*) AS size,
+             sum(CASE WHEN is_core THEN 1 ELSE 0 END) AS n_core,
+             sum(CASE WHEN is_core THEN 0 ELSE 1 END) AS n_border
+      FROM labeled GROUP BY lab),
+    noise AS (
+      SELECT CAST(-1 AS BIGINT) AS cluster_id,
+             (SELECT count(*) FROM p)
+               - (SELECT count(*) FROM labeled) AS size,
+             0 AS n_core, 0 AS n_border)
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(size AS BIGINT) AS size,
+           CAST(n_core AS BIGINT) AS n_core,
+           CAST(n_border AS BIGINT) AS n_border
+    FROM (SELECT * FROM (SELECT * FROM clusters
+                         ORDER BY size DESC, cluster_id LIMIT {DBSCAN_TOP})
+          UNION ALL SELECT * FROM noise)
+    ORDER BY size DESC, cluster_id"""
+    return head + ",\n    " + ",\n    ".join(rounds) + ",\n    " + tail
+
+
+@query("q_cluster_dbscan", oracle=_dbscan_oracle())
+def q_cluster_dbscan(spark, sf_dir):
+    """GRID-accelerated DBSCAN over synthesized 2-D points (the
+    q_join_spatial_grid coordinate convention): eps-neighbour counting
+    via cell bucketing (side = eps, 3x3 neighbour equi-join — never the
+    |P|² distance matrix), core points = >= {DBSCAN_MINPTS}-1 neighbours,
+    clusters = connected components of the core-core eps-graph
+    ({DBSCAN_ROUNDS} synchronous min-label rounds, the q_graph_cc
+    discipline — fixpoint inside the budget pinned by test), border
+    points attach to their MINIMUM core neighbour label (deterministic),
+    the rest is noise (cluster_id -1).  Density-based clustering is the
+    standard complement of q_cluster_kmeans: it finds arbitrary-shape
+    clusters and an explicit noise set without fixing k.
+
+    Scaled geometry: eps = sqrt({DBSCAN_LAMBDA} / (pi * N)) keeps the
+    EXPECTED neighbour count constant as N grows (the ivf_cells_for
+    convention) — subcritical density, so components stay small and the
+    round budget holds at any SF; both engines compute the identical
+    binary64 eps, cells and distances, so the label sets agree exactly.
+
+    Scale shape: the candidate join shuffles on cell keys (9x fan-out);
+    each label round is one join + map-combined min over |core edges|
+    rows with localCheckpoint (the LPA lineage discipline); the report
+    is |clusters| rows + one noise row, top-{DBSCAN_TOP} by size.
+
+    Reference scope: no clustering surface in the reference facade
+    (api/router/router.go:9-55); density sibling of q_cluster_kmeans
+    (centroid) and q_graph_kcore (degree)."""
+    pts = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("c:"), F.col("c_custkey").cast("string"))), 1, 11), 16, 10).cast("long")
+            / _H44_DB
+        ).alias("x"),
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("c:"), F.col("c_custkey").cast("string"))), 12, 11), 16, 10).cast("long")
+            / _H44_DB
+        ).alias("y"),
+    )
+    nn = pts.agg(F.count("*").alias("n"))
+    g = pts.join(F.broadcast(nn)).select(
+        "id",
+        "x",
+        "y",
+        F.sqrt(F.lit(DBSCAN_LAMBDA) / (F.lit(float(__import__("math").pi)) * F.col("n"))).alias("e"),
+    )
+    g = g.select(
+        "id",
+        "x",
+        "y",
+        "e",
+        F.floor(F.col("x") / F.col("e")).alias("cx"),
+        F.floor(F.col("y") / F.col("e")).alias("cy"),
+    )
+    nine = g.select(
+        "id",
+        "x",
+        "y",
+        "e",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx ->"
+                " transform(sequence(-1, 1), dy -> struct(cx + dx AS cx, cy + dy AS cy))))"
+            )
+        ).alias("c"),
+    ).select("id", "x", "y", "e", "c.cx", "c.cy")
+    b = g.select(
+        F.col("id").alias("vid"), F.col("x").alias("bx"), F.col("y").alias("by"), "cx", "cy"
+    )
+    dx, dy = F.col("x") - F.col("bx"), F.col("y") - F.col("by")
+    cand = (
+        nine.join(b, ["cx", "cy"])
+        .filter(
+            (F.col("id") != F.col("vid"))
+            & (dx * dx + dy * dy <= F.col("e") * F.col("e"))
+        )
+        .select(F.col("id").alias("u"), F.col("vid").alias("v"))
+        .localCheckpoint()  # the cell join runs once, not once per round
+    )
+    deg = cand.groupBy("u").agg(F.count("*").alias("d"))
+    core = deg.filter(F.col("d") >= DBSCAN_MINPTS - 1).select(F.col("u").alias("id"))
+    ce = (
+        cand.join(core.withColumnRenamed("id", "u"), "u")
+        .join(core.withColumnRenamed("id", "v"), "v")
+        .localCheckpoint()
+    )
+    lab = core.select("id", F.col("id").alias("lab")).localCheckpoint()
+    for _ in range(DBSCAN_ROUNDS):
+        nbr_min = (
+            ce.join(lab.withColumnRenamed("id", "v").withColumnRenamed("lab", "vlab"), "v")
+            .groupBy("u")
+            .agg(F.min("vlab").alias("nlab"))
+        )
+        lab = (
+            lab.join(nbr_min.withColumnRenamed("u", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
+            )
+            .localCheckpoint()
+        )
+    border = (
+        cand.join(core.withColumnRenamed("id", "u"), "u", "left_anti")
+        .join(lab.withColumnRenamed("id", "v").withColumnRenamed("lab", "vlab"), "v")
+        .groupBy("u")
+        .agg(F.min("vlab").alias("lab"))
+        .select(F.col("u").alias("id"), "lab", F.lit(False).alias("is_core"))
+    )
+    labeled = lab.select("id", "lab", F.lit(True).alias("is_core")).unionByName(border)
+    clusters = labeled.groupBy(F.col("lab").alias("cluster_id")).agg(
+        F.count("*").alias("size"),
+        F.sum(F.when(F.col("is_core"), 1).otherwise(0)).alias("n_core"),
+        F.sum(F.when(F.col("is_core"), 0).otherwise(1)).alias("n_border"),
+    )
+    n_noise = pts.agg(F.count("*").alias("np")).join(
+        labeled.agg(F.count("*").alias("nl"))
+    )
+    noise = n_noise.select(
+        F.lit(-1).cast("long").alias("cluster_id"),
+        (F.col("np") - F.col("nl")).cast("long").alias("size"),
+        F.lit(0).cast("long").alias("n_core"),
+        F.lit(0).cast("long").alias("n_border"),
+    )
+    top = (
+        clusters.select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("size").cast("long").alias("size"),
+            F.col("n_core").cast("long").alias("n_core"),
+            F.col("n_border").cast("long").alias("n_border"),
+        )
+        .orderBy(F.desc("size"), "cluster_id")
+        .limit(DBSCAN_TOP)
+    )
+    return top.unionByName(noise).orderBy(F.desc("size"), "cluster_id")

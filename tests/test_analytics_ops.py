@@ -2300,3 +2300,107 @@ def test_bytes_audit_conserves_assets(spark, qs):
         assert r.max_family >= 1
     # the dedup fixture plants exact duplicates — non-degenerate
     assert any(r.dup_assets > 0 for r in rows)
+
+
+def test_neyman_allocation_properties(spark, qs):
+    """Budget respected (up to per-stratum capping/floors), allocation
+    monotone in N_h*sigma_h, sample counts equal allocations."""
+    from iceberg_rest_catalog_spark.llm.curation import NEYMAN_BUDGET
+
+    rows = qs["q_sample_neyman"](spark, SF).collect()
+    assert rows
+    total = sum(r.n_alloc for r in rows)
+    # floor() + the >=1 floor keep the total within |strata| of budget
+    assert total <= NEYMAN_BUDGET + len(rows)
+    for r in rows:
+        assert 1 <= r.n_alloc <= r.n_pop
+        assert r.n_sampled == r.n_alloc
+        assert r.sigma >= 0
+    ws = sorted(rows, key=lambda r: r.n_pop * r.sigma)
+    uncapped = [r for r in ws if r.n_alloc < r.n_pop and r.n_alloc > 1]
+    allocs = [r.n_alloc for r in uncapped]
+    assert allocs == sorted(allocs)  # monotone in the Neyman weight
+
+
+def test_bot_score_is_bounded_blend(spark, qs):
+    rows = qs["q_evt_bot_score"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.err_ratio <= 1.0 and 0.0 <= r.night_ratio <= 1.0
+        blend = (
+            0.4 * min(r.max_burst / 20, 1.0)
+            + 0.3 * r.err_ratio
+            + 0.3 * r.night_ratio
+        )
+        assert abs(r.bot_score - blend) < 2e-4
+    scores = [r.bot_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_dbscan_is_a_true_clustering(spark, qs):
+    """Fixpoint + DBSCAN semantics, recomputed brute-force at sf0.001:
+    core/border/noise partition the points; every reported cluster is a
+    connected component of the core graph (so the round budget converged)."""
+    import math
+    from collections import deque, defaultdict
+    from iceberg_rest_catalog_spark.operators.common import t
+    from iceberg_rest_catalog_spark.operators.graph import (
+        DBSCAN_LAMBDA,
+        DBSCAN_MINPTS,
+        _H44_DB,
+    )
+    import hashlib
+
+    rows = qs["q_cluster_dbscan"](spark, SF).collect()
+    ids = [r.c_custkey for r in t(spark, SF, "customer").select("c_custkey").collect()]
+    n = len(ids)
+    eps = math.sqrt(DBSCAN_LAMBDA / (math.pi * n))
+
+    def coord(i):
+        h = hashlib.md5(f"c:{i}".encode()).hexdigest()
+        return int(h[:11], 16) / _H44_DB, int(h[11:22], 16) / _H44_DB
+
+    pts = {i: coord(i) for i in ids}
+    adj = defaultdict(set)
+    items = list(pts.items())
+    for a, (xa, ya) in items:
+        for b, (xb, yb) in items:
+            if a < b and (xa - xb) ** 2 + (ya - yb) ** 2 <= eps * eps:
+                adj[a].add(b)
+                adj[b].add(a)
+    core = {i for i in ids if len(adj[i]) >= DBSCAN_MINPTS - 1}
+    # components of the core graph, labeled by min id
+    seen, comp_of = set(), {}
+    for s in sorted(core):
+        if s in seen:
+            continue
+        dq, members = deque([s]), [s]
+        seen.add(s)
+        while dq:
+            x = dq.popleft()
+            for y in adj[x]:
+                if y in core and y not in seen:
+                    seen.add(y)
+                    members.append(y)
+                    dq.append(y)
+        lab = min(members)
+        for m in members:
+            comp_of[m] = lab
+    border = {
+        i: min(comp_of[c] for c in adj[i] if c in core)
+        for i in ids
+        if i not in core and any(c in core for c in adj[i])
+    }
+    sizes = defaultdict(lambda: [0, 0])
+    for m, lab in comp_of.items():
+        sizes[lab][0] += 1
+    for m, lab in border.items():
+        sizes[lab][1] += 1
+    want = sorted(
+        ((lab, c + b, c, b) for lab, (c, b) in sizes.items()),
+        key=lambda r: (-r[1], r[0]),
+    )[:20]
+    got = [(r.cluster_id, r.size, r.n_core, r.n_border) for r in rows if r.cluster_id != -1]
+    assert got == want
+    noise = [r for r in rows if r.cluster_id == -1][0]
+    assert noise.size == n - len(comp_of) - len(border)

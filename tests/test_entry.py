@@ -23,7 +23,7 @@ def test_queries_collect_without_spark_session():
         # exact-count pin (VERDICT r9 item 7): a module import that silently
         # fails to register its queries trips this loudly; bump on every
         # operator addition.
-        "assert len(qs) == 331, len(qs)\n"
+        "assert len(qs) == 334, len(qs)\n"
         "assert set(osql) <= set(qs), sorted(set(osql) - set(qs))\n"
         "print('OK', len(qs), len(osql))\n" % REPO
     )
@@ -290,12 +290,15 @@ R12_NEW_OPS: list[str] = [
     "q_graph_kcore",
     "q_graph_clustering_coeff",
     "q_graph_assortativity",
+    "q_cluster_dbscan",
+    "q_sample_neyman",
     "q_evt_paths",
     "q_ts_dow_profile",
     "q_evt_user_overlap",
     "q_ts_anomaly_mad",
     "q_ts_changepoint",
     "q_evt_velocity",
+    "q_evt_bot_score",
     "q_agg_kmv",
     "q_agg_theta_intersect",
     "q_intersect_all",
