@@ -124,6 +124,13 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 # node count, mixture normalizer): map-only distribution
                 # of a scalar aggregate
                 "q_embed_quantize", "q_graph_pagerank",
+                # round-12: 1-row broadcast build sides (hour bounds /
+                # corpus totals / allocation normalizer / point count /
+                # union-sketch row) and the 3-row pair table's
+                # OR-condition join against the |types|x64 sketch frame —
+                # every build side is bounded, map-only at any scale
+                "q_dq_gap_hours", "q_text_collocations", "q_text_burstiness",
+                "q_sample_neyman", "q_cluster_dbscan", "q_agg_theta_intersect",
                 # kmeans-assignment broadcast (K-row centroid table) inside
                 # the semantic-dedup block derivation
                 "q_dedup_semantic",
