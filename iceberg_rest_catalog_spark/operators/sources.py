@@ -117,3 +117,44 @@ def q_source_binaryfile(spark, sf_dir):
         F.col("length").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+@query(
+    "q_source_text",
+    oracle="""
+    SELECT n_nationkey, n_name, CAST(n_regionkey AS INT) AS n_regionkey
+    FROM nation
+    """,
+)
+def q_source_text(spark, sf_dir):
+    """Line-oriented TEXT source: write the nation table as delimited
+    lines, read it back with ``spark.read.text`` (one `value` column per
+    line — the raw-log-ingest shape) and parse with an EXPLICIT split +
+    casts (cataloged tables never infer, SURVEY §1.2).  The format every
+    log/landing-zone pipeline starts from; the parse stage is exactly
+    where a real ingest attaches its schema contract.
+
+    Scale shape: text read is splittable by line ranges; the parse is
+    map-only codegen (split + element_at + cast) — no shuffle at all.
+
+    Reference scope: FileIO format plurality (reference go.mod:44,99);
+    the text axis next to csv/json/orc/binaryfile."""
+    import os as _os
+
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    out = scratch_dir("source_text", sf_dir)
+    (
+        n.select(
+            F.concat_ws("|", "n_nationkey", "n_name", "n_regionkey").alias("value")
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(out)
+    )
+    raw = spark.read.text(out)
+    p = F.split("value", r"\|")
+    return raw.select(
+        F.element_at(p, 1).cast("long").alias("n_nationkey"),
+        F.element_at(p, 2).alias("n_name"),
+        F.element_at(p, 3).cast("int").alias("n_regionkey"),
+    )

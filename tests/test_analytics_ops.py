@@ -2404,3 +2404,20 @@ def test_dbscan_is_a_true_clustering(spark, qs):
     assert got == want
     noise = [r for r in rows if r.cluster_id == -1][0]
     assert noise.size == n - len(comp_of) - len(border)
+
+
+def test_source_text_roundtrip_exact(spark, qs):
+    """The text round-trip preserves every nation row and type."""
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    got = {
+        (r.n_nationkey, r.n_name, r.n_regionkey)
+        for r in qs["q_source_text"](spark, SF).collect()
+    }
+    want = {
+        (r.n_nationkey, r.n_name, int(r.n_regionkey))
+        for r in t(spark, SF, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+    }
+    assert got == want and len(got) == 25
