@@ -2017,7 +2017,7 @@ SEQ_PAT_LEN = 3  # pattern length (|types|^3 <= 125 candidate patterns)
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
-      FROM events WHERE event_type IS NOT NULL
+      FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sess AS (
       SELECT user_id, ts, event_id, event_type,
@@ -2519,7 +2519,7 @@ PATH_MAX = 6  # session-opening cap on the conversion path
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
-      FROM events WHERE event_type IS NOT NULL
+      FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sess AS (
       SELECT user_id, ts, event_id, event_type,
@@ -2570,7 +2570,13 @@ def q_evt_paths(spark, sf_dir):
     Reference scope: no analytics in the reference facade
     (api/router/router.go:9-55); path sibling of q_evt_funnel (one fixed
     path) and q_evt_attribution_markov (order-free credit)."""
-    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    # anonymous (NULL-user) events are excluded on BOTH engines: Spark's
+    # window path would sessionize them as one merged pseudo-user while
+    # the oracle's USING(user_id, ...) join silently drops them — the
+    # NULL-key equi-join asymmetry the perturbed sweep caught (r12).
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     sess = ev.withColumn(
