@@ -740,3 +740,90 @@ def q_text_ngram_coverage(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+HASH_DIM = 256  # hashing-trick feature dimension (2^8 buckets)
+
+
+@query(
+    "q_text_hashing_features",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(w), 1, 11))::BIGINT % {HASH_DIM} AS idx,
+             count(*) AS c
+      FROM tok GROUP BY doc_id, idx
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS nnz,
+           CAST(min(CASE WHEN rk = 1 THEN idx END) AS BIGINT) AS top_idx,
+           CAST(min(CASE WHEN rk = 1 THEN c END) AS BIGINT) AS top_count,
+           round(sqrt(sum(c * c)), 4) AS l2norm
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY c DESC, idx) AS rk
+          FROM feat)
+    GROUP BY doc_id ORDER BY doc_id LIMIT 50
+    """,
+)
+def q_text_hashing_features(spark, sf_dir):
+    """HASHING-TRICK featurization (feature hashing / "the hashing
+    vectorizer"): each token maps to one of {HASH_DIM} buckets via the
+    portable md5 hash, giving every document a FIXED-dimension sparse
+    count vector with no vocabulary pass at all — the featurization that
+    scales to unbounded vocabularies (new tokens never resize anything)
+    and the standard front-end of large-scale linear/quality models.
+    Reported per doc (first 50 by id): token mass, nnz, the argmax
+    bucket (count DESC, idx tiebreak) and the exact L2 norm.
+
+    Determinism: bucket ids come from the engine-portable md5 44-bit
+    prefix mod {HASH_DIM}; counts are integers; the one float (L2) is
+    sqrt of an exact integer, 4dp.
+
+    Scale shape: explode + ONE map-combined (doc, bucket) count — the
+    shuffle carries at most {HASH_DIM} rows per doc whatever the
+    vocabulary; the per-doc rollup re-aggregates on doc_id.  No
+    vocabulary broadcast, no dictionary state: the property that makes
+    feature hashing THE 100 TB featurizer.
+
+    Reference scope: no featurization surface in the reference (Go
+    metadata facade, api/router/router.go:9-55); vocabulary-free sibling
+    of q_text_tfidf (exact vocab) and q_tokenizer_apply (fixed vocab)."""
+    from pyspark.sql import Window as W
+
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    feat = (
+        tok.withColumn(
+            "idx",
+            F.conv(F.substring(F.md5("w"), 1, 11), 16, 10).cast("long")
+            % HASH_DIM,
+        )
+        .groupBy("doc_id", "idx")
+        .agg(F.count("*").alias("c"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.desc("c"), "idx")
+    )
+    return (
+        feat.withColumn("rk", rk)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("nnz"),
+            F.min(F.when(F.col("rk") == 1, F.col("idx")))
+            .cast("long")
+            .alias("top_idx"),
+            F.min(F.when(F.col("rk") == 1, F.col("c")))
+            .cast("long")
+            .alias("top_count"),
+            F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 4).alias("l2norm"),
+        )
+        .orderBy("doc_id")
+        .limit(50)
+    )

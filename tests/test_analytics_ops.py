@@ -2421,3 +2421,54 @@ def test_source_text_roundtrip_exact(spark, qs):
         .collect()
     }
     assert got == want and len(got) == 25
+
+
+def test_hashing_features_bruteforce(spark, qs):
+    """Bucket ids, nnz, argmax and L2 recomputed from raw tokens."""
+    import hashlib, math
+    from iceberg_rest_catalog_spark.operators.common import t
+    from iceberg_rest_catalog_spark.llm.pipeline import HASH_DIM
+
+    rows = qs["q_text_hashing_features"](spark, SF).collect()
+    assert len(rows) == 50
+    docs = {
+        r.doc_id: r.text.lower().split(" ")
+        for r in t(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    for r in rows:
+        counts = {}
+        for w in docs[r.doc_id]:
+            idx = int(hashlib.md5(w.encode()).hexdigest()[:11], 16) % HASH_DIM
+            counts[idx] = counts.get(idx, 0) + 1
+        assert r.n_tokens == sum(counts.values())
+        assert r.nnz == len(counts)
+        top = min(counts, key=lambda i: (-counts[i], i))
+        assert (r.top_idx, r.top_count) == (top, counts[top])
+        assert abs(r.l2norm - math.sqrt(sum(c * c for c in counts.values()))) < 1e-3
+
+
+def test_cache_reuse_matches_uncached(spark, qs):
+    """The cached fan-out result equals the two direct aggregates."""
+    from iceberg_rest_catalog_spark.operators.common import (
+        release_persistent_state,
+        t,
+    )
+    from pyspark.sql import functions as F
+
+    try:
+        got = {
+            (r.dim, r.key): (r.n, r.qty)
+            for r in qs["q_scan_cache_reuse"](spark, SF).collect()
+        }
+    finally:
+        release_persistent_state(spark)
+    base = t(spark, SF, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    for dim, col in (("by_flag", "l_returnflag"), ("by_status", "l_linestatus")):
+        for r in (
+            base.groupBy(col)
+            .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("q"))
+            .collect()
+        ):
+            assert got[(dim, r[col])] == (r.n, r.q)

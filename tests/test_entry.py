@@ -23,7 +23,7 @@ def test_queries_collect_without_spark_session():
         # exact-count pin (VERDICT r9 item 7): a module import that silently
         # fails to register its queries trips this loudly; bump on every
         # operator addition.
-        "assert len(qs) == 335, len(qs)\n"
+        "assert len(qs) == 337, len(qs)\n"
         "assert set(osql) <= set(qs), sorted(set(osql) - set(qs))\n"
         "print('OK', len(qs), len(osql))\n" % REPO
     )
@@ -287,6 +287,7 @@ R12_NEW_OPS: list[str] = [
     "q_multimodal_bytes_audit",
     "q_stream_kmv",
     "q_stream_velocity",
+    "q_text_hashing_features",
     "q_graph_kcore",
     "q_graph_clustering_coeff",
     "q_graph_assortativity",
@@ -306,6 +307,7 @@ R12_NEW_OPS: list[str] = [
     "q_fn_struct",
     "q_meta_snapshot_lineage",
     "q_scan_runtime_filter",
+    "q_scan_cache_reuse",
     "q_source_text",
     "q_join_spatial_grid",
     "q_join_nearest",

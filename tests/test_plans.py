@@ -344,3 +344,18 @@ def test_runtime_filter_scan_has_dynamic_pruning(spark):
     df = E.queries()["q_scan_runtime_filter"](spark, "/root/testdata/sf0.001")
     p = df._jdf.queryExecution().executedPlan().toString().lower()
     assert "dynamicpruning" in p
+
+
+def test_cache_reuse_hits_inmemory_scan(spark):
+    """Both aggregate consumers of the shared persisted projection must
+    read the columnar cache: two InMemoryTableScan nodes, and the parquet
+    relation appears only inside the cached plan (scanned once)."""
+    import __spark_entry__ as E
+    from iceberg_rest_catalog_spark.operators.common import release_persistent_state
+
+    df = E.queries()["q_scan_cache_reuse"](spark, "/root/testdata/sf0.001")
+    try:
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert p.count("InMemoryTableScan") >= 2, p[:800]
+    finally:
+        release_persistent_state(spark)
