@@ -1277,3 +1277,85 @@ def q_agg_theta_intersect(spark, sf_dir):
         )
         .orderBy("ta", "tb")
     )
+
+
+DECAY_SCALE = 256  # 2^8: the dyadic weight scale (8 half-life horizon)
+
+
+@query(
+    "q_agg_time_decay",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ),
+    anchor AS (SELECT CAST(max(ts) AS DATE) AS a FROM p),
+    k AS (
+      SELECT user_id, cents,
+             date_diff('day', CAST(ts AS DATE), an.a) // 7 AS wk
+      FROM p CROSS JOIN anchor an
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(cents) / 100.0, 4) AS raw_value,
+           CAST((50 * CAST(sum(cents * (CASE WHEN wk >= 9 THEN 0
+                                             ELSE {DECAY_SCALE} // (2 ** wk)
+                                        END)) AS BIGINT)
+                 + 64) // 128 AS DOUBLE) / 10000 AS decayed_value
+    FROM k GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_agg_time_decay(spark, sf_dir):
+    """TIME-DECAYED aggregate: recency-weighted purchase value per user
+    with a 1-week half-life anchored at the corpus's newest purchase day
+    — the recency signal behind engagement scores and decayed LTV, where
+    a purchase 3 weeks ago counts 1/8 of one today.
+
+    EXACT despite the exponential: weights are DYADIC (2^-k for integer
+    week-age k, zeroed past 8 half-lives where the weight is < 0.4%), so
+    every contribution is cents * 2^(8-k) — pure INTEGER arithmetic end
+    to end, summed as LONG.  No exp()/pow() ever runs (no libm ulp risk,
+    no float-summation-order risk), and even the FINAL 4-dp rounding is
+    integer: scaled/25600 sits EXACTLY on 4-dp midpoints (25N/64 is
+    dyadic), the one place Spark's BigDecimal half-up and DuckDB's
+    x*1e4 rounding disagree by an ulp — so both engines compute
+    round_half_up as (50N + 64) DIV 128 in LONGs and divide by 1e4 once
+    (the q_stream_dim_join integer-cents discipline, extended through
+    the output rounding).
+
+    Scale shape: one map-combined aggregate over purchases keyed on
+    user_id; the anchor is a 1-row broadcast.  At 100 TB this is the
+    cheapest aggregate shape there is.
+
+    Reference scope: no aggregate surface in the reference (Go metadata
+    facade, api/router/router.go:9-55); recency sibling of q_evt_rfm
+    (recency buckets) and q_ts_ewma (float recurrence, pandas-rounded)."""
+    p = (
+        t(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.col("ts").cast("date").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    anchor = p.agg(F.max("d").alias("a"))
+    k = p.join(F.broadcast(anchor)).withColumn(
+        "wk", F.floor(F.datediff("a", "d") / 7)
+    )
+    w = F.when(F.col("wk") >= 9, F.lit(0)).otherwise(
+        (F.lit(DECAY_SCALE) / F.pow(F.lit(2), F.col("wk"))).cast("long")
+    )
+    return (
+        k.withColumn("w", w)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.round(F.sum("cents") / 100.0, 4).alias("raw_value"),
+            (
+                F.expr("CAST((50 * sum(cents * w) + 64) DIV 128 AS DOUBLE)")
+                / 10000
+            ).alias("decayed_value"),
+        )
+        .orderBy("user_id")
+    )

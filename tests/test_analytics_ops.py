@@ -2472,3 +2472,32 @@ def test_cache_reuse_matches_uncached(spark, qs):
             .collect()
         ):
             assert got[(dim, r[col])] == (r.n, r.q)
+
+
+def test_time_decay_bruteforce(spark, qs):
+    """Decayed value recomputed exactly with integer arithmetic."""
+    from iceberg_rest_catalog_spark.operators.common import t
+    from pyspark.sql import functions as F
+
+    rows = {r.user_id: r for r in qs["q_agg_time_decay"](spark, SF).collect()}
+    p = (
+        t(spark, SF, "events")
+        .filter((F.col("event_type") == "purchase") & F.col("user_id").isNotNull())
+        .select("user_id", F.col("ts").cast("date").alias("d"), "value")
+        .collect()
+    )
+    anchor = max(r.d for r in p)
+    agg = {}
+    for r in p:
+        cents = round(r.value * 100)
+        k = (anchor - r.d).days // 7
+        w = 0 if k >= 9 else 256 >> k
+        n, raw, dec = agg.get(r.user_id, (0, 0, 0))
+        agg[r.user_id] = (n + 1, raw + cents, dec + cents * w)
+    assert set(rows) == set(agg)
+    for u, (n, raw, dec) in agg.items():
+        got = rows[u]
+        assert got.n_purchases == n
+        assert abs(got.raw_value - raw / 100) < 1e-9
+        assert got.decayed_value == ((50 * dec + 64) // 128) / 10000
+        assert got.decayed_value <= got.raw_value + 1e-9  # decay never inflates

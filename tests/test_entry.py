@@ -23,7 +23,7 @@ def test_queries_collect_without_spark_session():
         # exact-count pin (VERDICT r9 item 7): a module import that silently
         # fails to register its queries trips this loudly; bump on every
         # operator addition.
-        "assert len(qs) == 337, len(qs)\n"
+        "assert len(qs) == 338, len(qs)\n"
         "assert set(osql) <= set(qs), sorted(set(osql) - set(qs))\n"
         "print('OK', len(qs), len(osql))\n" % REPO
     )
@@ -302,6 +302,7 @@ R12_NEW_OPS: list[str] = [
     "q_evt_bot_score",
     "q_agg_kmv",
     "q_agg_theta_intersect",
+    "q_agg_time_decay",
     "q_intersect_all",
     "q_sub_all",
     "q_fn_struct",
