@@ -158,6 +158,9 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 # 1-row broadcast corpus-max timestamp (the censoring
                 # horizon): map-only scalar distribution
                 "q_evt_survival",
+                # 1-row broadcast decay anchor (newest purchase day):
+                # the same scalar-distribution shape
+                "q_agg_time_decay",
                 # 3-number quartile-threshold broadcast into the bucketing
                 # pass (scalar-distribution shape, like q_tpch_q22)
                 "q_curriculum_order",
