@@ -1363,3 +1363,67 @@ def q_meta_snapshot_lineage(spark, sf_dir):
         "snapshot_id long, parent_id long, depth int, on_main boolean,"
         " operation string",
     ).orderBy("snapshot_id")
+
+
+@query(
+    "q_time_travel_asof",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+    FROM orders WHERE o_orderkey <= 200
+    """,
+)
+def q_time_travel_asof(spark, sf_dir):
+    """Time travel BY TIMESTAMP (Iceberg's FOR TIMESTAMP AS OF): resolve
+    the newest MAIN-lineage snapshot committed at or before a wall-clock
+    instant and read the table as of it.  The scripted scenario plants
+    the trap the resolution must dodge: an unpublished WAP branch
+    snapshot committed AFTER main's head — it is the newest snapshot and
+    has the highest id, but is NOT an ancestor of main, and a naive
+    timestamp walk over the raw snapshot list would resolve to it and
+    LEAK unaudited staged rows into the read (catalog.py
+    snapshot_as_of's lineage restriction, exercised end-to-end; the
+    asserts pin both the resolved id and the leak-free row set).
+
+    Metadata-plane resolution is O(|snapshots|); the read itself plans
+    only snapshot 2's manifests.  Reference scope: the reference's
+    UpdateTable lineage (api/handlers/tables.go:150-227) carries the
+    same timestamp-ms per snapshot; as-of resolution is the [CAP] query
+    surface over it."""
+    wh = scratch_dir(sf_dir, "catalog_data", "tt_asof")
+    cat = Catalog(wh)
+    marker = os.path.join(wh, ".ready")
+    if not os.path.exists(marker):
+        shutil.rmtree(wh, ignore_errors=True)
+        os.makedirs(wh, exist_ok=True)
+        cat = Catalog(wh)
+        cat.create_namespace(("db",))
+        tbl = cat.create_table(("db", "orders_tt"), _ORDERS_SCHEMA)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tbl = tbl.append(orders.filter(F.col("o_orderkey") <= 100).coalesce(1))
+        tbl = tbl.append(
+            orders.filter(
+                (F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 200)
+            ).coalesce(1)
+        )
+        # the trap: a NEWER, higher-id snapshot on an unpublished branch
+        tbl = tbl.append(
+            orders.filter(
+                (F.col("o_orderkey") > 200) & (F.col("o_orderkey") <= 300)
+            ).coalesce(1),
+            branch="audit",
+        )
+        open(marker, "w").close()
+    tbl = cat.load_table(("db", "orders_tt"))
+    snaps = {s["snapshot-id"]: s for s in tbl.metadata["snapshots"]}
+    # as-of the BRANCH snapshot's commit instant: resolution must stay on
+    # main's lineage (snapshot 2), not leak the staged snapshot 3
+    asof_ms = snaps[3]["timestamp-ms"]
+    sid = tbl.snapshot_as_of(asof_ms)
+    assert sid == 2, f"as-of resolved off the main lineage: {sid}"
+    df = tbl.df(spark, snapshot_id=sid)
+    assert df.filter(F.col("o_orderkey") > 200).count() == 0, "staged rows leaked"
+    return df.select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
+    )

@@ -2501,3 +2501,11 @@ def test_time_decay_bruteforce(spark, qs):
         assert abs(got.raw_value - raw / 100) < 1e-9
         assert got.decayed_value == ((50 * dec + 64) // 128) / 10000
         assert got.decayed_value <= got.raw_value + 1e-9  # decay never inflates
+
+
+def test_time_travel_asof_skips_branch(spark, qs):
+    """Resolution lands on main's head even though the branch snapshot is
+    newer; no staged key leaks into the as-of read."""
+    rows = qs["q_time_travel_asof"](spark, SF).collect()
+    keys = {r.o_orderkey for r in rows}
+    assert max(keys) <= 200 and any(k > 100 for k in keys)
