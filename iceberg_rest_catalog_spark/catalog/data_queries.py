@@ -1427,3 +1427,65 @@ def q_time_travel_asof(spark, sf_dir):
     return df.select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
     )
+
+
+@query(
+    "q_snapshot_rollback",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+    FROM orders WHERE o_orderkey <= 200
+    """,
+)
+def q_snapshot_rollback(spark, sf_dir):
+    """SNAPSHOT ROLLBACK (Iceberg's rollback_to_snapshot) driven through
+    the bad-deploy recovery story: a good append (snap 1), a POISONED
+    append (snap 2: keys 101..200 with negated prices), a metadata-only
+    rollback to snap 1 — O(1) at any table size, no data moves, the
+    rolled-past snapshot STAYS time-travelable — then the corrected
+    re-append on the rolled-back lineage.  Asserts pin each leg: the
+    poison is visible at head before rollback, invisible after, snap 2
+    remains readable via explicit time travel (history is never
+    rewritten), and the final lineage forks from snap 1 (the
+    q_meta_snapshot_lineage fork case created by a real recovery).
+
+    Reference scope: the reference's UpdateTable accepts exactly this
+    set-current-snapshot commit (api/handlers/tables.go:150-227,
+    requirement assert-ref-snapshot-id); the recovery workflow is the
+    [CAP] surface over it."""
+    wh = scratch_dir(sf_dir, "catalog_data", "rollback")
+    cat = Catalog(wh)
+    marker = os.path.join(wh, ".ready")
+    if not os.path.exists(marker):
+        shutil.rmtree(wh, ignore_errors=True)
+        os.makedirs(wh, exist_ok=True)
+        cat = Catalog(wh)
+        cat.create_namespace(("db",))
+        tbl = cat.create_table(("db", "orders_rb"), _ORDERS_SCHEMA)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        good = orders.filter(F.col("o_orderkey") <= 100).coalesce(1)
+        batch2 = orders.filter(
+            (F.col("o_orderkey") > 100) & (F.col("o_orderkey") <= 200)
+        )
+        poisoned = batch2.withColumn(
+            "o_totalprice", -F.col("o_totalprice")
+        ).coalesce(1)
+        tbl = tbl.append(good)  # snap 1
+        tbl = tbl.append(poisoned)  # snap 2 (the bad deploy)
+        assert tbl.df(spark).filter(F.col("o_totalprice") < 0).count() > 0
+        tbl = tbl.rollback_to(1)  # metadata-only recovery
+        assert tbl.df(spark).filter(F.col("o_totalprice") < 0).count() == 0
+        # history is never rewritten: the bad snapshot stays readable
+        assert (
+            tbl.df(spark, snapshot_id=2).filter(F.col("o_totalprice") < 0).count()
+            > 0
+        )
+        tbl.append(batch2.coalesce(1))  # corrected re-append (forks from 1)
+        open(marker, "w").close()
+    tbl = cat.load_table(("db", "orders_rb"))
+    df = tbl.df(spark)
+    assert df.filter(F.col("o_totalprice") < 0).count() == 0
+    return df.select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
+    )

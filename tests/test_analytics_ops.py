@@ -2509,3 +2509,21 @@ def test_time_travel_asof_skips_branch(spark, qs):
     rows = qs["q_time_travel_asof"](spark, SF).collect()
     keys = {r.o_orderkey for r in rows}
     assert max(keys) <= 200 and any(k > 100 for k in keys)
+
+
+def test_rollback_recovery_end_state(spark, qs):
+    """After rollback + corrected re-append: full key range, no poison,
+    and the recovery created a lineage fork from snapshot 1."""
+    from iceberg_rest_catalog_spark.catalog.catalog import Catalog
+    from iceberg_rest_catalog_spark.operators.common import scratch_dir
+
+    rows = qs["q_snapshot_rollback"](spark, SF).collect()
+    assert all(r.o_totalprice > 0 for r in rows)
+    assert max(r.o_orderkey for r in rows) <= 200 < len(rows) + 100
+    cat = Catalog(scratch_dir(SF, "catalog_data", "rollback"))
+    tbl = cat.load_table(("db", "orders_rb"))
+    cur = tbl.metadata["current-snapshot-id"]
+    chain = [s["snapshot-id"] for s in tbl._ancestors(cur)]
+    assert 2 not in chain and 1 in chain  # fork: bad snapshot off-lineage
+    snaps = {s["snapshot-id"] for s in tbl.metadata["snapshots"]}
+    assert 2 in snaps  # but never deleted
