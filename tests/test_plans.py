@@ -362,3 +362,25 @@ def test_cache_reuse_hits_inmemory_scan(spark):
         assert p.count("InMemoryTableScan") >= 2, p[:800]
     finally:
         release_persistent_state(spark)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_join_nearest",
+        "q_join_pit",
+        "q_evt_velocity",
+        "q_evt_bot_score",
+        "q_agg_time_decay",
+    ],
+)
+def test_round12_user_keyed_ops_shuffle_on_user_id_only(spark, name):
+    """Each of these operators claims 'ONE shuffle key: user_id' in its
+    docstring — the union+window / RANGE-frame / shared-window-and-agg
+    shapes.  Pin it: every hash exchange in the plan keys on user_id
+    (AQE may coalesce, never introduce another key)."""
+    import re
+
+    p = plan(spark, name)
+    keys = set(re.findall(r"hashpartitioning\((\w+)", p))
+    assert keys <= {"user_id"}, (name, keys)
