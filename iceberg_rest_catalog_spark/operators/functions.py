@@ -569,3 +569,66 @@ def q_fn_struct(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "q_fn_url",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/' || lang || '/doc/'
+               || CAST(doc_id AS VARCHAR) || '?k=' || CAST(n_chars AS VARCHAR)
+               || '&lang=' || lang AS url
+      FROM documents WHERE doc_id <= 300
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]k=([^&]*)', 1) AS k_param
+    FROM u ORDER BY doc_id
+    """,
+)
+def q_fn_url(spark, sf_dir):
+    """URL function family: protocol / host / path / query extraction and
+    single-parameter lookup with Spark's native ``parse_url`` (JVM-side
+    java.net.URI parsing, codegen'd) over URLs synthesized
+    deterministically from fixture fields — the log-enrichment shape
+    every clickstream pipeline runs on its raw request column.
+
+    Oracle: DuckDB has no parse_url, so the oracle mirrors each
+    component with an anchored regexp — equality across the 300-URL
+    frame proves the regex spec and Java's URI parser agree on this
+    grammar (absolute http(s) URLs with a single query string), which is
+    exactly the contract the synthesized column guarantees.
+
+    Scale shape: map-only codegen end to end; no shuffle at all.
+
+    Reference scope: no function surface in the reference (Go metadata
+    facade, api/router/router.go:9-55); completes the function-family
+    axis (string/regexp/date/math/cond/cast/array/map/json/bitwise/
+    hash/variant/struct) with the URL family."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?k="),
+        F.col("n_chars").cast("string"),
+        F.lit("&lang="),
+        F.col("lang"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("k")).alias("k_param"),
+    ).orderBy("doc_id")

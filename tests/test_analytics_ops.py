@@ -2527,3 +2527,14 @@ def test_rollback_recovery_end_state(spark, qs):
     assert 2 not in chain and 1 in chain  # fork: bad snapshot off-lineage
     snaps = {s["snapshot-id"] for s in tbl.metadata["snapshots"]}
     assert 2 in snaps  # but never deleted
+
+
+def test_fn_url_components_recompose(spark, qs):
+    """parse_url components recompose to the original URL and the k
+    parameter equals the field it encodes."""
+    rows = qs["q_fn_url"](spark, SF).collect()
+    assert rows
+    for r in rows[:50]:
+        assert r.url == f"{r.protocol}://{r.host}{r.path}?{r.query}"
+        assert r.host.endswith(".example.com")
+        assert f"k={r.k_param}" in r.query

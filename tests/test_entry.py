@@ -23,7 +23,7 @@ def test_queries_collect_without_spark_session():
         # exact-count pin (VERDICT r9 item 7): a module import that silently
         # fails to register its queries trips this loudly; bump on every
         # operator addition.
-        "assert len(qs) == 340, len(qs)\n"
+        "assert len(qs) == 341, len(qs)\n"
         "assert set(osql) <= set(qs), sorted(set(osql) - set(qs))\n"
         "print('OK', len(qs), len(osql))\n" % REPO
     )
@@ -306,6 +306,7 @@ R12_NEW_OPS: list[str] = [
     "q_intersect_all",
     "q_sub_all",
     "q_fn_struct",
+    "q_fn_url",
     "q_meta_snapshot_lineage",
     "q_time_travel_asof",
     "q_snapshot_rollback",
