@@ -1002,7 +1002,14 @@ NEYMAN_BUDGET = 200  # total sample size allocated across strata
                AS sigma
       FROM st
     ),
-    w AS (SELECT sum(n_pop * sigma) AS wtot FROM sg),
+    w AS (
+      -- deterministic left fold over the SORTED per-stratum weights:
+      -- order-independent of engine partial-aggregation order (ADVICE
+      -- r12); matches the Spark side's aggregate(array_sort(...)) fold
+      SELECT list_reduce(list_sort(list(n_pop * sigma)), (a, b) -> a + b)
+               AS wtot
+      FROM sg
+    ),
     alloc AS (
       SELECT sg.source, sg.n_pop, sg.sigma, sg.s,
              least(sg.n_pop,
@@ -1070,7 +1077,18 @@ def q_sample_neyman(spark, sf_dir):
         / F.col("n_pop")
     )
     sg = st.withColumn("sigma", sigma)
-    w = sg.agg(F.sum(F.col("n_pop") * F.col("sigma")).alias("wtot"))
+    # wtot as a deterministic left fold over the SORTED |strata|-row
+    # weight list — a plain F.sum's partial-aggregation addition order
+    # could differ from DuckDB's sequential sum by an ulp, flipping
+    # floor() at an integer boundary (ADVICE r12).  0.0 + w1 == w1
+    # exactly, so the fold matches DuckDB's list_reduce pairing.
+    w = sg.select((F.col("n_pop") * F.col("sigma")).alias("wi")).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("wi")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("wtot")
+    )
     alloc = sg.join(F.broadcast(w)).withColumn(
         "n_alloc",
         F.least(

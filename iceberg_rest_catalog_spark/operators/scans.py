@@ -358,7 +358,7 @@ def q_scan_runtime_filter(spark, sf_dir):
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         orders = t(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate"))
         orders.write.mode("overwrite").partitionBy("o_year").parquet(out)
-    dim_out = scratch_dir("year_dim", sf_dir)
+    dim_out = scratch_dir("year_dim_v2", sf_dir)
     if not os.path.exists(os.path.join(dim_out, "_SUCCESS")):
         yr = (
             t(spark, sf_dir, "orders")
@@ -366,15 +366,22 @@ def q_scan_runtime_filter(spark, sf_dir):
             .agg(F.count("*").alias("n"))
         )
         avg = yr.agg(F.avg("n").alias("avg_n"))
-        # the flag is stored as the RELATIVE SHARE (n / avg_n) rather than
-        # a boolean: DPP's isLikelySelective() accepts a literal comparison
-        # (share >= 0.8) but not a bare boolean attribute, and a boolean
-        # equality would be simplified to one before PartitionPruning runs
+        # the flag is stored as the exact MARGIN (n - 0.8*avg_n) rather
+        # than a boolean: DPP's isLikelySelective() accepts a literal
+        # comparison (margin >= 0) but not a bare boolean attribute, and
+        # a boolean equality would be simplified away before
+        # PartitionPruning runs.  margin >= 0 is bit-identical to the
+        # oracle's n >= 0.8*avg(n): avg of <2^53 integer counts is exact
+        # in both engines and the subtraction is Sterbenz-exact at these
+        # magnitudes (n within 2x of 0.8*avg) — no rounded-share epsilon
+        # band (ADVICE r12).
         yr.join(F.broadcast(avg)).select(
-            "o_year", "n", F.round(F.col("n") / F.col("avg_n"), 6).alias("share")
+            "o_year",
+            "n",
+            (F.col("n") - F.lit(0.8) * F.col("avg_n")).alias("margin"),
         ).coalesce(1).write.mode("overwrite").parquet(dim_out)
     back = spark.read.parquet(out)
-    dim = spark.read.parquet(dim_out).filter(F.col("share") >= 0.8).select("o_year")
+    dim = spark.read.parquet(dim_out).filter(F.col("margin") >= 0.0).select("o_year")
     return (
         back.join(F.broadcast(dim), "o_year")
         .groupBy("o_year")

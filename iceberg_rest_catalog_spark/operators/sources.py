@@ -137,22 +137,27 @@ def q_source_text(spark, sf_dir):
     Scale shape: text read is splittable by line ranges; the parse is
     map-only codegen (split + element_at + cast) — no shuffle at all.
 
+    Delimiter safety: the write stage uses '\\x1f' (ASCII unit
+    separator) — guaranteed absent from any printable column, unlike
+    '|' which merely HAPPENS to be absent from TPC-H n_name (ADVICE
+    r12).
+
     Reference scope: FileIO format plurality (reference go.mod:44,99);
     the text axis next to csv/json/orc/binaryfile."""
-    import os as _os
-
     n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     out = scratch_dir("source_text", sf_dir)
     (
         n.select(
-            F.concat_ws("|", "n_nationkey", "n_name", "n_regionkey").alias("value")
+            F.concat_ws(
+                "\x1f", "n_nationkey", "n_name", "n_regionkey"
+            ).alias("value")
         )
         .coalesce(1)
         .write.mode("overwrite")
         .text(out)
     )
     raw = spark.read.text(out)
-    p = F.split("value", r"\|")
+    p = F.split("value", "\x1f")
     return raw.select(
         F.element_at(p, 1).cast("long").alias("n_nationkey"),
         F.element_at(p, 2).alias("n_name"),

@@ -1629,30 +1629,39 @@ def _velocity_fold(state_tuple, pdfs, window_us: int):
     import numpy as np
 
     recent, max_burst, n_flagged, first_flag = state_tuple
-    recent = list(recent or [])
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
-        us = np.sort(
-            pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
-        )
-        allts = np.concatenate([np.asarray(recent, dtype="int64"), us])
-        # positions of the batch stamps within the combined sorted array
-        k = len(recent)
-        idx = np.arange(k, len(allts))
-        lo = np.searchsorted(allts, allts[idx] - window_us, side="left")
-        bursts = idx + 1 - lo
-        mb = int(bursts.max())
-        if mb > max_burst:
-            max_burst = mb
-        hit = bursts >= 3
-        n_flagged += int(hit.sum())
-        if hit.any():
-            t0 = int(allts[idx[hit][0]])
-            if first_flag is None or t0 < first_flag:
-                first_flag = t0
-        last = int(allts[-1])
-        recent = [int(x) for x in allts[allts > last - window_us]]
+    carried = np.asarray(list(recent or []), dtype="int64")
+    # Drain EVERY Arrow chunk first: one micro-batch's group arrives as
+    # multiple ~10k-row chunks with no cross-chunk ordering, so folding
+    # chunk-by-chunk would silently break the sortedness searchsorted
+    # needs for users with >10k purchases in a single file.
+    parts = [
+        pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+        for pdf in pdfs
+        if len(pdf)
+    ]
+    if not parts:
+        return [int(x) for x in carried], max_burst, n_flagged, first_flag
+    us = np.sort(np.concatenate(parts))
+    allts = np.sort(np.concatenate([carried, us]))
+    # Peer-INCLUSIVE burst per new stamp u: count of all stamps (carried
+    # + this batch) in (u - window, u], side='right' so k purchases
+    # sharing one microsecond all get burst k — exactly the RANGE frame
+    # semantics of the batch oracle (duplicates are peers of CURRENT
+    # ROW, not positions).  Order-independent of chunk arrival.
+    lo = np.searchsorted(allts, us - window_us, side="left")
+    hi = np.searchsorted(allts, us, side="right")
+    bursts = hi - lo
+    mb = int(bursts.max())
+    if mb > max_burst:
+        max_burst = mb
+    hit = bursts >= 3
+    n_flagged += int(hit.sum())
+    if hit.any():
+        t0 = int(us[hit][0])  # us is sorted: first hit is the earliest
+        if first_flag is None or t0 < first_flag:
+            first_flag = t0
+    last = int(allts[-1])
+    recent = [int(x) for x in allts[allts > last - window_us]]
     return recent, max_burst, n_flagged, first_flag
 
 

@@ -2238,6 +2238,40 @@ def test_velocity_fold_straddles_batches():
     assert state[1] == 3 and state[2] == 1 and state[3] == 20 * h
 
 
+def test_velocity_fold_duplicate_ts_peers():
+    """k purchases sharing ONE microsecond must each get burst k (the
+    oracle's RANGE frame includes all peers of CURRENT ROW), not 1..k by
+    array position — ADVICE r12 medium item."""
+    import pandas as pd
+    from iceberg_rest_catalog_spark.streaming.queries import _velocity_fold
+
+    h = 3_600_000_000
+    b = pd.DataFrame({"ts": pd.to_datetime([h // 1000] * 3, unit="ms")})
+    state = _velocity_fold(([], 0, 0, None), [b], 24 * h)
+    # all three peers see burst 3 -> all three rows flagged
+    assert state[1] == 3 and state[2] == 3 and state[3] == h
+
+
+def test_velocity_fold_out_of_order_chunks():
+    """One micro-batch arriving as multiple UNordered Arrow chunks must
+    fold identically to a single sorted chunk — ADVICE r12 low item."""
+    import pandas as pd
+    from iceberg_rest_catalog_spark.streaming.queries import _velocity_fold
+
+    h = 3_600_000_000
+    stamps = [20 * h, 0, 2 * h]  # deliberately unsorted across chunks
+    chunks = [
+        pd.DataFrame({"ts": pd.to_datetime([s // 1000], unit="ms")})
+        for s in stamps
+    ]
+    got = _velocity_fold(([], 0, 0, None), chunks, 24 * h)
+    one = pd.DataFrame(
+        {"ts": pd.to_datetime([s // 1000 for s in sorted(stamps)], unit="ms")}
+    )
+    want = _velocity_fold(([], 0, 0, None), [one], 24 * h)
+    assert got == want and got[1] == 3 and got[2] == 1
+
+
 def test_pit_join_is_leakage_safe(spark, qs):
     """Every tier_since is <= the purchase ts (never a FUTURE version),
     versions count signups-at-or-before exactly, and pre-first-signup
