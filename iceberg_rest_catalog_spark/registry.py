@@ -81,6 +81,9 @@ _QUERY_MODULES = (
     "iceberg_rest_catalog_spark.llm.dedup",
     "iceberg_rest_catalog_spark.llm.similarity",
     "iceberg_rest_catalog_spark.llm.text",
+    # round-13 composition module — imports similarity + embedding at top
+    # level, so it must come after both
+    "iceberg_rest_catalog_spark.llm.ann_ivfpq",
 )
 
 # Driver-window rotation — MECHANICAL since round 8 (VERDICT r7 item 2).

@@ -2272,6 +2272,33 @@ def test_velocity_fold_out_of_order_chunks():
     assert got == want and got[1] == 3 and got[2] == 1
 
 
+def test_ivfpq_recall_vs_exact_l2(spark, qs):
+    """Recall@10 of the composed IVF-PQ search vs the EXACT L2 top-10
+    (brute force over the corpus, the q_sim_recall_eval baseline
+    discipline).  Operating point on the synthetic isotropic corpus with
+    the deterministic first-16 codebook (not k-means) and 4/16 probed
+    cells: measured 0.4 at sf0.001 / 0.2 at sf0.01 — far above the
+    ~0.02 random-candidate baseline; a production index moves the knobs
+    (k-means codebooks, more codewords, more probes)."""
+    import numpy as np
+
+    got = [r.vec_id for r in qs["q_sim_ann_ivf_pq"](spark, SF).collect()]
+    rows = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .filter("embedding is not null")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    q = X[ids == 0][0]
+    d2 = ((X - q) ** 2).sum(axis=1)
+    mask = ids != 0
+    exact = [int(v) for _, v in sorted(zip(d2[mask], ids[mask]))[:10]]
+    recall = len(set(got) & set(exact)) / 10
+    assert len(got) == 10
+    assert recall >= 0.3, (recall, got, exact)
+
+
 def test_pit_join_is_leakage_safe(spark, qs):
     """Every tier_since is <= the purchase ts (never a FUTURE version),
     versions count signups-at-or-before exactly, and pre-first-signup

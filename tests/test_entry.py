@@ -23,7 +23,7 @@ def test_queries_collect_without_spark_session():
         # exact-count pin (VERDICT r9 item 7): a module import that silently
         # fails to register its queries trips this loudly; bump on every
         # operator addition.
-        "assert len(qs) == 341, len(qs)\n"
+        "assert len(qs) == 342, len(qs)\n"
         "assert set(osql) <= set(qs), sorted(set(osql) - set(qs))\n"
         "print('OK', len(qs), len(osql))\n" % REPO
     )
@@ -355,3 +355,42 @@ def test_round12_window_head_is_red_then_r5_stale():
     tail = ids[n + 1 : 50]
     assert tail == sorted(tail, key=lambda q: (last_seen[q], q))
     assert {last_seen[q] for q in tail} <= {5, 6}
+
+
+# Round-13 additions, in registration order.  Update alongside every new
+# @query registration this round — the rotation pin below derives from it.
+R13_NEW_OPS: list[str] = [
+    "q_sim_ann_ivf_pq",
+]
+
+
+def test_round13_window_head_is_newborns_then_r6_stale():
+    """Concrete pin of the round-13 rotation (only while r12 is the newest
+    committed artifact): round-13 newborns lead (never-checked); there are
+    NO red rows (r12 was fully green); then green oldest-evidence-first —
+    the remaining r6-stale block, id-sorted.  Regenerate per round."""
+    import glob as _glob
+    import re as _re
+
+    sys.path.insert(0, REPO)
+    newest = max(
+        int(_re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
+        for p in _glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    )
+    if newest != 12:
+        import pytest
+
+        pytest.skip(f"rotation pin written against r12 artifacts (newest: r{newest})")
+
+    import __spark_entry__ as e
+    from iceberg_rest_catalog_spark import registry
+
+    ids = list(e.queries())
+    last_seen, failed = registry.driver_evidence()
+    assert not failed  # r12 closed fully green
+    n = len(R13_NEW_OPS)
+    assert ids[:n] == R13_NEW_OPS and all(q not in last_seen for q in R13_NEW_OPS)
+    # the green remainder is (last_seen, id)-ordered, starting at r6-stale
+    tail = ids[n:50]
+    assert tail == sorted(tail, key=lambda q: (last_seen[q], q))
+    assert {last_seen[q] for q in tail} <= {6, 7}

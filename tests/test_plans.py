@@ -97,6 +97,11 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 "q_sim_hamming",  # 1-row broadcast query code, like q_sim_topk
                 "q_sim_rerank",   # same 1-row broadcast query, both stages
                 "q_sim_ann_ivf", "q_udtf",  # deliberate cross/theta/lateral shapes
+                # same broadcast-centroid assignment cross join as
+                # q_sim_ann_ivf (bounded build side: the centroid table);
+                # the SEARCH side is cell+code equi-joins, plan-pinned by
+                # test_ivfpq_search_is_cell_equijoin
+                "q_sim_ann_ivf_pq",
                 # 1-row scalar-aggregate broadcast compared with `>`: BNLJ with a
                 # single build row is the correct scale-safe plan (map-side compare)
                 "q_tpch_q22",
@@ -211,6 +216,30 @@ def test_global_plan_hygiene(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_ivfpq_search_is_cell_equijoin(spark):
+    """IVF-PQ composition pin (VERDICT r12 item 3): the ADC (s, code)
+    broadcast equi-join must consume the OUTPUT of the cell broadcast
+    equi-join — i.e. only probed cells' codes are ADC-scored, never the
+    whole corpus's.  In the printed plan the parent sits above its
+    child, so the (s, code) join line must precede the cell join line."""
+    import re
+
+    p = plan(spark, "q_sim_ann_ivf_pq")
+    # formatted-plan node ids INCREASE toward the root, so "above" =
+    # larger id; join keys live in each node's detail section
+    details = dict(
+        re.findall(
+            r"\((\d+)\) BroadcastHashJoin\nLeft keys \[\d+\]: \[([^\]]*)\]", p
+        )
+    )
+    adc_ids = [int(i) for i, k in details.items() if "code#" in k]
+    cell_ids = [int(i) for i, k in details.items() if k.startswith("cell#")]
+    assert adc_ids and cell_ids, p
+    assert max(adc_ids) > max(cell_ids), "ADC join must be above the cell join"
+    # the index-build glue: codes keyed by cell through one vec_id equi-join
+    assert re.search(r"Left keys \[1\]: \[vec_id#\d+L?\]", p)
 
 
 def test_bucketed_join_has_no_exchange(spark):
