@@ -1665,6 +1665,65 @@ def _velocity_fold(state_tuple, pdfs, window_us: int):
     return recent, max_burst, n_flagged, first_flag
 
 
+def _velocity_update(key, pdfs, state):
+    """applyInPandasWithState update fn for the velocity rule — module
+    level so the crash-resume test drives the EXACT production fold and
+    state schema, not a test replica."""
+    import pandas as pd
+
+    from ..operators.events import VELOCITY_WINDOW_US
+
+    cur = state.get if state.exists else ([], 0, 0, None)
+    recent, mb, nf, ff = _velocity_fold(cur, pdfs, VELOCITY_WINDOW_US)
+    state.update((recent, mb, nf, ff))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "max_burst": [mb],
+            "n_flagged": [nf],
+            "first_flag_us": [ff],
+        }
+    )
+
+
+def _velocity_source(spark, sf_dir, src):
+    """Write the purchase stream range-split on ts into 4 mtime-ordered
+    files under ``src`` and return the file-stream DataFrame (availableNow
+    replays time-ordered micro-batches, the q_stream_transform_state
+    harness)."""
+    import glob as _glob
+
+    p = (
+        t(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & F.col("user_id").isNotNull())
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    p.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+    for i, f_ in enumerate(sorted(_glob.glob(os.path.join(src, "part-*.parquet")))):
+        os.utime(f_, (1_000_000_000 + i, 1_000_000_000 + i))
+    return (
+        spark.readStream.schema(p.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def _velocity_stateful(spark, sdf):
+    """The stateful transform: per-user applyInPandasWithState over the
+    purchase stream with the velocity fold."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        _velocity_update,
+        outputStructType="user_id long, max_burst long, n_flagged long,"
+        " first_flag_us long",
+        stateStructType="recent array<long>, max_burst long,"
+        " n_flagged long, first_flag long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 @query(
     "q_stream_velocity",
     oracle=f"""
@@ -1712,56 +1771,12 @@ def q_stream_velocity(spark, sf_dir):
     (api/router/router.go:9-55); stateful sibling of
     q_stream_transform_state (max-gap state) and the batch rule
     q_evt_velocity."""
-    import glob as _glob
-
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    from ..operators.events import VELOCITY_WINDOW_US
-
     wh = scratch_dir(sf_dir, "stream_velocity")
     shutil.rmtree(wh, ignore_errors=True)
     src = os.path.join(wh, "src")
-    p = (
-        t(spark, sf_dir, "events")
-        .filter((F.col("event_type") == "purchase") & F.col("user_id").isNotNull())
-        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
-    )
-    p.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
-    for i, f_ in enumerate(sorted(_glob.glob(os.path.join(src, "part-*.parquet")))):
-        os.utime(f_, (1_000_000_000 + i, 1_000_000_000 + i))
-
-    def update(key, pdfs, state: GroupState):
-        import pandas as pd
-
-        cur = state.get if state.exists else ([], 0, 0, None)
-        recent, mb, nf, ff = _velocity_fold(cur, pdfs, VELOCITY_WINDOW_US)
-        state.update((recent, mb, nf, ff))
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "max_burst": [mb],
-                "n_flagged": [nf],
-                "first_flag_us": [ff],
-            }
-        )
-
-    sdf = (
-        spark.readStream.schema(p.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    with _state_parallelism(spark):
-        out = sdf.groupBy("user_id").applyInPandasWithState(
-            update,
-            outputStructType="user_id long, max_burst long, n_flagged long,"
-            " first_flag_us long",
-            stateStructType="recent array<long>, max_burst long,"
-            " n_flagged long, first_flag long",
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
-        sink = os.path.join(wh, "sink")
-        res = _run_foreach_batch(spark, out, "update", sink)
+    out = _velocity_stateful(spark, _velocity_source(spark, sf_dir, src))
+    sink = os.path.join(wh, "sink")
+    res = _run_foreach_batch(spark, out, "update", sink)
     # monotone emissions: final state per user is the max/min collapse
     return (
         res.groupBy("user_id")
