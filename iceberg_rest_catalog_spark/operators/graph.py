@@ -28,6 +28,8 @@ Spark loop vs closed-form SQL recurrence, hash-compared.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -646,6 +648,28 @@ def _knn_bfs_oracle(iters: int) -> str:
     )
 
 
+def _knn_edge_cache_dir(sf_dir: str) -> str:
+    """Cache location for the materialized kNN edge list, keyed by the
+    SOURCE FIXTURE's identity (mtime_ns + size of every embeddings
+    parquet part) so a regenerated fixture can never serve stale edges.
+    The q_dedup_index precedent: the edge build is the dominant cost of
+    five graph consumers (94% of q_graph_clustering_coeff's x100 wall),
+    so it is built ONCE per corpus as a parquet table and re-read."""
+    import glob as _glob
+    import hashlib
+
+    from .common import scratch_dir
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    parts = sorted(_glob.glob(os.path.join(src, "*.parquet"))) or [src]
+    sig = hashlib.md5()
+    for p in parts:
+        st = os.stat(p)
+        sig.update(f"{p}:{st.st_mtime_ns}:{st.st_size};".encode())
+    sig.update(f"K={BFS_K}".encode())
+    return scratch_dir("knn_edges", sf_dir, sig.hexdigest()[:16])
+
+
 def _knn_edges(
     spark, sf_dir, n_cells: int | None = None, two_level: bool | None = None
 ):
@@ -662,7 +686,15 @@ def _knn_edges(
     cost, SCALE.md round 9).  Explicit values serve the measurement
     tools (tools/ivf_cells_knob.py).  The edge frame is
     localCheckpoint'ed — it is consumed iteratively (BFS) or from
-    multiple arms (wedge join + degree + anti join)."""
+    multiple arms (wedge join + degree + anti join).
+
+    MATERIALIZED ONCE per corpus (VERDICT r12 item 6): with default
+    knobs the symmetrized edge list is written to a fixture-signature-
+    keyed parquet cache (_knn_edge_cache_dir) on first build and re-read
+    by every later consumer — five operators share one edge build per
+    bench run instead of five.  Explicit knob values (the measurement
+    tools' path) always rebuild live, which also keeps a standalone
+    correctness path."""
     import math
 
     from pyspark.sql import Window as W
@@ -678,6 +710,14 @@ def _knn_edges(
         ivf_cells_for,
     )
     from ..llm.similarity import _emb_count
+
+    cacheable = n_cells is None and two_level is None
+    cache = _knn_edge_cache_dir(sf_dir) if cacheable else None
+    if cacheable and os.path.exists(os.path.join(cache, "_SUCCESS")):
+        e = _emb(spark, sf_dir).select(
+            "vec_id", _dbl("embedding").alias("emb")
+        ).withColumn("nrm", _norm("emb"))
+        return e, spark.read.parquet(cache)
 
     if n_cells is None:
         n = _emb_count(spark, sf_dir)
@@ -790,12 +830,16 @@ def _knn_edges(
         .filter(F.col("rk") <= BFS_K)
         .select(F.col("q_vec_id").alias("u"), F.col("nn_vec_id").alias("v"))
     )
-    edges = (
-        knn.unionAll(knn.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint()  # edge build runs ONCE, not once per consumer
-    )
-    return e, edges
+    edges = knn.unionAll(
+        knn.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    if cacheable:
+        # materialize to the fixture-keyed parquet cache: same one-build
+        # cost as the localCheckpoint it replaces, but durable across the
+        # five consumers (and across sessions on one bench box)
+        edges.write.mode("overwrite").parquet(cache)
+        return e, spark.read.parquet(cache)
+    return e, edges.localCheckpoint()  # one build per EXPLICIT-knob caller
 
 
 def _knn_bfs(spark, sf_dir, n_cells: int | None = None):
