@@ -236,9 +236,22 @@ def q_text_token_count(spark, sf_dir):
 def q_text_fingerprint(spark, sf_dir):
     """Document fingerprinting: full-content hash + winnowing-style minimum
     hash over rolling 5-token shingles. The rolling window is a higher-order
-    transform over sequence() — computed per-row, no explode, no shuffle."""
-    d = t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    transform over sequence() — computed per-row, no explode, no shuffle.
+
+    The token array is BOUND to a column before the transform: a lambda
+    that references the split(text) EXPRESSION re-splits the document at
+    every shingle position (interpreted higher-order fns do no common-
+    subexpression elimination), turning the rolling window O(len^2) —
+    measured 144x at the x10 doc-LENGTH step (SCALE.md round 13); with
+    the bound attribute the same step is linear.  widen() parallelizes
+    the compute-heavy map over the single-split bench scan (no-op on a
+    real many-split corpus)."""
+    from ..operators.common import widen
+
+    d = widen(t(spark, sf_dir, "documents"), "doc_id").withColumn(
+        "toks", F.split("text", " ")
+    )
+    toks = F.col("toks")
     n = F.size(toks)
     shingle_hashes = F.transform(
         F.sequence(F.lit(1), n - 4),
