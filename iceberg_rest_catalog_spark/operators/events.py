@@ -3114,3 +3114,148 @@ def q_evt_bot_score(spark, sf_dir):
         .orderBy(F.desc("bot_score"), "user_id")
         .limit(BOT_TOP)
     )
+
+
+PARETO_NUM, PARETO_DEN = 4, 5  # 80% revenue threshold as an exact ratio
+
+
+@query(
+    "q_evt_power_users",
+    oracle=f"""
+    WITH ur AS (
+      SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS rev
+      FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+      GROUP BY user_id),
+    tot AS (SELECT sum(rev) AS t, count(*) AS n FROM ur),
+    c AS (
+      SELECT user_id, rev,
+             sum(rev) OVER (ORDER BY rev DESC, user_id) AS cum
+      FROM ur),
+    top AS (
+      SELECT c.rev, tot.t, tot.n FROM c, tot
+      WHERE {PARETO_DEN} * (c.cum - c.rev) < {PARETO_NUM} * tot.t)
+    SELECT CAST(max(n) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_top,
+           round(count(*) * 1.0 / max(n), 4) AS user_share,
+           round(sum(rev) * 1.0 / max(t), 4) AS rev_share
+    FROM top
+    """,
+)
+def q_evt_power_users(spark, sf_dir):
+    """Revenue concentration (Pareto) analysis: the MINIMAL set of users
+    covering >= 80% of purchase revenue, reported as its user-count and
+    revenue shares — the whale-detection pass behind monetization and
+    abuse review ("2% of accounts drive 81% of spend").
+
+    Scale shape — a DISTRIBUTED exact prefix sum, not a single-partition
+    window: per-user revenue aggregates (keyed shuffle), then
+    repartitionByRange on (rev DESC, user) + sortWithinPartitions, a
+    per-PARTITION running sum (window partitioned by spark_partition_id),
+    and a bounded |partitions|-row offset table collected + broadcast
+    back — the classic two-level scan that gives an exact global cumsum
+    with no all-rows-to-one-task stage.  All revenue arithmetic is exact
+    integer cents and the threshold test is the exact integer cross-
+    multiplication 5*(cum - rev) < 4*total, so the driver's value hash
+    is bit-stable.
+
+    Reference scope: no analytics surface in the reference facade
+    (api/router/router.go:9-55); concentration sibling of q_evt_rfm and
+    q_agg_gini."""
+    from pyspark.sql import Window as W
+
+    N_RANGES = 8
+    ur = (
+        t(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev"))
+    )
+    ranked = (
+        ur.repartitionByRange(N_RANGES, F.desc("rev"), F.asc("user_id"))
+        .sortWithinPartitions(F.desc("rev"), F.asc("user_id"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w = W.partitionBy("pid").orderBy(F.desc("rev"), F.asc("user_id")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    within = ranked.withColumn("wcum", F.sum("rev").over(w))
+    # bounded |partitions|-row offset table (exact longs), broadcast back
+    parts = within.groupBy("pid").agg(F.sum("rev").alias("psum")).collect()
+    psums = {r.pid: r.psum for r in parts}
+    offs = []
+    acc = 0
+    for pid in sorted(psums):
+        offs.append((pid, acc))
+        acc += psums[pid]
+    total = acc
+    off_df = spark.createDataFrame(offs or [(0, 0)], "pid int, off long")
+    n_users = ur.count()
+    cum = within.join(F.broadcast(off_df), "pid").withColumn(
+        "cum", F.col("off") + F.col("wcum")
+    )
+    top = cum.filter(
+        PARETO_DEN * (F.col("cum") - F.col("rev")) < PARETO_NUM * F.lit(total)
+    )
+    return top.agg(
+        F.lit(n_users).cast("long").alias("n_users"),
+        F.count("*").alias("n_top"),
+        F.round(F.count("*") * 1.0 / n_users, 4).alias("user_share"),
+        F.round(F.sum("rev") * 1.0 / F.lit(float(total)), 4).alias("rev_share"),
+    )
+
+
+@query(
+    "q_ts_theil_sen",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS rev
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    p AS (
+      SELECT (b.rev - a.rev) * 1.0 / date_diff('day', a.day, b.day) AS slope
+      FROM d a JOIN d b ON a.day < b.day)
+    SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 4) AS slope_med_cents
+    FROM p
+    """,
+)
+def q_ts_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend estimator over the daily purchase-revenue
+    series: the MEDIAN of all pairwise day-to-day slopes — insensitive to
+    ~29% outlier days, the standard robust alternative to the OLS slope
+    (q_evt_forecast_eval's baseline) for revenue/traffic trend lines that
+    contain promo spikes and outage holes.
+
+    Scale shape: the pair relation is |days| x |days| over the DAILY
+    AGGREGATE frame — bounded by the calendar (365 rows/year), never by
+    event volume; the one big shuffle is the day aggregate itself.  The
+    self-join is a deliberate bounded-build-side theta join
+    (tests/test_plans.py CARTESIAN_OK).  Slopes are exact integer-cent
+    differences over integer day gaps; the median is the shared
+    linear-interpolation percentile, identical binary64 on both engines.
+
+    Reference scope: no time-series surface in the reference facade
+    (api/router/router.go:9-55); robust sibling of q_ts_holt and
+    q_ts_cusum."""
+    d = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(b, F.col("a.day") < F.col("b.day")).select(
+        (
+            (F.col("b.rev") - F.col("a.rev"))
+            * 1.0
+            / F.datediff(F.col("b.day"), F.col("a.day"))
+        ).alias("slope")
+    )
+    n_days = d.count()
+    return pairs.agg(
+        F.lit(n_days).cast("long").alias("n_days"),
+        F.count("*").alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 4).alias("slope_med_cents"),
+    )

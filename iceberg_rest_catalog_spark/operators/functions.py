@@ -632,3 +632,42 @@ def q_fn_url(spark, sf_dir):
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("k")).alias("k_param"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_fn_encode",
+    oracle="""
+    SELECT n_nationkey,
+           base64(n_name::BLOB) AS b64,
+           decode(from_base64(base64(n_name::BLOB))) AS b64_back,
+           hex(n_name) AS hex_name,
+           unhex(hex(n_name))::VARCHAR AS hex_back,
+           CAST(ascii(n_name) AS INT) AS first_ascii,
+           chr(CAST(65 + n_nationkey % 26 AS INT)) AS bucket_chr,
+           lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS padded_key
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def q_fn_encode(spark, sf_dir):
+    """Binary/text ENCODING function family: base64 + from_base64 round
+    trip, hex + unhex round trip, ascii, chr, lpad — the
+    interchange-format functions every landing-zone pipeline uses to
+    carry binary keys and fixed-width identifiers through text systems.
+    All map-only codegen'd expressions; round trips prove both
+    directions value-exact against the independent engine.
+
+    Reference scope: function plurality next to q_fn_string/q_fn_hash
+    (no expression surface in the reference facade,
+    api/router/router.go:9-55)."""
+    n = t(spark, sf_dir, "nation")
+    b64 = F.base64(F.col("n_name").cast("binary"))
+    return n.select(
+        "n_nationkey",
+        b64.alias("b64"),
+        F.unbase64(b64).cast("string").alias("b64_back"),
+        F.hex(F.col("n_name")).alias("hex_name"),
+        F.unhex(F.hex(F.col("n_name"))).cast("string").alias("hex_back"),
+        F.ascii("n_name").alias("first_ascii"),
+        F.chr(65 + F.col("n_nationkey") % 26).alias("bucket_chr"),
+        F.lpad(F.col("n_nationkey").cast("string"), 4, "0").alias("padded_key"),
+    ).orderBy("n_nationkey")

@@ -377,3 +377,119 @@ def q_dq_gap_hours(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_dq_benford",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    n AS (SELECT count(*) AS n FROM d)
+    SELECT digit,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           round(count(*) * 1.0 / max(n.n), 4) AS obs_share,
+           round(log10(1 + 1.0 / digit), 4) AS benford_share,
+           round(abs(round(count(*) * 1.0 / max(n.n), 4)
+                     - round(log10(1 + 1.0 / digit), 4)), 4) AS abs_dev
+    FROM d, n GROUP BY digit ORDER BY digit
+    """,
+)
+def q_dq_benford(spark, sf_dir):
+    """Benford's-law first-digit audit of the order amounts — the classic
+    fraud/synthetic-data screen: organically-grown monetary amounts
+    follow P(d) = log10(1 + 1/d), and a generator (or a fraudster
+    inventing invoices) that draws amounts uniformly shows up as a flat
+    digit profile with large deviations (TPC-H's uniform totalprice is
+    exactly such a generator, making the fixture a positive control).
+
+    Determinism: the digit comes from exact integer string arithmetic
+    (floor -> BIGINT -> first char), never log10-of-data; the nine
+    Benford constants are log10 of small rationals whose 4-dp roundings
+    sit >= 4e-6 from any midpoint, so a 1-ulp libm difference between
+    engines cannot flip them, and abs_dev subtracts the two ROUNDED
+    shares (multiples of 1e-4) so its own rounding is stable.
+
+    Scale shape: one map-combined 9-group aggregate; output is always
+    <= 9 rows.  Reference scope: no DQ surface in the reference facade
+    (api/router/router.go:9-55); sibling of q_dq_rules."""
+    d = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    n = d.count()
+    obs = F.count("*") * 1.0 / n
+    benford = F.log10(1 + 1.0 / F.col("digit"))
+    return (
+        d.groupBy("digit")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.round(obs, 4).alias("obs_share"),
+            F.round(benford, 4).alias("benford_share"),
+            F.round(F.abs(F.round(obs, 4) - F.round(benford, 4)), 4).alias(
+                "abs_dev"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
+@query(
+    "q_dq_null_profile",
+    oracle="""
+    WITH t AS (
+      SELECT count(*) AS n,
+             count(event_id) AS c_event_id, count(ts) AS c_ts,
+             count(user_id) AS c_user_id, count(event_type) AS c_event_type,
+             count(value) AS c_value, count(props) AS c_props
+      FROM events)
+    SELECT col, CAST(n - c AS BIGINT) AS n_null,
+           round((n - c) * 1.0 / n, 4) AS null_rate
+    FROM t, LATERAL (VALUES
+      ('event_id', c_event_id), ('event_type', c_event_type),
+      ('props', c_props), ('ts', c_ts),
+      ('user_id', c_user_id), ('value', c_value)) v(col, c)
+    ORDER BY col
+    """,
+)
+def q_dq_null_profile(spark, sf_dir):
+    """Per-column NULL profile of the events table — the first DQ pass
+    any ingest runs: one scan, one conditional count per column, a
+    |columns|-row report.  The Spark side computes all counts in ONE
+    map-combined aggregate row (count(col) skips NULLs, exactly the
+    oracle's semantics) and unpivots the bounded 1-row result with
+    stack() — the scan is single-pass no matter how many columns are
+    profiled, which is the difference between one and N table scans at
+    100 TB.
+
+    Reference scope: no DQ surface in the reference facade
+    (api/router/router.go:9-55); column-axis sibling of q_dq_rules (row
+    rules) and q_meta_column_stats (catalog stats)."""
+    cols = ["event_id", "event_type", "props", "ts", "user_id", "value"]
+    ev = t(spark, sf_dir, "events")
+    one = ev.agg(
+        F.count("*").alias("n"),
+        *[F.count(c).alias(f"c_{c}") for c in cols],
+    )
+    stack_args = ", ".join(f"'{c}', c_{c}" for c in cols)
+    return (
+        one.select(
+            "n", F.expr(f"stack({len(cols)}, {stack_args}) AS (col, c)")
+        )
+        .select(
+            "col",
+            (F.col("n") - F.col("c")).alias("n_null"),
+            F.round((F.col("n") - F.col("c")) * 1.0 / F.col("n"), 4).alias(
+                "null_rate"
+            ),
+        )
+        .orderBy("col")
+    )

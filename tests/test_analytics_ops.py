@@ -2766,3 +2766,108 @@ def test_fn_url_components_recompose(spark, qs):
         assert r.url == f"{r.protocol}://{r.host}{r.path}?{r.query}"
         assert r.host.endswith(".example.com")
         assert f"k={r.k_param}" in r.query
+
+
+def test_power_users_is_minimal_exact_prefix(spark, qs):
+    """Brute-force the Pareto set: sort users by (rev desc, id), take the
+    minimal prefix covering >= 80% of exact-cent revenue; the distributed
+    prefix-sum must agree on every output."""
+    from pyspark.sql import functions as F
+
+    row = qs["q_evt_power_users"](spark, SF).collect()[0]
+    ur = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter("event_type = 'purchase' AND user_id IS NOT NULL")
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev"))
+        .collect()
+    )
+    revs = sorted(((r.rev, r.user_id) for r in ur), key=lambda x: (-x[0], x[1]))
+    total = sum(r for r, _ in revs)
+    cum, k, topsum = 0, 0, 0
+    for r, _ in revs:
+        if 5 * cum >= 4 * total:
+            break
+        cum += r
+        k += 1
+        topsum += r
+    assert (row.n_users, row.n_top) == (len(revs), k)
+    assert row.user_share == round(k / len(revs), 4)
+    assert row.rev_share == round(topsum / total, 4)
+
+
+def test_theil_sen_matches_numpy_median(spark, qs):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    row = qs["q_ts_theil_sen"](spark, SF).collect()[0]
+    d = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter("event_type = 'purchase'")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev"))
+        .collect()
+    )
+    days = sorted((r.day.toordinal(), r.rev) for r in d)
+    slopes = [
+        (rb - ra) / (db - da)
+        for i, (da, ra) in enumerate(days)
+        for db, rb in days[i + 1 :]
+    ]
+    assert row.n_days == len(days)
+    assert row.n_pairs == len(slopes) == len(days) * (len(days) - 1) // 2
+    assert row.slope_med_cents == round(float(np.median(slopes)), 4)
+
+
+def test_bitmap_distinct_is_exact(spark, qs):
+    got = {
+        r.event_type: r.n_users
+        for r in qs["q_agg_bitmap_distinct"](spark, SF).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .filter("user_id IS NOT NULL AND event_type IS NOT NULL")
+        .groupBy("event_type")
+        .agg(__import__("pyspark.sql.functions", fromlist=["countDistinct"])
+             .countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) >= 3
+
+
+def test_fn_encode_round_trips(spark, qs):
+    rows = qs["q_fn_encode"](spark, SF).collect()
+    names = {
+        r.n_nationkey: r.n_name
+        for r in spark.read.parquet(f"{SF}/nation.parquet").collect()
+    }
+    assert len(rows) == len(names)
+    for r in rows:
+        assert r.b64_back == r.hex_back == names[r.n_nationkey]
+        assert r.first_ascii == ord(names[r.n_nationkey][0])
+        assert r.padded_key == str(r.n_nationkey).zfill(4)
+
+
+def test_benford_shares_are_a_distribution(spark, qs):
+    rows = qs["q_dq_benford"](spark, SF).collect()
+    n_orders = spark.read.parquet(f"{SF}/orders.parquet").count()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert sum(r.n_obs for r in rows) == n_orders
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-3
+    # the 9 Benford constants
+    import math
+
+    for r in rows:
+        assert r.benford_share == round(math.log10(1 + 1 / r.digit), 4)
+
+
+def test_null_profile_matches_per_column_counts(spark, qs):
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    got = {r.col: r.n_null for r in qs["q_dq_null_profile"](spark, SF).collect()}
+    for c in got:
+        want = ev.filter(F.col(c).isNull()).count()
+        assert got[c] == want, c
+    assert set(got) == set(ev.columns)

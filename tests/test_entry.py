@@ -23,7 +23,7 @@ def test_queries_collect_without_spark_session():
         # exact-count pin (VERDICT r9 item 7): a module import that silently
         # fails to register its queries trips this loudly; bump on every
         # operator addition.
-        "assert len(qs) == 342, len(qs)\n"
+        "assert len(qs) == 348, len(qs)\n"
         "assert set(osql) <= set(qs), sorted(set(osql) - set(qs))\n"
         "print('OK', len(qs), len(osql))\n" % REPO
     )
@@ -360,6 +360,12 @@ def test_round12_window_head_is_red_then_r5_stale():
 # Round-13 additions, in registration order.  Update alongside every new
 # @query registration this round — the rotation pin below derives from it.
 R13_NEW_OPS: list[str] = [
+    "q_evt_power_users",
+    "q_ts_theil_sen",
+    "q_agg_bitmap_distinct",
+    "q_fn_encode",
+    "q_dq_benford",
+    "q_dq_null_profile",
     "q_sim_ann_ivf_pq",
 ]
 

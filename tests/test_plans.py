@@ -117,6 +117,9 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 # corpus) scored against one corpus scan — the brute-force
                 # recall-audit baseline, deliberately exact
                 "q_embed_matryoshka",
+                # |days|-row daily-aggregate self-join (calendar-bounded
+                # build side, <=365 rows/yr) — the Theil-Sen pair relation
+                "q_ts_theil_sen",
                 # 1-row build sides (union-sketch stats / exact-total row;
                 # the scalar max(S) of the ALL/ANY aggregate rewrite):
                 # BNLJ with a single broadcast row, map-only at any scale
