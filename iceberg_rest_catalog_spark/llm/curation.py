@@ -1134,3 +1134,64 @@ def q_sample_neyman(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+SHARD_TARGET_CHARS = 32_768  # WebDataset-style shard size target
+
+
+@query(
+    "q_doc_shard_pack",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, doc_id, n_chars,
+             sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents),
+    s AS (
+      SELECT source, doc_id, n_chars,
+             CAST((cum - n_chars) // {SHARD_TARGET_CHARS} AS BIGINT) AS shard
+      FROM c)
+    SELECT source, shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS shard_chars,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM s GROUP BY source, shard ORDER BY source, shard
+    """,
+)
+def q_doc_shard_pack(spark, sf_dir):
+    """Training-shard PACKING (the WebDataset/tar-shard build): assign
+    each document to a ~{SHARD_TARGET_CHARS}-char shard within its
+    source, in deterministic doc_id order, by bucketing the running size
+    prefix — shard i holds the docs whose preceding cumulative size is in
+    [i*T, (i+1)*T).  The report (docs, chars, id range per shard) is what
+    the downstream loader consumes as its shard manifest.
+
+    Scale shape: ONE per-source window cumsum (keyed shuffle — sources
+    partition the corpus, so no global sort) + a map-side bucketing and
+    a (source, shard) aggregate.  All arithmetic exact integers.
+
+    Reference scope: no curation surface in the reference facade
+    (api/router/router.go:9-55); packing sibling of q_pack_sequences
+    (token-budget packing) and q_shard_assign (hash sharding)."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s = d.withColumn("cum", F.sum("n_chars").over(w)).withColumn(
+        "shard", F.expr(f"(cum - n_chars) DIV {SHARD_TARGET_CHARS}")
+    )
+    return (
+        s.groupBy("source", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("shard_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "shard")
+    )

@@ -1405,3 +1405,53 @@ def q_agg_bitmap_distinct(spark, sf_dir):
         .agg(F.sum(F.bit_count("bits")).alias("n_users"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_agg_argmax",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, user_id, event_id, value,
+             CAST(round(value * 100) AS BIGINT) * 1000000000000 + event_id
+               AS rk
+      FROM events WHERE event_type IS NOT NULL)
+    SELECT event_type,
+           CAST(arg_max(event_id, rk) AS BIGINT) AS peak_event_id,
+           round(arg_max(value, rk), 4) AS peak_value,
+           CAST(arg_max(user_id, rk) AS BIGINT) AS peak_user,
+           CAST(arg_min(event_id, rk) AS BIGINT) AS trough_event_id,
+           round(arg_min(value, rk), 4) AS trough_value
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_agg_argmax(spark, sf_dir):
+    """ARGMAX/ARGMIN aggregates (max_by/min_by): per event type, the full
+    identity of the highest- and lowest-value event — the "which row set
+    the extreme" question that a plain max() cannot answer without a
+    second self-join pass.
+
+    Determinism: arg_max over ties is engine-defined, so the ranking key
+    is the exact composite integer round(value*100) * 1e12 + event_id —
+    value-major with the unique event_id as tiebreak (event_id < 1e12 at
+    any realistic scale; both engines order the identical BIGINT).  One
+    map-combined aggregate, |types| output rows.
+
+    Reference scope: no aggregate surface in the reference facade
+    (api/router/router.go:9-55); sibling of q_agg_mode_median."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    rk = (
+        F.round(F.col("value") * 100).cast("long") * F.lit(1_000_000_000_000)
+        + F.col("event_id")
+    ).alias("rk")
+    r = ev.select("event_type", "user_id", "event_id", "value", rk)
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.expr("max_by(event_id, rk)").alias("peak_event_id"),
+            F.round(F.expr("max_by(value, rk)"), 4).alias("peak_value"),
+            F.expr("max_by(user_id, rk)").alias("peak_user"),
+            F.expr("min_by(event_id, rk)").alias("trough_event_id"),
+            F.round(F.expr("min_by(value, rk)"), 4).alias("trough_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -3259,3 +3259,68 @@ def q_ts_theil_sen(spark, sf_dir):
         F.count("*").alias("n_pairs"),
         F.round(F.expr("percentile(slope, 0.5)"), 4).alias("slope_med_cents"),
     )
+
+
+@query(
+    "q_evt_new_vs_returning",
+    oracle="""
+    WITH fu AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+      FROM events WHERE user_id IS NOT NULL)
+    SELECT strftime(du.day, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS dau,
+           CAST(count(CASE WHEN fu.first_day = du.day THEN 1 END) AS BIGINT)
+             AS new_users,
+           CAST(count(CASE WHEN fu.first_day < du.day THEN 1 END) AS BIGINT)
+             AS returning_users,
+           round(count(CASE WHEN fu.first_day < du.day THEN 1 END) * 1.0
+                 / count(*), 4) AS returning_rate
+    FROM du JOIN fu USING (user_id)
+    GROUP BY du.day ORDER BY day
+    """,
+)
+def q_evt_new_vs_returning(spark, sf_dir):
+    """Daily NEW vs RETURNING active-user split — the first growth
+    decomposition any product dashboard shows: DAU = users whose
+    first-ever active day is today (acquisition) + users seen before
+    (retention), plus the returning rate.
+
+    Scale shape: first-seen day is one map-combined min() per user; the
+    daily (day, user) frame is a distinct on the SAME user_id shuffle
+    key, and the classifier join is user-keyed — one shuffle family
+    end-to-end (the round-12 single-shuffle-key discipline).  Output is
+    |days| rows.
+
+    Reference scope: no analytics surface in the reference facade
+    (api/router/router.go:9-55); decomposition sibling of
+    q_evt_rolling_dau and q_evt_retention."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+    )
+    fu = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    du = ev.distinct()
+    new_c = F.count(F.when(F.col("first_day") == F.col("day"), 1))
+    ret_c = F.count(F.when(F.col("first_day") < F.col("day"), 1))
+    return (
+        du.join(fu, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("dau"),
+            new_c.alias("new_users"),
+            ret_c.alias("returning_users"),
+            F.round(ret_c * 1.0 / F.count("*"), 4).alias("returning_rate"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "new_users",
+            "returning_users",
+            "returning_rate",
+        )
+        .orderBy("day")
+    )

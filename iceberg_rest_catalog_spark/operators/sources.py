@@ -163,3 +163,55 @@ def q_source_text(spark, sf_dir):
         F.element_at(p, 2).alias("n_name"),
         F.element_at(p, 3).cast("int").alias("n_regionkey"),
     )
+
+
+@query(
+    "q_source_schema_merge",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def q_source_schema_merge(spark, sf_dir):
+    """SCHEMA-MERGED parquet read: two file generations under one
+    dataset — an old writer emitting (o_orderkey, o_totalprice) and an
+    evolved writer that ADDED o_orderstatus — read back in one scan with
+    ``mergeSchema=true``: Spark reconciles the file footers by NAME and
+    nulls the missing column for old files.  This is the schema-on-read
+    half of schema evolution (the catalog-tracked half is
+    q_schema_evolution_read); every long-lived landing zone accumulates
+    exactly this layout.
+
+    Scale note: mergeSchema footer reconciliation reads every file's
+    footer at planning time — acceptable for a bounded generation count,
+    which is why production promotes the merged schema into the catalog
+    (the q_schema_evolution_read path) once evolution settles.
+
+    Reference scope: the reference reads parquet client-side with a
+    static schema (tables.go:94-148); merge-on-read is the Spark-native
+    upgrade."""
+    import os as _os
+
+    o = t(spark, sf_dir, "orders")
+    root = scratch_dir("schema_merge", sf_dir)
+    pa, pb = _os.path.join(root, "gen_a"), _os.path.join(root, "gen_b")
+    (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(pa)
+    )
+    (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite")
+        .parquet(pb)
+    )
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(pa, pb)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )

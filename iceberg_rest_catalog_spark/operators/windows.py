@@ -234,3 +234,59 @@ def q_win_value_fns(spark, sf_dir):
         F.last("o_totalprice").over(w).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+MM_WIN = 7  # rolling window width (rows = trailing days)
+
+
+@query(
+    "q_win_moving_median",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS rev
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT strftime(day, '%Y-%m-%d') AS day, CAST(rev AS BIGINT) AS rev,
+           round(CAST(quantile_cont(rev, 0.5) OVER w AS DOUBLE), 4) AS med{MM_WIN},
+           CAST(min(rev) OVER w AS BIGINT) AS min{MM_WIN},
+           CAST(max(rev) OVER w AS BIGINT) AS max{MM_WIN}
+    FROM d
+    WINDOW w AS (ORDER BY day ROWS BETWEEN {MM_WIN - 1} PRECEDING
+                                       AND CURRENT ROW)
+    ORDER BY day
+    """,
+)
+def q_win_moving_median(spark, sf_dir):
+    """ROLLING MEDIAN window (plus rolling min/max): the trailing-7-day
+    median of daily purchase revenue — the robust smoother dashboards use
+    where a rolling MEAN (q_ts_ewma's linear cousin) chases promo spikes.
+    Exercises an order-statistic aggregate over a sliding ROWS frame —
+    the window shape Spark evaluates by maintaining the frame's multiset
+    per step, distinct from the running/sliding SUM family.
+
+    Scale shape: the corpus collapses to the |days| daily frame in one
+    map-combined aggregate; the window runs over that calendar-bounded
+    frame (the q_ts_changepoint convention).  Revenue is exact integer
+    cents; the interpolated median is the identical binary64 expression
+    on both engines.
+
+    Reference scope: no window surface in the reference facade
+    (api/router/router.go:9-55); order-statistic sibling of
+    q_win_sliding_rows."""
+    d = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev"))
+    )
+    w = Window.orderBy("day").rowsBetween(-(MM_WIN - 1), Window.currentRow)
+    return d.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "rev",
+        F.round(F.expr(
+            f"percentile(rev, 0.5) OVER (ORDER BY day ROWS BETWEEN {MM_WIN - 1}"
+            " PRECEDING AND CURRENT ROW)"
+        ), 4).alias(f"med{MM_WIN}"),
+        F.min("rev").over(w).alias(f"min{MM_WIN}"),
+        F.max("rev").over(w).alias(f"max{MM_WIN}"),
+    ).orderBy("day")

@@ -2871,3 +2871,94 @@ def test_null_profile_matches_per_column_counts(spark, qs):
         want = ev.filter(F.col(c).isNull()).count()
         assert got[c] == want, c
     assert set(got) == set(ev.columns)
+
+
+def test_shard_pack_respects_target_and_order(spark, qs):
+    """Every shard (except possibly a source's last) must hold >= target
+    chars once its last doc is added (greedy prefix bucketing), shard ids
+    are dense per source, and doc-id ranges never overlap."""
+    from iceberg_rest_catalog_spark.llm.curation import SHARD_TARGET_CHARS
+
+    rows = qs["q_doc_shard_pack"](spark, SF).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, shards in by_src.items():
+        shards.sort(key=lambda r: r.shard)
+        assert [s.shard for s in shards] == list(range(len(shards))), src
+        for a, b in zip(shards, shards[1:]):
+            assert a.last_doc < b.first_doc
+        # prefix bucketing: each non-final shard crosses the target once
+        # its final doc lands (cum at last doc >= (shard+1) * target)
+        cum = 0
+        for s in shards[:-1]:
+            cum += s.shard_chars
+            assert cum >= (s.shard + 1) * SHARD_TARGET_CHARS, (src, s.shard)
+
+
+def test_new_vs_returning_decomposes_dau(spark, qs):
+    rows = qs["q_evt_new_vs_returning"](spark, SF).collect()
+    assert rows, "expected daily rows"
+    total_new = 0
+    for r in rows:
+        assert r.dau == r.new_users + r.returning_users, r.day
+        total_new += r.new_users
+    n_users = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter("user_id IS NOT NULL")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    # every user is new exactly once
+    assert total_new == n_users
+    # day 1 has no returning users
+    assert rows[0].returning_users == 0
+
+
+def test_argmax_identifies_true_extremes(spark, qs):
+    from pyspark.sql import functions as F
+
+    rows = {r.event_type: r for r in qs["q_agg_argmax"](spark, SF).collect()}
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter("event_type IS NOT NULL")
+        .collect()
+    )
+    import collections
+
+    best: dict[str, tuple] = {}
+    worst: dict[str, tuple] = {}
+    for e in ev:
+        k = (round(e.value * 100), e.event_id)
+        if e.event_type not in best or k > best[e.event_type][0]:
+            best[e.event_type] = (k, e)
+        if e.event_type not in worst or k < worst[e.event_type][0]:
+            worst[e.event_type] = (k, e)
+    for et, r in rows.items():
+        assert r.peak_event_id == best[et][1].event_id
+        assert r.trough_event_id == worst[et][1].event_id
+        assert r.peak_value == round(best[et][1].value, 4)
+
+
+def test_moving_median_window_is_exact(spark, qs):
+    import statistics
+
+    rows = qs["q_win_moving_median"](spark, SF).collect()
+    revs = [r.rev for r in rows]
+    for i, r in enumerate(rows):
+        frame = revs[max(0, i - 6) : i + 1]
+        assert r.med7 == round(float(statistics.median(frame)), 4), r.day
+        assert r.min7 == min(frame) and r.max7 == max(frame)
+
+
+def test_schema_merge_nulls_missing_column(spark, qs):
+    df = qs["q_source_schema_merge"](spark, SF)
+    rows = df.collect()
+    n_orders = spark.read.parquet(f"{SF}/orders.parquet").count()
+    assert len(rows) == n_orders
+    for r in rows:
+        if r.o_orderkey % 2 == 0:
+            assert r.o_orderstatus is None
+        else:
+            assert r.o_orderstatus is not None
