@@ -1961,3 +1961,58 @@ def q_sim_knn_batch_2level(spark, sf_dir):
     driver-verified at fixture scale, where the siblings take the flat
     branch."""
     return _knn_batch_2level(spark, sf_dir, KNN_QSTEP)
+
+
+_INDEX_STATS_ORACLE = f"""
+WITH {ivf_ranked_ctes()},
+pc AS (SELECT cell, count(*) AS pop FROM assigned GROUP BY cell)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_vectors,
+       CAST({SCALED_CELLS_SQL} AS BIGINT) AS n_cells,
+       CAST(count(*) AS BIGINT) AS n_cells_used,
+       CAST(min(pop) AS BIGINT) AS pop_min,
+       CAST(max(pop) AS BIGINT) AS pop_max,
+       round(sum(pop) * 1.0 / count(*), 4) AS pop_avg,
+       round(max(pop) * count(*) * 1.0 / sum(pop), 4) AS balance
+FROM pc
+"""
+
+
+@query("q_sim_index_stats", oracle=_INDEX_STATS_ORACLE)
+def q_sim_index_stats(spark, sf_dir):
+    """IVF index OBSERVABILITY: per-cell population profile of the
+    assignment — used cells, min/max/avg population and the balance
+    factor (max/avg) — the manifest an ANN service monitors to catch
+    centroid drift (hot cells make probe latency quadratic in the skew)
+    and wasted cells (empty cells burn probe budget).  The operational
+    twin of q_embed_cell_purity (which audits semantic quality; this
+    audits LOAD).
+
+    Scale shape: the assignment is the family's shared broadcast-
+    centroid plan; the profile is one |cells|-row aggregate of it.
+
+    Reference scope: index observability mirrors the reference's
+    metadata-stats surface (q_meta_partition_stats) applied to the ANN
+    index; no vector surface in the facade
+    (api/router/router.go:9-55)."""
+    n = _emb_count(spark, sf_dir)
+    n_cells = ivf_cells_for(n)
+    if assignment_two_level(n):
+        within = _two_level_within(spark, sf_dir, n_cells)
+    else:
+        within = _flat_within(spark, sf_dir, n_cells)
+    pc = (
+        within.filter(F.col("rn") == 1)
+        .groupBy("cell")
+        .agg(F.count("*").alias("pop"))
+    )
+    return pc.agg(
+        F.lit(n).cast("long").alias("n_vectors"),
+        F.lit(n_cells).cast("long").alias("n_cells"),
+        F.count("*").alias("n_cells_used"),
+        F.min("pop").alias("pop_min"),
+        F.max("pop").alias("pop_max"),
+        F.round(F.sum("pop") * 1.0 / F.count("*"), 4).alias("pop_avg"),
+        F.round(F.max("pop") * F.count("*") * 1.0 / F.sum("pop"), 4).alias(
+            "balance"
+        ),
+    )

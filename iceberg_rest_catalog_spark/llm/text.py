@@ -1249,3 +1249,70 @@ def q_text_burstiness(spark, sf_dir):
         .orderBy(F.desc("vmr"), "token")
         .limit(BURST_TOP)
     )
+
+
+FILTER_SWEEP_GRID = (10, 20, 50, 100, 200)  # min-token thresholds
+
+
+@query(
+    "q_text_filter_sweep",
+    oracle=f"""
+    WITH x AS (
+      SELECT len(string_split(text, ' ')) AS toks
+      FROM documents WHERE text IS NOT NULL),
+    tot AS (SELECT count(*) AS n, sum(toks) AS tk FROM x),
+    g AS (SELECT unnest(ARRAY{list(FILTER_SWEEP_GRID)}) AS min_toks)
+    SELECT g.min_toks,
+           CAST(count(CASE WHEN x.toks >= g.min_toks THEN 1 END) AS BIGINT)
+             AS n_kept,
+           round(count(CASE WHEN x.toks >= g.min_toks THEN 1 END) * 1.0
+                 / max(tot.n), 4) AS doc_share,
+           round(coalesce(sum(CASE WHEN x.toks >= g.min_toks
+                              THEN x.toks END), 0) * 1.0
+                 / max(tot.tk), 4) AS token_share
+    FROM x, g, tot GROUP BY g.min_toks ORDER BY g.min_toks
+    """,
+)
+def q_text_filter_sweep(spark, sf_dir):
+    """Quality-filter THRESHOLD SWEEP: for a grid of minimum-token
+    cutoffs, the docs and tokens the corpus would retain — the tuning
+    table a curation pipeline builds before committing to a length
+    filter (the q_dedup_eval_sweep discipline applied to quality
+    filtering: measure the knob's retention curve in ONE pass, don't
+    re-run the pipeline per candidate value).
+
+    Scale shape: one corpus scan computes the per-doc token count; the
+    grid is a {len(FILTER_SWEEP_GRID)}-row broadcast fan-out and every
+    threshold's counts partial-aggregate map-side — |grid| output rows
+    regardless of corpus size.  Exact integer counts; shares are two
+    exact-int divisions.
+
+    Reference scope: no curation surface in the reference facade
+    (api/router/router.go:9-55); sweep sibling of q_dedup_eval_sweep and
+    q_text_filter (the committed single-threshold filter)."""
+    x = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.size(F.split("text", " ")).alias("toks"))
+    )
+    tot = x.agg(
+        F.count("*").alias("n"), F.sum("toks").alias("tk")
+    ).collect()[0]
+    grid = spark.createDataFrame(
+        [(g,) for g in FILTER_SWEEP_GRID], "min_toks int"
+    )
+    kept = F.count(F.when(F.col("toks") >= F.col("min_toks"), 1))
+    kept_tk = F.coalesce(
+        F.sum(F.when(F.col("toks") >= F.col("min_toks"), F.col("toks"))),
+        F.lit(0),
+    )
+    return (
+        x.join(F.broadcast(grid))
+        .groupBy("min_toks")
+        .agg(
+            kept.alias("n_kept"),
+            F.round(kept * 1.0 / tot.n, 4).alias("doc_share"),
+            F.round(kept_tk * 1.0 / tot.tk, 4).alias("token_share"),
+        )
+        .orderBy("min_toks")
+    )

@@ -671,3 +671,62 @@ def q_fn_encode(spark, sf_dir):
         F.chr(65 + F.col("n_nationkey") % 26).alias("bucket_chr"),
         F.lpad(F.col("n_nationkey").cast("string"), 4, "0").alias("padded_key"),
     ).orderBy("n_nationkey")
+
+
+@query(
+    "q_fn_lambda",
+    oracle="""
+    WITH g AS (
+      SELECT l_orderkey, list(l_quantity ORDER BY l_quantity) AS qs
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT l_orderkey,
+           CAST(len(qs) AS INT) AS n_items,
+           CAST(list_reduce(qs, (a, b) -> a + b) AS BIGINT) AS total_qty,
+           CAST(len(list_filter(qs, q -> q >= 30)) AS INT) AS n_big,
+           CAST(list_reduce(list_transform(qs, q -> q * q), (a, b) -> a + b)
+                AS BIGINT) AS sum_sq,
+           len(list_filter(qs, q -> q >= 49)) > 0 AS has_jumbo,
+           CAST(qs[1] + qs[-1] AS BIGINT) AS min_plus_max
+    FROM g ORDER BY l_orderkey
+    """,
+)
+def q_fn_lambda(spark, sf_dir):
+    """HIGHER-ORDER FUNCTION family (lambda expressions over arrays):
+    aggregate (fold), transform (map), filter, exists and element
+    indexing over each order's sorted quantity array — the JVM-side
+    array-programming surface that keeps per-row collection logic OUT of
+    Python UDFs (the q_udf_* family exists to show the slow path; this
+    is the fast one).
+
+    Determinism: the array is value-sorted (collect_list order is
+    partition-dependent, the classic nondeterminism trap), quantities
+    are integer-valued doubles so every fold is exact, and folds start
+    from 0.0 on the Spark side — 0.0 + q == q exactly, matching DuckDB's
+    init-free list_reduce pairing.
+
+    Scale shape: one l_orderkey hash aggregate (arrays bounded at 7
+    lines by the data model); every lambda is map-only expression work.
+
+    Reference scope: no expression surface in the reference facade
+    (api/router/router.go:9-55); family sibling of q_fn_array."""
+    g = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("l_quantity")).alias("qs"))
+    )
+    qs = F.col("qs")
+    fold = F.aggregate(qs, F.lit(0.0), lambda a, v: a + v)
+    sum_sq = F.aggregate(
+        F.transform(qs, lambda q: q * q), F.lit(0.0), lambda a, v: a + v
+    )
+    return g.select(
+        "l_orderkey",
+        F.size(qs).alias("n_items"),
+        fold.cast("long").alias("total_qty"),
+        F.size(F.filter(qs, lambda q: q >= 30)).alias("n_big"),
+        sum_sq.cast("long").alias("sum_sq"),
+        F.exists(qs, lambda q: q >= 49).alias("has_jumbo"),
+        (F.element_at(qs, 1) + F.element_at(qs, -1)).cast("long").alias(
+            "min_plus_max"
+        ),
+    ).orderBy("l_orderkey")

@@ -1794,3 +1794,95 @@ def q_stream_velocity(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+def _bitmap_update(key, pdfs, state):
+    """applyInPandasWithState update fn for the streaming bitmap: state is
+    ONE long — the OR of all bits seen for this (event_type, word) key.
+    Module level so the crash-resume discipline tests can reuse it."""
+    import pandas as pd
+
+    bits = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        for b in pdf["bit"]:
+            bits |= int(b)
+    state.update((bits,))
+    # emit the POPCOUNT (monotone under OR even when bit 63 flips the
+    # sign of the raw long) — the final collapse is a plain max
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "word": [key[1]],
+            "nbits": [bin(bits & 0xFFFFFFFFFFFFFFFF).count("1")],
+        }
+    )
+
+
+@query(
+    "q_stream_bitmap_distinct",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_stream_bitmap_distinct(spark, sf_dir):
+    """STREAMING exact distinct via 64-bit bitmap state — q_agg_bitmap_
+    distinct's mergeability run for real: each micro-batch ORs its ids'
+    bits into per-(type, word) state-store entries, and the final
+    stream-side count is checked EXACTLY against the batch oracle.  OR
+    is associative/idempotent, so incremental maintenance over any
+    micro-batch split (and any replay — exactly-once not required) is
+    bit-identical to the batch recompute: the property that lets a
+    100 TB/day dashboard keep EXACT distinct counts per ingest batch
+    where HLL twins (q_stream_hll) can only assert an envelope.
+
+    State discipline: one long per (type, word) key — |id_space|/64
+    words spread across the state store's shuffle partitions, DISTRIBUTED
+    state (unlike q_stream_kmv's driver-side sketch fold), never row
+    data.  Emissions are monotone popcounts, so the final collapse is a
+    plain max per key (the q_stream_upsert shape).
+
+    Reference scope: streaming ingest = the reference's append-commit
+    lineage (api/handlers/tables.go:150-227); no sketch surface in the
+    facade (api/router/router.go:9-55)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    wh = scratch_dir(sf_dir, "stream_bitmap")
+    shutil.rmtree(wh, ignore_errors=True)
+    src = os.path.join(wh, "src")
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.expr("user_id DIV 64").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))"
+            ).alias("bit"),
+        )
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = sdf.groupBy("event_type", "word").applyInPandasWithState(
+        _bitmap_update,
+        outputStructType="event_type string, word long, nbits long",
+        stateStructType="bits long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = os.path.join(wh, "sink")
+    res = _run_foreach_batch(spark, out, "update", sink)
+    return (
+        res.groupBy("event_type", "word")
+        .agg(F.max("nbits").alias("nbits"))
+        .groupBy("event_type")
+        .agg(F.sum("nbits").alias("n_users"))
+        .orderBy("event_type")
+    )

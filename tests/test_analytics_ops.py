@@ -2962,3 +2962,52 @@ def test_schema_merge_nulls_missing_column(spark, qs):
             assert r.o_orderstatus is None
         else:
             assert r.o_orderstatus is not None
+
+
+def test_stream_bitmap_matches_batch_twin(spark, qs):
+    """The streaming bitmap's final counts must equal the batch bitmap's
+    (and both equal exact count-distinct) — the mergeability claim."""
+    a = {r.event_type: r.n_users for r in qs["q_stream_bitmap_distinct"](spark, SF).collect()}
+    b = {r.event_type: r.n_users for r in qs["q_agg_bitmap_distinct"](spark, SF).collect()}
+    assert a == b and len(a) >= 3
+
+
+def test_fn_lambda_folds_are_exact(spark, qs):
+    rows = qs["q_fn_lambda"](spark, SF).collect()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+    by_order: dict[int, list] = {}
+    for l in li:
+        by_order.setdefault(l.l_orderkey, []).append(l.l_quantity)
+    assert len(rows) == len(by_order)
+    for r in rows[:200]:
+        qs_ = sorted(by_order[r.l_orderkey])
+        assert r.n_items == len(qs_)
+        assert r.total_qty == int(sum(qs_))
+        assert r.n_big == sum(1 for q in qs_ if q >= 30)
+        assert r.sum_sq == int(sum(q * q for q in qs_))
+        assert r.has_jumbo == any(q >= 49 for q in qs_)
+        assert r.min_plus_max == int(qs_[0] + qs_[-1])
+
+
+def test_index_stats_profile_is_consistent(spark, qs):
+    r = qs["q_sim_index_stats"](spark, SF).collect()[0]
+    assert r.n_cells_used <= r.n_cells
+    assert r.pop_min <= r.pop_avg <= r.pop_max
+    assert r.balance >= 1.0
+    # every vector is assigned exactly once
+    assert round(r.pop_avg * r.n_cells_used) == r.n_vectors
+
+
+def test_filter_sweep_is_monotone(spark, qs):
+    rows = qs["q_text_filter_sweep"](spark, SF).collect()
+    assert [r.min_toks for r in rows] == [10, 20, 50, 100, 200]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_kept >= b.n_kept
+        assert a.doc_share >= b.doc_share
+        assert a.token_share >= b.token_share
+    n_docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter("text IS NOT NULL")
+        .count()
+    )
+    assert rows[0].n_kept <= n_docs
