@@ -1777,3 +1777,51 @@ def q_dedup_report(spark, sf_dir):
         )
         .orderBy("sz")
     )
+
+
+_BUCKET_STATS_ORACLE = f"""
+WITH {_lsh_ctes()},
+bk AS (
+  SELECT band, count(*) AS sz
+  FROM bands GROUP BY band, {", ".join(f"v{i + 1}" for i in range(N_HASHES // N_BANDS))})
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(count(CASE WHEN sz = 1 THEN 1 END) AS BIGINT) AS n_singletons,
+       CAST(max(sz) AS BIGINT) AS max_bucket,
+       CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS n_cand_pairs
+FROM bk GROUP BY band ORDER BY band
+"""
+
+
+@query("q_dedup_index_stats", oracle=_BUCKET_STATS_ORACLE)
+def q_dedup_index_stats(spark, sf_dir):
+    """LSH index OBSERVABILITY: per-band bucket profile of the MinHash
+    signature index — bucket count, singleton share, hottest bucket, and
+    the candidate-pair volume sum(sz*(sz-1)/2) each band would emit.
+    This is the number a dedup pipeline watches BEFORE running the pair
+    stage: candidate volume is the whole cost model of banded LSH, and a
+    hot bucket (boilerplate cluster, empty-doc signature) shows up here
+    as a quadratic pair bomb long before it OOMs the join — the
+    q_sim_index_stats discipline applied to the dedup index (and the
+    in-registry twin of q_multimodal_phash_dedup's hot-bucket cap).
+
+    Scale shape: signature build is the family's shared one-scan
+    pipeline; the profile is one (band, bucket) aggregate + a |buckets|-
+    row band aggregate — never the pair join itself.
+
+    Reference scope: index-stats mirror of the reference's metadata
+    accounting (q_meta_partition_stats); no dedup surface in the facade
+    (api/router/router.go:9-55)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    bands = _explode_bands(_signatures(d))
+    bk = bands.groupBy("band", "bh").agg(F.count("*").alias("sz"))
+    return (
+        bk.groupBy("band")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.count(F.when(F.col("sz") == 1, 1)).alias("n_singletons"),
+            F.max("sz").alias("max_bucket"),
+            F.sum(F.expr("sz * (sz - 1) DIV 2")).alias("n_cand_pairs"),
+        )
+        .orderBy("band")
+    )

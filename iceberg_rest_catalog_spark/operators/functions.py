@@ -730,3 +730,43 @@ def q_fn_lambda(spark, sf_dir):
             "min_plus_max"
         ),
     ).orderBy("l_orderkey")
+
+
+@query(
+    "q_fn_format",
+    oracle="""
+    SELECT n_nationkey,
+           printf('%05d|%s|%08.2f', n_nationkey, n_name,
+                  n_nationkey * 1.5) AS tagged,
+           repeat(substr(n_name, 1, 2), 3) AS repeated,
+           reverse(n_name) AS reversed_name,
+           translate(n_name, 'AEIOU', 'aeiou') AS lowered_vowels,
+           CAST(strlen(n_name) AS INT) AS name_len
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def q_fn_format(spark, sf_dir):
+    """STRING FORMATTING family: printf-style format_string (zero-padded
+    ints, fixed-width floats), repeat, reverse, translate, length — the
+    report/export-layer functions that turn keys into fixed-width codes
+    and display strings.  All map-only codegen'd expressions; the printf
+    grammar is the shared C subset both engines implement identically
+    for %d/%s/%f conversions.
+
+    Reference scope: function plurality next to q_fn_string/q_fn_encode
+    (no expression surface in the reference facade,
+    api/router/router.go:9-55)."""
+    n = t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.format_string(
+            "%05d|%s|%08.2f",
+            F.col("n_nationkey"),
+            F.col("n_name"),
+            F.col("n_nationkey") * 1.5,
+        ).alias("tagged"),
+        F.repeat(F.substring("n_name", 1, 2), 3).alias("repeated"),
+        F.reverse(F.col("n_name")).alias("reversed_name"),
+        F.translate("n_name", "AEIOU", "aeiou").alias("lowered_vowels"),
+        F.length("n_name").alias("name_len"),
+    ).orderBy("n_nationkey")

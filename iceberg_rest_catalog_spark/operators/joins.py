@@ -1079,3 +1079,127 @@ def q_join_pit(spark, sf_dir):
         F.col("valid_from").alias("tier_since"),
         F.when(has_v, tus("ts") - tus("valid_from")).alias("tenure_us"),
     )
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, count(*) AS n_purchases,
+             sum(CAST(round(value * 100) AS BIGINT)) AS purchase_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    e AS (
+      SELECT user_id, count(*) AS n_errors
+      FROM events WHERE event_type = 'error' GROUP BY user_id)
+    SELECT coalesce(p.user_id, e.user_id) AS user_id,
+           p.user_id IS NULL AND e.user_id IS NULL AS is_anonymous,
+           CAST(coalesce(p.n_purchases, 0) AS BIGINT) AS n_purchases,
+           CAST(coalesce(p.purchase_cents, 0) AS BIGINT) AS purchase_cents,
+           CAST(coalesce(e.n_errors, 0) AS BIGINT) AS n_errors
+    FROM p FULL JOIN e ON p.user_id IS NOT DISTINCT FROM e.user_id
+    ORDER BY user_id NULLS FIRST
+    """,
+)
+def q_join_null_safe(spark, sf_dir):
+    """NULL-SAFE equality join (<=> / IS NOT DISTINCT FROM): full-outer
+    merge of per-user purchase and error profiles where the ANONYMOUS
+    bucket (user_id NULL) is a first-class join key — plain equality
+    would silently drop both sides' NULL groups into unmatched rows (the
+    q_sub_not_in_null trap in join form), double-counting the anonymous
+    segment.  Every sessionless-traffic rollup needs exactly this join.
+
+    Scale shape: two keyed aggregates collapse the corpus first; the
+    null-safe join runs over the |users|-sized aggregate frames (Spark
+    plans <=> as a regular hash join — the key's null flag joins like a
+    value — so no BNLJ penalty).
+
+    Reference scope: no join surface in the reference facade
+    (api/router/router.go:9-55); NULL-semantics sibling of
+    q_sub_not_in_null and q_join_full."""
+    ev = t(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "purchase_cents"
+            ),
+        )
+    )
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.col("user_id").alias("e_user"))
+        .agg(F.count("*").alias("n_errors"))
+    )
+    j = p.join(e, p["user_id"].eqNullSafe(e["e_user"]), "full")
+    return j.select(
+        F.coalesce(p["user_id"], F.col("e_user")).alias("user_id"),
+        (p["user_id"].isNull() & F.col("e_user").isNull()).alias("is_anonymous"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.coalesce("purchase_cents", F.lit(0)).alias("purchase_cents"),
+        F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+    ).orderBy(F.col("user_id").asc_nulls_first())
+
+
+@query(
+    "q_join_role_playing",
+    oracle="""
+    WITH dim AS (
+      SELECT d, strftime(d, '%Y-%m') AS ym FROM (
+        SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+        UNION
+        SELECT DISTINCT CAST(l_shipdate AS DATE) AS d FROM lineitem)),
+    f AS (
+      SELECT l.l_orderkey, l.l_quantity,
+             CAST(o.o_orderdate AS DATE) AS od, CAST(l.l_shipdate AS DATE) AS sd
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT dord.ym AS order_month, dshp.ym AS ship_month,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(avg(date_diff('day', f.od, f.sd)), 4) AS avg_delay_days
+    FROM f
+    JOIN dim dord ON dord.d = f.od
+    JOIN dim dshp ON dshp.d = f.sd
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_join_role_playing(spark, sf_dir):
+    """ROLE-PLAYING dimension join: ONE date dimension joined twice under
+    different roles (order date, ship date) — the standard star-schema
+    idiom (a single conformed calendar serves every date column) that
+    requires disambiguating aliases; the output is the order-month x
+    ship-month shipping-lag matrix with the average delay.
+
+    Scale shape: the dim is tiny (distinct dates) and broadcasts for
+    BOTH roles; the fact join lineitem⋈orders is the one real shuffle
+    (key-partitioned).  Delay is exact integer day arithmetic; the
+    average is an exact-int division.
+
+    Reference scope: no join surface in the reference facade
+    (api/router/router.go:9-55); dimensional sibling of q_join_multiway
+    and q_scan_runtime_filter's star shape."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    dim = (
+        o.select(F.col("od").alias("d"))
+        .union(li.select(F.col("sd").alias("d")))
+        .distinct()
+        .withColumn("ym", F.date_format("d", "yyyy-MM"))
+    )
+    f = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    dord = dim.select(F.col("d").alias("od_d"), F.col("ym").alias("order_month"))
+    dshp = dim.select(F.col("d").alias("sd_d"), F.col("ym").alias("ship_month"))
+    return (
+        f.join(F.broadcast(dord), F.col("od") == F.col("od_d"))
+        .join(F.broadcast(dshp), F.col("sd") == F.col("sd_d"))
+        .groupBy("order_month", "ship_month")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.avg(F.datediff("sd", "od")), 4).alias("avg_delay_days"),
+        )
+        .orderBy("order_month", "ship_month")
+    )

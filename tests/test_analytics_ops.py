@@ -3011,3 +3011,78 @@ def test_filter_sweep_is_monotone(spark, qs):
         .count()
     )
     assert rows[0].n_kept <= n_docs
+
+
+def test_null_safe_join_keeps_anonymous_bucket(spark, qs):
+    rows = qs["q_join_null_safe"](spark, SF).collect()
+    anon = [r for r in rows if r.user_id is None]
+    # exactly ONE anonymous row (null-safe key merges both NULL groups)
+    assert len(anon) <= 1
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    anon_purch = ev.filter(
+        "event_type = 'purchase' AND user_id IS NULL"
+    ).count()
+    anon_err = ev.filter("event_type = 'error' AND user_id IS NULL").count()
+    if anon_purch or anon_err:
+        assert len(anon) == 1
+        assert anon[0].n_purchases == anon_purch
+        assert anon[0].n_errors == anon_err
+        assert anon[0].is_anonymous
+    # totals decompose exactly
+    assert sum(r.n_purchases for r in rows) == ev.filter(
+        "event_type = 'purchase'"
+    ).count()
+    assert sum(r.n_errors for r in rows) == ev.filter(
+        "event_type = 'error'"
+    ).count()
+
+
+def test_role_playing_matrix_covers_all_lines(spark, qs):
+    rows = qs["q_join_role_playing"](spark, SF).collect()
+    n_lines = spark.read.parquet(f"{SF}/lineitem.parquet").count()
+    assert sum(r.n_lines for r in rows) == n_lines
+    # brute-force one month pair (the synthetic generator allows negative
+    # delays, so no sign invariant — just exactness)
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    probe = rows[0]
+    want = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            (F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM")
+             == probe.order_month)
+            & (F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM")
+               == probe.ship_month)
+        )
+        .count()
+    )
+    assert probe.n_lines == want
+
+
+def test_dedup_index_stats_bounds_pair_volume(spark, qs):
+    from iceberg_rest_catalog_spark.llm.dedup import N_BANDS
+
+    rows = qs["q_dedup_index_stats"](spark, SF).collect()
+    assert [r.band for r in rows] == list(range(N_BANDS))
+    n_docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter("text IS NOT NULL")
+        .count()
+    )
+    for r in rows:
+        # every doc lands in exactly one bucket per band
+        assert r.n_singletons <= r.n_buckets <= n_docs
+        assert r.max_bucket >= 1
+        assert r.n_cand_pairs >= r.max_bucket * (r.max_bucket - 1) // 2
+
+
+def test_fn_format_strings_are_wellformed(spark, qs):
+    rows = qs["q_fn_format"](spark, SF).collect()
+    for r in rows:
+        key, name, flt = r.tagged.split("|")
+        assert key == str(r.n_nationkey).zfill(5)
+        assert len(flt) == 8 and float(flt) == r.n_nationkey * 1.5
+        assert r.reversed_name == name[::-1]
+        assert r.name_len == len(name)

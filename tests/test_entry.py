@@ -23,7 +23,7 @@ def test_queries_collect_without_spark_session():
         # exact-count pin (VERDICT r9 item 7): a module import that silently
         # fails to register its queries trips this loudly; bump on every
         # operator addition.
-        "assert len(qs) == 357, len(qs)\n"
+        "assert len(qs) == 361, len(qs)\n"
         "assert set(osql) <= set(qs), sorted(set(osql) - set(qs))\n"
         "print('OK', len(qs), len(osql))\n" % REPO
     )
@@ -361,6 +361,7 @@ def test_round12_window_head_is_red_then_r5_stale():
 # @query registration this round — the rotation pin below derives from it.
 R13_NEW_OPS: list[str] = [
     "q_sim_index_stats",
+    "q_dedup_index_stats",
     "q_stream_bitmap_distinct",
     "q_doc_shard_pack",
     "q_evt_power_users",
@@ -371,7 +372,10 @@ R13_NEW_OPS: list[str] = [
     "q_win_moving_median",
     "q_fn_encode",
     "q_fn_lambda",
+    "q_fn_format",
     "q_source_schema_merge",
+    "q_join_null_safe",
+    "q_join_role_playing",
     "q_dq_benford",
     "q_dq_null_profile",
     "q_text_filter_sweep",

@@ -102,6 +102,12 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 # the SEARCH side is cell+code equi-joins, plan-pinned by
                 # test_ivfpq_search_is_cell_equijoin
                 "q_sim_ann_ivf_pq",
+                # same broadcast-centroid assignment cross join (load
+                # profile over the shared IVF assignment)
+                "q_sim_index_stats",
+                # deliberate 5-row threshold-grid broadcast fan-out —
+                # bounded build side, map-only at any corpus size
+                "q_text_filter_sweep",
                 # 1-row scalar-aggregate broadcast compared with `>`: BNLJ with a
                 # single build row is the correct scale-safe plan (map-side compare)
                 "q_tpch_q22",
