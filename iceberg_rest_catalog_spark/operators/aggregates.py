@@ -1455,3 +1455,45 @@ def q_agg_argmax(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_agg_decimal_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS DOUBLE)
+             AS sum_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS DOUBLE)
+                 / count(*), 4) AS avg_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_agg_decimal_exact(spark, sf_dir):
+    """EXACT DECIMAL aggregation: monetary sums in DECIMAL(18,2) — the
+    numeric type whose addition is associative, so the result is
+    independent of partition order and partial-aggregation tree shape.
+    A float sum of the same column is order-DEPENDENT (the q_sample_
+    neyman wtot lesson); at 100 TB with thousands of partials, decimal
+    is how a finance-grade pipeline gets the same ledger total on every
+    run.  The exact decimal total is cast to DOUBLE only at the output
+    boundary; the average divides the exact total by the exact count.
+
+    Scale shape: one map-combined aggregate; decimal partials are 128-bit
+    integers under the hood — same shuffle shape as a long sum.
+
+    Reference scope: no aggregate surface in the reference facade
+    (api/router/router.go:9-55); numeric-type sibling of q_fn_cast."""
+    li = t(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec).cast("double").alias("sum_price"),
+            F.round(
+                F.sum(dec).cast("double") / F.count("*"), 4
+            ).alias("avg_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -3324,3 +3324,68 @@ def q_evt_new_vs_returning(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+WILSON_Z = 1.96  # 95% two-sided
+
+
+@query(
+    "q_evt_error_rate_ci",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+             count(CASE WHEN event_type = 'error' THEN 1 END) AS k
+      FROM events GROUP BY 1)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_errors,
+           round(k * 1.0 / n, 4) AS err_rate,
+           round(((k * 1.0 / n) + {WILSON_Z} * {WILSON_Z} / (2 * n)
+                  - {WILSON_Z} * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                        + {WILSON_Z} * {WILSON_Z} / (4 * n * n)))
+                 / (1 + {WILSON_Z} * {WILSON_Z} / n), 4) AS ci_lo,
+           round(((k * 1.0 / n) + {WILSON_Z} * {WILSON_Z} / (2 * n)
+                  + {WILSON_Z} * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                        + {WILSON_Z} * {WILSON_Z} / (4 * n * n)))
+                 / (1 + {WILSON_Z} * {WILSON_Z} / n), 4) AS ci_hi
+    FROM d ORDER BY day
+    """,
+)
+def q_evt_error_rate_ci(spark, sf_dir):
+    """Daily error rate with a WILSON 95% confidence interval — the
+    statistically honest SLO panel: a raw rate of 0/50 and 0/50,000 read
+    identically, the Wilson band does not (and unlike the normal
+    approximation it stays inside [0,1] at the extremes).  The alerting
+    rule is "ci_lo above threshold", which cannot be tripped by one
+    unlucky small-sample day.
+
+    Determinism: counts are exact integers; the interval is ONE shared
+    binary64 expression on both engines, and every irrational step is an
+    IEEE-correctly-rounded op (sqrt is exactly rounded by the standard,
+    unlike libm log/exp) — so the 4-dp rounding is bit-stable.
+
+    Scale shape: one map-combined daily aggregate; the formula is
+    arithmetic on the |days| frame.  Reference scope: no analytics
+    surface in the reference facade (api/router/router.go:9-55); the
+    inferential sibling of q_evt_ab_test."""
+    z = WILSON_Z
+    d = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("k"),
+        )
+    )
+    p = F.col("k") * 1.0 / F.col("n")
+    n = F.col("n")
+    half = F.lit(z) * F.sqrt(p * (1 - p) / n + F.lit(z) * z / (4 * n * n))
+    denom = 1 + F.lit(z) * z / n
+    center = p + F.lit(z) * z / (2 * n)
+    return d.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.col("k").alias("n_errors"),
+        F.round(p, 4).alias("err_rate"),
+        F.round((center - half) / denom, 4).alias("ci_lo"),
+        F.round((center + half) / denom, 4).alias("ci_hi"),
+    ).orderBy("day")

@@ -770,3 +770,44 @@ def q_fn_format(spark, sf_dir):
         F.translate("n_name", "AEIOU", "aeiou").alias("lowered_vowels"),
         F.length("n_name").alias("name_len"),
     ).orderBy("n_nationkey")
+
+
+@query(
+    "q_fn_try",
+    oracle="""
+    SELECT o_orderkey,
+           try_cast(o_orderpriority AS INT) AS prio_int,
+           try_cast(substr(o_orderpriority, 1, 1) AS INT) AS prio_digit,
+           round(o_totalprice / (o_orderkey % 5), 4) AS per_bucket,
+           nullif(o_orderkey % 3, 0) AS mod3_or_null
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q_fn_try(spark, sf_dir):
+    """ERROR-SAFE expression family: try_cast (malformed input -> NULL,
+    never a task failure), NULL-propagating division by zero
+    (try_divide), and nullif — the functions that keep a 100 TB batch
+    job alive through the dirty 0.001% of rows instead of dying at hour
+    three on one bad cast (the ANSI-strict failure mode).
+
+    Both engines agree by construction: DuckDB's '/' yields NULL on
+    zero divisors exactly like Spark's try_divide, and try_cast is the
+    shared name.  o_orderpriority ('1-URGENT'..'5-LOW') casts to NULL
+    whole but its first digit casts cleanly — both arms exercised on
+    every row.
+
+    Reference scope: no expression surface in the reference facade
+    (api/router/router.go:9-55); safety sibling of q_fn_cast (the
+    strict-cast family)."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("try_cast(o_orderpriority AS INT)").alias("prio_int"),
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").alias(
+            "prio_digit"
+        ),
+        F.round(
+            F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 5), 4
+        ).alias("per_bucket"),
+        F.nullif(F.col("o_orderkey") % 3, F.lit(0)).alias("mod3_or_null"),
+    ).orderBy("o_orderkey")

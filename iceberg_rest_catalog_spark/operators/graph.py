@@ -1570,3 +1570,44 @@ def q_cluster_dbscan(spark, sf_dir):
         .limit(DBSCAN_TOP)
     )
     return top.unionByName(noise).orderBy(F.desc("size"), "cluster_id")
+
+
+def _degree_dist_oracle() -> str:
+    return f"""
+WITH {_knn_edges_ctes()},
+deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u)
+SELECT CAST(strlen(bin(d)) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(d) AS BIGINT) AS min_deg,
+       CAST(max(d) AS BIGINT) AS max_deg
+FROM deg GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("q_graph_degree_dist", oracle=_degree_dist_oracle())
+def q_graph_degree_dist(spark, sf_dir):
+    """Log2-binned DEGREE DISTRIBUTION of the kNN graph — the first plot
+    of any graph analysis (power-law vs uniform decides every downstream
+    algorithm's cost model: a heavy tail means salting/hub-capping, a
+    flat profile means plain keyed joins are safe).  The bucket is the
+    degree's binary digit count (length of bin(d)) — exact integer
+    arithmetic, no log2-of-data libm dependence.
+
+    Scale shape: consumes the MATERIALIZED shared edge table
+    (_knn_edges cache — sixth consumer, zero extra build); degree is one
+    keyed count, the profile a |buckets|-row aggregate.
+
+    Reference scope: no graph surface in the reference facade
+    (api/router/router.go:9-55); observability sibling of
+    q_meta_skew_audit (key skew) applied to graph degree."""
+    _, edges = _knn_edges(spark, sf_dir)
+    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    return (
+        deg.groupBy(F.length(F.bin("d")).cast("int").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("d").alias("min_deg"),
+            F.max("d").alias("max_deg"),
+        )
+        .orderBy("bucket")
+    )

@@ -3086,3 +3086,52 @@ def test_fn_format_strings_are_wellformed(spark, qs):
         assert len(flt) == 8 and float(flt) == r.n_nationkey * 1.5
         assert r.reversed_name == name[::-1]
         assert r.name_len == len(name)
+
+
+def test_fn_try_null_semantics(spark, qs):
+    rows = qs["q_fn_try"](spark, SF).collect()
+    for r in rows[:300]:
+        assert r.prio_int is None  # '1-URGENT' never casts whole
+        assert 1 <= r.prio_digit <= 5
+        if r.o_orderkey % 5 == 0:
+            assert r.per_bucket is None
+        else:
+            assert r.per_bucket is not None
+        assert r.mod3_or_null in (None, 1, 2)
+
+
+def test_decimal_sum_is_partition_order_invariant(spark, qs):
+    """The exact-decimal claim: reshuffling the input must not move the
+    total by even one ulp (a double sum of the same column does)."""
+    from pyspark.sql import functions as F
+
+    base = {r.l_returnflag: r.sum_price for r in qs["q_agg_decimal_exact"](spark, SF).collect()}
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").repartition(17, "l_partkey")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    re = {
+        r.l_returnflag: r.s
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum(dec).cast("double").alias("s"))
+        .collect()
+    }
+    assert base == re
+
+
+def test_wilson_ci_brackets_rate(spark, qs):
+    rows = qs["q_evt_error_rate_ci"](spark, SF).collect()
+    for r in rows:
+        assert 0.0 <= r.ci_lo <= r.err_rate <= r.ci_hi <= 1.0
+        # wider sample -> the band must be inside the +-1/sqrt(n) crude bound
+        assert (r.ci_hi - r.ci_lo) <= 2 * 1.96 / (r.n ** 0.5) + 1e-6
+
+
+def test_degree_dist_accounts_every_node(spark, qs):
+    from iceberg_rest_catalog_spark.operators.graph import _knn_edges
+
+    rows = qs["q_graph_degree_dist"](spark, SF).collect()
+    _, edges = _knn_edges(spark, SF)
+    n_nodes = edges.select("u").distinct().count()
+    assert sum(r.n_nodes for r in rows) == n_nodes
+    for r in rows:
+        # bucket b holds degrees in [2^(b-1), 2^b)
+        assert 2 ** (r.bucket - 1) <= r.min_deg <= r.max_deg < 2 ** r.bucket
