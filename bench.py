@@ -196,6 +196,17 @@ TRACKED: list[str] = [
     # min-label rounds (4.54 s at birth).  neyman/bot_score collapse to
     # |strata| / |users| frames (0.61 s / 0.49 s) — not tracked.
     "q_cluster_dbscan",
+    # round-13 newborns above the overhead floor (idle-box 3-pass medians
+    # at birth): stream_bitmap pays the micro-batch replay + per-word
+    # state (4.37 s, the stream-harness floor), ivf_pq the assignment +
+    # encode + cell-routed ADC (2.19 s), role_playing the lineitem⋈orders
+    # shuffle (1.90 s), dedup_index_stats the signature pipeline
+    # (1.64 s).  The other 20 r13 ops are overhead-bound at sf0.1
+    # (0.2-1.4 s medians) — not tracked, the q_ts_ewma precedent.
+    "q_stream_bitmap_distinct",
+    "q_sim_ann_ivf_pq",
+    "q_join_role_playing",
+    "q_dedup_index_stats",
 ]
 
 

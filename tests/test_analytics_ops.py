@@ -3091,7 +3091,10 @@ def test_fn_format_strings_are_wellformed(spark, qs):
 def test_fn_try_null_semantics(spark, qs):
     rows = qs["q_fn_try"](spark, SF).collect()
     for r in rows[:300]:
-        assert r.prio_int is None  # '1-URGENT' never casts whole
+        if r.o_orderkey % 1000 == 0:
+            assert r.mostly_clean_int is None  # the malformed stripe
+        else:
+            assert r.mostly_clean_int == r.o_orderkey % 97
         assert 1 <= r.prio_digit <= 5
         if r.o_orderkey % 5 == 0:
             assert r.per_bucket is None
