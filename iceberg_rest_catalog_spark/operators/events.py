@@ -3194,8 +3194,12 @@ def q_evt_power_users(spark, sf_dir):
     cum = within.join(F.broadcast(off_df), "pid").withColumn(
         "cum", F.col("off") + F.col("wcum")
     )
+    # force LONG on both comparison sides: a total in (2^31/5, 2^31)
+    # makes F.lit() infer IntegerType and the x{PARETO_NUM} multiply
+    # overflow int32 under ANSI (hit at the x10 decade step)
     top = cum.filter(
-        PARETO_DEN * (F.col("cum") - F.col("rev")) < PARETO_NUM * F.lit(total)
+        F.lit(PARETO_DEN).cast("long") * (F.col("cum") - F.col("rev"))
+        < F.lit(PARETO_NUM).cast("long") * F.lit(total).cast("long")
     )
     return top.agg(
         F.lit(n_users).cast("long").alias("n_users"),
