@@ -1497,3 +1497,51 @@ def q_agg_decimal_exact(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_agg_grouping_id",
+    oracle="""
+    SELECT coalesce(l_returnflag, '<all>') AS rflag,
+           coalesce(l_linestatus, '<all>') AS lstatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           GROUPING(l_returnflag) = 1 AS is_flag_total,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY gid, rflag, lstatus
+    """,
+)
+def q_agg_grouping_id(spark, sf_dir):
+    """GROUPING_ID / GROUPING functions over a rollup: distinguish a
+    REAL NULL group from a subtotal row — the metadata every BI layer
+    needs to render rollup output (q_agg_rollup shows the totals;
+    without grouping_id a NULL key is ambiguous).  Both engines emit
+    the same bit encoding (left key = high bit), asserted per row.
+
+    Scale shape: same map-combined rollup aggregate as q_agg_rollup —
+    grouping_id is free plan metadata, no extra pass.
+
+    Reference scope: no aggregate surface in the reference facade
+    (api/router/router.go:9-55); metadata sibling of q_agg_rollup /
+    q_agg_grouping_sets."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            (F.grouping("l_returnflag") == 1).alias("is_flag_total"),
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("lstatus"),
+            "gid",
+            "is_flag_total",
+            "n",
+            "qty",
+        )
+        .orderBy("gid", "rflag", "lstatus")
+    )

@@ -1886,3 +1886,95 @@ def q_stream_bitmap_distinct(spark, sf_dir):
         .agg(F.sum("nbits").alias("n_users"))
         .orderBy("event_type")
     )
+
+
+def _count_update(key, pdfs, state):
+    """applyInPandasWithState update fn: running event count per
+    (event_type, user_id) key — the minimal mergeable counter state."""
+    import pandas as pd
+
+    n = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        n += len(pdf)
+    state.update((n,))
+    yield pd.DataFrame(
+        {"event_type": [key[0]], "user_id": [key[1]], "n": [n]}
+    )
+
+
+STREAM_TOPK_K = 3
+
+
+@query(
+    "q_stream_topk",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, user_id, count(*) AS n
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type, user_id),
+    r AS (
+      SELECT event_type, user_id, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, user_id) AS rk
+      FROM c)
+    SELECT event_type, CAST(rk AS BIGINT) AS rk, user_id,
+           CAST(n AS BIGINT) AS n
+    FROM r WHERE rk <= {STREAM_TOPK_K}
+    ORDER BY event_type, rk
+    """,
+)
+def q_stream_topk(spark, sf_dir):
+    """STREAMING top-k heavy hitters — the live "most active accounts
+    per event type" dashboard: per-(type, user) counts maintained in the
+    state store across micro-batches, final top-{STREAM_TOPK_K} checked
+    EXACTLY against the batch oracle.  Counting is associative, so the
+    incremental result is bit-identical to a batch recompute at ANY
+    micro-batch split — unlike sketch-based heavy-hitter structures
+    (count-min, SpaceSaving) this trades memory (one long per active
+    key) for exactness, the right call when the key space is
+    user-bounded.
+
+    State discipline: one long per (type, user) key, DISTRIBUTED across
+    state-store partitions (the q_stream_bitmap_distinct shape);
+    emissions are monotone counts so the collapse is max per key, then
+    one |keys|-row window for the top-k.
+
+    Reference scope: streaming ingest = the reference's append-commit
+    lineage (api/handlers/tables.go:150-227); no analytics surface in
+    the facade (api/router/router.go:9-55)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    wh = scratch_dir(sf_dir, "stream_topk")
+    shutil.rmtree(wh, ignore_errors=True)
+    src = os.path.join(wh, "src")
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "user_id")
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = sdf.groupBy("event_type", "user_id").applyInPandasWithState(
+        _count_update,
+        outputStructType="event_type string, user_id long, n long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = os.path.join(wh, "sink")
+    res = _run_foreach_batch(spark, out, "update", sink)
+    final = res.groupBy("event_type", "user_id").agg(F.max("n").alias("n"))
+    w = W.partitionBy("event_type").orderBy(F.desc("n"), "user_id")
+    return (
+        final.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= STREAM_TOPK_K)
+        .select("event_type", F.col("rk").cast("long").alias("rk"), "user_id", "n")
+        .orderBy("event_type", "rk")
+    )

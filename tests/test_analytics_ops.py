@@ -3138,3 +3138,48 @@ def test_degree_dist_accounts_every_node(spark, qs):
     for r in rows:
         # bucket b holds degrees in [2^(b-1), 2^b)
         assert 2 ** (r.bucket - 1) <= r.min_deg <= r.max_deg < 2 ** r.bucket
+
+
+def test_stream_topk_matches_batch_counts(spark, qs):
+    from pyspark.sql import functions as F
+
+    rows = qs["q_stream_topk"](spark, SF).collect()
+    c = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter("user_id IS NOT NULL AND event_type IS NOT NULL")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in c:
+        by_type.setdefault(r.event_type, []).append((-r.n, r.user_id))
+    for et, lst in by_type.items():
+        want = sorted(lst)[:3]
+        got = [(-r.n, r.user_id) for r in rows if r.event_type == et]
+        assert got == want, et
+        assert [r.rk for r in rows if r.event_type == et] == list(
+            range(1, len(want) + 1)
+        )
+
+
+def test_grouping_id_distinguishes_subtotals(spark, qs):
+    rows = qs["q_agg_grouping_id"](spark, SF).collect()
+    gids = {}
+    for r in rows:
+        gids.setdefault(r.gid, 0)
+        gids[r.gid] += 1
+        if r.gid == 0:
+            assert r.rflag != "<all>" and r.lstatus != "<all>"
+            assert not r.is_flag_total
+        elif r.gid == 1:
+            assert r.rflag != "<all>" and r.lstatus == "<all>"
+        elif r.gid == 3:
+            assert r.rflag == "<all>" and r.lstatus == "<all>"
+            assert r.is_flag_total
+    assert set(gids) == {0, 1, 3}  # rollup: detail, flag subtotal, grand
+    assert gids[3] == 1
+    # the grand total equals the table size
+    n = spark.read.parquet(f"{SF}/lineitem.parquet").count()
+    grand = [r for r in rows if r.gid == 3][0]
+    assert grand.n == n

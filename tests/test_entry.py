@@ -23,7 +23,7 @@ def test_queries_collect_without_spark_session():
         # exact-count pin (VERDICT r9 item 7): a module import that silently
         # fails to register its queries trips this loudly; bump on every
         # operator addition.
-        "assert len(qs) == 365, len(qs)\n"
+        "assert len(qs) == 367, len(qs)\n"
         "assert set(osql) <= set(qs), sorted(set(osql) - set(qs))\n"
         "print('OK', len(qs), len(osql))\n" % REPO
     )
@@ -363,6 +363,7 @@ R13_NEW_OPS: list[str] = [
     "q_sim_index_stats",
     "q_dedup_index_stats",
     "q_stream_bitmap_distinct",
+    "q_stream_topk",
     "q_graph_degree_dist",
     "q_doc_shard_pack",
     "q_evt_power_users",
@@ -372,6 +373,7 @@ R13_NEW_OPS: list[str] = [
     "q_agg_bitmap_distinct",
     "q_agg_argmax",
     "q_agg_decimal_exact",
+    "q_agg_grouping_id",
     "q_win_moving_median",
     "q_fn_encode",
     "q_fn_lambda",
