@@ -207,6 +207,11 @@ TRACKED: list[str] = [
     "q_sim_ann_ivf_pq",
     "q_join_role_playing",
     "q_dedup_index_stats",
+    # round-13 wave 2: exact heavy hitters pay per-(type, user) state —
+    # ~750k state keys at sf0.1, the q_stream_transform_state per-key
+    # Arrow-group cost shape (8.06 s at birth).  q_agg_grouping_id is one
+    # rollup aggregate (0.45 s) — not tracked.
+    "q_stream_topk",
 ]
 
 
