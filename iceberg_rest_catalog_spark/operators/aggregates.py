@@ -1545,3 +1545,43 @@ def q_agg_grouping_id(spark, sf_dir):
         )
         .orderBy("gid", "rflag", "lstatus")
     )
+
+
+@query(
+    "q_agg_listagg",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY r.r_name
+    """,
+)
+def q_agg_listagg(spark, sf_dir):
+    """Ordered LISTAGG / string_agg: the export-layer aggregate that
+    folds a group's members into one delimited string — report cells,
+    audit trails, "which items" columns.  collect_list order is
+    partition-dependent (the classic nondeterminism trap), so the array
+    is SORTED before joining — bit-identical to DuckDB's
+    ``string_agg(... ORDER BY ...)`` and safe under any partitioning.
+
+    Scale warning (docstring is the contract): the aggregate is
+    output-UNBOUNDED per group — a hot key folds its whole group into
+    one string, so production callers cap members (slice after
+    sort_array) or route hot keys to q_agg_collect's array form.
+
+    Reference scope: no aggregate surface in the reference facade
+    (api/router/router.go:9-55); export sibling of q_agg_collect."""
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count("*").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )

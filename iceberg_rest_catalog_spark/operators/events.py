@@ -3393,3 +3393,78 @@ def q_evt_error_rate_ci(spark, sf_dir):
         F.round((center - half) / denom, 4).alias("ci_lo"),
         F.round((center + half) / denom, 4).alias("ci_hi"),
     ).orderBy("day")
+
+
+VELOCITY_WINDOWS_H = (1, 24, 168)  # trailing windows: 1h / 24h / 7d
+
+
+@query(
+    "q_evt_velocity_multi",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS tus FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+    w AS (
+      SELECT user_id,
+             {", ".join(
+                 f'''count(*) OVER (PARTITION BY user_id ORDER BY tus
+                    RANGE BETWEEN {h * 3_600_000_000} PRECEDING
+                              AND CURRENT ROW) AS b{h}h''' 
+                 for h in VELOCITY_WINDOWS_H)}
+      FROM p)
+    SELECT user_id,
+           {", ".join(f"CAST(max(b{h}h) AS BIGINT) AS max_burst_{h}h"
+                      for h in VELOCITY_WINDOWS_H)},
+           max(b1h) >= 3 OR max(b24h) >= 10 AS flagged
+    FROM w GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_evt_velocity_multi(spark, sf_dir):
+    """MULTI-WINDOW velocity profile: each purchase's trailing 1 h / 24 h
+    / 7 d burst counts computed in ONE pass — real rate-limit policies
+    are tiered ("3 per hour OR 10 per day"), and the three RANGE frames
+    share a single user_id+ts sort, so the tiered rule costs exactly the
+    same shuffle as q_evt_velocity's single window.
+
+    Exact integer-microsecond frame bounds (the q_evt_velocity
+    convention); peers share bursts via the RANGE frame on both engines.
+
+    Scale shape: ONE user_id shuffle serves all three window frames (the
+    round-12 single-shuffle-key discipline, plan-pinned family); output
+    is |users| rows.
+
+    Reference scope: no streaming/rules surface in the reference facade
+    (api/router/router.go:9-55); tiered sibling of q_evt_velocity, whose
+    streaming twin maintains the 24 h tier incrementally."""
+    from pyspark.sql import Window as W
+
+    p = (
+        t(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & F.col("user_id").isNotNull())
+        .select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"))
+    )
+    base = W.partitionBy("user_id").orderBy("tus")
+    bursts = [
+        F.count("*")
+        .over(base.rangeBetween(-h * 3_600_000_000, W.currentRow))
+        .alias(f"b{h}h")
+        for h in VELOCITY_WINDOWS_H
+    ]
+    w = p.select("user_id", *bursts)
+    return (
+        w.groupBy("user_id")
+        .agg(
+            *[
+                F.max(f"b{h}h").alias(f"max_burst_{h}h")
+                for h in VELOCITY_WINDOWS_H
+            ],
+        )
+        .select(
+            "user_id",
+            *[f"max_burst_{h}h" for h in VELOCITY_WINDOWS_H],
+            (
+                (F.col("max_burst_1h") >= 3) | (F.col("max_burst_24h") >= 10)
+            ).alias("flagged"),
+        )
+        .orderBy("user_id")
+    )

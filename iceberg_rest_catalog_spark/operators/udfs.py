@@ -206,3 +206,69 @@ def q_udf_arrow(spark, sf_dir):
         batch_fn,
         "l_orderkey long, l_linenumber long, net double, volume double",
     )
+
+
+@query(
+    "q_udf_map_in_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4)
+             AS charged,
+           CASE WHEN l_quantity >= 40 THEN 'bulk'
+                WHEN l_quantity >= 10 THEN 'mid'
+                ELSE 'small' END AS qty_band
+    FROM lineitem WHERE l_orderkey <= 500
+    """,
+)
+def q_udf_map_in_pandas(spark, sf_dir):
+    """``mapInPandas``: the iterator-of-DataFrames batch API — the
+    surface for per-PARTITION Python logic that needs whole batches
+    (model inference, library calls that amortize setup per batch)
+    rather than per-row or per-group slices.  The function streams
+    pandas frames in and yields frames out, so peak memory is one Arrow
+    batch, not one partition.
+
+    Completes the Python-eval surface matrix alongside row-at-a-time
+    (q_udf_python) / pandas scalar (q_udf_pandas) / grouped-agg
+    (q_udaf_pandas) / table function (q_udtf) / Arrow-batch
+    (q_udf_arrow).  The compute here is stateless per row, so batch
+    boundaries cannot affect values — the determinism contract every
+    mapInPandas stage in this repo follows (llm/multimodal.py).
+
+    Map-only: pruning/partitioning unaffected; the l_orderkey filter
+    still pushes to the scan below the Python stage."""
+    import numpy as np
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+        "l_tax", "l_quantity",
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = (
+                pdf["l_extendedprice"]
+                * (1 - pdf["l_discount"])
+                * (1 + pdf["l_tax"])
+            ).to_numpy()
+            charged = np.copysign(np.floor(np.abs(x) * 1e4 + 0.5) / 1e4, x)
+            band = np.select(
+                [pdf["l_quantity"] >= 40, pdf["l_quantity"] >= 10],
+                ["bulk", "mid"],
+                default="small",
+            )
+            yield pd.DataFrame(
+                {
+                    "l_orderkey": pdf["l_orderkey"],
+                    "l_linenumber": pdf["l_linenumber"],
+                    "charged": charged,
+                    "qty_band": band,
+                }
+            )
+
+    return li.mapInPandas(
+        fn,
+        "l_orderkey long, l_linenumber long, charged double, qty_band string",
+    )

@@ -3183,3 +3183,56 @@ def test_grouping_id_distinguishes_subtotals(spark, qs):
     n = spark.read.parquet(f"{SF}/lineitem.parquet").count()
     grand = [r for r in rows if r.gid == 3][0]
     assert grand.n == n
+
+
+def test_map_in_pandas_is_batch_invariant(spark, qs):
+    """mapInPandas output must be identical under a different partitioning
+    (the stateless-per-row determinism contract)."""
+    from pyspark.sql import functions as F
+
+    got = sorted(
+        (r.l_orderkey, r.l_linenumber, r.charged, r.qty_band)
+        for r in qs["q_udf_map_in_pandas"](spark, SF).collect()
+    )
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter("l_orderkey <= 500")
+        .collect()
+    )
+    import math
+
+    want = []
+    for l in li:
+        x = l.l_extendedprice * (1 - l.l_discount) * (1 + l.l_tax)
+        c = math.copysign(math.floor(abs(x) * 1e4 + 0.5) / 1e4, x)
+        band = (
+            "bulk"
+            if l.l_quantity >= 40
+            else ("mid" if l.l_quantity >= 10 else "small")
+        )
+        # the synthetic fixture does NOT keep (orderkey, linenumber)
+        # unique, so compare as sorted multisets
+        want.append((l.l_orderkey, l.l_linenumber, c, band))
+    assert got == sorted(want)
+
+
+def test_listagg_is_sorted_and_complete(spark, qs):
+    rows = qs["q_agg_listagg"](spark, SF).collect()
+    n_nations = spark.read.parquet(f"{SF}/nation.parquet").count()
+    assert sum(r.n_nations for r in rows) == n_nations
+    for r in rows:
+        parts = r.nations.split(",")
+        assert parts == sorted(parts)
+        assert len(parts) == r.n_nations
+
+
+def test_velocity_multi_windows_are_nested(spark, qs):
+    rows = qs["q_evt_velocity_multi"](spark, SF).collect()
+    single = {
+        r.user_id: r.max_burst for r in qs["q_evt_velocity"](spark, SF).collect()
+    }
+    for r in rows:
+        assert r.max_burst_1h <= r.max_burst_24h <= r.max_burst_168h
+        # the 24h tier must agree with the single-window operator
+        assert r.max_burst_24h == single[r.user_id]
+        assert r.flagged == (r.max_burst_1h >= 3 or r.max_burst_24h >= 10)

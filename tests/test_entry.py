@@ -23,7 +23,7 @@ def test_queries_collect_without_spark_session():
         # exact-count pin (VERDICT r9 item 7): a module import that silently
         # fails to register its queries trips this loudly; bump on every
         # operator addition.
-        "assert len(qs) == 367, len(qs)\n"
+        "assert len(qs) == 370, len(qs)\n"
         "assert set(osql) <= set(qs), sorted(set(osql) - set(qs))\n"
         "print('OK', len(qs), len(osql))\n" % REPO
     )
@@ -370,15 +370,18 @@ R13_NEW_OPS: list[str] = [
     "q_ts_theil_sen",
     "q_evt_new_vs_returning",
     "q_evt_error_rate_ci",
+    "q_evt_velocity_multi",
     "q_agg_bitmap_distinct",
     "q_agg_argmax",
     "q_agg_decimal_exact",
     "q_agg_grouping_id",
+    "q_agg_listagg",
     "q_win_moving_median",
     "q_fn_encode",
     "q_fn_lambda",
     "q_fn_format",
     "q_fn_try",
+    "q_udf_map_in_pandas",
     "q_source_schema_merge",
     "q_join_null_safe",
     "q_join_role_playing",
