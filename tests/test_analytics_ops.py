@@ -3236,3 +3236,157 @@ def test_velocity_multi_windows_are_nested(spark, qs):
         # the 24h tier must agree with the single-window operator
         assert r.max_burst_24h == single[r.user_id]
         assert r.flagged == (r.max_burst_1h >= 3 or r.max_burst_24h >= 10)
+
+
+def test_stream_bitmap_crash_resume(spark, tmp_path):
+    """State-store crash-resume for the streaming bitmap (the
+    q_stream_velocity proof applied to the round-13 stateful newborn):
+    injected foreachBatch failure after batch 1, restart from the same
+    checkpoint, final popcount collapse equals the uninterrupted run."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from iceberg_rest_catalog_spark.streaming.queries import (
+        _bitmap_update,
+        _state_parallelism,
+    )
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter("user_id IS NOT NULL AND event_type IS NOT NULL")
+        .selectExpr(
+            "event_type",
+            "user_id DIV 64 AS word",
+            "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT)) AS bit",
+        )
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+
+    def run(ckpt, sink, crash_on):
+        def fb(df, bid):
+            df.write.mode("append").parquet(sink)
+            if crash_on is not None and bid >= crash_on:
+                raise RuntimeError("injected crash")
+
+        with _state_parallelism(spark):
+            q = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .groupBy("event_type", "word")
+                .applyInPandasWithState(
+                    _bitmap_update,
+                    outputStructType="event_type string, word long, nbits long",
+                    stateStructType="bits long",
+                    outputMode="update",
+                    timeoutConf=GroupStateTimeout.NoTimeout,
+                )
+                .writeStream.foreachBatch(fb)
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+                assert crash_on is None
+            except Exception:
+                assert crash_on is not None
+
+    def collapse(sink):
+        return {
+            (r.event_type): r.n
+            for r in spark.read.parquet(sink)
+            .groupBy("event_type", "word")
+            .agg(F.max("nbits").alias("nb"))
+            .groupBy("event_type")
+            .agg(F.sum("nb").alias("n"))
+            .collect()
+        }
+
+    ckpt, sink = str(tmp_path / "ck1"), str(tmp_path / "s1")
+    run(ckpt, sink, crash_on=1)
+    run(ckpt, sink, crash_on=None)  # resume from the same checkpoint
+    run(str(tmp_path / "ck2"), str(tmp_path / "s2"), crash_on=None)
+    assert collapse(sink) == collapse(str(tmp_path / "s2"))
+    # and both equal exact distinct
+    exact = {
+        r.event_type: r.n
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .filter("user_id IS NOT NULL AND event_type IS NOT NULL")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert collapse(sink) == exact
+
+
+def test_stream_topk_crash_resume(spark, tmp_path):
+    """Counting-state crash-resume for the streaming heavy hitters: the
+    replayed (uncommitted) batch must not double-count — state commits
+    atomically with the batch, so the resumed counts equal batch truth."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from iceberg_rest_catalog_spark.streaming.queries import (
+        _count_update,
+        _state_parallelism,
+    )
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter("user_id IS NOT NULL AND event_type IS NOT NULL")
+        .select("event_type", "user_id")
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+
+    def run(ckpt, sink, crash_on):
+        def fb(df, bid):
+            df.write.mode("append").parquet(sink)
+            if crash_on is not None and bid >= crash_on:
+                raise RuntimeError("injected crash")
+
+        with _state_parallelism(spark):
+            q = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .groupBy("event_type", "user_id")
+                .applyInPandasWithState(
+                    _count_update,
+                    outputStructType="event_type string, user_id long, n long",
+                    stateStructType="n long",
+                    outputMode="update",
+                    timeoutConf=GroupStateTimeout.NoTimeout,
+                )
+                .writeStream.foreachBatch(fb)
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+                assert crash_on is None
+            except Exception:
+                assert crash_on is not None
+
+    ckpt, sink = str(tmp_path / "ck"), str(tmp_path / "s")
+    run(ckpt, sink, crash_on=1)
+    run(ckpt, sink, crash_on=None)
+    final = {
+        (r.event_type, r.user_id): r.n
+        for r in spark.read.parquet(sink)
+        .groupBy("event_type", "user_id")
+        .agg(F.max("n").alias("n"))
+        .collect()
+    }
+    truth = {
+        (r.event_type, r.user_id): r.n
+        for r in ev.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert final == truth
