@@ -79,7 +79,11 @@ report AS (
   UNION ALL SELECT 'orders_price_min_5k', n, v_price FROM ord
   UNION ALL SELECT 'orders_status_domain', n, v_status FROM ord)
 SELECT rule_id, CAST(n AS BIGINT) AS n_checked, CAST(v AS BIGINT) AS n_violations,
-       round(1.0 - v * 1.0 / n, 4) AS pass_rate
+       -- pure-LONG half-up rounding of (n-v)/n to 4 dp: (n-v)/n can sit
+       -- EXACTLY on a 4-dp midpoint (47991/60000 = 0.79985, hit by the
+       -- seed-2027 regen check), where the engines' double round()
+       -- disagrees by an ulp — the q_agg_time_decay convention
+       CAST(((n - v) * 20000 + n) // (2 * n) AS DOUBLE) / 10000 AS pass_rate
 FROM report ORDER BY rule_id
 """
 
@@ -199,8 +203,14 @@ def q_dq_rules(spark, sf_dir):
             "rule_id",
             F.col("n_checked").cast("bigint").alias("n_checked"),
             F.col("n_violations").cast("bigint").alias("n_violations"),
-            F.round(
-                1.0 - F.col("n_violations") * 1.0 / F.col("n_checked"), 4
+            # exact integer half-up to 4 dp — (n-v)/n lands on decimal
+            # midpoints for round fixture sizes (the seed-2027 catch)
+            (
+                F.expr(
+                    "((n_checked - n_violations) * 20000 + n_checked)"
+                    " DIV (2 * n_checked)"
+                ).cast("double")
+                / 10000
             ).alias("pass_rate"),
         )
         .orderBy("rule_id")
