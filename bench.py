@@ -196,12 +196,13 @@ TRACKED: list[str] = [
     # min-label rounds (4.54 s at birth).  neyman/bot_score collapse to
     # |strata| / |users| frames (0.61 s / 0.49 s) — not tracked.
     "q_cluster_dbscan",
-    # round-13 newborns above the overhead floor (idle-box 3-pass medians
-    # at birth): stream_bitmap pays the micro-batch replay + per-word
-    # state (4.37 s, the stream-harness floor), ivf_pq the assignment +
-    # encode + cell-routed ADC (2.19 s), role_playing the lineitem⋈orders
-    # shuffle (1.90 s), dedup_index_stats the signature pipeline
-    # (1.64 s).  The other 20 r13 ops are overhead-bound at sf0.1
+    # round-13 newborns above the overhead floor (recorded birth
+    # baselines, bench_runs/birth_baselines.json from r13_local_idle_85q):
+    # stream_bitmap pays the micro-batch replay + per-word state
+    # (3.817 s, the stream-harness floor), ivf_pq the assignment +
+    # encode + cell-routed ADC (1.46 s), role_playing the lineitem⋈orders
+    # shuffle (1.68 s), dedup_index_stats the signature pipeline
+    # (1.23 s).  The other 20 r13 ops are overhead-bound at sf0.1
     # (0.2-1.4 s medians) — not tracked, the q_ts_ewma precedent.
     "q_stream_bitmap_distinct",
     "q_sim_ann_ivf_pq",
@@ -209,7 +210,8 @@ TRACKED: list[str] = [
     "q_dedup_index_stats",
     # round-13 wave 2: exact heavy hitters pay per-(type, user) state —
     # ~750k state keys at sf0.1, the q_stream_transform_state per-key
-    # Arrow-group cost shape (8.06 s at birth).  q_agg_grouping_id is one
+    # Arrow-group cost shape (8.03 s recorded birth baseline,
+    # r13_local_idle_86q).  q_agg_grouping_id is one
     # rollup aggregate (0.45 s) — not tracked.
     "q_stream_topk",
 ]

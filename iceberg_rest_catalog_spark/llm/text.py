@@ -1295,9 +1295,6 @@ def q_text_filter_sweep(spark, sf_dir):
         .filter(F.col("text").isNotNull())
         .select(F.size(F.split("text", " ")).alias("toks"))
     )
-    tot = x.agg(
-        F.count("*").alias("n"), F.sum("toks").alias("tk")
-    ).collect()[0]
     grid = spark.createDataFrame(
         [(g,) for g in FILTER_SWEEP_GRID], "min_toks int"
     )
@@ -1306,13 +1303,17 @@ def q_text_filter_sweep(spark, sf_dir):
         F.sum(F.when(F.col("toks") >= F.col("min_toks"), F.col("toks"))),
         F.lit(0),
     )
+    # totals folded INTO the one aggregate (r13 ADVICE): the grid
+    # fan-out replicates every doc into every min_toks group, so the
+    # per-group count(*) / sum(toks) ARE the corpus totals — no separate
+    # driver-side collect, one corpus scan per invocation.
     return (
         x.join(F.broadcast(grid))
         .groupBy("min_toks")
         .agg(
             kept.alias("n_kept"),
-            F.round(kept * 1.0 / tot.n, 4).alias("doc_share"),
-            F.round(kept_tk * 1.0 / tot.tk, 4).alias("token_share"),
+            F.round(kept * 1.0 / F.count("*"), 4).alias("doc_share"),
+            F.round(kept_tk * 1.0 / F.sum("toks"), 4).alias("token_share"),
         )
         .orderBy("min_toks")
     )

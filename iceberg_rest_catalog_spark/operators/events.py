@@ -3179,7 +3179,15 @@ def q_evt_power_users(spark, sf_dir):
     w = W.partitionBy("pid").orderBy(F.desc("rev"), F.asc("user_id")).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
-    within = ranked.withColumn("wcum", F.sum("rev").over(w))
+    # localCheckpoint PINS the range partitioning: repartitionByRange
+    # boundaries come from reservoir sampling seeded by the RDD id, and
+    # Spark documents the output as potentially inconsistent across
+    # executions — once per-upstream-partition row counts exceed the
+    # reservoir (beyond fixture scale) the offset-collect job and the
+    # final aggregate job could assign boundary rows to DIFFERENT pids,
+    # silently corrupting cum/n_top/shares.  Materializing once makes
+    # both downstream jobs read the same physical partitions (r13 ADVICE).
+    within = ranked.withColumn("wcum", F.sum("rev").over(w)).localCheckpoint()
     # bounded |partitions|-row offset table (exact longs), broadcast back
     parts = within.groupBy("pid").agg(F.sum("rev").alias("psum")).collect()
     psums = {r.pid: r.psum for r in parts}

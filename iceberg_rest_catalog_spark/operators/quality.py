@@ -435,13 +435,20 @@ def q_dq_benford(spark, sf_dir):
             .alias("digit")
         )
     )
-    n = d.count()
-    obs = F.count("*") * 1.0 / n
+    from pyspark.sql import Window as W
+
+    # total folded INTO the plan (r13 ADVICE): a whole-frame window over
+    # the <=9-row aggregate, not a separate d.count() action — one scan
+    # of orders per invocation instead of two, matching the oracle's
+    # single-pass cross-join form.
     benford = F.log10(1 + 1.0 / F.col("digit"))
+    obs = F.col("n_obs") * 1.0 / F.sum("n_obs").over(W.partitionBy())
     return (
         d.groupBy("digit")
-        .agg(
-            F.count("*").alias("n_obs"),
+        .agg(F.count("*").alias("n_obs"))
+        .select(
+            "digit",
+            "n_obs",
             F.round(obs, 4).alias("obs_share"),
             F.round(benford, 4).alias("benford_share"),
             F.round(F.abs(F.round(obs, 4) - F.round(benford, 4)), 4).alias(

@@ -229,6 +229,35 @@ def test_bench_suites_resolve_in_registry():
     assert not set(bench.HEADLINE) & set(bench.TRACKED)
 
 
+def test_newest_driver_artifacts_are_tracked():
+    """Structural fix for the recurring round-open miss (VERDICT r13 item 1):
+    the highest-numbered CORRECTNESS_r*.json / BENCH_r*.json present on disk
+    must be in `git ls-files`.  Rounds 9-13 each left the freshest driver
+    artifacts untracked at HEAD because the commit relied on a checklist;
+    a red test can't be forgotten."""
+    import re
+    import glob
+
+    tracked = set(
+        subprocess.run(
+            ["git", "ls-files"], cwd=REPO, capture_output=True, text=True
+        ).stdout.split()
+    )
+    for stem in ("CORRECTNESS_r", "BENCH_r"):
+        on_disk = glob.glob(os.path.join(REPO, stem + "*.json"))
+        if not on_disk:
+            continue
+        newest = max(
+            on_disk,
+            key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+        )
+        rel = os.path.relpath(newest, REPO)
+        assert rel in tracked, (
+            f"{rel} exists on disk but is not committed — "
+            "git add it before closing the round"
+        )
+
+
 def test_round11_window_head_is_new_ops_then_r5_block():
     """Concrete pin of the round-11 rotation (only while r10 is the newest
     committed artifact): the twenty round-11 operators have no driver
