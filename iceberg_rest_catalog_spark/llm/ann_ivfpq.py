@@ -166,3 +166,146 @@ def q_sim_ann_ivf_pq(spark, sf_dir):
         .limit(ADC_TOP_K)
     )
     return topk.select("vec_id", "label", "cell", "adc_d2")
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance (VERDICT r13 item 3)
+
+DELTA_MOD = 5  # vec_id % 5 == 0 is the arriving batch (q_dedup_incremental's
+# deterministic delta convention: ~20% of vectors, both engines split alike)
+
+
+def _ivfpq_within(spark, sf_dir, pred=None):
+    """Scale-knobbed candidate-cell ranking frame ``(vec_id, emb, cell,
+    rn)`` — flat below ASSIGN_FLAT_MAX corpus vectors, two-level above;
+    knobs always derive from the FULL corpus count so a pred-restricted
+    pass (the delta batch) ranks against the exact same centroid
+    geometry as a full rebuild."""
+    from .similarity import (
+        _emb_count,
+        _flat_within,
+        _two_level_within,
+        assignment_two_level,
+        ivf_cells_for,
+    )
+
+    n = _emb_count(spark, sf_dir)
+    n_cells = ivf_cells_for(n)
+    if assignment_two_level(n):
+        return _two_level_within(spark, sf_dir, n_cells, pred=pred)
+    return _flat_within(spark, sf_dir, n_cells, pred=pred)
+
+
+def _ivfpq_index_rows(spark, sf_dir, pred=None):
+    """Inverted-list index rows ``(vec_id, label, cell, s, code)`` for the
+    vectors satisfying ``pred`` (None = whole corpus): IVF cell assignment
+    joined onto the PQ codes by ONE vec_id equi-join, types pinned for a
+    lossless parquet round-trip.  Per-vector work is independent of the
+    subset — centroids and codebook are the full-corpus convention — so
+    index(base) UNION index(delta) == index(all), row for row."""
+    from .embedding import _pq_assignments
+
+    assigned = (
+        _ivfpq_within(spark, sf_dir, pred=pred)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    return (
+        _pq_assignments(spark, sf_dir, pred=pred)
+        .join(assigned, "vec_id")
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("label"),  # fixture dtype (int label), no recast
+            F.col("cell").cast("long").alias("cell"),
+            F.col("s").cast("int").alias("s"),
+            F.col("code").cast("long").alias("code"),
+        )
+    )
+
+
+def _ivfpq_base_index_dir(sf_dir: str) -> str:
+    """Fixture-signature-keyed cache dir for the BASE (vec_id % 5 != 0)
+    inverted-list index — the cataloged index an incremental update
+    merges into (the _knn_edge_cache_dir discipline)."""
+    import glob as _glob
+    import hashlib
+    import os
+
+    from ..operators.common import scratch_dir
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    parts = sorted(_glob.glob(os.path.join(src, "*.parquet"))) or [src]
+    sig = hashlib.md5()
+    for p in parts:
+        st = os.stat(p)
+        sig.update(f"{p}:{st.st_mtime_ns}:{st.st_size};".encode())
+    sig.update(f"K={K_CODES};S={N_SUB};M={DELTA_MOD}".encode())
+    return scratch_dir("ivfpq_index", sf_dir, sig.hexdigest()[:16])
+
+
+@query("q_sim_index_update", oracle=_IVFPQ_ORACLE)
+def q_sim_index_update(spark, sf_dir):
+    """INCREMENTAL IVF-PQ index maintenance: a production vector index is
+    never rebuilt from scratch — new vectors arrive as batches.  The
+    delta batch (vec_id % 5 == 0, ~20% of the corpus) is
+    assigned + PQ-encoded ALONE — a filter pushed to the embedding scan,
+    so the update's cost is bounded by |delta|, not |corpus| — and
+    MERGEd (unionByName) into the cataloged base inverted-list layout
+    (built once per fixture, atomically published parquet keyed by the
+    corpus signature).  The merged index then serves the exact
+    q_sim_ann_ivf_pq search.
+
+    THE ORACLE IS THE FULL REBUILD: per-vector assignment and encoding
+    depend only on the vector itself and the full-corpus centroid/
+    codebook convention (vec_id < cells / < K_CODES), so
+    index(base) ∪ index(delta) == index(all) row-for-row, and the
+    merged-index search must value-hash-match q_sim_ann_ivf_pq's
+    rebuild-from-scratch answer exactly — the invariant incremental
+    maintenance has to preserve (documented in tools/ORACLE_SIMILARITY.md
+    as a deliberate shared-oracle pair).
+
+    Reference anchor: the append-commit lineage the reference catalog
+    exists to serve (internal/catalog/tables.go:150-227 — table updates
+    are staged requirements + updates MERGEd onto prior metadata, never
+    a rewrite); this is that contract applied to a vector index."""
+    import os
+
+    from ..operators.common import publish_parquet_atomic
+    from .similarity import _emb
+
+    delta_pred = F.col("vec_id") % DELTA_MOD == 0
+    cache = _ivfpq_base_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        publish_parquet_atomic(
+            _ivfpq_index_rows(spark, sf_dir, pred=~delta_pred), cache
+        )
+    base = spark.read.parquet(cache)
+
+    # |delta|-bounded work: assignment + encode of the arriving batch only
+    delta = _ivfpq_index_rows(spark, sf_dir, pred=delta_pred)
+    merged = base.unionByName(delta)
+
+    # the query vector arrives IN the delta batch (QUERY_VEC_ID % 5 == 0):
+    # route it through the same scale-knobbed ranking, probe-set only
+    probed = (
+        _ivfpq_within(spark, sf_dir, pred=F.col("vec_id") == QUERY_VEC_ID)
+        .filter(F.col("rn") <= N_PROBE)
+        .select("cell")
+    )
+    sub, cb = _pq_subframes(spark, sf_dir)
+    q = sub.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        "s", F.col("sub").alias("qs")
+    )
+    lut = cb.join(F.broadcast(q), "s").select(
+        "s", "code", F.round(_sq_l2(F.col("csub"), F.col("qs")), 4).alias("d2")
+    )
+    return (
+        merged.join(F.broadcast(probed), "cell")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(lut), ["s", "code"])
+        .groupBy("vec_id", "label", "cell")
+        .agg(F.round(F.sum("d2"), 4).alias("adc_d2"))
+        .orderBy("adc_d2", "vec_id")
+        .limit(ADC_TOP_K)
+        .select("vec_id", "label", "cell", "adc_d2")
+    )

@@ -189,12 +189,19 @@ def _sq_l2(a, b):
     )
 
 
-def _pq_assignments(spark, sf_dir):
+def _pq_assignments(spark, sf_dir, pred=None):
     """(vec_id, label, s, code) — each vector's nearest codeword per
-    subspace, ranked on rounded squared L2 with code-asc tiebreak."""
+    subspace, ranked on rounded squared L2 with code-asc tiebreak.
+
+    ``pred`` restricts the ENCODED side to a subset (the incremental-index
+    delta batch, q_sim_index_update); the codebook is always the full-
+    corpus convention (vec_id < K_CODES), so subset codes equal the
+    full-pass codes row-for-row."""
     from pyspark.sql import Window
 
     sub, cb = _pq_subframes(spark, sf_dir)
+    if pred is not None:
+        sub = sub.filter(pred)
     w = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
     return (
         sub.join(F.broadcast(cb), "s")

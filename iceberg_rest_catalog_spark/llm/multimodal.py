@@ -618,3 +618,219 @@ def q_multimodal_bytes_audit(spark, sf_dir):
         )
         .orderBy("mime")
     )
+
+
+RETRIEVAL_K = 10  # recall@k cut — the standard CLIP-eval report point
+CAP_DIM = 64      # caption-embedding dim == the image-embedding dim
+
+_RETRIEVAL_ORACLE = f"""
+WITH ctok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+csp AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(w), 1, 11))::BIGINT % {CAP_DIM} AS idx,
+         sum(CASE WHEN ('0x' || substr(md5(w), 12, 1))::INT % 2 = 0
+                  THEN 1 ELSE -1 END) AS v
+  FROM ctok GROUP BY doc_id, idx
+),
+dims AS (SELECT unnest(range(0, {CAP_DIM})) AS dim),
+capv AS (
+  SELECT i.doc_id,
+         list(CAST(coalesce(s.v, 0) AS DOUBLE) ORDER BY dm.dim) AS cemb
+  FROM (SELECT DISTINCT doc_id FROM csp) i
+  CROSS JOIN dims dm
+  LEFT JOIN csp s ON s.doc_id = i.doc_id AND s.idx = dm.dim
+  GROUP BY i.doc_id
+),
+capnz AS (
+  SELECT doc_id, cemb FROM capv
+  WHERE list_sum(list_transform(cemb, x -> x * x)) > 0
+),
+img AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS iemb
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+pairs AS (
+  SELECT c.doc_id AS id, c.cemb, i.iemb
+  FROM capnz c JOIN img i ON i.vec_id = c.doc_id
+),
+qs AS (SELECT GREATEST(25, (count(*) + 399) // 400) AS qstep FROM pairs),
+t2i AS (
+  SELECT q.id AS qid, t.id AS tid,
+         round(list_cosine_similarity(q.cemb, t.iemb), 4) AS cos
+  FROM pairs q CROSS JOIN pairs t CROSS JOIN qs
+  WHERE q.id % qs.qstep = 0
+),
+i2t AS (
+  SELECT q.id AS qid, t.id AS tid,
+         round(list_cosine_similarity(q.iemb, t.cemb), 4) AS cos
+  FROM pairs q CROSS JOIN pairs t CROSS JOIN qs
+  WHERE q.id % qs.qstep = 0
+),
+rt AS (
+  SELECT qid, tid,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, tid) AS rk
+  FROM t2i
+),
+ri AS (
+  SELECT qid, tid,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, tid) AS rk
+  FROM i2t
+),
+ht AS (
+  SELECT count(DISTINCT qid) AS nq,
+         count(CASE WHEN tid = qid THEN 1 END) AS hits
+  FROM rt WHERE rk <= {RETRIEVAL_K}
+),
+hi AS (
+  SELECT count(DISTINCT qid) AS nq,
+         count(CASE WHEN tid = qid THEN 1 END) AS hits
+  FROM ri WHERE rk <= {RETRIEVAL_K}
+)
+SELECT 'image->text' AS direction, {RETRIEVAL_K} AS k,
+       CAST(nq AS BIGINT) AS n_queries, CAST(hits AS BIGINT) AS n_hits,
+       CAST((hits * 20000 + nq) // (2 * nq) AS DOUBLE) / 10000 AS recall
+FROM hi
+UNION ALL
+SELECT 'text->image', {RETRIEVAL_K}, CAST(nq AS BIGINT), CAST(hits AS BIGINT),
+       CAST((hits * 20000 + nq) // (2 * nq) AS DOUBLE) / 10000
+FROM ht
+ORDER BY direction
+"""
+
+
+@query("q_multimodal_retrieval_eval", oracle=_RETRIEVAL_ORACLE)
+def q_multimodal_retrieval_eval(spark, sf_dir):
+    """Cross-modal retrieval eval (the CLIP-eval measurement, VERDICT r13
+    item 6): caption embeddings vs image embeddings in BOTH directions —
+    for each probe query, rank the other modality's full paired corpus by
+    exact rounded cosine and report recall@{RETRIEVAL_K} of the
+    ground-truth partner (doc_id == vec_id is the caption<->image pairing,
+    q_caption_pairs' fixture convention).  This is the number a
+    multimodal curation pipeline trusts its paired data by: low
+    text->image recall means captions don't describe their images (or the
+    encoders are misaligned) long before any training run shows it.
+
+    Caption encoder: the deterministic signed hashing-trick featurizer
+    (q_text_hashing_features' portable-md5 convention, signed variant)
+    into the SAME {CAP_DIM}-dim space as the image embeddings — the
+    container ships no real text encoder (the q_multimodal_cols stub
+    discipline: the measurement plumbing is real, the encoder is
+    swappable).  Zero-norm captions (sign-cancelled) are excluded from
+    the eval set on both engines.
+
+    Scale shape (q_sim_recall_eval's plan): the probe batch is pinned at
+    ~RECALL_TARGET_PROBES queries by the recall_qstep_for stride — a
+    recall CI depends on batch SIZE, not fraction — and each direction is
+    ONE corpus scan with the probe batch BROADCAST against it (a bounded-
+    build-side BNLJ, never corpus x corpus); the pair frame materializes
+    once (localCheckpoint) and feeds all four roles (probe/corpus x two
+    directions).  Ranking is on the 4dp-rounded cosine with partner-id
+    tiebreak, so top-{RETRIEVAL_K} membership is bit-stable across
+    engines; recall uses the pure-long half-up form (hits/n_queries lands
+    on exact 4-dp midpoints for round batch sizes).
+
+    Reference scope: no eval surface in the reference facade
+    (api/router/router.go:9-55); composes q_caption_pairs' pairing with
+    q_sim_recall_eval's probe-batch audit discipline."""
+    from pyspark.sql import Window as W
+
+    from ..operators.common import r4
+    from .similarity import _cos, _dbl, recall_qstep_for
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sp = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+        )
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("w"), 1, 11), 16, 10).cast("long")
+                % CAP_DIM
+            ).alias("idx"),
+            F.when(
+                F.conv(F.substring(F.md5("w"), 12, 1), 16, 10).cast("int") % 2
+                == 0,
+                1,
+            )
+            .otherwise(-1)
+            .alias("sgn"),
+        )
+        .groupBy("doc_id", "idx")
+        .agg(F.sum("sgn").alias("v"))
+    )
+    capv = (
+        sp.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("idx"), F.col("v")))
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, {CAP_DIM - 1}),"
+                " d -> CAST(coalesce(m[d], 0) AS DOUBLE))"
+            ).alias("cemb"),
+        )
+        .filter(
+            F.expr(
+                "aggregate(transform(cemb, x -> x * x),"
+                " CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+            )
+            > 0
+        )
+    )
+    img = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", _dbl("embedding").alias("iemb"))
+    )
+    # the eval-pair frame materializes ONCE and feeds probe + corpus in
+    # both directions (4 consumers)
+    pairs = (
+        capv.join(img, capv.doc_id == img.vec_id)
+        .select(F.col("doc_id").alias("id"), "cemb", "iemb")
+        .localCheckpoint()
+    )
+    qstep = recall_qstep_for(pairs.count())
+    probes = pairs.filter(F.col("id") % qstep == 0)
+
+    def _direction(qcol: str, tcol: str, name: str):
+        q = probes.select(F.col("id").alias("qid"), F.col(qcol).alias("qv"))
+        c = pairs.select(F.col("id").alias("tid"), F.col(tcol).alias("tv"))
+        w = W.partitionBy("qid").orderBy(F.desc("cos"), "tid")
+        ranked = (
+            c.join(F.broadcast(q))  # bounded probe batch x one corpus scan
+            .withColumn("cos", r4(_cos(F.col("qv"), F.col("tv"))))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= RETRIEVAL_K)
+        )
+        return ranked.agg(
+            F.lit(name).alias("direction"),
+            F.lit(RETRIEVAL_K).alias("k"),
+            F.countDistinct("qid").cast("long").alias("n_queries"),
+            F.sum(F.when(F.col("tid") == F.col("qid"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+        )
+
+    return (
+        _direction("cemb", "iemb", "text->image")
+        .unionByName(_direction("iemb", "cemb", "image->text"))
+        .select(
+            "direction",
+            "k",
+            "n_queries",
+            "n_hits",
+            (
+                F.expr("(n_hits * 20000 + n_queries) DIV (2 * n_queries)")
+                .cast("double")
+                / 10000
+            ).alias("recall"),
+        )
+        .orderBy("direction")
+    )

@@ -1755,13 +1755,19 @@ def q_sim_hard_negatives(spark, sf_dir):
 # above, shared with the branch-guarded ivf_ranked_ctes oracles)
 
 
-def _flat_within(spark, sf_dir, n_cells: int):
+def _flat_within(spark, sf_dir, n_cells: int, pred=None):
     """FLAT ranking frame ``(vec_id, emb, cell, rn)``: every vector's
     cells ranked by rounded cosine against the broadcast centroid table —
     rn==1 is the assignment, rn<=N_PROBE the probe set.  The
     below-ASSIGN_FLAT_MAX arm shared by q_sim_ann_ivf / q_sim_range_ivf
     (the batched operators build assigned/probed separately but
-    identically)."""
+    identically).
+
+    ``pred`` restricts the RANKED side to a subset (the incremental-index
+    delta batch, q_sim_index_update) while the centroid table is still
+    drawn from the FULL corpus — a vector's assignment depends only on
+    its own embedding and the shared centroids, so subset assignments are
+    bit-identical to the full-corpus pass (the merge==rebuild property)."""
     from pyspark.sql import Window
 
     e = _emb(spark, sf_dir).select("vec_id", _dbl("embedding").alias("emb"))
@@ -1770,21 +1776,25 @@ def _flat_within(spark, sf_dir, n_cells: int):
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cell")
     return (
-        e.join(F.broadcast(cent))
+        (e if pred is None else e.filter(pred)).join(F.broadcast(cent))
         .withColumn("cc", r4(_cos(F.col("emb"), F.col("c"))))
         .withColumn("rn", F.row_number().over(w))
         .select("vec_id", "emb", "cell", "rn")
     )
 
 
-def _two_level_within(spark, sf_dir, n_cells: int):
+def _two_level_within(spark, sf_dir, n_cells: int, pred=None):
     """Hierarchical two-level ranking frame ``(vec_id, emb, cell, rn)``:
     each vector's fine cells ranked WITHIN its coarse group — rn==1 is
     the cell assignment, rn<=N_PROBE the probe set.  Shared by the
     two-level arm of every IVF-family operator (q_sim_knn_batch_2level,
     and q_sim_ann_ivf / q_sim_knn_batch / q_sim_recall_eval above
     ASSIGN_FLAT_MAX vectors).  2n*sqrt(cells) cosines vs flat's n*cells;
-    the corpus only ever meets broadcast centroid tables."""
+    the corpus only ever meets broadcast centroid tables.
+
+    ``pred`` restricts the RANKED side (the incremental-index delta
+    batch); coarse/fine centroid tables stay full-corpus so subset
+    assignments equal the full pass row-for-row (see _flat_within)."""
     import math
 
     from pyspark.sql import Window
@@ -1807,7 +1817,7 @@ def _two_level_within(spark, sf_dir, n_cells: int):
     )
     vw = Window.partitionBy("vec_id").orderBy(F.desc("gc"), "g")
     v2c = (
-        e.join(F.broadcast(coarse))
+        (e if pred is None else e.filter(pred)).join(F.broadcast(coarse))
         .withColumn("gc", r4(_cos(F.col("emb"), F.col("cg"))))
         .withColumn("rn", F.row_number().over(vw))
         .filter(F.col("rn") == 1)

@@ -402,6 +402,115 @@ def q_text_perplexity(spark, sf_dir):
 
 
 @query(
+    "q_text_perplexity_bigram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), cnt AS (
+      SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT sum(c) AS n FROM cnt
+    ), docs AS (
+      SELECT doc_id, string_split(text, ' ') AS arr
+      FROM documents WHERE text IS NOT NULL
+    ), bg AS (
+      SELECT doc_id,
+             unnest(arr[1:len(arr)-1]) AS w1,
+             unnest(arr[2:len(arr)]) AS w2
+      FROM docs
+    ), bc AS (
+      SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+    ), cx AS (
+      SELECT w1, sum(c12) AS ctx, count(*) AS n1p FROM bc GROUP BY w1
+    ), model AS (
+      SELECT bc.w1, bc.w2,
+             (bc.c12 - 0.75) / cx.ctx
+             + (0.75 * cx.n1p / cx.ctx) * (cnt.c * 1.0 / tot.n) AS p
+      FROM bc JOIN cx USING (w1) JOIN cnt ON cnt.tok = bc.w2, tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln(p)), 4) AS nll
+    FROM bg JOIN model USING (w1, w2)
+    GROUP BY doc_id
+    """,
+)
+def q_text_perplexity_bigram(spark, sf_dir):
+    """Bigram language-model fluency scoring with ABSOLUTE-DISCOUNT
+    backoff (the KenLM shape, VERDICT r13 item 5): train bigram
+    probabilities on the corpus, discount each observed bigram count by
+    D=0.75 and redistribute the held-out mass through the unigram model —
+    P(w2|w1) = (c(w1,w2)-D)/ctx(w1) + D·N1+(w1)/ctx(w1) · P_uni(w2) —
+    then score every document by mean negative log-likelihood over its
+    adjacent-token pairs.  Real pretraining fluency filters are n-gram
+    LMs with backoff, not unigram bags: a doc of common words in
+    impossible ORDER scores fluent under q_text_perplexity and is only
+    caught here.
+
+    Scale shape (the q_tokenizer_apply plan): the model is the OBSERVED-
+    BIGRAM table — vocab²-bounded and Heaps'-law sparse in practice — so
+    it broadcasts; docs explode to adjacent pairs map-side (one
+    slice/transform over the token array, no self-join, no posexplode
+    shuffle), meet the broadcast model in a map-side hash join, and
+    aggregate back per doc.  Three vocab-bounded shuffles total (unigram,
+    bigram, context), one doc-keyed aggregate; scoring never shuffles the
+    corpus.  Docs with <2 tokens have no bigram evidence and drop out
+    (same convention as the oracle's inner join).
+
+    Backoff exactness note: scoring the training corpus means every
+    scored pair was observed (c12 >= 1), so the model row carries the
+    FULL interpolated probability — the backoff term is exercised through
+    the redistribution mass, not an unseen-pair branch; both engines
+    compute the identical closed form.
+
+    Reference scope: no text surface in the reference facade
+    (api/router/router.go:9-55); backoff extension of q_text_perplexity
+    (shared unigram CTE family, documented in tools/ORACLE_SIMILARITY.md)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = cnt.agg(F.sum("c").alias("n"))
+    # adjacent-pair extraction map-side: slice handles 1-token docs (empty
+    # slice -> no rows) without sequence()'s descending-range pitfall
+    bg = (
+        d.filter(F.col("text").isNotNull())
+        .withColumn("arr", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(arr, 1, size(arr) - 1),"
+                    " (x, i) -> struct(x AS w1, arr[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    cx = bc.groupBy("w1").agg(
+        F.sum("c12").alias("ctx"), F.count("*").alias("n1p")
+    )
+    uni = cnt.select(F.col("tok").alias("w2"), F.col("c").alias("cu"))
+    p = (F.col("c12") - 0.75) / F.col("ctx") + (
+        0.75 * F.col("n1p") / F.col("ctx")
+    ) * (F.col("cu") * 1.0 / F.col("n"))
+    model = (
+        bc.join(cx, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(total))
+        .select("w1", "w2", p.alias("p"))
+    )
+    return (
+        bg.join(F.broadcast(model), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            r4(F.avg(-F.log(F.col("p")))).alias("nll"),
+        )
+    )
+
+
+@query(
     "q_dedup_keep_best",
     oracle="""
     SELECT doc_id, lang, n_chars

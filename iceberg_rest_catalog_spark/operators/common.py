@@ -34,6 +34,29 @@ def scratch_dir(*parts: str) -> str:
     return d
 
 
+def publish_parquet_atomic(df: DataFrame, cache: str) -> None:
+    """Materialize ``df`` into the cache directory ATOMICALLY: write to a
+    unique temp sibling, then rename into place.  Readers key on the
+    ``_SUCCESS`` marker, which only ever appears inside a fully-written
+    directory; two concurrent builders race harmlessly (the loser removes
+    its temp and reads the winner's).  rename() is atomic on one
+    filesystem — the check-then-overwrite pattern it replaces could serve
+    a torn cache to a concurrent session (r13 ADVICE)."""
+    import shutil
+    import uuid
+
+    tmp = f"{cache}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    try:
+        os.rmdir(cache)  # scratch_dir pre-creates it empty
+    except OSError:
+        pass  # non-empty: another builder already published
+    try:
+        os.rename(tmp, cache)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+
+
 def widen(df: DataFrame, key: str) -> DataFrame:
     """Hash-repartition to the session's shuffle parallelism when the
     incoming split count is LOWER — otherwise a no-op.

@@ -837,25 +837,12 @@ def _knn_edges(
         # materialize to the fixture-keyed parquet cache: same one-build
         # cost as the localCheckpoint it replaces, but durable across the
         # five consumers (and across sessions on one bench box).
-        # ATOMIC PUBLISH (r13 ADVICE): write to a unique temp dir and
-        # rename into the signature-keyed path — two concurrent sessions
-        # (or parallel test workers) previously raced check-then-build
-        # with mode('overwrite') into one directory, which can corrupt a
-        # mid-read cache or leave a torn write.  rename() is atomic on
-        # one filesystem; the loser of the race just reads the winner's.
-        import shutil
-        import uuid
+        # ATOMIC PUBLISH (r13 ADVICE): temp-write + rename via the shared
+        # helper — two concurrent sessions previously raced
+        # check-then-build with mode('overwrite') into one directory.
+        from .common import publish_parquet_atomic
 
-        tmp = f"{cache}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-        edges.write.mode("overwrite").parquet(tmp)
-        try:
-            os.rmdir(cache)  # scratch_dir pre-creates it empty
-        except OSError:
-            pass  # non-empty: another builder already published
-        try:
-            os.rename(tmp, cache)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+        publish_parquet_atomic(edges, cache)
         return e, spark.read.parquet(cache)
     return e, edges.localCheckpoint()  # one build per EXPLICIT-knob caller
 

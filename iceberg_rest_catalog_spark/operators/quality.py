@@ -510,3 +510,151 @@ def q_dq_null_profile(spark, sf_dir):
         )
         .orderBy("col")
     )
+
+
+# (table, key columns) — the fixture's declared primary keys.  lineitem's
+# composite (l_orderkey, l_linenumber) is DELIBERATELY not unique in the
+# synthetic fixture (TESTDATA.md), so the audit is non-degenerate.
+_PK_SPECS = (
+    ("customer", ("c_custkey",)),
+    ("documents", ("doc_id",)),
+    ("embeddings", ("vec_id",)),
+    ("events", ("event_id",)),
+    ("lineitem", ("l_orderkey", "l_linenumber")),
+    ("orders", ("o_orderkey",)),
+    ("part", ("p_partkey",)),
+    ("supplier", ("s_suppkey",)),
+)
+
+
+def _pk_oracle() -> str:
+    arms = []
+    for tbl, keys in _PK_SPECS:
+        kcols = ", ".join(keys)
+        arms.append(f"""
+    SELECT '{tbl}.{"+".join(keys)}' AS pk,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(count(CASE WHEN c > 1 THEN 1 END) AS BIGINT) AS n_dup_keys,
+           CAST(sum(c) - count(*) AS BIGINT) AS n_dup_rows
+    FROM (SELECT count(*) AS c FROM {tbl} GROUP BY {kcols})""")
+    return " UNION ALL ".join(arms) + " ORDER BY pk"
+
+
+@query("q_dq_uniqueness", oracle=_pk_oracle())
+def q_dq_uniqueness(spark, sf_dir):
+    """PRIMARY-KEY uniqueness audit across every fixture table: per
+    declared key, total rows, distinct keys, duplicated keys and excess
+    rows — the constraint check a lakehouse runs because parquet tables
+    enforce nothing (the reference catalog stores schemas but no
+    constraints either — internal/catalog/tables.go).  The synthetic
+    lineitem's composite key is KNOWN non-unique (TESTDATA.md), so the
+    audit demonstrably catches a real violation rather than printing
+    eight zeros.
+
+    Scale shape: per table ONE map-combined count over the key columns
+    only (column-pruned scan — key bytes travel, never rows), then a
+    4-value rollup of the |keys|-row frame; the eight audits are
+    independent unioned aggregates.  Output is always |tables| rows.
+
+    Reference scope: no DQ surface in the reference facade
+    (api/router/router.go:9-55); constraint sibling of q_dq_rules."""
+    arms = []
+    for tbl, keys in _PK_SPECS:
+        c = (
+            t(spark, sf_dir, tbl)
+            .groupBy(*[F.col(k) for k in keys])
+            .agg(F.count("*").alias("c"))
+        )
+        arms.append(
+            c.agg(
+                F.lit(f"{tbl}.{'+'.join(keys)}").alias("pk"),
+                F.sum("c").cast("long").alias("n_rows"),
+                F.count("*").cast("long").alias("n_keys"),
+                F.count(F.when(F.col("c") > 1, 1))
+                .cast("long")
+                .alias("n_dup_keys"),
+                (F.sum("c") - F.count("*")).cast("long").alias("n_dup_rows"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("pk")
+
+
+# (name, child table, child key, parent table, parent key) — the fixture's
+# foreign-key edges.  Orphans (child rows without a parent) are the
+# integrity direction; childless parents are the COVERAGE direction —
+# TPC-H guarantees ~1/3 of customers never ordered, so the audit is
+# non-degenerate on clean data.
+_FK_SPECS = (
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("embeddings->documents", "embeddings", "vec_id", "documents", "doc_id"),
+    ("events->customer", "events", "user_id", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+)
+
+
+def _fk_oracle() -> str:
+    arms = []
+    for name, ct, ck, pt, pk in _FK_SPECS:
+        arms.append(f"""
+    SELECT '{name}' AS fk,
+           (SELECT CAST(count({ck}) AS BIGINT) FROM {ct}) AS n_child,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM (SELECT DISTINCT {ck} AS k FROM {ct} WHERE {ck} IS NOT NULL) c
+            LEFT JOIN (SELECT DISTINCT {pk} AS k FROM {pt}) p USING (k)
+            WHERE p.k IS NULL) AS n_orphan_keys,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM (SELECT DISTINCT {pk} AS k FROM {pt}) p
+            LEFT JOIN (SELECT DISTINCT {ck} AS k FROM {ct}) c USING (k)
+            WHERE c.k IS NULL) AS n_childless_parents""")
+    return " UNION ALL ".join(arms) + " ORDER BY fk"
+
+
+@query("q_dq_referential", oracle=_fk_oracle())
+def q_dq_referential(spark, sf_dir):
+    """REFERENTIAL-integrity audit over the fixture's FK graph: per edge,
+    the non-null child references, the ORPHAN keys (child references with
+    no parent — broken integrity) and the CHILDLESS parents (coverage —
+    TPC-H guarantees ~1/3 of customers never ordered, so the column is
+    live on clean data).  The audit a lakehouse runs before trusting a
+    join, because parquet enforces no FKs (and neither does the reference
+    catalog's metadata model).
+
+    Scale shape: both directions compare DISTINCT KEY SETS — each side
+    collapses map-side to its distinct keys first (|keys| rows, key
+    columns only), then one anti-join per direction; child/parent ROWS
+    never shuffle.  Output is always |edges| rows.
+
+    Reference scope: no DQ surface in the reference facade
+    (api/router/router.go:9-55); integrity sibling of q_dq_uniqueness."""
+    arms = []
+    for name, ct, ck, pt, pk in _FK_SPECS:
+        child = t(spark, sf_dir, ct)
+        ckeys = (
+            child.filter(F.col(ck).isNotNull())
+            .select(F.col(ck).alias("k"))
+            .distinct()
+        )
+        pkeys = t(spark, sf_dir, pt).select(F.col(pk).alias("k")).distinct()
+        n_child = child.agg(F.count(ck).alias("n")).select(
+            F.lit(name).alias("fk"), F.col("n").cast("long").alias("n_child")
+        )
+        orphans = ckeys.join(pkeys, "k", "left_anti").agg(
+            F.lit(name).alias("fk"),
+            F.count("*").cast("long").alias("n_orphan_keys"),
+        )
+        childless = pkeys.join(ckeys, "k", "left_anti").agg(
+            F.lit(name).alias("fk"),
+            F.count("*").cast("long").alias("n_childless_parents"),
+        )
+        arms.append(n_child.join(orphans, "fk").join(childless, "fk"))
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("fk")

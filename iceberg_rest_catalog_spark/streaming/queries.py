@@ -1978,3 +1978,258 @@ def q_stream_topk(spark, sf_dir):
         .select("event_type", F.col("rk").cast("long").alias("rk"), "user_id", "n")
         .orderBy("event_type", "rk")
     )
+
+
+LATE_MOD = 13          # event_id % 13 == 0 is the planted late tail (~7.7%)
+LATE_DELAY_DAYS = 2    # withWatermark("ts", "2 days")
+LATE_SPLIT = 4         # on-time replay files (ntile quartiles on (ts, id))
+
+
+def _late_audit_source(spark, sf_dir, src: str):
+    """Build the out-of-order replay source for q_stream_late_audit: the
+    on-time rows (event_id % LATE_MOD != 0) split into LATE_SPLIT
+    time-ordered, mtime-ordered files by ntile over (ts, event_id) — a
+    DETERMINISTIC split both engines can reproduce (repartitionByRange
+    boundaries are reservoir-sampled and oracle-inexpressible, the
+    q_evt_power_users lesson) — then the LATE TAIL (event_id % LATE_MOD
+    == 0, rows from EVERY day of the stream) planted as a single file
+    that is LAST in both mtime and path order.
+
+    The global-window ntile is fixture prep, not the measured plan: a
+    production replay would land range files with RECORDED boundaries
+    and the audit rule would read those boundaries instead."""
+    import glob as _glob
+
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    late = ev.filter(F.col("event_id") % LATE_MOD == 0)
+    ontime = ev.filter(F.col("event_id") % LATE_MOD != 0).withColumn(
+        "q", F.ntile(LATE_SPLIT).over(W.orderBy("ts", "event_id"))
+    )
+    os.makedirs(src, exist_ok=True)
+    tmp = src + "_build"
+    for i in range(1, LATE_SPLIT + 1):
+        ontime.filter(F.col("q") == i).drop("q").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        (part,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = os.path.join(src, f"part-{i:05d}.parquet")
+        os.replace(part, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    late.coalesce(1).write.mode("overwrite").parquet(tmp)
+    (tail_part,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+    tail = os.path.join(src, "zz-late-tail.parquet")  # sorts after part-*
+    os.replace(tail_part, tail)
+    os.utime(tail, (1_000_000_100, 1_000_000_100))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return ev
+
+
+def _late_audit_stream(spark, src: str, schema):
+    """The watermarked per-day aggregate over the replay source — shared
+    by the registered query and the crash-resume proof."""
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return (
+        sdf.withWatermark("ts", f"{LATE_DELAY_DAYS} days")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(F.count("*").alias("n_streamed"))
+    )
+
+
+@query(
+    "q_stream_late_audit",
+    oracle=f"""
+    WITH e AS (SELECT event_id, ts FROM events),
+    o AS (
+      SELECT ts, ntile({LATE_SPLIT}) OVER (ORDER BY ts, event_id) AS q
+      FROM e WHERE event_id % {LATE_MOD} != 0),
+    wmd AS (SELECT max(ts) - INTERVAL {LATE_DELAY_DAYS} DAY AS w
+            FROM o WHERE q <= {LATE_SPLIT - 1}),
+    wmf AS (SELECT max(ts) - INTERVAL {LATE_DELAY_DAYS} DAY AS w FROM e),
+    tot AS (
+      SELECT date_trunc('day', ts) AS ws,
+             count(*) AS n_total,
+             count(CASE WHEN event_id % {LATE_MOD} != 0 THEN 1 END)
+               AS n_ontime
+      FROM e GROUP BY 1)
+    SELECT CAST(CAST(ws AS TIMESTAMP) AS VARCHAR) AS window_start,
+           CAST(CASE WHEN ws + INTERVAL 1 DAY <= wmd.w
+                     THEN n_ontime ELSE n_total END AS BIGINT) AS n_streamed,
+           CAST(n_total AS BIGINT) AS n_total,
+           CAST(n_total - CASE WHEN ws + INTERVAL 1 DAY <= wmd.w
+                               THEN n_ontime ELSE n_total END AS BIGINT)
+             AS n_dropped
+    FROM tot CROSS JOIN wmd CROSS JOIN wmf
+    WHERE ws + INTERVAL 1 DAY <= wmf.w
+    ORDER BY window_start
+    """,
+)
+def q_stream_late_audit(spark, sf_dir):
+    """Streaming LATE-DATA observability (VERDICT r13 item 7): every
+    production stream needs the dropped-late-rows ledger — silent
+    watermark drops are how event pipelines lose data without an error.
+    The source replays out of order ({LATE_SPLIT} time-quartile files in
+    mtime order, then a planted late tail drawn from every day of the
+    stream); the watermarked 1-day aggregate drops the tail rows whose
+    window the watermark has already closed, and the audit joins the
+    stream's emitted per-window counts against the batch totals to
+    report streamed vs dropped per window.
+
+    Watermark semantics pinned by measurement (SPARK-40925): LATE-RECORD
+    FILTERING in micro-batch k uses the watermark that was OPERATING in
+    batch k-1 (i.e. max event time through batch k-2, minus delay), while
+    STATE EVICTION/emission uses the post-batch update — so the tail
+    batch drops rows in windows closed by max(first {LATE_SPLIT - 1}
+    on-time quartiles) - {LATE_DELAY_DAYS}d, and the emitted-window set
+    is bounded by max(everything) - {LATE_DELAY_DAYS}d.  Both rules are
+    exactly mirrored in the oracle (the ntile split makes the batch
+    boundaries SQL-expressible); tail rows accepted into still-open
+    windows are counted by those windows when they emit — which the
+    n_streamed/n_dropped ledger shows directly.
+
+    Scale shape: state is |open windows| rows (watermark-bounded — the
+    point of the ledger); the audit join is |emitted windows| rows
+    against a map-combined day-grain batch aggregate.  At 100 TB the
+    plan is unchanged: the ledger costs one extra day-grain aggregate of
+    the batch table, not a second stream.
+
+    Reference scope: no streaming surface in the reference facade
+    (api/router/router.go:9-55); observability sibling of
+    q_stream_watermark (API wiring) and the q_dq_freshness batch audit."""
+    wh = scratch_dir(sf_dir, "stream_late_audit")
+    shutil.rmtree(wh, ignore_errors=True)
+    src = os.path.join(wh, "src")
+    ev = _late_audit_source(spark, sf_dir, src)
+    agg = _late_audit_stream(spark, src, ev.schema)
+    out = _run_memory(spark, agg, "append")
+    streamed = out.select(
+        F.col("window.start").cast("string").alias("window_start"),
+        F.col("n_streamed").cast("long").alias("n_streamed"),
+    )
+    totals = (
+        ev.groupBy(
+            F.date_trunc("day", "ts").cast("string").alias("window_start")
+        )
+        .agg(F.count("*").alias("n_total"))
+    )
+    return (
+        streamed.join(F.broadcast(totals), "window_start")
+        .select(
+            "window_start",
+            "n_streamed",
+            F.col("n_total").cast("long").alias("n_total"),
+            (F.col("n_total") - F.col("n_streamed"))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "q_stream_topk_bounded",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, user_id, count(*) AS n
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type, user_id),
+    r AS (
+      SELECT event_type, user_id, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, user_id) AS rk
+      FROM c)
+    SELECT event_type, CAST(rk AS BIGINT) AS rk, user_id,
+           CAST(n AS BIGINT) AS n
+    FROM r WHERE rk <= {STREAM_TOPK_K}
+    ORDER BY event_type, rk
+    """,
+)
+def q_stream_topk_bounded(spark, sf_dir):
+    """BOUNDED-STATE streaming top-k (VERDICT r13 item 4's documented
+    swap): q_stream_topk keeps one state-store entry per active (type,
+    user) key, and SCALE.md measures its wall LINEAR IN KEYS (6.08x at
+    x10) — the honest cost of exact per-key state.  This variant keeps
+    ZERO cross-batch state: each micro-batch map-side-combines to its own
+    partial-count changelog (foreachBatch, written idempotently under
+    sink/batch=<id> so a crash-replay overwrites instead of double-
+    counting — Spark's documented exactly-once foreachBatch recipe), and
+    the finisher rolls the changelog up exactly.  Counting is
+    associative, so the result is bit-identical to q_stream_topk and the
+    batch oracle at ANY batch split — the shared oracle IS the swap's
+    correctness contract (tools/ORACLE_SIMILARITY.md).
+
+    Why not a SpaceSaving/count-min shortlist + exact second pass: a
+    sketch shortlist is provably top-k-complete only when the key
+    distribution carries an N/C margin between the k-th and (k+1)-th
+    counts; on unskewed keys (this fixture, and any near-uniform
+    workload) it silently returns the WRONG top-k.  The changelog funnel
+    has the same bounded-memory property — state is |batch's active
+    keys| during one micro-batch, zero between batches, |keys|-bounded
+    only in the landed changelog files where storage is cheap — and is
+    exact unconditionally.  At 100 TB this is the production shape:
+    stream pre-aggregates, the serving layer MERGEs partials (the
+    reference's append-commit lineage, api/handlers/tables.go:150-227).
+
+    Scale shape: per batch one map-combined aggregate of the batch's
+    rows; finisher = one sum-rollup + a WindowGroupLimit top-{STREAM_TOPK_K}.
+    No per-key Python state iteration — the applyInPandasWithState
+    per-key Arrow-group floor (SCALE.md's measured 4-8 s) never engages."""
+    from pyspark.sql import Window as W
+
+    wh = scratch_dir(sf_dir, "stream_topk_bounded")
+    shutil.rmtree(wh, ignore_errors=True)
+    src = os.path.join(wh, "src")
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "user_id")
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = os.path.join(wh, "sink")
+
+    def _partials(df, bid: int) -> None:
+        # idempotent per-batch changelog: replayed batch ids OVERWRITE
+        df.groupBy("event_type", "user_id").agg(
+            F.count("*").alias("n")
+        ).write.mode("overwrite").parquet(os.path.join(sink, f"batch={bid}"))
+
+    with _state_parallelism(spark):
+        q = (
+            sdf.writeStream.foreachBatch(_partials)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    final = (
+        spark.read.parquet(os.path.join(sink, "batch=*"))
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("n").alias("n"))
+    )
+    w = W.partitionBy("event_type").orderBy(F.desc("n"), "user_id")
+    return (
+        final.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= STREAM_TOPK_K)
+        .select(
+            "event_type",
+            F.col("rk").cast("long").alias("rk"),
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("event_type", "rk")
+    )

@@ -3390,3 +3390,160 @@ def test_stream_topk_crash_resume(spark, tmp_path):
         .collect()
     }
     assert final == truth
+
+
+# ----- round 14 ---------------------------------------------------------
+
+
+def test_sim_index_update_merge_equals_rebuild(spark, qs):
+    """The incremental-index invariant itself (VERDICT r13 item 3):
+    index(base) UNION index(delta) must equal index(all) row-for-row —
+    assignment and encoding depend only on the vector and the full-corpus
+    centroid/codebook convention, never on which batch a vector arrived
+    in.  The registered query's oracle already pins the SEARCH equality;
+    this pins the stronger index-level property it derives from."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rest_catalog_spark.llm.ann_ivfpq import (
+        DELTA_MOD,
+        _ivfpq_index_rows,
+    )
+
+    full = _ivfpq_index_rows(spark, SF)
+    delta_pred = F.col("vec_id") % DELTA_MOD == 0
+    merged = _ivfpq_index_rows(spark, SF, pred=~delta_pred).unionByName(
+        _ivfpq_index_rows(spark, SF, pred=delta_pred)
+    )
+    key = lambda r: (r.vec_id, r.s)
+    got = {key(r): (r.cell, r.code) for r in merged.collect()}
+    want = {key(r): (r.cell, r.code) for r in full.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_sim_index_update_delta_scan_is_bounded(spark):
+    """The update path's encode work reads ONLY the delta batch: the
+    pred-filtered subvector explode must carry |delta| * N_SUB rows, not
+    |corpus| * N_SUB (the cost-bounded-by-|delta| contract)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rest_catalog_spark.llm.ann_ivfpq import DELTA_MOD
+    from iceberg_rest_catalog_spark.llm.embedding import N_SUB, _pq_assignments
+
+    delta_pred = F.col("vec_id") % DELTA_MOD == 0
+    n_delta = (
+        _pq_assignments(spark, SF, pred=delta_pred)
+        .select("vec_id")
+        .distinct()
+        .count()
+    )
+    n_corpus = (
+        _pq_assignments(spark, SF).select("vec_id").distinct().count()
+    )
+    assert 0 < n_delta < n_corpus
+    assert (
+        _pq_assignments(spark, SF, pred=delta_pred).count() == n_delta * N_SUB
+    )
+
+
+def test_perplexity_bigram_orders_fluency(spark, qs):
+    """Backoff-bigram NLL must (a) cover exactly the docs with >= 2
+    tokens, (b) produce finite positive scores (every scored bigram was
+    observed, so p in (0, 1]), and (c) not equal the unigram NLL ranking
+    — the word-ORDER signal is the point of the bigram model."""
+    rows = qs["q_text_perplexity_bigram"](spark, SF).collect()
+    uni = {r.doc_id: r.nll for r in qs["q_text_perplexity"](spark, SF).collect()}
+    assert rows and all(r.n_bigrams >= 1 and r.nll >= 0 for r in rows)
+    bi = {r.doc_id: r.nll for r in rows}
+    assert set(bi) <= set(uni)
+    # the two models must disagree on SOME pairwise ordering
+    ds = sorted(bi)
+    flips = sum(
+        1
+        for a, b in zip(ds, ds[1:])
+        if (bi[a] - bi[b]) * (uni[a] - uni[b]) < 0
+    )
+    assert flips > 0
+
+
+def test_multimodal_retrieval_eval_bounds(spark, qs):
+    """Both directions report: n_queries equals the probe-batch size
+    (identical for the two directions — same eval pairs), hits are
+    bounded by queries, recall = hits/queries at 4dp half-up."""
+    rows = {r.direction: r for r in qs["q_multimodal_retrieval_eval"](spark, SF).collect()}
+    assert set(rows) == {"text->image", "image->text"}
+    nq = {r.n_queries for r in rows.values()}
+    assert len(nq) == 1 and nq.pop() > 0
+    for r in rows.values():
+        assert 0 <= r.n_hits <= r.n_queries
+        assert r.recall == ((r.n_hits * 20000 + r.n_queries) // (2 * r.n_queries)) / 1e4
+
+
+def test_stream_late_audit_ledger_conserves_mass(spark, qs):
+    """Every emitted window: n_streamed + n_dropped == n_total, drops are
+    nonneg, and at least one window actually dropped rows (the planted
+    tail is the point of the fixture) while at least one accepted its
+    late rows (the still-open head of the emitted range)."""
+    rows = qs["q_stream_late_audit"](spark, SF01).collect()
+    assert rows
+    assert all(r.n_streamed + r.n_dropped == r.n_total for r in rows)
+    assert all(r.n_dropped >= 0 for r in rows)
+    assert any(r.n_dropped > 0 for r in rows)
+    assert any(r.n_dropped == 0 for r in rows)
+
+
+def test_stream_late_audit_crash_resume(spark, qs, tmp_path):
+    """Crash-resume proof for the watermarked late-audit stream (the r13
+    newborn discipline): kill the query between micro-batches and RESTART
+    from the same checkpoint — watermark state recovers from the commit
+    log, so the resumed run's emitted-window ledger equals the
+    uninterrupted run's."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rest_catalog_spark.streaming.queries import (
+        _late_audit_source,
+        _late_audit_stream,
+        _state_parallelism,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    ev = _late_audit_source(spark, SF01, src)
+
+    def run(crash_on):
+        def fb(df, bid):
+            df.select(
+                F.col("window.start").cast("string").alias("window_start"),
+                "n_streamed",
+            ).write.mode("append").parquet(sink)
+            if crash_on is not None and bid >= crash_on:
+                raise RuntimeError("injected crash between micro-batches")
+
+        with _state_parallelism(spark):
+            q = (
+                _late_audit_stream(spark, src, ev.schema)
+                .writeStream.foreachBatch(fb)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+                assert crash_on is None, "armed run must crash"
+            except Exception:
+                assert crash_on is not None, "only the armed run may fail"
+
+    run(crash_on=2)  # batches 0-1 committed, 2 written-then-crashed
+    run(crash_on=None)  # resume from the same checkpoint
+    # append-mode windows emit once per (possibly replayed) batch; the
+    # replayed batch re-emits identical rows, so distinct() collapses them
+    got = {
+        r.window_start: r.n_streamed
+        for r in spark.read.parquet(sink).distinct().collect()
+    }
+    want = {
+        r.window_start: r.n_streamed
+        for r in qs["q_stream_late_audit"](spark, SF01).collect()
+    }
+    assert got == want

@@ -105,6 +105,13 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 # same broadcast-centroid assignment cross join (load
                 # profile over the shared IVF assignment)
                 "q_sim_index_stats",
+                # same broadcast-centroid assignment cross join on the
+                # delta batch + probe vector; MERGE and search are
+                # equi-joins (cell, then (s, code))
+                "q_sim_index_update",
+                # 1-row token-total broadcast (the q_text_perplexity
+                # shape) onto the vocab-bounded bigram model table
+                "q_text_perplexity_bigram",
                 # deliberate 5-row threshold-grid broadcast fan-out —
                 # bounded build side, map-only at any corpus size
                 "q_text_filter_sweep",
