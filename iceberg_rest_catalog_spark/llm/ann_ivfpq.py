@@ -309,3 +309,167 @@ def q_sim_index_update(spark, sf_dir):
         .limit(ADC_TOP_K)
         .select("vec_id", "label", "cell", "adc_d2")
     )
+
+
+def _ivfpq_recall_oracle() -> str:
+    from .similarity import SCALED_QSTEP_SQL, ivf_ranked_ctes
+
+    l2 = (
+        f"round(list_sum(list_transform(generate_series(1, {N_SUB * SUB_DIM}), "
+        "i -> (c.emb[i] - qv.emb[i]) * (c.emb[i] - qv.emb[i]))), 4)"
+    )
+    return f"""
+WITH {ivf_ranked_ctes(qstep_sql=SCALED_QSTEP_SQL)},
+sub AS (
+  SELECT vec_id, s,
+         list_slice(emb, s * {SUB_DIM} + 1, s * {SUB_DIM} + {SUB_DIM}) AS sub
+  FROM e, {_SUBS}
+),
+cb AS (
+  SELECT vec_id AS code, s,
+         list_slice(emb, s * {SUB_DIM} + 1, s * {SUB_DIM} + {SUB_DIM}) AS csub
+  FROM e, {_SUBS} WHERE vec_id < {K_CODES}
+),
+pa AS (
+  SELECT vec_id, s, code FROM (
+    SELECT sub.vec_id, sub.s, cb.code,
+           row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                              ORDER BY {_D2} ASC, cb.code ASC) AS rn
+    FROM sub JOIN cb USING (s)
+  ) WHERE rn = 1
+),
+qsub AS (
+  SELECT vec_id AS q, s, sub AS qs FROM sub
+  WHERE vec_id % {SCALED_QSTEP_SQL} = 0
+),
+lut AS (
+  SELECT qsub.q, cb.s, cb.code, {_QD2} AS d2
+  FROM cb JOIN qsub USING (s)
+),
+cand AS (
+  SELECT p.q_vec_id AS q, a.vec_id
+  FROM probed p JOIN assigned a USING (cell)
+  WHERE a.vec_id <> p.q_vec_id
+),
+adc AS (
+  SELECT c.q, c.vec_id, round(sum(l.d2), 4) AS adc_d2
+  FROM cand c
+  JOIN pa ON pa.vec_id = c.vec_id
+  JOIN lut l ON l.q = c.q AND l.s = pa.s AND l.code = pa.code
+  GROUP BY c.q, c.vec_id
+),
+adck AS (
+  SELECT q, vec_id FROM (
+    SELECT q, vec_id,
+           row_number() OVER (PARTITION BY q
+                              ORDER BY adc_d2 ASC, vec_id ASC) AS rk
+    FROM adc) WHERE rk <= {ADC_TOP_K}
+),
+exk AS (
+  SELECT q, vec_id FROM (
+    SELECT qv.vec_id AS q, c.vec_id, {l2} AS d2,
+           row_number() OVER (PARTITION BY qv.vec_id
+                              ORDER BY {l2} ASC, c.vec_id ASC) AS rk
+    FROM e qv JOIN e c ON c.vec_id <> qv.vec_id
+    WHERE qv.vec_id % {SCALED_QSTEP_SQL} = 0) WHERE rk <= {ADC_TOP_K}
+)
+SELECT exk.q AS q_vec_id,
+       CAST(count(adck.vec_id) AS BIGINT) AS n_hits,
+       CAST(count(adck.vec_id) AS DOUBLE) / {ADC_TOP_K} AS recall
+FROM exk LEFT JOIN adck ON adck.q = exk.q AND adck.vec_id = exk.vec_id
+GROUP BY exk.q
+ORDER BY q_vec_id
+"""
+
+
+@query("q_sim_ivf_pq_recall_eval", oracle=_ivfpq_recall_oracle())
+def q_sim_ivf_pq_recall_eval(spark, sf_dir):
+    """Recall@{ADC_TOP_K} audit of the COMPOSED IVF-PQ index against the
+    exact full-precision L2 top-{ADC_TOP_K} — the measurement a FAISS
+    IVFPQ deployment runs before trusting the index, because IVF-PQ
+    stacks TWO approximations (probe miss + quantization error) and
+    neither q_sim_recall_eval (IVF-only, cosine) nor the unit-level PQ
+    recall test reports their PRODUCT per query.  One row per probe:
+    exact-neighbour hits recovered through the compressed index.
+
+    Scale shape (q_sim_recall_eval's discipline): the probe batch is
+    pinned at ~RECALL_TARGET_PROBES by the shared recall_qstep_for
+    stride; the ADC side reuses the inverted-list layout (broadcast
+    probed-cells equi-join + broadcast |probes|x128 LUT join — scan
+    fraction N_PROBE/cells, 8 B/candidate); the exact baseline is the
+    deliberate |batch| x corpus brute-force scan with the batch
+    BROADCAST (that is what makes it ground truth).  Both sides rank on
+    4dp-rounded distances with vec_id tiebreak, so top-k membership is
+    bit-stable across engines.
+
+    Reference scope: no vector surface in the reference facade
+    (api/router/router.go:9-55); completes the ANN eval matrix
+    (q_sim_recall_eval x q_sim_ann_ivf_pq)."""
+    from pyspark.sql import Window as W
+
+    from .embedding import _pq_assignments
+    from .similarity import (
+        _dbl,
+        _emb,
+        _emb_count,
+        recall_qstep_for,
+    )
+
+    n = _emb_count(spark, sf_dir)
+    qstep = recall_qstep_for(n)
+    within = _ivfpq_within(spark, sf_dir)
+    assigned = within.filter(F.col("rn") == 1).select("vec_id", "cell")
+    probed = (
+        within.filter(
+            (F.col("vec_id") % qstep == 0) & (F.col("rn") <= N_PROBE)
+        )
+        .select(F.col("vec_id").alias("q"), "cell")
+    )
+    codes = _pq_assignments(spark, sf_dir).join(assigned, "vec_id")
+    sub, cb = _pq_subframes(spark, sf_dir)
+    qsub = sub.filter(F.col("vec_id") % qstep == 0).select(
+        F.col("vec_id").alias("q"), "s", F.col("sub").alias("qs")
+    )
+    lut = cb.join(F.broadcast(qsub), "s").select(
+        "q",
+        "s",
+        "code",
+        F.round(_sq_l2(F.col("csub"), F.col("qs")), 4).alias("d2"),
+    )
+    kw = W.partitionBy("q").orderBy("adc_d2", "vec_id")
+    adck = (
+        codes.join(F.broadcast(probed), "cell")
+        .filter(F.col("vec_id") != F.col("q"))
+        .join(F.broadcast(lut), ["q", "s", "code"])
+        .groupBy("q", "vec_id")
+        .agg(F.round(F.sum("d2"), 4).alias("adc_d2"))
+        .withColumn("rk", F.row_number().over(kw))
+        .filter(F.col("rk") <= ADC_TOP_K)
+        .select("q", F.col("vec_id").alias("hit_id"))
+    )
+    e = _emb(spark, sf_dir).select("vec_id", _dbl("embedding").alias("emb"))
+    qv = e.filter(F.col("vec_id") % qstep == 0).select(
+        F.col("vec_id").alias("q"), F.col("emb").alias("qe")
+    )
+    ew = W.partitionBy("q").orderBy("d2", "vec_id")
+    exk = (
+        e.join(F.broadcast(qv))  # deliberate |batch| x corpus exact scan
+        .filter(F.col("vec_id") != F.col("q"))
+        .withColumn("d2", F.round(_sq_l2(F.col("emb"), F.col("qe")), 4))
+        .withColumn("rk", F.row_number().over(ew))
+        .filter(F.col("rk") <= ADC_TOP_K)
+        .select("q", "vec_id")
+    )
+    return (
+        exk.join(
+            adck,
+            (exk.q == adck.q) & (exk.vec_id == adck.hit_id),
+            "left",
+        )
+        .groupBy(exk.q.alias("q_vec_id"))
+        .agg(
+            F.count("hit_id").cast("long").alias("n_hits"),
+            (F.count("hit_id").cast("double") / ADC_TOP_K).alias("recall"),
+        )
+        .orderBy("q_vec_id")
+    )

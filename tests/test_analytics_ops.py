@@ -3547,3 +3547,18 @@ def test_stream_late_audit_crash_resume(spark, qs, tmp_path):
         for r in qs["q_stream_late_audit"](spark, SF01).collect()
     }
     assert got == want
+
+
+def test_ivf_pq_recall_eval_is_calibrated(spark, qs):
+    """The composed-index recall must be (a) per-probe bounded in [0,1],
+    (b) no better than the IVF-only probe path on average is allowed to
+    be perfect ADC-wise — i.e. the op reports a real product of the two
+    error sources, not a copy of either: at least one probe must lose a
+    neighbour to quantization or probing (recall < 1 somewhere) while
+    the mean stays well above random (k/corpus)."""
+    rows = qs["q_sim_ivf_pq_recall_eval"](spark, SF).collect()
+    assert rows and all(0.0 <= r.recall <= 1.0 for r in rows)
+    assert all(r.n_hits == round(r.recall * 10) for r in rows)
+    mean = sum(r.recall for r in rows) / len(rows)
+    assert mean > 0.2  # far above the ~10/500 random floor
+    assert any(r.recall < 1.0 for r in rows)  # the approximation is real
