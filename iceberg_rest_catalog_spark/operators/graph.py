@@ -1528,20 +1528,23 @@ def q_cluster_dbscan(spark, sf_dir):
         .localCheckpoint()
     )
     lab = core.select("id", F.col("id").alias("lab")).localCheckpoint()
-    for _ in range(DBSCAN_ROUNDS):
+    for it in range(DBSCAN_ROUNDS):
         nbr_min = (
             ce.join(lab.withColumnRenamed("id", "v").withColumnRenamed("lab", "vlab"), "v")
             .groupBy("u")
             .agg(F.min("vlab").alias("nlab"))
         )
-        lab = (
-            lab.join(nbr_min.withColumnRenamed("u", "id"), "id", "left")
-            .select(
-                "id",
-                F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
-            )
-            .localCheckpoint()
+        lab = lab.join(nbr_min.withColumnRenamed("u", "id"), "id", "left").select(
+            "id",
+            F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
         )
+        # checkpoint every SECOND round (the q_graph_knn_bfs lineage
+        # discipline): the r14 phase bisect put ~45% of the wall in this
+        # loop at a fixed ~0.3 s/round checkpoint floor — halving the
+        # materializations halves that floor while two rounds of lineage
+        # stay well within plan-depth limits
+        if it % 2 == 1 or it == DBSCAN_ROUNDS - 1:
+            lab = lab.localCheckpoint()
     border = (
         cand.join(core.withColumnRenamed("id", "u"), "u", "left_anti")
         .join(lab.withColumnRenamed("id", "v").withColumnRenamed("lab", "vlab"), "v")
