@@ -3476,3 +3476,248 @@ def q_evt_velocity_multi(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+PRE_PERIOD_DAYS = 15  # CUPED pre-period / Markov-eval train split (data-
+# derived boundary: min(ts) day + 15 days — regeneration-seed-proof)
+
+
+@query(
+    "q_evt_cuped",
+    oracle=f"""
+    WITH cut AS (
+      SELECT CAST(CAST(min(ts) AS DATE) AS TIMESTAMP)
+             + INTERVAL {PRE_PERIOD_DAYS} DAY AS c
+      FROM events),
+    u AS (
+      SELECT user_id,
+             coalesce(sum(CASE WHEN ts < cut.c
+                          THEN CAST(round(value * 100) AS BIGINT) END), 0)
+               / 100.0 AS pre,
+             coalesce(sum(CASE WHEN ts >= cut.c
+                          THEN CAST(round(value * 100) AS BIGINT) END), 0)
+               / 100.0 AS post
+      FROM events, cut
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+            AND value IS NOT NULL
+      GROUP BY user_id),
+    g AS (
+      SELECT round(covar_samp(pre, post) / var_samp(pre), 6) AS theta,
+             round(avg(pre), 6) AS mp
+      FROM u),
+    adj AS (
+      SELECT user_id % 2 AS cohort, post,
+             post - g.theta * (pre - g.mp) AS a, g.theta
+      FROM u, g)
+    SELECT CAST(cohort AS BIGINT) AS cohort,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(post), 4) AS mean_post,
+           round(avg(a), 4) AS mean_adj,
+           round(var_samp(post), 4) AS var_post,
+           round(var_samp(a), 4) AS var_adj,
+           round(1 - var_samp(a) / var_samp(post), 4) AS var_reduction,
+           max(theta) AS theta
+    FROM adj GROUP BY cohort ORDER BY cohort
+    """,
+)
+def q_evt_cuped(spark, sf_dir):
+    """CUPED variance reduction for A/B revenue metrics (Deng et al.,
+    WSDM'13 — the standard experimentation-platform technique): per user,
+    PRE-period purchase revenue (first {PRE_PERIOD_DAYS} days) is the
+    covariate; the post-period metric is adjusted as
+    post - theta*(pre - mean(pre)) with theta = cov(pre,post)/var(pre),
+    shrinking metric variance by the squared pre/post correlation without
+    biasing the treatment contrast.  Reported per cohort (the
+    q_evt_ab_test user_id %% 2 split): raw vs adjusted mean and variance
+    and the realized variance reduction — the number that tells an
+    experimenter how much extra power CUPED bought.
+
+    Determinism: per-user pre/post are EXACT integer cents divided by
+    100 (identical doubles on both engines); theta and mean(pre) are
+    pre-rounded to 6 dp so the one cross-user float division cannot
+    propagate an ulp into every adjusted value; outputs round at 4 dp.
+    The period boundary is DATA-DERIVED (min event day + {PRE_PERIOD_DAYS}
+    days), so fixture regeneration at any seed splits identically.
+
+    Scale shape: one user-keyed aggregate with conditional sums (the
+    period split adds columns, not scans), a 1-row moments frame
+    broadcast back, map-side adjustment, |cohorts|-row rollup.  The
+    bounded 1-row cutoff collect is the q_text_tfidf n_docs discipline.
+
+    Reference scope: no analytics surface in the reference facade
+    (api/router/router.go:9-55); power sibling of q_evt_ab_test."""
+    ev = t(spark, sf_dir, "events")
+    cut = ev.agg(
+        F.expr(
+            "CAST(CAST(min(ts) AS DATE) AS TIMESTAMP)"
+            f" + INTERVAL {PRE_PERIOD_DAYS} DAYS"
+        ).alias("c")
+    ).collect()[0].c
+    cents = F.round(F.col("value") * 100).cast("long")
+    u = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("ts") < F.lit(cut), cents)), F.lit(0)
+                )
+                / 100.0
+            ).alias("pre"),
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("ts") >= F.lit(cut), cents)), F.lit(0)
+                )
+                / 100.0
+            ).alias("post"),
+        )
+    )
+    g = u.agg(
+        F.round(F.covar_samp("pre", "post") / F.var_samp("pre"), 6).alias(
+            "theta"
+        ),
+        F.round(F.avg("pre"), 6).alias("mp"),
+    )
+    adj = u.crossJoin(F.broadcast(g)).select(
+        (F.col("user_id") % 2).alias("cohort"),
+        "post",
+        (F.col("post") - F.col("theta") * (F.col("pre") - F.col("mp"))).alias(
+            "a"
+        ),
+        "theta",
+    )
+    return (
+        adj.groupBy(F.col("cohort").cast("long").alias("cohort"))
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.round(F.avg("post"), 4).alias("mean_post"),
+            F.round(F.avg("a"), 4).alias("mean_adj"),
+            F.round(F.var_samp("post"), 4).alias("var_post"),
+            F.round(F.var_samp("a"), 4).alias("var_adj"),
+            F.round(1 - F.var_samp("a") / F.var_samp("post"), 4).alias(
+                "var_reduction"
+            ),
+            F.max("theta").alias("theta"),
+        )
+        .orderBy("cohort")
+    )
+
+
+@query(
+    "q_evt_next_event_eval",
+    oracle=f"""
+    WITH cut AS (
+      SELECT CAST(CAST(min(ts) AS DATE) AS TIMESTAMP)
+             + INTERVAL {PRE_PERIOD_DAYS} DAY AS c
+      FROM events),
+    s AS (
+      SELECT event_type AS prev,
+             lead(event_type) OVER w AS nxt,
+             lead(ts) OVER w AS nxt_ts
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    tc AS (
+      SELECT prev, nxt, count(*) AS n
+      FROM s, cut WHERE nxt IS NOT NULL AND nxt_ts < cut.c
+      GROUP BY prev, nxt),
+    m AS (
+      SELECT prev, nxt AS pred FROM (
+        SELECT prev, nxt,
+               row_number() OVER (PARTITION BY prev
+                                  ORDER BY n DESC, nxt) AS rk
+        FROM tc) WHERE rk = 1),
+    ev AS (
+      SELECT prev, nxt FROM s, cut
+      WHERE nxt IS NOT NULL AND nxt_ts >= cut.c)
+    SELECT ev.prev, m.pred,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(count(CASE WHEN ev.nxt = m.pred THEN 1 END) AS BIGINT)
+             AS n_correct,
+           CAST((count(CASE WHEN ev.nxt = m.pred THEN 1 END) * 20000
+                 + count(*)) // (2 * count(*)) AS DOUBLE) / 10000
+             AS accuracy
+    FROM ev JOIN m ON m.prev = ev.prev
+    GROUP BY ev.prev, m.pred ORDER BY ev.prev
+    """,
+)
+def q_evt_next_event_eval(spark, sf_dir):
+    """TEMPORAL-SPLIT next-event prediction eval: train a first-order
+    Markov next-event model on the first {PRE_PERIOD_DAYS} days of each
+    user's event sequence (argmax transition per previous type, count
+    desc with type tiebreak), score it on the transitions that LAND
+    after the split — top-1 accuracy per previous type.  This is the
+    honest out-of-time protocol every sequence model should be judged
+    by (q_evt_markov reports the transition matrix; this measures
+    whether yesterday's matrix predicts tomorrow), and the baseline
+    number an LLM-over-events fine-tune must beat.
+
+    Split rule: a transition belongs to the eval set iff its NEXT event
+    lands at or after the boundary — the model predicts forward from a
+    pre-boundary state, so boundary-crossing transitions are genuine
+    eval cases, not leakage.  The boundary is data-derived (min event
+    day + {PRE_PERIOD_DAYS} days, the q_evt_cuped convention); accuracy
+    uses the pure-long half-up form (exact 4-dp midpoints happen for
+    round eval counts).
+
+    Scale shape: ONE user-keyed window shuffle produces every
+    transition; the model is |types|² rows (<=25 here) broadcast onto
+    the eval transitions; output is |types| rows.  At 100 TB: same one
+    shuffle — the model table never grows with data.
+
+    Reference scope: no analytics surface in the reference facade
+    (api/router/router.go:9-55); eval sibling of q_evt_markov /
+    q_evt_attribution_markov."""
+    ev = t(spark, sf_dir, "events")
+    cut = ev.agg(
+        F.expr(
+            "CAST(CAST(min(ts) AS DATE) AS TIMESTAMP)"
+            f" + INTERVAL {PRE_PERIOD_DAYS} DAYS"
+        ).alias("c")
+    ).collect()[0].c
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        ev.filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            F.col("event_type").alias("prev"),
+            F.lead("event_type").over(w).alias("nxt"),
+            F.lead("ts").over(w).alias("nxt_ts"),
+        )
+        .filter(F.col("nxt").isNotNull())
+    )
+    tc = (
+        s.filter(F.col("nxt_ts") < F.lit(cut))
+        .groupBy("prev", "nxt")
+        .agg(F.count("*").alias("n"))
+    )
+    mw = Window.partitionBy("prev").orderBy(F.desc("n"), "nxt")
+    m = (
+        tc.withColumn("rk", F.row_number().over(mw))
+        .filter(F.col("rk") == 1)
+        .select("prev", F.col("nxt").alias("pred"))
+    )
+    evl = s.filter(F.col("nxt_ts") >= F.lit(cut)).select("prev", "nxt")
+    correct = F.count(F.when(F.col("nxt") == F.col("pred"), 1))
+    return (
+        evl.join(F.broadcast(m), "prev")
+        .groupBy("prev", "pred")
+        .agg(
+            F.count("*").cast("long").alias("n_eval"),
+            correct.cast("long").alias("n_correct"),
+        )
+        .select(
+            "prev",
+            "pred",
+            "n_eval",
+            "n_correct",
+            (
+                F.expr("(n_correct * 20000 + n_eval) DIV (2 * n_eval)")
+                .cast("double")
+                / 10000
+            ).alias("accuracy"),
+        )
+        .orderBy("prev")
+    )

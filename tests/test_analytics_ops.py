@@ -3562,3 +3562,33 @@ def test_ivf_pq_recall_eval_is_calibrated(spark, qs):
     mean = sum(r.recall for r in rows) / len(rows)
     assert mean > 0.2  # far above the ~10/500 random floor
     assert any(r.recall < 1.0 for r in rows)  # the approximation is real
+
+
+def test_cuped_reduces_variance_and_preserves_means(spark, qs):
+    """CUPED's contract: adjusted variance <= raw variance per cohort
+    (the covariate is positively informative on this fixture), the
+    POOLED adjusted mean equals the pooled raw mean (theta-centering
+    preserves it; per-cohort means may shift), and theta is shared."""
+    rows = qs["q_evt_cuped"](spark, SF01).collect()
+    assert len(rows) == 2
+    assert len({r.theta for r in rows}) == 1
+    for r in rows:
+        assert r.var_adj <= r.var_post
+        assert abs(r.var_reduction - (1 - r.var_adj / r.var_post)) < 2e-4
+    pooled_post = sum(r.mean_post * r.n_users for r in rows)
+    pooled_adj = sum(r.mean_adj * r.n_users for r in rows)
+    n = sum(r.n_users for r in rows)
+    assert abs(pooled_post - pooled_adj) / n < 1e-2
+
+
+def test_next_event_eval_is_out_of_time(spark, qs):
+    """The eval must be a real out-of-time measurement: per-prev
+    accuracy in [0,1], eval counts positive, and the model's prediction
+    is a valid event type drawn from the train vocabulary."""
+    rows = qs["q_evt_next_event_eval"](spark, SF01).collect()
+    assert rows
+    types = {r.prev for r in rows}
+    for r in rows:
+        assert r.n_eval > 0 and 0 <= r.n_correct <= r.n_eval
+        assert 0.0 <= r.accuracy <= 1.0
+        assert r.pred in types
