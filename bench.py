@@ -214,6 +214,23 @@ TRACKED: list[str] = [
     # r13_local_idle_86q).  q_agg_grouping_id is one
     # rollup aggregate (0.45 s) — not tracked.
     "q_stream_topk",
+    # round-14 newborns above the overhead floor (idle-box 3-pass
+    # medians at birth, /tmp/measure_r14*): retrieval_eval pays the two
+    # probe-batch x corpus brute-force directions (5.68 s), late_audit
+    # the 5-batch watermarked replay (4.50 s, stream-harness floor),
+    # dq_referential 7 distinct+anti-join pairs (3.22 s),
+    # ivf_pq_recall_eval the exact-L2 baseline + ADC funnel (2.99 s),
+    # index_update the delta encode + cataloged-index search (2.44 s),
+    # topk_bounded the 4-batch changelog replay (2.30 s), dq_uniqueness
+    # 8 key-count scans (2.04 s).  perplexity_bigram (1.20 s) and the
+    # two evt ops are overhead-bound — not tracked.
+    "q_multimodal_retrieval_eval",
+    "q_stream_late_audit",
+    "q_dq_referential",
+    "q_sim_ivf_pq_recall_eval",
+    "q_sim_index_update",
+    "q_stream_topk_bounded",
+    "q_dq_uniqueness",
 ]
 
 
