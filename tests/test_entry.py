@@ -451,3 +451,48 @@ def test_round13_window_head_is_newborns_then_r6_stale():
     tail = ids[n:50]
     assert tail == sorted(tail, key=lambda q: (last_seen[q], q))
     assert {last_seen[q] for q in tail} <= {6, 7}
+
+
+R14_NEW_OPS: list[str] = [
+    "q_multimodal_retrieval_eval",
+    "q_stream_late_audit",
+    "q_stream_topk_bounded",
+    "q_evt_cuped",
+    "q_evt_next_event_eval",
+    "q_dq_uniqueness",
+    "q_dq_referential",
+    "q_text_perplexity_bigram",
+    "q_sim_index_update",
+    "q_sim_ivf_pq_recall_eval",
+]
+
+
+def test_round14_window_head_is_newborns_then_stale_block():
+    """Concrete pin of the round-14 rotation (only while r13 is the newest
+    committed artifact): round-14 newborns lead (never-checked, module
+    registration order); there are NO red rows (r13 closed fully green);
+    then green oldest-evidence-first.  Regenerate per round."""
+    import glob as _glob
+    import re as _re
+
+    sys.path.insert(0, REPO)
+    newest = max(
+        int(_re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
+        for p in _glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    )
+    if newest != 13:
+        import pytest
+
+        pytest.skip(f"rotation pin written against r13 artifacts (newest: r{newest})")
+
+    import __spark_entry__ as e
+    from iceberg_rest_catalog_spark import registry
+
+    ids = list(e.queries())
+    last_seen, failed = registry.driver_evidence()
+    assert not failed  # r13 closed fully green
+    n = len(R14_NEW_OPS)
+    assert ids[:n] == R14_NEW_OPS and all(q not in last_seen for q in R14_NEW_OPS)
+    # the green remainder is (last_seen, id)-ordered
+    tail = ids[n:50]
+    assert tail == sorted(tail, key=lambda q: (last_seen[q], q))
