@@ -1007,7 +1007,9 @@ def q_graph_jaccard_neighbors(spark, sf_dir):
 LPA_ROUNDS = 3  # synchronous label-propagation rounds (unrolled in oracle)
 
 
-def _lpa_oracle(rounds: int) -> str:
+def _lpa_ctes(rounds: int) -> str:
+    """The shared CTE block: kNN graph + l0..l{rounds} synchronous label
+    rounds — used by the LPA oracle and the modularity oracle."""
     ctes = [
         _knn_edges_ctes(),
         "l0 AS (SELECT vec_id AS node, vec_id AS lbl FROM e)",
@@ -1025,13 +1027,46 @@ def _lpa_oracle(rounds: int) -> str:
           GROUP BY ed.u, l.lbl)
         WHERE rn = 1) p ON p.node = n.node)"""
         )
+    return "WITH " + ",\n    ".join(ctes)
+
+
+def _lpa_oracle(rounds: int) -> str:
     return (
-        "WITH "
-        + ",\n    ".join(ctes)
+        _lpa_ctes(rounds)
         + f"""
     SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes
     FROM l{rounds} GROUP BY lbl ORDER BY n_nodes DESC, community"""
     )
+
+
+def _lpa_labels(spark, sf_dir):
+    """(edges, final labels) of the {LPA_ROUNDS}-round synchronous label
+    propagation over the kNN graph — shared by q_graph_label_propagation
+    and q_graph_modularity (oracle twin: _lpa_ctes)."""
+    from pyspark.sql import Window as W
+
+    e, edges = _knn_edges(spark, sf_dir)
+    labels = e.select(
+        F.col("vec_id").alias("node"), F.col("vec_id").alias("lbl")
+    ).localCheckpoint()
+    rw = W.partitionBy("u").orderBy(F.desc("c"), "lbl")
+    for _ in range(LPA_ROUNDS):
+        vote = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u", "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        top = (
+            vote.withColumn("rn", F.row_number().over(rw))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), F.col("lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(top, "node", "left")
+            .select("node", F.coalesce("new_lbl", "lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    return edges, labels
 
 
 @query("q_graph_label_propagation", oracle=_lpa_oracle(LPA_ROUNDS))
@@ -1062,31 +1097,7 @@ def q_graph_label_propagation(spark, sf_dir):
     Reference scope: no graph surface in the reference facade
     (api/router/router.go:9-55); community sibling of q_graph_cc
     (connectivity) and q_dedup_cluster (near-dup star closure)."""
-    from pyspark.sql import Window as W
-
-    e, edges = _knn_edges(spark, sf_dir)
-    labels = e.select(
-        F.col("vec_id").alias("node"), F.col("vec_id").alias("lbl")
-    ).localCheckpoint()
-    rw = W.partitionBy("u").orderBy(F.desc("c"), "lbl")
-    for _ in range(LPA_ROUNDS):
-        vote = (
-            edges.join(labels, edges.v == labels.node)
-            .groupBy("u", "lbl")
-            .agg(F.count("*").alias("c"))
-        )
-        top = (
-            vote.withColumn("rn", F.row_number().over(rw))
-            .filter(F.col("rn") == 1)
-            .select(F.col("u").alias("node"), F.col("lbl").alias("new_lbl"))
-        )
-        labels = (
-            labels.join(top, "node", "left")
-            .select(
-                "node", F.coalesce("new_lbl", "lbl").alias("lbl")
-            )
-            .localCheckpoint()
-        )
+    _, labels = _lpa_labels(spark, sf_dir)
     return (
         labels.groupBy("lbl")
         .agg(F.count("*").alias("n_nodes"))
@@ -1618,4 +1629,136 @@ def q_graph_degree_dist(spark, sf_dir):
             F.max("d").alias("max_deg"),
         )
         .orderBy("bucket")
+    )
+
+
+MODULARITY_TOP = 20  # largest communities reported
+
+
+def _modularity_oracle(rounds: int) -> str:
+    return (
+        _lpa_ctes(rounds)
+        + f""",
+    com AS (SELECT lbl, count(*) AS n_nodes FROM l{rounds} GROUP BY lbl),
+    ein AS (
+      SELECT lu.lbl, count(*) AS e_in
+      FROM edges ed
+      JOIN l{rounds} lu ON ed.u = lu.node
+      JOIN l{rounds} lv ON ed.v = lv.node
+      WHERE lu.lbl = lv.lbl GROUP BY lu.lbl),
+    dg AS (SELECT u AS node, count(*) AS d FROM edges GROUP BY u),
+    ds AS (
+      SELECT l.lbl, sum(d.d) AS d_sum
+      FROM l{rounds} l JOIN dg d ON d.node = l.node GROUP BY l.lbl),
+    percom AS (
+      SELECT com.lbl, com.n_nodes,
+             coalesce(ein.e_in, 0) AS e_in,
+             coalesce(ds.d_sum, 0) AS d_sum
+      FROM com LEFT JOIN ein ON ein.lbl = com.lbl
+               LEFT JOIN ds ON ds.lbl = com.lbl),
+    tot AS (
+      SELECT (SELECT count(*) FROM edges) AS ecnt,
+             sum(e_in) AS sum_e, sum(d_sum * d_sum) AS sum_d2
+      FROM percom)
+    SELECT CAST(p.lbl AS BIGINT) AS community,
+           CAST(p.n_nodes AS BIGINT) AS n_nodes,
+           CAST(p.e_in AS BIGINT) AS e_in,
+           CAST(p.d_sum AS BIGINT) AS d_sum,
+           round(CAST(t.ecnt * p.e_in - p.d_sum * p.d_sum AS DOUBLE)
+                 / (t.ecnt * t.ecnt), 4) AS contribution,
+           round(CAST(t.ecnt * t.sum_e - t.sum_d2 AS DOUBLE)
+                 / (t.ecnt * t.ecnt), 4) AS modularity
+    FROM percom p CROSS JOIN tot t
+    ORDER BY p.n_nodes DESC, community LIMIT {MODULARITY_TOP}"""
+    )
+
+
+@query("q_graph_modularity", oracle=_modularity_oracle(LPA_ROUNDS))
+def q_graph_modularity(spark, sf_dir):
+    """Newman MODULARITY of the label-propagation communities — the
+    quality metric that tells you whether a community detector found
+    real structure or noise (Q = sum_c [e_c/m - (d_c/2m)^2]; Q near 0 =
+    no better than a random degree-preserving graph).  Reported per
+    community (top {MODULARITY_TOP} by population): internal directed
+    edges, degree mass, the community's modularity contribution, and the
+    global Q in-frame — the eval discipline applied to
+    q_graph_label_propagation (every clustering this repo ships carries
+    its own quality audit: kmeans has the elbow, IVF has recall, LPA now
+    has Q).
+
+    EXACT-INTEGER form: over the symmetrized directed edge list E,
+    contribution_c = (E*e_in_c - d_sum_c^2) / E^2 — numerator and
+    denominator are exact longs on both engines, so the single double
+    division is bit-identical and the global Q is the exact-rational sum
+    (E*sum_e - sum_d2)/E^2, NOT a float accumulation over communities
+    (cross-engine summation order cannot touch it).
+
+    Scale shape: labels come from the shared _lpa_labels loop (edge
+    build amortized by the kNN edge cache); e_in is one edges->labels
+    double equi-join keyed on node ids; degree mass is a node-keyed
+    count joined to labels; the per-community frame is |communities|
+    rows and the totals row broadcasts back.  Long-overflow note: E*e_in
+    stays in int64 up to ~3e9 directed edges (beyond that, promote the
+    numerator to DECIMAL(38,0) on both engines — same plan).
+
+    Reference scope: no graph surface in the reference facade
+    (api/router/router.go:9-55); eval sibling of q_graph_label_propagation
+    (shared label CTEs, documented in tools/ORACLE_SIMILARITY.md)."""
+    edges, labels = _lpa_labels(spark, sf_dir)
+    lu = labels.select(F.col("node").alias("u"), F.col("lbl").alias("lu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lv"))
+    ein = (
+        edges.join(lu, "u")
+        .join(lv, "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("lbl"))
+        .agg(F.count("*").alias("e_in"))
+    )
+    dg = edges.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    ds = (
+        labels.join(dg, "node")
+        .groupBy("lbl")
+        .agg(F.sum("d").alias("d_sum"))
+    )
+    percom = (
+        labels.groupBy("lbl")
+        .agg(F.count("*").alias("n_nodes"))
+        .join(ein, "lbl", "left")
+        .join(ds, "lbl", "left")
+        .select(
+            "lbl",
+            "n_nodes",
+            F.coalesce("e_in", F.lit(0)).cast("long").alias("e_in"),
+            F.coalesce("d_sum", F.lit(0)).cast("long").alias("d_sum"),
+        )
+    )
+    tot = percom.agg(
+        F.sum("e_in").alias("sum_e"),
+        F.sum(F.col("d_sum") * F.col("d_sum")).alias("sum_d2"),
+    ).crossJoin(F.broadcast(edges.agg(F.count("*").alias("ecnt"))))
+    return (
+        percom.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("lbl").cast("long").alias("community"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            "e_in",
+            "d_sum",
+            F.round(
+                (
+                    F.col("ecnt") * F.col("e_in")
+                    - F.col("d_sum") * F.col("d_sum")
+                ).cast("double")
+                / (F.col("ecnt") * F.col("ecnt")),
+                4,
+            ).alias("contribution"),
+            F.round(
+                (F.col("ecnt") * F.col("sum_e") - F.col("sum_d2")).cast(
+                    "double"
+                )
+                / (F.col("ecnt") * F.col("ecnt")),
+                4,
+            ).alias("modularity"),
+        )
+        .orderBy(F.desc("n_nodes"), "community")
+        .limit(MODULARITY_TOP)
     )

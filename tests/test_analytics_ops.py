@@ -3592,3 +3592,27 @@ def test_next_event_eval_is_out_of_time(spark, qs):
         assert r.n_eval > 0 and 0 <= r.n_correct <= r.n_eval
         assert 0.0 <= r.accuracy <= 1.0
         assert r.pred in types
+
+
+def test_modularity_is_exact_and_bounded(spark, qs):
+    """Q and per-community contributions must obey the metric's algebra:
+    contribution = (E*e_in - d_sum^2)/E^2 exactly (the integer form),
+    global Q in (-0.5, 1), and the LPA communities on the kNN graph must
+    show REAL structure (Q well above 0 — the graph is built from
+    nearest neighbours, so intra-community density is by construction)."""
+    rows = qs["q_graph_modularity"](spark, SF).collect()
+    assert rows
+    q = {r.modularity for r in rows}
+    assert len(q) == 1
+    q = q.pop()
+    assert -0.5 <= q <= 1.0
+    # positive Q = real assortativity; the sf0.001 kNN graph measures
+    # ~0.07 (500 nodes, 3 LPA rounds leave many singleton communities)
+    assert q > 0.0
+    # recompute contributions from the in-frame integers
+    from iceberg_rest_catalog_spark.operators.graph import _knn_edges
+
+    ecnt = _knn_edges(spark, SF)[1].count()
+    for r in rows:
+        want = (ecnt * r.e_in - r.d_sum * r.d_sum) / (ecnt * ecnt)
+        assert abs(r.contribution - want) < 1.5e-4

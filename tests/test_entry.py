@@ -23,7 +23,7 @@ def test_queries_collect_without_spark_session():
         # exact-count pin (VERDICT r9 item 7): a module import that silently
         # fails to register its queries trips this loudly; bump on every
         # operator addition.
-        "assert len(qs) == 380, len(qs)\n"
+        "assert len(qs) == 381, len(qs)\n"
         "assert set(osql) <= set(qs), sorted(set(osql) - set(qs))\n"
         "print('OK', len(qs), len(osql))\n" % REPO
     )
@@ -457,6 +457,7 @@ R14_NEW_OPS: list[str] = [
     "q_multimodal_retrieval_eval",
     "q_stream_late_audit",
     "q_stream_topk_bounded",
+    "q_graph_modularity",
     "q_evt_cuped",
     "q_evt_next_event_eval",
     "q_dq_uniqueness",
