@@ -231,6 +231,9 @@ TRACKED: list[str] = [
     "q_sim_index_update",
     "q_stream_topk_bounded",
     "q_dq_uniqueness",
+    # modularity pays the LPA rounds + two label joins over the cached
+    # kNN edges (2.57 s warm decade base)
+    "q_graph_modularity",
 ]
 
 
