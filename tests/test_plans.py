@@ -116,6 +116,12 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 # 1-row token-total broadcast (the q_text_perplexity
                 # shape) onto the vocab-bounded bigram model table
                 "q_text_perplexity_bigram",
+                # 1-row moments frame (theta, mean_pre) broadcast onto the
+                # per-user aggregate — map-only at any scale
+                "q_evt_cuped",
+                # 1-row totals frame (E, sum_e, sum_d2) broadcast onto the
+                # |communities|-row frame — map-only at any scale
+                "q_graph_modularity",
                 # deliberate 5-row threshold-grid broadcast fan-out —
                 # bounded build side, map-only at any corpus size
                 "q_text_filter_sweep",
