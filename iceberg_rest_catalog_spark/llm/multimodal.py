@@ -738,7 +738,7 @@ def q_multimodal_retrieval_eval(spark, sf_dir):
     from pyspark.sql import Window as W
 
     from ..operators.common import r4
-    from .similarity import _cos, _dbl, recall_qstep_for
+    from .similarity import _dbl, recall_qstep_for
 
     docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     sp = (
@@ -790,22 +790,39 @@ def q_multimodal_retrieval_eval(spark, sf_dir):
         .select("vec_id", _dbl("embedding").alias("iemb"))
     )
     # the eval-pair frame materializes ONCE and feeds probe + corpus in
-    # both directions (4 consumers)
+    # both directions (4 consumers).  Vectors are PRE-NORMALIZED to unit
+    # length here — once per row, not once per pair — so the pair-scoring
+    # hot path is a single Arrow-batched numpy dot (_dot_pd), the
+    # q_embed_matryoshka discipline (per-pair HOF cosines re-derive both
+    # norms for every one of |batch| x |pairs| pairs; measured there
+    # 3.4 s -> ~1 s for this shape at sf0.1).
+    from .similarity import _norm
+
+    def _unit(col):
+        n = _norm(F.col(col))
+        return F.transform(F.col(col), lambda x: x / n)
+
     pairs = (
         capv.join(img, capv.doc_id == img.vec_id)
-        .select(F.col("doc_id").alias("id"), "cemb", "iemb")
+        .select(
+            F.col("doc_id").alias("id"),
+            _unit("cemb").alias("cemb"),
+            _unit("iemb").alias("iemb"),
+        )
         .localCheckpoint()
     )
     qstep = recall_qstep_for(pairs.count())
     probes = pairs.filter(F.col("id") % qstep == 0)
 
     def _direction(qcol: str, tcol: str, name: str):
+        from .similarity import _dot_pd
+
         q = probes.select(F.col("id").alias("qid"), F.col(qcol).alias("qv"))
         c = pairs.select(F.col("id").alias("tid"), F.col(tcol).alias("tv"))
         w = W.partitionBy("qid").orderBy(F.desc("cos"), "tid")
         ranked = (
             c.join(F.broadcast(q))  # bounded probe batch x one corpus scan
-            .withColumn("cos", r4(_cos(F.col("qv"), F.col("tv"))))
+            .withColumn("cos", r4(_dot_pd("qv", "tv")))
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= RETRIEVAL_K)
         )
