@@ -447,35 +447,19 @@ def q_sim_ivf_pq_recall_eval(spark, sf_dir):
         .filter(F.col("rk") <= ADC_TOP_K)
         .select("q", F.col("vec_id").alias("hit_id"))
     )
-    # exact side hot path: squared norms once per ROW, then one
-    # Arrow-batched numpy dot per pair — d2 = |a|^2 + |b|^2 - 2<a,b>
-    # (the q_embed_matryoshka pair-scoring discipline; per-pair HOF
-    # folds re-derive 64 squares for every |batch| x corpus pair)
-    from .similarity import _dot_pd
-
-    n2 = F.aggregate(
-        F.transform("emb", lambda x: x * x),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    e = _emb(spark, sf_dir).select(
-        "vec_id", _dbl("embedding").alias("emb")
-    ).withColumn("n2", n2)
+    # exact side: one JVM (x-y)^2 fold per pair.  Measured r14: an Arrow
+    # _dot_pd expansion (d2 = |a|^2+|b|^2-2<a,b>) was tried and REVERTED
+    # — 2.99 -> 5.34 s at sf0.1; at 64 dims the per-pair Arrow transfer
+    # of two vectors costs more than the interpreted fold.
+    e = _emb(spark, sf_dir).select("vec_id", _dbl("embedding").alias("emb"))
     qv = e.filter(F.col("vec_id") % qstep == 0).select(
-        F.col("vec_id").alias("q"),
-        F.col("emb").alias("qe"),
-        F.col("n2").alias("qn2"),
+        F.col("vec_id").alias("q"), F.col("emb").alias("qe")
     )
     ew = W.partitionBy("q").orderBy("d2", "vec_id")
     exk = (
         e.join(F.broadcast(qv))  # deliberate |batch| x corpus exact scan
         .filter(F.col("vec_id") != F.col("q"))
-        .withColumn(
-            "d2",
-            F.round(
-                F.col("n2") + F.col("qn2") - 2.0 * _dot_pd("emb", "qe"), 4
-            ),
-        )
+        .withColumn("d2", F.round(_sq_l2(F.col("emb"), F.col("qe")), 4))
         .withColumn("rk", F.row_number().over(ew))
         .filter(F.col("rk") <= ADC_TOP_K)
         .select("q", "vec_id")

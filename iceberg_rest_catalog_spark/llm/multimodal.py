@@ -792,10 +792,12 @@ def q_multimodal_retrieval_eval(spark, sf_dir):
     # the eval-pair frame materializes ONCE and feeds probe + corpus in
     # both directions (4 consumers).  Vectors are PRE-NORMALIZED to unit
     # length here — once per row, not once per pair — so the pair-scoring
-    # hot path is a single Arrow-batched numpy dot (_dot_pd), the
-    # q_embed_matryoshka discipline (per-pair HOF cosines re-derive both
-    # norms for every one of |batch| x |pairs| pairs; measured there
-    # 3.4 s -> ~1 s for this shape at sf0.1).
+    # hot path is ONE JVM fold (dot) instead of three (dot + both norms
+    # re-derived per pair).  Measured r14: the Arrow _dot_pd variant was
+    # tried and REVERTED — at 64 dims the per-pair Arrow transfer of two
+    # vectors costs more than the interpreted fold saves (x10 wall 23.6
+    # -> 36.0 s); the matryoshka 5-10x claim holds for its two-dots-per-
+    # pair shape, not this one-dot shape.
     from .similarity import _norm
 
     def _unit(col):
@@ -815,14 +817,14 @@ def q_multimodal_retrieval_eval(spark, sf_dir):
     probes = pairs.filter(F.col("id") % qstep == 0)
 
     def _direction(qcol: str, tcol: str, name: str):
-        from .similarity import _dot_pd
+        from .similarity import _dot
 
         q = probes.select(F.col("id").alias("qid"), F.col(qcol).alias("qv"))
         c = pairs.select(F.col("id").alias("tid"), F.col(tcol).alias("tv"))
         w = W.partitionBy("qid").orderBy(F.desc("cos"), "tid")
         ranked = (
             c.join(F.broadcast(q))  # bounded probe batch x one corpus scan
-            .withColumn("cos", r4(_dot_pd("qv", "tv")))
+            .withColumn("cos", r4(_dot(F.col("qv"), F.col("tv"))))
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= RETRIEVAL_K)
         )
