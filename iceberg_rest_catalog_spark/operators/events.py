@@ -3721,3 +3721,62 @@ def q_evt_next_event_eval(spark, sf_dir):
         )
         .orderBy("prev")
     )
+
+
+@query(
+    "q_evt_srm_check",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT user_id, user_id % 2 AS cohort
+      FROM events WHERE user_id IS NOT NULL),
+    c AS (
+      SELECT count(CASE WHEN cohort = 0 THEN 1 END) AS n_a,
+             count(CASE WHEN cohort = 1 THEN 1 END) AS n_b
+      FROM u)
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           round((n_a + n_b) / 2.0, 1) AS expected,
+           round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                 / (n_a + n_b), 4) AS chi2,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
+             > 3.8415 AS srm_flag
+    FROM c
+    """,
+)
+def q_evt_srm_check(spark, sf_dir):
+    """Sample-ratio mismatch (SRM) check for the 50/50 experiment split —
+    the FIRST gate an experimentation platform runs before reading any
+    metric: if the assignment counts themselves deviate from the design
+    ratio, every downstream result (q_evt_ab_test's z, q_evt_cuped's
+    adjusted lift) is invalid regardless of significance.  Chi-square
+    with 1 dof against the 50/50 design simplifies EXACTLY to
+    (n_a - n_b)^2 / (n_a + n_b) — integer numerator and denominator, one
+    double division (the q_graph_modularity exact-rational discipline) —
+    flagged at the 95% critical value 3.8415.
+
+    Scale shape: one DISTINCT-user shuffle (the q_evt_ab_test cohort
+    universe), then a 1-row conditional-count aggregate.  Output is a
+    single row.
+
+    Reference scope: no analytics surface in the reference facade
+    (api/router/router.go:9-55); completes the experimentation trio
+    (q_evt_ab_test significance, q_evt_cuped power, SRM validity)."""
+    u = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", (F.col("user_id") % 2).alias("cohort"))
+        .distinct()
+    )
+    c = u.agg(
+        F.count(F.when(F.col("cohort") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("cohort") == 1, 1)).alias("n_b"),
+    )
+    diff2 = (F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))
+    chi2 = diff2.cast("double") / (F.col("n_a") + F.col("n_b"))
+    return c.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round((F.col("n_a") + F.col("n_b")) / 2.0, 1).alias("expected"),
+        F.round(chi2, 4).alias("chi2"),
+        (chi2 > 3.8415).alias("srm_flag"),
+    )

@@ -3616,3 +3616,14 @@ def test_modularity_is_exact_and_bounded(spark, qs):
     for r in rows:
         want = (ecnt * r.e_in - r.d_sum * r.d_sum) / (ecnt * ecnt)
         assert abs(r.contribution - want) < 1.5e-4
+
+
+def test_srm_check_algebra(spark, qs):
+    """chi2 must equal the exact rational (n_a-n_b)^2/(n_a+n_b), the
+    expected count the design midpoint, and the flag the 3.8415 cut."""
+    (r,) = qs["q_evt_srm_check"](spark, SF01).collect()
+    assert r.n_a > 0 and r.n_b > 0
+    want = (r.n_a - r.n_b) ** 2 / (r.n_a + r.n_b)
+    assert abs(r.chi2 - want) < 1e-4
+    assert r.expected == round((r.n_a + r.n_b) / 2.0, 1)
+    assert r.srm_flag == (want > 3.8415)

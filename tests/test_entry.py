@@ -23,7 +23,7 @@ def test_queries_collect_without_spark_session():
         # exact-count pin (VERDICT r9 item 7): a module import that silently
         # fails to register its queries trips this loudly; bump on every
         # operator addition.
-        "assert len(qs) == 381, len(qs)\n"
+        "assert len(qs) == 382, len(qs)\n"
         "assert set(osql) <= set(qs), sorted(set(osql) - set(qs))\n"
         "print('OK', len(qs), len(osql))\n" % REPO
     )
@@ -460,6 +460,7 @@ R14_NEW_OPS: list[str] = [
     "q_graph_modularity",
     "q_evt_cuped",
     "q_evt_next_event_eval",
+    "q_evt_srm_check",
     "q_dq_uniqueness",
     "q_dq_referential",
     "q_text_perplexity_bigram",
