@@ -3627,3 +3627,95 @@ def test_srm_check_algebra(spark, qs):
     assert abs(r.chi2 - want) < 1e-4
     assert r.expected == round((r.n_a + r.n_b) / 2.0, 1)
     assert r.srm_flag == (want > 3.8415)
+
+
+def test_stream_topk_bounded_crash_resume(spark, qs, tmp_path):
+    """Exactly-once proof for the changelog swap: kill the stream after a
+    batch's partial counts are written, RESTART from the same checkpoint
+    — the replayed batch OVERWRITES its own sink/batch=<id> directory
+    (idempotent by construction), so the final rollup equals both the
+    uninterrupted bounded run and the exact per-key-state oracle."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from iceberg_rest_catalog_spark.operators.common import t as _t
+    from iceberg_rest_catalog_spark.streaming.queries import _state_parallelism
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    ev = (
+        _t(spark, SF01, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "user_id")
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    def run(crash_on):
+        def fb(df, bid):
+            df.groupBy("event_type", "user_id").agg(
+                F.count("*").alias("n")
+            ).write.mode("overwrite").parquet(os.path.join(sink, f"batch={bid}"))
+            if crash_on is not None and bid >= crash_on:
+                raise RuntimeError("injected crash after the batch write")
+
+        with _state_parallelism(spark):
+            q = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(fb)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+                assert crash_on is None, "armed run must crash"
+            except Exception:
+                assert crash_on is not None, "only the armed run may fail"
+
+    run(crash_on=1)  # batch 0 committed; batch 1 written then crashed
+    run(crash_on=None)  # resume: batch 1 replays, overwrite dedups
+    got = {
+        (r.event_type, r.user_id): r.n
+        for r in spark.read.parquet(os.path.join(sink, "batch=*"))
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    want = {
+        (r.event_type, r.user_id): r.n
+        for r in ev.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_publish_parquet_atomic_race(spark, tmp_path):
+    """Two builders racing the same signature-keyed cache: both write
+    temp dirs; exactly one rename wins; the loser's temp is removed; the
+    published cache is complete (_SUCCESS present, readable, right
+    rows).  Simulates the concurrent-session race the r13 ADVICE flagged
+    by invoking the publish twice back-to-back (the second call sees a
+    non-empty target and must clean up after itself)."""
+    import glob
+    import os
+
+    from iceberg_rest_catalog_spark.operators.common import (
+        publish_parquet_atomic,
+    )
+
+    cache = str(tmp_path / "cache")
+    os.makedirs(cache, exist_ok=True)  # scratch_dir pre-creates it empty
+    df1 = spark.range(10).withColumnRenamed("id", "v")
+    df2 = spark.range(99).withColumnRenamed("id", "v")
+    publish_parquet_atomic(df1, cache)
+    publish_parquet_atomic(df2, cache)  # loser: target already non-empty
+    assert os.path.exists(os.path.join(cache, "_SUCCESS"))
+    assert spark.read.parquet(cache).count() == 10  # first writer won
+    assert not glob.glob(cache + ".tmp-*")  # loser cleaned up its temp
