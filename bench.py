@@ -214,16 +214,18 @@ TRACKED: list[str] = [
     # r13_local_idle_86q).  q_agg_grouping_id is one
     # rollup aggregate (0.45 s) — not tracked.
     "q_stream_topk",
-    # round-14 newborns above the overhead floor (idle-box 3-pass
-    # medians at birth, /tmp/measure_r14*): retrieval_eval pays the two
-    # probe-batch x corpus brute-force directions (5.68 s), late_audit
-    # the 5-batch watermarked replay (4.50 s, stream-harness floor),
-    # dq_referential 7 distinct+anti-join pairs (3.22 s),
-    # ivf_pq_recall_eval the exact-L2 baseline + ADC funnel (2.99 s),
-    # index_update the delta encode + cataloged-index search (2.44 s),
-    # topk_bounded the 4-batch changelog replay (2.30 s), dq_uniqueness
-    # 8 key-count scans (2.04 s).  perplexity_bigram (1.20 s) and the
-    # two evt ops are overhead-bound — not tracked.
+    # round-14 newborns above the overhead floor (recorded birth
+    # baselines, bench_runs/birth_baselines.json from r14_local_idle_94q
+    # — standalone 3-pass medians ran 1.2-1.5x higher, /tmp/measure_r14*):
+    # retrieval_eval pays the two probe-batch x corpus brute-force
+    # directions (3.846 s), late_audit the 5-batch watermarked replay
+    # (3.498 s, stream-harness floor), dq_referential 7 distinct+anti
+    # pairs (1.963 s), ivf_pq_recall_eval the exact-L2 baseline + ADC
+    # funnel (2.551 s), index_update the delta encode + cataloged-index
+    # search (1.88 s), topk_bounded the 4-batch changelog replay
+    # (2.088 s), dq_uniqueness 8 key-count scans (1.552 s).
+    # perplexity_bigram (1.20 s) and the evt ops are overhead-bound —
+    # not tracked.
     "q_multimodal_retrieval_eval",
     "q_stream_late_audit",
     "q_dq_referential",
@@ -232,7 +234,7 @@ TRACKED: list[str] = [
     "q_stream_topk_bounded",
     "q_dq_uniqueness",
     # modularity pays the LPA rounds + two label joins over the cached
-    # kNN edges (2.57 s warm decade base)
+    # kNN edges (1.765 s recorded birth baseline, r14_local_idle_94q)
     "q_graph_modularity",
 ]
 
