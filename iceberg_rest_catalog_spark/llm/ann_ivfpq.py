@@ -271,7 +271,6 @@ def q_sim_index_update(spark, sf_dir):
     import os
 
     from ..operators.common import publish_parquet_atomic
-    from .similarity import _emb
 
     delta_pred = F.col("vec_id") % DELTA_MOD == 0
     cache = _ivfpq_base_index_dir(sf_dir)

@@ -98,17 +98,64 @@ def _dot(a, b):
     )
 
 
+def det_gram(Q, M):
+    """DETERMINISTIC block dot-product Q·Mᵀ (float64): accumulates over
+    the dim axis in a fixed sequential loop of IEEE-exact elementwise
+    multiply-adds — never a BLAS GEMM, whose accumulation order
+    (threads/SIMD blocking) is environment-dependent.  A 1-ulp GEMM
+    difference on a value adjacent to a 4-dp midpoint flips a round()
+    output and with it any rank/threshold built on it — the r14
+    q_graph_modularity driver red.  The fixed dim-order accumulation is
+    bit-identical on every BLAS/CPU and matches the operation order of
+    the JVM zip_with fold (acc + q_i*m_i, index order), at vectorized
+    numpy speed (dim elementwise passes, not |pairs|*dim scalar ops)."""
+    import numpy as np
+
+    Q = np.asarray(Q, dtype=np.float64)
+    M = np.asarray(M, dtype=np.float64)
+    S = np.zeros((Q.shape[0], M.shape[0]))
+    for d in range(Q.shape[1]):
+        S += np.outer(Q[:, d], M[:, d])
+    return S
+
+
+def det_rowdot(A, B):
+    """DETERMINISTIC per-row dot of equal-shape float64 matrices — the
+    fixed dim-order twin of det_gram for paired rows (no einsum: numpy's
+    reduction kernels carry CPU-dispatch-dependent SIMD lane grouping)."""
+    import numpy as np
+
+    A = np.asarray(A, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    s = np.zeros(A.shape[0])
+    for d in range(A.shape[1]):
+        s += A[:, d] * B[:, d]
+    return s
+
+
+def det_norm(M):
+    """DETERMINISTIC per-row L2 norm (fixed dim-order sum of squares)."""
+    import numpy as np
+
+    return np.sqrt(det_rowdot(M, M))
+
+
 @pandas_udf(DoubleType())
 def _dot_pd(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-vectorized batch dot product.
 
     Catalyst's higher-order functions are interpreted per element (no
     codegen), so for the PAIR-scoring hot path — millions of candidate pairs
-    × vector dim — a numpy einsum over the Arrow batch is ~5-10× faster.
-    Per-row expressions (norms, single-query scoring) stay JVM-side."""
+    × vector dim — a vectorized numpy fold over the Arrow batch is ~5-10×
+    faster.  Per-row expressions (norms, single-query scoring) stay
+    JVM-side.  Determinism (r15): the fold is det_rowdot's fixed dim-order
+    accumulation, not einsum — einsum's reduction uses CPU-dispatched SIMD
+    whose lane grouping can differ across hosts, the same environment-
+    variance class as the BLAS GEMM that broke q_graph_modularity in r14
+    (these dots feed round()+row_number in q_embed_matryoshka)."""
     import numpy as np
 
-    return pd.Series(np.einsum("ij,ij->i", np.stack(a.values), np.stack(b.values)))
+    return pd.Series(det_rowdot(np.stack(a.values), np.stack(b.values)))
 
 
 def _norm(c):
@@ -194,8 +241,12 @@ def _block_pairs(df):
             )
         ids = pdf["vec_id"].to_numpy()
         m = np.stack(pdf["emb"].values)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        cos = np.round(m @ m.T, 4)
+        # det_gram/det_norm, not BLAS: the rounded cosine feeds a >=
+        # threshold, so an environment-dependent 1-ulp GEMM difference at
+        # a 4-dp midpoint would flip a pair in/out of the result (the r14
+        # q_graph_modularity class, fixed repo-wide in r15).
+        m = m / det_norm(m)[:, None]
+        cos = np.round(det_gram(m, m), 4)
         ia, ib = np.triu_indices(len(ids), k=1)
         lo, hi = np.minimum(ids[ia], ids[ib]), np.maximum(ids[ia], ids[ib])
         keep = cos[ia, ib] >= PAIR_THRESHOLD
@@ -1255,8 +1306,12 @@ def q_sim_mmr(spark, sf_dir):
 
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         E = np.stack(pdf["emb"].to_numpy())
-        nrm = np.linalg.norm(E, axis=1)
-        sims = (E @ E.T) / np.outer(nrm, nrm)
+        # det_gram/det_norm, not BLAS: the rounded sims feed the MMR
+        # argmax selection (a rank), so environment-dependent GEMM ulps
+        # at a 4-dp midpoint would flip the chosen id (the r14
+        # q_graph_modularity class, fixed repo-wide in r15).
+        nrm = det_norm(E)
+        sims = det_gram(E, E) / np.outer(nrm, nrm)
         # half-away-from-zero to 4 dp — the F.round / DuckDB round convention
         # (np.round is half-even and WOULD diverge on exact .00005 ties)
         r = lambda x: np.floor(np.abs(x) * 1e4 + 0.5) * np.sign(x) / 1e4

@@ -41,7 +41,15 @@ def publish_parquet_atomic(df: DataFrame, cache: str) -> None:
     directory; two concurrent builders race harmlessly (the loser removes
     its temp and reads the winner's).  rename() is atomic on one
     filesystem — the check-then-overwrite pattern it replaces could serve
-    a torn cache to a concurrent session (r13 ADVICE)."""
+    a torn cache to a concurrent session (r13 ADVICE).
+
+    Only ENOTEMPTY/EEXIST on the rename mean "lost the race" (the winner's
+    populated directory is in the way); any other errno — permissions, a
+    stray file where the directory should be — is a REAL failure and
+    re-raises instead of silently leaving an empty cache dir for the
+    caller to read with a confusing downstream error (r14 ADVICE).  The
+    publish is verified by asserting ``_SUCCESS`` exists before return."""
+    import errno
     import shutil
     import uuid
 
@@ -53,8 +61,14 @@ def publish_parquet_atomic(df: DataFrame, cache: str) -> None:
         pass  # non-empty: another builder already published
     try:
         os.rename(tmp, cache)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    except OSError as exc:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if exc.errno not in (errno.ENOTEMPTY, errno.EEXIST):
+            raise  # genuine failure, not a concurrent-builder race
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        raise RuntimeError(
+            f"publish_parquet_atomic: no _SUCCESS in {cache} after publish"
+        )
 
 
 def widen(df: DataFrame, key: str) -> DataFrame:
