@@ -72,9 +72,11 @@ class _state_parallelism:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
 
 
-def _run_memory(spark, sdf, mode: str):
+def _run_memory(spark, sdf, mode: str, with_progress: bool = False):
     """Execute a streaming DF to completion into a memory sink; return the
-    result as a batch DataFrame."""
+    result as a batch DataFrame.  with_progress=True also returns the
+    query's progress events (one per micro-batch) so callers whose oracle
+    hard-codes batch structure can assert it loudly (r14 ADVICE)."""
     name = f"icsb_stream_{next(_uid)}"
     with _state_parallelism(spark):
         q = (
@@ -85,6 +87,9 @@ def _run_memory(spark, sdf, mode: str):
             .start()
         )
         q.awaitTermination()
+        progress = list(q.recentProgress)
+    if with_progress:
+        return spark.table(name), progress
     return spark.table(name)
 
 
@@ -2108,7 +2113,25 @@ def q_stream_late_audit(spark, sf_dir):
     src = os.path.join(wh, "src")
     ev = _late_audit_source(spark, sf_dir, src)
     agg = _late_audit_stream(spark, src, ev.schema)
-    out = _run_memory(spark, agg, "append")
+    out, progress = _run_memory(spark, agg, "append", with_progress=True)
+    # ORACLE-STRUCTURE GUARD (r14 ADVICE): the oracle hard-codes the
+    # micro-batch structure — maxFilesPerTrigger=1 over LATE_SPLIT
+    # mtime-ordered on-time quartiles, then the late tail LAST — plus the
+    # SPARK-40925 one-batch watermark lag.  Assert the replay actually ran
+    # as that structure (per-batch input-row sequence == the quartile
+    # sizes then the tail size) so a Spark batching/ordering change fails
+    # HERE with a message, not downstream as a bare driver hash mismatch.
+    n_total = ev.count()
+    n_late = ev.filter(F.col("event_id") % LATE_MOD == 0).count()
+    n_ontime = n_total - n_late
+    base, extra = divmod(n_ontime, LATE_SPLIT)
+    expected = [base + (1 if i < extra else 0) for i in range(LATE_SPLIT)] + [n_late]
+    got = [int(p["numInputRows"]) for p in progress if int(p["numInputRows"]) > 0]
+    assert got == expected, (
+        f"late-audit replay batch structure changed: per-batch input rows "
+        f"{got} != expected quartiles+tail {expected} — the oracle's "
+        f"batch-aligned drop rule no longer matches the stream"
+    )
     streamed = out.select(
         F.col("window.start").cast("string").alias("window_start"),
         F.col("n_streamed").cast("long").alias("n_streamed"),

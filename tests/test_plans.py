@@ -227,10 +227,37 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 "q_evt_pmi"}
 ROW_PYTHON_OK = {"q_udf_python", "q_udtf"}  # ops whose SUBJECT is Python eval
 
+# Float-determinism tripwire allowlist (VERDICT r14 item 4).  The bitten
+# class: a float reduction computed in a Python/Arrow stage (BLAS GEMM,
+# einsum, SIMD-dispatched numpy reductions) feeding a round(...) whose
+# output gates a rank — a 1-ulp environment-dependent difference at a 4-dp
+# midpoint flips the rank (r14 q_graph_modularity driver red; the reverted
+# Arrow dot experiment).  Any query whose physical plan contains a pandas
+# stage AND round AND a rank operator must appear here WITH a written
+# invariance argument; tests/test_float_determinism.py statically bans the
+# non-deterministic reduction spellings at the source level (det_gram /
+# det_rowdot are the sanctioned kernels).
+FLOAT_RANK_OK = {
+    # cos_full/cos_trunc computed by _dot_pd = det_rowdot: fixed
+    # dim-order elementwise multiply-adds (no einsum/BLAS), bit-identical
+    # on every CPU, same operation order as the JVM zip_with fold the
+    # oracle's list_cosine_similarity tracks.
+    "q_embed_matryoshka",
+    # candidate sims computed by det_gram/det_norm (fixed dim-order);
+    # the MMR argmax loop consumes pre-rounded (half-away-from-zero)
+    # values, so selection is a pure function of the invariant doubles.
+    "q_sim_mmr",
+}
+PANDAS_NODES = ("FlatMapGroupsInPandas", "FlatMapCoGroupsInPandas",
+                "MapInPandas", "ArrowEvalPython")
+RANK_TOKENS = ("row_number()", "rank(", "dense_rank", "TakeOrderedAndProject")
+
 
 def test_global_plan_hygiene(spark):
     """Every side-effect-free operator: no accidental cartesian product, no
-    accidental row-at-a-time Python in the plan."""
+    accidental row-at-a-time Python in the plan, and no UNADJUDICATED
+    pandas-stage float reduction feeding a round+rank (the float-
+    determinism tripwire, VERDICT r14 item 4 — see FLOAT_RANK_OK)."""
     qs = registry.queries()
     offenders = {}
     for name, fn in sorted(qs.items()):
@@ -244,6 +271,13 @@ def test_global_plan_hygiene(spark):
             bad.append("cartesian")
         if name not in ROW_PYTHON_OK and "BatchEvalPython" in p:
             bad.append("row-python")
+        if (
+            name not in FLOAT_RANK_OK
+            and any(n in p for n in PANDAS_NODES)
+            and "round(" in p
+            and any(t in p for t in RANK_TOKENS)
+        ):
+            bad.append("pandas-float-feeds-round+rank (adjudicate in FLOAT_RANK_OK)")
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
