@@ -219,8 +219,11 @@ TRACKED: list[str] = [
     # — standalone 3-pass medians ran 1.2-1.5x higher, /tmp/measure_r14*):
     # retrieval_eval pays the two probe-batch x corpus brute-force
     # directions (3.846 s), late_audit the 5-batch watermarked replay
-    # (3.498 s, stream-harness floor), dq_referential 7 distinct+anti
-    # pairs (1.963 s), ivf_pq_recall_eval the exact-L2 baseline + ADC
+    # (birth pin MOVED r15 to 4.704 s, median4 standalone — includes the
+    # r15 oracle-structure guard's two count jobs; BASELINE.md r15
+    # adjudication), dq_referential 7 FK edges (1.963 s; r15 restructure
+    # to one full-outer join + one agg per edge restored the level after
+    # the 1.37x drift flag — BASELINE.md), ivf_pq_recall_eval the exact-L2 baseline + ADC
     # funnel (2.551 s), index_update the delta encode + cataloged-index
     # search (1.88 s), topk_bounded the 4-batch changelog replay
     # (2.088 s), dq_uniqueness 8 key-count scans (1.552 s).

@@ -626,34 +626,43 @@ def q_dq_referential(spark, sf_dir):
     join, because parquet enforces no FKs (and neither does the reference
     catalog's metadata model).
 
-    Scale shape: both directions compare DISTINCT KEY SETS — each side
-    collapses map-side to its distinct keys first (|keys| rows, key
-    columns only), then one anti-join per direction; child/parent ROWS
-    never shuffle.  Output is always |edges| rows.
+    Scale shape (tightened in the r15 drift adjudication, BASELINE.md):
+    per edge, ONE child scan collapses map-side to per-key counts (so
+    n_child = sum(c) and the orphan direction share the scan), the parent
+    collapses to its distinct keys, and a single FULL OUTER join on the
+    key answers all three columns in one aggregate — orphans are child
+    keys with no parent row, childless parents are parent keys with no
+    child count.  No anti-join pair, no 1-row assembly joins; child and
+    parent ROWS never shuffle (keys only), output is always |edges| rows.
 
     Reference scope: no DQ surface in the reference facade
     (api/router/router.go:9-55); integrity sibling of q_dq_uniqueness."""
     arms = []
     for name, ct, ck, pt, pk in _FK_SPECS:
-        child = t(spark, sf_dir, ct)
-        ckeys = (
-            child.filter(F.col(ck).isNotNull())
-            .select(F.col(ck).alias("k"))
+        ckc = (
+            t(spark, sf_dir, ct)
+            .filter(F.col(ck).isNotNull())
+            .groupBy(F.col(ck).alias("k"))
+            .agg(F.count("*").alias("c"))
+        )
+        pkeys = (
+            t(spark, sf_dir, pt)
+            .select(F.col(pk).alias("k"))
             .distinct()
+            .withColumn("p", F.lit(1))
         )
-        pkeys = t(spark, sf_dir, pt).select(F.col(pk).alias("k")).distinct()
-        n_child = child.agg(F.count(ck).alias("n")).select(
-            F.lit(name).alias("fk"), F.col("n").cast("long").alias("n_child")
+        arms.append(
+            ckc.join(pkeys, "k", "full_outer").agg(
+                F.lit(name).alias("fk"),
+                F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_child"),
+                F.count(F.when(F.col("c").isNotNull() & F.col("p").isNull(), 1))
+                .cast("long")
+                .alias("n_orphan_keys"),
+                F.count(F.when(F.col("c").isNull(), 1))
+                .cast("long")
+                .alias("n_childless_parents"),
+            )
         )
-        orphans = ckeys.join(pkeys, "k", "left_anti").agg(
-            F.lit(name).alias("fk"),
-            F.count("*").cast("long").alias("n_orphan_keys"),
-        )
-        childless = pkeys.join(ckeys, "k", "left_anti").agg(
-            F.lit(name).alias("fk"),
-            F.count("*").cast("long").alias("n_childless_parents"),
-        )
-        arms.append(n_child.join(orphans, "fk").join(childless, "fk"))
     out = arms[0]
     for a in arms[1:]:
         out = out.unionByName(a)

@@ -203,11 +203,6 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 # 1-row count frames per FK rule; markov/skew distribute a
                 # 1-row grand-total into a bounded report frame
                 "q_dq_rules", "q_evt_markov", "q_meta_skew_audit",
-                # per-FK-edge report assembly: three 1-row aggregate frames
-                # (child count / orphan count / childless count) meet via
-                # BNLJ on a constant key — single-row build sides, map-only
-                # at any scale (the q_dq_rules _fk_rule shape)
-                "q_dq_referential",
                 # broadcast probe BATCH scored against one corpus scan —
                 # the exact-baseline side of the recall audit (the
                 # q_embed_matryoshka shape; the IVF side is equi-join)
