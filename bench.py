@@ -239,6 +239,17 @@ TRACKED: list[str] = [
     # modularity pays the LPA rounds + two label joins over the cached
     # kNN edges (1.765 s recorded birth baseline, r14_local_idle_94q)
     "q_graph_modularity",
+    # round-15 newborns (recorded birth baselines, birth_baselines.json
+    # from the r15 3-pass idle run): graph_search pays the beam rounds'
+    # localCheckpoints + the exact audit arm (3.954 s), bpe_apply the
+    # 8 merge rounds over the vocab symbol table + the doc readout join
+    # (4.221 s), drift_psi the 4-file ntile replay + per-batch bin aggs
+    # (4.36 s, stream-harness floor; was 23.6 s before the r15
+    # JVM-side-1-row-write fix — createDataFrame(local list).write costs
+    # ~5 s/call in this harness)
+    "q_sim_graph_search",
+    "q_tokenizer_bpe_apply",
+    "q_stream_drift_psi",
 ]
 
 

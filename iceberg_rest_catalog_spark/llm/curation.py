@@ -421,7 +421,10 @@ def _apply_merge(syms, wlead, lhs: str, rhs: str):
     )
 
 
-def _bpe_train(spark, sf_dir, n_merges: int = N_MERGES, batch_m: int = 1):
+def _bpe_train(
+    spark, sf_dir, n_merges: int = N_MERGES, batch_m: int = 1,
+    return_syms: bool = False,
+):
     """Core of q_text_bpe_train with the merge-round budget and the
     SELECTION BATCH SIZE as parameters (VERDICT r10 item 5).
 
@@ -531,11 +534,16 @@ def _bpe_train(spark, sf_dir, n_merges: int = N_MERGES, batch_m: int = 1):
             rows.append((step, lhs, rhs, lhs + rhs, fcnt, tokens))
         syms = syms.localCheckpoint()
 
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         rows,
         "step int, lhs string, rhs string, merged string,"
         " pair_freq long, tokens_after long",
     ).orderBy("step")
+    if return_syms:
+        # the post-merge (word, freq, pos, sym) table — q_tokenizer_bpe_apply
+        # consumes it as the trained segmentation of every corpus word
+        return out, syms
+    return out
 
 
 @query("q_text_bpe_train", oracle=_bpe_train_oracle())
@@ -574,6 +582,110 @@ def q_text_bpe_train(spark, sf_dir):
     completing the q_text_bpe_pairs -> q_text_bpe_train ->
     q_tokenizer_apply chain."""
     return _bpe_train(spark, sf_dir, N_MERGES, BPE_BATCH_M)
+
+
+def _bpe_apply_oracle() -> str:
+    """The q_text_bpe_train CTE chain extended one step: the final symbol
+    table s{N_MERGES} collapses to per-word token counts, which join back
+    onto the per-doc word multiset (the shared-oracle family documented
+    in tools/ORACLE_SIMILARITY.md)."""
+    ctes = [
+        """w AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE text IS NOT NULL)
+      WHERE word <> '' GROUP BY word),
+    s0 AS MATERIALIZED (
+      SELECT word, freq, i AS pos, substr(word, i, 1) AS sym
+      FROM w, LATERAL (SELECT unnest(generate_series(1, len(word))) AS i) g)"""
+    ]
+    for k in range(1, N_MERGES + 1):
+        ctes.append(_bpe_round_ctes(k))
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    wtok AS (SELECT word, count(*) AS k FROM s{N_MERGES} GROUP BY word),
+    dw AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE text IS NOT NULL)
+      WHERE word <> ''),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(k) AS BIGINT) AS n_bpe_tokens,
+             CAST(sum(len(word)) AS BIGINT) AS n_chars
+      FROM dw JOIN wtok USING (word) GROUP BY doc_id)
+    SELECT doc_id, n_words, n_bpe_tokens, n_chars,
+           ((n_bpe_tokens * 20000 + n_words) // (2 * n_words)) / 1e4
+             AS bpe_per_word,
+           ((n_chars * 20000 + n_bpe_tokens) // (2 * n_bpe_tokens)) / 1e4
+             AS chars_per_token
+    FROM agg ORDER BY doc_id"""
+    )
+
+
+@query("q_tokenizer_bpe_apply", oracle=_bpe_apply_oracle())
+def q_tokenizer_bpe_apply(spark, sf_dir):
+    """Apply the TRAINED BPE merge table to the corpus (VERDICT r14
+    item 6): q_text_bpe_train's merge table finally has a downstream
+    consumer — per document, the token count under the trained
+    {N_MERGES}-merge vocabulary, alongside the whitespace token count and
+    character count, plus the two ratios a tokenizer report quotes:
+    BPE tokens per whitespace word and characters per BPE token (the
+    compression the merges bought).  This is the fertility/compression
+    audit every tokenizer change ships with.
+
+    Scale shape: BPE segmentation is a pure function of the WORD, so the
+    corpus collapses once to the Heaps'-bounded distinct-word table, the
+    merge loop runs over that vocabulary (q_text_bpe_train's plan,
+    window functions only), and per-doc readout is one broadcast join of
+    the exploded doc words against the |vocab|-row token-count table +
+    one doc-keyed aggregate — corpus rows are touched exactly twice
+    (vocab build, readout join), never per merge round.  At 100 TB the
+    loop cost is unchanged (vocabulary-bounded); only the two linear
+    passes scale.
+
+    Ratios use the pure-LONG half-up form ((num*20000 + den) DIV
+    (2*den))/1e4 on both engines — fixture-size ratios land exactly on
+    4-dp midpoints where round() diverges cross-engine (the q_dq_rules
+    lesson).
+
+    Reference scope: no tokenizer surface in the reference facade
+    (api/router/router.go:9-55); completes the q_text_bpe_pairs ->
+    q_text_bpe_train -> q_tokenizer_bpe_apply chain (shared CTE family
+    with the train oracle, documented in tools/ORACLE_SIMILARITY.md)."""
+    _, syms = _bpe_train(spark, sf_dir, N_MERGES, BPE_BATCH_M, return_syms=True)
+    wtok = syms.groupBy("word").agg(F.count("*").alias("k"))
+    dw = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    agg = (
+        dw.join(F.broadcast(wtok), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("k").cast("long").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_bpe_tokens",
+        "n_chars",
+        (
+            F.expr("(n_bpe_tokens * 20000 + n_words) DIV (2 * n_words)") / 1e4
+        ).alias("bpe_per_word"),
+        (
+            F.expr("(n_chars * 20000 + n_bpe_tokens) DIV (2 * n_bpe_tokens)")
+            / 1e4
+        ).alias("chars_per_token"),
+    ).orderBy("doc_id")
 
 
 VOCAB_K = 64

@@ -1784,3 +1784,178 @@ def q_graph_modularity(spark, sf_dir):
         .orderBy(F.desc("n_nodes"), "community")
         .limit(MODULARITY_TOP)
     )
+
+
+# -- graph-ANN search over the kNN graph (VERDICT r14 item 5) -----------------
+
+GS_BEAM = 4    # beam width of the greedy best-first search
+GS_ROUNDS = 3  # fixed expansion rounds (unrolled in the oracle)
+
+
+def _graph_search_oracle() -> str:
+    """kNN-graph edges (_knn_edges_ctes) + the unrolled beam search
+    b0..b{GS_ROUNDS} + the exact brute-force arm + recall readout.
+    The probe stride is the SCALED recall_qstep_for twin
+    (SCALED_QSTEP_SQL): the batch pins at ~RECALL_TARGET_PROBES probes
+    so the exact audit arm stays one linear corpus scan as the corpus
+    grows (the q_sim_recall_eval round-9 lesson — a fixed stride made
+    the audit quadratic, 8.25x at x10)."""
+    from ..llm.similarity import SCALED_QSTEP_SQL
+
+    ctes = (
+        _knn_edges_ctes()
+        + f""",
+    p AS (SELECT vec_id AS qid, emb AS qe FROM e
+          WHERE vec_id % {SCALED_QSTEP_SQL} = 0),
+    b0 AS (SELECT qid, CAST({BFS_SRC} AS BIGINT) AS node FROM p)"""
+    )
+    for k in range(1, GS_ROUNDS + 1):
+        ctes += f""",
+    c{k} AS (
+      SELECT DISTINCT qid, node FROM (
+        SELECT qid, node FROM b{k - 1}
+        UNION ALL
+        SELECT b.qid, ed.v AS node
+        FROM b{k - 1} b JOIN edges ed ON ed.u = b.node)),
+    s{k} AS (
+      SELECT c.qid, c.node,
+             round(list_cosine_similarity(e2.emb, p.qe), 4) AS cos
+      FROM c{k} c JOIN e e2 ON e2.vec_id = c.node JOIN p ON p.qid = c.qid),
+    b{k} AS (
+      SELECT qid, node, cos FROM (
+        SELECT qid, node, cos,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, node) AS rk
+        FROM s{k}) WHERE rk <= {GS_BEAM})"""
+    return (
+        "WITH "
+        + ctes
+        + f""",
+    approx AS (
+      SELECT qid, node FROM (
+        SELECT qid, node,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, node) AS rk
+        FROM b{GS_ROUNDS} WHERE node <> qid) WHERE rk <= {BFS_K}),
+    exact AS (
+      SELECT qid, node FROM (
+        SELECT p.qid, a.vec_id AS node,
+               row_number() OVER (
+                 PARTITION BY p.qid
+                 ORDER BY round(list_cosine_similarity(a.emb, p.qe), 4) DESC,
+                          a.vec_id) AS rk
+        FROM p JOIN e a ON a.vec_id <> p.qid) WHERE rk <= {BFS_K}),
+    hits AS (
+      SELECT a.qid, count(*) AS h
+      FROM approx a JOIN exact x ON x.qid = a.qid AND x.node = a.node
+      GROUP BY a.qid)
+    SELECT p.qid AS q_vec_id,
+           CAST(coalesce(h.h, 0) AS INTEGER) AS n_hits,
+           round(coalesce(h.h, 0) * 1.0 / {BFS_K}, 4) AS recall
+    FROM p LEFT JOIN hits h ON h.qid = p.qid
+    ORDER BY q_vec_id"""
+    )
+
+
+@query("q_sim_graph_search", oracle=_graph_search_oracle())
+def q_sim_graph_search(spark, sf_dir):
+    """Graph-ANN search — the THIRD index paradigm next to IVF/IVF-PQ
+    (cell-routed) and Hamming (quantized scan): greedy best-first BEAM
+    search over the cached symmetrized kNN graph (the HNSW/DiskANN layer-0
+    shape), audited by recall@{BFS_K} against the exact brute force run
+    alongside (the q_sim_recall_eval discipline — approximate results
+    without a recall number are not results).  Every probe (vec_id %
+    recall_qstep_for(count) == 0 — the SCALED stride, so the probe batch
+    pins at ~RECALL_TARGET_PROBES and the exact audit arm stays one
+    linear corpus scan at any corpus size) starts at the deterministic
+    entry node {BFS_SRC};
+    each of the {GS_ROUNDS} fixed rounds expands the beam's out-edges,
+    scores candidates on the 4dp-ROUNDED cosine (id tiebreak), and keeps
+    the top {GS_BEAM} — fixed rounds instead of a convergence test keep
+    the plan static and the oracle expressible (the BFS/LPA contract).
+
+    Scale shape: the search NEVER scans the corpus — per round the
+    frontier is |probes| x {GS_BEAM} rows, neighbor expansion is an
+    equi-join against the degree-bounded edge list (<= 2x{BFS_K} per
+    node), and scoring joins candidate ids back to their vectors by id
+    (|probes| x {GS_BEAM} x deg rows per round, corpus-independent) —
+    this bounded-frontier walk is exactly why production vector stores
+    converged on graph search.  The edge build is amortized by the
+    durable kNN edge cache (sixth consumer family; scoring-version-keyed
+    since r15).  The exact arm is the deliberate broadcast-probe-batch x
+    one-corpus-scan ground truth (the q_embed_matryoshka /
+    q_sim_recall_eval shape) — it is the audit, not the search.  At
+    100 TB: probes stay a fixed batch, the beam walk touches
+    O(|probes| x beam x deg x rounds) rows total, and only the audit arm
+    is corpus-linear.
+
+    All pair scoring is the JVM zip_with fold (environment-invariant;
+    the r15 determinism contract) with both engines ranking the rounded
+    value — beam membership is bit-stable across engines.
+
+    Reference scope: no vector surface in the reference facade
+    (api/router/router.go:9-55); composes _knn_edges (shared cache) with
+    the recall-audit harness."""
+    from pyspark.sql import Window
+
+    from ..llm.similarity import _cos, _emb_count, recall_qstep_for
+    from .common import r4
+
+    qstep = recall_qstep_for(_emb_count(spark, sf_dir))
+    e, edges = _knn_edges(spark, sf_dir)
+    emb = e.select("vec_id", "emb")
+    probes = emb.filter(F.col("vec_id") % qstep == 0).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qe")
+    )
+    beam = probes.select("qid", F.lit(BFS_SRC).cast("long").alias("node"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "node")
+    for _ in range(GS_ROUNDS):
+        nbr = beam.join(edges, beam["node"] == edges["u"]).select(
+            "qid", F.col("v").alias("node")
+        )
+        cand = beam.select("qid", "node").unionAll(nbr).distinct()
+        scored = (
+            cand.join(emb, cand["node"] == emb["vec_id"])
+            .join(F.broadcast(probes), "qid")
+            .select("qid", "node", r4(_cos(F.col("emb"), F.col("qe"))).alias("cos"))
+        )
+        beam = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= GS_BEAM)
+            .select("qid", "node", "cos")
+            .localCheckpoint()
+        )
+    approx = (
+        beam.filter(F.col("node") != F.col("qid"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BFS_K)
+        .select("qid", "node")
+    )
+    exact = (
+        F.broadcast(probes)
+        .join(emb)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("node"),
+            r4(_cos(F.col("emb"), F.col("qe"))).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BFS_K)
+        .select("qid", "node")
+    )
+    hits = (
+        approx.join(exact, ["qid", "node"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("h"))
+    )
+    return (
+        probes.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            F.col("qid").alias("q_vec_id"),
+            F.coalesce("h", F.lit(0)).cast("int").alias("n_hits"),
+            F.round(F.coalesce("h", F.lit(0)) * 1.0 / BFS_K, 4).alias("recall"),
+        )
+        .orderBy("q_vec_id")
+    )

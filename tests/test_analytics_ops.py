@@ -3719,3 +3719,128 @@ def test_publish_parquet_atomic_race(spark, tmp_path):
     assert os.path.exists(os.path.join(cache, "_SUCCESS"))
     assert spark.read.parquet(cache).count() == 10  # first writer won
     assert not glob.glob(cache + ".tmp-*")  # loser cleaned up its temp
+
+
+# -- round-15 newborns ---------------------------------------------------------
+
+
+def test_graph_search_recall_bounds_and_beam_contract(spark, qs):
+    """q_sim_graph_search: every probe reports, recall in {0, 1/3, 2/3, 1},
+    and the beam walk can never claim MORE hits than the beam holds."""
+    rows = qs["q_sim_graph_search"](spark, SF).collect()
+    from iceberg_rest_catalog_spark.llm.similarity import (
+        _emb_count,
+        recall_qstep_for,
+    )
+    from iceberg_rest_catalog_spark.operators.graph import BFS_K, GS_BEAM
+
+    qstep = recall_qstep_for(_emb_count(spark, SF))
+    assert len(rows) > 0 and len(rows) == len({r.q_vec_id for r in rows})
+    assert all(r.q_vec_id % qstep == 0 for r in rows)
+    for r in rows:
+        assert 0 <= r.n_hits <= min(BFS_K, GS_BEAM)
+        assert abs(r.recall - round(r.n_hits / BFS_K, 4)) < 1e-9
+
+
+def test_graph_search_beats_random_on_connected_component(spark, qs):
+    """The walk is only useful if it finds SOME true neighbors: assert
+    nonzero aggregate recall (entry node 0's component covers part of the
+    probe set; a recall of exactly 0 everywhere means the search is
+    broken, not that the fixture is adversarial)."""
+    rows = qs["q_sim_graph_search"](spark, SF).collect()
+    assert sum(r.n_hits for r in rows) > 0
+
+
+def test_bpe_apply_conserves_token_mass(spark, qs):
+    """q_tokenizer_bpe_apply: sum of per-doc BPE tokens equals
+    q_text_bpe_train's final tokens_after (same corpus, same merges) —
+    the composition contract between train and apply; and per doc
+    n_words <= n_bpe_tokens <= n_chars (merges only fuse within words)."""
+    apply_rows = qs["q_tokenizer_bpe_apply"](spark, SF).collect()
+    train_rows = qs["q_text_bpe_train"](spark, SF).collect()
+    assert sum(r.n_bpe_tokens for r in apply_rows) == train_rows[-1].tokens_after
+    for r in apply_rows:
+        assert r.n_words <= r.n_bpe_tokens <= r.n_chars
+        assert r.bpe_per_word >= 1.0 and r.chars_per_token >= 1.0
+
+
+def test_psi_fold_is_zero_on_identical_and_fires_on_shifted():
+    """_psi_fold: PSI of a histogram against itself is exactly 0; a
+    hard-shifted distribution exceeds the 0.2 action threshold; PSI is
+    always >= 0 (each term (p-q)ln(p/q) is sign-aligned)."""
+    from iceberg_rest_catalog_spark.streaming.queries import (
+        PSI_ALERT,
+        PSI_BINS,
+        _psi_fold,
+    )
+
+    ref = {b: 100 for b in range(PSI_BINS)}
+    same = _psi_fold(dict(ref), 100 * PSI_BINS, ref, 100 * PSI_BINS)
+    assert same == 0.0
+    shifted = {b: (1000 if b == 0 else 0) for b in range(PSI_BINS)}
+    hot = _psi_fold(shifted, 1000, ref, 100 * PSI_BINS)
+    assert hot > PSI_ALERT
+    skew = {b: 100 + 40 * b for b in range(PSI_BINS)}
+    mild = _psi_fold(skew, sum(skew.values()), ref, 100 * PSI_BINS)
+    assert mild >= 0.0
+
+
+def test_stream_drift_psi_crash_resume(spark, qs, tmp_path):
+    """Exactly-once proof for the PSI changelog (the r13/r14 newborn
+    discipline): kill the stream after a batch's PSI row is written,
+    RESTART from the same checkpoint — the replayed batch OVERWRITES its
+    own sink/batch=<id> row, so the final ledger equals the uninterrupted
+    registered run's."""
+    import os
+
+    from iceberg_rest_catalog_spark.streaming.queries import (
+        _psi_reference,
+        _psi_source,
+        _psi_writer,
+        _state_parallelism,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    expected = _psi_source(spark, SF, src)
+    ref, rtot = _psi_reference(spark, SF)
+    inner = _psi_writer(spark, sink, ref, rtot)
+
+    def run(crash_on):
+        def fb(df, bid):
+            inner(df, bid)
+            if crash_on is not None and bid >= crash_on:
+                raise RuntimeError("injected crash after the batch write")
+
+        with _state_parallelism(spark):
+            q = (
+                spark.readStream.schema("bin int")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(fb)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+                assert crash_on is None, "armed run must crash"
+            except Exception:
+                assert crash_on is not None, "only the armed run may fail"
+
+    run(crash_on=1)  # batch 0 committed; batch 1 written then crashed
+    run(crash_on=None)  # resume: batch 1 replays, overwrite dedups
+    res = (
+        spark.read.parquet(os.path.join(sink, "batch=*"))
+        .orderBy("batch_seq")
+        .collect()
+    )
+    assert [r.n_rows for r in res] == expected  # no double-counted batch
+    ledger = {(r.batch_seq, r.n_rows, r.psi, r.alert) for r in res}
+    want = {
+        (r.batch_seq, r.n_rows, r.psi, r.alert)
+        for r in qs["q_stream_drift_psi"](spark, SF).collect()
+    }
+    assert ledger == want

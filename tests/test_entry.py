@@ -23,7 +23,7 @@ def test_queries_collect_without_spark_session():
         # exact-count pin (VERDICT r9 item 7): a module import that silently
         # fails to register its queries trips this loudly; bump on every
         # operator addition.
-        "assert len(qs) == 382, len(qs)\n"
+        "assert len(qs) == 385, len(qs)\n"
         "assert set(osql) <= set(qs), sorted(set(osql) - set(qs))\n"
         "print('OK', len(qs), len(osql))\n" % REPO
     )
@@ -497,4 +497,45 @@ def test_round14_window_head_is_newborns_then_stale_block():
     assert ids[:n] == R14_NEW_OPS and all(q not in last_seen for q in R14_NEW_OPS)
     # the green remainder is (last_seen, id)-ordered
     tail = ids[n:50]
+    assert tail == sorted(tail, key=lambda q: (last_seen[q], q))
+
+
+R15_NEW_OPS: list[str] = [
+    "q_stream_drift_psi",
+    "q_sim_graph_search",
+    "q_tokenizer_bpe_apply",
+]
+
+
+def test_round15_window_head_is_newborns_then_red_then_stale():
+    """Concrete pin of the round-15 rotation (only while r14 is the newest
+    committed artifact): round-15 newborns lead (never-checked, module
+    registration order); the single r14 red row (q_graph_modularity —
+    fixed this round by the deterministic edge scoring) comes next so the
+    driver re-checks it first; then green oldest-evidence-first.
+    Regenerate per round."""
+    import glob as _glob
+    import re as _re
+
+    sys.path.insert(0, REPO)
+    newest = max(
+        int(_re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
+        for p in _glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    )
+    if newest != 14:
+        import pytest
+
+        pytest.skip(f"rotation pin written against r14 artifacts (newest: r{newest})")
+
+    import __spark_entry__ as e
+    from iceberg_rest_catalog_spark import registry
+
+    ids = list(e.queries())
+    last_seen, failed = registry.driver_evidence()
+    assert failed == frozenset({"q_graph_modularity"})  # the r14 red row
+    n = len(R15_NEW_OPS)
+    assert ids[:n] == R15_NEW_OPS and all(q not in last_seen for q in R15_NEW_OPS)
+    assert ids[n] == "q_graph_modularity"  # red re-checks before stale greens
+    # the green remainder is (last_seen, id)-ordered
+    tail = ids[n + 1 : 50]
     assert tail == sorted(tail, key=lambda q: (last_seen[q], q))

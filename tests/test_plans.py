@@ -207,6 +207,9 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 # the exact-baseline side of the recall audit (the
                 # q_embed_matryoshka shape; the IVF side is equi-join)
                 "q_sim_recall_eval",
+                # same broadcast probe-batch exact-baseline arm; the beam
+                # search itself is equi-joins on node id (r15)
+                "q_sim_graph_search",
                 # broadcast ivf_cells_for-row centroid assignment (the
                 # q_sim_knn_batch shape); the candidate stage is equi-join
                 "q_sim_range_ivf",
