@@ -250,6 +250,11 @@ TRACKED: list[str] = [
     "q_sim_graph_search",
     "q_tokenizer_bpe_apply",
     "q_stream_drift_psi",
+    # round-15 wave 2: bootstrap pays the explode-x16 weighted aggregate
+    # (2.532 s recorded birth baseline, birth_baselines.json r15 wave-2);
+    # q_ts_periodogram (0.85 s) and q_evt_sprt (0.73 s) are
+    # overhead-bound at sf0.1 — not tracked, the q_ts_ewma precedent.
+    "q_sample_bootstrap",
 ]
 
 

@@ -1307,3 +1307,140 @@ def q_doc_shard_pack(spark, sf_dir):
         )
         .orderBy("source", "shard")
     )
+
+
+# -- round-15 wave 2: deterministic Poisson bootstrap --------------------------
+
+BOOT_B = 16  # bootstrap replicas
+# Exact Poisson(1) CDF thresholds (e^-1 * sum 1/k!), written as full-
+# precision literals so both engines parse the IDENTICAL doubles; the
+# weight is the count of a row's appearances in a replica (Poisson
+# bootstrap: multinomial resampling decomposes to independent Poisson(1)
+# counts when n is large — Chamandy et al., "Estimating Uncertainty for
+# Massive Data Streams", Google 2012).
+_POISSON_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+)
+_HASH_SCALE = 4294967296.0  # 2^32: one 8-hex md5 slice -> uniform
+# One md5 per (row, salt) yields FOUR independent 32-bit uniforms (128
+# bits / 32): replica b reads slice (b%4) of md5(id:b//4) — 4 hashes per
+# row instead of 16 (strictly less work; measured secondary to the
+# row-volume term below).
+
+
+def _boot_weight_sql(u: str) -> str:
+    """CASE ladder mapping a uniform [0,1) value to a Poisson(1) count."""
+    arms = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POISSON_CDF)
+    )
+    return f"CASE {arms} ELSE 5 END"
+
+
+@query(
+    "q_sample_bootstrap",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, value FROM events WHERE value IS NOT NULL),
+    rep AS (
+      SELECT b.b, e.value,
+             ('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || ':'
+                                 || CAST(b.b // 4 AS VARCHAR)),
+                             (b.b % 4) * 8 + 1, 8))::BIGINT
+               / {_HASH_SCALE} AS u
+      FROM ev e
+      CROSS JOIN (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b) b),
+    reps AS (
+      SELECT b, sum(wt * value) / sum(wt) AS rm
+      FROM (SELECT b, value, {_boot_weight_sql("u")} AS wt FROM rep)
+      GROUP BY b),
+    stats AS (
+      SELECT avg(rm) AS bm, stddev_samp(rm) AS bs,
+             min(rm) AS lo, max(rm) AS hi
+      FROM reps),
+    pt AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(value) AS pm FROM ev)
+    SELECT n, round(pm, 4) AS point_mean, round(bm, 4) AS boot_mean,
+           round(bs, 4) AS boot_sd, round(lo, 4) AS ci_lo,
+           round(hi, 4) AS ci_hi
+    FROM pt CROSS JOIN stats
+    """,
+)
+def q_sample_bootstrap(spark, sf_dir):
+    """DETERMINISTIC Poisson bootstrap of the mean event value: every
+    (row, replica) pair draws its resample count from the exact
+    Poisson(1) CDF evaluated at a portable md5-derived uniform — the
+    error bar every pipeline metric should ship with, computed WITHOUT
+    randomness (re-runs and both engines agree bit-for-bit on every
+    weight) and WITHOUT data movement (no resampled copies of the data
+    exist — only weights).  Reports the point estimate, the
+    {BOOT_B}-replica bootstrap mean and sd, and the replica envelope
+    [min, max] as the CI (at B={BOOT_B} the percentile bootstrap's
+    2.5/97.5 cut IS the envelope).
+
+    Poisson bootstrap (Chamandy et al. 2012): for large n the
+    multinomial resample factorizes into independent Poisson(1) counts
+    per row, which is exactly what makes it single-pass and
+    shuffle-free — the estimator never needs to know n in advance.
+
+    Scale shape: ONE corpus scan exploded x{BOOT_B} (map-side, no
+    pre-shuffle), map-combined into {BOOT_B} (sum wx, sum w) partials —
+    the only shuffle moves {BOOT_B} x |partitions| partial rows; replica
+    stats are a {BOOT_B}-row aggregate.  At 100 TB this is the textbook
+    streaming-bootstrap plan: linear scan, constant state.
+
+    Reference scope: no sampling surface in the reference facade
+    (api/router/router.go:9-55); uncertainty sibling of q_sample_hash /
+    q_evt_error_rate_ci."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "value")
+    )
+    # Plan-shape note (measured r15, 3-pass medians at sf0.1): the
+    # explode-x{BOOT_B} + 16-group hash aggregate form runs 2.4 s; a
+    # "wide" variant computing all 16 weights as projection columns over
+    # one scan measured 2.8 s, and binding the uniforms to columns first
+    # 6.1 s — CollapseProject re-inlines such bindings, so the CASE
+    # ladder's repeated hash expression cannot be CSE'd away by hand and
+    # the exploded form's map-side-combined aggregate is simply the
+    # cheapest evaluation schedule.  Kept: explode.
+    rep = ev.select(
+        "value",
+        F.explode(F.array(*[F.lit(b) for b in range(BOOT_B)])).alias("b"),
+        "event_id",
+    ).select(
+        "b",
+        "value",
+        (
+            F.expr(
+                "CAST(conv(substring(md5(concat(CAST(event_id AS STRING),"
+                " ':', CAST(b DIV 4 AS STRING))), (b % 4) * 8 + 1, 8),"
+                " 16, 10) AS BIGINT)"
+            )
+            / _HASH_SCALE
+        ).alias("u"),
+    )
+    w = rep.withColumn("wt", F.expr(_boot_weight_sql("u")))
+    reps = w.groupBy("b").agg(
+        (F.sum(F.col("wt") * F.col("value")) / F.sum("wt")).alias("rm")
+    )
+    stats = reps.agg(
+        F.avg("rm").alias("bm"),
+        F.stddev_samp("rm").alias("bs"),
+        F.min("rm").alias("lo"),
+        F.max("rm").alias("hi"),
+    )
+    pt = ev.agg(
+        F.count("*").cast("long").alias("n"), F.avg("value").alias("pm")
+    )
+    return pt.crossJoin(F.broadcast(stats)).select(
+        "n",
+        F.round("pm", 4).alias("point_mean"),
+        F.round("bm", 4).alias("boot_mean"),
+        F.round("bs", 4).alias("boot_sd"),
+        F.round("lo", 4).alias("ci_lo"),
+        F.round("hi", 4).alias("ci_hi"),
+    )

@@ -3780,3 +3780,215 @@ def q_evt_srm_check(spark, sf_dir):
         F.round(chi2, 4).alias("chi2"),
         (chi2 > 3.8415).alias("srm_flag"),
     )
+
+
+# -- round-15 wave 2: periodicity detection + sequential testing ---------------
+
+PERIODOGRAM_PERIODS = (6, 12, 24, 168)  # candidate periods, hours
+
+
+@query(
+    "q_ts_periodogram",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hh, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY hh),
+    idx AS (
+      SELECT datediff('hour', min(hh) OVER (), hh) AS tt,
+             CAST(n AS DOUBLE) - avg(n) OVER () AS x
+      FROM hourly),
+    terms AS (
+      SELECT p.p,
+             sum(x * cos(2 * pi() * tt / p.p)) AS sc,
+             sum(x * sin(2 * pi() * tt / p.p)) AS ss
+      FROM idx CROSS JOIN (SELECT unnest([{", ".join(str(p) for p in PERIODOGRAM_PERIODS)}]) AS p) p
+      GROUP BY p.p),
+    pw AS (
+      SELECT p, sc * sc + ss * ss AS power,
+             sum(sc * sc + ss * ss) OVER () AS tot
+      FROM terms)
+    SELECT CAST(p AS INTEGER) AS period_hours,
+           round(power / tot, 4) AS power_share,
+           CAST(row_number() OVER (ORDER BY round(power / tot, 4) DESC, p) = 1
+                AS INTEGER) AS dominant
+    FROM pw ORDER BY period_hours
+    """,
+)
+def q_ts_periodogram(spark, sf_dir):
+    """Periodicity detection over the hourly event-count series: the
+    discrete-Fourier power at {len(PERIODOGRAM_PERIODS)} candidate
+    periods ({', '.join(str(p) for p in PERIODOGRAM_PERIODS)} hours),
+    reported as the SHARE of total candidate power plus the dominant
+    flag — the spectral cousin of q_ts_autocorr (lag correlations ask
+    "does lag p predict"; the periodogram asks "which cycle carries the
+    energy"), and the check that picks the seasonal window before
+    configuring a forecast or an anomaly baseline.
+
+    Power_p = (sum x_t cos(2*pi*t/p))^2 + (sum x_t sin(2*pi*t/p))^2 over
+    the MEAN-CENTERED series (no DC leakage).  The dominant flag is a
+    pure function of the ROUNDED shares (rank on round(share,4) with the
+    period tiebreak), so it adds no cross-engine float-rank exposure
+    beyond the shares themselves.
+
+    Scale shape: the corpus collapses map-side to |hours| rows (time-
+    bounded, not data-bounded — 720 rows for a 30-day window at ANY
+    corpus size); the projection onto {len(PERIODOGRAM_PERIODS)}
+    candidate frequencies is a bounded explode of that tiny frame + one
+    grouped sum.  At 100 TB the only corpus-linear cost is the first
+    map-combined hour aggregate.
+
+    Reference scope: no analytics surface in the reference facade
+    (api/router/router.go:9-55); spectral sibling of q_ts_autocorr /
+    q_ts_decompose."""
+    import math
+
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hh")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    whole = Window.orderBy("hh").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    idx = hourly.select(
+        (
+            (F.unix_timestamp("hh") - F.unix_timestamp(F.min("hh").over(whole)))
+            / 3600
+        ).cast("long").alias("tt"),
+        (F.col("n").cast("double") - F.avg("n").over(whole)).alias("x"),
+    )
+    two_pi = 2 * math.pi
+    terms = (
+        idx.select(
+            "tt", "x", F.explode(F.array(*[F.lit(p) for p in PERIODOGRAM_PERIODS])).alias("p")
+        )
+        .groupBy("p")
+        .agg(
+            F.sum(F.col("x") * F.cos(F.lit(two_pi) * F.col("tt") / F.col("p"))).alias("sc"),
+            F.sum(F.col("x") * F.sin(F.lit(two_pi) * F.col("tt") / F.col("p"))).alias("ss"),
+        )
+    )
+    pwin = Window.orderBy("p").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pw = terms.select(
+        "p",
+        (F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss")).alias("power"),
+        F.sum(F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss"))
+        .over(pwin)
+        .alias("tot"),
+    )
+    dwin = Window.orderBy(F.desc(F.round(F.col("power") / F.col("tot"), 4)), "p")
+    return pw.select(
+        F.col("p").cast("int").alias("period_hours"),
+        F.round(F.col("power") / F.col("tot"), 4).alias("power_share"),
+        (F.row_number().over(dwin) == 1).cast("int").alias("dominant"),
+    ).orderBy("period_hours")
+
+
+SPRT_LIFT = 0.25      # H1: p1 = p0 * (1 + SPRT_LIFT)
+SPRT_BOUND = 2.9444   # ln(19): alpha = beta = 0.05 Wald boundaries (4dp)
+
+
+@query(
+    "q_evt_sprt",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS arm_b,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events WHERE user_id IS NOT NULL),
+    pars AS (
+      SELECT sum(conv) * 1.0 / count(*) AS p0,
+             least(sum(conv) * 1.0 / count(*) * {1 + SPRT_LIFT}, 0.999) AS p1
+      FROM e),
+    daily AS (
+      SELECT d, CAST(sum(arm_b) AS BIGINT) AS n_b,
+             CAST(sum(arm_b * conv) AS BIGINT) AS c_b
+      FROM e GROUP BY d),
+    cum AS (
+      SELECT d, sum(n_b) OVER (ORDER BY d) AS n, sum(c_b) OVER (ORDER BY d) AS c
+      FROM daily),
+    llr AS (
+      SELECT d, n, c,
+             round(c * ln(p1 / p0) + (n - c) * ln((1 - p1) / (1 - p0)), 4)
+               AS llr
+      FROM cum CROSS JOIN pars)
+    SELECT CAST(d AS VARCHAR) AS day,
+           CAST(n AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_conv,
+           llr,
+           CASE WHEN llr >= {SPRT_BOUND} THEN 'reject_h0'
+                WHEN llr <= -{SPRT_BOUND} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM llr ORDER BY day
+    """,
+)
+def q_evt_sprt(spark, sf_dir):
+    """Sequential probability ratio test (Wald SPRT) on the treatment
+    arm's conversion rate, monitored DAY BY DAY — the fourth member of
+    the experimentation family (q_evt_srm_check validates the split,
+    q_evt_ab_test / q_evt_cuped read the metric, the SPRT decides WHEN
+    to stop): per day the cumulative log-likelihood ratio of H1
+    (p1 = p0 * {1 + SPRT_LIFT}) vs H0 (p0 = the pooled conversion rate)
+    over the arm's Bernoulli trials, with the Wald +-ln(19) boundaries
+    (alpha = beta = 0.05) mapped to reject_h0 / accept_h0 / continue.
+    On this A/A-style parity split the path should hug 'continue'/
+    'accept' — the calibration read.
+
+    LLR_d = c_d * ln(p1/p0) + (n_d - c_d) * ln((1-p1)/(1-p0)) — the two
+    log factors are computed ONCE from the 1-row parameter frame and the
+    daily path is exact-integer counts times those constants, so the
+    only float risk is the final 4dp round (decisions compare the
+    ROUNDED value to the 4dp boundary literal on both engines).
+
+    Scale shape: corpus -> one map-combined (day, arm) aggregate
+    (|days| rows), one |days|-row running-sum window, and a 1-row
+    parameter broadcast (the q_tpch_q22 scalar-distribution shape).  At
+    100 TB only the first aggregate is corpus-linear.
+
+    Reference scope: no analytics surface in the reference facade
+    (api/router/router.go:9-55)."""
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.col("ts").cast("timestamp").cast("date").alias("d"),
+            F.when(F.col("user_id") % 2 == 1, 1).otherwise(0).alias("arm_b"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+        )
+    )
+    pars = e.agg(
+        (F.sum("conv") * 1.0 / F.count("*")).alias("p0"),
+        F.least(
+            F.sum("conv") * 1.0 / F.count("*") * (1 + SPRT_LIFT), F.lit(0.999)
+        ).alias("p1"),
+    )
+    daily = e.groupBy("d").agg(
+        F.sum("arm_b").cast("long").alias("n_b"),
+        F.sum(F.col("arm_b") * F.col("conv")).cast("long").alias("c_b"),
+    )
+    cw = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "d",
+        F.sum("n_b").over(cw).alias("n"),
+        F.sum("c_b").over(cw).alias("c"),
+    )
+    llr_col = F.round(
+        F.col("c") * F.log(F.col("p1") / F.col("p0"))
+        + (F.col("n") - F.col("c"))
+        * F.log((1 - F.col("p1")) / (1 - F.col("p0"))),
+        4,
+    )
+    out = cum.crossJoin(F.broadcast(pars)).withColumn("llr", llr_col)
+    return out.select(
+        F.col("d").cast("string").alias("day"),
+        F.col("n").cast("long").alias("n_events"),
+        F.col("c").cast("long").alias("n_conv"),
+        "llr",
+        F.when(F.col("llr") >= SPRT_BOUND, "reject_h0")
+        .when(F.col("llr") <= -SPRT_BOUND, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    ).orderBy("day")

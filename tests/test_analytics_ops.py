@@ -3844,3 +3844,42 @@ def test_stream_drift_psi_crash_resume(spark, qs, tmp_path):
         for r in qs["q_stream_drift_psi"](spark, SF).collect()
     }
     assert ledger == want
+
+
+def test_periodogram_shares_sum_to_one_single_dominant(spark, qs):
+    rows = qs["q_ts_periodogram"](spark, SF).collect()
+    from iceberg_rest_catalog_spark.operators.events import PERIODOGRAM_PERIODS
+
+    assert [r.period_hours for r in rows] == sorted(PERIODOGRAM_PERIODS)
+    assert abs(sum(r.power_share for r in rows) - 1.0) < 1e-2  # 4dp rounding
+    assert sum(r.dominant for r in rows) == 1
+    best = max(rows, key=lambda r: (r.power_share, -r.period_hours))
+    assert next(r for r in rows if r.dominant).power_share == best.power_share
+
+
+def test_sprt_path_is_cumulative_and_decisions_match_bound(spark, qs):
+    rows = qs["q_evt_sprt"](spark, SF).collect()
+    from iceberg_rest_catalog_spark.operators.events import SPRT_BOUND
+
+    assert len(rows) >= 28  # ~a month of days
+    n_prev = c_prev = 0
+    for r in rows:
+        assert r.n_conv <= r.n_events
+        assert r.n_events >= n_prev and r.n_conv >= c_prev  # cumulative
+        n_prev, c_prev = r.n_events, r.n_conv
+        want = (
+            "reject_h0"
+            if r.llr >= SPRT_BOUND
+            else "accept_h0" if r.llr <= -SPRT_BOUND else "continue"
+        )
+        assert r.decision == want
+
+
+def test_bootstrap_envelope_brackets_the_point_estimate(spark, qs):
+    (r,) = qs["q_sample_bootstrap"](spark, SF).collect()
+    assert r.ci_lo <= r.boot_mean <= r.ci_hi
+    assert r.ci_lo <= r.point_mean <= r.ci_hi  # B=16 envelope is wide enough
+    assert r.boot_sd > 0
+    # deterministic: a second run returns the identical row
+    (r2,) = qs["q_sample_bootstrap"](spark, SF).collect()
+    assert r == r2

@@ -210,6 +210,10 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 # same broadcast probe-batch exact-baseline arm; the beam
                 # search itself is equi-joins on node id (r15)
                 "q_sim_graph_search",
+                # 1-row broadcast build sides (SPRT parameter frame /
+                # bootstrap replica-stats frame): the q_tpch_q22
+                # scalar-distribution shape, map-only at any scale (r15)
+                "q_evt_sprt", "q_sample_bootstrap",
                 # broadcast ivf_cells_for-row centroid assignment (the
                 # q_sim_knn_batch shape); the candidate stage is equi-join
                 "q_sim_range_ivf",
