@@ -255,6 +255,11 @@ TRACKED: list[str] = [
     # q_ts_periodogram (0.85 s) and q_evt_sprt (0.73 s) are
     # overhead-bound at sf0.1 — not tracked, the q_ts_ewma precedent.
     "q_sample_bootstrap",
+    # round-15 wave 3: filtered ANN pays the IVF assignment + candidate
+    # label join (2.466 s recorded birth baseline, birth_baselines.json
+    # r15 wave-3); q_evt_did (0.83 s) and q_dq_freshness (0.79 s) are
+    # overhead-bound — not tracked.
+    "q_sim_ann_ivf_filtered",
 ]
 
 

@@ -626,6 +626,75 @@ def _ann_ivf(
     )
 
 
+FILTER_LABEL = 3  # the metadata predicate of the filtered ANN search
+
+_IVF_FILTERED_ORACLE = f"""
+WITH {ivf_ranked_ctes()}
+SELECT a.vec_id, lbl.label, a.cell,
+       round(list_cosine_similarity(a.emb, p.qe), 4) AS cos
+FROM probed p
+JOIN assigned a USING (cell)
+JOIN embeddings lbl ON lbl.vec_id = a.vec_id
+WHERE p.q_vec_id = {QUERY_VEC_ID} AND a.vec_id <> {QUERY_VEC_ID}
+  AND lbl.label = {FILTER_LABEL}
+ORDER BY cos DESC, a.vec_id
+LIMIT {TOP_K}
+"""
+
+
+@query("q_sim_ann_ivf_filtered", oracle=_IVF_FILTERED_ORACLE)
+def q_sim_ann_ivf_filtered(spark, sf_dir):
+    """FILTERED vector search — top-{TOP_K} under a metadata predicate
+    (label = {FILTER_LABEL}), the production feature every vector store
+    grew in the RAG era: "nearest neighbours among documents matching a
+    filter".  This is the PRE-FILTER strategy: the predicate applies to
+    the probed cells' candidates BEFORE ranking, so the returned k are
+    the true filtered top-k of the probed region — unlike post-filtering
+    an unfiltered top-k, which silently returns fewer (or zero) rows at
+    selective predicates (the classic filtered-ANN failure; at ~10%
+    selectivity here a post-filter of top-{TOP_K} would keep ~1 row).
+
+    Scale shape: inherits q_sim_ann_ivf's geometry (scaled cell count,
+    flat/two-level assignment, broadcast <=N_PROBE probe frame, cell
+    equi-join); the label join applies to the CANDIDATE rows (the
+    ~N_PROBE/n_cells corpus fraction), not the corpus, and the finisher
+    is TakeOrdered on the rounded cosine.  In a production index the
+    label rides the inverted list (zero extra join); the fixture keeps
+    vectors and labels in one table, so a candidate-bounded vec_id
+    equi-join stands in.
+
+    Reference scope: no vector surface in the reference facade
+    (api/router/router.go:9-55); predicate sibling of q_sim_ann_ivf
+    (same oracle family + label filter)."""
+    n = _emb_count(spark, sf_dir)
+    n_cells = ivf_cells_for(n)
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", _dbl("embedding").alias("emb")
+    )
+    if assignment_two_level(n):
+        within = _two_level_within(spark, sf_dir, n_cells)
+    else:
+        within = _flat_within(spark, sf_dir, n_cells)
+    assigned = within.filter(F.col("rn") == 1).select("vec_id", "emb", "cell")
+    probed = within.filter(
+        (F.col("vec_id") == QUERY_VEC_ID) & (F.col("rn") <= N_PROBE)
+    ).select(F.col("emb").alias("qe"), "cell")
+    cand = (
+        assigned.join(F.broadcast(probed), "cell")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(e.select("vec_id", "label"), "vec_id")
+        .filter(F.col("label") == FILTER_LABEL)
+    )
+    return (
+        cand.select(
+            "vec_id", "label", "cell",
+            r4(_cos(F.col("emb"), F.col("qe"))).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
 RANGE_TAU = 0.35  # range-search radius (cosine), = PAIR_THRESHOLD
 
 _RANGE_ORACLE = f"""

@@ -3992,3 +3992,128 @@ def q_evt_sprt(spark, sf_dir):
         .otherwise("continue")
         .alias("decision"),
     ).orderBy("day")
+
+
+DID_SPLIT_DAY = 15  # pre = day <= 15, post = day > 15 (the drift_ks split)
+
+
+@query(
+    "q_evt_did",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS treat,
+             CASE WHEN day(ts) <= {DID_SPLIT_DAY} THEN 0 ELSE 1 END AS post,
+             avg(value) AS user_mean
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+        AND user_id IS NOT NULL
+      GROUP BY user_id, treat, post),
+    c AS (
+      SELECT treat, post, CAST(count(*) AS BIGINT) AS n,
+             avg(user_mean) AS m, var_samp(user_mean) AS v
+      FROM u GROUP BY treat, post),
+    wide AS (
+      SELECT max(CASE WHEN treat = 0 AND post = 0 THEN m END) AS m_c_pre,
+             max(CASE WHEN treat = 0 AND post = 1 THEN m END) AS m_c_post,
+             max(CASE WHEN treat = 1 AND post = 0 THEN m END) AS m_t_pre,
+             max(CASE WHEN treat = 1 AND post = 1 THEN m END) AS m_t_post,
+             max(CASE WHEN treat = 0 AND post = 0 THEN v / n END) AS s_c_pre,
+             max(CASE WHEN treat = 0 AND post = 1 THEN v / n END) AS s_c_post,
+             max(CASE WHEN treat = 1 AND post = 0 THEN v / n END) AS s_t_pre,
+             max(CASE WHEN treat = 1 AND post = 1 THEN v / n END) AS s_t_post,
+             max(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n_t_post
+      FROM c)
+    SELECT round(m_c_pre, 4) AS mean_c_pre, round(m_c_post, 4) AS mean_c_post,
+           round(m_t_pre, 4) AS mean_t_pre, round(m_t_post, 4) AS mean_t_post,
+           round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 4) AS did,
+           round(sqrt(s_c_pre + s_c_post + s_t_pre + s_t_post), 4) AS se,
+           round(((m_t_post - m_t_pre) - (m_c_post - m_c_pre))
+                 / sqrt(s_c_pre + s_c_post + s_t_pre + s_t_post), 4) AS z
+    FROM wide
+    """,
+)
+def q_evt_did(spark, sf_dir):
+    """Difference-in-differences readout — the experimentation family's
+    member for TREATMENTS THAT START MID-STREAM (srm validates the
+    split, ab_test/cuped read a parallel experiment, sprt decides when
+    to stop, DiD reads a before/after rollout against a control):
+    did = (treat_post - treat_pre) - (control_post - control_pre) on
+    per-user mean purchase value, with the four-cell Welch standard
+    error and z.  On this parity split with no real treatment the z
+    should be small — the placebo/calibration read, like q_evt_ab_test.
+
+    Per-user means per period first (the unit-of-randomization
+    discipline q_evt_ab_test documents — raw-event stats understate
+    variance via within-user correlation); a user active in both
+    periods contributes one observation to each.
+
+    Scale shape: corpus -> one map-combined (user, period) aggregate ->
+    4 cell rows -> 1; all post-aggregate arithmetic stays in the plan,
+    expression order mirrors the oracle.
+
+    Reference scope: no analytics surface in the reference facade
+    (api/router/router.go:9-55)."""
+    u = (
+        t(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .groupBy(
+            "user_id",
+            (F.col("user_id") % 2).alias("treat"),
+            F.when(F.dayofmonth("ts") <= DID_SPLIT_DAY, 0)
+            .otherwise(1)
+            .alias("post"),
+        )
+        .agg(F.avg("value").alias("user_mean"))
+    )
+    c = u.groupBy("treat", "post").agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("user_mean").alias("m"),
+        F.var_samp("user_mean").alias("v"),
+    )
+
+    def cell(tr, po, col):
+        return F.max(
+            F.when((F.col("treat") == tr) & (F.col("post") == po), F.col(col))
+        )
+
+    wide = c.agg(
+        cell(0, 0, "m").alias("m_c_pre"),
+        cell(0, 1, "m").alias("m_c_post"),
+        cell(1, 0, "m").alias("m_t_pre"),
+        cell(1, 1, "m").alias("m_t_post"),
+        F.max(
+            F.when((F.col("treat") == 0) & (F.col("post") == 0),
+                   F.col("v") / F.col("n"))
+        ).alias("s_c_pre"),
+        F.max(
+            F.when((F.col("treat") == 0) & (F.col("post") == 1),
+                   F.col("v") / F.col("n"))
+        ).alias("s_c_post"),
+        F.max(
+            F.when((F.col("treat") == 1) & (F.col("post") == 0),
+                   F.col("v") / F.col("n"))
+        ).alias("s_t_pre"),
+        F.max(
+            F.when((F.col("treat") == 1) & (F.col("post") == 1),
+                   F.col("v") / F.col("n"))
+        ).alias("s_t_post"),
+    )
+    did = (F.col("m_t_post") - F.col("m_t_pre")) - (
+        F.col("m_c_post") - F.col("m_c_pre")
+    )
+    se = F.sqrt(
+        F.col("s_c_pre") + F.col("s_c_post") + F.col("s_t_pre") + F.col("s_t_post")
+    )
+    return wide.select(
+        F.round("m_c_pre", 4).alias("mean_c_pre"),
+        F.round("m_c_post", 4).alias("mean_c_post"),
+        F.round("m_t_pre", 4).alias("mean_t_pre"),
+        F.round("m_t_post", 4).alias("mean_t_post"),
+        F.round(did, 4).alias("did"),
+        F.round(se, 4).alias("se"),
+        F.round(did / se, 4).alias("z"),
+    )

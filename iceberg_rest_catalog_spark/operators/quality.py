@@ -667,3 +667,69 @@ def q_dq_referential(spark, sf_dir):
     for a in arms[1:]:
         out = out.unionByName(a)
     return out.orderBy("fk")
+
+
+FRESH_SLA_HOURS = 24  # staleness SLA for the freshness ledger
+
+
+@query(
+    "q_dq_freshness",
+    oracle=f"""
+    WITH w AS (SELECT max(ts) AS wm FROM events),
+    per AS (
+      SELECT event_type, max(ts) AS last_ts, CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_type IS NOT NULL GROUP BY event_type)
+    SELECT event_type, n,
+           CAST(CAST(last_ts AS TIMESTAMP) AS VARCHAR) AS last_event,
+           -- elapsed whole hours from TRUNCATED epoch seconds: DuckDB's
+           -- datediff('hour') counts hour-BOUNDARY crossings (10:59 ->
+           -- 11:01 = 1), which diverges from elapsed time — caught by
+           -- the perturbed-fixture check at birth
+           (CAST(floor(epoch(wm)) AS BIGINT)
+            - CAST(floor(epoch(last_ts)) AS BIGINT)) // 3600 AS lag_hours,
+           CAST((CAST(floor(epoch(wm)) AS BIGINT)
+                 - CAST(floor(epoch(last_ts)) AS BIGINT)) // 3600
+                >= {FRESH_SLA_HOURS} AS INTEGER) AS stale
+    FROM per CROSS JOIN w ORDER BY event_type
+    """,
+)
+def q_dq_freshness(spark, sf_dir):
+    """Per-stream FRESHNESS ledger: each event type's last event time,
+    its lag in whole hours behind the corpus watermark (max ts over all
+    types), and a stale flag at the {FRESH_SLA_HOURS} h SLA — the audit
+    a lakehouse runs before trusting "today's" dashboard, because a
+    silently stalled producer looks exactly like a quiet day
+    (q_stream_late_audit's docstring has referenced this batch sibling
+    since r14; it now exists).
+
+    Scale shape: one map-combined per-type (max, count) aggregate
+    (|types| rows) + a 1-row watermark broadcast (the q_tpch_q22
+    scalar-distribution shape).  Lag is an exact integer hour
+    difference — no float path at all.
+
+    Reference scope: no DQ surface in the reference facade
+    (api/router/router.go:9-55); temporal sibling of q_dq_gap_hours
+    (intra-stream gaps) and the streaming late-data ledger."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    w = ev.agg(F.max("ts").alias("wm"))
+    per = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("last_ts"), F.count("*").cast("long").alias("n"))
+    )
+    lag = F.floor(
+        (F.unix_timestamp("wm") - F.unix_timestamp("last_ts")) / 3600
+    ).cast("long")
+    return (
+        per.crossJoin(F.broadcast(w))
+        .select(
+            "event_type",
+            "n",
+            F.col("last_ts").cast("string").alias("last_event"),
+            lag.alias("lag_hours"),
+            (lag >= FRESH_SLA_HOURS).cast("int").alias("stale"),
+        )
+        .orderBy("event_type")
+    )

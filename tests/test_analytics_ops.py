@@ -3883,3 +3883,41 @@ def test_bootstrap_envelope_brackets_the_point_estimate(spark, qs):
     # deterministic: a second run returns the identical row
     (r2,) = qs["q_sample_bootstrap"](spark, SF).collect()
     assert r == r2
+
+
+def test_filtered_ann_respects_predicate_and_subsets_probed_region(spark, qs):
+    """q_sim_ann_ivf_filtered: every result matches the predicate, and the
+    filtered top-k is exactly the predicate-matching subset of the probed
+    region's ranking (pre-filter semantics, not post-filter truncation):
+    any unfiltered probed candidate with label FILTER_LABEL ranking above
+    the filtered list's tail must BE in the filtered list."""
+    from iceberg_rest_catalog_spark.llm.similarity import FILTER_LABEL
+
+    rows = qs["q_sim_ann_ivf_filtered"](spark, SF).collect()
+    assert rows and all(r.label == FILTER_LABEL for r in rows)
+    cos = [r.cos for r in rows]
+    assert cos == sorted(cos, reverse=True)
+    unfiltered = qs["q_sim_ann_ivf"](spark, SF).collect()
+    flt_ids = {r.vec_id for r in rows}
+    for u in unfiltered:
+        if u.label == FILTER_LABEL and u.cos > min(cos):
+            assert u.vec_id in flt_ids
+
+
+def test_did_placebo_z_is_small_and_cells_consistent(spark, qs):
+    (r,) = qs["q_evt_did"](spark, SF01).collect()
+    got = round(
+        (r.mean_t_post - r.mean_t_pre) - (r.mean_c_post - r.mean_c_pre), 3
+    )
+    assert abs(got - r.did) < 2e-3  # did equals its four cells (4dp noise)
+    assert r.se > 0
+    assert abs(r.z) < 4  # parity placebo: no real treatment effect
+
+
+def test_freshness_watermark_row_has_zero_lag(spark, qs):
+    rows = qs["q_dq_freshness"](spark, SF01).collect()
+    assert len(rows) == 5  # the five fixture event types
+    assert min(r.lag_hours for r in rows) == 0  # someone owns the watermark
+    for r in rows:
+        assert r.lag_hours >= 0
+        assert r.stale == int(r.lag_hours >= 24)

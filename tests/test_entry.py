@@ -23,7 +23,7 @@ def test_queries_collect_without_spark_session():
         # exact-count pin (VERDICT r9 item 7): a module import that silently
         # fails to register its queries trips this loudly; bump on every
         # operator addition.
-        "assert len(qs) == 388, len(qs)\n"
+        "assert len(qs) == 391, len(qs)\n"
         "assert set(osql) <= set(qs), sorted(set(osql) - set(qs))\n"
         "print('OK', len(qs), len(osql))\n" % REPO
     )
@@ -501,12 +501,15 @@ def test_round14_window_head_is_newborns_then_stale_block():
 
 
 R15_NEW_OPS: list[str] = [
+    "q_sim_ann_ivf_filtered",
     "q_stream_drift_psi",
     "q_sim_graph_search",
     "q_tokenizer_bpe_apply",
     "q_sample_bootstrap",
     "q_ts_periodogram",
     "q_evt_sprt",
+    "q_evt_did",
+    "q_dq_freshness",
 ]
 
 

@@ -214,6 +214,10 @@ CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
                 # bootstrap replica-stats frame): the q_tpch_q22
                 # scalar-distribution shape, map-only at any scale (r15)
                 "q_evt_sprt", "q_sample_bootstrap",
+                # 1-row watermark broadcast (freshness ledger) + the
+                # shared broadcast-centroid assignment cross join of the
+                # IVF family (bounded build sides, r15)
+                "q_dq_freshness", "q_sim_ann_ivf_filtered",
                 # broadcast ivf_cells_for-row centroid assignment (the
                 # q_sim_knn_batch shape); the candidate stage is equi-join
                 "q_sim_range_ivf",
