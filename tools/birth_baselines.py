@@ -27,6 +27,49 @@ import re
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "bench_runs", "birth_baselines.json")
 
+# Adjudicated pin MOVES (BASELINE.md is the ledger): a written drift
+# adjudication may re-pin a query whose measured steady state changed for
+# a DOCUMENTED reason (e.g. a guard permanently added to the op).  The
+# earliest-appearance rule below would silently revert such moves on a
+# rebuild — entries here win over every source.  Keep this list short;
+# the default is the dbscan precedent (pins stay at birth even after a
+# speedup fix, for drift comparability).
+OVERRIDES: dict[str, dict] = {
+    # r15 drift adjudication: the oracle-structure guard (r14 ADVICE)
+    # permanently adds two count jobs; pin reflects the new steady state.
+    "q_stream_late_audit": {
+        "sec": 4.704,
+        "round": 15,
+        "stat": "median4",
+        "source": "r15 drift adjudication standalone 4-pass"
+                  " (incl. the r15 oracle-structure guard)",
+    },
+    # r15 newborns: pinned at their STANDALONE 3-pass idle medians, not
+    # the deep-warm suite-run values — the r15 adjudication established
+    # that suite-context births run 1.2-1.5x low and generate recurring
+    # false drift flags (the q_dq_referential lesson).
+    "q_sim_graph_search": {
+        "sec": 3.954, "round": 15, "stat": "median3",
+        "source": "r15 newborn 3-pass idle standalone",
+    },
+    "q_tokenizer_bpe_apply": {
+        "sec": 4.221, "round": 15, "stat": "median3",
+        "source": "r15 newborn 3-pass idle standalone",
+    },
+    "q_stream_drift_psi": {
+        "sec": 4.36, "round": 15, "stat": "median3",
+        "source": "r15 newborn 3-pass idle standalone",
+    },
+    "q_sample_bootstrap": {
+        "sec": 2.532, "round": 15, "stat": "median3",
+        "source": "r15 newborn 3-pass idle standalone",
+    },
+    "q_sim_ann_ivf_filtered": {
+        "sec": 2.466, "round": 15, "stat": "median3",
+        "source": "r15 newborn 3-pass idle standalone",
+    },
+}
+
 
 def from_tail(tail: str) -> dict[str, float]:
     vals: dict[str, float] = {}
@@ -76,6 +119,8 @@ def main() -> None:
                     "stat": stat.get(rnd, "median3"),
                     "source": src,
                 }
+
+    birth.update(OVERRIDES)
 
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
