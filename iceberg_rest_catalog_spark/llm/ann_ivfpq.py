@@ -123,7 +123,6 @@ def q_sim_ann_ivf_pq(spark, sf_dir):
     (llm/similarity.py) and q_sim_ann_pq (llm/embedding.py)."""
     from .embedding import _pq_assignments
     from .similarity import (
-        _emb,
         _emb_count,
         _flat_within,
         _two_level_within,

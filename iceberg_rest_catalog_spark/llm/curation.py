@@ -1326,10 +1326,13 @@ _POISSON_CDF = (
     "0.9963401531726563",
 )
 _HASH_SCALE = 4294967296.0  # 2^32: one 8-hex md5 slice -> uniform
-# One md5 per (row, salt) yields FOUR independent 32-bit uniforms (128
-# bits / 32): replica b reads slice (b%4) of md5(id:b//4) — 4 hashes per
-# row instead of 16 (strictly less work; measured secondary to the
-# row-volume term below).
+# One md5 digest carries FOUR independent 32-bit uniforms (128 bits / 32):
+# replica b reads slice (b%4) of md5(id:b//4), so the 16 replicas draw from
+# only 4 DISTINCT hash inputs per row.  That is a determinism/uniformity
+# design (each replica's uniform is a disjoint digest slice), NOT a 4x
+# reduction in hash evaluations — in the kept exploded plan each
+# (row, replica) pair evaluates its own md5 expression (no CSE across
+# exploded rows; r16 ADVICE corrected the earlier claim here).
 
 
 def _boot_weight_sql(u: str) -> str:

@@ -4152,9 +4152,12 @@ POWER_TARGET_LIFT = 0.05  # relative lift the n_required sizing targets
              AS mde_abs,
            round(({Z_ALPHA} + {Z_BETA}) * sqrt(v_a / n_a + v_b / n_b)
                  / ((m_a * n_a + m_b * n_b) / (n_a + n_b)), 4) AS mde_rel,
-           CAST(ceil(power({Z_ALPHA} + {Z_BETA}, 2) * (v_a + v_b)
-                     / power({POWER_TARGET_LIFT}
-                             * ((m_a * n_a + m_b * n_b) / (n_a + n_b)), 2))
+           CAST(ceil((({Z_ALPHA} + {Z_BETA}) * ({Z_ALPHA} + {Z_BETA}))
+                     * (v_a + v_b)
+                     / (({POWER_TARGET_LIFT}
+                         * ((m_a * n_a + m_b * n_b) / (n_a + n_b)))
+                        * ({POWER_TARGET_LIFT}
+                           * ((m_a * n_a + m_b * n_b) / (n_a + n_b)))))
                 AS BIGINT) AS n_required
     FROM wide
     """,
@@ -4209,10 +4212,15 @@ def q_evt_power(spark, sf_dir):
         F.col("n_a") + F.col("n_b")
     )
     mde = zsum * F.sqrt(F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b"))
+    # r16 ADVICE: square by exact-mirrored multiplication, not pow(x,2) —
+    # libm pow carries 1-ulp platform-dependent slack on each engine, and
+    # this value feeds ceil() into the integer n_required (the oracle
+    # squares the same way).
+    lift_pooled = F.lit(POWER_TARGET_LIFT) * pooled
     n_req = F.ceil(
-        F.pow(zsum, 2)
+        (zsum * zsum)
         * (F.col("v_a") + F.col("v_b"))
-        / F.pow(F.lit(POWER_TARGET_LIFT) * pooled, 2)
+        / (lift_pooled * lift_pooled)
     ).cast("long")
     return wide.select(
         "n_a",

@@ -2129,11 +2129,14 @@ def q_stream_late_audit(spark, sf_dir):
     base, extra = divmod(n_ontime, LATE_SPLIT)
     expected = [base + (1 if i < extra else 0) for i in range(LATE_SPLIT)] + [n_late]
     got = [int(p["numInputRows"]) for p in progress if int(p["numInputRows"]) > 0]
-    assert got == expected, (
-        f"late-audit replay batch structure changed: per-batch input rows "
-        f"{got} != expected quartiles+tail {expected} — the oracle's "
-        f"batch-aligned drop rule no longer matches the stream"
-    )
+    # Explicit raise, not assert: this guard lives in the production query
+    # path and must survive `python -O` (asserts are stripped — r16 ADVICE).
+    if got != expected:
+        raise RuntimeError(
+            f"late-audit replay batch structure changed: per-batch input rows "
+            f"{got} != expected quartiles+tail {expected} — the oracle's "
+            f"batch-aligned drop rule no longer matches the stream"
+        )
     streamed = out.select(
         F.col("window.start").cast("string").alias("window_start"),
         F.col("n_streamed").cast("long").alias("n_streamed"),
@@ -2479,9 +2482,11 @@ def q_stream_drift_psi(spark, sf_dir):
     got = [
         r.n_rows for r in res.select("batch_seq", "n_rows").orderBy("batch_seq").collect()
     ]
-    assert got == expected, (
-        f"drift-gate replay batch structure changed: per-batch rows {got} "
-        f"!= expected ntile sizes {expected} — the oracle's batch-aligned "
-        f"PSI slices no longer match the stream"
-    )
+    # Explicit raise, not assert: production query path, must survive -O.
+    if got != expected:
+        raise RuntimeError(
+            f"drift-gate replay batch structure changed: per-batch rows {got} "
+            f"!= expected ntile sizes {expected} — the oracle's batch-aligned "
+            f"PSI slices no longer match the stream"
+        )
     return res.select("batch_seq", "n_rows", "psi", "alert").orderBy("batch_seq")
