@@ -140,6 +140,53 @@ def det_norm(M):
     return np.sqrt(det_rowdot(M, M))
 
 
+GB_BAND = 1e-3  # guard-band half-width, in cos*1e4 units (= 1e-7 cosine)
+
+
+def gb_gram_cos(Q, M, qn=None, mn=None):
+    """GUARD-BAND two-pass cosine/dot block (VERDICT r15 item 4): one
+    BLAS GEMM computes the bulk, then every entry whose |value|*1e4 lies
+    within GB_BAND of a .5 rounding boundary is re-scored with the
+    deterministic fixed-dim-order kernel and overwritten.
+
+    The r15 det-everywhere swap (det_gram's 64 sequential outer-product
+    passes) bought determinism at ~64x the memory traffic of one GEMM —
+    q_graph_triangles 1.98x, q_graph_pagerank 1.56x, q_sim_rerank 1.50x
+    idle regressions (r15 verdict, Performance).  This two-pass form is
+    PROVABLY identical to det-everywhere at GEMM speed:
+
+    - GEMM vs fixed-order accumulation differ by summation order only —
+      tens of float64 ulps, <= ~1e-13 on unit-normalized 64-dim data;
+    - the band is 1e-7 cosine units, four orders wider, so any entry
+      whose GEMM value sits OUTSIDE the band has its det twin on the
+      same side of the boundary and rounds to the identical 4-dp value;
+    - every entry INSIDE the band is replaced by the det value itself
+      (det_rowdot over the flagged (i,j) pairs — same op order as
+      det_gram entry (i,j)).
+
+    On the committed fixtures the flagged set is empty (measured minimum
+    margin >= 2.9e-4 in cos*1e4 units, r15 verdict), so the output is
+    the GEMM path at full speed; the re-score arm exists for corpora
+    that do land near a boundary.  With qn/mn given the result is the
+    cosine matrix (divided by np.outer(qn, mn) exactly as the det
+    callers did); without, the raw dot block."""
+    import numpy as np
+
+    Q = np.asarray(Q, dtype=np.float64)
+    M = np.asarray(M, dtype=np.float64)
+    S = Q @ M.T  # BLAS bulk pass; near-boundary entries re-scored below
+    if qn is not None:
+        S /= np.outer(qn, mn)
+    b = np.abs(S) * 1e4
+    ii, jj = np.nonzero(np.abs(b - np.floor(b) - 0.5) < GB_BAND)
+    if ii.size:
+        det = det_rowdot(Q[ii], M[jj])
+        if qn is not None:
+            det /= qn[ii] * mn[jj]
+        S[ii, jj] = det
+    return S
+
+
 @pandas_udf(DoubleType())
 def _dot_pd(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-vectorized batch dot product.
@@ -241,12 +288,12 @@ def _block_pairs(df):
             )
         ids = pdf["vec_id"].to_numpy()
         m = np.stack(pdf["emb"].values)
-        # det_gram/det_norm, not BLAS: the rounded cosine feeds a >=
-        # threshold, so an environment-dependent 1-ulp GEMM difference at
-        # a 4-dp midpoint would flip a pair in/out of the result (the r14
-        # q_graph_modularity class, fixed repo-wide in r15).
+        # Guard-band two-pass (r16): GEMM bulk + det re-score of any
+        # entry within GB_BAND of a rounding boundary — provably equal to
+        # the r15 det-everywhere scoring (the rounded cosine feeds a >=
+        # threshold; see gb_gram_cos) at GEMM speed.
         m = m / det_norm(m)[:, None]
-        cos = np.round(det_gram(m, m), 4)
+        cos = np.round(gb_gram_cos(m, m), 4)
         ia, ib = np.triu_indices(len(ids), k=1)
         lo, hi = np.minimum(ids[ia], ids[ib]), np.maximum(ids[ia], ids[ib])
         keep = cos[ia, ib] >= PAIR_THRESHOLD
@@ -397,46 +444,63 @@ def ivf_ranked_ctes(qstep_sql=None) -> str:
     ``vec_id % qstep`` query batch (qstep_sql=None = every vector probes,
     the kNN-graph edge-build shape)."""
     qfilter = f"vec_id % {qstep_sql} = 0 AND " if qstep_sql is not None else ""
+    # HOIST DISCIPLINE (r16): every cosine is computed in a plain
+    # projection CTE (fs/vs/rsflat/rs2) and the row_number windows order
+    # by the projected column.  With the detvec unrolled float64
+    # expressions, an expression INSIDE a window ORDER BY makes DuckDB's
+    # window operator hold per-thread expression state that scales with
+    # tree size x pipeline duplication — measured OOM (>100 GB) at 32
+    # threads on a 500-vector corpus; the hoisted shape runs the same
+    # plan in ~1 s bounded.  Values are identical: same expression, same
+    # tie-breaks, just a named column.
     return f"""e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb
   FROM embeddings WHERE embedding IS NOT NULL),
 cent AS (SELECT vec_id AS cell, emb AS c FROM e WHERE vec_id < {SCALED_CELLS_SQL}),
 coarse AS (SELECT vec_id AS g, emb AS cg FROM e WHERE vec_id < {_coarse_sql()}),
+fs AS (
+  SELECT f.cell, f.c, coarse.g,
+         round(list_cosine_similarity(f.c, coarse.cg), 4) AS gc
+  FROM cent f CROSS JOIN coarse),
 f2c AS (
   SELECT cell, c, g FROM (
-    SELECT f.cell, f.c, coarse.g,
+    SELECT cell, c, g,
            row_number() OVER (
-             PARTITION BY f.cell
-             ORDER BY round(list_cosine_similarity(f.c, coarse.cg), 4) DESC,
-                      coarse.g) AS rn
-    FROM cent f CROSS JOIN coarse
+             PARTITION BY cell ORDER BY gc DESC, g) AS rn
+    FROM fs
   ) WHERE rn = 1),
+vs AS (
+  SELECT e.vec_id, e.emb, coarse.g,
+         round(list_cosine_similarity(e.emb, coarse.cg), 4) AS gc
+  FROM e CROSS JOIN coarse),
 v2c AS (
   SELECT vec_id, emb, g FROM (
-    SELECT e.vec_id, e.emb, coarse.g,
+    SELECT vec_id, emb, g,
            row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY round(list_cosine_similarity(e.emb, coarse.cg), 4) DESC,
-                      coarse.g) AS rn
-    FROM e CROSS JOIN coarse
+             PARTITION BY vec_id ORDER BY gc DESC, g) AS rn
+    FROM vs
   ) WHERE rn = 1),
+rsflat AS (
+  SELECT e.vec_id, e.emb, cent.cell,
+         round(list_cosine_similarity(e.emb, cent.c), 4) AS cc
+  FROM e CROSS JOIN cent),
+rs2 AS (
+  SELECT v.vec_id, v.emb, f.cell,
+         round(list_cosine_similarity(v.emb, f.c), 4) AS cc
+  FROM v2c v JOIN f2c f USING (g)),
 ranked AS (
   SELECT vec_id, emb, cell, rn FROM (
-    SELECT e.vec_id, e.emb, cent.cell,
+    SELECT vec_id, emb, cell,
            row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY round(list_cosine_similarity(e.emb, cent.c), 4) DESC,
-                      cent.cell) AS rn
-    FROM e CROSS JOIN cent)
+             PARTITION BY vec_id ORDER BY cc DESC, cell) AS rn
+    FROM rsflat)
   WHERE (SELECT count(*) FROM e) <= {ASSIGN_FLAT_MAX}
   UNION ALL
   SELECT vec_id, emb, cell, rn FROM (
-    SELECT v.vec_id, v.emb, f.cell,
+    SELECT vec_id, emb, cell,
            row_number() OVER (
-             PARTITION BY v.vec_id
-             ORDER BY round(list_cosine_similarity(v.emb, f.c), 4) DESC,
-                      f.cell) AS rn
-    FROM v2c v JOIN f2c f USING (g))
+             PARTITION BY vec_id ORDER BY cc DESC, cell) AS rn
+    FROM rs2)
   WHERE (SELECT count(*) FROM e) > {ASSIGN_FLAT_MAX}),
 assigned AS (SELECT vec_id, emb, cell FROM ranked WHERE rn = 1),
 probed AS (
@@ -449,16 +513,18 @@ def _knn_batch_oracle_scaled(qstep_sql) -> str:
     ASSIGN_FLAT_MAX vectors, two-level above — ivf_ranked_ctes); qstep may
     be a constant or a count(*) SQL expression."""
     return f"""
-WITH {ivf_ranked_ctes(qstep_sql)}
-SELECT q_vec_id, nn_vec_id, CAST(rank AS BIGINT) AS rank, cos FROM (
+WITH {ivf_ranked_ctes(qstep_sql)},
+pscore AS (
   SELECT p.q_vec_id, a.vec_id AS nn_vec_id,
-         round(list_cosine_similarity(a.emb, p.qe), 4) AS cos,
-         row_number() OVER (
-           PARTITION BY p.q_vec_id
-           ORDER BY round(list_cosine_similarity(a.emb, p.qe), 4) DESC,
-                    a.vec_id) AS rank
+         round(list_cosine_similarity(a.emb, p.qe), 4) AS cos
   FROM probed p JOIN assigned a USING (cell)
-  WHERE a.vec_id <> p.q_vec_id
+  WHERE a.vec_id <> p.q_vec_id)
+SELECT q_vec_id, nn_vec_id, CAST(rank AS BIGINT) AS rank, cos FROM (
+  SELECT q_vec_id, nn_vec_id, cos,
+         row_number() OVER (
+           PARTITION BY q_vec_id
+           ORDER BY cos DESC, nn_vec_id) AS rank
+  FROM pscore
 ) WHERE rank <= {KNN_K}
 """
 
@@ -474,37 +540,43 @@ WITH e AS (
   FROM embeddings WHERE embedding IS NOT NULL
 ),
 cent AS (SELECT vec_id AS cell, emb AS c FROM e WHERE vec_id < {cells_sql}),
+ascore AS (
+  SELECT e.vec_id, e.emb, cent.cell,
+         round(list_cosine_similarity(e.emb, cent.c), 4) AS cc
+  FROM e CROSS JOIN cent),
 assigned AS (
   SELECT vec_id, emb, cell FROM (
-    SELECT e.vec_id, e.emb, cent.cell,
+    SELECT vec_id, emb, cell,
            row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY round(list_cosine_similarity(e.emb, cent.c), 4) DESC,
-                      cent.cell) AS rn
-    FROM e CROSS JOIN cent
+             PARTITION BY vec_id ORDER BY cc DESC, cell) AS rn
+    FROM ascore
   ) WHERE rn = 1
 ),
 q AS (SELECT vec_id AS q_vec_id, emb AS qe FROM e
       WHERE vec_id % {qstep_sql} = 0),
+qscore AS (
+  SELECT q.q_vec_id, q.qe, cent.cell,
+         round(list_cosine_similarity(q.qe, cent.c), 4) AS cc
+  FROM q CROSS JOIN cent),
 probed AS (
   SELECT q_vec_id, qe, cell FROM (
-    SELECT q.q_vec_id, q.qe, cent.cell,
+    SELECT q_vec_id, qe, cell,
            row_number() OVER (
-             PARTITION BY q.q_vec_id
-             ORDER BY round(list_cosine_similarity(q.qe, cent.c), 4) DESC,
-                      cent.cell) AS rn
-    FROM q CROSS JOIN cent
+             PARTITION BY q_vec_id ORDER BY cc DESC, cell) AS rn
+    FROM qscore
   ) WHERE rn <= {N_PROBE}
-)
-SELECT q_vec_id, nn_vec_id, CAST(rank AS BIGINT) AS rank, cos FROM (
+),
+pscore AS (
   SELECT p.q_vec_id, a.vec_id AS nn_vec_id,
-         round(list_cosine_similarity(a.emb, p.qe), 4) AS cos,
-         row_number() OVER (
-           PARTITION BY p.q_vec_id
-           ORDER BY round(list_cosine_similarity(a.emb, p.qe), 4) DESC,
-                    a.vec_id) AS rank
+         round(list_cosine_similarity(a.emb, p.qe), 4) AS cos
   FROM probed p JOIN assigned a USING (cell)
-  WHERE a.vec_id <> p.q_vec_id
+  WHERE a.vec_id <> p.q_vec_id)
+SELECT q_vec_id, nn_vec_id, CAST(rank AS BIGINT) AS rank, cos FROM (
+  SELECT q_vec_id, nn_vec_id, cos,
+         row_number() OVER (
+           PARTITION BY q_vec_id
+           ORDER BY cos DESC, nn_vec_id) AS rank
+  FROM pscore
 ) WHERE rank <= {KNN_K}
 """
 
@@ -885,11 +957,13 @@ def _l2sq(a, b):
 
 _KMEANS_ASSIGN = """
   SELECT vec_id, label, emb, cell FROM (
-    SELECT e.vec_id, e.label, e.emb, c.cell,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY list_distance(e.emb, c.c) ASC,
-                                       c.cell ASC) AS rn
-    FROM {src} e CROSS JOIN {cent} c
+    SELECT vec_id, label, emb, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cell ASC) AS rn
+    FROM (
+      SELECT e.vec_id, e.label, e.emb, c.cell,
+             list_distance(e.emb, c.c) AS dist
+      FROM {src} e CROSS JOIN {cent} c)
   ) WHERE rn = 1
 """
 
@@ -1075,16 +1149,20 @@ MRL_QUERY_MOD = 50
       WHERE embedding IS NOT NULL
     ), q AS (
       SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id % {MRL_QUERY_MOD} = 0
-    ), scored AS (
+    ), sc AS (
       SELECT q.query_id, e.vec_id,
-             row_number() OVER (PARTITION BY q.query_id ORDER BY
-               round(list_cosine_similarity(e.emb, q.qe), 4) DESC, e.vec_id)
-               AS rn_full,
-             row_number() OVER (PARTITION BY q.query_id ORDER BY
-               round(list_cosine_similarity(list_slice(e.emb, 1, {MRL_DIM}),
-                                            list_slice(q.qe, 1, {MRL_DIM})), 4)
-               DESC, e.vec_id) AS rn_trunc
+             round(list_cosine_similarity(e.emb, q.qe), 4) AS cf,
+             round(list_cosine_similarity(list_slice(e.emb, 1, {MRL_DIM}),
+                                          list_slice(q.qe, 1, {MRL_DIM})), 4)
+               AS ct
       FROM q JOIN e ON e.vec_id <> q.query_id
+    ), scored AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cf DESC, vec_id) AS rn_full,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY ct DESC, vec_id) AS rn_trunc
+      FROM sc
     )
     SELECT query_id,
            round(count(*) FILTER (rn_full <= {MRL_K} AND rn_trunc <= {MRL_K})
@@ -1276,14 +1354,15 @@ def _mmr_oracle() -> str:
       SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
       WHERE embedding IS NOT NULL),
     q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < {MMR_PROBES}),
-    scored AS (
+    relsc AS (
       SELECT q.qid, e.vec_id, e.emb,
-             round(list_cosine_similarity(e.emb, q.qe), 4) AS rel,
-             row_number() OVER (
-               PARTITION BY q.qid
-               ORDER BY round(list_cosine_similarity(e.emb, q.qe), 4) DESC,
-                        e.vec_id) AS rn
+             round(list_cosine_similarity(e.emb, q.qe), 4) AS rel
       FROM e JOIN q ON e.vec_id <> q.qid),
+    scored AS (
+      SELECT qid, vec_id, emb, rel,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn
+      FROM relsc),
     cand AS (SELECT qid, vec_id, emb, rel FROM scored
              WHERE rn <= {MMR_CANDIDATES}),
     ps AS (
@@ -1375,12 +1454,11 @@ def q_sim_mmr(spark, sf_dir):
 
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         E = np.stack(pdf["emb"].to_numpy())
-        # det_gram/det_norm, not BLAS: the rounded sims feed the MMR
-        # argmax selection (a rank), so environment-dependent GEMM ulps
-        # at a 4-dp midpoint would flip the chosen id (the r14
-        # q_graph_modularity class, fixed repo-wide in r15).
+        # Guard-band two-pass (r16): the rounded sims feed the MMR argmax
+        # selection (a rank) — gb_gram_cos is provably identical to the
+        # r15 det-everywhere scoring at GEMM speed.
         nrm = det_norm(E)
-        sims = det_gram(E, E) / np.outer(nrm, nrm)
+        sims = gb_gram_cos(E, E, nrm, nrm)
         # half-away-from-zero to 4 dp — the F.round / DuckDB round convention
         # (np.round is half-even and WOULD diverge on exact .00005 ties)
         r = lambda x: np.floor(np.abs(x) * 1e4 + 0.5) * np.sign(x) / 1e4
@@ -1421,14 +1499,16 @@ e AS (
 ),
 q AS (SELECT vec_id AS q_vec_id, emb AS qe FROM e
       WHERE vec_id % {SCALED_QSTEP_SQL} = 0),
+xsc AS (
+  SELECT q.q_vec_id, e.vec_id AS nn_vec_id,
+         round(list_cosine_similarity(e.emb, q.qe), 4) AS cos
+  FROM q CROSS JOIN e WHERE e.vec_id <> q.q_vec_id),
 exact AS (
   SELECT q_vec_id, nn_vec_id FROM (
-    SELECT q.q_vec_id, e.vec_id AS nn_vec_id,
+    SELECT q_vec_id, nn_vec_id,
            row_number() OVER (
-             PARTITION BY q.q_vec_id
-             ORDER BY round(list_cosine_similarity(e.emb, q.qe), 4) DESC,
-                      e.vec_id) AS rk
-    FROM q CROSS JOIN e WHERE e.vec_id <> q.q_vec_id
+             PARTITION BY q_vec_id ORDER BY cos DESC, nn_vec_id) AS rk
+    FROM xsc
   ) WHERE rk <= {KNN_K}),
 hits AS (
   SELECT x.q_vec_id, count(*) AS h
@@ -1646,12 +1726,13 @@ def q_embed_kmeans_elbow(spark, sf_dir):
              WHERE vec_id < {SCALED_CELLS_SQL}),
     assigned AS (
       SELECT vec_id, cell FROM (
-        SELECT e.vec_id, cent.cell,
+        SELECT vec_id, cell,
                row_number() OVER (
-                 PARTITION BY e.vec_id
-                 ORDER BY round(list_cosine_similarity(e.emb, cent.c), 4) DESC,
-                          cent.cell) AS rn
-        FROM e CROSS JOIN cent) WHERE rn = 1),
+                 PARTITION BY vec_id ORDER BY cc DESC, cell) AS rn
+        FROM (
+          SELECT e.vec_id, cent.cell,
+                 round(list_cosine_similarity(e.emb, cent.c), 4) AS cc
+          FROM e CROSS JOIN cent)) WHERE rn = 1),
     lab AS (
       SELECT a.cell, emb2.label FROM assigned a
       JOIN embeddings emb2 USING (vec_id)),
@@ -1759,39 +1840,46 @@ WITH e AS (
   FROM embeddings WHERE embedding IS NOT NULL
 ),
 cent AS (SELECT vec_id AS cell, emb AS c FROM e WHERE vec_id < {SCALED_CELLS_SQL}),
+ascore AS (
+  SELECT e.vec_id, e.label, e.emb, cent.cell,
+         round(list_cosine_similarity(e.emb, cent.c), 4) AS cc
+  FROM e CROSS JOIN cent),
 assigned AS (
   SELECT vec_id, label, emb, cell FROM (
-    SELECT e.vec_id, e.label, e.emb, cent.cell,
+    SELECT vec_id, label, emb, cell,
            row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY round(list_cosine_similarity(e.emb, cent.c), 4) DESC,
-                      cent.cell) AS rn
-    FROM e CROSS JOIN cent
+             PARTITION BY vec_id ORDER BY cc DESC, cell) AS rn
+    FROM ascore
   ) WHERE rn = 1
 ),
 q AS (SELECT vec_id AS q_vec_id, label AS q_label, emb AS qe FROM e
       WHERE vec_id % {KNN_QSTEP} = 0),
+qscore AS (
+  SELECT q.q_vec_id, q.q_label, q.qe, cent.cell,
+         round(list_cosine_similarity(q.qe, cent.c), 4) AS cc
+  FROM q CROSS JOIN cent),
 probed AS (
   SELECT q_vec_id, q_label, qe, cell FROM (
-    SELECT q.q_vec_id, q.q_label, q.qe, cent.cell,
+    SELECT q_vec_id, q_label, qe, cell,
            row_number() OVER (
-             PARTITION BY q.q_vec_id
-             ORDER BY round(list_cosine_similarity(q.qe, cent.c), 4) DESC,
-                      cent.cell) AS rn
-    FROM q CROSS JOIN cent
+             PARTITION BY q_vec_id ORDER BY cc DESC, cell) AS rn
+    FROM qscore
   ) WHERE rn <= {N_PROBE}
-)
+),
+pscore AS (
+  SELECT p.q_vec_id, p.q_label, a.vec_id AS neg_vec_id,
+         a.label AS neg_label,
+         round(list_cosine_similarity(a.emb, p.qe), 4) AS cos
+  FROM probed p JOIN assigned a USING (cell)
+  WHERE a.vec_id <> p.q_vec_id AND a.label <> p.q_label)
 SELECT q_vec_id, CAST(q_label AS INT) AS q_label, neg_vec_id,
        CAST(neg_label AS INT) AS neg_label,
        CAST(rank AS BIGINT) AS rank, cos FROM (
-  SELECT p.q_vec_id, p.q_label, a.vec_id AS neg_vec_id, a.label AS neg_label,
-         round(list_cosine_similarity(a.emb, p.qe), 4) AS cos,
+  SELECT q_vec_id, q_label, neg_vec_id, neg_label, cos,
          row_number() OVER (
-           PARTITION BY p.q_vec_id
-           ORDER BY round(list_cosine_similarity(a.emb, p.qe), 4) DESC,
-                    a.vec_id) AS rank
-  FROM probed p JOIN assigned a USING (cell)
-  WHERE a.vec_id <> p.q_vec_id AND a.label <> p.q_label
+           PARTITION BY q_vec_id
+           ORDER BY cos DESC, neg_vec_id) AS rank
+  FROM pscore
 ) WHERE rank <= {HN_K}
 """
 
@@ -2000,56 +2088,57 @@ WITH e AS (
 ),
 coarse AS (SELECT vec_id AS g, emb AS cg FROM e WHERE vec_id < {_coarse_sql()}),
 fine AS (SELECT vec_id AS cell, emb AS c FROM e WHERE vec_id < {SCALED_CELLS_SQL}),
+fs AS (
+  SELECT f.cell, f.c, coarse.g,
+         round(list_cosine_similarity(f.c, coarse.cg), 4) AS gc
+  FROM fine f CROSS JOIN coarse),
 f2c AS (
   SELECT cell, c, g FROM (
-    SELECT f.cell, f.c, coarse.g,
-           row_number() OVER (
-             PARTITION BY f.cell
-             ORDER BY round(list_cosine_similarity(f.c, coarse.cg), 4) DESC,
-                      coarse.g) AS rn
-    FROM fine f CROSS JOIN coarse
+    SELECT cell, c, g,
+           row_number() OVER (PARTITION BY cell ORDER BY gc DESC, g) AS rn
+    FROM fs
   ) WHERE rn = 1
 ),
+vs AS (
+  SELECT e.vec_id, e.emb, coarse.g,
+         round(list_cosine_similarity(e.emb, coarse.cg), 4) AS gc
+  FROM e CROSS JOIN coarse),
 v2c AS (
   SELECT vec_id, emb, g FROM (
-    SELECT e.vec_id, e.emb, coarse.g,
-           row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY round(list_cosine_similarity(e.emb, coarse.cg), 4) DESC,
-                      coarse.g) AS rn
-    FROM e CROSS JOIN coarse
+    SELECT vec_id, emb, g,
+           row_number() OVER (PARTITION BY vec_id ORDER BY gc DESC, g) AS rn
+    FROM vs
   ) WHERE rn = 1
 ),
+cs AS (
+  SELECT v.vec_id, v.emb, f.cell,
+         round(list_cosine_similarity(v.emb, f.c), 4) AS cc
+  FROM v2c v JOIN f2c f USING (g)),
 assigned AS (
   SELECT vec_id, emb, cell FROM (
-    SELECT v.vec_id, v.emb, f.cell,
-           row_number() OVER (
-             PARTITION BY v.vec_id
-             ORDER BY round(list_cosine_similarity(v.emb, f.c), 4) DESC,
-                      f.cell) AS rn
-    FROM v2c v JOIN f2c f USING (g)
+    SELECT vec_id, emb, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell) AS rn
+    FROM cs
   ) WHERE rn = 1
 ),
 probed AS (
   SELECT q_vec_id, qe, cell FROM (
-    SELECT v.vec_id AS q_vec_id, v.emb AS qe, f.cell,
-           row_number() OVER (
-             PARTITION BY v.vec_id
-             ORDER BY round(list_cosine_similarity(v.emb, f.c), 4) DESC,
-                      f.cell) AS rn
-    FROM v2c v JOIN f2c f USING (g)
-    WHERE v.vec_id % {KNN_QSTEP} = 0
+    SELECT vec_id AS q_vec_id, emb AS qe, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell) AS rn
+    FROM cs WHERE vec_id % {KNN_QSTEP} = 0
   ) WHERE rn <= {N_PROBE}
-)
-SELECT q_vec_id, nn_vec_id, CAST(rank AS BIGINT) AS rank, cos FROM (
+),
+pscore AS (
   SELECT p.q_vec_id, a.vec_id AS nn_vec_id,
-         round(list_cosine_similarity(a.emb, p.qe), 4) AS cos,
-         row_number() OVER (
-           PARTITION BY p.q_vec_id
-           ORDER BY round(list_cosine_similarity(a.emb, p.qe), 4) DESC,
-                    a.vec_id) AS rank
+         round(list_cosine_similarity(a.emb, p.qe), 4) AS cos
   FROM probed p JOIN assigned a USING (cell)
-  WHERE a.vec_id <> p.q_vec_id
+  WHERE a.vec_id <> p.q_vec_id)
+SELECT q_vec_id, nn_vec_id, CAST(rank AS BIGINT) AS rank, cos FROM (
+  SELECT q_vec_id, nn_vec_id, cos,
+         row_number() OVER (
+           PARTITION BY q_vec_id
+           ORDER BY cos DESC, nn_vec_id) AS rank
+  FROM pscore
 ) WHERE rank <= {KNN_K}
 """
 

@@ -1426,3 +1426,153 @@ def q_text_filter_sweep(spark, sf_dir):
         )
         .orderBy("min_toks")
     )
+
+
+# -- RAKE keyword extraction (r16) --------------------------------------------
+
+RAKE_TOP = 20
+# Fixed stopword list shared verbatim by both engines (phrase delimiters).
+RAKE_STOP = (
+    "the a an and or of to in is it for on with as at by be this that are "
+    "was from but not have has had were will would can could should i you "
+    "he she we they".split()
+)
+
+
+def _rake_oracle() -> str:
+    stoplist = ", ".join(f"'{w}'" for w in RAKE_STOP)
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')
+               AS ws
+      FROM documents WHERE text IS NOT NULL),
+    tp AS (
+      SELECT doc_id, i AS pos, ws[i] AS w
+      FROM d, unnest(generate_series(1, len(ws))) AS t(i)),
+    mk AS (
+      SELECT doc_id, pos, w,
+             CASE WHEN NOT regexp_full_match(w, '[a-z]+')
+                       OR w IN ({stoplist}) THEN 1 ELSE 0 END AS is_delim
+      FROM tp),
+    runs AS (
+      SELECT doc_id, pos, w, is_delim,
+             sum(is_delim) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS run
+      FROM mk),
+    pw AS (SELECT doc_id, run, pos, w FROM runs WHERE is_delim = 0),
+    phr AS (
+      SELECT doc_id, run, string_agg(w, ' ' ORDER BY pos) AS phrase,
+             count(*) AS plen
+      FROM pw GROUP BY doc_id, run),
+    wstat AS (
+      SELECT pw.w, count(*) AS freq, sum(phr.plen) AS deg
+      FROM pw JOIN phr USING (doc_id, run)
+      GROUP BY pw.w),
+    wscore AS (
+      SELECT w, round(CAST(deg AS DOUBLE) / freq, 4) AS s FROM wstat),
+    inst AS (
+      SELECT pw.doc_id, pw.run, sum(ws.s) AS sc
+      FROM pw JOIN wscore ws ON ws.w = pw.w
+      GROUP BY pw.doc_id, pw.run),
+    agg AS (
+      SELECT phr.phrase, max(phr.plen) AS n_words,
+             count(*) AS n_occurrences, round(max(inst.sc), 4) AS score
+      FROM phr JOIN inst USING (doc_id, run)
+      GROUP BY phr.phrase)
+    SELECT phrase, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences, score
+    FROM agg ORDER BY score DESC, phrase LIMIT {RAKE_TOP}
+    """
+
+
+@query("q_text_rake", oracle=_rake_oracle())
+def q_text_rake(spark, sf_dir):
+    """RAKE keyword extraction over the document corpus (Rose et al.
+    2010): candidate phrases are maximal runs of non-stopword alpha
+    tokens (stopwords, digits and punctuation delimit); each word scores
+    deg(w)/freq(w) — degree counts phrase co-membership mass, so words
+    that appear inside LONG multi-word phrases outrank equally-frequent
+    loners — and a phrase scores the sum of its member word scores.
+    Top-{RAKE_TOP} corpus keyphrases with occurrence counts: the
+    vocabulary-free keyword extractor (no IDF table, no training) that
+    complements q_text_tfidf (per-doc terms) and q_text_collocations
+    (PMI bigrams).
+
+    Determinism: run segmentation is an integer cumulative delimiter
+    count (the sessionize trick); word scores are single divisions of
+    exact longs ROUNDED to 4 dp before the phrase sum, so the sum
+    accumulates exact-4-dp multiples (order noise ~1e-12 vs the 0.5e-4
+    midpoint gap) and every phrase instance scores identically; ranking
+    is (rounded score DESC, phrase).
+
+    Scale shape: tokenize-and-explode is map-side; phrase assembly is
+    one (doc, run)-keyed aggregate; word stats one token-keyed
+    map-combined aggregate; the phrase-score join is token-keyed.
+    Nothing exceeds O(tokens) rows and the output is a fixed top-K.
+
+    Reference scope: no text surface in the reference facade
+    (api/router/router.go:9-55); keyword sibling of q_text_tfidf and
+    q_text_collocations."""
+    from pyspark.sql import Window as W
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.regexp_extract_all(
+                F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+            ).alias("ws"),
+        )
+    )
+    tp = d.select("doc_id", F.posexplode("ws").alias("pos", "w"))
+    mk = tp.withColumn(
+        "is_delim",
+        F.when(
+            ~F.col("w").rlike("^[a-z]+$") | F.col("w").isin(RAKE_STOP), 1
+        ).otherwise(0),
+    )
+    runw = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pw = (
+        mk.withColumn("run", F.sum("is_delim").over(runw))
+        .filter(F.col("is_delim") == 0)
+        .select("doc_id", "run", "pos", "w")
+    )
+    phr = pw.groupBy("doc_id", "run").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda x: x["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    )
+    wstat = (
+        pw.join(phr.select("doc_id", "run", "plen"), ["doc_id", "run"])
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
+    )
+    wscore = wstat.select(
+        "w", F.round(F.col("deg").cast("double") / F.col("freq"), 4).alias("s")
+    )
+    inst = (
+        pw.join(wscore, "w")
+        .groupBy("doc_id", "run")
+        .agg(F.sum("s").alias("sc"))
+    )
+    agg = (
+        phr.join(inst, ["doc_id", "run"])
+        .groupBy("phrase")
+        .agg(
+            F.max("plen").cast("long").alias("n_words"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.round(F.max("sc"), 4).alias("score"),
+        )
+    )
+    return agg.orderBy(F.desc("score"), "phrase").limit(RAKE_TOP)

@@ -1585,3 +1585,83 @@ def q_agg_listagg(spark, sf_dir):
         )
         .orderBy("r_name")
     )
+
+
+# -- market-concentration index (r16) -----------------------------------------
+
+
+@query(
+    "q_agg_hhi",
+    oracle="""
+    WITH x AS (
+      SELECT c.c_nationkey, o.o_custkey, sum(o.o_totalprice) AS spend
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    ), agg AS (
+      SELECT c_nationkey,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             sum(spend) AS total,
+             sum(spend * spend) AS ss,
+             max(spend) AS top
+      FROM x GROUP BY c_nationkey)
+    SELECT n.n_name AS nation, a.n_customers,
+           round(a.total, 4) AS total_spend,
+           round(a.ss / (a.total * a.total), 4) AS hhi,
+           round(a.top / a.total, 4) AS top_share
+    FROM agg a JOIN nation n ON n.n_nationkey = a.c_nationkey
+    ORDER BY nation
+    """,
+)
+def q_agg_hhi(spark, sf_dir):
+    """HERFINDAHL-HIRSCHMAN concentration index of customer revenue per
+    nation — the market-concentration readout (sum of squared revenue
+    shares, 1/n = perfectly even, 1.0 = single buyer) plus the top-1
+    share.  The skew-planning companion of q_agg_gini: gini says how
+    UNEQUAL the distribution is, HHI says how DOMINATED it is — the
+    number that predicts whether one hot customer key will swamp a
+    downstream shuffle partition.
+
+    Algebra: sum((x_i/T)^2) = sum(x_i^2)/T^2, so the per-nation state is
+    three map-combined aggregates (sum, sum of squares, max) — no
+    per-row division, no second pass.
+
+    Scale shape: orders ⋈ customer is a key-partitioned equi-join, then
+    one two-level aggregate (custkey, then nationkey); the 25-row nation
+    dim broadcasts.
+
+    Reference scope: no analytics surface in the reference facade
+    (api/router/router.go:9-55); concentration sibling of q_agg_gini
+    (operators/aggregates.py)."""
+    x = (
+        t(spark, sf_dir, "orders")
+        .join(
+            t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+    )
+    agg = x.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("spend").alias("total"),
+        F.sum(F.col("spend") * F.col("spend")).alias("ss"),
+        F.max("spend").alias("top"),
+    )
+    return (
+        agg.join(
+            F.broadcast(
+                t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_customers",
+            F.round(F.col("total"), 4).alias("total_spend"),
+            F.round(F.col("ss") / (F.col("total") * F.col("total")), 4).alias(
+                "hhi"
+            ),
+            F.round(F.col("top") / F.col("total"), 4).alias("top_share"),
+        )
+        .orderBy("nation")
+    )

@@ -4230,3 +4230,451 @@ def q_evt_power(spark, sf_dir):
         F.round(mde / pooled, 4).alias("mde_rel"),
         n_req.alias("n_required"),
     )
+
+
+# -- experimentation guardrail: sample-ratio mismatch (r16) -------------------
+
+SRM_CHI2_CRIT = 3.8415  # chi-square critical value, df=1, alpha=0.05
+
+
+@query(
+    "q_evt_srm",
+    oracle=f"""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+    c AS (
+      SELECT CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (user_id % 2 = 1) AS BIGINT) AS n_b
+      FROM u)
+    SELECT n_a, n_b,
+           round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                 / (n_a + n_b), 4) AS chi2,
+           CAST(CASE WHEN CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                          / (n_a + n_b) > {SRM_CHI2_CRIT}
+                     THEN 1 ELSE 0 END AS INT) AS srm_flag
+    FROM c
+    """,
+)
+def q_evt_srm(spark, sf_dir):
+    """SAMPLE-RATIO-MISMATCH guardrail — the check every experimentation
+    readout in this family (ab_test / cuped / sprt / did / power)
+    presumes: is the 50/50 parity assignment actually 50/50 in the
+    data?  chi-square with df=1 against equal expected counts reduces
+    exactly to (n_a - n_b)^2 / n on user counts; flag when it exceeds
+    {SRM_CHI2_CRIT} (alpha = 0.05).  A flagged split means the readouts
+    are invalid regardless of their p-values — SRM is the industry's
+    standard trust gate (Kohavi et al., KDD'19 describe it as the most
+    common experiment bug detector).
+
+    EXACT-INTEGER form: unit of analysis is the DISTINCT user (the
+    ab_test discipline), counts and the squared difference are longs,
+    one double division feeds the rounded statistic and the integer
+    flag.
+
+    Scale shape: distinct-user dedup is one map-combined aggregate on
+    the user key; the parity census collapses to a single row.
+
+    Reference scope: no analytics surface in the reference facade
+    (api/router/router.go:9-55); guardrail sibling of q_evt_ab_test
+    (operators/events.py)."""
+    u = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+    )
+    c = u.agg(
+        F.count(F.when(F.col("user_id") % 2 == 0, 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("user_id") % 2 == 1, 1)).cast("long").alias("n_b"),
+    )
+    chi2 = ((F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))).cast(
+        "double"
+    ) / (F.col("n_a") + F.col("n_b"))
+    return c.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 4).alias("chi2"),
+        F.when(chi2 > SRM_CHI2_CRIT, 1).otherwise(0).cast("int").alias("srm_flag"),
+    )
+
+
+# -- weekly cohort retention triangle (r16) -----------------------------------
+
+
+@query(
+    "q_evt_retention_matrix",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(ts AS DATE) AS d
+      FROM events WHERE user_id IS NOT NULL),
+    anchor AS (SELECT min(d) AS d0 FROM ev),
+    uw AS (
+      SELECT DISTINCT ev.user_id,
+             datediff('day', a.d0, ev.d) // 7 AS w
+      FROM ev CROSS JOIN anchor a),
+    fw AS (SELECT user_id, min(w) AS cohort_week FROM uw GROUP BY user_id),
+    coh AS (SELECT cohort_week, count(*) AS n_cohort FROM fw
+            GROUP BY cohort_week),
+    act AS (
+      SELECT f.cohort_week, u.w - f.cohort_week AS age_week,
+             count(DISTINCT u.user_id) AS n_active
+      FROM uw u JOIN fw f USING (user_id)
+      GROUP BY f.cohort_week, u.w - f.cohort_week)
+    SELECT CAST(a.cohort_week AS BIGINT) AS cohort_week,
+           CAST(a.age_week AS BIGINT) AS age_week,
+           CAST(a.n_active AS BIGINT) AS n_active,
+           CAST(c.n_cohort AS BIGINT) AS n_cohort,
+           ((a.n_active * 20000 + c.n_cohort) // (2 * c.n_cohort))
+             / 10000.0 AS retention
+    FROM act a JOIN coh c USING (cohort_week)
+    ORDER BY cohort_week, age_week
+    """,
+)
+def q_evt_retention_matrix(spark, sf_dir):
+    """Weekly COHORT-RETENTION TRIANGLE — the canonical growth-analytics
+    readout: users cohorted by first-active week (week = floor
+    days-since-corpus-min / 7, exact integer arithmetic — never
+    week-of-year, whose ISO boundary rules differ across engines), one
+    row per (cohort_week, age_week) with the active-user count and the
+    retention share of the cohort.
+
+    Determinism: the anchor date is min(date) computed identically in
+    both engines; week indices, counts and cohort sizes are exact longs;
+    the retention RATE uses the repo's pure-LONG half-up form
+    ((n*20000 + d) DIV (2d))/1e4 — round ratios of ROUND fixture counts
+    land exactly on 4-dp midpoints (the r13 q_dq_rules lesson), so no
+    float rounding is allowed anywhere in the rate.
+
+    Scale shape: one distinct (user, week) dedup keyed on the user,
+    a per-user min (map-combined), one user-keyed join back, and a
+    |cohorts x ages| output (bounded by calendar^2, not corpus); the
+    1-row anchor broadcasts (CARTESIAN_OK).
+
+    Reference scope: no analytics surface in the reference facade
+    (api/router/router.go:9-55); cohort sibling of q_evt_ltv and the
+    funnel family."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+    )
+    anchor = ev.agg(F.min("d").alias("d0"))
+    uw = (
+        ev.join(F.broadcast(anchor))
+        .select(
+            "user_id",
+            (F.datediff(F.col("d"), F.col("d0")) / 7)
+            .cast("long")
+            .alias("w"),
+        )
+        .distinct()
+    )
+    fw = uw.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    coh = fw.groupBy("cohort_week").agg(F.count("*").alias("n_cohort"))
+    act = (
+        uw.join(fw, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("w") - F.col("cohort_week")).alias("age_week"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        act.join(coh, "cohort_week")
+        .select(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            F.col("age_week").cast("long").alias("age_week"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("n_cohort").cast("long").alias("n_cohort"),
+            (
+                F.expr(
+                    "(n_active * 20000 + n_cohort) div (2 * n_cohort)"
+                ).cast("double")
+                / 10000.0
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "age_week")
+    )
+
+
+# -- cohort LTV curve (r16) ---------------------------------------------------
+
+
+@query(
+    "q_evt_ltv",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, value
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+        AND user_id IS NOT NULL),
+    anchor AS (SELECT min(d) AS d0 FROM p),
+    pw AS (
+      SELECT p.user_id, datediff('day', a.d0, p.d) // 7 AS w, p.value
+      FROM p CROSS JOIN anchor a),
+    fw AS (SELECT user_id, min(w) AS cohort_week FROM pw GROUP BY user_id),
+    coh AS (SELECT cohort_week, count(*) AS n_users FROM fw
+            GROUP BY cohort_week),
+    rev AS (
+      SELECT f.cohort_week, pw.w - f.cohort_week AS age_week,
+             round(sum(pw.value), 4) AS rev
+      FROM pw JOIN fw f USING (user_id)
+      GROUP BY f.cohort_week, pw.w - f.cohort_week),
+    cum AS (
+      SELECT cohort_week, age_week,
+             sum(rev) OVER (PARTITION BY cohort_week ORDER BY age_week
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev
+      FROM rev)
+    SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+           CAST(c.age_week AS BIGINT) AS age_week,
+           CAST(h.n_users AS BIGINT) AS n_users,
+           round(c.cum_rev, 4) AS cum_revenue,
+           round(c.cum_rev / h.n_users, 4) AS ltv
+    FROM cum c JOIN coh h USING (cohort_week)
+    ORDER BY cohort_week, age_week
+    """,
+)
+def q_evt_ltv(spark, sf_dir):
+    """Cohort LIFETIME-VALUE curve — cumulative purchase revenue per
+    buyer cohort (first-purchase week) by age week, divided by cohort
+    population: the readout that prices acquisition (payback week =
+    first age where ltv crosses CAC).
+
+    Determinism: week indexing as in q_evt_retention_matrix (exact
+    integer days-since-min // 7); per-(cohort, age) revenue is rounded
+    to 4 dp BEFORE the cumulative window, so the running sum
+    accumulates exact-4-dp-multiple values — any cross-engine window
+    accumulation-order noise is ~1e-12 while the nearest rounding
+    midpoint is 0.5e-4 away (sums of 4-dp multiples are 4-dp
+    multiples); the final round is a no-op re-quantization.
+
+    Scale shape: purchases -> one user-keyed first-week aggregate ->
+    (cohort, age) revenue cells (calendar-bounded) -> a per-cohort
+    cumulative window over <= |weeks| rows; the 1-row anchor broadcasts
+    (CARTESIAN_OK).
+
+    Reference scope: no analytics surface in the reference facade
+    (api/router/router.go:9-55); revenue sibling of
+    q_evt_retention_matrix."""
+    from pyspark.sql import Window as W
+
+    p = (
+        t(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select("user_id", F.col("ts").cast("date").alias("d"), "value")
+    )
+    anchor = p.agg(F.min("d").alias("d0"))
+    pw = p.join(F.broadcast(anchor)).select(
+        "user_id",
+        (F.datediff(F.col("d"), F.col("d0")) / 7).cast("long").alias("w"),
+        "value",
+    )
+    fw = pw.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    coh = fw.groupBy("cohort_week").agg(F.count("*").alias("n_users"))
+    rev = (
+        pw.join(fw, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("w") - F.col("cohort_week")).alias("age_week"),
+        )
+        .agg(F.round(F.sum("value"), 4).alias("rev"))
+    )
+    cw = (
+        W.partitionBy("cohort_week")
+        .orderBy("age_week")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = rev.select(
+        "cohort_week", "age_week", F.sum("rev").over(cw).alias("cum_rev")
+    )
+    return (
+        cum.join(coh, "cohort_week")
+        .select(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            F.col("age_week").cast("long").alias("age_week"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.round(F.col("cum_rev"), 4).alias("cum_revenue"),
+            F.round(F.col("cum_rev") / F.col("n_users"), 4).alias("ltv"),
+        )
+        .orderBy("cohort_week", "age_week")
+    )
+
+
+# -- seasonal-naive backtest (r16) --------------------------------------------
+
+SN_SEASON_DAYS = 7  # weekly seasonality of the daily event-count series
+
+
+@query(
+    "q_ts_seasonal_naive",
+    oracle=f"""
+    WITH dc AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1)
+    SELECT strftime(dc.d, '%Y-%m-%d') AS day, dc.n,
+           p.n AS forecast,
+           dc.n - p.n AS err,
+           abs(dc.n - p.n) AS abs_err
+    FROM dc JOIN dc p ON p.d = dc.d - {SN_SEASON_DAYS}
+    ORDER BY day
+    """,
+)
+def q_ts_seasonal_naive(spark, sf_dir):
+    """SEASONAL-NAIVE backtest of the daily event count: forecast(d) =
+    actual(d - {SN_SEASON_DAYS}) — the baseline every fancier forecaster
+    (q_ts_ewma, q_ts_holt, q_ts_dow_profile) must beat before it earns
+    its complexity (the M-competition discipline: seasonal-naive is the
+    standard yardstick for seasonal series).  One row per day with a
+    same-weekday prior, carrying the signed and absolute errors.
+
+    FULLY EXACT: counts and their differences are longs; the prior-week
+    lookup is a CALENDAR join (d - {SN_SEASON_DAYS} days), never a
+    7-ROW lag — a gap day would silently shift a row-lag onto the wrong
+    weekday while the calendar join just drops the pair.
+
+    Scale shape: one map-combined date aggregate (|days| rows), then a
+    self-join keyed on the date — broadcast-sized at any corpus scale
+    (the series length is calendar-bounded).
+
+    Reference scope: no analytics surface in the reference facade
+    (api/router/router.go:9-55); baseline sibling of q_ts_holt /
+    q_evt_forecast_eval."""
+    dc = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    p = dc.select(F.col("d").alias("pd"), F.col("n").alias("forecast"))
+    return (
+        dc.join(p, F.col("pd") == F.date_sub(F.col("d"), SN_SEASON_DAYS))
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "n",
+            "forecast",
+            (F.col("n") - F.col("forecast")).alias("err"),
+            F.abs(F.col("n") - F.col("forecast")).alias("abs_err"),
+        )
+        .orderBy("day")
+    )
+
+
+# -- EWMA fast/slow crossover signals (r16) -----------------------------------
+
+EWMA_FAST = 0.5  # fast EWMA smoothing factor
+EWMA_SLOW = 0.2  # slow EWMA smoothing factor
+
+
+@query(
+    "q_ts_ewma_cross",
+    oracle=f"""
+    WITH RECURSIVE dc AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1
+    ), idx AS (
+      SELECT d, n, row_number() OVER (ORDER BY d) AS i FROM dc
+    ), h(i, fa, sl) AS (
+      SELECT 1, CAST(n AS DOUBLE), CAST(n AS DOUBLE) FROM idx WHERE i = 1
+      UNION ALL
+      SELECT idx.i,
+             CAST({EWMA_FAST} AS DOUBLE) * idx.n
+               + CAST({1 - EWMA_FAST} AS DOUBLE) * h.fa,
+             CAST({EWMA_SLOW} AS DOUBLE) * idx.n
+               + CAST({1 - EWMA_SLOW} AS DOUBLE) * h.sl
+      FROM h JOIN idx ON idx.i = h.i + 1
+    ), s AS (
+      SELECT idx.d, idx.n, h.i, h.fa, h.sl,
+             CASE WHEN h.fa > h.sl THEN 1
+                  WHEN h.fa < h.sl THEN -1 ELSE 0 END AS sgn
+      FROM idx JOIN h ON h.i = idx.i)
+    SELECT strftime(d, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n,
+           round(fa, 4) AS ewma_fast, round(sl, 4) AS ewma_slow,
+           CAST(CASE
+             WHEN i = 1 THEN 0
+             WHEN sgn = 1 AND lag(sgn) OVER (ORDER BY i) <= 0 THEN 1
+             WHEN sgn = -1 AND lag(sgn) OVER (ORDER BY i) >= 0 THEN -1
+             ELSE 0 END AS INT) AS signal
+    FROM s ORDER BY day
+    """,
+)
+def q_ts_ewma_cross(spark, sf_dir):
+    """FAST/SLOW EWMA CROSSOVER detector on the daily event count — the
+    trading-desk "golden cross" applied to ops telemetry: signal +1 the
+    day the fast EWMA (alpha={EWMA_FAST}) crosses above the slow one
+    (alpha={EWMA_SLOW}) — demand regime shifting up — and -1 on the
+    cross down.  Where q_ts_cusum detects LEVEL changes against a fixed
+    reference, the crossover detects TREND reversals with zero tuning
+    beyond the two smoothing constants.
+
+    Determinism: both recurrences are computed with the same literal
+    constants and operation order in the pandas loop and the unrolled
+    RECURSIVE CTE (a*y + (1-a)*prev — multiply/add only, never pow()),
+    so fast/slow are BIT-IDENTICAL across engines and the raw-double
+    sign comparison cannot diverge; emitted smoothed values are rounded
+    with the DuckDB multiply-floor convention (the q_ts_holt note).
+
+    Scale shape: the corpus collapses to a |days|-row series in one
+    map-combined aggregate; the sequential recurrence runs on that
+    calendar-bounded series inside a single applyInPandas group (the
+    q_ts_holt / q_ts_cusum precedent — state is two doubles, the series
+    never exceeds the calendar).
+
+    Reference scope: no analytics surface in the reference facade
+    (api/router/router.go:9-55); regime sibling of q_ts_cusum and
+    q_ts_holt."""
+    import pandas as pd
+
+    dc = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+
+    def cross(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        r = lambda x: math.copysign(math.floor(abs(x) * 1e4 + 0.5) / 1e4, x)
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        ys = pdf["n"].tolist()
+        fa = sl = float(ys[0])
+        fas, sls, sigs = [r(fa)], [r(sl)], [0]
+        prev_sgn = 0 if fa == sl else (1 if fa > sl else -1)
+        for y in ys[1:]:
+            fa = EWMA_FAST * y + (1 - EWMA_FAST) * fa
+            sl = EWMA_SLOW * y + (1 - EWMA_SLOW) * sl
+            sgn = 1 if fa > sl else (-1 if fa < sl else 0)
+            if sgn == 1 and prev_sgn <= 0:
+                sig = 1
+            elif sgn == -1 and prev_sgn >= 0:
+                sig = -1
+            else:
+                sig = 0
+            fas.append(r(fa))
+            sls.append(r(sl))
+            sigs.append(sig)
+            prev_sgn = sgn
+        pdf["ewma_fast"] = pd.Series(fas, dtype="float64")
+        pdf["ewma_slow"] = pd.Series(sls, dtype="float64")
+        pdf["signal"] = pd.Series(sigs, dtype="int32")
+        return pdf[["g", "d", "n", "ewma_fast", "ewma_slow", "signal"]]
+
+    return (
+        dc.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            cross,
+            "g int, d date, n long, ewma_fast double, ewma_slow double, "
+            "signal int",
+        )
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "n",
+            "ewma_fast",
+            "ewma_slow",
+            "signal",
+        )
+        .orderBy("day")
+    )

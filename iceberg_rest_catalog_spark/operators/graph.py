@@ -597,7 +597,10 @@ _UNREACHED = 9999  # sentinel > any reachable fixed-round distance
 # keyed only on fixture identity + K, so whichever environment built first
 # pinned its — possibly boundary-flipped — edges for all graph consumers).
 # v2 = deterministic fixed-dim-order accumulation (r15, replaces BLAS GEMM).
-_KNN_SCORING_VERSION = 2
+# v3 = guard-band two-pass (r16): GEMM bulk + det re-score inside GB_BAND —
+#      provably the v2 values, but the code path changed, so the cache key
+#      must change with it (the whole point of this token).
+_KNN_SCORING_VERSION = 3
 
 
 def _knn_edges_ctes() -> str:
@@ -613,15 +616,18 @@ def _knn_edges_ctes() -> str:
     from ..llm.similarity import N_PROBE, ivf_ranked_ctes
 
     return ivf_ranked_ctes(None) + f""",
+    kscore AS (
+      SELECT p.q_vec_id, a.vec_id AS nn_vec_id,
+             round(list_cosine_similarity(a.emb, p.qe), 4) AS cos
+      FROM probed p JOIN assigned a USING (cell)
+      WHERE a.vec_id <> p.q_vec_id),
     knn AS (
       SELECT q_vec_id AS u, nn_vec_id AS v FROM (
-        SELECT p.q_vec_id, a.vec_id AS nn_vec_id,
+        SELECT q_vec_id, nn_vec_id,
                row_number() OVER (
-                 PARTITION BY p.q_vec_id
-                 ORDER BY round(list_cosine_similarity(a.emb, p.qe), 4) DESC,
-                          a.vec_id) AS rk
-        FROM probed p JOIN assigned a USING (cell)
-        WHERE a.vec_id <> p.q_vec_id
+                 PARTITION BY q_vec_id
+                 ORDER BY cos DESC, nn_vec_id) AS rk
+        FROM kscore
       ) WHERE rk <= {BFS_K}),
     edges AS (SELECT u, v FROM knn UNION SELECT v AS u, u AS v FROM knn)"""
 
@@ -676,6 +682,56 @@ def _knn_edge_cache_dir(sf_dir: str) -> str:
         sig.update(f"{p}:{st.st_mtime_ns}:{st.st_size};".encode())
     sig.update(f"K={BFS_K};SCORING_V={_KNN_SCORING_VERSION}".encode())
     return scratch_dir("knn_edges", sf_dir, sig.hexdigest()[:16])
+
+
+def _ranked_cells(src, n_cells: int, two_level: bool):
+    """(vec_id, emb, nrm, cell, cc, rn) candidate-cell ranking of one
+    corpus scan ``src`` — flat (all cells) or group-scoped two-level,
+    mirroring ivf_ranked_ctes' branch.  Module-level (r16) so the
+    q_graph_edge_audit diagnostic can replay the ASSIGNMENT stage with
+    exactly the code _knn_edges runs, not a re-implementation that could
+    drift."""
+    import math
+
+    from pyspark.sql import Window as W
+
+    from ..llm.similarity import N_COARSE_MIN, _cos
+
+    cw = W.partitionBy("vec_id").orderBy(F.desc("cc"), "cell")
+    cent = src.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("c")
+    )
+    if not two_level:
+        return (
+            src.join(F.broadcast(cent))
+            .withColumn("cc", F.round(_cos(F.col("emb"), F.col("c")), 4))
+            .withColumn("rn", F.row_number().over(cw))
+        )
+    n_coarse = max(N_COARSE_MIN, math.isqrt(n_cells))
+    coarse = src.filter(F.col("vec_id") < n_coarse).select(
+        F.col("vec_id").alias("g"), F.col("emb").alias("cg")
+    )
+    fw = W.partitionBy("cell").orderBy(F.desc("gc"), "g")
+    f2c = (
+        cent.join(F.broadcast(coarse))
+        .withColumn("gc", F.round(_cos(F.col("c"), F.col("cg")), 4))
+        .withColumn("rn", F.row_number().over(fw))
+        .filter(F.col("rn") == 1)
+        .select("cell", "c", "g")
+    )
+    vw = W.partitionBy("vec_id").orderBy(F.desc("gc"), "g")
+    v2c = (
+        src.join(F.broadcast(coarse))
+        .withColumn("gc", F.round(_cos(F.col("emb"), F.col("cg")), 4))
+        .withColumn("rn", F.row_number().over(vw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "nrm", "g")
+    )
+    return (
+        v2c.join(F.broadcast(f2c), "g")
+        .withColumn("cc", F.round(_cos(F.col("emb"), F.col("c")), 4))
+        .withColumn("rn", F.row_number().over(cw))
+    )
 
 
 def _knn_edges(
@@ -740,46 +796,8 @@ def _knn_edges(
     # is the module-documented case where _dot_pd wins ~5-10x (measured
     # here: 10.5s -> ~3s at sf0.1).  Centroid ASSIGNMENT stays JVM-side
     # (x16 bounded fan-out, not the hot path).
-    cw = W.partitionBy("vec_id").orderBy(F.desc("cc"), "cell")
-
     def _ranked(src):
-        """(vec_id, emb, nrm, cell, rn) candidate-cell ranking of one
-        corpus scan — flat (all cells) or group-scoped two-level,
-        mirroring ivf_ranked_ctes' branch."""
-        cent = src.filter(F.col("vec_id") < n_cells).select(
-            F.col("vec_id").alias("cell"), F.col("emb").alias("c")
-        )
-        if not two_level:
-            return (
-                src.join(F.broadcast(cent))
-                .withColumn("cc", F.round(_cos(F.col("emb"), F.col("c")), 4))
-                .withColumn("rn", F.row_number().over(cw))
-            )
-        n_coarse = max(N_COARSE_MIN, math.isqrt(n_cells))
-        coarse = src.filter(F.col("vec_id") < n_coarse).select(
-            F.col("vec_id").alias("g"), F.col("emb").alias("cg")
-        )
-        fw = W.partitionBy("cell").orderBy(F.desc("gc"), "g")
-        f2c = (
-            cent.join(F.broadcast(coarse))
-            .withColumn("gc", F.round(_cos(F.col("c"), F.col("cg")), 4))
-            .withColumn("rn", F.row_number().over(fw))
-            .filter(F.col("rn") == 1)
-            .select("cell", "c", "g")
-        )
-        vw = W.partitionBy("vec_id").orderBy(F.desc("gc"), "g")
-        v2c = (
-            src.join(F.broadcast(coarse))
-            .withColumn("gc", F.round(_cos(F.col("emb"), F.col("cg")), 4))
-            .withColumn("rn", F.row_number().over(vw))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "emb", "nrm", "g")
-        )
-        return (
-            v2c.join(F.broadcast(f2c), "g")
-            .withColumn("cc", F.round(_cos(F.col("emb"), F.col("c")), 4))
-            .withColumn("rn", F.row_number().over(cw))
-        )
+        return _ranked_cells(src, n_cells, two_level)
 
     e = _emb(spark, sf_dir).select(
         "vec_id", _dbl("embedding").alias("emb")
@@ -806,17 +824,13 @@ def _knn_edges(
     )
     def _score_cell(probes, members):
         """One numpy block score per cell over (|probes| x |members|)
-        pairs — DETERMINISTIC summation (VERDICT r14 item 1): the dot
-        product accumulates over the dim axis in a fixed sequential loop
-        of IEEE-exact elementwise multiply-adds, NEVER a BLAS GEMM.
-        ``Q @ M.T`` lets BLAS pick an environment-dependent accumulation
-        order (threads/SIMD blocking), and a 1-ulp difference on a
-        cosine adjacent to a 4-dp midpoint flips an edge rank — the
-        r14 driver-red on q_graph_modularity.  The fixed dim-order
-        accumulation is bit-identical on every BLAS/CPU and matches the
-        JVM zip_with fold's operation order (acc + q_i*m_i, index
-        order), at vectorized numpy speed (dim passes of elementwise
-        FMA-free ops, not |pairs|*dim scalar ops).  Rounds
+        pairs — GUARD-BAND deterministic scoring (r16, VERDICT r15 item
+        4): gb_gram_cos runs one BLAS GEMM for the bulk and re-scores
+        any entry within GB_BAND of a 4-dp rounding boundary with the
+        fixed-dim-order det kernel, so the output is provably identical
+        to the r15 det-everywhere pass (which fixed the r14
+        q_graph_modularity driver red) at GEMM speed — the r15
+        det_gram swap cost the graph family 1.4-2.0x idle.  Rounds
         HALF-AWAY-FROM-ZERO to match Spark/DuckDB round() (np.round is
         half-even — the repo-wide convention)."""
         import numpy as np
@@ -826,12 +840,13 @@ def _knn_edges(
             return pd.DataFrame(
                 {"q_vec_id": [], "nn_vec_id": [], "cos": []}
             ).astype({"q_vec_id": "int64", "nn_vec_id": "int64", "cos": "float64"})
-        from ..llm.similarity import det_gram
+        from ..llm.similarity import gb_gram_cos
 
         Q = np.stack(probes["qe"].values)
         M = np.stack(members["emb"].values)
-        S = det_gram(Q, M)
-        S /= np.outer(probes["qnrm"].values, members["nrm"].values)
+        S = gb_gram_cos(
+            Q, M, probes["qnrm"].values, members["nrm"].values
+        )
         S = np.sign(S) * np.floor(np.abs(S) * 1e4 + 0.5) / 1e4
         nq, nm = len(probes), len(members)
         out = pd.DataFrame(
@@ -1061,16 +1076,19 @@ def _lpa_oracle(rounds: int) -> str:
     )
 
 
-def _lpa_labels(spark, sf_dir):
-    """(edges, final labels) of the {LPA_ROUNDS}-round synchronous label
-    propagation over the kNN graph — shared by q_graph_label_propagation
-    and q_graph_modularity (oracle twin: _lpa_ctes)."""
+def _lpa_rounds(spark, sf_dir):
+    """(edges, [labels_r0 .. labels_r{LPA_ROUNDS}]) — every intermediate
+    frame of the synchronous label propagation, each localCheckpoint'ed.
+    Split out of _lpa_labels (r16) so the q_graph_edge_audit diagnostic
+    can digest EVERY round with the exact frames the production queries
+    consume, not a re-run that could diverge."""
     from pyspark.sql import Window as W
 
     e, edges = _knn_edges(spark, sf_dir)
     labels = e.select(
         F.col("vec_id").alias("node"), F.col("vec_id").alias("lbl")
     ).localCheckpoint()
+    rounds = [labels]
     rw = W.partitionBy("u").orderBy(F.desc("c"), "lbl")
     for _ in range(LPA_ROUNDS):
         vote = (
@@ -1088,7 +1106,16 @@ def _lpa_labels(spark, sf_dir):
             .select("node", F.coalesce("new_lbl", "lbl").alias("lbl"))
             .localCheckpoint()
         )
-    return edges, labels
+        rounds.append(labels)
+    return edges, rounds
+
+
+def _lpa_labels(spark, sf_dir):
+    """(edges, final labels) of the {LPA_ROUNDS}-round synchronous label
+    propagation over the kNN graph — shared by q_graph_label_propagation
+    and q_graph_modularity (oracle twin: _lpa_ctes)."""
+    edges, rounds = _lpa_rounds(spark, sf_dir)
+    return edges, rounds[-1]
 
 
 @query("q_graph_label_propagation", oracle=_lpa_oracle(LPA_ROUNDS))
@@ -1786,6 +1813,194 @@ def q_graph_modularity(spark, sf_dir):
     )
 
 
+# -- stage-by-stage divergence audit of the modularity pipeline (r16) ---------
+
+EDGE_AUDIT_BUCKETS = 32  # node-id buckets for the digest rows
+_EDGE_HASH_MUL = 100_003  # sum(u*MUL + v) edge-multiset digest (exact int64)
+
+
+def _edge_audit_oracle() -> str:
+    lpa_arms = "\n      UNION ALL\n      ".join(
+        f"""SELECT 'lpa{r}' AS stage, node % {EDGE_AUDIT_BUCKETS} AS k,
+             count(*) AS n, sum(lbl) AS v
+      FROM l{r} GROUP BY node % {EDGE_AUDIT_BUCKETS}"""
+        for r in range(LPA_ROUNDS + 1)
+    )
+    return (
+        _lpa_ctes(LPA_ROUNDS)
+        + f""",
+    dg AS (SELECT u AS node, count(*) AS d FROM edges GROUP BY u),
+    ds AS (
+      SELECT l.lbl, sum(d.d) AS d_sum
+      FROM l{LPA_ROUNDS} l JOIN dg d ON d.node = l.node GROUP BY l.lbl),
+    ein AS (
+      SELECT lu.lbl, count(*) AS e_in
+      FROM edges ed
+      JOIN l{LPA_ROUNDS} lu ON ed.u = lu.node
+      JOIN l{LPA_ROUNDS} lv ON ed.v = lv.node
+      WHERE lu.lbl = lv.lbl GROUP BY lu.lbl),
+    audit AS (
+      SELECT 'cell' AS stage, cell AS k, count(*) AS n, sum(vec_id) AS v
+      FROM assigned GROUP BY cell
+      UNION ALL
+      SELECT 'edge' AS stage, u % {EDGE_AUDIT_BUCKETS} AS k, count(*) AS n,
+             sum(u * {_EDGE_HASH_MUL} + v) AS v
+      FROM edges GROUP BY u % {EDGE_AUDIT_BUCKETS}
+      UNION ALL
+      {lpa_arms}
+      UNION ALL
+      SELECT 'mod' AS stage, 0 AS k,
+             (SELECT count(*) FROM edges) AS n,
+             (SELECT coalesce(sum(e_in), 0) FROM ein) AS v
+      UNION ALL
+      SELECT 'mod' AS stage, 1 AS k,
+             (SELECT count(DISTINCT lbl) FROM l{LPA_ROUNDS}) AS n,
+             (SELECT coalesce(sum(d_sum * d_sum), 0) FROM ds) AS v)
+    SELECT stage, CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+           CAST(v AS BIGINT) AS v
+    FROM audit ORDER BY stage, k"""
+    )
+
+
+@query("q_graph_edge_audit", oracle=_edge_audit_oracle())
+def q_graph_edge_audit(spark, sf_dir):
+    """STAGE-BY-STAGE integer digest of the modularity pipeline — the
+    diagnostic the r15 verdict prescribed (item 1) after
+    q_graph_modularity red-ed in the grading environment for two rounds
+    while passing every local re-run.  One row per (stage, bucket), all
+    exact integers, so a CORRECTNESS mismatch names the FIRST stage where
+    the environments diverge instead of a bare end-to-end hash flip:
+
+    - ``cell``:  per-IVF-cell assignment census (count + sum of vec_ids)
+                 — replays the assignment with the exact production code
+                 (_ranked_cells) against the oracle's `assigned` CTE; a
+                 red here means the engines rank centroid cosines
+                 differently (the r15 2.9e-8-margin suspect surface).
+    - ``edge``:  per-node-bucket edge-multiset digest
+                 (count, sum(u*{_EDGE_HASH_MUL}+v)) of the symmetrized
+                 kNN graph.
+    - ``lpa0..lpa{LPA_ROUNDS}``: per-bucket label-sum census after every
+                 propagation round.
+    - ``mod``:   the modularity integer triple (|E|, sum e_in,
+                 sum d_sum^2) and the community count.
+
+    Scale shape: every arm is a keyed count/sum over the shared cached
+    edge frame or the |corpus|-row label frames — map-combined
+    aggregates, {EDGE_AUDIT_BUCKETS}-bucket output; the assignment
+    replay is the same broadcast-centroid join the edge build pays.
+
+    Reference scope: no graph surface in the reference facade
+    (api/router/router.go:9-55); diagnostic sibling of
+    q_graph_modularity (operators/graph.py)."""
+    from ..llm.similarity import (
+        _dbl,
+        _emb,
+        _emb_count,
+        _norm,
+        assignment_two_level,
+        ivf_cells_for,
+    )
+
+    n = _emb_count(spark, sf_dir)
+    n_cells = ivf_cells_for(n)
+    two_level = assignment_two_level(n)
+    e = (
+        _emb(spark, sf_dir)
+        .select("vec_id", _dbl("embedding").alias("emb"))
+        .withColumn("nrm", _norm("emb"))
+    )
+    assigned = _ranked_cells(e, n_cells, two_level).filter(F.col("rn") == 1)
+    cells = (
+        assigned.groupBy("cell")
+        .agg(F.count("*").alias("n"), F.sum("vec_id").alias("v"))
+        .select(
+            F.lit("cell").alias("stage"),
+            F.col("cell").cast("long").alias("k"),
+            F.col("n").cast("long").alias("n"),
+            F.col("v").cast("long").alias("v"),
+        )
+    )
+    edges, rounds = _lpa_rounds(spark, sf_dir)
+    edge_digest = (
+        edges.groupBy((F.col("u") % EDGE_AUDIT_BUCKETS).alias("k"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("u") * F.lit(_EDGE_HASH_MUL).cast("long") + F.col("v")).alias(
+                "v"
+            ),
+        )
+        .select(
+            F.lit("edge").alias("stage"),
+            F.col("k").cast("long").alias("k"),
+            F.col("n").cast("long").alias("n"),
+            F.col("v").cast("long").alias("v"),
+        )
+    )
+    arms = [cells, edge_digest]
+    for r, lab in enumerate(rounds):
+        arms.append(
+            lab.groupBy((F.col("node") % EDGE_AUDIT_BUCKETS).alias("k"))
+            .agg(F.count("*").alias("n"), F.sum("lbl").alias("v"))
+            .select(
+                F.lit(f"lpa{r}").alias("stage"),
+                F.col("k").cast("long").alias("k"),
+                F.col("n").cast("long").alias("n"),
+                F.col("v").cast("long").alias("v"),
+            )
+        )
+    labels = rounds[-1]
+    lu = labels.select(F.col("node").alias("u"), F.col("lbl").alias("lu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lv"))
+    ein = (
+        edges.join(lu, "u")
+        .join(lv, "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("lbl"))
+        .agg(F.count("*").alias("e_in"))
+    )
+    dg = edges.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    ds = labels.join(dg, "node").groupBy("lbl").agg(F.sum("d").alias("d_sum"))
+    row0 = (
+        edges.agg(F.count("*").cast("long").alias("n"))
+        .crossJoin(
+            F.broadcast(
+                ein.agg(
+                    F.coalesce(F.sum("e_in"), F.lit(0)).cast("long").alias("v")
+                )
+            )
+        )
+        .select(
+            F.lit("mod").alias("stage"),
+            F.lit(0).cast("long").alias("k"),
+            "n",
+            "v",
+        )
+    )
+    row1 = (
+        labels.agg(F.countDistinct("lbl").cast("long").alias("n"))
+        .crossJoin(
+            F.broadcast(
+                ds.agg(
+                    F.coalesce(F.sum(F.col("d_sum") * F.col("d_sum")), F.lit(0))
+                    .cast("long")
+                    .alias("v")
+                )
+            )
+        )
+        .select(
+            F.lit("mod").alias("stage"),
+            F.lit(1).cast("long").alias("k"),
+            "n",
+            "v",
+        )
+    )
+    arms.extend([row0, row1])
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("stage", "k")
+
+
 # -- graph-ANN search over the kNN graph (VERDICT r14 item 5) -----------------
 
 GS_BEAM = 4    # beam width of the greedy best-first search
@@ -1837,14 +2052,16 @@ def _graph_search_oracle() -> str:
                row_number() OVER (PARTITION BY qid
                                   ORDER BY cos DESC, node) AS rk
         FROM b{GS_ROUNDS} WHERE node <> qid) WHERE rk <= {BFS_K}),
+    xscore AS (
+      SELECT p.qid, a.vec_id AS node,
+             round(list_cosine_similarity(a.emb, p.qe), 4) AS cos
+      FROM p JOIN e a ON a.vec_id <> p.qid),
     exact AS (
       SELECT qid, node FROM (
-        SELECT p.qid, a.vec_id AS node,
+        SELECT qid, node,
                row_number() OVER (
-                 PARTITION BY p.qid
-                 ORDER BY round(list_cosine_similarity(a.emb, p.qe), 4) DESC,
-                          a.vec_id) AS rk
-        FROM p JOIN e a ON a.vec_id <> p.qid) WHERE rk <= {BFS_K}),
+                 PARTITION BY qid ORDER BY cos DESC, node) AS rk
+        FROM xscore) WHERE rk <= {BFS_K}),
     hits AS (
       SELECT a.qid, count(*) AS h
       FROM approx a JOIN exact x ON x.qid = a.qid AND x.node = a.node
@@ -1958,4 +2175,79 @@ def q_sim_graph_search(spark, sf_dir):
             F.round(F.coalesce("h", F.lit(0)) * 1.0 / BFS_K, 4).alias("recall"),
         )
         .orderBy("q_vec_id")
+    )
+
+
+# -- friend-of-friend recommendation (r16) ------------------------------------
+
+FOF_K = 3  # recommendations per node
+
+
+def _fof_oracle() -> str:
+    return f"""
+WITH {_knn_edges_ctes()},
+cand AS (
+  SELECT e1.u, e2.v, count(*) AS common
+  FROM edges e1 JOIN edges e2 ON e2.u = e1.v
+  WHERE e2.v <> e1.u
+  GROUP BY e1.u, e2.v),
+fof AS (
+  SELECT c.u, c.v, c.common
+  FROM cand c LEFT JOIN edges d ON d.u = c.u AND d.v = c.v
+  WHERE d.u IS NULL)
+SELECT u AS node, v AS rec, CAST(common AS BIGINT) AS common_neighbors,
+       CAST(rk AS INT) AS rank
+FROM (
+  SELECT u, v, common,
+         row_number() OVER (PARTITION BY u
+                            ORDER BY common DESC, v) AS rk
+  FROM fof) WHERE rk <= {FOF_K}
+ORDER BY node, rank
+"""
+
+
+@query("q_graph_fof", oracle=_fof_oracle())
+def q_graph_fof(spark, sf_dir):
+    """FRIEND-OF-FRIEND recommendation over the kNN graph — for every
+    node, the top-{FOF_K} two-hop neighbours it is NOT yet connected to,
+    ranked by common-neighbour count (the "people you may know" /
+    "related items" primitive; over an embedding kNN graph this is the
+    cheap diversity-aware candidate generator that needs no second ANN
+    query).  All-integer: path counting, anti-join against direct edges,
+    (count DESC, id) rank.
+
+    Scale shape: one edges⋈edges equi-join on the shared cached edge
+    frame (volume Σ deg² — bounded by the kNN out-degree 2·{BFS_K}), a
+    map-combined (u,v) count, an anti join back to edges, and a top-K
+    window per node.  Hub-capping note: on a power-law graph the deg²
+    term concentrates on hubs; the swap at that scale is capping the
+    intermediate expansion per node (sample or limit neighbours), same
+    plan shape.
+
+    Reference scope: no graph surface in the reference facade
+    (api/router/router.go:9-55); recommendation sibling of
+    q_graph_jaccard_neighbors (same two-hop join, different score)."""
+    from pyspark.sql import Window as W
+
+    _, edges = _knn_edges(spark, sf_dir)
+    e1 = edges.select(F.col("u"), F.col("v").alias("x"))
+    e2 = edges.select(F.col("u").alias("x"), F.col("v"))
+    cand = (
+        e1.join(e2, "x")
+        .filter(F.col("v") != F.col("u"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("common"))
+    )
+    fof = cand.join(edges, ["u", "v"], "left_anti")
+    rw = W.partitionBy("u").orderBy(F.desc("common"), "v")
+    return (
+        fof.withColumn("rk", F.row_number().over(rw))
+        .filter(F.col("rk") <= FOF_K)
+        .select(
+            F.col("u").alias("node"),
+            F.col("v").alias("rec"),
+            F.col("common").cast("long").alias("common_neighbors"),
+            F.col("rk").cast("int").alias("rank"),
+        )
+        .orderBy("node", "rank")
     )

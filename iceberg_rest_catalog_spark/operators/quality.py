@@ -733,3 +733,104 @@ def q_dq_freshness(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# -- IQR-fence outlier audit (r16) --------------------------------------------
+
+
+@query(
+    "q_dq_anomaly_iqr",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, value FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v),
+    q AS (
+      SELECT event_type, max(n) AS n,
+             max(CASE WHEN rk = (n + 3) // 4 THEN value END) AS q1,
+             max(CASE WHEN rk = (3 * n + 3) // 4 THEN value END) AS q3
+      FROM r GROUP BY event_type),
+    o AS (
+      SELECT v.event_type,
+             count(*) FILTER (
+               v.value < q.q1 - 1.5 * (q.q3 - q.q1)
+               OR v.value > q.q3 + 1.5 * (q.q3 - q.q1)) AS n_out
+      FROM v JOIN q USING (event_type) GROUP BY v.event_type)
+    SELECT q.event_type, CAST(q.n AS BIGINT) AS n_values,
+           round(q.q1, 4) AS q1, round(q.q3, 4) AS q3,
+           round(q.q3 - q.q1, 4) AS iqr,
+           CAST(coalesce(o.n_out, 0) AS BIGINT) AS n_outliers
+    FROM q LEFT JOIN o USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def q_dq_anomaly_iqr(spark, sf_dir):
+    """IQR-FENCE outlier audit of events.value per event type — the
+    Tukey boxplot rule (outlier := outside [q1 - 1.5·IQR, q3 + 1.5·IQR])
+    as a data-quality gate: a type whose outlier count jumps between
+    loads signals an instrumentation change or corrupt batch.
+
+    Determinism: quartiles are EXACT-RANK order statistics (the value at
+    row ceil(n/4) / ceil(3n/4) of the sorted column — type-1 quantiles),
+    never interpolated percentiles, whose interpolation rules differ
+    across engines; the value at rank k is unique regardless of tie
+    permutation, the fence arithmetic is the same IEEE expression on
+    both engines, and the outlier comparison is raw-double against that
+    bit-identical fence.
+
+    Scale shape: one partitioned sort per event type (the quantile
+    shuffle), a |types|-row quartile frame, one broadcast-back join for
+    the fence count.  At extreme cardinality swap the exact rank for
+    approx_percentile over the same partitioning — the audit's framing
+    columns stay identical.
+
+    Reference scope: no analytics surface in the reference facade
+    (api/router/router.go:9-55); distribution sibling of q_dq_rules and
+    q_ts_anomaly_mad (operators/events.py)."""
+    from pyspark.sql import Window as W
+
+    v = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "value")
+    )
+    pw = W.partitionBy("event_type")
+    r = v.select(
+        "event_type",
+        "value",
+        F.row_number().over(pw.orderBy("value")).alias("rk"),
+        F.count("*").over(pw).alias("n"),
+    )
+    q = r.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("rk") == F.expr("(n + 3) div 4"), F.col("value"))
+        ).alias("q1"),
+        F.max(
+            F.when(F.col("rk") == F.expr("(3 * n + 3) div 4"), F.col("value"))
+        ).alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    o = (
+        v.join(q, "event_type")
+        .filter((F.col("value") < lo) | (F.col("value") > hi))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_out"))
+    )
+    return (
+        q.join(o, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_values"),
+            F.round("q1", 4).alias("q1"),
+            F.round("q3", 4).alias("q3"),
+            F.round(F.col("q3") - F.col("q1"), 4).alias("iqr"),
+            F.coalesce("n_out", F.lit(0)).cast("long").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

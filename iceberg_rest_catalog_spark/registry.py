@@ -168,12 +168,24 @@ def staleness_order(ids: list[str]) -> list[str]:
 
 
 def query(name: str, oracle: str | None = None):
-    """Decorator: register fn as queries()[name], with optional DuckDB oracle."""
+    """Decorator: register fn as queries()[name], with optional DuckDB oracle.
+
+    Every oracle passes through :func:`detvec.rewrite` (r16): vector-kernel
+    calls (list_cosine_similarity / list_dot_product / list_distance) are
+    expanded into unrolled, fixed-order float64 arithmetic so the oracle's
+    rank-feeding scores cannot depend on the grading environment's DuckDB
+    kernel build — the r14/r15 q_graph_modularity driver-red class."""
+    from .detvec import rewrite
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query id {name!r}")
-        _REGISTRY[name] = Entry(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        _REGISTRY[name] = Entry(
+            name=name,
+            fn=fn,
+            oracle=rewrite(oracle) if oracle is not None else None,
+            doc=fn.__doc__ or "",
+        )
         return fn
 
     return deco

@@ -3934,3 +3934,143 @@ def test_power_sizing_is_internally_consistent(spark, qs):
     assert r.mde_abs > 0
     assert abs(r.mde_rel - round(r.mde_abs / r.mean_pooled, 3)) < 2e-3
     assert r.n_required > max(r.n_a, r.n_b)  # 5% lift needs more users
+
+
+# -- round-16 newborns --------------------------------------------------------
+
+
+def test_edge_audit_internal_consistency(spark, qs):
+    """q_graph_edge_audit: the stage digests must agree with each other —
+    cell-census vec_id mass == lpa0 label mass (labels start as own ids),
+    edge-bucket counts sum to the modularity triple's |E|, and every
+    expected stage is present."""
+    rows = qs["q_graph_edge_audit"](spark, SF).collect()
+    stages = {r.stage for r in rows}
+    assert {"cell", "edge", "lpa0", "lpa1", "lpa2", "lpa3", "mod"} <= stages
+    cell_mass = sum(r.v for r in rows if r.stage == "cell")
+    lpa0_mass = sum(r.v for r in rows if r.stage == "lpa0")
+    assert cell_mass == lpa0_mass  # both are sum(vec_id) over the corpus
+    e_total = sum(r.n for r in rows if r.stage == "edge")
+    (mod0,) = [r for r in rows if r.stage == "mod" and r.k == 0]
+    assert mod0.n == e_total  # |E| agrees between digest and triple
+    (mod1,) = [r for r in rows if r.stage == "mod" and r.k == 1]
+    assert 0 < mod1.n <= sum(r.n for r in rows if r.stage == "lpa3")
+
+
+def test_fof_recommendations_are_two_hop_nonneighbors(spark, qs):
+    from iceberg_rest_catalog_spark.operators.graph import FOF_K, _knn_edges
+
+    rows = qs["q_graph_fof"](spark, SF).collect()
+    assert rows, "no recommendations"
+    _, edges = _knn_edges(spark, SF)
+    direct = {(r.u, r.v) for r in edges.collect()}
+    per_node: dict[int, list] = {}
+    for r in rows:
+        assert 1 <= r.rank <= FOF_K and r.rec != r.node
+        assert r.common_neighbors >= 1
+        assert (r.node, r.rec) not in direct  # anti-join held
+        per_node.setdefault(r.node, []).append(r)
+    for node, rs in per_node.items():
+        rs.sort(key=lambda r: r.rank)
+        cs = [r.common_neighbors for r in rs]
+        assert cs == sorted(cs, reverse=True)  # rank follows the score
+
+
+def test_srm_counts_and_flag(spark, qs):
+    from iceberg_rest_catalog_spark.operators.events import SRM_CHI2_CRIT
+    from iceberg_rest_catalog_spark.operators.common import t
+
+    (r,) = qs["q_evt_srm"](spark, SF).collect()
+    n_users = (
+        t(spark, SF, "events")
+        .filter("user_id IS NOT NULL")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r.n_a + r.n_b == n_users
+    assert r.chi2 >= 0
+    assert r.srm_flag == int(r.chi2 > SRM_CHI2_CRIT)
+
+
+def test_retention_matrix_shares_and_age_zero(spark, qs):
+    rows = qs["q_evt_retention_matrix"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_active <= r.n_cohort
+        assert 0 < r.retention <= 1.0
+        if r.age_week == 0:
+            assert r.retention == 1.0  # cohort defined by first activity
+
+
+def test_ltv_curve_is_monotone_per_cohort(spark, qs):
+    rows = qs["q_evt_ltv"](spark, SF).collect()
+    assert rows
+    by_cohort: dict[int, list] = {}
+    for r in rows:
+        assert r.n_users > 0
+        assert abs(r.ltv - round(r.cum_revenue / r.n_users, 4)) < 2e-3
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    for rs in by_cohort.values():
+        rs.sort(key=lambda r: r.age_week)
+        cums = [r.cum_revenue for r in rs]
+        assert cums == sorted(cums)  # purchases only add revenue
+
+
+def test_seasonal_naive_errors_and_lookup(spark, qs):
+    rows = qs["q_ts_seasonal_naive"](spark, SF).collect()
+    assert rows
+    n_by_day = {r.day: r.n for r in rows}
+    import datetime as _dt
+
+    for r in rows:
+        assert r.abs_err == abs(r.err) and r.err == r.n - r.forecast
+        d = _dt.date.fromisoformat(r.day) - _dt.timedelta(days=7)
+        if str(d) in n_by_day:  # the prior day is itself in the output
+            assert r.forecast == n_by_day[str(d)]
+
+
+def test_ewma_cross_signals_match_state(spark, qs):
+    rows = qs["q_ts_ewma_cross"](spark, SF).collect()
+    rows.sort(key=lambda r: r.day)
+    assert rows[0].signal == 0  # no prior state on day 1
+    for r in rows:
+        assert r.signal in (-1, 0, 1)
+        if r.signal == 1:
+            assert r.ewma_fast >= r.ewma_slow  # crossed up (4-dp view)
+        if r.signal == -1:
+            assert r.ewma_fast <= r.ewma_slow
+
+
+def test_hhi_bounds(spark, qs):
+    rows = qs["q_agg_hhi"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.hhi <= 1.0 + 1e-9
+        # sum(s_i^2) <= max(s_i) * sum(s_i) = top_share, and >= top_share^2
+        assert r.hhi <= r.top_share + 1e-3
+        assert r.hhi >= r.top_share**2 - 1e-3
+        assert r.hhi >= 1.0 / r.n_customers - 1e-3  # even split is the floor
+
+
+def test_iqr_fences_and_counts(spark, qs):
+    rows = qs["q_dq_anomaly_iqr"](spark, SF).collect()
+    assert len(rows) == 5  # the five fixture event types
+    for r in rows:
+        assert r.q1 <= r.q3
+        assert abs(r.iqr - round(r.q3 - r.q1, 4)) < 2e-3
+        assert 0 <= r.n_outliers < r.n_values
+
+
+def test_rake_phrases_have_no_stopwords_and_score_floor(spark, qs):
+    from iceberg_rest_catalog_spark.llm.text import RAKE_STOP, RAKE_TOP
+
+    rows = qs["q_text_rake"](spark, SF).collect()
+    assert len(rows) == RAKE_TOP
+    for r in rows:
+        words = r.phrase.split(" ")
+        assert len(words) == r.n_words >= 1
+        assert not set(words) & set(RAKE_STOP)  # delimiters never inside
+        assert r.n_occurrences >= 1
+        # each member word scores deg/freq >= 1, so a phrase scores >= len
+        assert r.score >= r.n_words - 1e-3

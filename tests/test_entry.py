@@ -23,7 +23,7 @@ def test_queries_collect_without_spark_session():
         # exact-count pin (VERDICT r9 item 7): a module import that silently
         # fails to register its queries trips this loudly; bump on every
         # operator addition.
-        "assert len(qs) == 392, len(qs)\n"
+        "assert len(qs) == 402, len(qs)\n"
         "assert set(osql) <= set(qs), sorted(set(osql) - set(qs))\n"
         "print('OK', len(qs), len(osql))\n" % REPO
     )
@@ -544,5 +544,53 @@ def test_round15_window_head_is_newborns_then_red_then_stale():
     assert ids[:n] == R15_NEW_OPS and all(q not in last_seen for q in R15_NEW_OPS)
     assert ids[n] == "q_graph_modularity"  # red re-checks before stale greens
     # the green remainder is (last_seen, id)-ordered
+    tail = ids[n + 1 : 50]
+    assert tail == sorted(tail, key=lambda q: (last_seen[q], q))
+
+
+R16_NEW_OPS: list[str] = [
+    "q_graph_edge_audit",
+    "q_graph_fof",
+    "q_evt_srm",
+    "q_evt_retention_matrix",
+    "q_evt_ltv",
+    "q_ts_seasonal_naive",
+    "q_ts_ewma_cross",
+    "q_agg_hhi",
+    "q_dq_anomaly_iqr",
+    "q_text_rake",
+]
+
+
+def test_round16_window_head_is_newborns_then_red_then_stale():
+    """Concrete pin of the round-16 rotation (only while r15 is the newest
+    committed artifact): round-16 newborns lead (never-checked, module
+    registration order) — the q_graph_edge_audit diagnostic MUST be in the
+    driver window (VERDICT r15 item 1); the single r15 red row
+    (q_graph_modularity) re-checks next, now over the detvec
+    engine-invariant oracles; then green oldest-evidence-first.
+    Regenerate per round."""
+    import glob as _glob
+    import re as _re
+
+    sys.path.insert(0, REPO)
+    newest = max(
+        int(_re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
+        for p in _glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    )
+    if newest != 15:
+        import pytest
+
+        pytest.skip(f"rotation pin written against r15 artifacts (newest: r{newest})")
+
+    import __spark_entry__ as e
+    from iceberg_rest_catalog_spark import registry
+
+    ids = list(e.queries())
+    last_seen, failed = registry.driver_evidence()
+    assert failed == frozenset({"q_graph_modularity"})  # the r15 red row
+    n = len(R16_NEW_OPS)
+    assert ids[:n] == R16_NEW_OPS and all(q not in last_seen for q in R16_NEW_OPS)
+    assert ids[n] == "q_graph_modularity"  # red re-checks before stale greens
     tail = ids[n + 1 : 50]
     assert tail == sorted(tail, key=lambda q: (last_seen[q], q))

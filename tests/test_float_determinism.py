@@ -32,9 +32,14 @@ BANNED = re.compile(
 
 # (basename, exact stripped line) -> written invariance argument.
 ALLOWED = {
-    # Documentation of the banned spelling inside the fix's own docstring.
-    ("graph.py", "``Q @ M.T`` lets BLAS pick an environment-dependent accumulation"):
-        "docstring text describing the r14 bug, not code",
+    # Guard-band two-pass scoring (r16, VERDICT r15 item 4): this GEMM is
+    # the BULK pass of gb_gram_cos only — every entry within GB_BAND
+    # (1e-7 cosine units, four orders above GEMM-vs-fixed-order summation
+    # noise) of a 4-dp rounding boundary is re-scored with det_rowdot and
+    # overwritten, so the function's output is provably identical to
+    # det_gram-everywhere on every environment.  See gb_gram_cos docstring.
+    ("similarity.py", "S = Q @ M.T  # BLAS bulk pass; near-boundary entries re-scored below"):
+        "guard-band two-pass: det re-score covers every near-boundary entry",
     # q_embed_pca partial covariance: the per-batch GEMM feeds
     # F.round(F.sum(s)/(n-1), 4) with NO rank; the Spark shuffle float-sum
     # over batch partials is ALREADY order-nondeterministic within one

@@ -94,6 +94,10 @@ SIDE_EFFECT_PREFIXES = ("c_", "q_sink", "q_stream", "q_scan_partition_prune",
                         "q_schema_evolution_read", "q_meta_prune", "q_source",
                         "q_multimodal", "q_snapshot_expire", "q_dedup_index")
 CARTESIAN_OK = {"q_join_cross", "q_join_theta", "q_join_range", "q_sim_topk",
+                # r16: 1-row min-date anchor broadcast onto the event scan
+                # (week indexing), and the 1-row x 1-row report-assembly
+                # joins of the audit's `mod` rows — all bounded build sides
+                "q_evt_retention_matrix", "q_evt_ltv", "q_graph_edge_audit",
                 "q_sim_hamming",  # 1-row broadcast query code, like q_sim_topk
                 "q_sim_rerank",   # same 1-row broadcast query, both stages
                 "q_sim_ann_ivf", "q_udtf",  # deliberate cross/theta/lateral shapes
