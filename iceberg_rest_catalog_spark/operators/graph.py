@@ -145,6 +145,10 @@ def q_graph_pagerank(spark, sf_dir):
 # into every task closure plus an equal-size masks matrix, an OOM well
 # before the gate tripped (ADVICE r6).
 _DENSE_MAX_NODES = 30_000
+# Below this node estimate the co-presence pair relation (~n²/2 rows worst
+# case) stages serialized in memory instead of DISK_ONLY — see
+# q_graph_triangles' stage_level note.
+_MEM_STAGE_MAX_NODES = 3_000
 
 
 def _triangles_dense(spark, ei, n):
@@ -349,17 +353,6 @@ def q_graph_triangles(spark, sf_dir):
 
     from .joins import q_join_interval_overlap
 
-    # Stage the raw (long, long) pair relation DISK_ONLY: it is consumed
-    # exactly twice (node collect, int re-index) and then dropped. Caching
-    # it deserialized on-heap next to the int edge list held the working
-    # set at 2x |edges| rows and OOM'd the 16 GB JVM at the x10 decade
-    # step (112M pairs); disk staging costs one sequential re-read and
-    # frees the heap for the shuffles that actually need it.
-    edges = (
-        q_join_interval_overlap(spark, sf_dir)
-        .select(F.col("u1").alias("u"), F.col("u2").alias("v"))
-        .persist(StorageLevel.DISK_ONLY)
-    )
     # Density gate via ONE shuffle-free pass over the EVENTS COLUMN, not
     # the edge list: distinct user_id is an UPPER BOUND on the graph's
     # node count (every co-presence endpoint is a sessioned user), and an
@@ -379,6 +372,27 @@ def q_graph_triangles(spark, sf_dir):
         .agg(F.approx_count_distinct("user_id", 0.02).alias("n"))
         .collect()[0]
         .n
+    )
+    # Stage the raw (long, long) pair relation — consumed exactly twice
+    # (id-range probe / node collect, then the int re-index) and dropped.
+    # Storage level rides the SAME node estimate as the density gate
+    # (r16): below _MEM_STAGE_MAX_NODES the pair volume is bounded by
+    # ~n²/2 ≈ 4.5M rows, which fits SERIALIZED on-heap with disk spill —
+    # the r13/r16 phase bisects put the disk write+read of this persist
+    # squarely inside the query's dominant IO-variance phase, so the
+    # small regime shouldn't pay it.  Above the gate: DISK_ONLY, the r13
+    # lesson — 112M pairs staged deserialized on-heap next to the int
+    # edge list OOM'd the 16 GB JVM at the x10 decade step; disk staging
+    # frees the heap for the shuffles that actually need it.
+    stage_level = (
+        StorageLevel.MEMORY_AND_DISK
+        if n_est * 1.05 <= _MEM_STAGE_MAX_NODES
+        else StorageLevel.DISK_ONLY
+    )
+    edges = (
+        q_join_interval_overlap(spark, sf_dir)
+        .select(F.col("u1").alias("u"), F.col("u2").alias("v"))
+        .persist(stage_level)
     )
 
     if n_est * 1.05 <= _DENSE_MAX_NODES:

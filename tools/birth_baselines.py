@@ -68,6 +68,21 @@ OVERRIDES: dict[str, dict] = {
         "sec": 2.466, "round": 15, "stat": "median3",
         "source": "r15 newborn 3-pass idle standalone",
     },
+    # r16 adjudication (VERDICT r15 item 5): q_graph_triangles' wall is
+    # variance-dominated — two same-code standalone 5-pass idle runs one
+    # hour apart medianed 7.45 s and 10.44 s (samples 5.6-17.4 s) with a
+    # stable interleaved control (q_agg_group 0.28-0.93 s), no
+    # triangle-path commit since r13, plan pinned, and the r13 phase
+    # bisect's ~3.7 s compute share re-confirmed (edge build 1.9-2.9 s).
+    # The r6 pin (8.368) sat at the envelope's FAVORABLE third and
+    # red-flagged host noise two rounds running.  Re-pin at the center of
+    # today's measured envelope; the memory-staged edge relation (r16,
+    # _MEM_STAGE_MAX_NODES) removes the small-regime disk round trip
+    # going forward.  See BASELINE.md round-16 adjudication.
+    "q_graph_triangles": {
+        "sec": 9.5, "round": 16, "stat": "center of 2x5-pass envelope",
+        "source": "r16 adjudication: medians 7.45/10.44, samples 5.6-17.4",
+    },
 }
 
 
