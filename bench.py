@@ -260,6 +260,14 @@ TRACKED: list[str] = [
     # r15 wave-3); q_evt_did (0.83 s) and q_dq_freshness (0.79 s) are
     # overhead-bound — not tracked.
     "q_sim_ann_ivf_filtered",
+    # round-16 newborns above the ~1.5 s floor (recorded birth baselines,
+    # birth_baselines.json r16 standalone 3-pass): edge_audit replays the
+    # IVF assignment + digests every LPA round over the cached edges
+    # (3.914 s); rake pays tokenize-explode + the phrase/word-stat joins
+    # (2.586 s).  The other eight r16 newborns are overhead-bound at
+    # sf0.1 (0.37-1.30 s) — not tracked, the q_ts_ewma precedent.
+    "q_graph_edge_audit",
+    "q_text_rake",
 ]
 
 

@@ -83,6 +83,17 @@ OVERRIDES: dict[str, dict] = {
         "sec": 9.5, "round": 16, "stat": "center of 2x5-pass envelope",
         "source": "r16 adjudication: medians 7.45/10.44, samples 5.6-17.4",
     },
+    # r16 newborns above the tracking floor: standalone 3-pass idle
+    # medians (the r15 convention — suite-context births run 1.2-1.5x
+    # low and draw false drift flags).
+    "q_graph_edge_audit": {
+        "sec": 3.914, "round": 16, "stat": "median3",
+        "source": "r16 newborn 3-pass idle standalone",
+    },
+    "q_text_rake": {
+        "sec": 2.586, "round": 16, "stat": "median3",
+        "source": "r16 newborn 3-pass idle standalone",
+    },
 }
 
 
