@@ -1576,3 +1576,85 @@ def q_text_rake(spark, sf_dir):
         )
     )
     return agg.orderBy(F.desc("score"), "phrase").limit(RAKE_TOP)
+
+
+# -- readability scoring (r16 wave 3) -----------------------------------------
+
+
+@query(
+    "q_text_readability",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+             len(regexp_extract_all(text, '[.!?]+')) AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+      FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE)
+                            / greatest(n_sentences, 1))
+                 - 84.6 * (CAST(n_syllables AS DOUBLE)
+                           / greatest(n_words, 1)), 4) AS flesch
+    FROM d ORDER BY doc_id
+    """,
+)
+def q_text_readability(spark, sf_dir):
+    """FLESCH READING-EASE scoring per document — the grade-level
+    heuristic every corpus-quality pipeline carries next to
+    q_text_quality's length/punct ratios (a pretraining mix skewed to
+    degenerate reading levels is a data bug): 206.835 - 1.015*(words/
+    sentences) - 84.6*(syllables/words), with the standard portable
+    approximations (sentences = [.!?]+ runs, syllables = vowel-group
+    [aeiouy]+ runs — deterministic regex counts, no dictionary), and
+    greatest(·,1) guards for fragment docs.
+
+    Determinism: all three counts are exact integers from the same
+    regexes on both engines; the score is one mirrored float expression
+    under a 4-dp round (midpoint-audited at birth).
+
+    Scale shape: pure map-side per-doc expression work — no shuffle, no
+    state; the scan vectorizes and the output is row-per-doc.
+
+    Reference scope: no text surface in the reference facade
+    (api/router/router.go:9-55); quality sibling of q_text_quality and
+    q_text_stats."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+            ).alias("n_words"),
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)
+            ).alias("n_sentences"),
+            F.size(
+                F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)
+            ).alias("n_syllables"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_syllables").cast("long").alias("n_syllables"),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (
+                F.col("n_words").cast("double")
+                / F.greatest(F.col("n_sentences"), F.lit(1))
+            )
+            - F.lit(84.6)
+            * (
+                F.col("n_syllables").cast("double")
+                / F.greatest(F.col("n_words"), F.lit(1))
+            ),
+            4,
+        ).alias("flesch"),
+    ).orderBy("doc_id")

@@ -1665,3 +1665,186 @@ def q_agg_hhi(spark, sf_dir):
         )
         .orderBy("nation")
     )
+
+# -- exact-rank trimmed/winsorized mean (r16 wave 3) --------------------------
+
+TRIM_PCT = 10  # percent trimmed from EACH tail
+
+
+@query(
+    "q_agg_trimmed_mean",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, value FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v),
+    k AS (SELECT event_type, value, rk, n, n * {TRIM_PCT} // 100 AS cut
+          FROM r),
+    lims AS (
+      SELECT event_type,
+             max(CASE WHEN rk = cut + 1 THEN value END) AS lo,
+             max(CASE WHEN rk = n - cut THEN value END) AS hi
+      FROM k GROUP BY event_type)
+    SELECT k.event_type, CAST(max(k.n) AS BIGINT) AS n_values,
+           CAST(max(k.cut) AS BIGINT) AS n_cut_each,
+           round(avg(k.value) FILTER (k.rk > k.cut AND k.rk <= k.n - k.cut),
+                 4) AS trimmed_mean,
+           round(avg(CASE WHEN k.value < l.lo THEN l.lo
+                          WHEN k.value > l.hi THEN l.hi
+                          ELSE k.value END), 4) AS winsorized_mean
+    FROM k JOIN lims l USING (event_type)
+    GROUP BY k.event_type ORDER BY k.event_type
+    """,
+)
+def q_agg_trimmed_mean(spark, sf_dir):
+    """TRIMMED and WINSORIZED means of events.value per type ({TRIM_PCT}%
+    each tail) — the robust centers that survive the heavy-tail values
+    q_dq_anomaly_iqr flags (trim drops the tails, winsorize clamps them
+    to the exact-rank cut values).  Rank-based: cut = n*{TRIM_PCT}//100
+    rows per tail by exact integer arithmetic, and with tied boundary
+    values the KEPT MULTISET is identical whichever tied copies are
+    dropped — so the engines agree without any tie-break column.
+
+    Scale shape: one partitioned sort per type (shared shape with
+    q_dq_anomaly_iqr — at extreme cardinality the same
+    approx_percentile swap applies), a \\|types\\|-row limit frame, one
+    broadcast-back join.
+
+    Reference scope: no analytics surface in the reference facade
+    (api/router/router.go:9-55); robust sibling of q_agg_mode_median
+    and q_ts_anomaly_mad."""
+    from pyspark.sql import Window as W
+
+    v = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "value")
+    )
+    pw = W.partitionBy("event_type")
+    k = v.select(
+        "event_type",
+        "value",
+        F.row_number().over(pw.orderBy("value")).alias("rk"),
+        F.count("*").over(pw).alias("n"),
+    ).withColumn("cut", F.expr(f"n * {TRIM_PCT} div 100"))
+    lims = k.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rk") == F.col("cut") + 1, F.col("value"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rk") == F.col("n") - F.col("cut"), F.col("value"))
+        ).alias("hi"),
+    )
+    return (
+        k.join(lims, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_values"),
+            F.max("cut").cast("long").alias("n_cut_each"),
+            F.round(
+                F.avg(
+                    F.when(
+                        (F.col("rk") > F.col("cut"))
+                        & (F.col("rk") <= F.col("n") - F.col("cut")),
+                        F.col("value"),
+                    )
+                ),
+                4,
+            ).alias("trimmed_mean"),
+            F.round(
+                F.avg(
+                    F.when(F.col("value") < F.col("lo"), F.col("lo"))
+                    .when(F.col("value") > F.col("hi"), F.col("hi"))
+                    .otherwise(F.col("value"))
+                ),
+                4,
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# -- exact-moment skewness / kurtosis (r16 wave 3) ----------------------------
+
+
+@query(
+    "q_agg_skewkurt",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, value FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(value) AS s1, sum(value * value) AS s2,
+             sum(value * value * value) AS s3,
+             sum(value * value * value * value) AS s4
+      FROM v GROUP BY event_type),
+    m AS (
+      SELECT event_type, n, s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n)
+               + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+               + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM s)
+    SELECT event_type, n, round(mu, 4) AS mean,
+           round(m3 / (m2 * sqrt(m2)), 4) AS skewness,
+           round(m4 / (m2 * m2) - 3, 4) AS excess_kurtosis
+    FROM m ORDER BY event_type
+    """,
+)
+def q_agg_skewkurt(spark, sf_dir):
+    """Moment-based SKEWNESS and EXCESS KURTOSIS of events.value per
+    type — the shape diagnostics that say whether a mean/stddev summary
+    is even meaningful (heavy right tail => positive skew; fat tails =>
+    positive excess kurtosis), and the distribution fingerprint that
+    complements q_evt_drift_ks (location drift) with SHAPE drift.
+
+    Computed from raw power sums s1..s4 in one map-combined pass — no
+    second centering pass over the data — with the central-moment
+    algebra written as the IDENTICAL pow-free expression on both
+    engines (mu*mu*mu, never pow(mu,3): libm pow carries per-platform
+    1-ulp slack — the q_evt_power r16 lesson).  The float sums carry
+    ~1e-12 order noise under a 4-dp round; midpoint-audited at birth.
+
+    Scale shape: one map-combined aggregate per type; output
+    \\|types\\| rows.
+
+    Reference scope: no analytics surface in the reference facade
+    (api/router/router.go:9-55); shape sibling of q_agg_corr and
+    q_evt_drift_ks."""
+    v = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "value")
+    )
+    s = v.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("value").alias("s1"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+        F.sum(F.col("value") * F.col("value") * F.col("value")).alias("s3"),
+        F.sum(
+            F.col("value") * F.col("value") * F.col("value") * F.col("value")
+        ).alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mu * mu
+    m3 = F.col("s3") / F.col("n") - 3 * mu * (F.col("s2") / F.col("n")) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mu * (F.col("s3") / F.col("n"))
+        + 6 * mu * mu * (F.col("s2") / F.col("n"))
+        - 3 * mu * mu * mu * mu
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(mu, 4).alias("mean"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 4).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 4).alias("excess_kurtosis"),
+    ).orderBy("event_type")

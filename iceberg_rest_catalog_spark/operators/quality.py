@@ -834,3 +834,100 @@ def q_dq_anomaly_iqr(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# -- per-column profile drift between time halves (r16 wave 3) ----------------
+
+DRIFT_SPLIT_DAY = 15  # first half: day-of-month <= 15
+
+
+def _drift_arm(col: str) -> str:
+    return f"""
+      SELECT '{col}' AS column_name,
+             count(*) FILTER (day(ts) <= {DRIFT_SPLIT_DAY}) AS n_a,
+             count(*) FILTER (day(ts) > {DRIFT_SPLIT_DAY}) AS n_b,
+             count(*) FILTER (day(ts) <= {DRIFT_SPLIT_DAY}
+                              AND {col} IS NULL) AS null_a,
+             count(*) FILTER (day(ts) > {DRIFT_SPLIT_DAY}
+                              AND {col} IS NULL) AS null_b,
+             count(DISTINCT {col})
+               FILTER (day(ts) <= {DRIFT_SPLIT_DAY}) AS nd_a,
+             count(DISTINCT {col})
+               FILTER (day(ts) > {DRIFT_SPLIT_DAY}) AS nd_b
+      FROM events"""
+
+
+@query(
+    "q_dq_schema_drift",
+    oracle=f"""
+    WITH arms AS ({" UNION ALL ".join(_drift_arm(c) for c in ("event_type", "user_id", "value", "props"))}),
+    rates AS (
+      SELECT column_name, n_a, n_b, null_a, null_b, nd_a, nd_b,
+             (null_a * 20000 + n_a) // (2 * n_a) AS ra_i,
+             (null_b * 20000 + n_b) // (2 * n_b) AS rb_i
+      FROM arms)
+    SELECT column_name,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ra_i / 10000.0 AS null_rate_a,
+           rb_i / 10000.0 AS null_rate_b,
+           (ra_i - rb_i) / 10000.0 AS null_rate_delta,
+           CAST(nd_a AS BIGINT) AS n_distinct_a,
+           CAST(nd_b AS BIGINT) AS n_distinct_b
+    FROM rates ORDER BY column_name
+    """,
+)
+def q_dq_schema_drift(spark, sf_dir):
+    """PER-COLUMN PROFILE DRIFT between the two halves of the event
+    window (day-of-month <= {DRIFT_SPLIT_DAY} vs after): row volume,
+    null rate, and distinct cardinality per audited column — the
+    schema-level companion of q_evt_drift_ks (which watches the VALUE
+    distribution): a null-rate jump or cardinality collapse between
+    loads is the classic silent instrumentation break that value-level
+    tests miss.
+
+    EXACT arithmetic throughout: counts are longs; null rates use the
+    pure-LONG half-up form ((n*20000 + d) DIV 2d)/1e4 and the DELTA is
+    the difference of those INTEGER quantizations re-scaled — no float
+    subtraction anywhere near a rounding boundary.
+
+    Scale shape: one map-combined pass per audited column arm (the
+    distinct counts are the only shuffle — swap to approx_count_distinct
+    at extreme cardinality, the documented q_agg_approx_distinct
+    precedent); output is |columns| rows.
+
+    Reference scope: no analytics surface in the reference facade
+    (api/router/router.go:9-55); drift sibling of q_evt_drift_ks and
+    q_dq_null_profile."""
+    ev = t(spark, sf_dir, "events")
+    half_a = F.dayofmonth("ts") <= DRIFT_SPLIT_DAY
+    arms = []
+    for c in ("event_type", "user_id", "value", "props"):
+        arms.append(
+            ev.agg(
+                F.lit(c).alias("column_name"),
+                F.count(F.when(half_a, 1)).alias("n_a"),
+                F.count(F.when(~half_a, 1)).alias("n_b"),
+                F.count(F.when(half_a & F.col(c).isNull(), 1)).alias("null_a"),
+                F.count(F.when(~half_a & F.col(c).isNull(), 1)).alias("null_b"),
+                F.count_distinct(F.when(half_a, F.col(c))).alias("nd_a"),
+                F.count_distinct(F.when(~half_a, F.col(c))).alias("nd_b"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    ra = F.expr("(null_a * 20000 + n_a) div (2 * n_a)")
+    rb = F.expr("(null_b * 20000 + n_b) div (2 * n_b)")
+    return (
+        out.select(
+            "column_name",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (ra.cast("double") / 10000.0).alias("null_rate_a"),
+            (rb.cast("double") / 10000.0).alias("null_rate_b"),
+            ((ra - rb).cast("double") / 10000.0).alias("null_rate_delta"),
+            F.col("nd_a").cast("long").alias("n_distinct_a"),
+            F.col("nd_b").cast("long").alias("n_distinct_b"),
+        )
+        .orderBy("column_name")
+    )

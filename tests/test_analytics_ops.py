@@ -4074,3 +4074,64 @@ def test_rake_phrases_have_no_stopwords_and_score_floor(spark, qs):
         assert r.n_occurrences >= 1
         # each member word scores deg/freq >= 1, so a phrase scores >= len
         assert r.score >= r.n_words - 1e-3
+
+
+def test_trimmed_mean_is_between_winsorized_bounds(spark, qs):
+    rows = qs["q_agg_trimmed_mean"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_cut_each == r.n_values * 10 // 100
+        # trimming and winsorizing both pull toward the center; they stay
+        # within each other's neighborhood and inside the value range
+        assert abs(r.trimmed_mean - r.winsorized_mean) < max(
+            1.0, 0.2 * abs(r.winsorized_mean)
+        )
+
+
+def test_skewkurt_matches_numpy_moments(spark, qs):
+    import numpy as np
+    from iceberg_rest_catalog_spark.operators.common import t as _t
+
+    rows = {r.event_type: r for r in qs["q_agg_skewkurt"](spark, SF).collect()}
+    vals = (
+        _t(spark, SF, "events")
+        .filter("value IS NOT NULL AND event_type = 'purchase'")
+        .select("value")
+        .collect()
+    )
+    x = np.array([v.value for v in vals])
+    mu, m2 = x.mean(), ((x - x.mean()) ** 2).mean()
+    m3 = ((x - mu) ** 3).mean()
+    m4 = ((x - mu) ** 4).mean()
+    r = rows["purchase"]
+    assert abs(r.skewness - m3 / m2**1.5) < 1e-2
+    assert abs(r.excess_kurtosis - (m4 / m2**2 - 3)) < 1e-2
+
+
+def test_schema_drift_halves_are_exhaustive(spark, qs):
+    from iceberg_rest_catalog_spark.operators.common import t as _t
+
+    rows = qs["q_dq_schema_drift"](spark, SF).collect()
+    assert {r.column_name for r in rows} == {
+        "event_type", "user_id", "value", "props",
+    }
+    total = _t(spark, SF, "events").count()
+    for r in rows:
+        assert r.n_a + r.n_b == total  # the halves partition the window
+        assert abs(r.null_rate_delta - round(r.null_rate_a - r.null_rate_b, 4)) < 2e-4
+        assert r.n_distinct_a >= 0 and r.n_distinct_b >= 0
+
+
+def test_readability_counts_and_score_shape(spark, qs):
+    rows = qs["q_text_readability"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_words >= 0 and r.n_syllables >= 0 and r.n_sentences >= 0
+        if r.n_words and r.n_sentences:
+            expected = round(
+                206.835
+                - 1.015 * r.n_words / max(r.n_sentences, 1)
+                - 84.6 * r.n_syllables / max(r.n_words, 1),
+                3,
+            )
+            assert abs(r.flesch - expected) < 2e-3

@@ -23,7 +23,7 @@ def test_queries_collect_without_spark_session():
         # exact-count pin (VERDICT r9 item 7): a module import that silently
         # fails to register its queries trips this loudly; bump on every
         # operator addition.
-        "assert len(qs) == 402, len(qs)\n"
+        "assert len(qs) == 406, len(qs)\n"
         "assert set(osql) <= set(qs), sorted(set(osql) - set(qs))\n"
         "print('OK', len(qs), len(osql))\n" % REPO
     )
@@ -557,8 +557,12 @@ R16_NEW_OPS: list[str] = [
     "q_ts_seasonal_naive",
     "q_ts_ewma_cross",
     "q_agg_hhi",
+    "q_agg_trimmed_mean",
+    "q_agg_skewkurt",
     "q_dq_anomaly_iqr",
+    "q_dq_schema_drift",
     "q_text_rake",
+    "q_text_readability",
 ]
 
 
