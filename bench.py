@@ -268,6 +268,11 @@ TRACKED: list[str] = [
     # sf0.1 (0.37-1.30 s) — not tracked, the q_ts_ewma precedent.
     "q_graph_edge_audit",
     "q_text_rake",
+    # round-16 wave 4: eccentricity pays the per-round frontier joins
+    # over the cached edges (3.380 s recorded birth baseline,
+    # birth_baselines.json r16 wave-4); q_ts_theta (1.02 s) is
+    # overhead-bound — not tracked.
+    "q_graph_eccentricity",
 ]
 
 

@@ -4678,3 +4678,127 @@ def q_ts_ewma_cross(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# -- theta-method forecast (trend + SES residual) (r16 wave 4) ----------------
+
+THETA_ALPHA = 0.3  # SES smoothing of the detrended residual
+
+
+@query(
+    "q_ts_theta",
+    oracle=f"""
+    WITH RECURSIVE dc AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1
+    ), idx AS (
+      SELECT d, n, row_number() OVER (ORDER BY d) AS i FROM dc
+    ), st AS (
+      SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(i) AS BIGINT) AS sx,
+             CAST(sum(n) AS BIGINT) AS sy, CAST(sum(i * i) AS BIGINT) AS sxx,
+             CAST(sum(i * n) AS BIGINT) AS sxy
+      FROM idx
+    ), ab AS (
+      SELECT CAST(nn * sxy - sx * sy AS DOUBLE)
+               / (nn * sxx - sx * sx) AS b,
+             (sy - CAST(nn * sxy - sx * sy AS DOUBLE)
+                   / (nn * sxx - sx * sx) * sx) / nn AS a
+      FROM st
+    ), h(i, s) AS (
+      SELECT 1, idx.n - (ab.a + ab.b * 1) FROM idx, ab WHERE i = 1
+      UNION ALL
+      SELECT idx.i,
+             {THETA_ALPHA} * (idx.n - (ab.a + ab.b * idx.i))
+               + {1 - THETA_ALPHA} * h.s
+      FROM h JOIN idx ON idx.i = h.i + 1 CROSS JOIN ab
+    )
+    SELECT strftime(idx.d, '%Y-%m-%d') AS day, CAST(idx.n AS BIGINT) AS n,
+           round(ab.a + ab.b * idx.i, 4) AS trend,
+           round(h.s, 4) AS resid_smooth,
+           CASE WHEN idx.i > 1
+                THEN round(ab.a + ab.b * idx.i
+                           + lag(h.s) OVER (ORDER BY idx.i), 4)
+           END AS forecast
+    FROM idx JOIN h ON h.i = idx.i CROSS JOIN ab ORDER BY day
+    """,
+)
+def q_ts_theta(spark, sf_dir):
+    """THETA-style forecast of the daily event count: exact-integer OLS
+    trend (the counts are integers, so every regression sum is an exact
+    long and the slope is one correctly-rounded division) plus SES
+    (alpha={THETA_ALPHA}) over the DETRENDED residual; each day's
+    one-step forecast is trend(i) + smoothed-residual(i-1).  The theta
+    method's decomposition idea (M3 competition winner) in its
+    deterministic two-line form: q_ts_holt couples level+trend in one
+    recurrence, theta separates the global trend (closed-form) from the
+    local residual memory (one SES state) — on series whose trend is
+    stable but noisy it degrades more gracefully.
+
+    Determinism: regression sums exact longs on both engines; a/b and
+    every per-day expression are the same IEEE op sequence in the pandas
+    loop and the recursive CTE; the SES recurrence is multiply/add only;
+    emitted floats use the DuckDB multiply-floor rounding convention
+    (the q_ts_holt note).
+
+    Scale shape: corpus -> one map-combined date aggregate (|days|
+    rows); the regression is a second 1-row aggregate over that series;
+    the recurrence runs in a single applyInPandas group over the
+    calendar-bounded series.
+
+    Reference scope: no analytics surface in the reference facade
+    (api/router/router.go:9-55); forecasting sibling of q_ts_holt and
+    q_ts_seasonal_naive."""
+    import pandas as pd
+
+    dc = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+
+    def theta(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        r = lambda x: math.copysign(math.floor(abs(x) * 1e4 + 0.5) / 1e4, x)
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        ys = pdf["n"].tolist()
+        nn = len(ys)
+        sx = sum(range(1, nn + 1))
+        sy = sum(ys)
+        sxx = sum(i * i for i in range(1, nn + 1))
+        sxy = sum(i * y for i, y in enumerate(ys, start=1))
+        b = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+        a = (sy - (nn * sxy - sx * sy) / (nn * sxx - sx * sx) * sx) / nn
+        trends, smooths, fcs = [], [], []
+        s = None
+        for i, y in enumerate(ys, start=1):
+            tr = a + b * i
+            if i == 1:
+                fcs.append(None)
+                s = y - (a + b * 1)
+            else:
+                fcs.append(r(a + b * i + s))
+                s = THETA_ALPHA * (y - (a + b * i)) + (1 - THETA_ALPHA) * s
+            trends.append(r(tr))
+            smooths.append(r(s))
+        pdf["trend"] = pd.Series(trends, dtype="float64")
+        pdf["resid_smooth"] = pd.Series(smooths, dtype="float64")
+        pdf["forecast"] = pd.Series(fcs, dtype="float64")
+        return pdf[["g", "d", "n", "trend", "resid_smooth", "forecast"]]
+
+    return (
+        dc.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            theta,
+            "g int, d date, n long, trend double, resid_smooth double, "
+            "forecast double",
+        )
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "n",
+            "trend",
+            "resid_smooth",
+            "forecast",
+        )
+        .orderBy("day")
+    )

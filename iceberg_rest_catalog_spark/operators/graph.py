@@ -2265,3 +2265,98 @@ def q_graph_fof(spark, sf_dir):
         )
         .orderBy("node", "rank")
     )
+
+
+# -- probe-batch eccentricity over the kNN graph (r16 wave 4) -----------------
+
+ECC_ROUNDS = BFS_ITERS  # shared fixed round budget with q_graph_knn_bfs
+
+
+def _ecc_oracle() -> str:
+    from ..llm.similarity import SCALED_QSTEP_SQL
+
+    ctes = (
+        _knn_edges_ctes()
+        + f""",
+    b0 AS (
+      SELECT vec_id AS qid, vec_id AS node, 0 AS dist FROM e
+      WHERE vec_id % {SCALED_QSTEP_SQL} = 0)"""
+    )
+    for k in range(1, ECC_ROUNDS + 1):
+        ctes += f""",
+    b{k} AS (
+      SELECT qid, node, min(dist) AS dist FROM (
+        SELECT qid, node, dist FROM b{k - 1}
+        UNION ALL
+        SELECT b.qid, ed.v AS node, b.dist + 1 AS dist
+        FROM b{k - 1} b JOIN edges ed ON ed.u = b.node
+      ) GROUP BY qid, node)"""
+    return (
+        "WITH "
+        + ctes
+        + f"""
+    SELECT qid AS vec_id, CAST(max(dist) AS INT) AS ecc,
+           CAST(count(*) AS BIGINT) AS n_reached
+    FROM b{ECC_ROUNDS} GROUP BY qid ORDER BY vec_id"""
+    )
+
+
+@query("q_graph_eccentricity", oracle=_ecc_oracle())
+def q_graph_eccentricity(spark, sf_dir):
+    """Probe-batch ECCENTRICITY over the kNN graph: for each probe node
+    (the SCALED recall stride — a few hundred probes at any corpus
+    size), the max shortest-path distance reachable within {ECC_ROUNDS}
+    BFS rounds plus the reached-set size.  max over the batch estimates
+    the graph DIAMETER, min the RADIUS — the connectivity-health readout
+    for a navigable-small-world index (q_sim_graph_search's beam search
+    relies on short diameters; an eccentricity spike after an index
+    rebuild means the graph fragmented).
+
+    All-integer: frontier expansion is a (qid, node)-keyed min-aggregate
+    per round over the shared cached edge frame; the fixed round budget
+    makes it value-checked (the q_graph_knn_bfs unrolled-CTE discipline,
+    one extra qid dimension).
+
+    Scale shape: per round one edges-keyed join + map-combined min —
+    frontier volume bounded by |probes| x |reachable|, probes pinned by
+    the stride knob; localCheckpoint every second round (the BFS lineage
+    discipline).
+
+    Reference scope: no graph surface in the reference facade
+    (api/router/router.go:9-55); connectivity sibling of q_graph_knn_bfs
+    (single-source) and q_sim_graph_search (the consumer whose
+    performance this audits)."""
+    from ..llm.similarity import _emb_count, recall_qstep_for
+
+    e, edges = _knn_edges(spark, sf_dir)
+    qstep = recall_qstep_for(_emb_count(spark, sf_dir))
+    front = (
+        e.filter(F.col("vec_id") % qstep == 0)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("vec_id").alias("node"),
+            F.lit(0).alias("dist"),
+        )
+        .localCheckpoint()
+    )
+    for it in range(ECC_ROUNDS):
+        nxt = (
+            front.join(edges, front.node == edges.u)
+            .select("qid", F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        front = (
+            front.unionByName(nxt)
+            .groupBy("qid", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if it % 2 == 1 or it == ECC_ROUNDS - 1:
+            front = front.localCheckpoint()
+    return (
+        front.groupBy("qid")
+        .agg(
+            F.max("dist").cast("int").alias("ecc"),
+            F.count("*").cast("long").alias("n_reached"),
+        )
+        .select(F.col("qid").alias("vec_id"), "ecc", "n_reached")
+        .orderBy("vec_id")
+    )

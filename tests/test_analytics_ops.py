@@ -4135,3 +4135,33 @@ def test_readability_counts_and_score_shape(spark, qs):
                 3,
             )
             assert abs(r.flesch - expected) < 2e-3
+
+
+def test_eccentricity_bounds_and_probe_batch(spark, qs):
+    from iceberg_rest_catalog_spark.operators.graph import ECC_ROUNDS
+
+    rows = qs["q_graph_eccentricity"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.vec_id % 25 == 0  # the probe stride at fixture scale
+        assert 0 <= r.ecc <= ECC_ROUNDS  # round budget caps the estimate
+        assert r.n_reached >= 1  # at least the source itself
+    # the BFS source is a probe: its single-source distances must agree
+    bfs = {x.vec_id: x.dist for x in qs["q_graph_knn_bfs"](spark, SF).collect()}
+    src_rows = [r for r in rows if r.vec_id == 0]
+    if src_rows and bfs:
+        assert src_rows[0].ecc == max(bfs.values())
+        assert src_rows[0].n_reached == len(bfs)
+
+
+def test_theta_decomposition_identities(spark, qs):
+    rows = qs["q_ts_theta"](spark, SF).collect()
+    rows.sort(key=lambda r: r.day)
+    assert rows[0].forecast is None  # no prior state on day 1
+    # trend is a single straight line: second differences vanish (4dp)
+    tr = [r.trend for r in rows]
+    for a, b, c in zip(tr, tr[1:], tr[2:]):
+        assert abs((c - b) - (b - a)) < 5e-3
+    # forecast(i) = trend(i) + resid_smooth(i-1) up to output rounding
+    for prev, cur in zip(rows, rows[1:]):
+        assert abs(cur.forecast - (cur.trend + prev.resid_smooth)) < 2e-3

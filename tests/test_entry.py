@@ -23,7 +23,7 @@ def test_queries_collect_without_spark_session():
         # exact-count pin (VERDICT r9 item 7): a module import that silently
         # fails to register its queries trips this loudly; bump on every
         # operator addition.
-        "assert len(qs) == 406, len(qs)\n"
+        "assert len(qs) == 408, len(qs)\n"
         "assert set(osql) <= set(qs), sorted(set(osql) - set(qs))\n"
         "print('OK', len(qs), len(osql))\n" % REPO
     )
@@ -551,11 +551,13 @@ def test_round15_window_head_is_newborns_then_red_then_stale():
 R16_NEW_OPS: list[str] = [
     "q_graph_edge_audit",
     "q_graph_fof",
+    "q_graph_eccentricity",
     "q_evt_srm",
     "q_evt_retention_matrix",
     "q_evt_ltv",
     "q_ts_seasonal_naive",
     "q_ts_ewma_cross",
+    "q_ts_theta",
     "q_agg_hhi",
     "q_agg_trimmed_mean",
     "q_agg_skewkurt",

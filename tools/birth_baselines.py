@@ -94,6 +94,10 @@ OVERRIDES: dict[str, dict] = {
         "sec": 2.586, "round": 16, "stat": "median3",
         "source": "r16 newborn 3-pass idle standalone",
     },
+    "q_graph_eccentricity": {
+        "sec": 3.380, "round": 16, "stat": "median3",
+        "source": "r16 newborn 3-pass idle standalone (wave 4)",
+    },
 }
 
 
