@@ -2058,7 +2058,8 @@ def q_evt_seq_patterns(spark, sf_dir):
     Scale shape: sessionization is the standard one user_id shuffle;
     each session then collapses to ONE <=8-char type-initial string (the
     alphabet's initials are distinct, and both engines build the same
-    string, so the regex subsequence test `a.*b.*c` is exact); the
+    string, so the subsequence test — the oracle's regex `a.*b.*c`, the
+    Spark side's equivalent leftmost locate() chain — is exact); the
     candidate pattern table is |types|^{SEQ_PAT_LEN} <= 125 rows CROSS
     JOINed as a broadcast against the |sessions|-row string frame — a
     deliberately bounded build side (the q_agg_histogram shape), map-only
@@ -2112,19 +2113,32 @@ def q_evt_seq_patterns(spark, sf_dir):
             F.concat_ws(
                 ">", F.col("a.t"), F.col("b.t"), F.col("c.t")
             ).alias("pattern"),
-            F.concat(
-                F.substring(F.col("a.t"), 1, 1),
-                F.lit(".*"),
-                F.substring(F.col("b.t"), 1, 1),
-                F.lit(".*"),
-                F.substring(F.col("c.t"), 1, 1),
-            ).alias("rx"),
+            F.substring(F.col("a.t"), 1, 1).alias("c1"),
+            F.substring(F.col("b.t"), 1, 1).alias("c2"),
+            F.substring(F.col("c.t"), 1, 1).alias("c3"),
         )
     )
     n = strs.agg(F.count("*").alias("n_sessions"))
+    # Subsequence test `c1.*c2.*c3` as a greedy leftmost locate() chain —
+    # for single-character needles the leftmost-match strategy is exact
+    # (if ANY i<j<k positions exist, taking the first c1, then the first
+    # c2 after it, then the first c3 after that succeeds), so this equals
+    # the oracle's regexp_matches(s, rx) row for row.  Codegen'd string
+    # scans instead of |sessions| x |patterns| java.util.regex runs over
+    # a non-literal pattern, which Spark cannot pre-compile (guide §4.1:
+    # built-ins over opaque per-row work — measured the dominant cost of
+    # this query at sf0.1).
+    p1 = F.expr("locate(c1, s)")
+    p2 = F.when(p1 > 0, F.expr("locate(c2, s, locate(c1, s) + 1)")).otherwise(0)
     return (
         strs.crossJoin(F.broadcast(pats))
-        .filter(F.expr("s rlike rx"))
+        .withColumn("p2", p2)
+        .filter(
+            F.when(
+                F.col("p2") > 0,
+                F.expr("locate(c3, s, p2 + 1)") > 0,
+            ).otherwise(F.lit(False))
+        )
         .groupBy("pattern")
         .agg(F.count("*").alias("support"))
         .join(F.broadcast(n))

@@ -367,32 +367,34 @@ def q_graph_triangles(spark, sf_dir):
     # (potentially billions of nodes) still never pays a driver-side node
     # materialization; the dense arm gets its EXACT n from the node
     # collect it performs anyway.
-    n_est = (
+    stats = (
         t(spark, sf_dir, "events")
-        .agg(F.approx_count_distinct("user_id", 0.02).alias("n"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("n"),
+            F.min("user_id").alias("lo"),
+            F.max("user_id").alias("hi"),
+        )
         .collect()[0]
-        .n
     )
-    # Stage the raw (long, long) pair relation — consumed exactly twice
-    # (id-range probe / node collect, then the int re-index) and dropped.
-    # Storage level rides the SAME node estimate as the density gate
-    # (r16): below _MEM_STAGE_MAX_NODES the pair volume is bounded by
-    # ~n²/2 ≈ 4.5M rows, which fits SERIALIZED on-heap with disk spill —
-    # the r13/r16 phase bisects put the disk write+read of this persist
-    # squarely inside the query's dominant IO-variance phase, so the
-    # small regime shouldn't pay it.  Above the gate: DISK_ONLY, the r13
-    # lesson — 112M pairs staged deserialized on-heap next to the int
-    # edge list OOM'd the 16 GB JVM at the x10 decade step; disk staging
-    # frees the heap for the shuffles that actually need it.
-    stage_level = (
-        StorageLevel.MEMORY_AND_DISK
-        if n_est * 1.05 <= _MEM_STAGE_MAX_NODES
-        else StorageLevel.DISK_ONLY
+    n_est = stats.n
+    # Identity-shortcut probe rides the SAME events-side 1-row aggregate
+    # (r16-OPT): every co-presence endpoint is a user_id, so the events
+    # min/max BOUND the edge endpoints — checking the bound here instead
+    # of aggregating the built edge list removes the second action AND,
+    # with it, the only reason the raw (long, long) pair relation was
+    # persisted at all on this path.  The r13/r16 phase bisects put that
+    # persist's disk write+read squarely inside the query's dominant
+    # IO-variance phase; with the bound known up front, the identity and
+    # sparse arms consume the pair relation exactly ONCE (the int/raw
+    # edge localCheckpoint), so they stage nothing.  Only the re-index
+    # arm (ids outside [0, _DENSE_MAX_NODES)) still consumes it twice
+    # (node collect + broadcast re-join) and persists — DISK_ONLY above
+    # _MEM_STAGE_MAX_NODES, the r13 OOM lesson.
+    identity_ok = (
+        stats.lo is not None and stats.lo >= 0 and stats.hi < _DENSE_MAX_NODES
     )
-    edges = (
-        q_join_interval_overlap(spark, sf_dir)
-        .select(F.col("u1").alias("u"), F.col("u2").alias("v"))
-        .persist(stage_level)
+    pairs = q_join_interval_overlap(spark, sf_dir).select(
+        F.col("u1").alias("u"), F.col("u2").alias("v")
     )
 
     if n_est * 1.05 <= _DENSE_MAX_NODES:
@@ -402,26 +404,28 @@ def q_graph_triangles(spark, sf_dir):
         # holds for every stored edge.  |nodes| <= ~_DENSE_MAX_NODES here,
         # so the collect and the broadcast map are both gate-bounded.
         #
-        # IDENTITY SHORTCUT (round 9): when the raw ids already fit the
-        # bitmap index space ([0, _DENSE_MAX_NODES) — one exact 1-row
-        # min/max agg to check), skip the node collect, the driver-built
-        # map and BOTH broadcast joins and just cast: the bitmap tolerates
-        # sparse ids (never-set rows popcount to 0), id order is the
-        # identity so ui < vi and the wedge orientation hold trivially,
-        # and n = max_id + 1 keeps n²/8 inside the same gate.  Saves a
-        # distinct shuffle + two joins per invocation (~1 s at sf0.1); the
-        # rank re-index below remains the general path for arbitrary ids.
-        lohi = edges.agg(
-            F.min(F.least("u", "v")).alias("lo"),
-            F.max(F.greatest("u", "v")).alias("hi"),
-        ).collect()[0]
-        if lohi.lo is not None and lohi.lo >= 0 and lohi.hi < _DENSE_MAX_NODES:
-            n = int(lohi.hi) + 1
-            ei = edges.select(
+        # IDENTITY SHORTCUT (round 9; bound source moved events-side in
+        # r16-OPT, see above): when the raw ids already fit the bitmap
+        # index space ([0, _DENSE_MAX_NODES)), skip the node collect, the
+        # driver-built map and BOTH broadcast joins and just cast: the
+        # bitmap tolerates sparse ids (never-set rows popcount to 0), id
+        # order is the identity so ui < vi and the wedge orientation hold
+        # trivially, and n = max_id + 1 keeps n²/8 inside the same gate.
+        # The rank re-index below remains the general path for arbitrary
+        # ids.
+        if identity_ok:
+            n = int(stats.hi) + 1
+            ei = pairs.select(
                 F.col("u").cast("int").alias("ui"),
                 F.col("v").cast("int").alias("vi"),
             ).localCheckpoint()  # the single materialization every arm reads
         else:
+            stage_level = (
+                StorageLevel.MEMORY_AND_DISK
+                if n_est * 1.05 <= _MEM_STAGE_MAX_NODES
+                else StorageLevel.DISK_ONLY
+            )
+            edges = pairs.persist(stage_level)
             nodes = [
                 r.x
                 for r in edges.select(F.col("u").alias("x"))
@@ -443,16 +447,16 @@ def q_graph_triangles(spark, sf_dir):
                 .withColumnRenamed("idx", "vi")
                 .select("ui", "vi")
             ).localCheckpoint()
-        edges.unpersist()
+            edges.unpersist()
         tri_cnt = _triangles_dense(spark, ei, n)
     else:
         # Sparse path: raw long ids end-to-end — no re-index, no driver
-        # round-trip; the degree-ordered wedge join bounds the candidate
+        # round-trip, no staging (the pair relation is consumed exactly
+        # once); the degree-ordered wedge join bounds the candidate
         # relation by arboricity instead of id luck.
-        ei = edges.select(
+        ei = pairs.select(
             F.col("u").alias("ui"), F.col("v").alias("vi")
         ).localCheckpoint()
-        edges.unpersist()
         tri_cnt = _triangles_sparse(ei)
 
     # Ordered-wedge count as an aggregate: sum_b indeg(b)*outdeg(b) under
@@ -1270,18 +1274,23 @@ def q_graph_kcore(spark, sf_dir):
         .localCheckpoint()  # LSH pipeline runs ONCE, not once per round
     )
     active = edges.select(F.col("u").alias("node")).distinct().localCheckpoint()
-    for _ in range(KCORE_ROUNDS):
+    for it in range(KCORE_ROUNDS):
         deg = (
             edges.join(active.withColumnRenamed("node", "u"), "u")
             .join(active.withColumnRenamed("node", "v"), "v")
             .groupBy("u")
             .agg(F.count("*").alias("deg"))
         )
-        active = (
-            deg.filter(F.col("deg") >= KCORE_K)
-            .select(F.col("u").alias("node"))
-            .localCheckpoint()
+        active = deg.filter(F.col("deg") >= KCORE_K).select(
+            F.col("u").alias("node")
         )
+        # Truncate lineage every 2nd round (and on the last) — the
+        # pagerank/DBSCAN cadence: a 2-deep join chain re-plans fine and
+        # each skipped localCheckpoint saves one full materialization job
+        # (r16-OPT; the peel frames here are |active|-row and the rounds
+        # are scheduling-bound at bench scale).
+        if it % 2 == 1 or it == KCORE_ROUNDS - 1:
+            active = active.localCheckpoint()
     return (
         edges.join(active.withColumnRenamed("node", "u"), "u")
         .join(active.withColumnRenamed("node", "v"), "v")

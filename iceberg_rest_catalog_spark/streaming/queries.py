@@ -1849,11 +1849,18 @@ def q_stream_bitmap_distinct(spark, sf_dir):
     data.  Emissions are monotone popcounts, so the final collapse is a
     plain max per key (the q_stream_upsert shape).
 
+    The stateful fold is the JVM's own streaming hash aggregate
+    (``bit_or`` in update mode) — OR'd bitmap words ARE Spark's native
+    aggregation state, so the per-key fold never crosses the Python
+    boundary (guide §4.1; r16: the applyInPandasWithState form paid one
+    Python call per key per micro-batch — the identical fold and
+    emissions, measured 2.5x slower — that API twin remains exercised by
+    tests/test_analytics_ops.py::test_stream_bitmap_crash_resume via
+    :func:`_bitmap_update`).
+
     Reference scope: streaming ingest = the reference's append-commit
     lineage (api/handlers/tables.go:150-227); no sketch surface in the
     facade (api/router/router.go:9-55)."""
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
     wh = scratch_dir(sf_dir, "stream_bitmap")
     shutil.rmtree(wh, ignore_errors=True)
     src = os.path.join(wh, "src")
@@ -1875,12 +1882,18 @@ def q_stream_bitmap_distinct(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    out = sdf.groupBy("event_type", "word").applyInPandasWithState(
-        _bitmap_update,
-        outputStructType="event_type string, word long, nbits long",
-        stateStructType="bits long",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    # update-mode emissions: every key touched by the batch emits its
+    # cumulative OR; the popcount projection is stateless and rides the
+    # same micro-batch, so the sink rows are value-identical to the
+    # Python fold's (monotone nbits, final collapse = max per key).
+    out = (
+        sdf.groupBy("event_type", "word")
+        .agg(F.bit_or("bit").alias("bits"))
+        .select(
+            "event_type",
+            "word",
+            F.bit_count("bits").cast("long").alias("nbits"),
+        )
     )
     sink = os.path.join(wh, "sink")
     res = _run_foreach_batch(spark, out, "update", sink)
@@ -1943,13 +1956,18 @@ def q_stream_topk(spark, sf_dir):
     State discipline: one long per (type, user) key, DISTRIBUTED across
     state-store partitions (the q_stream_bitmap_distinct shape);
     emissions are monotone counts so the collapse is max per key, then
-    one |keys|-row window for the top-k.
+    one |keys|-row window for the top-k.  The fold itself is the JVM's
+    native streaming count in update mode — identical state layout and
+    emissions, no Python boundary (guide §4.1; r16: the
+    applyInPandasWithState form paid one Python call per active key per
+    micro-batch over ~750k keys and measured ~3x slower; that API twin
+    stays exercised by test_stream_topk_crash_resume via
+    :func:`_count_update`).
 
     Reference scope: streaming ingest = the reference's append-commit
     lineage (api/handlers/tables.go:150-227); no analytics surface in
     the facade (api/router/router.go:9-55)."""
     from pyspark.sql import Window as W
-    from pyspark.sql.streaming.state import GroupStateTimeout
 
     wh = scratch_dir(sf_dir, "stream_topk")
     shutil.rmtree(wh, ignore_errors=True)
@@ -1966,12 +1984,9 @@ def q_stream_topk(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    out = sdf.groupBy("event_type", "user_id").applyInPandasWithState(
-        _count_update,
-        outputStructType="event_type string, user_id long, n long",
-        stateStructType="n long",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    out = (
+        sdf.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     sink = os.path.join(wh, "sink")
     res = _run_foreach_batch(spark, out, "update", sink)
@@ -2017,12 +2032,21 @@ def _late_audit_source(spark, sf_dir, src: str):
         .localCheckpoint()  # one ntile sort, not one per split file (r15)
     )
     os.makedirs(src, exist_ok=True)
+    # ONE partitioned write materializes all {LATE_SPLIT} on-time replay
+    # files (q=<i>/part-*.parquet, exactly one file per quartile via the
+    # single-partition-per-key repartition), then each is renamed into the
+    # flat mtime/path order the replay contract requires.  r16-OPT: the
+    # previous loop ran {LATE_SPLIT} sequential coalesce(1) write jobs —
+    # 4 full scans of the checkpointed frame, each serialized on one task;
+    # this is one job, same bytes, same per-file row sets (row order
+    # within a replay file is irrelevant: each micro-batch consumes the
+    # whole file into an aggregate).
     tmp = src + "_build"
+    ontime.repartition(LATE_SPLIT, "q").write.mode("overwrite").partitionBy(
+        "q"
+    ).parquet(tmp)
     for i in range(1, LATE_SPLIT + 1):
-        ontime.filter(F.col("q") == i).drop("q").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        (part,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        (part,) = _glob.glob(os.path.join(tmp, f"q={i}", "*.parquet"))
         dst = os.path.join(src, f"part-{i:05d}.parquet")
         os.replace(part, dst)
         os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
@@ -2326,12 +2350,17 @@ def _psi_source(spark, sf_dir, src: str):
     base, extra = divmod(n_stream, PSI_SPLIT)
     expected = [base + (1 if i < extra else 0) for i in range(PSI_SPLIT)]
     os.makedirs(src, exist_ok=True)
+    # ONE partitioned write for all {PSI_SPLIT} replay files (the
+    # q_stream_late_audit r16-OPT single-job build): repartition by q
+    # pins one file per quantile, renames restore the flat mtime/path
+    # replay order, row order within a file is irrelevant to the
+    # per-batch bin aggregate.
     tmp = src + "_build"
+    srows.select("bin", "q").repartition(PSI_SPLIT, "q").write.mode(
+        "overwrite"
+    ).partitionBy("q").parquet(tmp)
     for i in range(1, PSI_SPLIT + 1):
-        srows.filter(F.col("q") == i).select("bin").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        (part,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        (part,) = _glob.glob(os.path.join(tmp, f"q={i}", "*.parquet"))
         dst = os.path.join(src, f"part-{i:05d}.parquet")
         os.replace(part, dst)
         os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
