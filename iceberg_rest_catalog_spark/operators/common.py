@@ -124,6 +124,22 @@ def release_persistent_state(spark: SparkSession) -> int:
     (~100 ms) — harness hygiene, not something a production query should
     pay per call, hence the separate deep variant."""
     spark.catalog.clearCache()
+    # Memory-sink temp views leak the same way (r16-OPT): every
+    # _run_memory streaming drain registers a fresh icsb_stream_<uid>
+    # view whose MemorySink holds the ENTIRE drained result in memory and
+    # is referenced by the catalog forever — across a 102-query x 4-pass
+    # suite that is dozens of full stream-join results resident at once,
+    # eviction pressure charged to whichever memory-heavy query runs
+    # next (q_stream_join_outer read 8.6 s in-suite vs 3.7 s standalone
+    # before this).  Dropping the view releases the sink buffer at the
+    # next driver GC; each query invocation registers a new uid, so a
+    # re-run never reads a dropped view.
+    try:
+        for tbl in spark.catalog.listTables():
+            if tbl.name.startswith("icsb_stream_"):
+                spark.catalog.dropTempView(tbl.name)
+    except Exception:
+        pass  # catalog listing unavailable (exotic session) — skip hygiene
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     n = 0
     for jrdd in list(jmap.values()):

@@ -118,12 +118,13 @@ def _pagerank(ev):
                 ).alias("rank"),
             )
         )
-        # Truncate lineage every 2nd round (and on the last): a 2-deep
-        # join chain re-plans fine, and halving the checkpoint count saves
-        # one full rank-vector materialization per round at scale (local
-        # wall-clock is scheduling-bound on the tiny type graph and
-        # unchanged).
-        if it % 2 == 1 or it == ITERS - 1:
+        # Truncate lineage every 5th round (and on the last; r16-OPT, was
+        # every 2nd): each localCheckpoint is a blocking job, and on the
+        # |types|-node rank vector the loop is pure job-floor — a 5-deep
+        # join+agg chain still re-plans in milliseconds.  At billion-node
+        # scale the cadence knob trades recovery lineage against
+        # materialized rank-vector passes; the loop shape is unchanged.
+        if it % 5 == 4 or it == ITERS - 1:
             ranks = ranks.localCheckpoint()
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
@@ -563,7 +564,7 @@ def _cc_min_label(nodes, de, iters: int = CC_ITERS):
                 F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
             )
         )
-        if it % 2 == 1 or it == iters - 1:
+        if it % 4 == 3 or it == iters - 1:  # r16-OPT: was every 2nd
             lbl = lbl.localCheckpoint()
     return lbl.select("node", F.col("lbl").alias("component"))
 
@@ -922,7 +923,7 @@ def _knn_bfs(spark, sf_dir, n_cells: int | None = None):
             "node",
             F.least(F.col("dist"), F.coalesce("nd", F.col("dist"))).alias("dist"),
         )
-        if it % 2 == 1 or it == BFS_ITERS - 1:
+        if it % 3 == 2 or it == BFS_ITERS - 1:  # r16-OPT: was every 2nd
             dist = dist.localCheckpoint()
     return (
         dist.filter(F.col("dist") < _UNREACHED)
@@ -1621,12 +1622,15 @@ def q_cluster_dbscan(spark, sf_dir):
             "id",
             F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
         )
-        # checkpoint every SECOND round (the q_graph_knn_bfs lineage
-        # discipline): the r14 phase bisect put ~45% of the wall in this
-        # loop at a fixed ~0.3 s/round checkpoint floor — halving the
-        # materializations halves that floor while two rounds of lineage
-        # stay well within plan-depth limits
-        if it % 2 == 1 or it == DBSCAN_ROUNDS - 1:
+        # checkpoint every FOURTH round (r16-OPT; was every 2nd after the
+        # r14 phase bisect put ~45% of the wall in this loop at a fixed
+        # ~0.3-0.6 s/materialization floor): the label frame is |core|
+        # rows, a 4-deep join+agg lineage re-plans fine, and halving the
+        # blocking-job count again took the measured construct phase
+        # 7.4 s -> see OPTIMIZATION_r16.md.  At scale the cadence knob
+        # trades lineage length (recovery cost) against materialization
+        # count — 4 rounds of |edges|-linear lineage is still bounded.
+        if it % 4 == 3 or it == DBSCAN_ROUNDS - 1:
             lab = lab.localCheckpoint()
     border = (
         cand.join(core.withColumnRenamed("id", "u"), "u", "left_anti")
@@ -2328,7 +2332,7 @@ def q_graph_eccentricity(spark, sf_dir):
 
     Scale shape: per round one edges-keyed join + map-combined min —
     frontier volume bounded by |probes| x |reachable|, probes pinned by
-    the stride knob; localCheckpoint every second round (the BFS lineage
+    the stride knob; localCheckpoint every third round (the BFS lineage
     discipline).
 
     Reference scope: no graph surface in the reference facade
@@ -2358,7 +2362,7 @@ def q_graph_eccentricity(spark, sf_dir):
             .groupBy("qid", "node")
             .agg(F.min("dist").alias("dist"))
         )
-        if it % 2 == 1 or it == ECC_ROUNDS - 1:
+        if it % 3 == 2 or it == ECC_ROUNDS - 1:  # r16-OPT: was every 2nd
             front = front.localCheckpoint()
     return (
         front.groupBy("qid")
