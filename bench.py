@@ -22,7 +22,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from iceberg_rest_catalog_spark import registry
 from iceberg_rest_catalog_spark.operators.common import (
-    release_persistent_state,
     release_persistent_state_deep,
 )
 from iceberg_rest_catalog_spark.session import get_spark
@@ -285,14 +284,22 @@ def run_one(spark, fn) -> float:
     t0 = time.perf_counter()
     fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
     elapsed = time.perf_counter() - t0
-    # Release localCheckpoint RDDs and cached plans the query left behind
-    # (outside the timed window — this is harness hygiene, each query is
-    # measured standalone).  Without it the suite accumulates hundreds of
-    # leaked checkpoint RDDs across 49 queries x 4 passes, and the eviction
-    # pressure made q_graph_triangles read 16.5 s in-suite vs 6.5 s
-    # standalone — the bench was measuring the leak, not the plans.  See
-    # operators/common.py release_persistent_state.
-    release_persistent_state(spark)
+    # Release localCheckpoint RDDs, cached plans, memory-sink views AND
+    # run one driver GC (outside the timed window — harness hygiene, each
+    # query is measured standalone).  Without the release the suite
+    # accumulates hundreds of leaked checkpoint RDDs across 4 passes and
+    # q_graph_triangles read 16.5 s in-suite vs 6.5 s standalone (r9).
+    # The GC moved from pass boundaries to per-query in r16-OPT after a
+    # bisect showed the streaming family's JVM garbage (state-store maps,
+    # shuffle buffers of 8 drained streams) was being collected INSIDE
+    # the next memory-heavy query's timed window: triangles measured
+    # 6.6 s clean, 21.4 s after the stream block with only the shallow
+    # release, 8.9 s after a deep release — python-side gc.collect() and
+    # StateStore.stop() were both tried and neither helped, so the JVM
+    # heap backlog is the mechanism, and pass-boundary GC leaves 3/4 of
+    # every pass measuring the backlog.  Costs ~0.1-0.5 s of UNTIMED
+    # wall per query.  See operators/common.py release_persistent_state.
+    release_persistent_state_deep(spark)
     return elapsed
 
 

@@ -59,15 +59,14 @@ def main() -> None:
                 f.write(formatted_plan(df))
             release_persistent_state(spark)
         samples = []
-        # warm
+        # warm (release discipline mirrors bench.py run_one: deep per run)
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        release_persistent_state(spark)
+        release_persistent_state_deep(spark)
         for _ in range(args.passes):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             samples.append(round(time.perf_counter() - t0, 3))
-            release_persistent_state(spark)
-        release_persistent_state_deep(spark)
+            release_persistent_state_deep(spark)
         med = sorted(samples)[len(samples) // 2]
         results[name] = {"median": med, "samples": samples}
         print(f"MEASURE {name} median={med} samples={samples}", flush=True)
