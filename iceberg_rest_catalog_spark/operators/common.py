@@ -110,6 +110,15 @@ def release_persistent_state(spark: SparkSession) -> int:
     a queue) should call this between queries; within one query the
     operators' own unpersist discipline bounds the working set.
 
+    SIDE EFFECT (r16-OPT, flagged by r16 ADVICE): this also DROPS every
+    ``icsb_stream_*`` memory-sink temp view.  A caller still holding an
+    unconsumed DataFrame returned by a ``_run_memory``-based streaming
+    query (``spark.table(name)`` is lazy) will hit
+    TABLE_OR_VIEW_NOT_FOUND on first use after the release — fully
+    consume (collect / write) memory-sink results before calling this.
+    Every in-repo call site does; the constraint is part of the
+    function's contract.
+
     :func:`release_persistent_state_deep` additionally triggers one
     driver-JVM GC.  Shuffle files, broadcast blocks and RDD registrations
     are reclaimed by ContextCleaner only when their JVM objects are
