@@ -564,7 +564,12 @@ def _cc_min_label(nodes, de, iters: int = CC_ITERS):
                 F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
             )
         )
-        if it % 4 == 3 or it == iters - 1:  # r16-OPT: was every 2nd
+        # r16-OPT: was every 2nd.  CADENCE CAVEAT (r16 ADVICE): `lbl` is
+        # referenced twice per round (the vote join + the left join), so
+        # the un-truncated subtree replicates 2^k between checkpoints —
+        # 16x at cadence 4.  Fine at the fixture's CC_ITERS/frame width;
+        # derive from a constant and re-measure before raising either.
+        if it % 4 == 3 or it == iters - 1:
             lbl = lbl.localCheckpoint()
     return lbl.select("node", F.col("lbl").alias("component"))
 
@@ -1286,10 +1291,15 @@ def q_graph_kcore(spark, sf_dir):
             F.col("u").alias("node")
         )
         # Truncate lineage every 2nd round (and on the last) — the
-        # pagerank/DBSCAN cadence: a 2-deep join chain re-plans fine and
-        # each skipped localCheckpoint saves one full materialization job
+        # pagerank cadence: a 2-deep join chain re-plans fine and each
+        # skipped localCheckpoint saves one full materialization job
         # (r16-OPT; the peel frames here are |active|-row and the rounds
-        # are scheduling-bound at bench scale).
+        # are scheduling-bound at bench scale).  CADENCE CAVEAT (r16
+        # ADVICE): `active` is referenced TWICE per round (both endpoint
+        # filters), so the un-truncated plan doubles per round — subtree
+        # replication is 2^k at cadence k.  2 rounds = 4x is fine;
+        # revisit this constant before raising KCORE_ROUNDS or widening
+        # the frame.
         if it % 2 == 1 or it == KCORE_ROUNDS - 1:
             active = active.localCheckpoint()
     return (
@@ -1531,13 +1541,16 @@ def q_cluster_dbscan(spark, sf_dir):
     q_join_spatial_grid coordinate convention): eps-neighbour counting
     via cell bucketing (side = eps, 3x3 neighbour equi-join — never the
     |P|² distance matrix), core points = >= {DBSCAN_MINPTS}-1 neighbours,
-    clusters = connected components of the core-core eps-graph
-    ({DBSCAN_ROUNDS} synchronous min-label rounds, the q_graph_cc
-    discipline — fixpoint inside the budget pinned by test), border
-    points attach to their MINIMUM core neighbour label (deterministic),
-    the rest is noise (cluster_id -1).  Density-based clustering is the
-    standard complement of q_cluster_kmeans: it finds arbitrary-shape
-    clusters and an explicit noise set without fixing k.
+    clusters = connected components of the core-core eps-graph —
+    PRODUCTION PATH: large-star/small-star CC (llm/dedup._cc_star, the
+    exact q_graph_cc arrangement since r17) while the DuckDB oracle stays
+    the UNROLLED {DBSCAN_ROUNDS}-round synchronous min-label recurrence;
+    both are the min-id-per-component fixpoint (brute-force-pinned by
+    test_dbscan_is_a_true_clustering) — border points attach to their
+    MINIMUM core neighbour label (deterministic), the rest is noise
+    (cluster_id -1).  Density-based clustering is the standard complement
+    of q_cluster_kmeans: it finds arbitrary-shape clusters and an
+    explicit noise set without fixing k.
 
     Scaled geometry: eps = sqrt({DBSCAN_LAMBDA} / (pi * N)) keeps the
     EXPECTED neighbour count constant as N grows (the ivf_cells_for
@@ -1546,9 +1559,10 @@ def q_cluster_dbscan(spark, sf_dir):
     binary64 eps, cells and distances, so the label sets agree exactly.
 
     Scale shape: the candidate join shuffles on cell keys (9x fan-out);
-    each label round is one join + map-combined min over |core edges|
-    rows with localCheckpoint (the LPA lineage discipline); the report
-    is |clusters| rows + one noise row, top-{DBSCAN_TOP} by size.
+    the label phase is star-CC over |core edges| rows — round count
+    logarithmic in component size, each round two keyed min-aggregates
+    with localCheckpoint + a 1-row fixpoint signature; the report is
+    |clusters| rows + one noise row, top-{DBSCAN_TOP} by size.
 
     Reference scope: no clustering surface in the reference facade
     (api/router/router.go:9-55); density sibling of q_cluster_kmeans
@@ -1609,29 +1623,35 @@ def q_cluster_dbscan(spark, sf_dir):
     ce = (
         cand.join(core.withColumnRenamed("id", "u"), "u")
         .join(core.withColumnRenamed("id", "v"), "v")
-        .localCheckpoint()
     )
-    lab = core.select("id", F.col("id").alias("lab")).localCheckpoint()
-    for it in range(DBSCAN_ROUNDS):
-        nbr_min = (
-            ce.join(lab.withColumnRenamed("id", "v").withColumnRenamed("lab", "vlab"), "v")
-            .groupBy("u")
-            .agg(F.min("vlab").alias("nlab"))
-        )
-        lab = lab.join(nbr_min.withColumnRenamed("u", "id"), "id", "left").select(
-            "id",
-            F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
-        )
-        # checkpoint every FOURTH round (r16-OPT; was every 2nd after the
-        # r14 phase bisect put ~45% of the wall in this loop at a fixed
-        # ~0.3-0.6 s/materialization floor): the label frame is |core|
-        # rows, a 4-deep join+agg lineage re-plans fine, and halving the
-        # blocking-job count again took the measured construct phase
-        # 7.4 s -> see OPTIMIZATION_r16.md.  At scale the cadence knob
-        # trades lineage length (recovery cost) against materialization
-        # count — 4 rounds of |edges|-linear lineage is still bounded.
-        if it % 4 == 3 or it == DBSCAN_ROUNDS - 1:
-            lab = lab.localCheckpoint()
+    # PRODUCTION label phase (r17, VERDICT item 3): alternating
+    # large-star/small-star connected components (llm/dedup._cc_star, the
+    # Kiveris et al. O(log n)-round algorithm — the q_graph_cc production
+    # path since round 7) instead of {DBSCAN_ROUNDS} synchronous min-label
+    # rounds.  Equivalence: both compute label(node) = MIN core id in the
+    # node's core-graph component — min-label reaches that fixpoint inside
+    # the round budget (test_dbscan_is_a_true_clustering recomputes the
+    # components BRUTE-FORCE and the DuckDB oracle still unrolls the
+    # {DBSCAN_ROUNDS}-round recurrence, so a fixture where 16 rounds were
+    # NOT enough would fail the oracle hash), and star-CC computes the
+    # exact min-id components with runtime fixpoint detection
+    # (test_llm_quality pins star == min-label on random graphs).  Cost:
+    # the fixture's subcritical core graph converges in ~3 star rounds =
+    # ~7 label-phase jobs where the unrolled loop paid 16 join+agg rounds
+    # with 5 localCheckpoint materializations; at 100 TB scale the star
+    # round count is logarithmic in component size where min-label pays
+    # one round per unit of DIAMETER (SCALE.md).  Isolated core points
+    # (all eps-neighbours non-core) never enter the edge frame and keep
+    # their own label via the left-join fill, exactly as they kept
+    # lab = id through every min-label round.
+    from ..llm.dedup import _cc_star
+
+    star = _cc_star(
+        ce.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b"))
+    )
+    lab = core.join(
+        star.withColumnRenamed("node", "id"), "id", "left"
+    ).select("id", F.coalesce("label", F.col("id")).alias("lab")).localCheckpoint()
     border = (
         cand.join(core.withColumnRenamed("id", "u"), "u", "left_anti")
         .join(lab.withColumnRenamed("id", "v").withColumnRenamed("lab", "vlab"), "v")
@@ -1710,6 +1730,37 @@ def q_graph_degree_dist(spark, sf_dir):
 
 MODULARITY_TOP = 20  # largest communities reported
 
+# Exact 4-dp rounding of the integer ratio num/den (den > 0) as INTEGER
+# arithmetic: k = sign(num) * floor((2*|num|*10^4 + den) / (2*den)) is the
+# half-away-from-zero rounding of num*10^4/den computed without ANY float —
+# then CAST(k AS DOUBLE)/10^4 is one exact int64->double conversion and one
+# IEEE division, bit-identical on every engine.  This replaces
+# round(CAST(num AS DOUBLE)/den, 4) (r17, VERDICT item 1): Spark's round
+# goes through the double's SHORTEST DECIMAL representation (BigDecimal
+# HALF_UP) while DuckDB rounds the BINARY value, so an integer ratio that
+# lands on (or within an ulp of) a .00005 boundary rounds differently per
+# engine/version — the only remaining float freedom in this query after the
+# r16 integer-triple rewrite, and the prime suspect for the driver-only
+# q_graph_modularity hash divergence (every INTEGER stage digest in
+# q_graph_edge_audit, including the global mod triple, was GREEN in
+# CORRECTNESS_r16 while modularity's hash was red).
+_ROUND4_SQL = (
+    "CAST((CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END)"
+    " * ((2 * abs({num}) * 10000 + ({den})) {div} (2 * ({den})))"
+    " AS DOUBLE) / 10000.0"
+)
+
+
+def _round4_spark(num_sql: str, den_sql: str):
+    """Spark column: exact 4-dp half-away-from-zero of num/den (longs)."""
+    return F.expr(_ROUND4_SQL.format(num=num_sql, den=den_sql, div="div"))
+
+
+def _round4_duck(num_sql: str, den_sql: str) -> str:
+    """DuckDB SQL: the identical exact rounding (// = floor division;
+    operands are non-negative by construction, so it matches `div`)."""
+    return _ROUND4_SQL.format(num=num_sql, den=den_sql, div="//")
+
 
 def _modularity_oracle(rounds: int) -> str:
     return (
@@ -1740,10 +1791,10 @@ def _modularity_oracle(rounds: int) -> str:
            CAST(p.n_nodes AS BIGINT) AS n_nodes,
            CAST(p.e_in AS BIGINT) AS e_in,
            CAST(p.d_sum AS BIGINT) AS d_sum,
-           round(CAST(t.ecnt * p.e_in - p.d_sum * p.d_sum AS DOUBLE)
-                 / (t.ecnt * t.ecnt), 4) AS contribution,
-           round(CAST(t.ecnt * t.sum_e - t.sum_d2 AS DOUBLE)
-                 / (t.ecnt * t.ecnt), 4) AS modularity
+           {_round4_duck("t.ecnt * p.e_in - p.d_sum * p.d_sum",
+                         "t.ecnt * t.ecnt")} AS contribution,
+           {_round4_duck("t.ecnt * t.sum_e - t.sum_d2",
+                         "t.ecnt * t.ecnt")} AS modularity
     FROM percom p CROSS JOIN tot t
     ORDER BY p.n_nodes DESC, community LIMIT {MODULARITY_TOP}"""
     )
@@ -1764,18 +1815,22 @@ def q_graph_modularity(spark, sf_dir):
 
     EXACT-INTEGER form: over the symmetrized directed edge list E,
     contribution_c = (E*e_in_c - d_sum_c^2) / E^2 — numerator and
-    denominator are exact longs on both engines, so the single double
-    division is bit-identical and the global Q is the exact-rational sum
-    (E*sum_e - sum_d2)/E^2, NOT a float accumulation over communities
-    (cross-engine summation order cannot touch it).
+    denominator are exact longs on both engines, the global Q is the
+    exact-rational sum (E*sum_e - sum_d2)/E^2, NOT a float accumulation
+    over communities, and (r17) even the 4-dp ROUNDING is integer
+    arithmetic (:data:`_ROUND4_SQL` — half-away-from-zero via one integer
+    division), so the only float op left is one exact int64->double
+    conversion + one IEEE division by 10^4: no engine rounding-mode or
+    shortest-decimal-representation freedom anywhere in the output.
 
     Scale shape: labels come from the shared _lpa_labels loop (edge
     build amortized by the kNN edge cache); e_in is one edges->labels
     double equi-join keyed on node ids; degree mass is a node-keyed
     count joined to labels; the per-community frame is |communities|
-    rows and the totals row broadcasts back.  Long-overflow note: E*e_in
-    stays in int64 up to ~3e9 directed edges (beyond that, promote the
-    numerator to DECIMAL(38,0) on both engines — same plan).
+    rows and the totals row broadcasts back.  Long-overflow note: the
+    rounding's 2*|num|*10^4 term stays in int64 up to ~2e7 directed edges
+    (num <= E^2); beyond that, promote the rounding arithmetic to
+    DECIMAL(38,0) on both engines — same plan.
 
     Reference scope: no graph surface in the reference facade
     (api/router/router.go:9-55); eval sibling of q_graph_label_propagation
@@ -1819,20 +1874,11 @@ def q_graph_modularity(spark, sf_dir):
             F.col("n_nodes").cast("long").alias("n_nodes"),
             "e_in",
             "d_sum",
-            F.round(
-                (
-                    F.col("ecnt") * F.col("e_in")
-                    - F.col("d_sum") * F.col("d_sum")
-                ).cast("double")
-                / (F.col("ecnt") * F.col("ecnt")),
-                4,
+            _round4_spark(
+                "ecnt * e_in - d_sum * d_sum", "ecnt * ecnt"
             ).alias("contribution"),
-            F.round(
-                (F.col("ecnt") * F.col("sum_e") - F.col("sum_d2")).cast(
-                    "double"
-                )
-                / (F.col("ecnt") * F.col("ecnt")),
-                4,
+            _round4_spark(
+                "ecnt * sum_e - sum_d2", "ecnt * ecnt"
             ).alias("modularity"),
         )
         .orderBy(F.desc("n_nodes"), "community")
