@@ -2291,7 +2291,7 @@ def test_stream_velocity_crash_resume(spark, qs, tmp_path):
     src = str(tmp_path / "src")
     ckpt = str(tmp_path / "ckpt")
     sink = str(tmp_path / "sink")
-    sdf = _velocity_source(spark, SF, src)  # build the 4-file source ONCE
+    sdf = _velocity_source(spark, SF, src)  # build the REPLAY_SPLITS-file source ONCE
 
     def run(stream_df, crash_on):
         armed = {"on": crash_on}
