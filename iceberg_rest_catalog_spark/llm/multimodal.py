@@ -444,52 +444,65 @@ def q_multimodal_phash_dedup(spark, sf_dir):
         .withColumn("n", (F.length("hx") / 2).cast("int"))
         .filter(F.col("n") >= 64)
     )
-    # Explode the 64 sampled bytes to ROWS and aggregate the words back —
-    # NOT nested HOF lambdas: referencing a transform()-built array (and
-    # its mean) inside an aggregate() lambda re-inlines the whole
-    # subexpression per iteration (no CSE through lambda bindings), which
-    # measured as minutes-per-pass at sf0.1; this explode+window+agg shape
-    # is the documented ~15x-faster simhash vote plan and costs one
-    # doc-keyed shuffle of 64x|docs| pre-combined rows.
-    from pyspark.sql import Window as W
-
-    by = d.select(
+    # Per-doc hash as THREE STACKED PROJECTIONS — map-only, no explode, no
+    # window, no shuffle (guide §2.1; the previous explode+window shape
+    # paid an Exchange+Sort of 64x|docs| rows purely to avoid nested-HOF
+    # lambda re-inlining).  The staging sidesteps that re-inlining without
+    # rows: `bytes` and `mean` are materialized as ALIASES referenced many
+    # times by the next projection, and CollapseProject refuses to merge
+    # projections when it would duplicate a non-cheap alias — so nothing
+    # gets re-inlined into a lambda and each value is computed once per
+    # row inside one WholeStageCodegen span.  The word packing is 64
+    # unrolled CASE terms (plain expressions, not a lambda).  mean =
+    # fold-sum / 64.0 is the oracle's sum(byte)/64.0 exactly (integer sum,
+    # power-of-two division).
+    b = d.select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(0, 63), i -> "
-                "CAST(conv(substring(hx, 1 + 2 * i * CAST(n / 64 AS INT), 2), "
-                "16, 10) AS BIGINT))"
-            )
-        ).alias("i", "byte"),
-    ).withColumn("mean", F.avg("byte").over(W.partitionBy("doc_id")))
-    ph = by.groupBy("doc_id").agg(
-        F.sum(
-            F.expr(
-                "CASE WHEN i < 32 AND byte > mean "
-                "THEN shiftleft(1L, i) ELSE 0L END"
-            )
-        ).alias("pa"),
-        F.sum(
-            F.expr(
-                "CASE WHEN i >= 32 AND byte > mean "
-                "THEN shiftleft(1L, i - 32) ELSE 0L END"
-            )
-        ).alias("pb"),
+        F.expr(
+            "transform(sequence(0, 63), i -> "
+            "CAST(conv(substring(hx, 1 + 2 * i * CAST(n / 64 AS INT), 2), "
+            "16, 10) AS BIGINT))"
+        ).alias("bytes"),
     )
-    chunks = None
-    for cix, expr in enumerate(
-        [
-            F.col("pa").bitwiseAND(65535),
-            F.shiftright("pa", 16).bitwiseAND(65535),
-            F.col("pb").bitwiseAND(65535),
-            F.shiftright("pb", 16).bitwiseAND(65535),
-        ]
-    ):
-        part = ph.select(
-            "doc_id", F.lit(cix).alias("chunk"), expr.alias("ch"), "pa", "pb"
-        )
-        chunks = part if chunks is None else chunks.unionAll(part)
+    m = b.select(
+        "doc_id",
+        "bytes",
+        (
+            F.expr("aggregate(bytes, 0L, (acc, x) -> acc + x)") / F.lit(64.0)
+        ).alias("mean"),
+    )
+    bit = lambda i: F.when(  # noqa: E731
+        F.col("bytes")[i] > F.col("mean"), F.lit(1 << (i % 32)).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    pa = bit(0)
+    for i in range(1, 32):
+        pa = pa + bit(i)
+    pb = bit(32)
+    for i in range(33, 64):
+        pb = pb + bit(i)
+    ph = m.select("doc_id", pa.alias("pa"), pb.alias("pb"))
+    # The four 16-bit chunk memberships as ONE posexplode (4 rows per doc)
+    # instead of a 4-arm unionAll that re-derived the hash per arm, behind
+    # ONE tiny Exchange keyed by (chunk, ch): chunks is referenced three
+    # times downstream (bucket counts, hot accounting, kept) and without a
+    # shuffle boundary each reference RE-COMPUTES the whole hash subtree
+    # (measured 28 duplicated scan+hash copies in the plan); partitioning
+    # by the downstream group/join key lets the bucket-count aggregate run
+    # exchange-free.  ~32 bytes a row — strictly cheaper than the
+    # 64x|docs| explode shuffle the old window plan paid.
+    chunks = ph.select(
+        "doc_id",
+        "pa",
+        "pb",
+        F.posexplode(
+            F.array(
+                F.col("pa").bitwiseAND(65535),
+                F.shiftright("pa", 16).bitwiseAND(65535),
+                F.col("pb").bitwiseAND(65535),
+                F.shiftright("pb", 16).bitwiseAND(65535),
+            )
+        ).alias("chunk", "ch"),
+    ).repartition("chunk", "ch")
     # FREQUENT-BUCKET SUPPRESSION (cap 100, the standard LSH hot-bucket
     # gate): average-hash bits over a stylistically uniform corpus are
     # highly correlated, so a few chunk values collect a corpus-fraction
@@ -816,6 +829,13 @@ def q_multimodal_retrieval_eval(spark, sf_dir):
     qstep = recall_qstep_for(pairs.count())
     probes = pairs.filter(F.col("id") % qstep == 0)
 
+    # r17 note: a combined both-directions-in-one-pass form (one BNLJ, one
+    # qid Exchange, two Window nodes, one aggregate) was built, verified
+    # against the oracle at all three SFs — and REVERTED: it measured
+    # 3.9 -> 4.8 s because the per-direction rk<=K filter right after
+    # row_number() is what lets Spark push a WindowGroupLimit (top-K per
+    # partition before the full sort); the fused form ranks the whole
+    # candidate frame twice with no group limit.
     def _direction(qcol: str, tcol: str, name: str):
         from .similarity import _dot
 

@@ -996,6 +996,59 @@ SELECT vec_id, label, CAST(cell AS BIGINT) AS cluster FROM a3
 """
 
 
+# Above this many centroids the packed-array arm (ONE broadcast row holding
+# all k centroids, argmin per vector over the array) gives way to the
+# broadcast-join + window form: the scale path (semantic_k_for, tens of
+# thousands of centroids) wants centroids as rows, not a single k x 64
+# array cell.  64 covers every registered query (K_CLUSTERS=8,
+# ELBOW_KS<=16).
+KMEANS_PACKED_MAX_K = 64
+
+
+def _cents_row(cent):
+    """(cell, c) centroid rows -> ONE row [cents: array<struct<cell,c>>]
+    sorted by cell, for a broadcast cross-join onto the corpus.  The
+    centroid values never leave the JVM — no driver round-trip, no
+    literal inlining."""
+    return cent.agg(
+        F.array_sort(F.collect_list(F.struct("cell", "c"))).alias("cents")
+    )
+
+
+def _argmin_cell(emb, cents):
+    """struct<d2, cell> of the nearest centroid in the packed array.
+    Struct ordering is lexicographic (d2 ASC, then cell ASC), so array_min
+    picks the IDENTICAL winner as the row_number() window ORDER BY d2 ASC,
+    cell ASC — including on exact d2 ties — and the d2 fold is the same
+    sequential zip_with aggregate, so the compared doubles are
+    bit-identical."""
+    return F.array_min(
+        F.transform(
+            cents,
+            lambda s: F.struct(
+                _l2sq(emb, s["c"]).alias("d2"), s["cell"].alias("cell")
+            ),
+        )
+    )
+
+
+def _recenter(assigned):
+    """Lloyd recenter: the same posexplode + (cell, dim) avg aggregate the
+    oracle unrolls, as (cell, c) rows."""
+    return (
+        assigned.select("cell", F.posexplode("emb").alias("d", "val"))
+        .groupBy("cell", "d")
+        .agg(F.avg("val").alias("v"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "v"))),
+                lambda s: s.v,
+            ).alias("c")
+        )
+    )
+
+
 def _kmeans_assigned(spark, sf_dir, k: int = K_CLUSTERS):
     """The 3-iteration Lloyd assignment (vec_id, label, emb, cell) — the
     body of q_cluster_kmeans, extracted so q_dedup_semantic can derive its
@@ -1004,14 +1057,36 @@ def _kmeans_assigned(spark, sf_dir, k: int = K_CLUSTERS):
     ``k`` is the SemDeDup scale knob (VERDICT r6 item 4): the registered
     queries pin k=K_CLUSTERS so the unrolled oracle stays exact, while the
     scale path (llm/dedup.py semantic_k_for) grows k with the corpus so
-    E[|cluster|^2] stays flat. The plan shape is k-invariant: centroids
-    are k x 64 doubles broadcast to a per-vector argmin — the corpus never
-    shuffles for assignment at any k."""
-    from pyspark.sql import Window
+    E[|cluster|^2] stays flat.
 
+    Since round 17 small k (every registered query) packs the k x 64
+    centroids into ONE broadcast row and assigns via an array_min
+    projection — the corpus row count is never multiplied by k, exchanged
+    or sorted for assignment (guide §2.1: the per-iteration window was an
+    Exchange+Sort of the k x -exploded corpus), and the whole 3-iteration
+    chain stays lazy (no per-iteration checkpoint action: each recenter
+    references its input once, so the plan nests linearly).  Large k keeps
+    the broadcast-join + window form: the scale path wants centroids as
+    rows, not one giant array cell."""
     e = _emb(spark, sf_dir).select(
         "vec_id", "label", _dbl("embedding").alias("emb")
     )
+    if k <= KMEANS_PACKED_MAX_K:
+        cent = e.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cell"), F.col("emb").alias("c")
+        )
+        assigned = None
+        for it in range(3):
+            best = _argmin_cell(F.col("emb"), F.col("cents"))
+            assigned = e.crossJoin(F.broadcast(_cents_row(cent))).select(
+                "vec_id", "label", "emb", best["cell"].alias("cell")
+            )
+            if it < 2:
+                cent = _recenter(assigned)
+        return assigned
+
+    from pyspark.sql import Window
+
     cent = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cell"), F.col("emb").alias("c")
     )
@@ -1664,52 +1739,89 @@ def q_embed_kmeans_elbow(spark, sf_dir):
     the `semantic_k_for` / `ivf_cells_for` knobs (those scale K with the
     corpus; this measures what a given K buys on THIS corpus).
 
-    Scale shape: identical to q_cluster_kmeans per k — centroids are a
-    k x 64 broadcast to a per-vector argmin, the corpus never shuffles
-    for assignment, recentering is one posexplode partial agg; the sweep
-    multiplies that by |ELBOW_KS| and each sweep member collapses to ONE
-    output row.  d2 folds dimensions sequentially on both engines, so
-    the inertia summands are bit-identical before the one rounding site
-    per k."""
-    from pyspark.sql import Window
-
+    Scale shape: identical per-vector math to q_cluster_kmeans per k —
+    since round 17 the assignment is a packed-centroid broadcast-row
+    argmin (see _kmeans_assigned) and the THREE k-chains advance
+    together: one broadcast row carries the packed centroids of every k,
+    so each Lloyd level is ONE corpus pass computing all |ELBOW_KS|
+    argmins and one combined (k, cell, dim) recenter aggregate — 4 jobs
+    total, where the unrolled per-k join+window form was one 72-Exchange
+    DAG re-sorting the k x -exploded corpus per iteration.  The corpus is
+    never windowed, never multiplied by k, and each sweep member
+    collapses to ONE output row.  d2 folds dimensions sequentially on
+    both engines, so the inertia summands are bit-identical before the
+    one rounding site per k."""
+    ks = list(ELBOW_KS)
     e = _emb(spark, sf_dir).select("vec_id", _dbl("embedding").alias("emb"))
-    out = None
-    for k in ELBOW_KS:
-        cent = e.filter(F.col("vec_id") < k).select(
-            F.col("vec_id").alias("cell"), F.col("emb").alias("c")
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
-        assigned = None
-        for it in range(3):
-            assigned = (
-                e.join(F.broadcast(cent))
-                .withColumn("d2", _l2sq(F.col("emb"), F.col("c")))
-                .withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-            )
-            if it < 2:
-                cent = (
-                    assigned.select(
-                        "cell", F.posexplode("emb").alias("d", "val")
-                    )
-                    .groupBy("cell", "d")
-                    .agg(F.avg("val").alias("v"))
-                    .groupBy("cell")
-                    .agg(
-                        F.transform(
-                            F.array_sort(F.collect_list(F.struct("d", "v"))),
-                            lambda s: s.v,
-                        ).alias("c")
-                    )
+
+    def packed(cent_k):
+        # (k, cell, c) centroid rows -> ONE row with a sorted packed array
+        # per sweep member (collect_list drops the other ks' NULLs).
+        return cent_k.agg(*[
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("k") == k, F.struct("cell", "c"))
                 )
-        row = assigned.agg(
-            F.lit(k).cast("int").alias("k"),
-            F.count("*").cast("bigint").alias("n"),
-            F.round(F.sum("d2"), 4).alias("inertia"),
-            F.round(F.sum("d2") / F.count("*"), 4).alias("mean_d2"),
+            ).alias(f"c{k}")
+            for k in ks
+        ])
+
+    cent = packed(
+        e.filter(F.col("vec_id") < max(ks))
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.col("emb").alias("c"),
+            F.explode(F.array(*[F.lit(k) for k in ks])).alias("k"),
         )
-        out = row if out is None else out.unionByName(row)
+        .filter(F.col("cell") < F.col("k"))
+    )
+    for _ in range(2):
+        kcell = F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("k"),
+                    _argmin_cell(F.col("emb"), F.col(f"c{k}"))["cell"]
+                    .alias("cell"),
+                )
+                for k in ks
+            ])
+        )
+        cent = packed(
+            e.crossJoin(F.broadcast(cent))
+            .select("emb", kcell.alias("kc"))
+            .select("kc.k", "kc.cell", F.posexplode("emb").alias("d", "val"))
+            .groupBy("k", "cell", "d")
+            .agg(F.avg("val").alias("v"))
+            .groupBy("k", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "v"))),
+                    lambda s: s.v,
+                ).alias("c")
+            )
+        )
+    row = e.crossJoin(F.broadcast(cent)).agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(
+                _argmin_cell(F.col("emb"), F.col(f"c{k}"))["d2"]
+            ).alias(f"s{k}")
+            for k in ks
+        ],
+    )
+    out = row.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).cast("int").alias("k"),
+                    F.col("n").cast("bigint").alias("n"),
+                    F.round(F.col(f"s{k}"), 4).alias("inertia"),
+                    F.round(F.col(f"s{k}") / F.col("n"), 4).alias("mean_d2"),
+                )
+                for k in ks
+            ])
+        ).alias("r")
+    ).select("r.*")
     return out.orderBy("k")
 
 

@@ -244,7 +244,13 @@ def test_newest_driver_artifacts_are_tracked():
         ).stdout.split()
     )
     for stem in ("CORRECTNESS_r", "BENCH_r"):
-        on_disk = glob.glob(os.path.join(REPO, stem + "*.json"))
+        # variant artifacts (e.g. BENCH_r16_c8.json, the driver's low-core
+        # probe) carry no round suffix of their own — skip them
+        on_disk = [
+            p
+            for p in glob.glob(os.path.join(REPO, stem + "*.json"))
+            if re.search(r"_r(\d+)\.json$", p)
+        ]
         if not on_disk:
             continue
         newest = max(
